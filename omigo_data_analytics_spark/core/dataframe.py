@@ -1,0 +1,1483 @@
+"""OmigoDF: the engine's single table abstraction.
+
+A thin, immutable wrapper over ``pyspark.sql.DataFrame`` reproducing the
+reference's chainable method surface (CrowdStrike/omigo-data-analytics,
+omigo_core/dataframe.py — cited per method below) while compiling every
+operator to a lazy Catalyst plan: filters/projections push down to the scan,
+aggregations get map-side partial aggregation, joins pick
+broadcast/sort-merge via AQE. Nothing is materialized per operator — the
+reference's "each step generates a new copy of the data" becomes "each step
+adds a node to the logical plan".
+
+Design contracts carried over from the reference (SURVEY.md §1, §7.1):
+  * string-first semantics — lambda UDFs receive cell values as strings,
+    typed operators (eq_int, gt_float, ...) apply explicit casts;
+  * '' (empty string) and NULL are both "missing";
+  * derived columns are namespaced ``<col>:<funcname>``;
+  * every cols argument accepts regex patterns, expanded against the header;
+  * ``ignore_if_missing=True`` downgrades missing-column errors to warnings.
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import colutils
+from .colutils import COL_SEP, as_list, resolve_cols
+from ..functions import aggs as aggs_mod
+from ..functions.aggs import agg_expr, func_name, window_agg_expr
+
+log = logging.getLogger("omigo_spark")
+
+
+def from_spark(df: DataFrame) -> "OmigoDF":
+    return OmigoDF(df)
+
+
+def _is_numeric_type(dt: T.DataType) -> bool:
+    return isinstance(dt, T.NumericType)
+
+
+class OmigoDF:
+    """Chainable analytics DataFrame (reference ``DataFrame``, omigo_core/dataframe.py:19)."""
+
+    def __init__(self, df: DataFrame):
+        if isinstance(df, OmigoDF):
+            df = df.df
+        self._df = df
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def df(self) -> DataFrame:
+        """Unwrap to the underlying Spark DataFrame."""
+        return self._df
+
+    @property
+    def spark(self):
+        return self._df.sparkSession
+
+    def _wrap(self, df: DataFrame) -> "OmigoDF":
+        return OmigoDF(df)
+
+    def get_header_fields(self) -> list[str]:
+        return list(self._df.columns)
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self._df.columns)
+
+    def num_cols(self) -> int:
+        return len(self._df.columns)
+
+    def num_rows(self) -> int:
+        """Action (reference is eager so this was free; here it runs a count job)."""
+        return self._df.count()
+
+    def get_column_index(self, col: str) -> int:
+        return self._df.columns.index(col)
+
+    def validate(self) -> "OmigoDF":
+        # Schema validity is guaranteed by Spark; kept for API parity
+        # (reference dataframe.py:95-107 re-checks row widths).
+        return self
+
+    def col(self, name: str) -> Column:
+        return self._df[name]
+
+    def _resolve(self, cols, ignore_if_missing: bool = False, sort_by_header: bool = False) -> list[str]:
+        return resolve_cols(
+            self._df.columns, cols,
+            ignore_if_missing=ignore_if_missing, sort_by_header=sort_by_header,
+        )
+
+    def _missing_ok(self, cols, ignore_if_missing: bool, op: str) -> list[str] | None:
+        """Eager column validation at call time (reference raises immediately;
+        utils.py:475-484 warn-or-raise)."""
+        try:
+            return self._resolve(cols)
+        except KeyError as e:
+            if ignore_if_missing:
+                log.warning("%s: %s — ignore_if_missing=True, returning input unchanged", op, e)
+                return None
+            raise
+
+    # ---------------------------------------------------------- projections
+    def select(self, cols, ignore_if_missing: bool = False) -> "OmigoDF":
+        """Project columns; names and regex patterns (reference dataframe.py:120-165)."""
+        resolved = self._missing_ok(cols, ignore_if_missing, "select")
+        if resolved is None:
+            return self
+        return self._wrap(self._df.select(*[self._df[c] for c in resolved]))
+
+    def not_select(self, cols, ignore_if_missing: bool = False) -> "OmigoDF":
+        """Inverse projection (reference dataframe.py:181-182)."""
+        return self.drop_cols(cols, ignore_if_missing)
+
+    def drop_cols(self, cols, ignore_if_missing: bool = False) -> "OmigoDF":
+        resolved = self._missing_ok(cols, ignore_if_missing, "drop_cols")
+        if resolved is None:
+            return self
+        keep = [c for c in self._df.columns if c not in set(resolved)]
+        return self._wrap(self._df.select(*[self._df[c] for c in keep]))
+
+    def drop_cols_if_exists(self, cols) -> "OmigoDF":
+        return self.drop_cols(cols, ignore_if_missing=True)
+
+    def drop_cols_with_prefix(self, prefix: str, ignore_if_missing: bool = False) -> "OmigoDF":
+        """Drop the ``prefix:*`` namespace (reference dataframe.py:534)."""
+        return self.drop_cols(f"{prefix}{COL_SEP}.*", ignore_if_missing=ignore_if_missing)
+
+    def drop_cols_with_suffix(self, suffix: str, ignore_if_missing: bool = False) -> "OmigoDF":
+        return self.drop_cols(f".*{COL_SEP}{suffix}", ignore_if_missing=ignore_if_missing)
+
+    def drop_cols_except(self, cols) -> "OmigoDF":
+        return self.select(cols)
+
+    def select_and_add_empty_cols_if_missing(self, cols) -> "OmigoDF":
+        """Project, materializing absent columns as '' (reference dataframe.py:167-179)."""
+        exprs = []
+        existing = set(self._df.columns)
+        for c in as_list(cols):
+            if c in existing:
+                exprs.append(self._df[c])
+            elif colutils.is_pattern(c):
+                exprs.extend(self._df[m] for m in self._resolve(c))
+            else:
+                exprs.append(F.lit("").alias(c))
+        return self._wrap(self._df.select(*exprs))
+
+    def add_empty_cols_if_missing(self, cols) -> "OmigoDF":
+        """(reference dataframe.py:2436)"""
+        out = self._df
+        for c in as_list(cols):
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(""))
+        return self._wrap(out)
+
+    def drop_empty_cols(self) -> "OmigoDF":
+        """Drop columns whose every value is NULL/'' (reference dataframe.py:553-583).
+
+        One aggregate job over all columns at once (single pass), then a
+        driver-side projection.
+        """
+        df = self._df
+        flags = df.agg(*[
+            F.max(F.when(F.col(colutils.quote(c)).isNotNull()
+                         & (F.col(colutils.quote(c)).cast("string") != ""), 1).otherwise(0)).alias(c)
+            for c in df.columns
+        ]).first()
+        keep = [c for c in df.columns if (flags[c] or 0) == 1]
+        if not keep:
+            keep = df.columns[:1]
+        return self._wrap(df.select(*[df[c] for c in keep]))
+
+    def drop_empty_rows(self) -> "OmigoDF":
+        """Drop rows where every value is NULL/'' (reference dataframe.py:585-635)."""
+        df = self._df
+        cond = None
+        for c in df.columns:
+            piece = df[c].isNotNull() & (df[c].cast("string") != "")
+            cond = piece if cond is None else (cond | piece)
+        return self._wrap(df.filter(cond)) if cond is not None else self
+
+    def rename(self, col: str, new_col: str) -> "OmigoDF":
+        """(reference dataframe.py:1555-1572)"""
+        self._resolve(col)
+        if new_col in self._df.columns:
+            raise ValueError(f"rename: target column already exists: {new_col}")
+        return self._wrap(self._df.withColumnRenamed(col, new_col))
+
+    def reorder(self, cols, use_existing_order: bool = True) -> "OmigoDF":
+        """Move cols to the front (reference dataframe.py:2087-2152)."""
+        front = self._resolve(cols)
+        rest = [c for c in self._df.columns if c not in set(front)]
+        return self._wrap(self._df.select(*[self._df[c] for c in front + rest]))
+
+    def reverse_reorder(self, cols) -> "OmigoDF":
+        """Move cols to the back (reference dataframe.py:2154-2158)."""
+        back = self._resolve(cols)
+        rest = [c for c in self._df.columns if c not in set(back)]
+        return self._wrap(self._df.select(*[self._df[c] for c in rest + back]))
+
+    def copy(self, col: str, new_col: str) -> "OmigoDF":
+        """(reference dataframe.py:2978-2980)"""
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(new_col, self._df[col]))
+
+    # ':'-namespace management (reference dataframe.py:2588-2830) -----------
+    def _bulk_rename(self, mapper: Callable[[str], str | None]) -> "OmigoDF":
+        mapping = {}
+        for c in self._df.columns:
+            nc = mapper(c)
+            if nc is not None and nc != c:
+                mapping[c] = nc
+        if not mapping:
+            return self
+        out = self._df
+        for old, new in mapping.items():
+            out = out.withColumnRenamed(old, new)
+        return self._wrap(out)
+
+    def add_prefix(self, prefix: str, cols=None) -> "OmigoDF":
+        targets = set(self._resolve(cols)) if cols is not None else set(self._df.columns)
+        return self._bulk_rename(lambda c: f"{prefix}{COL_SEP}{c}" if c in targets else None)
+
+    def add_suffix(self, suffix: str, cols=None) -> "OmigoDF":
+        targets = set(self._resolve(cols)) if cols is not None else set(self._df.columns)
+        return self._bulk_rename(lambda c: f"{c}{COL_SEP}{suffix}" if c in targets else None)
+
+    def remove_prefix(self, prefix: str) -> "OmigoDF":
+        p = f"{prefix}{COL_SEP}"
+        return self._bulk_rename(lambda c: c[len(p):] if c.startswith(p) else None)
+
+    def remove_suffix(self, suffix: str) -> "OmigoDF":
+        s = f"{COL_SEP}{suffix}"
+        return self._bulk_rename(lambda c: c[: -len(s)] if c.endswith(s) else None)
+
+    def rename_prefix(self, old_prefix: str, new_prefix: str) -> "OmigoDF":
+        p = f"{old_prefix}{COL_SEP}"
+        return self._bulk_rename(
+            lambda c: f"{new_prefix}{COL_SEP}{c[len(p):]}" if c.startswith(p) else None
+        )
+
+    def rename_suffix(self, old_suffix: str, new_suffix: str) -> "OmigoDF":
+        s = f"{COL_SEP}{old_suffix}"
+        return self._bulk_rename(
+            lambda c: f"{c[: -len(s)]}{COL_SEP}{new_suffix}" if c.endswith(s) else None
+        )
+
+    replace_prefix = rename_prefix
+    replace_suffix = rename_suffix
+
+    # ----------------------------------------------------- constant columns
+    def add_const(self, col: str, value) -> "OmigoDF":
+        """(reference dataframe.py:2404-2420)"""
+        return self._wrap(self._df.withColumn(col, F.lit(value)))
+
+    def add_const_if_missing(self, col: str, value) -> "OmigoDF":
+        if col in self._df.columns:
+            return self
+        return self.add_const(col, value)
+
+    def assign_value(self, col: str, value) -> "OmigoDF":
+        """Overwrite an existing column with a constant (reference dataframe.py:2544-2553)."""
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(col, F.lit(value)))
+
+    def add_row(self, row_values: list) -> "OmigoDF":
+        """Append one literal row (reference dataframe.py:2499-2521)."""
+        if len(row_values) != len(self._df.columns):
+            raise ValueError("add_row: width mismatch")
+        one = self.spark.createDataFrame([tuple(row_values)], self._df.schema)
+        return self._wrap(self._df.unionByName(one))
+
+    def add_map_as_row(self, mp: dict, default_val=None) -> "OmigoDF":
+        """(reference dataframe.py:2523-2542)"""
+        vals = []
+        for c in self._df.columns:
+            if c in mp:
+                vals.append(mp[c])
+            elif default_val is not None:
+                vals.append(default_val)
+            else:
+                raise ValueError(f"add_map_as_row: missing key {c} and no default_val")
+        return self.add_row(vals)
+
+    # ------------------------------------------------------------- numerics
+    def to_int(self, cols) -> "OmigoDF":
+        """(reference dataframe.py:1698-1700): int(float(x))."""
+        out = self._df
+        for c in self._resolve(cols):
+            out = out.withColumn(c, out[c].try_cast("double").cast("long"))
+        return self._wrap(out)
+
+    def to_numeric(self, cols, precision: int = 6) -> "OmigoDF":
+        """(reference dataframe.py:1702-1705)"""
+        out = self._df
+        for c in self._resolve(cols):
+            out = out.withColumn(c, F.round(out[c].try_cast("double"), precision))
+        return self._wrap(out)
+
+    def apply_precision(self, cols, precision: int = 6) -> "OmigoDF":
+        return self.to_numeric(cols, precision)
+
+    def ratio(self, col1: str, col2: str, new_col: str, default: float = 0.0,
+              precision: int = 6) -> "OmigoDF":
+        """Safe division (reference dataframe.py:440-448)."""
+        self._resolve([col1, col2])
+        n = self._df[col1].try_cast("double")
+        d = self._df[col2].try_cast("double")
+        expr = F.when(d.isNotNull() & (d != 0) & n.isNotNull(), F.round(n / d, precision)) \
+                .otherwise(F.lit(float(default)))
+        return self._wrap(self._df.withColumn(new_col, expr))
+
+    def ratio_const(self, col: str, denom, new_col: str, precision: int = 6) -> "OmigoDF":
+        """(reference dataframe.py:450)"""
+        self._resolve(col)
+        d = float(denom)
+        if d == 0:
+            return self.add_const(new_col, 0.0)
+        expr = F.round(self._df[col].try_cast("double") / F.lit(d), precision)
+        return self._wrap(self._df.withColumn(new_col, expr))
+
+    def cap_min_inline(self, col: str, value) -> "OmigoDF":
+        """(reference dataframe.py:2962-2976)"""
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(
+            col, F.greatest(self._df[col].try_cast("double"), F.lit(float(value)))))
+
+    def cap_max_inline(self, col: str, value) -> "OmigoDF":
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(
+            col, F.least(self._df[col].try_cast("double"), F.lit(float(value)))))
+
+    def cap_min(self, col: str, value, new_col: str) -> "OmigoDF":
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(
+            new_col, F.greatest(self._df[col].try_cast("double"), F.lit(float(value)))))
+
+    def cap_max(self, col: str, value, new_col: str) -> "OmigoDF":
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(
+            new_col, F.least(self._df[col].try_cast("double"), F.lit(float(value)))))
+
+    def replace_str_inline(self, cols, old_str: str, new_str: str = "") -> "OmigoDF":
+        """(reference dataframe.py:410-412)"""
+        out = self._df
+        for c in self._resolve(cols):
+            out = out.withColumn(c, F.replace(out[c].cast("string"), F.lit(old_str), F.lit(new_str)))
+        return self._wrap(out)
+
+    def set_missing_values(self, cols, default_val: str) -> "OmigoDF":
+        """''/NULL → default (reference dataframe.py:4910-4912)."""
+        out = self._df
+        for c in self._resolve(cols):
+            v = out[c]
+            out = out.withColumn(
+                c, F.when(v.isNull() | (v.cast("string") == ""), F.lit(default_val)).otherwise(v))
+        return self._wrap(out)
+
+    # -------------------------------------------------------------- codecs
+    def url_encode(self, col: str, new_col: str) -> "OmigoDF":
+        """(reference dataframe.py:2294): quote_plus. url_encode lacks a JVM
+        builtin with identical semantics, so a vectorized expression chain is
+        used (percent-encode via reflect is unavailable in ANSI; we keep a
+        minimal udf here — cold path, egress-only)."""
+        from urllib.parse import quote_plus
+
+        @F.udf(T.StringType())
+        def _enc(s):
+            return quote_plus(s) if s is not None else ""
+
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(new_col, _enc(self._df[col].cast("string"))))
+
+    def url_decode(self, col: str, new_col: str) -> "OmigoDF":
+        """(reference dataframe.py:2258): unquote_plus."""
+        from urllib.parse import unquote_plus
+
+        @F.udf(T.StringType())
+        def _dec(s):
+            return unquote_plus(s) if s is not None else ""
+
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(new_col, _dec(self._df[col].cast("string"))))
+
+    def url_encode_inline(self, col: str) -> "OmigoDF":
+        return self.url_encode(col, col)
+
+    def url_decode_inline(self, cols) -> "OmigoDF":
+        out: OmigoDF = self
+        for c in self._resolve(cols):
+            out = out.url_decode(c, c)
+        return out
+
+    def resolve_url_encoded_cols(self, suffix: str = "url_encoded") -> "OmigoDF":
+        """Decode every ``*:url_encoded`` col and strip the marker
+        (reference dataframe.py:2268-2292)."""
+        out: OmigoDF = self
+        for c in list(self._df.columns):
+            if c.endswith(f"{COL_SEP}{suffix}"):
+                out = out.url_decode(c, c).rename(c, c[: -(len(suffix) + 1)])
+        return out
+
+    def base64_encode(self, col: str, new_col: str) -> "OmigoDF":
+        """(reference dataframe.py:2300-2320) — JVM builtin."""
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(
+            new_col, F.base64(self._df[col].cast("string").cast("binary"))))
+
+    def base64_decode(self, col: str, new_col: str) -> "OmigoDF":
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(
+            new_col, F.unbase64(self._df[col].cast("string")).cast("string")))
+
+    def base64_encode_inline(self, col: str) -> "OmigoDF":
+        return self.base64_encode(col, col)
+
+    def base64_decode_inline(self, col: str) -> "OmigoDF":
+        return self.base64_decode(col, col)
+
+    # ------------------------------------------------------------- filters
+    def where(self, condition) -> "OmigoDF":
+        """Native fast path: SQL string or Column predicate. This is the
+        idiomatic Spark spelling; the lambda `filter` below exists for
+        reference API parity."""
+        return self._wrap(self._df.filter(condition))
+
+    def filter(self, cols, func: Callable, include_cond: bool = True,
+               ignore_if_missing: bool = False, use_array_notation: bool = False) -> "OmigoDF":
+        """Generic lambda filter (reference dataframe.py:1129-1205): the
+        callable receives one string per selected column (or a list with
+        use_array_notation). Compiled to a Python UDF — the documented slow
+        path; use `where` / typed predicates for JVM-side filtering."""
+        resolved = self._missing_ok(cols, ignore_if_missing, "filter")
+        if resolved is None:
+            return self
+
+        if use_array_notation:
+            def _call(*vals):
+                return bool(func([("" if v is None else v) for v in vals]))
+        else:
+            def _call(*vals):
+                return bool(func(*[("" if v is None else v) for v in vals]))
+
+        pred = F.udf(_call, T.BooleanType())(*[self._df[c].cast("string") for c in resolved])
+        if not include_cond:
+            pred = ~F.coalesce(pred, F.lit(False))
+        return self._wrap(self._df.filter(pred))
+
+    def exclude_filter(self, cols, func: Callable, ignore_if_missing: bool = False,
+                       use_array_notation: bool = False) -> "OmigoDF":
+        """(reference dataframe.py:1207)"""
+        return self.filter(cols, func, include_cond=False,
+                           ignore_if_missing=ignore_if_missing,
+                           use_array_notation=use_array_notation)
+
+    # typed predicates (reference dataframe.py:248-408) ---------------------
+    def _cmp(self, col: str, value, op: str, cast: str | None,
+             ignore_if_missing: bool = False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, op)
+        if resolved is None:
+            return self
+        c = self._df[resolved[0]]
+        if cast == "int":
+            # reference semantics: int(float(x)) — dataframe.py:283
+            c = c.try_cast("double").cast("long")
+            value = int(float(value))
+        elif cast == "float":
+            c = c.try_cast("double")
+            value = float(value)
+        elif cast == "str":
+            c = c.cast("string")
+            value = str(value)
+        cond = {
+            "eq": c == value, "ne": c != value,
+            "gt": c > value, "ge": c >= value,
+            "lt": c < value, "le": c <= value,
+        }[op]
+        return self._wrap(self._df.filter(cond))
+
+    def eq_int(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "eq", "int", ignore_if_missing)
+
+    def eq_float(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "eq", "float", ignore_if_missing)
+
+    def eq_str(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "eq", "str", ignore_if_missing)
+
+    def not_eq_int(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "ne", "int", ignore_if_missing)
+
+    def not_eq_float(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "ne", "float", ignore_if_missing)
+
+    def not_eq_str(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "ne", "str", ignore_if_missing)
+
+    def gt_int(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "gt", "int", ignore_if_missing)
+
+    def ge_int(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "ge", "int", ignore_if_missing)
+
+    def lt_int(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "lt", "int", ignore_if_missing)
+
+    def le_int(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "le", "int", ignore_if_missing)
+
+    def gt_float(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "gt", "float", ignore_if_missing)
+
+    def ge_float(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "ge", "float", ignore_if_missing)
+
+    def lt_float(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "lt", "float", ignore_if_missing)
+
+    def le_float(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "le", "float", ignore_if_missing)
+
+    def gt_str(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "gt", "str", ignore_if_missing)
+
+    def ge_str(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "ge", "str", ignore_if_missing)
+
+    def lt_str(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "lt", "str", ignore_if_missing)
+
+    def le_str(self, col, value, ignore_if_missing=False):
+        return self._cmp(col, value, "le", "str", ignore_if_missing)
+
+    # deprecated untyped aliases kept for parity (reference dataframe.py:318-384)
+    eq = eq_str
+    gt = gt_float
+    lt = lt_float
+    ge = ge_float
+    le = le_float
+
+    def is_nonzero(self, col, ignore_if_missing=False):
+        return self.is_nonzero_float(col, ignore_if_missing)
+
+    def is_nonzero_int(self, col, ignore_if_missing=False):
+        return self._cmp(col, 0, "ne", "int", ignore_if_missing)
+
+    def is_nonzero_float(self, col, ignore_if_missing=False):
+        return self._cmp(col, 0.0, "ne", "float", ignore_if_missing)
+
+    def startswith(self, col: str, prefix: str, ignore_if_missing=False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, "startswith")
+        if resolved is None:
+            return self
+        return self._wrap(self._df.filter(self._df[resolved[0]].cast("string").startswith(prefix)))
+
+    def not_startswith(self, col: str, prefix: str, ignore_if_missing=False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, "not_startswith")
+        if resolved is None:
+            return self
+        c = self._df[resolved[0]].cast("string")
+        return self._wrap(self._df.filter(~F.coalesce(c.startswith(prefix), F.lit(False))))
+
+    def endswith(self, col: str, suffix: str, ignore_if_missing=False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, "endswith")
+        if resolved is None:
+            return self
+        return self._wrap(self._df.filter(self._df[resolved[0]].cast("string").endswith(suffix)))
+
+    def not_endswith(self, col: str, suffix: str, ignore_if_missing=False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, "not_endswith")
+        if resolved is None:
+            return self
+        c = self._df[resolved[0]].cast("string")
+        return self._wrap(self._df.filter(~F.coalesce(c.endswith(suffix), F.lit(False))))
+
+    def is_empty_str(self, col: str, ignore_if_missing=False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, "is_empty_str")
+        if resolved is None:
+            return self
+        c = self._df[resolved[0]]
+        return self._wrap(self._df.filter(c.isNull() | (c.cast("string") == "")))
+
+    def is_nonempty_str(self, col: str, ignore_if_missing=False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, "is_nonempty_str")
+        if resolved is None:
+            return self
+        c = self._df[resolved[0]]
+        return self._wrap(self._df.filter(c.isNotNull() & (c.cast("string") != "")))
+
+    def regex_match(self, col: str, pattern: str, condition: bool = True,
+                    ignore_if_missing=False) -> "OmigoDF":
+        """Python re.match anchors at the start (reference dataframe.py:256-270)
+        → rlike with a leading anchor."""
+        resolved = self._missing_ok(col, ignore_if_missing, "regex_match")
+        if resolved is None:
+            return self
+        pat = pattern if pattern.startswith("^") else "^(?:" + pattern + ")"
+        pred = self._df[resolved[0]].cast("string").rlike(pat)
+        if not condition:
+            pred = ~F.coalesce(pred, F.lit(False))
+        return self._wrap(self._df.filter(pred))
+
+    def not_regex_match(self, col: str, pattern: str, ignore_if_missing=False) -> "OmigoDF":
+        return self.regex_match(col, pattern, condition=False, ignore_if_missing=ignore_if_missing)
+
+    def values_in(self, col: str, values: Iterable, ignore_if_missing=False) -> "OmigoDF":
+        """(reference dataframe.py:248-250)"""
+        resolved = self._missing_ok(col, ignore_if_missing, "values_in")
+        if resolved is None:
+            return self
+        return self._wrap(self._df.filter(
+            self._df[resolved[0]].cast("string").isin([str(v) for v in values])))
+
+    def values_not_in(self, col: str, values: Iterable, ignore_if_missing=False) -> "OmigoDF":
+        resolved = self._missing_ok(col, ignore_if_missing, "values_not_in")
+        if resolved is None:
+            return self
+        c = self._df[resolved[0]].cast("string")
+        return self._wrap(self._df.filter(~F.coalesce(c.isin([str(v) for v in values]), F.lit(False))))
+
+    # --------------------------------------------------------- transform(s)
+    def transform(self, cols, func: Callable, new_cols, use_array_notation: bool = False,
+                  ignore_if_missing: bool = False) -> "OmigoDF":
+        """n-ary lambda over column values → 1..n new columns (reference
+        dataframe.py:1319-1472). Values arrive as strings; None results
+        become '' (dataframe.py:1420-1421). Python-UDF slow path — use
+        `with_column` / native exprs in hot paths."""
+        resolved = self._missing_ok(cols, ignore_if_missing, "transform")
+        if resolved is None:
+            return self
+        new_cols = as_list(new_cols)
+
+        n_out = len(new_cols)
+        if use_array_notation:
+            def _call(*vals):
+                return func([("" if v is None else v) for v in vals])
+        else:
+            def _call(*vals):
+                return func(*[("" if v is None else v) for v in vals])
+
+        in_cols = [self._df[c].cast("string") for c in resolved]
+        if n_out == 1:
+            @F.udf(T.StringType())
+            def _f1(*vals):
+                out = _call(*vals)
+                if isinstance(out, (list, tuple)):
+                    out = out[0]
+                return "" if out is None else str(out)
+
+            return self._wrap(self._df.withColumn(new_cols[0], _f1(*in_cols)))
+
+        struct_type = T.StructType([T.StructField(f"_o{i}", T.StringType()) for i in range(n_out)])
+
+        @F.udf(struct_type)
+        def _fn(*vals):
+            out = _call(*vals)
+            if not isinstance(out, (list, tuple)):
+                out = [out]
+            out = list(out) + [""] * (n_out - len(out))
+            return tuple("" if v is None else str(v) for v in out[:n_out])
+
+        tmp = "__omigo_transform_out__"
+        out_df = self._df.withColumn(tmp, _fn(*in_cols))
+        for i, nc in enumerate(new_cols):
+            out_df = out_df.withColumn(nc, F.col(tmp)[f"_o{i}"])
+        return self._wrap(out_df.drop(tmp))
+
+    def transform_inline(self, cols, func: Callable, ignore_if_missing: bool = False) -> "OmigoDF":
+        """Overwrite matching cols with a unary lambda (reference dataframe.py:1474-1515)."""
+        resolved = self._missing_ok(cols, ignore_if_missing, "transform_inline")
+        if resolved is None:
+            return self
+
+        @F.udf(T.StringType())
+        def _f(v):
+            out = func("" if v is None else v)
+            return "" if out is None else str(out)
+
+        out = self._df
+        for c in resolved:
+            out = out.withColumn(c, _f(out[c].cast("string")))
+        return self._wrap(out)
+
+    def with_column(self, new_col: str, expr) -> "OmigoDF":
+        """Native fast path: add a column from a Column expression / SQL string."""
+        if isinstance(expr, str):
+            expr = F.expr(expr)
+        return self._wrap(self._df.withColumn(new_col, expr))
+
+    def _inline_math(self, cols, fn) -> "OmigoDF":
+        out = self._df
+        for c in self._resolve(cols):
+            out = out.withColumn(c, fn(out[c].try_cast("double")))
+        return self._wrap(out)
+
+    def transform_inline_log(self, cols):
+        """(reference dataframe.py:1517-1552)"""
+        return self._inline_math(cols, F.log)
+
+    def transform_inline_log2(self, cols):
+        return self._inline_math(cols, F.log2)
+
+    def transform_inline_log10(self, cols):
+        return self._inline_math(cols, F.log10)
+
+    def transform_inline_log1p(self, cols):
+        return self._inline_math(cols, F.log1p)
+
+    def transform_inline_log1p_base2(self, cols):
+        return self._inline_math(cols, lambda c: F.log2(c + 1))
+
+    def transform_inline_log1p_base10(self, cols):
+        return self._inline_math(cols, lambda c: F.log10(c + 1))
+
+    def generate_key_hash(self, cols, new_col: str = "key_hash") -> "OmigoDF":
+        """64-bit hash of tab-joined values (reference dataframe.py:4056-4089,
+        mmh3.hash64 via utils.py:374). Spark-native delta: xxhash64 — same
+        role (stable 64-bit key), different hash function; both abs()'d."""
+        resolved = self._resolve(cols)
+        joined = F.concat_ws("\t", *[F.trim(self._df[c].cast("string")) for c in resolved])
+        return self._wrap(self._df.withColumn(new_col, F.abs(F.xxhash64(joined))))
+
+    def custom_func(self, func: Callable, *args, **kwargs) -> "OmigoDF":
+        """Whole-table escape hatch (reference dataframe.py:4924-4934)."""
+        return func(self, *args, **kwargs)
+
+    def extend_class(self, cls, *args, **kwargs):
+        """Re-wrap in a user subclass (reference dataframe.py:4915-4921)."""
+        return cls(self._df, *args, **kwargs)
+
+    # ----------------------------------------------------------------- sort
+    def _has_all_numeric_values(self, col: str) -> bool:
+        """Reference sniffs whether every value parses as float to choose
+        numeric vs lexicographic order (dataframe.py:2048-2061, 5067). For
+        typed columns the schema answers; string columns need one cheap
+        aggregate over the (possibly pruned) column."""
+        dt = self._df.schema[col].dataType
+        if _is_numeric_type(dt):
+            return True
+        if not isinstance(dt, T.StringType):
+            return False
+        c = self._df[col]
+        bad = self._df.agg(
+            F.max(F.when(c.isNotNull() & (c != "") & c.try_cast("double").isNull(), 1).otherwise(0))
+        ).first()[0]
+        return (bad or 0) == 0
+
+    def sort(self, cols, reverse: bool = False, reorder: bool = False,
+             all_numeric: bool | None = None) -> "OmigoDF":
+        """(reference dataframe.py:2019-2085)"""
+        resolved = self._resolve(cols)
+        exprs = []
+        for c in resolved:
+            col = self._df[c]
+            numeric = all_numeric if all_numeric is not None else self._has_all_numeric_values(c)
+            if numeric and isinstance(self._df.schema[c].dataType, T.StringType):
+                col = col.try_cast("double")
+            exprs.append(col.desc() if reverse else col.asc())
+        out = self._df.orderBy(*exprs)
+        res = self._wrap(out)
+        if reorder:
+            res = res.reorder(resolved)
+        return res
+
+    def reverse_sort(self, cols, reorder: bool = False, all_numeric: bool | None = None) -> "OmigoDF":
+        return self.sort(cols, reverse=True, reorder=reorder, all_numeric=all_numeric)
+
+    # ------------------------------------------------------------ slicing
+    def take(self, n: int) -> "OmigoDF":
+        """First n rows (reference dataframe.py:466-471)."""
+        return self._wrap(self._df.limit(n))
+
+    def skip_rows(self, n: int) -> "OmigoDF":
+        """(reference dataframe.py:457-464)"""
+        return self._wrap(self._df.offset(n))
+
+    def last(self, n: int) -> "OmigoDF":
+        """(reference dataframe.py:473-477). Requires a count action to
+        compute the offset — the reference's list slice was free; on Spark
+        tail-of-table is inherently order-dependent."""
+        total = self._df.count()
+        return self._wrap(self._df.offset(max(total - n, 0)))
+
+    # ---------------------------------------------------------- seq / cumsum
+    def add_seq_num(self, new_col: str = "sno", start: int = 1) -> "OmigoDF":
+        """1-based row number in current order (reference dataframe.py:1707-1729).
+
+        Scale-aware: instead of a single-partition global window, compute
+        per-partition counts (one tiny job), then assign offsets per
+        partition with mapInPandas — no shuffle of the data itself.
+        """
+        df = self._df
+        pid = F.spark_partition_id()
+        counts = {r["pid"]: r["cnt"] for r in
+                  df.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets = {}
+        acc = start
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        schema = T.StructType(df.schema.fields + [T.StructField(new_col, T.LongType())])
+        b_offsets = self.spark.sparkContext.broadcast(offsets)
+
+        def _assign(iterator):
+            import pandas as pd  # noqa
+            from pyspark import TaskContext
+
+            pid_ = TaskContext.get().partitionId()
+            base = b_offsets.value.get(pid_, 0)
+            seen = 0
+            for pdf in iterator:
+                pdf = pdf.copy()
+                pdf[new_col] = range(base + seen, base + seen + len(pdf))
+                seen += len(pdf)
+                yield pdf
+
+        return self._wrap(df.mapInPandas(_assign, schema=schema))
+
+    def cumulative_sum(self, col: str, new_col: str, sort_cols=None, as_int: bool = True) -> "OmigoDF":
+        """Running sum (reference dataframe.py:4091-4129). The reference sums
+        in physical row order; a distributed engine needs an explicit order —
+        pass sort_cols, else the current order is pinned via add_seq_num."""
+        self._resolve(col)
+        if sort_cols is None:
+            seq = "__omigo_seq__"
+            base = self.add_seq_num(seq)
+            w = Window.orderBy(F.col(seq))
+            out = base._df.withColumn(
+                new_col,
+                F.sum(base._df[col].try_cast("long" if as_int else "double"))
+                 .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            return self._wrap(out.drop(seq))
+        w = Window.orderBy(*[self._df[c] for c in self._resolve(sort_cols)])
+        out = self._df.withColumn(
+            new_col,
+            F.sum(self._df[col].try_cast("long" if as_int else "double"))
+             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        return self._wrap(out)
+
+    # -------------------------------------------------------- aggregations
+    def aggregate(self, grouping_cols, agg_cols, agg_funcs, collapse: bool = True,
+                  precision: int | None = None, ignore_if_missing: bool = False) -> "OmigoDF":
+        """Grouped aggregation (reference dataframe.py:977-1126).
+
+        agg_cols[i] is aggregated with agg_funcs[i]; output columns are named
+        ``<col>:<funcname>`` (dataframe.py:1024). collapse=True → one row per
+        group (groupBy); collapse=False → analytic semantics, every input row
+        keeps its group's aggregates (window functions, dataframe.py:1080-1123).
+        Registry names compile to native JVM aggregates (map-side combine);
+        Python callables fall back to collect_list+UDF.
+        """
+        gcols = self._missing_ok(grouping_cols, ignore_if_missing, "aggregate")
+        if gcols is None:
+            return self
+        acols = self._resolve(agg_cols)
+        funcs = list(agg_funcs) if isinstance(agg_funcs, (list, tuple)) else [agg_funcs]
+        if len(funcs) == 1 and len(acols) > 1:
+            funcs = funcs * len(acols)
+        if len(acols) != len(funcs):
+            raise ValueError("aggregate: agg_cols and agg_funcs length mismatch")
+
+        def _out_name(c, f):
+            return f"{c}{COL_SEP}{func_name(f)}"
+
+        def _round(e):
+            return F.round(e, precision) if precision is not None else e
+
+        if collapse:
+            exprs = [_round(agg_expr(f, self._df[c])).alias(_out_name(c, f))
+                     for c, f in zip(acols, funcs)]
+            return self._wrap(self._df.groupBy(*[self._df[g] for g in gcols]).agg(*exprs))
+        w = Window.partitionBy(*[self._df[g] for g in gcols])
+        out = self._df
+        for c, f in zip(acols, funcs):
+            out = out.withColumn(_out_name(c, f), _round(window_agg_expr(f, self._df[c], w)))
+        return self._wrap(out)
+
+    def group_count(self, cols, prefix: str = "group", collapse: bool = True,
+                    precision: int = 6) -> "OmigoDF":
+        """Count + ratio-of-total per group, sorted desc (reference
+        dataframe.py:414-438). The ratio window runs over the *aggregated*
+        groups (small), not the input rows."""
+        gcols = self._resolve(cols)
+        cnt = f"{prefix}{COL_SEP}count"
+        ratio = f"{prefix}{COL_SEP}ratio"
+        if collapse:
+            g = self._df.groupBy(*[self._df[c] for c in gcols]).agg(F.count(F.lit(1)).alias(cnt))
+            g = g.withColumn(ratio, F.round(F.col(cnt) / F.sum(cnt).over(Window.partitionBy()), precision))
+            return self._wrap(g.orderBy(F.col(cnt).desc(), *[F.col(colutils.quote(c)) for c in gcols]))
+        w = Window.partitionBy(*[self._df[c] for c in gcols])
+        total = self._df.count()
+        out = (self._df
+               .withColumn(cnt, F.count(F.lit(1)).over(w))
+               .withColumn(ratio, F.round(F.col(cnt) / F.lit(float(total)), precision)))
+        return self._wrap(out)
+
+    def distinct(self) -> "OmigoDF":
+        """(reference dataframe.py:479-500)"""
+        return self._wrap(self._df.dropDuplicates())
+
+    def distinct_cols(self, cols) -> "OmigoDF":
+        """(reference dataframe.py:502-506)"""
+        return self.select(cols).distinct()
+
+    def arg_min(self, grouping_cols, argcols, valcols, topk: int = 1, sep: str = ",") -> "OmigoDF":
+        """(reference dataframe.py:875-935)"""
+        return self._arg_minmax(grouping_cols, argcols, valcols, topk, sep, use_min=True)
+
+    def arg_max(self, grouping_cols, argcols, valcols, topk: int = 1, sep: str = ",") -> "OmigoDF":
+        """(reference dataframe.py:937-974)"""
+        return self._arg_minmax(grouping_cols, argcols, valcols, topk, sep, use_min=False)
+
+    def _arg_minmax(self, grouping_cols, argcols, valcols, topk, sep, use_min) -> "OmigoDF":
+        """Per group: value(s) of argcols at the extremum of each valcol,
+        top-k joined by `sep`. Implemented as sort_array over collected
+        (val, arg) structs — one shuffle, no window pass."""
+        gcols = self._resolve(grouping_cols)
+        acols = self._resolve(argcols)
+        vcols = self._resolve(valcols)
+        exprs = []
+        suffix = "arg_min" if use_min else "arg_max"
+        for v in vcols:
+            vc = self._df[v].try_cast("double")
+            for a in acols:
+                pair = F.struct(vc.alias("v"), self._df[a].cast("string").alias("a"))
+                arr = F.sort_array(F.collect_list(pair), asc=use_min)
+                picked = F.transform(F.slice(arr, 1, topk), lambda s: s["a"])
+                exprs.append(F.concat_ws(sep, picked).alias(f"{a}{COL_SEP}{v}{COL_SEP}{suffix}"))
+            exprs.append(
+                (F.min(vc) if use_min else F.max(vc)).alias(
+                    f"{v}{COL_SEP}{'min' if use_min else 'max'}"))
+        return self._wrap(self._df.groupBy(*[self._df[g] for g in gcols]).agg(*exprs))
+
+    def group_by_key(self, grouping_cols, agg_cols, agg_func: Callable,
+                     suffix: str = "", collapse: bool = True) -> "OmigoDF":
+        """Generalized UDAF (reference dataframe.py:732-872): ``agg_func``
+        receives the group's rows as list[dict] (agg_cols only, string
+        values) and returns a dict of output values. → applyInPandas
+        grouped-map; output schema discovered by probing agg_func([]) the way
+        the reference does (dataframe.py:805-809)."""
+        gcols = self._resolve(grouping_cols)
+        acols = self._resolve(agg_cols)
+        probe = agg_func([])
+        if not isinstance(probe, dict):
+            raise ValueError("group_by_key: agg_func([]) must return a dict (defines output cols)")
+        out_names = [f"{k}{COL_SEP}{suffix}" if suffix else f"{k}{COL_SEP}{agg_func.__name__}"
+                     for k in sorted(probe.keys())]
+        out_keys = sorted(probe.keys())
+
+        if collapse:
+            schema = T.StructType(
+                [self._df.schema[g] for g in gcols]
+                + [T.StructField(n, T.StringType()) for n in out_names])
+
+            def _apply(pdf):
+                import pandas as pd
+
+                rows = pdf[acols].astype(str).to_dict("records")
+                res = agg_func(rows)
+                data = {g: [pdf[g].iloc[0]] for g in gcols}
+                for k, n in zip(out_keys, out_names):
+                    v = res.get(k)
+                    data[n] = ["" if v is None else str(v)]
+                return pd.DataFrame(data)
+
+            return self._wrap(
+                self._df.select(*[self._df[c] for c in set(gcols + acols)])
+                        .groupBy(*gcols).applyInPandas(_apply, schema=schema))
+
+        schema = T.StructType(
+            list(self._df.schema.fields)
+            + [T.StructField(n, T.StringType()) for n in out_names])
+
+        def _apply_keep(pdf):
+            rows = pdf[acols].astype(str).to_dict("records")
+            res = agg_func(rows)
+            out = pdf.copy()
+            for k, n in zip(out_keys, out_names):
+                v = res.get(k)
+                out[n] = "" if v is None else str(v)
+            return out
+
+        return self._wrap(self._df.groupBy(*gcols).applyInPandas(_apply_keep, schema=schema))
+
+    # ---------------------------------------------------------------- joins
+    def _prep_join_side(self, df: DataFrame, keys: list[str], suffix: str | None) -> DataFrame:
+        if suffix:
+            for c in df.columns:
+                if c not in keys:
+                    df = df.withColumnRenamed(c, f"{c}{COL_SEP}{suffix}")
+        return df
+
+    def __join(self, that: "OmigoDF", lkeys, rkeys=None, how: str = "inner",
+               lsuffix: str | None = None, rsuffix: str | None = None,
+               default_val: str | None = "", def_val_map: dict | None = None,
+               broadcast_right: bool = False) -> "OmigoDF":
+        """Equi-join core (reference __join__ dataframe.py:3327-3639).
+
+        Spark handles the physical strategy (broadcast / sort-merge /
+        shuffled-hash via AQE); `broadcast_right` forces the map-join shape
+        (reference __map_join__ dataframe.py:3724-3926). Suffixes
+        disambiguate non-key collisions as ``<col>:<suffix>``
+        (dataframe.py:3526); outer nulls are filled from def_val_map /
+        default_val like dataframe.py:3545-3561.
+        """
+        lk = self._resolve(lkeys)
+        rk = that._resolve(rkeys) if rkeys is not None else list(lk)
+        if len(lk) != len(rk):
+            raise ValueError("join: lkeys/rkeys length mismatch")
+
+        left = self._prep_join_side(self._df, lk, lsuffix)
+        right = that._prep_join_side(that._df, rk, rsuffix)
+
+        lnon = [c for c in left.columns if c not in lk]
+        rnon = [c for c in right.columns if c not in rk]
+        dup = set(lnon) & set(rnon)
+        if dup:
+            raise ValueError(
+                f"join: duplicate non-key columns {sorted(dup)}; pass lsuffix/rsuffix")
+
+        # rename right keys to left names when they coincide post-join
+        cond = [left[a].eqNullSafe(right[b]) for a, b in zip(lk, rk)]
+        r = F.broadcast(right) if broadcast_right else right
+        joined = left.join(r, on=cond, how=how)
+
+        # output columns: left keys (coalesced with right keys for right/full
+        # joins so unmatched right rows keep their key), then non-keys
+        out_cols = []
+        for a, b in zip(lk, rk):
+            if how in ("right", "right_outer", "full", "outer", "full_outer"):
+                out_cols.append(F.coalesce(left[a], right[b]).alias(a))
+            else:
+                out_cols.append(left[a])
+        out_cols += [left[c] for c in lnon]
+        if rkeys is not None and any(a != b for a, b in zip(lk, rk)):
+            out_cols += [right[b].alias(b) for a, b in zip(lk, rk) if a != b]
+        out_cols += [right[c] for c in rnon]
+        joined = joined.select(*out_cols)
+
+        # outer fill (reference default_val='' / per-col def_val_map)
+        fill = dict(def_val_map or {})
+        if how != "inner" and (fill or default_val is not None):
+            exprs = []
+            for c in joined.columns:
+                v = fill.get(c, default_val)
+                if v is None:
+                    exprs.append(joined[c])
+                else:
+                    dt = joined.schema[c].dataType
+                    lit = F.lit(v)
+                    if not isinstance(dt, T.StringType):
+                        lit = lit.try_cast(dt)
+                    exprs.append(F.coalesce(joined[c], lit).alias(c))
+            joined = joined.select(*exprs)
+        return self._wrap(joined)
+
+    def inner_join(self, that, lkeys, rkeys=None, lsuffix=None, rsuffix=None,
+                   default_val="", def_val_map=None) -> "OmigoDF":
+        """(reference dataframe.py:3327-3337)"""
+        return self.__join(that, lkeys, rkeys, "inner", lsuffix, rsuffix, default_val, def_val_map)
+
+    def left_join(self, that, lkeys, rkeys=None, lsuffix=None, rsuffix=None,
+                  default_val="", def_val_map=None) -> "OmigoDF":
+        return self.__join(that, lkeys, rkeys, "left", lsuffix, rsuffix, default_val, def_val_map)
+
+    def right_join(self, that, lkeys, rkeys=None, lsuffix=None, rsuffix=None,
+                   default_val="", def_val_map=None) -> "OmigoDF":
+        return self.__join(that, lkeys, rkeys, "right", lsuffix, rsuffix, default_val, def_val_map)
+
+    def outer_join(self, that, lkeys, rkeys=None, lsuffix=None, rsuffix=None,
+                   default_val="", def_val_map=None) -> "OmigoDF":
+        return self.__join(that, lkeys, rkeys, "full", lsuffix, rsuffix, default_val, def_val_map)
+
+    join = inner_join
+
+    def natural_join(self, that) -> "OmigoDF":
+        """Inner join on all common column names, sorted (reference
+        dataframe.py:3642-3722)."""
+        common = sorted(set(self._df.columns) & set(that.columns))
+        if not common:
+            raise ValueError("natural_join: no common columns")
+        return self.__join(that, common, common, "inner")
+
+    def inner_map_join(self, that, lkeys, rkeys=None, lsuffix=None, rsuffix=None) -> "OmigoDF":
+        """Broadcast-hash join, right side small (reference __map_join__
+        dataframe.py:3724-3926)."""
+        return self.__join(that, lkeys, rkeys, "inner", lsuffix, rsuffix, broadcast_right=True)
+
+    def left_map_join(self, that, lkeys, rkeys=None, lsuffix=None, rsuffix=None,
+                      default_val="", def_val_map=None) -> "OmigoDF":
+        return self.__join(that, lkeys, rkeys, "left", lsuffix, rsuffix,
+                           default_val, def_val_map, broadcast_right=True)
+
+    def difference(self, that, cols=None) -> "OmigoDF":
+        """Rows of self whose selected-col tuple doesn't appear in that
+        (reference dataframe.py:2367-2402 hashes with mmh3 and warns about
+        collisions; a left-anti join is exact and shuffle-optimal)."""
+        use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        cond = [self._df[c].eqNullSafe(that.df[c]) for c in use]
+        return self._wrap(self._df.join(that.df, on=cond, how="left_anti"))
+
+    # ------------------------------------------------------------- set ops
+    def union(self, others) -> "OmigoDF":
+        """Strict union: headers must match exactly (reference dataframe.py:2322-2363)."""
+        if isinstance(others, OmigoDF):
+            others = [others]
+        out = self._df
+        for o in others:
+            odf = o.df if isinstance(o, OmigoDF) else o
+            if set(odf.columns) != set(out.columns):
+                raise ValueError(
+                    f"union: header mismatch {sorted(set(odf.columns) ^ set(out.columns))}")
+            out = out.unionByName(odf)
+        return self._wrap(out)
+
+    def merge(self, others, def_val_map: dict | None = None) -> "OmigoDF":
+        return self.merge_union(others, def_val_map)
+
+    def merge_union(self, others, def_val_map: dict | None = None) -> "OmigoDF":
+        """Schema-evolving union (reference dfutils.py:9-185): union of
+        columns; values absent on one side take def_val_map[col] or ''."""
+        if isinstance(others, OmigoDF):
+            others = [others]
+        out = self._df
+        for o in others:
+            odf = o.df if isinstance(o, OmigoDF) else o
+            out = out.unionByName(odf, allowMissingColumns=True)
+        fill = def_val_map or {}
+        exprs = []
+        for c in out.columns:
+            v = fill.get(c, "")
+            dt = out.schema[c].dataType
+            lit = F.lit(v)
+            if not isinstance(dt, T.StringType):
+                lit = lit.try_cast(dt)
+            exprs.append(F.coalesce(out[c], lit).alias(c))
+        return self._wrap(out.select(*exprs))
+
+    def merge_intersect(self, others) -> "OmigoDF":
+        """Union over the intersection of columns (reference dfutils.py:139-185)."""
+        if isinstance(others, OmigoDF):
+            others = [others]
+        dfs = [self._df] + [(o.df if isinstance(o, OmigoDF) else o) for o in others]
+        common = [c for c in dfs[0].columns if all(c in d.columns for d in dfs)]
+        if not common:
+            raise ValueError("merge_intersect: no common columns")
+        out = dfs[0].select(*common)
+        for d in dfs[1:]:
+            out = out.unionByName(d.select(*common))
+        return self._wrap(out)
+
+    def concat_as_cols(self, that, suffix: str | None = None) -> "OmigoDF":
+        """Positional column-wise zip of two equal-height tables (reference
+        dataframe.py:2554-2586) — join on generated row numbers."""
+        seq = "__omigo_zip_seq__"
+        left = self.add_seq_num(seq)
+        right = that.add_seq_num(seq) if isinstance(that, OmigoDF) else OmigoDF(that).add_seq_num(seq)
+        rdf = right._df
+        if suffix:
+            for c in rdf.columns:
+                if c != seq and c in left._df.columns:
+                    rdf = rdf.withColumnRenamed(c, f"{c}{COL_SEP}{suffix}")
+        out = left._df.join(rdf, on=seq, how="full").drop(seq)
+        return self._wrap(out)
+
+    # ------------------------------------------------------------ sampling
+    def sample(self, sampling_ratio: float, seed: int = 0) -> "OmigoDF":
+        """Bernoulli sample (reference dataframe.py:2831-2858). Seeded but a
+        different RNG than the reference — set/aggregate-level comparisons
+        only (SURVEY §7.3)."""
+        return self._wrap(self._df.sample(fraction=float(sampling_ratio), seed=seed))
+
+    def sample_n(self, n: int, seed: int = 0) -> "OmigoDF":
+        """Exact-n random sample (reference dataframe.py:2873-2908).
+        orderBy(rand).limit compiles to a distributed top-k (TakeOrdered) —
+        no global sort materialization."""
+        return self._wrap(self._df.orderBy(F.rand(seed)).limit(n))
+
+    sample_rows = sample_n
+
+    def sample_class(self, col: str, col_value: str, sampling_ratio: float,
+                     seed: int = 0) -> "OmigoDF":
+        """Downsample one class value, keep the rest (reference
+        dataframe.py:2984-3021) → stratified sampleBy."""
+        self._resolve(col)
+        c = self._df[col].cast("string")
+        keep = (c != col_value) | c.isNull() | (F.rand(seed) <= sampling_ratio)
+        return self._wrap(self._df.filter(keep))
+
+    def sample_group_by_key(self, grouping_cols, sampling_ratio: float,
+                            seed: int = 0) -> "OmigoDF":
+        """Keep or drop whole groups with probability ratio (reference
+        dataframe.py:3241-3276). Deterministic per group: hash-bucket the
+        key, no per-row RNG, no shuffle."""
+        gcols = self._resolve(grouping_cols)
+        key = F.concat_ws("\t", *[self._df[c].cast("string") for c in gcols])
+        bucket = F.pmod(F.abs(F.xxhash64(key, F.lit(seed))), F.lit(1000000))
+        return self._wrap(self._df.filter(bucket < int(sampling_ratio * 1000000)))
+
+    def sample_class_by_max_values(self, col: str, max_rows: int, seed: int = 0) -> "OmigoDF":
+        """Cap rows per class (reference dataframe.py:3314-3325)."""
+        self._resolve(col)
+        w = Window.partitionBy(self._df[col]).orderBy(F.rand(seed))
+        tmp = "__omigo_rn__"
+        return self._wrap(
+            self._df.withColumn(tmp, F.row_number().over(w)).filter(F.col(tmp) <= max_rows).drop(tmp))
+
+    def sample_class_by_min_class_count(self, col: str, seed: int = 0) -> "OmigoDF":
+        """Balance all classes to the minority count (reference
+        dataframe.py:3299-3312). The min count is a scalar aggregate
+        (driver-safe at any scale)."""
+        self._resolve(col)
+        min_cnt = (self._df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+                   .agg(F.min("c")).first()[0])
+        return self.sample_class_by_max_values(col, int(min_cnt or 0), seed)
+
+    def sample_group_by_topk(self, grouping_cols, sort_col: str, k: int,
+                             reverse: bool = True, all_numeric: bool | None = None) -> "OmigoDF":
+        """Top-k rows per group by sort col (reference dataframe.py:5301-5319)
+        → rank window ≤ k, the canonical Spark top-k-per-group."""
+        gcols = self._resolve(grouping_cols)
+        self._resolve(sort_col)
+        s = self._df[sort_col]
+        numeric = all_numeric if all_numeric is not None else self._has_all_numeric_values(sort_col)
+        if numeric and isinstance(self._df.schema[sort_col].dataType, T.StringType):
+            s = s.try_cast("double")
+        order = s.desc() if reverse else s.asc()
+        w = Window.partitionBy(*[self._df[g] for g in gcols]).orderBy(order)
+        tmp = "__omigo_rn__"
+        return self._wrap(
+            self._df.withColumn(tmp, F.row_number().over(w)).filter(F.col(tmp) <= k).drop(tmp))
+
+    def split_batches(self, num_batches: int, cols=None, seed: int = 0) -> list["OmigoDF"]:
+        """Split into N DataFrames (reference dataframe.py:3929-4053): by
+        hash of cols (co-partitioned split) or uniformly when cols is None."""
+        if cols is not None:
+            gcols = self._resolve(cols)
+            key = F.concat_ws("\t", *[self._df[c].cast("string") for c in gcols])
+            bucket = F.pmod(F.abs(F.xxhash64(key, F.lit(seed))), F.lit(num_batches))
+        else:
+            bucket = F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))),
+                            F.lit(num_batches))
+        tmp = "__omigo_bucket__"
+        tagged = self._df.withColumn(tmp, bucket)
+        return [OmigoDF(tagged.filter(F.col(tmp) == i).drop(tmp)) for i in range(num_batches)]
+
+    # --------------------------------------------------- windows / reshape
+    def window_aggregate(self, win_col: str, agg_cols, agg_funcs, winsize: int,
+                         select_cols=None, sliding: bool = False,
+                         label_col: str = "window_aggregate") -> "OmigoDF":
+        """Value-based tumbling/sliding windows (reference dataframe.py:638-729):
+        sort the *distinct values* of win_col, tile them into windows of
+        `winsize` values (step 1 when sliding), label each window
+        '<start> - <end>', replicate each row into every window containing
+        its value, then aggregate per window.
+
+        Spark shape: distinct values (small) → window-index assignment →
+        broadcast join back to the rows → groupBy window label. The only
+        full shuffle is the final aggregation.
+        """
+        self._resolve(win_col)
+        acols = self._resolve(agg_cols)
+        funcs = list(agg_funcs)
+        scols = self._resolve(select_cols) if select_cols else []
+
+        vals = self._df.select(self._df[win_col].alias("__v__")).distinct()
+        w = Window.orderBy(F.col("__v__"))
+        vals = vals.withColumn("__i__", F.row_number().over(w) - 1)
+        n = vals.count()
+        if sliding:
+            n_windows = max(n - winsize + 1, 1)
+            vals = vals.withColumn(
+                "__w__",
+                F.explode(F.sequence(
+                    F.greatest(F.lit(0), F.col("__i__") - winsize + 1),
+                    F.least(F.col("__i__"), F.lit(n_windows - 1)))))
+        else:
+            vals = vals.withColumn("__w__", F.floor(F.col("__i__") / winsize))
+        labels = (vals.groupBy("__w__")
+                  .agg(F.concat_ws(" - ", F.min("__v__").cast("string"),
+                                   F.max("__v__").cast("string")).alias(label_col)))
+        mapping = vals.join(labels, "__w__").select(
+            F.col("__v__"), F.col(label_col))
+
+        joined = self._df.join(F.broadcast(mapping),
+                               self._df[win_col].eqNullSafe(mapping["__v__"])).drop("__v__")
+        exprs = [agg_expr(f, joined[c]).alias(f"{c}{COL_SEP}{func_name(f)}")
+                 for c, f in zip(acols, funcs)]
+        gb = [F.col(colutils.quote(label_col))] + [joined[c] for c in scols]
+        return self._wrap(joined.groupBy(*gb).agg(*exprs))
+
+    def flatmap(self, col: str, func: Callable, new_col: str) -> "OmigoDF":
+        """Per value emit a list → one row per element (reference
+        dataframe.py:4820-4845)."""
+        self._resolve(col)
+
+        @F.udf(T.ArrayType(T.StringType()))
+        def _f(v):
+            out = func("" if v is None else v)
+            return [("" if x is None else str(x)) for x in (out or [])]
+
+        return self._wrap(self._df.withColumn(new_col, F.explode(_f(self._df[col].cast("string")))))
+
+    def explode_list_col(self, col: str, new_col: str, sep: str = ",") -> "OmigoDF":
+        """Native path for the cell-level ','-array convention (SURVEY §1.3)."""
+        self._resolve(col)
+        return self._wrap(self._df.withColumn(
+            new_col, F.explode(F.split(self._df[col].cast("string"), sep))))
+
+    def split_str(self, col: str, prefix: str | None = None, sep: str = ",") -> "OmigoDF":
+        """Split a cell into indexed columns <prefix>:N (reference
+        dataframe.py:5257-5299). Width = max parts (one cheap agg)."""
+        self._resolve(col)
+        prefix = prefix or col
+        parts = F.split(self._df[col].cast("string"), sep)
+        width = self._df.agg(F.max(F.size(parts))).first()[0] or 0
+        out = self._df
+        for i in range(width):
+            out = out.withColumn(f"{prefix}{COL_SEP}{i + 1}", F.coalesce(parts[i], F.lit("")))
+        return self._wrap(out)
+
+    def replicate_rows(self, col: str, new_col: str | None = None,
+                       max_repl: int = 0) -> "OmigoDF":
+        """Repeat each row int(col) times (reference dataframe.py:4131-4162)."""
+        self._resolve(col)
+        cnt = self._df[col].try_cast("double").cast("long")
+        if max_repl > 0:
+            cnt = F.least(cnt, F.lit(max_repl))
+        seq = F.explode(F.sequence(F.lit(1), cnt))
+        tmp = new_col or "__omigo_repl_idx__"
+        out = self._df.withColumn(tmp, seq)
+        if new_col is None:
+            out = out.drop(tmp)
+        return self._wrap(out)
+
+    def transpose(self, n: int = 1) -> "OmigoDF":
+        """Display transpose of the first n rows (reference dataframe.py:4767-4788).
+        Driver-side by design (display-only)."""
+        rows = self._df.limit(n).collect()
+        data = []
+        for c in self._df.columns:
+            rec = {"col_name": c}
+            for i, r in enumerate(rows):
+                v = r[c]
+                rec[f"row{COL_SEP}{i + 1}"] = "" if v is None else str(v)
+            data.append(rec)
+        cols = ["col_name"] + [f"row{COL_SEP}{i + 1}" for i in range(len(rows))]
+        return self._wrap(self.spark.createDataFrame(
+            [tuple(d[c] for c in cols) for d in data],
+            T.StructType([T.StructField(c, T.StringType()) for c in cols])))
+
+    def reverse_transpose(self, grouping_cols, transpose_key: str, transpose_cols) -> "OmigoDF":
+        """Pivot (reference dataframe.py:4791-4818 does one join per distinct
+        key value, flagged 'not implemented efficiently' — groupBy().pivot()
+        is the single-shuffle Spark shape). Output named
+        ``<col>:<key>:<value>`` per the reference convention."""
+        gcols = self._resolve(grouping_cols)
+        self._resolve(transpose_key)
+        tcols = self._resolve(transpose_cols)
+        aggs = [F.first(self._df[c]).alias(c) for c in tcols]
+        p = self._df.groupBy(*[self._df[g] for g in gcols]) \
+                    .pivot(transpose_key).agg(*aggs)
+        renames = {}
+        for c in p.columns:
+            if c in gcols:
+                continue
+            if len(tcols) == 1:
+                renames[c] = f"{tcols[0]}{COL_SEP}{transpose_key}{COL_SEP}{c}"
+            elif "_" in c:
+                val, tc = c.split("_", 1)
+                renames[c] = f"{tc}{COL_SEP}{transpose_key}{COL_SEP}{val}"
+        out = p
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        return self._wrap(out)
+
+    # ----------------------------------------------------- driver bridges
+    def to_pandas_df(self):
+        """(reference dataframe.py:2167-2222) — Arrow-accelerated collect."""
+        return self._df.toPandas()
+
+    def to_json_records(self, new_col: str = "json") -> "OmigoDF":
+        """(reference dataframe.py:2227-2243)"""
+        return self._wrap(self._df.select(F.to_json(F.struct("*")).alias(new_col)))
+
+    def to_tuples(self, cols=None) -> list[tuple]:
+        """(reference dataframe.py:4847-4879) — driver action."""
+        use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        return [tuple(r[c] for c in use) for r in self._df.select(*use).collect()]
+
+    def col_as_array(self, col: str) -> list[str]:
+        """(reference dataframe.py:1912-1920)"""
+        self._resolve(col)
+        return [("" if r[0] is None else str(r[0])) for r in self._df.select(col).collect()]
+
+    def col_as_array_uniq(self, col: str) -> list[str]:
+        self._resolve(col)
+        return [("" if r[0] is None else str(r[0]))
+                for r in self._df.select(col).distinct().collect()]
+
+    def col_as_array_uniq_non_empty(self, col: str) -> list[str]:
+        return [v for v in self.col_as_array_uniq(col) if v != ""]
+
+    def col_as_float_array(self, col: str) -> list[float]:
+        self._resolve(col)
+        return [float(r[0]) for r in self._df.select(col).collect()]
+
+    def col_as_int_array(self, col: str) -> list[int]:
+        return [int(float(v)) for v in self.col_as_array(col)]
+
+    def cols_as_map(self, key_cols, value_cols) -> dict:
+        """(reference dataframe.py:4881-4907)"""
+        kc = self._resolve(key_cols)
+        vc = self._resolve(value_cols)
+        out = {}
+        for r in self._df.select(*(kc + vc)).collect():
+            k = tuple(str(r[c]) for c in kc)
+            v = tuple(str(r[c]) for c in vc)
+            out[k[0] if len(k) == 1 else k] = v[0] if len(v) == 1 else v
+        return out
+
+    def first_value_with_default_if_missing(self, col: str, default: str = "") -> str:
+        """(reference dataframe.py:5383-5393)"""
+        if col not in self._df.columns:
+            return default
+        row = self._df.select(col).first()
+        if row is None or row[0] is None or str(row[0]) == "":
+            return default
+        return str(row[0])
+
+    def resolve_template_col(self, template_col: str, new_col: str) -> "OmigoDF":
+        """Interpolate '{col}' placeholders from other columns (reference
+        dataframe.py:5321-5381). Native: chained replace()."""
+        import re as _re
+
+        self._resolve(template_col)
+        # discover placeholders driver-side from one sample? No — resolve
+        # against the header: any column name may appear as a placeholder.
+        expr = self._df[template_col].cast("string")
+        for c in self._df.columns:
+            if c == template_col:
+                continue
+            expr = F.replace(expr, F.lit("{" + c + "}"),
+                             F.coalesce(self._df[c].cast("string"), F.lit("")))
+        return self._wrap(self._df.withColumn(new_col, expr))
+
+    # ----------------------------------------------------------- display
+    def show(self, n: int = 20, truncate: bool = True, title: str | None = None) -> "OmigoDF":
+        if title:
+            print(title)
+        self._df.show(n, truncate=truncate)
+        return self
+
+    def show_transpose(self, n: int = 1, title: str | None = None) -> "OmigoDF":
+        self.transpose(n).show(100, truncate=False, title=title)
+        return self
+
+    def show_sample(self, n: int = 20, seed: int = 0, title: str | None = None) -> "OmigoDF":
+        OmigoDF(self._df.orderBy(F.rand(seed)).limit(n)).show(n, title=title)
+        return self
+
+    def show_group_count(self, cols, title: str | None = None) -> "OmigoDF":
+        self.group_count(cols).show(50, title=title)
+        return self
+
+    def explain(self, mode: str = "formatted") -> "OmigoDF":
+        self._df.explain(mode)
+        return self
+
+    # noop shims for reference-API compatibility (hydra collect/materialize,
+    # reference cluster_tsv.py:59-73 — Spark's laziness supersedes them)
+    def collect_plan(self) -> "OmigoDF":
+        return self
+
+    def materialize(self) -> "OmigoDF":
+        return self._wrap(self._df.cache())

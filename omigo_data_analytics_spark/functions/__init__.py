@@ -1,0 +1,3 @@
+from .aggs import AGG_REGISTRY, agg_expr, window_agg_expr
+
+__all__ = ["AGG_REGISTRY", "agg_expr", "window_agg_expr"]

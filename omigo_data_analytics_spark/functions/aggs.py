@@ -1,0 +1,151 @@
+"""Aggregate-function library: the reference's ``udfs`` aggregation names
+compiled to native Spark aggregate expressions.
+
+In the reference every aggregation collects each group's values into a
+Python list and applies a ``list[str] -> scalar`` callable
+(omigo_core/dataframe.py:977-1126, omigo_core/udfs.py). Here each known
+function name becomes a JVM-side, whole-stage-codegen'd aggregate expression
+— map-side partial aggregation and all — so nothing is ever materialized per
+group. Unknown callables fall back to ``collect_list`` + a Python UDF (kept
+for API parity; documented slow path).
+
+Name → semantics cross-reference (omigo_core/udfs.py line):
+  get_array_len:24 get_non_empty_len:35 uniq_len:39 mkstr:77 sorted_mkstr:81
+  uniq_mkstr:47 split_merge_uniq_mkstr:56 merge_uniq:212 mean:63 std_dev:67
+  min/max int/float/str:89-153 (+failsafe:155-193) sumint:195 sumfloat:201
+  uniq_count:208 select_first:221 select_first_non_empty:275
+  quantile:227 get_range_int:408
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _num(c: Column, t: str = "double") -> Column:
+    # try_cast: string-typed inputs with junk become NULL (ANSI-safe),
+    # numeric-typed inputs pass through a no-op cast.
+    return c.try_cast(t)
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(c.isNotNull() & (c.cast("string") != ""), c)
+
+
+# Each builder: Column -> aggregate Column (unaliased).
+AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
+    # counts
+    "get_array_len": lambda c: F.count(F.lit(1)),
+    "get_non_empty_len": lambda c: F.count(_nonempty(c)),
+    "uniq_len": lambda c: F.countDistinct(c),
+    "uniq_count": lambda c: F.countDistinct(c),
+    "approx_uniq_len": lambda c: F.approx_count_distinct(c),
+    # string merges (cell-level ','-arrays, SURVEY §1.3)
+    "mkstr": lambda c: F.concat_ws(",", F.collect_list(c.cast("string"))),
+    "sorted_mkstr": lambda c: F.concat_ws(",", F.array_sort(F.collect_list(c.cast("string")))),
+    "uniq_mkstr": lambda c: F.concat_ws(",", F.array_sort(F.collect_set(c.cast("string")))),
+    "split_merge_uniq_mkstr": lambda c: F.concat_ws(
+        ",",
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split(c.cast("string"), ","))))),
+    ),
+    "merge_uniq": lambda c: F.concat_ws(
+        ",",
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split(c.cast("string"), ","))))),
+    ),
+    # numeric
+    "mean": lambda c: F.avg(_num(c)),
+    "std_dev": lambda c: F.coalesce(F.stddev_samp(_num(c)), F.lit(0.0)),
+    "sumint": lambda c: F.sum(_num(c, "long")),
+    "sumfloat": lambda c: F.sum(_num(c)),
+    "minint": lambda c: F.min(_num(c, "long")),
+    "maxint": lambda c: F.max(_num(c, "long")),
+    "minfloat": lambda c: F.min(_num(c)),
+    "maxfloat": lambda c: F.max(_num(c)),
+    "minstr": lambda c: F.min(c.cast("string")),
+    "maxstr": lambda c: F.max(c.cast("string")),
+    "minint_failsafe": lambda c: F.min(_num(_nonempty(c), "long")),
+    "maxint_failsafe": lambda c: F.max(_num(_nonempty(c), "long")),
+    "minfloat_failsafe": lambda c: F.min(_num(_nonempty(c))),
+    "maxfloat_failsafe": lambda c: F.max(_num(_nonempty(c))),
+    "minstr_failsafe": lambda c: F.min(_nonempty(c).cast("string")),
+    "maxstr_failsafe": lambda c: F.max(_nonempty(c).cast("string")),
+    "get_range_int": lambda c: F.max(_num(c, "long")) - F.min(_num(c, "long")),
+    # order-dependent picks
+    "select_first": lambda c: F.first(c, ignorenulls=False),
+    "select_first_non_empty": lambda c: F.first(_nonempty(c), ignorenulls=True),
+    # exact quantiles (reference uses numpy; percentile() is Spark's exact
+    # aggregate — swap to percentile_approx for the 100 TB path via
+    # "approx_quantile")
+    "median": lambda c: F.percentile(_num(c), F.lit(0.5)),
+    "quantile": lambda c: F.concat_ws(
+        ",",
+        F.transform(
+            F.percentile(_num(c), F.array([F.lit(x) for x in (0.25, 0.5, 0.75)])),
+            lambda v: F.format_number(v, 6),
+        ),
+    ),
+    "approx_quantile": lambda c: F.concat_ws(
+        ",",
+        F.transform(
+            F.percentile_approx(_num(c), F.array([F.lit(x) for x in (0.25, 0.5, 0.75)])),
+            lambda v: F.format_number(v, 6),
+        ),
+    ),
+    # plain SQL names accepted too
+    "count": lambda c: F.count(F.lit(1)),
+    "sum": lambda c: F.sum(_num(c)),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "avg": lambda c: F.avg(_num(c)),
+    "count_distinct": lambda c: F.countDistinct(c),
+    "collect_list": lambda c: F.collect_list(c),
+    "collect_set": lambda c: F.collect_set(c),
+}
+
+# Window-compatible subset: most registry entries work over a Window spec as
+# analytic functions (collapse=False semantics, reference dataframe.py:1080-1123).
+_WINDOW_UNSUPPORTED = {"quantile", "approx_quantile", "median"}
+
+
+def _fallback_udf_agg(func: Callable, c: Column) -> Column:
+    """API-parity slow path: apply a ``list[str] -> scalar`` Python callable
+    to the group's collected values (the reference's native contract,
+    dataframe.py:1076). Returns string like the reference does."""
+
+    @F.udf(returnType=T.StringType())
+    def _apply(vals):
+        out = func([v if v is not None else "" for v in (vals or [])])
+        return "" if out is None else str(out)
+
+    return _apply(F.collect_list(c.cast("string")))
+
+
+def agg_expr(func, col: Column) -> Column:
+    """Compile a function (registry name, or Python callable) + column into
+    an aggregate expression."""
+    if isinstance(func, str):
+        if func not in AGG_REGISTRY:
+            raise KeyError(f"unknown aggregate function: {func!r}")
+        return AGG_REGISTRY[func](col)
+    name = getattr(func, "__name__", "")
+    if name in AGG_REGISTRY:
+        return AGG_REGISTRY[name](col)
+    return _fallback_udf_agg(func, col)
+
+
+def func_name(func) -> str:
+    if isinstance(func, str):
+        return func
+    return getattr(func, "__name__", "func")
+
+
+def window_agg_expr(func, col: Column, window) -> Column:
+    """Analytic form: aggregate over a Window partition (collapse=False)."""
+    name = func if isinstance(func, str) else getattr(func, "__name__", "")
+    if name in _WINDOW_UNSUPPORTED:
+        raise ValueError(f"{name} is not supported with collapse=False")
+    return agg_expr(func, col).over(window)

@@ -1,0 +1,123 @@
+"""Sources & sinks: TSV (the reference's native format), CSV, parquet, JSON.
+
+The reference I/O layer (omigo_hydra/hydra.py:49-125) reads one-or-many TSV
+files (local or s3://, .gz/.zip) on a thread pool, url-decodes every field
+and schema-merges the parts. On Spark all of that is the scan layer:
+multi-path reads are parallel tasks, .gz is transparent, schema merge is
+unionByName, and s3 is a filesystem URI. URL-decoding stays opt-in because
+the convention (SURVEY §1.1) only encodes cells in ``*:url_encoded`` columns.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.dataframe import OmigoDF
+
+
+def _as_paths(path_or_paths: str | Iterable[str]) -> list[str]:
+    if isinstance(path_or_paths, str):
+        return [path_or_paths]
+    return list(path_or_paths)
+
+
+def read(spark: SparkSession, path_or_paths, sep: str = "\t", header: bool = True,
+         do_union: bool = True, url_decode_cols: bool = True) -> OmigoDF:
+    """Read TSV/CSV file(s) into an OmigoDF (reference hydra.py:49-125).
+
+    Multiple paths with differing schemas are merged like dfutils.merge
+    (union of columns, missing → null). Columns named ``*:url_encoded``
+    are decoded and the marker suffix stripped (reference hydra.py:106,
+    utils.py:894-905).
+    """
+    paths = _as_paths(path_or_paths)
+    dfs = []
+    for p in paths:
+        df = (spark.read
+              .option("sep", sep)
+              .option("header", str(header).lower())
+              .option("nullValue", None)
+              .csv(p))
+        dfs.append(df)
+    out = dfs[0]
+    for d in dfs[1:]:
+        if do_union:
+            out = out.unionByName(d, allowMissingColumns=True)
+        else:
+            out = out.join(d, how="cross")  # parity: do_union=False concatenates
+    res = OmigoDF(out)
+    if url_decode_cols:
+        res = res.resolve_url_encoded_cols()
+    return res
+
+
+def read_csv(spark: SparkSession, path_or_paths, header: bool = True) -> OmigoDF:
+    """(reference hydra.py:127-140)"""
+    return read(spark, path_or_paths, sep=",", header=header, url_decode_cols=False)
+
+
+def read_parquet(spark: SparkSession, path_or_paths) -> OmigoDF:
+    paths = _as_paths(path_or_paths)
+    return OmigoDF(spark.read.parquet(*paths))
+
+
+def read_json(spark: SparkSession, path_or_paths, schema=None) -> OmigoDF:
+    paths = _as_paths(path_or_paths)
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return OmigoDF(r.json(*paths))
+
+
+def write(xdf: OmigoDF, path: str, sep: str = "\t", mode: str = "overwrite",
+          single_file: bool = False) -> None:
+    """Write TSV (reference hydra.py:7-27). `.gz` extension → gzip codec,
+    matching file_io_wrapper.py:46-70. single_file coalesces to one part —
+    only for small exports (the reference always wrote one file)."""
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    writer = df.coalesce(1).write if single_file else df.write
+    w = writer.mode(mode).option("sep", sep).option("header", "true")
+    if path.endswith(".gz"):
+        w = w.option("compression", "gzip")
+    w.csv(path)
+
+
+def write_parquet(xdf: OmigoDF, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def from_pandas_df(spark: SparkSession, pdf) -> OmigoDF:
+    """(reference dataframe.py:5543-5579)"""
+    return OmigoDF(spark.createDataFrame(pdf))
+
+
+def from_maps(spark: SparkSession, maps: list[dict]) -> OmigoDF:
+    """list-of-dicts → table (reference dataframe.py:5581-5611)."""
+    keys = sorted({k for m in maps for k in m})
+    rows = [tuple("" if m.get(k) is None else str(m.get(k)) for k in keys) for m in maps]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(k, T.StringType()) for k in keys])
+    return OmigoDF(spark.createDataFrame(rows, schema))
+
+
+def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> OmigoDF:
+    """Load one driver-synthesized table. The events table stores
+    TIMESTAMP(NANOS) which Spark reads as long ns (nanosAsLong conf, set by
+    prepare_session); expose it as a proper timestamp column."""
+    from ..session import prepare_session
+
+    prepare_session(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return OmigoDF(df)
