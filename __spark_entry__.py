@@ -1,38 +1,672 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (plus the training-data-pipeline operators); `oracle_sql()`
+gives the DuckDB-equivalent SQL for each. Numeric aggregates use
+DECIMAL-exact accumulation presented as DOUBLE so results are bit-equal
+across engines regardless of partitioning/add-order; top-k queries round
+before ranking and tie-break on ids; hashes in minhash/simhash/jaccard use a
+portable polynomial hash so even the approximate-dedup pipelines are
+oracle-checked exactly. Entries without an oracle (engine-specific hashing,
+seeded sampling — SURVEY §7.3) get the driver's weaker rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from omigo_data_analytics_spark import OmigoDF  # noqa: E402
+from omigo_data_analytics_spark.sources.io import load_testdata  # noqa: E402
+from omigo_data_analytics_spark.operators import dedup as DD  # noqa: E402
+from omigo_data_analytics_spark.operators import similarity as SIM  # noqa: E402
+from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> OmigoDF:
+    return load_testdata(spark, sf_dir, name)
+
+
+# SQL helpers (DuckDB dialect) — DECIMAL-exact sums presented as DOUBLE.
+def _dsum(c: str) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _dmean(c: str) -> str:
+    return f"(CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) / COUNT({c}))"
+
+
+# =====================================================================
+# Relational core (SURVEY §2.2-2.9)
+# =====================================================================
+
+def q_tpch_q1_aggregate(spark, sf_dir):
+    """aggregate(collapse=True) with typed filter — TPC-H Q1 shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+              .aggregate(["l_returnflag", "l_linestatus"],
+                         ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"],
+                         ["sumdec", "sumdec", "meandec", "uniq_len"])
+              .rename("l_quantity:sumdec", "sum_qty")
+              .rename("l_extendedprice:sumdec", "sum_price")
+              .rename("l_discount:meandec", "avg_disc")
+              .rename("l_orderkey:uniq_len", "n_orders")
+              .df)
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_price,
+       {_dmean('l_discount')} AS avg_disc,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_typed_filters(spark, sf_dir):
+    """eq_str / gt_float / values_in / regex_match chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.eq_str("l_returnflag", "R")
+              .gt_float("l_quantity", 45)
+              .values_in("l_linestatus", ["F", "O"])
+              .regex_match("l_returnflag", "R")
+              .select(["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+              .df)
+
+
+SQL_TYPED_FILTERS = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 45
+  AND l_linestatus IN ('F', 'O') AND regexp_matches(l_returnflag, '^(?:R)')
+"""
+
+
+def q_select_regex(spark, sf_dir):
+    """regex column projection + not_select + rename."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(["l_orderkey", "l_linenumber", "l_.*price", "l_quantity"])
+              .not_select("l_quantity")
+              .rename("l_extendedprice", "price")
+              .where("l_orderkey % 10 = 0")
+              .df)
+
+
+SQL_SELECT_REGEX = """
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+FROM lineitem WHERE l_orderkey % 10 = 0
+"""
+
+
+def q_inner_join_agg(spark, sf_dir):
+    """inner_join + grouped aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (o.inner_join(c, lkeys="o_custkey", rkeys="c_custkey")
+             .aggregate(["c_mktsegment"], ["o_totalprice", "o_orderkey"],
+                        ["sumdec", "get_array_len"])
+             .rename("o_totalprice:sumdec", "total_price")
+             .rename("o_orderkey:get_array_len", "n_orders")
+             .df)
+
+
+SQL_INNER_JOIN_AGG = f"""
+SELECT c_mktsegment, {_dsum('o_totalprice')} AS total_price, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_left_join_histogram(spark, sf_dir):
+    """left_join with unmatched-row handling → per-customer order counts."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per = (c.left_join(o, lkeys="c_custkey", rkeys="o_custkey", default_val=None)
+            .aggregate(["c_custkey"], ["o_orderkey"], ["get_non_empty_len"])
+            .rename("o_orderkey:get_non_empty_len", "n_orders"))
+    return (per.aggregate(["n_orders"], ["c_custkey"], ["get_array_len"])
+               .rename("c_custkey:get_array_len", "n_customers")
+               .df)
+
+
+SQL_LEFT_JOIN_HISTOGRAM = """
+WITH per AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT n_orders, COUNT(*) AS n_customers FROM per GROUP BY n_orders
+"""
+
+
+def q_map_join_broadcast(spark, sf_dir):
+    """broadcast (map-side) join of two dims."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (n.inner_map_join(r, lkeys="n_regionkey", rkeys="r_regionkey")
+             .select(["n_nationkey", "n_name", "r_name"])
+             .df)
+
+
+SQL_MAP_JOIN = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_difference_anti(spark, sf_dir):
+    """difference (anti-join): suppliers with no quantity>49 lineitem."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = OmigoDF(li.where("l_quantity > 49").df
+                  .select(F.col("l_suppkey").alias("s_suppkey")))
+    return s.difference(hot, cols=["s_suppkey"]).select(["s_suppkey", "s_name"]).df
+
+
+SQL_DIFFERENCE = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+"""
+
+
+def q_group_count(spark, sf_dir):
+    """group_count: counts + ratio-of-total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.group_count(["l_returnflag"], prefix="g").df
+
+
+SQL_GROUP_COUNT = """
+SELECT l_returnflag, COUNT(*) AS "g:count",
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6) AS "g:ratio"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_arg_max_topk(spark, sf_dir):
+    """arg_max with topk: top-3 orderkeys by extendedprice per flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.arg_max(["l_returnflag"], ["l_orderkey"], ["l_extendedprice"], topk=3).df
+
+
+SQL_ARG_MAX = """
+WITH ranked AS (
+  SELECT l_returnflag, CAST(l_orderkey AS VARCHAR) AS a, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC,
+                                     CAST(l_orderkey AS VARCHAR) DESC) AS rn
+  FROM lineitem)
+SELECT l_returnflag,
+       string_agg(CASE WHEN rn <= 3 THEN a END, ',' ORDER BY rn)
+           AS "l_orderkey:l_extendedprice:arg_max",
+       MAX(v) AS "l_extendedprice:max"
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+def q_distinct_cols(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.distinct_cols(["l_returnflag", "l_linestatus"]).df
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_window_tumbling(spark, sf_dir):
+    """window_aggregate, tumbling windows over distinct day values."""
+    ev = _t(spark, sf_dir, "events")
+    ev = OmigoDF(ev.df.withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    return (ev.window_aggregate("day", ["value"], ["sumdec"], winsize=7,
+                                label_col="day_window")
+              .rename("value:sumdec", "value_sum")
+              .df)
+
+
+def _sql_window(agg_expr: str, alias: str, sliding: bool) -> str:
+    member = ("SELECT d, unnest(range(greatest(0, i - 6), "
+              "least(i, greatest(n - 6, 1) - 1) + 1)) AS w FROM idx, nn"
+              if sliding else
+              "SELECT d, i // 7 AS w FROM idx")
+    return f"""
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS d FROM events),
+idx AS (SELECT d, CAST(row_number() OVER (ORDER BY d) - 1 AS BIGINT) AS i FROM days),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM days),
+member AS ({member}),
+lab AS (SELECT w, concat(MIN(d), ' - ', MAX(d)) AS day_window FROM member GROUP BY w),
+ev AS (SELECT strftime(ts, '%Y-%m-%d') AS d, value FROM events)
+SELECT lab.day_window, {agg_expr} AS {alias}
+FROM ev e JOIN member m ON e.d = m.d JOIN lab ON m.w = lab.w
+GROUP BY lab.day_window
+"""
+
+
+def q_window_sliding(spark, sf_dir):
+    """window_aggregate, sliding (step 1) windows — moving average."""
+    ev = _t(spark, sf_dir, "events")
+    ev = OmigoDF(ev.df.withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    return (ev.window_aggregate("day", ["value"], ["meandec"], winsize=7,
+                                sliding=True, label_col="day_window")
+              .rename("value:meandec", "value_mean")
+              .df)
+
+
+def q_topk_per_group(spark, sf_dir):
+    """sample_group_by_topk with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.sample_group_by_topk(["o_orderpriority"], "o_totalprice", 5,
+                                   tie_break_cols=["o_orderkey"])
+             .select(["o_orderpriority", "o_orderkey", "o_totalprice"])
+             .df)
+
+
+SQL_TOPK = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM r WHERE rn <= 5
+"""
+
+
+def q_aggregate_analytic(spark, sf_dir):
+    """aggregate(collapse=False): per-row group aggregates (window fns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"])
+              .aggregate(["l_returnflag"], ["l_quantity"], ["sumdec"], collapse=False)
+              .rename("l_quantity:sumdec", "flag_sum_qty")
+              .not_select("l_quantity")
+              .df)
+
+
+SQL_AGG_ANALYTIC = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_returnflag)
+            AS DOUBLE) AS flag_sum_qty
+FROM lineitem
+"""
+
+
+def q_cumulative_sum(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.select(["o_orderkey", "o_totalprice"])
+             .cumulative_sum("o_totalprice", "running_total",
+                             sort_cols=["o_orderkey"], exact=True)
+             .df)
+
+
+SQL_CUMSUM = """
+SELECT o_orderkey, o_totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (ORDER BY o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total
+FROM orders
+"""
+
+
+def q_merge_union(spark, sf_dir):
+    """schema-evolving merge_union with per-column defaults."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where("year(o_orderdate) < 1998").select(
+        ["o_orderkey", "o_orderstatus", "o_totalprice"])
+    b = o.where("year(o_orderdate) >= 1998").select(
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+    m = a.merge_union(b, def_val_map={"o_totalprice": "-1", "o_orderpriority": "none"})
+    return (m.aggregate(["o_orderstatus", "o_orderpriority"],
+                        ["o_totalprice", "o_orderkey"], ["sumdec", "get_array_len"])
+             .rename("o_totalprice:sumdec", "total_price")
+             .rename("o_orderkey:get_array_len", "n_rows")
+             .df)
+
+
+SQL_MERGE_UNION = f"""
+WITH m AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, 'none' AS o_orderpriority
+  FROM orders WHERE year(o_orderdate) < 1998
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, -1.0 AS o_totalprice, o_orderpriority
+  FROM orders WHERE year(o_orderdate) >= 1998)
+SELECT o_orderstatus, o_orderpriority, {_dsum('o_totalprice')} AS total_price,
+       COUNT(*) AS n_rows
+FROM m GROUP BY 1, 2
+"""
+
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_pivot(spark, sf_dir):
+    """reverse_transpose (pivot): doc counts per source × lang."""
+    d = _t(spark, sf_dir, "documents")
+    base = (d.aggregate(["source", "lang"], ["doc_id"], ["get_array_len"])
+             .rename("doc_id:get_array_len", "cnt"))
+    return base.reverse_transpose(["source"], "lang", ["cnt"]).df
+
+
+SQL_PIVOT = "SELECT source, " + ", ".join(
+    f"MAX(CASE WHEN lang = '{l}' THEN cnt END) AS \"cnt:lang:{l}\"" for l in _LANGS
+) + """
+FROM (SELECT source, lang, COUNT(*) AS cnt FROM documents GROUP BY 1, 2)
+GROUP BY source
+"""
+
+
+def q_explode_json(spark, sf_dir):
+    """explode_json: flatten the events.props JSON column, then aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    flat = ev.explode_json("props", "props")
+    return (flat.aggregate(["event_type"], ["props:k", "event_id"],
+                           ["sumint", "get_array_len"])
+                .rename("props:k:sumint", "k_sum")
+                .rename("event_id:get_array_len", "n_events")
+                .df)
+
+
+SQL_EXPLODE_JSON = """
+SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_split_str(spark, sf_dir):
+    """split_str: indexed columns from a separated cell."""
+    o = _t(spark, sf_dir, "orders")
+    s = o.split_str("o_orderpriority", "p", "-")
+    return (s.aggregate(["p:1", "p:2"], ["o_orderkey"], ["get_array_len"])
+             .rename("o_orderkey:get_array_len", "n")
+             .df)
+
+
+SQL_SPLIT_STR = """
+SELECT string_split(o_orderpriority, '-')[1] AS "p:1",
+       string_split(o_orderpriority, '-')[2] AS "p:2",
+       COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_replicate_rows(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where("l_orderkey % 100 = 0")
+              .replicate_rows("l_linenumber", "ridx")
+              .select(["l_orderkey", "l_linenumber", "ridx"])
+              .df)
+
+
+SQL_REPLICATE = """
+SELECT l_orderkey, l_linenumber,
+       unnest(generate_series(1, l_linenumber)) AS ridx
+FROM lineitem WHERE l_orderkey % 100 = 0
+"""
+
+
+# =====================================================================
+# No-oracle entries (engine-specific hashing / seeded sampling — the
+# driver records a rows-only check; SURVEY §7.3)
+# =====================================================================
+
+def q_sample_group_by_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.sample_group_by_key(["o_custkey"], 0.5, seed=42).df
+
+
+def q_generate_key_hash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.generate_key_hash(["text"], "key_hash").select(["doc_id", "key_hash"]).df
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup removal (candidates→verify→drop)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.dedup_near(d, threshold=0.7).select(["doc_id", "lang", "source"]).df
+
+
+def q_similarity_lsh(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = OmigoDF(e.df.where("vec_id < 3"))
+    c = OmigoDF(e.df.where("vec_id >= 3"))
+    return SIM.cosine_topk_lsh(c, q, k=5).df
+
+
+# =====================================================================
+# Training-data pipeline operators (BASELINE.json north star)
+# =====================================================================
+
+def q_text_metrics(spark, sf_dir):
+    """text analysis: token stats / quality / lang-ID per document, agg by lang."""
+    d = _t(spark, sf_dir, "documents")
+    m = TX.text_metrics(d)
+    return (m.aggregate(["lang"],
+                        ["token_count", "uniq_token_count", "quality_score", "doc_id"],
+                        ["sumint", "sumint", "sumdec6", "get_array_len"])
+             .rename("token_count:sumint", "tokens")
+             .rename("uniq_token_count:sumint", "uniq_tokens")
+             .rename("quality_score:sumdec6", "quality_sum")
+             .rename("doc_id:get_array_len", "n_docs")
+             .df)
+
+
+SQL_TEXT_METRICS = f"""
+SELECT lang,
+       SUM(CAST({TX.metric_sql('duck', 'token_count')} AS BIGINT)) AS tokens,
+       SUM(CAST({TX.metric_sql('duck', 'uniq_token_count')} AS BIGINT)) AS uniq_tokens,
+       CAST(SUM(CAST({TX.metric_sql('duck', 'quality_score')} AS DECIMAL(18,6))) AS DOUBLE)
+           AS quality_sum,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_text_quality_filter(spark, sf_dir):
+    """quality scoring as a filter (training-data curation shape)."""
+    d = _t(spark, sf_dir, "documents")
+    m = TX.text_metrics(d, metrics=["token_count", "quality_score"])
+    return (m.where("quality_score >= 0.55 AND token_count >= 20")
+             .select(["doc_id", "lang", "quality_score"])
+             .df)
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id, lang, {TX.metric_sql('duck', 'quality_score')} AS quality_score
+FROM documents
+WHERE {TX.metric_sql('duck', 'quality_score')} >= 0.55
+  AND {TX.metric_sql('duck', 'token_count')} >= 20
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """language-ID heuristic vs labeled lang."""
+    d = _t(spark, sf_dir, "documents")
+    m = TX.text_metrics(d, metrics=["lang_guess"])
+    return (m.aggregate(["lang", "lang_guess"], ["doc_id"], ["get_array_len"])
+             .rename("doc_id:get_array_len", "n")
+             .df)
+
+
+SQL_LANG_ID = f"""
+SELECT lang, {TX.metric_sql('duck', 'lang_guess')} AS lang_guess, COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return TX.fingerprint(d).select(["doc_id", "fingerprint"]).df
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, {TX.fingerprint_sql_duck()} AS fingerprint FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.dedup_exact(d, ["text"]).select(["doc_id", "dup_count"]).df
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """exact n-gram Jaccard near-dup pairs (≥2 shared shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.ngram_jaccard_pairs(d, min_shared=2).df
+
+
+def _sql_ngram_jaccard() -> str:
+    sh = DD.shingles_expr("duck")
+    return f"""
+WITH docsh AS (SELECT doc_id, unnest({sh}) AS s, len({sh}) AS n FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+         COUNT(*) AS shared
+  FROM docsh a JOIN docsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, shared,
+       ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
+FROM pairs WHERE shared >= 2
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=8) — the exact-checkable core of LSH dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return (DD.minhash_signatures(d)
+            .select(["doc_id"] + [f"mh_{j}" for j in range(DD.NUM_HASHES)])
+            .df)
+
+
+def _sql_minhash() -> str:
+    sh = DD.shingles_expr("duck")
+    cols = ", ".join(f"{e} AS mh_{j}"
+                     for j, e in enumerate(DD.minhash_exprs("duck", sh)))
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash(d).select(["doc_id", "simhash"]).df
+
+
+def _sql_simhash() -> str:
+    return f"SELECT doc_id, {DD.simhash_expr('duck')} AS simhash FROM documents"
+
+
+def q_cosine_topk(spark, sf_dir):
+    """brute-force cosine top-k similarity search."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = OmigoDF(e.df.where("vec_id < 3"))
+    c = OmigoDF(e.df.where("vec_id >= 3"))
+    return SIM.cosine_topk(c, q, k=5).df
+
+
+def _sql_cosine_topk() -> str:
+    cos = SIM.cosine_sql_duck("c.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+s AS (SELECT q.query_id, c.vec_id, ROUND({cos}, 6) AS cosine FROM c, q),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+# =====================================================================
+# Driver contract
+# =====================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_tpch_q1_aggregate(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1_aggregate": q_tpch_q1_aggregate,
+        "typed_filters": q_typed_filters,
+        "select_regex": q_select_regex,
+        "inner_join_agg": q_inner_join_agg,
+        "left_join_histogram": q_left_join_histogram,
+        "map_join_broadcast": q_map_join_broadcast,
+        "difference_anti": q_difference_anti,
+        "group_count": q_group_count,
+        "arg_max_topk": q_arg_max_topk,
+        "distinct_cols": q_distinct_cols,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "topk_per_group": q_topk_per_group,
+        "aggregate_analytic": q_aggregate_analytic,
+        "cumulative_sum": q_cumulative_sum,
+        "merge_union": q_merge_union,
+        "pivot": q_pivot,
+        "explode_json": q_explode_json,
+        "split_str": q_split_str,
+        "replicate_rows": q_replicate_rows,
+        "sample_group_by_key": q_sample_group_by_key,
+        "generate_key_hash": q_generate_key_hash,
+        "text_metrics": q_text_metrics,
+        "text_quality_filter": q_text_quality_filter,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "cosine_topk": q_cosine_topk,
+        "similarity_lsh": q_similarity_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_aggregate": SQL_TPCH_Q1,
+        "typed_filters": SQL_TYPED_FILTERS,
+        "select_regex": SQL_SELECT_REGEX,
+        "inner_join_agg": SQL_INNER_JOIN_AGG,
+        "left_join_histogram": SQL_LEFT_JOIN_HISTOGRAM,
+        "map_join_broadcast": SQL_MAP_JOIN,
+        "difference_anti": SQL_DIFFERENCE,
+        "group_count": SQL_GROUP_COUNT,
+        "arg_max_topk": SQL_ARG_MAX,
+        "distinct_cols": SQL_DISTINCT,
+        "window_tumbling": _sql_window(_dsum("e.value"), "value_sum", sliding=False),
+        "window_sliding": _sql_window(
+            f"(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(e.value))",
+            "value_mean", sliding=True),
+        "topk_per_group": SQL_TOPK,
+        "aggregate_analytic": SQL_AGG_ANALYTIC,
+        "cumulative_sum": SQL_CUMSUM,
+        "merge_union": SQL_MERGE_UNION,
+        "pivot": SQL_PIVOT,
+        "explode_json": SQL_EXPLODE_JSON,
+        "split_str": SQL_SPLIT_STR,
+        "replicate_rows": SQL_REPLICATE,
+        "text_metrics": SQL_TEXT_METRICS,
+        "text_quality_filter": SQL_TEXT_QUALITY,
+        "lang_id": SQL_LANG_ID,
+        "fingerprint": SQL_FINGERPRINT,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": _sql_ngram_jaccard(),
+        "minhash_signatures": _sql_minhash(),
+        "simhash": _sql_simhash(),
+        "cosine_topk": _sql_cosine_topk(),
+        # no oracle (rows-only): sample_group_by_key, generate_key_hash,
+        # dedup_minhash_lsh, similarity_lsh
+    }

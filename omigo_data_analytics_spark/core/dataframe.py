@@ -823,25 +823,41 @@ class OmigoDF:
 
         return self._wrap(df.mapInPandas(_assign, schema=schema))
 
-    def cumulative_sum(self, col: str, new_col: str, sort_cols=None, as_int: bool = True) -> "OmigoDF":
+    def cumulative_sum(self, col: str, new_col: str, sort_cols=None, as_int: bool = True,
+                       exact: bool = False) -> "OmigoDF":
         """Running sum (reference dataframe.py:4091-4129). The reference sums
         in physical row order; a distributed engine needs an explicit order —
-        pass sort_cols, else the current order is pinned via add_seq_num."""
+        pass sort_cols, else the current order is pinned via add_seq_num.
+        exact=True accumulates in DECIMAL (order-independent result) and
+        presents double."""
         self._resolve(col)
+        if exact:
+            def _cast(c):
+                return c.try_cast("decimal(18,4)")
+
+            def _post(e):
+                return e.cast("double")
+        else:
+            def _cast(c):
+                return c.try_cast("long" if as_int else "double")
+
+            def _post(e):
+                return e
+
         if sort_cols is None:
             seq = "__omigo_seq__"
             base = self.add_seq_num(seq)
             w = Window.orderBy(F.col(seq))
             out = base._df.withColumn(
                 new_col,
-                F.sum(base._df[col].try_cast("long" if as_int else "double"))
-                 .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+                _post(F.sum(_cast(base._df[col]))
+                      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
             return self._wrap(out.drop(seq))
         w = Window.orderBy(*[self._df[c] for c in self._resolve(sort_cols)])
         out = self._df.withColumn(
             new_col,
-            F.sum(self._df[col].try_cast("long" if as_int else "double"))
-             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            _post(F.sum(_cast(self._df[col]))
+                  .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
         return self._wrap(out)
 
     # -------------------------------------------------------- aggregations
@@ -1222,17 +1238,21 @@ class OmigoDF:
         return self.sample_class_by_max_values(col, int(min_cnt or 0), seed)
 
     def sample_group_by_topk(self, grouping_cols, sort_col: str, k: int,
-                             reverse: bool = True, all_numeric: bool | None = None) -> "OmigoDF":
+                             reverse: bool = True, all_numeric: bool | None = None,
+                             tie_break_cols=None) -> "OmigoDF":
         """Top-k rows per group by sort col (reference dataframe.py:5301-5319)
-        → rank window ≤ k, the canonical Spark top-k-per-group."""
+        → rank window ≤ k, the canonical Spark top-k-per-group.
+        tie_break_cols (ascending) make the result deterministic under ties."""
         gcols = self._resolve(grouping_cols)
         self._resolve(sort_col)
         s = self._df[sort_col]
         numeric = all_numeric if all_numeric is not None else self._has_all_numeric_values(sort_col)
         if numeric and isinstance(self._df.schema[sort_col].dataType, T.StringType):
             s = s.try_cast("double")
-        order = s.desc() if reverse else s.asc()
-        w = Window.partitionBy(*[self._df[g] for g in gcols]).orderBy(order)
+        order = [s.desc() if reverse else s.asc()]
+        if tie_break_cols:
+            order += [self._df[c].asc() for c in self._resolve(tie_break_cols)]
+        w = Window.partitionBy(*[self._df[g] for g in gcols]).orderBy(*order)
         tmp = "__omigo_rn__"
         return self._wrap(
             self._df.withColumn(tmp, F.row_number().over(w)).filter(F.col(tmp) <= k).drop(tmp))
@@ -1339,6 +1359,59 @@ class OmigoDF:
         if new_col is None:
             out = out.drop(tmp)
         return self._wrap(out)
+
+    def explode_json(self, col: str, prefix: str | None = None,
+                     collapse_primitive_list: bool = True, drop_col: bool = True,
+                     schema=None) -> "OmigoDF":
+        """Flatten a JSON-string column into ``<prefix>:<path>`` columns
+        (reference dataframe.py:4292-4682, a ~390-line eager recursive
+        flattener). Spark-first shape: schema inference runs distributed
+        (spark.read.json over the column), then the flatten is a pure
+        column-expression tree over from_json — codegen, no Python.
+
+        * scalars (at any struct depth) → string column ``prefix:path:key``
+        * arrays of scalars → ','-joined (collapse_primitive_list=True,
+          reference dataframe.py:4410-4420) or exploded rows
+        * arrays of structs → exploded rows (lateral view); multiple array
+          fields explode sequentially (reference 'join' merge semantics,
+          dataframe.py:4577-4581)
+        """
+        self._resolve(col)
+        prefix = prefix if prefix is not None else col
+        if schema is None:
+            strings = self._df.select(self._df[col].cast("string").alias("j")) \
+                              .where(F.col("j").isNotNull() & (F.col("j") != ""))
+            schema = self.spark.read.json(strings.rdd.map(lambda r: r[0])).schema
+            schema = T.StructType([f for f in schema.fields if f.name != "_corrupt_record"])
+        tmp = "__omigo_json__"
+        out = self._df.withColumn(tmp, F.from_json(self._df[col].cast("string"), schema))
+        if drop_col:
+            out = out.drop(col)
+
+        def _flatten(df: DataFrame, src: str, path: list[str]) -> DataFrame:
+            dt = df.schema[src].dataType
+            if isinstance(dt, T.StructType):
+                for fld in dt.fields:
+                    sub = f"{src}__{fld.name}"
+                    df = df.withColumn(sub, df[src][fld.name])
+                    df = _flatten(df, sub, path + [fld.name])
+                return df.drop(src)
+            name = COL_SEP.join([prefix] + path)
+            if isinstance(dt, T.ArrayType):
+                elem = dt.elementType
+                if isinstance(elem, T.StructType):
+                    ex = f"{src}__e"
+                    df = df.withColumn(ex, F.explode_outer(df[src])).drop(src)
+                    return _flatten(df, ex, path)
+                if collapse_primitive_list:
+                    return df.withColumn(
+                        name, F.concat_ws(",", df[src].cast("array<string>"))).drop(src)
+                df = df.withColumn(name, F.explode_outer(df[src]).cast("string"))
+                return df.drop(src) if src != name else df
+            return df.withColumn(name, F.coalesce(df[src].cast("string"), F.lit(""))) \
+                     .drop(src) if src != name else df
+
+        return self._wrap(_flatten(out, tmp, []))
 
     def transpose(self, n: int = 1) -> "OmigoDF":
         """Display transpose of the first n rows (reference dataframe.py:4767-4788).

@@ -95,6 +95,16 @@ AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
             lambda v: F.format_number(v, 6),
         ),
     ),
+    # decimal-exact numeric aggregates: cast inputs to DECIMAL so the sum is
+    # exact integer arithmetic (deterministic under any partitioning /
+    # add-order — required for bit-exact oracle comparison and generally the
+    # right call for money-like columns), then present as double.
+    "sumdec": lambda c: F.sum(c.try_cast("decimal(18,4)")).cast("double"),
+    "sumdec6": lambda c: F.sum(c.try_cast("decimal(18,6)")).cast("double"),
+    "meandec": lambda c: F.sum(c.try_cast("decimal(18,4)")).cast("double")
+    / F.count(c.try_cast("decimal(18,4)")),
+    "meandec6": lambda c: F.sum(c.try_cast("decimal(18,6)")).cast("double")
+    / F.count(c.try_cast("decimal(18,6)")),
     # plain SQL names accepted too
     "count": lambda c: F.count(F.lit(1)),
     "sum": lambda c: F.sum(_num(c)),
@@ -109,6 +119,26 @@ AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
 # Window-compatible subset: most registry entries work over a Window spec as
 # analytic functions (collapse=False semantics, reference dataframe.py:1080-1123).
 _WINDOW_UNSUPPORTED = {"quantile", "approx_quantile", "median"}
+
+# Compound registry entries post-process the aggregate (e.g. cast after sum);
+# over a Window the frame must attach to the inner aggregate, so these get
+# dedicated window builders.
+_WINDOW_COMPOUND: dict[str, Callable] = {
+    "sumdec": lambda c, w: F.sum(c.try_cast("decimal(18,4)")).over(w).cast("double"),
+    "sumdec6": lambda c, w: F.sum(c.try_cast("decimal(18,6)")).over(w).cast("double"),
+    "meandec": lambda c, w: F.sum(c.try_cast("decimal(18,4)")).over(w).cast("double")
+    / F.count(c.try_cast("decimal(18,4)")).over(w),
+    "meandec6": lambda c, w: F.sum(c.try_cast("decimal(18,6)")).over(w).cast("double")
+    / F.count(c.try_cast("decimal(18,6)")).over(w),
+    "std_dev": lambda c, w: F.coalesce(F.stddev_samp(c.try_cast("double")).over(w), F.lit(0.0)),
+    "get_range_int": lambda c, w: F.max(c.try_cast("long")).over(w)
+    - F.min(c.try_cast("long")).over(w),
+    "mkstr": lambda c, w: F.concat_ws(",", F.collect_list(c.cast("string")).over(w)),
+    "sorted_mkstr": lambda c, w: F.concat_ws(
+        ",", F.array_sort(F.collect_list(c.cast("string")).over(w))),
+    "uniq_mkstr": lambda c, w: F.concat_ws(
+        ",", F.array_sort(F.collect_set(c.cast("string")).over(w))),
+}
 
 
 def _fallback_udf_agg(func: Callable, c: Column) -> Column:
@@ -148,4 +178,9 @@ def window_agg_expr(func, col: Column, window) -> Column:
     name = func if isinstance(func, str) else getattr(func, "__name__", "")
     if name in _WINDOW_UNSUPPORTED:
         raise ValueError(f"{name} is not supported with collapse=False")
+    if name in _WINDOW_COMPOUND:
+        return _WINDOW_COMPOUND[name](col, window)
+    if not isinstance(func, str) and name not in AGG_REGISTRY:
+        raise ValueError("custom callables are not supported with collapse=False; "
+                         "use group_by_key")
     return agg_expr(func, col).over(window)

@@ -1,0 +1,204 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash(+LSH), SimHash, and exact n-gram Jaccard.
+
+Scale design:
+  * Signatures (minhash/simhash/fingerprints) are pure per-row SQL
+    expressions — map-side, no shuffle, codegen'd. At 100 TB this is the
+    dominant cost and it's embarrassingly parallel.
+  * Candidate generation shuffles only (band_key, doc_id) pairs — a tiny
+    projection of the data — and joins within buckets.
+  * Verification joins candidates back to shingle sets; candidates are a
+    vanishing fraction of the corpus.
+
+Determinism: all hashes use a portable polynomial hash (operators/text.py)
+with module-constant seeds, so the DuckDB oracle reproduces signatures
+bit-for-bit — the approximate pipeline itself is exactly checkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core.dataframe import OmigoDF
+from .text import HASH_MOD, hash_duck, hash_spark
+
+# MinHash seeds: k universal-hash functions h_j(x) = (a_j*x + b_j) mod p,
+# constants fixed by a seeded PRNG so engine and oracle agree.
+_rng = random.Random(20260813)
+NUM_HASHES = 8
+MINHASH_AB = [(_rng.randrange(1, HASH_MOD), _rng.randrange(0, HASH_MOD)) for _ in range(NUM_HASHES)]
+SIMHASH_BITS = 16
+SHINGLE_N = 3
+
+
+# ------------------------------------------------------------ expressions
+def _tokens(dialect: str, col: str) -> str:
+    if dialect == "spark":
+        return f"filter(split({col}, ' +'), x -> x != '')"
+    return f"list_filter(string_split_regex({col}, ' +'), x -> x != '')"
+
+
+def shingles_expr(dialect: str, col: str = "text", n: int = SHINGLE_N) -> str:
+    """Distinct word n-gram shingles; docs shorter than n tokens contribute
+    the whole text as one shingle."""
+    t = _tokens(dialect, col)
+    if dialect == "spark":
+        gram = "concat_ws(' ', " + ", ".join(f"element_at({t}, i + {j})" for j in range(n)) + ")"
+        return (f"array_distinct(CASE WHEN size({t}) >= {n} "
+                f"THEN transform(sequence(1, size({t}) - {n - 1}), i -> {gram}) "
+                f"ELSE array({col}) END)")
+    gram = "concat_ws(' ', " + ", ".join(f"({t})[i + {j}]" for j in range(n)) + ")"
+    return (f"list_distinct(CASE WHEN len({t}) >= {n} "
+            f"THEN list_transform(range(1, len({t}) - {n - 2}), i -> {gram}) "
+            f"ELSE [{col}] END)")
+
+
+def _shingles_spark(col: str, n: int = SHINGLE_N) -> str:
+    return shingles_expr("spark", col, n)
+
+
+def minhash_exprs(dialect: str, shingle_list: str, k: int = NUM_HASHES) -> list[str]:
+    """k minhash values over a shingle-list expression."""
+    out = []
+    for j in range(k):
+        a, b = MINHASH_AB[j]
+        if dialect == "spark":
+            h = hash_spark("s")
+            out.append(f"array_min(transform({shingle_list}, s -> ({a}L * ({h}) + {b}L) % {HASH_MOD}L))")
+        else:
+            h = hash_duck("s")
+            out.append(f"list_min(list_transform({shingle_list}, s -> ({a} * ({h}) + {b}) % {HASH_MOD}))")
+    return out
+
+
+def simhash_expr(dialect: str, col: str = "text", bits: int = SIMHASH_BITS) -> str:
+    """bits-wide SimHash over token hashes, as one pure expression."""
+    t = _tokens(dialect, col)
+    if dialect == "spark":
+        hs = f"transform({t}, tok -> {hash_spark('tok')})"
+        parts = []
+        for b in range(bits):
+            s = (f"aggregate({hs}, 0L, (acc, h) -> acc + "
+                 f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))")
+            parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b}L ELSE 0L END)")
+        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+    hs = f"list_transform({t}, tok -> {hash_duck('tok')})"
+    parts = []
+    for b in range(bits):
+        s = (f"list_sum(list_transform({hs}, h -> "
+             f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
+        parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+# ----------------------------------------------------------------- engine
+def dedup_exact(odf: OmigoDF, cols, keep_col: str = "doc_id") -> OmigoDF:
+    """Exact dedup: one row per distinct `cols` tuple, keeping the minimum
+    keep_col (deterministic winner). Single hash-aggregate shuffle."""
+    use = odf._resolve(cols)
+    return OmigoDF(
+        odf.df.groupBy(*[odf.df[c] for c in use])
+              .agg(F.min(keep_col).alias(keep_col), F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_signatures(odf: OmigoDF, col: str = "text", k: int = NUM_HASHES,
+                       n: int = SHINGLE_N) -> OmigoDF:
+    """Append mh_0..mh_{k-1} minhash columns. Pure map-side expressions.
+
+    The O(chars) polynomial hash runs ONCE per shingle into a materialized
+    array column; the k minhashes are then k cheap affine folds over the
+    hashed array (same math as the oracle, k× less hashing)."""
+    sh = _shingles_spark(col, n)
+    hs = "__omigo_hs__"
+    out = odf.df.withColumn(hs, F.expr(f"transform({sh}, s -> {hash_spark('s')})"))
+    for j in range(k):
+        a, b = MINHASH_AB[j]
+        out = out.withColumn(
+            f"mh_{j}",
+            F.expr(f"array_min(transform({hs}, h -> ({a}L * h + {b}L) % {HASH_MOD}L))"))
+    return OmigoDF(out.drop(hs))
+
+
+def simhash(odf: OmigoDF, col: str = "text", new_col: str = "simhash",
+            bits: int = SIMHASH_BITS) -> OmigoDF:
+    """Token hashes materialize once; the per-bit sign sums fold over the
+    hashed array (same math as simhash_expr / the oracle)."""
+    t = _tokens("spark", col)
+    hs = "__omigo_hs__"
+    out = odf.df.withColumn(hs, F.expr(f"transform({t}, tok -> {hash_spark('tok')})"))
+    parts = []
+    for b in range(bits):
+        s = (f"aggregate({hs}, 0L, (acc, h) -> acc + "
+             f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))")
+        parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b}L ELSE 0L END)")
+    expr = "CAST(" + " + ".join(parts) + " AS BIGINT)"
+    return OmigoDF(out.withColumn(new_col, F.expr(expr)).drop(hs))
+
+
+def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
+                        k: int = NUM_HASHES, rows_per_band: int = 2) -> OmigoDF:
+    """MinHash-LSH candidates: band the signature, bucket-join within bands.
+
+    Shuffle footprint: (band, band_key, id) triples only. Output: distinct
+    (id_a < id_b) candidate pairs."""
+    sigs = minhash_signatures(odf, col, k).df.select(
+        id_col, *[f"mh_{j}" for j in range(k)])
+    bands = []
+    for b in range(k // rows_per_band):
+        key = F.concat_ws("_", *[F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                                 for r in range(rows_per_band)])
+        bands.append(sigs.select(F.lit(b).alias("band"), key.alias("band_key"), F.col(id_col)))
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    a = all_bands.alias("a")
+    b = all_bands.alias("b")
+    pairs = (a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                           F.col("a.band_key") == F.col("b.band_key"),
+                           F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return OmigoDF(pairs)
+
+
+def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
+                        n: int = SHINGLE_N, min_shared: int = 1,
+                        threshold: float = 0.0) -> OmigoDF:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥ min_shared
+    shingles. explode→self-join on shingle→count; the join key is the
+    shingle so co-occurring docs co-locate in one shuffle."""
+    base = odf.df.select(F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
+    base = base.withColumn("sh_n", F.size("sh"))
+    ex = base.select(id_col, "sh_n", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (a.join(b, on=[F.col("a.s") == F.col("b.s"),
+                            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+              .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                       F.col(f"b.{id_col}").alias("id_b"),
+                       F.col("a.sh_n").alias("na"), F.col("b.sh_n").alias("nb"))
+              .agg(F.count(F.lit(1)).alias("shared")))
+    out = (shared
+           .withColumn("jaccard", F.round(F.col("shared").cast("double")
+                                          / (F.col("na") + F.col("nb") - F.col("shared")), 6))
+           .where(f"shared >= {min_shared} AND jaccard >= {threshold}")
+           .select("id_a", "id_b", "shared", "jaccard"))
+    return OmigoDF(out)
+
+
+def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
+               threshold: float = 0.7) -> OmigoDF:
+    """LSH candidates → exact-Jaccard verification → drop the higher id of
+    each confirmed near-dup pair (connected via min-representative)."""
+    cands = lsh_candidate_pairs(odf, id_col, col).df
+    sh = odf.df.select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+    j = (cands
+         .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    dup_ids = j.where(jac >= threshold).select(F.col("id_b").alias(id_col)).distinct()
+    return OmigoDF(odf.df.join(dup_ids, on=id_col, how="left_anti"))

@@ -19,6 +19,9 @@ _RUNTIME_CONFS = {
     # it as a long (nanoseconds since epoch). Operators that need a timestamp
     # convert explicitly via timestamp_micros(ns div 1000).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Oracle comparability: DuckDB timestamps are UTC-naive; pin the session
+    # so date_format/year/etc. agree.
+    "spark.sql.session.timeZone": "UTC",
 }
 
 

@@ -1,0 +1,138 @@
+"""Training-data operator tests: text metrics, dedup family, similarity
+search, explode_json."""
+
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import dedup as DD
+from omigo_data_analytics_spark.operators import similarity as SIM
+from omigo_data_analytics_spark.operators import text as TX
+
+
+def test_text_metrics(documents):
+    m = TX.text_metrics(documents)
+    row = m.df.select("text", *TX.METRICS).first()
+    toks = [t for t in row["text"].split(" ") if t]
+    assert row["token_count"] == len(toks)
+    assert row["uniq_token_count"] == len(set(toks))
+    assert 0 < row["type_token_ratio"] <= 1
+    assert 0 <= row["stopword_ratio"] <= 1
+    assert 0 < row["quality_score"] <= 1
+    assert row["lang_guess"] in list(TX.LANG_MARKERS) + ["und"]
+
+
+def test_fingerprint_identifies_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, "A B C"), (3, "x y")], ["doc_id", "text"])
+    fp = TX.fingerprint(OmigoDF(df))
+    vals = {r["doc_id"]: r["fingerprint"] for r in fp.df.collect()}
+    assert vals[1] == vals[2]  # case/whitespace-normalized
+    assert vals[1] != vals[3]
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"])
+    out = DD.dedup_exact(OmigoDF(df), ["text"])
+    rows = {r["doc_id"]: r["dup_count"] for r in out.df.collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_minhash_similar_docs_share_minhashes(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " tomorrow"  # near-dup: most shingles shared
+    c = "completely different words appear in this unrelated document text here"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    sig = DD.minhash_signatures(OmigoDF(df))
+    rows = {r["doc_id"]: [r[f"mh_{j}"] for j in range(DD.NUM_HASHES)]
+            for r in sig.df.collect()}
+    agree_ab = sum(x == y for x, y in zip(rows[1], rows[2]))
+    agree_ac = sum(x == y for x, y in zip(rows[1], rows[3]))
+    assert agree_ab > agree_ac
+    assert agree_ab >= DD.NUM_HASHES // 2
+
+
+def test_lsh_candidates_and_dedup_near(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " tomorrow"
+    c = "completely different words appear in this unrelated document text here"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    cands = DD.lsh_candidate_pairs(OmigoDF(df))
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.df.collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+    kept = DD.dedup_near(OmigoDF(df), threshold=0.5)
+    ids = sorted(r["doc_id"] for r in kept.df.collect())
+    assert ids == [1, 3]  # higher id of the near-dup pair dropped
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "w1 w2 w3 w4 w5 w6"
+    b = "w1 w2 w3 w4 w5 zz"
+    c = "q1 q2 q3 q4 q5 q6"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    out = DD.ngram_jaccard_pairs(OmigoDF(df), min_shared=1)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.df.collect()}
+    assert (1, 2) in rows and (1, 3) not in rows
+    # a has 4 shingles, b has 4, shared 3 -> jaccard 3/5
+    assert abs(rows[(1, 2)] - 0.6) < 1e-9
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = a + " tomorrow"
+    c = "completely different words appear in this unrelated document text here"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash(OmigoDF(df)).df.collect()}
+    ham_ab = bin(sh[1] ^ sh[2]).count("1")
+    ham_ac = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_cosine_topk_exact(embeddings):
+    q = OmigoDF(embeddings.df.where("vec_id < 2"))
+    c = OmigoDF(embeddings.df.where("vec_id >= 2"))
+    out = SIM.cosine_topk(c, q, k=3)
+    rows = out.df.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 <= r["cosine"] <= 1.0
+    # rank 1 has max cosine within each query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+    for _, rs in by_q.items():
+        rs.sort()
+        assert all(rs[i][1] >= rs[i + 1][1] for i in range(len(rs) - 1))
+
+
+def test_cosine_topk_lsh_recall(embeddings):
+    q = OmigoDF(embeddings.df.where("vec_id < 5"))
+    c = OmigoDF(embeddings.df.where("vec_id >= 5"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in SIM.cosine_topk(c, q, k=3).df.collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in SIM.cosine_topk_lsh(c, q, k=3).df.collect()}
+    # multiprobe LSH should recover a decent share of exact neighbors
+    assert len(exact & approx) >= len(exact) // 2
+
+
+def test_explode_json(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": {"c": "x"}, "tags": [1, 2]}'),
+         (2, '{"a": 5, "b": {"c": "y"}, "tags": []}')],
+        ["id", "js"])
+    out = OmigoDF(df).explode_json("js", "j")
+    assert set(out.columns) == {"id", "j:a", "j:b:c", "j:tags"}
+    rows = {r["id"]: r for r in out.df.collect()}
+    assert rows[1]["j:a"] == "1" and rows[1]["j:b:c"] == "x" and rows[1]["j:tags"] == "1,2"
+    assert rows[2]["j:tags"] == ""
+
+
+def test_explode_json_array_of_structs(spark):
+    df = spark.createDataFrame(
+        [(1, '{"items": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]}')],
+        ["id", "js"])
+    out = OmigoDF(df).explode_json("js", "j")
+    assert out.num_rows() == 2
+    ks = sorted(r["j:items:k"] for r in out.df.collect())
+    assert ks == ["a", "b"]
