@@ -529,9 +529,20 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def _sql_ngram_jaccard() -> str:
-    sh = DD.shingles_expr("duck")
+    n = DD.SHINGLE_N
+    gram = "concat_ws(' ', " + ", ".join(f"t[i + {j}]" for j in range(n)) + ")"
     return f"""
-WITH docsh AS (SELECT doc_id, unnest({sh}) AS s, len({sh}) AS n FROM documents),
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, ' +'), x -> x != '') AS t
+  FROM documents),
+docsh0 AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(t) >= {n}
+           THEN list_transform(range(1, len(t) - {n - 2}), i -> {gram})
+           ELSE [text] END) AS sh
+  FROM toks),
+docsh AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM docsh0),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
          COUNT(*) AS shared

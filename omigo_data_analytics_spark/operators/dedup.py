@@ -23,7 +23,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core.dataframe import OmigoDF
-from .text import HASH_MOD, hash_duck, hash_spark
+from .text import (HASH_MOD, ensure_min_parallelism, hash_duck, hash_spark,
+                   let_duck, let_spark)
 
 # MinHash seeds: k universal-hash functions h_j(x) = (a_j*x + b_j) mod p,
 # constants fixed by a seeded PRNG so engine and oracle agree.
@@ -43,17 +44,20 @@ def _tokens(dialect: str, col: str) -> str:
 
 def shingles_expr(dialect: str, col: str = "text", n: int = SHINGLE_N) -> str:
     """Distinct word n-gram shingles; docs shorter than n tokens contribute
-    the whole text as one shingle."""
+    the whole text as one shingle. The token array is let-bound so the
+    tokenizing split evaluates once per row, not once per shingle element."""
     t = _tokens(dialect, col)
     if dialect == "spark":
-        gram = "concat_ws(' ', " + ", ".join(f"element_at({t}, i + {j})" for j in range(n)) + ")"
-        return (f"array_distinct(CASE WHEN size({t}) >= {n} "
-                f"THEN transform(sequence(1, size({t}) - {n - 1}), i -> {gram}) "
+        gram = "concat_ws(' ', " + ", ".join(f"element_at(t0, i + {j})" for j in range(n)) + ")"
+        body = (f"array_distinct(CASE WHEN size(t0) >= {n} "
+                f"THEN transform(sequence(1, size(t0) - {n - 1}), i -> {gram}) "
                 f"ELSE array({col}) END)")
-    gram = "concat_ws(' ', " + ", ".join(f"({t})[i + {j}]" for j in range(n)) + ")"
-    return (f"list_distinct(CASE WHEN len({t}) >= {n} "
-            f"THEN list_transform(range(1, len({t}) - {n - 2}), i -> {gram}) "
+        return let_spark(t, "t0", body)
+    gram = "concat_ws(' ', " + ", ".join(f"t0[i + {j}]" for j in range(n)) + ")"
+    body = (f"list_distinct(CASE WHEN len(t0) >= {n} "
+            f"THEN list_transform(range(1, len(t0) - {n - 2}), i -> {gram}) "
             f"ELSE [{col}] END)")
+    return let_duck(t, "t0", body)
 
 
 def _shingles_spark(col: str, n: int = SHINGLE_N) -> str:
@@ -88,10 +92,10 @@ def simhash_expr(dialect: str, col: str = "text", bits: int = SIMHASH_BITS) -> s
     hs = f"list_transform({t}, tok -> {hash_duck('tok')})"
     parts = []
     for b in range(bits):
-        s = (f"list_sum(list_transform({hs}, h -> "
+        s = (f"list_sum(list_transform(h0, h -> "
              f"CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END))")
         parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b} ELSE 0 END)")
-    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+    return let_duck(hs, "h0", "CAST(" + " + ".join(parts) + " AS BIGINT)")
 
 
 # ----------------------------------------------------------------- engine
@@ -108,34 +112,31 @@ def minhash_signatures(odf: OmigoDF, col: str = "text", k: int = NUM_HASHES,
                        n: int = SHINGLE_N) -> OmigoDF:
     """Append mh_0..mh_{k-1} minhash columns. Pure map-side expressions.
 
-    The O(chars) polynomial hash runs ONCE per shingle into a materialized
-    array column; the k minhashes are then k cheap affine folds over the
-    hashed array (same math as the oracle, k× less hashing)."""
-    sh = _shingles_spark(col, n)
-    hs = "__omigo_hs__"
-    out = odf.df.withColumn(hs, F.expr(f"transform({sh}, s -> {hash_spark('s')})"))
+    The md5-based hash runs ONCE per shingle into a let-bound array; the k
+    minhashes are k cheap affine folds over it, emitted through an inline()
+    generator so they become real attributes (no recompute per column)."""
+    hs_val = f"transform({_shingles_spark(col, n)}, s -> {hash_spark('s')})"
+    fields = []
     for j in range(k):
         a, b = MINHASH_AB[j]
-        out = out.withColumn(
-            f"mh_{j}",
-            F.expr(f"array_min(transform({hs}, h -> ({a}L * h + {b}L) % {HASH_MOD}L))"))
-    return OmigoDF(out.drop(hs))
+        fields.append(f"'mh_{j}', array_min(transform(h0, h -> ({a}L * h + {b}L) % {HASH_MOD}L))")
+    gen = let_spark(hs_val, "h0", "named_struct(" + ", ".join(fields) + ")")
+    out = ensure_min_parallelism(odf.df).select("*", F.expr(f"inline(array({gen}))"))
+    return OmigoDF(out)
 
 
 def simhash(odf: OmigoDF, col: str = "text", new_col: str = "simhash",
             bits: int = SIMHASH_BITS) -> OmigoDF:
-    """Token hashes materialize once; the per-bit sign sums fold over the
-    hashed array (same math as simhash_expr / the oracle)."""
-    t = _tokens("spark", col)
-    hs = "__omigo_hs__"
-    out = odf.df.withColumn(hs, F.expr(f"transform({t}, tok -> {hash_spark('tok')})"))
+    """Token hashes evaluate once into a let-bound array; the per-bit sign
+    sums fold over it (same math as simhash_expr / the oracle)."""
+    hs_val = f"transform({_tokens('spark', col)}, tok -> {hash_spark('tok')})"
     parts = []
     for b in range(bits):
-        s = (f"aggregate({hs}, 0L, (acc, h) -> acc + "
+        s = (f"aggregate(h0, 0L, (acc, h) -> acc + "
              f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))")
         parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b}L ELSE 0L END)")
-    expr = "CAST(" + " + ".join(parts) + " AS BIGINT)"
-    return OmigoDF(out.withColumn(new_col, F.expr(expr)).drop(hs))
+    expr = let_spark(hs_val, "h0", "CAST(" + " + ".join(parts) + " AS BIGINT)")
+    return OmigoDF(ensure_min_parallelism(odf.df).withColumn(new_col, F.expr(expr)))
 
 
 def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
@@ -170,7 +171,8 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     """Exact n-gram Jaccard similarity for every pair sharing ≥ min_shared
     shingles. explode→self-join on shingle→count; the join key is the
     shingle so co-occurring docs co-locate in one shuffle."""
-    base = odf.df.select(F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
+    base = ensure_min_parallelism(odf.df).select(
+        F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
     base = base.withColumn("sh_n", F.size("sh"))
     ex = base.select(id_col, "sh_n", F.explode("sh").alias("s"))
     a = ex.alias("a")
@@ -194,7 +196,8 @@ def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     """LSH candidates → exact-Jaccard verification → drop the higher id of
     each confirmed near-dup pair (connected via min-representative)."""
     cands = lsh_candidate_pairs(odf, id_col, col).df
-    sh = odf.df.select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+    sh = ensure_min_parallelism(odf.df).select(
+        F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
     j = (cands
          .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
          .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))

@@ -54,9 +54,10 @@ def cosine_topk(corpus: OmigoDF, queries: OmigoDF, k: int,
     Output: (query_id, vec_id, rank, cosine). Deterministic: cosine is
     rounded to `precision` BEFORE ranking and ties break on corpus id.
     """
+    from .text import ensure_min_parallelism
     qid = query_id_col or id_col
     q = queries.df.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
-    c = corpus.df.select(F.col(id_col), F.col(vec_col).alias("__cv__"))
+    c = ensure_min_parallelism(corpus.df).select(F.col(id_col), F.col(vec_col).alias("__cv__"))
     joined = c.crossJoin(F.broadcast(q))
     cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
     scored = joined.select("query_id", id_col, cos.alias("cosine"))
@@ -67,18 +68,27 @@ def cosine_topk(corpus: OmigoDF, queries: OmigoDF, k: int,
               .select("query_id", id_col, "rank", "cosine"))
 
 
-def _sign_bucket_col(vec_col: str, table: int, num_planes: int = NUM_PLANES):
-    """Random-hyperplane sign pattern (planes of hash table `table`) as an
-    integer bucket id — a pure per-row expression (planes inlined as array
-    literals). Bucket id is offset by table so tables never collide."""
-    parts = [str(table << num_planes)]
-    for p in range(num_planes):
-        plane = "array(" + ", ".join(
-            f"CAST({v!r} AS DOUBLE)" for v in HYPERPLANES[table * num_planes + p]) + ")"
-        dot = (f"aggregate(zip_with(CAST({vec_col} AS ARRAY<DOUBLE>), {plane}, "
-               f"(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-        parts.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return F.expr(" + ".join(parts))
+def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
+                 num_tables: int = NUM_TABLES):
+    """All hash-table bucket ids for a vector as ONE array expression.
+
+    The plane matrix appears as a single let-bound literal (vs one copy per
+    table×plane, which bloated the plan to multi-MB task binaries); the
+    sign bits are computed once into a let-bound array, then folded into
+    per-table integer buckets offset by (table << num_planes)."""
+    from .text import let_spark
+    planes = "array(" + ", ".join(
+        "array(" + ", ".join(f"{v!r}D" for v in HYPERPLANES[i]) + ")"
+        for i in range(num_tables * num_planes)) + ")"
+    signs = (f"transform(P0, pl -> CASE WHEN aggregate(zip_with("
+             f"CAST({vec_col} AS ARRAY<DOUBLE>), pl, (x, y) -> x * y), "
+             f"0D, (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END)")
+    bucket_sum = " + ".join(
+        f"element_at(s0, t * {num_planes} + {p + 1}) * {1 << p}"
+        for p in range(num_planes))
+    buckets = (f"transform(sequence(0, {num_tables - 1}), "
+               f"t -> shiftleft(t, {num_planes}) + {bucket_sum})")
+    return F.expr(let_spark(planes, "P0", let_spark(signs, "s0", buckets)))
 
 
 def cosine_topk_lsh(corpus: OmigoDF, queries: OmigoDF, k: int,
@@ -91,18 +101,21 @@ def cosine_topk_lsh(corpus: OmigoDF, queries: OmigoDF, k: int,
     re-ranks candidates. The corpus is scanned once, emitting `num_tables`
     (bucket, id, vec) rows per vector; queries are broadcast, so the only
     shuffle is the final per-query top-k."""
+    from .text import ensure_min_parallelism
     qid = query_id_col or id_col
-    q = queries.df.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
-    # probe buckets: per table, own bucket + each 1-bit flip
-    probe_arrs = []
-    for t in range(num_tables):
-        b = _sign_bucket_col("__qv__", t, num_planes)
-        probe_arrs.append(F.array(b, *[b.bitwiseXOR(F.lit(1 << p))
-                                       for p in range(num_planes)]))
-    q = q.withColumn("bucket", F.explode(F.concat(*probe_arrs)))
-    c = corpus.df.select(F.col(id_col), F.col(vec_col).alias("__cv__")) \
-        .withColumn("bucket", F.explode(F.array(
-            *[_sign_bucket_col("__cv__", t, num_planes) for t in range(num_tables)])))
+    # probe buckets: per table, own bucket + each 1-bit flip (table offset
+    # bits sit above the plane bits, so flips stay within the table)
+    q = (queries.df
+         .select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"),
+                 _buckets_col("__qv__", num_planes, num_tables).alias("__bs__"))
+         .withColumn("bucket", F.explode(F.expr(
+             f"flatten(transform(__bs__, b -> array(b, "
+             + ", ".join(f"b ^ {1 << p}" for p in range(num_planes)) + ")))")))
+         .drop("__bs__"))
+    c = (ensure_min_parallelism(corpus.df)
+         .select(F.col(id_col), F.col(vec_col).alias("__cv__"),
+                 _buckets_col("__cv__", num_planes, num_tables).alias("__bs__"))
+         .withColumn("bucket", F.explode("__bs__")).drop("__bs__"))
     joined = c.join(F.broadcast(q), "bucket")
     cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
     scored = joined.select("query_id", id_col, cos.alias("cosine")).dropDuplicates(

@@ -32,31 +32,59 @@ LANG_MARKERS = {
 }
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
-# Portable polynomial string hash: identical math in Spark SQL and DuckDB.
-#   h(s) = fold over chars: acc <- (acc*31 + ascii(char)) mod 1000000007
+# Portable string hash: identical value in Spark SQL and DuckDB.
+#   h(s) = first 60 bits of md5(s), mod 1000000007.
+# md5 is a single native (hash-throughput) call in both engines — unlike a
+# per-character lambda fold, which runs interpreted (no codegen for
+# higher-order functions) and dominated the map cost at scale.
 HASH_MOD = 1000000007
 
 
+# SQL "let-binding": evaluate `val` once, reference it as `var` inside
+# `body`. Implemented as a single-element higher-order transform, so the
+# bound value is a lambda variable — Catalyst's CollapseProject cannot
+# re-inline it into every reference (which would re-evaluate an O(tokens)
+# expression per array element). Identical trick works in DuckDB.
+def let_spark(val: str, var: str, body: str) -> str:
+    return f"element_at(transform(array({val}), {var} -> {body}), 1)"
+
+
+def let_duck(val: str, var: str, body: str) -> str:
+    return f"(list_transform([{val}], {var} -> {body}))[1]"
+
+
+def ensure_min_parallelism(df, min_parts: int | None = None):
+    """Repartition up to the session's default parallelism when the scan
+    yielded fewer splits (small/compacted files are single row groups, so
+    maxPartitionBytes cannot split them). Expression-heavy map operators
+    call this so one task never serializes the whole corpus."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def hash_spark(expr: str) -> str:
-    return (f"aggregate(sequence(1, length({expr})), 0L, "
-            f"(acc, i) -> (acc * 31 + ascii(substring({expr}, i, 1))) % {HASH_MOD}L)")
+    return (f"(CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+            f" % {HASH_MOD}L)")
 
 
 def hash_duck(expr: str) -> str:
-    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(range(1, length({expr}) + 1), "
-            f"i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
-            f"(acc, c) -> (acc * 31 + c) % {HASH_MOD})")
+    return (f"(CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+            f" % {HASH_MOD})")
 
 
 def _in_list(sql_items) -> str:
     return "(" + ", ".join(f"'{w}'" for w in sql_items) + ")"
 
 
-def _metric_exprs(dialect: str, col: str = "text") -> dict[str, str]:
-    """One definition, two dialects. Keys are output column names."""
+def _metric_exprs(dialect: str, col: str = "text",
+                  toks_override: str | None = None) -> dict[str, str]:
+    """One definition, two dialects. Keys are output column names.
+    `toks_override` lets the engine path substitute a materialized token
+    array column (the formulas reference the token list many times)."""
     if dialect == "spark":
-        toks = _TOKENS_SPARK.format(col=col)
+        toks = toks_override or _TOKENS_SPARK.format(col=col)
         size, distinct = "size", "array_distinct"
         sumlen = f"aggregate({toks}, 0L, (a, x) -> a + length(x))"
 
@@ -105,10 +133,14 @@ METRICS = list(_metric_exprs("spark"))
 # ------------------------------------------------------------------ engine
 def text_metrics(odf: OmigoDF, col: str = "text", metrics=None) -> OmigoDF:
     """Append text metric columns. Pure expressions — map-side only."""
-    exprs = _metric_exprs("spark", col)
-    out = odf.df
-    for name in (metrics or METRICS):
-        out = out.withColumn(name, F.expr(exprs[name]))
+    names = list(metrics or METRICS)
+    exprs = _metric_exprs("spark", col, toks_override="t0")
+    struct = "named_struct(" + ", ".join(f"'{m}', {exprs[m]}" for m in names) + ")"
+    # inline() makes the metrics generator outputs real attributes: the
+    # token array is let-bound (split once per row) and project-collapse
+    # cannot duplicate the computation into each metric column.
+    gen = let_spark(_TOKENS_SPARK.format(col=col), "t0", struct)
+    out = ensure_min_parallelism(odf.df).select("*", F.expr(f"inline(array({gen}))"))
     return OmigoDF(out)
 
 
