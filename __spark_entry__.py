@@ -27,6 +27,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from omigo_data_analytics_spark import OmigoDF  # noqa: E402
 from omigo_data_analytics_spark.sources.io import load_testdata  # noqa: E402
 from omigo_data_analytics_spark.operators import dedup as DD  # noqa: E402
+from omigo_data_analytics_spark.operators import graph as GR  # noqa: E402
 from omigo_data_analytics_spark.operators import similarity as SIM  # noqa: E402
 from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
 
@@ -599,6 +600,109 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank 
 
 
 # =====================================================================
+# Graph operators (SURVEY §2.11)
+# =====================================================================
+
+# A 3-level DAG from the star schema: customer -> order -> part.
+_SQL_EDGES = """
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+  UNION
+  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR),
+                  'p' || CAST(l_partkey AS VARCHAR) FROM lineitem
+"""
+
+
+def _edges_df(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    e1 = o.select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+                  F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"))
+    e2 = li.select(F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+                   F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"))
+    return OmigoDF(e1.unionByName(e2).distinct())
+
+
+def q_graph_bfs(spark, sf_dir):
+    """BFS min-levels from seed customers over the c->o->p DAG."""
+    cust = _t(spark, sf_dir, "customer").df
+    seeds = OmigoDF(cust.where("c_custkey < 5").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node_id")))
+    return GR.bfs_levels(_edges_df(spark, sf_dir), seeds).df
+
+
+SQL_GRAPH_BFS = f"""
+WITH RECURSIVE edges AS ({_SQL_EDGES}),
+walk AS (
+  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node_id, 0 AS level
+  FROM customer WHERE c_custkey < 5
+  UNION
+  SELECT e.dst, w.level + 1 FROM walk w JOIN edges e ON e.src = w.node_id
+  WHERE w.level < 30)
+SELECT node_id, CAST(MIN(level) AS INT) AS level FROM walk GROUP BY node_id
+"""
+
+
+def q_graph_degrees(spark, sf_dir):
+    return GR.degrees(_edges_df(spark, sf_dir)).df
+
+
+SQL_GRAPH_DEGREES = f"""
+WITH edges AS ({_SQL_EDGES}),
+o AS (SELECT src AS node_id, COUNT(*) AS out_degree FROM edges GROUP BY src),
+i AS (SELECT dst AS node_id, COUNT(*) AS in_degree FROM edges GROUP BY dst)
+SELECT COALESCE(o.node_id, i.node_id) AS node_id,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+"""
+
+
+def q_graph_ancestors(spark, sf_dir):
+    """Transitive ancestor closure of the c->o->p DAG."""
+    return GR.ancestors(_edges_df(spark, sf_dir)).df
+
+
+SQL_GRAPH_ANCESTORS = f"""
+WITH RECURSIVE edges AS ({_SQL_EDGES}),
+reach AS (
+  SELECT dst AS node_id, src AS anc FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node_id)
+SELECT node_id, anc AS ancestor FROM reach
+"""
+
+
+def q_graph_remove_cycles(spark, sf_dir):
+    """Temporal back-edge removal on a user->user event graph."""
+    ev = _t(spark, sf_dir, "events").df
+    e = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"),
+                 F.expr("CAST(CAST(floor(value) AS INT) % 30 AS STRING)")).alias("dst"),
+        F.col("ts"))
+    return GR.remove_cycles(OmigoDF(e), "ts").df.select("src", "dst").distinct()
+
+
+SQL_GRAPH_REMOVE_CYCLES = """
+WITH e AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+                  'u' || CAST(CAST(floor(value) AS INT) % 30 AS VARCHAR) AS dst,
+                  ts FROM events),
+m AS (SELECT dst AS node, MIN(ts) AS f FROM e GROUP BY dst)
+SELECT DISTINCT src, dst FROM e LEFT JOIN m ON e.src = m.node
+WHERE m.f IS NULL OR e.ts >= m.f
+"""
+
+
+def q_graph_dangling(spark, sf_dir):
+    """Fixpoint dangling-edge pruning, protecting low-numbered parts."""
+    part = _t(spark, sf_dir, "part").df
+    keep = OmigoDF(part.where("p_partkey < 100").select(
+        F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("node_id")))
+    return GR.remove_dangling_edges(_edges_df(spark, sf_dir), keep).df
+
+
+# =====================================================================
 # Driver contract
 # =====================================================================
 
@@ -642,6 +746,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "similarity_lsh": q_similarity_lsh,
+        "graph_bfs": q_graph_bfs,
+        "graph_degrees": q_graph_degrees,
+        "graph_ancestors": q_graph_ancestors,
+        "graph_remove_cycles": q_graph_remove_cycles,
+        "graph_dangling": q_graph_dangling,
     }
 
 
@@ -678,6 +787,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "cosine_topk": _sql_cosine_topk(),
+        "graph_bfs": SQL_GRAPH_BFS,
+        "graph_degrees": SQL_GRAPH_DEGREES,
+        "graph_ancestors": SQL_GRAPH_ANCESTORS,
+        "graph_remove_cycles": SQL_GRAPH_REMOVE_CYCLES,
         # no oracle (rows-only): sample_group_by_key, generate_key_hash,
-        # dedup_minhash_lsh, similarity_lsh
+        # dedup_minhash_lsh, similarity_lsh, graph_dangling (iterative fixpoint)
     }
