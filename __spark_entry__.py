@@ -27,7 +27,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from omigo_data_analytics_spark import OmigoDF  # noqa: E402
 from omigo_data_analytics_spark.sources.io import load_testdata  # noqa: E402
 from omigo_data_analytics_spark.operators import dedup as DD  # noqa: E402
+from omigo_data_analytics_spark.operators import enrich as EN  # noqa: E402
 from omigo_data_analytics_spark.operators import graph as GR  # noqa: E402
+from omigo_data_analytics_spark.operators import multimodal as MM  # noqa: E402
 from omigo_data_analytics_spark.operators import similarity as SIM  # noqa: E402
 from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
 
@@ -600,6 +602,77 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank 
 
 
 # =====================================================================
+# Enrichment & multimodal (SURVEY §2.10 / north-star pipeline ops)
+# =====================================================================
+
+def q_ws_enrich(spark, sf_dir):
+    """web-service enrichment with dedup rewrite and a deterministic fake
+    transport (the oracle reproduces the fake's algebra in SQL)."""
+    n = _t(spark, sf_dir, "nation")
+
+    def _fake(req):
+        return "R:" + req["url"], 200
+
+    out = EN.call_web_service(n, "http://svc/{n_name}?q={n_nationkey}",
+                              prefix="ws", call_fn=_fake)
+    return out.select(["n_nationkey", "ws:response", "ws:response:status_code",
+                       "ws:response:success"]).df
+
+
+SQL_WS_ENRICH = """
+SELECT n_nationkey,
+       'R:http://svc/' || n_name || '?q=' || CAST(n_nationkey AS VARCHAR)
+         AS "ws:response",
+       '200' AS "ws:response:status_code",
+       '1' AS "ws:response:success"
+FROM nation
+"""
+
+
+def q_model_enrich(spark, sf_dir):
+    """batched model-call enrichment (LLM template): deterministic scoring
+    fn over distinct inputs, joined back."""
+    d = _t(spark, sf_dir, "documents")
+
+    def score(batch):
+        return [float(len(r["text"])) for r in batch]
+
+    out = EN.enrich_with_model(d, ["text"], score, out_col="score",
+                               out_type="double")
+    return out.df.select("doc_id", "score")
+
+
+SQL_MODEL_ENRICH = """
+SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS score FROM documents
+"""
+
+
+def q_multimodal_pipeline(spark, sf_dir):
+    """binary payload -> metadata struct -> fake decode -> frame explode:
+    the full multimodal plumbing, aggregated to oracle-checkable counts."""
+    d = _t(spark, sf_dir, "documents")
+    payload = OmigoDF(d.df.select(
+        "doc_id", F.expr("encode(text, 'utf-8')").alias("payload")))
+    m = MM.attach_media_metadata(payload, "payload", "image", "png")
+    dec = MM.decode_image(m, "payload", width=8, height=8, fake=True)
+    fr = MM.sample_frames(dec, "payload", every_ms=50, fake=True)
+    return (fr.df.groupBy(
+                "doc_id",
+                F.col("media_meta.n_bytes").alias("n_bytes"),
+                F.size("pixels").alias("n_pixels"))
+            .agg(F.count(F.lit(1)).alias("n_frames")))
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       64 AS n_pixels,
+       CAST(floor((octet_length(encode(text)) - 1) / 50) + 1 AS BIGINT)
+         AS n_frames
+FROM documents
+"""
+
+
+# =====================================================================
 # Graph operators (SURVEY §2.11)
 # =====================================================================
 
@@ -746,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "similarity_lsh": q_similarity_lsh,
+        "ws_enrich": q_ws_enrich,
+        "model_enrich": q_model_enrich,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "graph_bfs": q_graph_bfs,
         "graph_degrees": q_graph_degrees,
         "graph_ancestors": q_graph_ancestors,
@@ -787,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "cosine_topk": _sql_cosine_topk(),
+        "ws_enrich": SQL_WS_ENRICH,
+        "model_enrich": SQL_MODEL_ENRICH,
+        "multimodal_pipeline": SQL_MULTIMODAL,
         "graph_bfs": SQL_GRAPH_BFS,
         "graph_degrees": SQL_GRAPH_DEGREES,
         "graph_ancestors": SQL_GRAPH_ANCESTORS,
