@@ -31,6 +31,9 @@ from omigo_data_analytics_spark.operators import enrich as EN  # noqa: E402
 from omigo_data_analytics_spark.operators import graph as GR  # noqa: E402
 from omigo_data_analytics_spark.operators import multimodal as MM  # noqa: E402
 from omigo_data_analytics_spark.operators import similarity as SIM  # noqa: E402
+from omigo_data_analytics_spark.operators import stats as SS  # noqa: E402
+from omigo_data_analytics_spark.sources import sql as SQX  # noqa: E402
+from omigo_data_analytics_spark.streaming import stream as ST  # noqa: E402
 from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
 
 
@@ -602,6 +605,159 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank 
 
 
 # =====================================================================
+# UDF surface / SQL / sampling / stats / streaming
+# =====================================================================
+
+def q_group_by_key(spark, sf_dir):
+    """group_by_key generalized UDAF via applyInPandas (reference
+    dataframe.py:732-872): dict-in/dict-out per group."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def qstats(rows):
+        if not rows:
+            return {"n": "", "qmax": ""}
+        qs = [float(r["l_quantity"]) for r in rows]
+        return {"n": str(len(qs)), "qmax": str(int(max(qs)))}
+
+    return li.group_by_key(["l_returnflag"], ["l_quantity"], qstats,
+                           suffix="stats").df
+
+
+SQL_GROUP_BY_KEY = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS VARCHAR) AS "n:stats",
+       CAST(CAST(floor(MAX(l_quantity)) AS INT) AS VARCHAR) AS "qmax:stats"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_explode_udtf(spark, sf_dir):
+    """generic explode UDTF (reference dataframe.py:4167-4290): python
+    func dict -> list[dict], one output row per emitted dict."""
+    p = _t(spark, sf_dir, "part")
+
+    def words(d):
+        return [{"word": w, "pos": str(i)}
+                for i, w in enumerate(d["p_type"].split(" "))]
+
+    return (p.select(["p_partkey", "p_type"])
+             .explode_udtf(["p_type"], words, prefix="e",
+                           out_keys=["word", "pos"]).df)
+
+
+SQL_EXPLODE_UDTF = """
+WITH x AS (SELECT p_partkey, string_split(p_type, ' ') AS ws FROM part),
+y AS (SELECT p_partkey,
+             unnest(list_transform(range(1, len(ws) + 1),
+                                   i -> {'w': ws[i], 'p': i - 1})) AS u
+      FROM x)
+SELECT p_partkey, u.w AS "e:word", CAST(u.p AS VARCHAR) AS "e:pos" FROM y
+"""
+
+
+def q_flatmap(spark, sf_dir):
+    """flatmap: per-value list expansion to rows (reference
+    dataframe.py:4820-4845)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select(["o_orderkey", "o_orderpriority"])
+             .flatmap("o_orderpriority", lambda v: v.split("-"), "piece").df)
+
+
+SQL_FLATMAP = """
+SELECT o_orderkey, o_orderpriority,
+       unnest(string_split(o_orderpriority, '-')) AS piece
+FROM orders
+"""
+
+
+def q_transform_lambda(spark, sf_dir):
+    """n-ary python transform lambda -> multiple output cols (reference
+    dataframe.py:1319-1472)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.transform(["n_name", "n_regionkey"],
+                        lambda a, b: (a.lower(), str(len(a) + int(b))),
+                        ["lower_name", "len_plus_region"])
+             .select(["n_nationkey", "lower_name", "len_plus_region"]).df)
+
+
+SQL_TRANSFORM_LAMBDA = """
+SELECT n_nationkey, LOWER(n_name) AS lower_name,
+       CAST(LENGTH(n_name) + n_regionkey AS VARCHAR) AS len_plus_region
+FROM nation
+"""
+
+
+def q_sql_pushdown(spark, sf_dir):
+    """execute_query SQL builder -> spark.sql (reference
+    sql_helper.py:8-158)."""
+    li = _t(spark, sf_dir, "lineitem")
+    SQX.register_table(li, "lineitem_sql")
+    return SQX.execute_query(
+        spark,
+        ["l_returnflag", _dsum_spark("l_quantity") + " AS qty"],
+        "lineitem_sql", where="l_linestatus = 'F'",
+        group_by="l_returnflag", having="COUNT(*) > 10",
+        order_by="l_returnflag").df
+
+
+def _dsum_spark(c: str) -> str:
+    return f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+SQL_SQL_PUSHDOWN = f"""
+SELECT l_returnflag, {_dsum('l_quantity')} AS qty
+FROM lineitem WHERE l_linestatus = 'F'
+GROUP BY l_returnflag HAVING COUNT(*) > 10
+ORDER BY l_returnflag
+"""
+
+
+def q_sample_uniq_cap(spark, sf_dir):
+    """sample_group_by_max_uniq_values_exact: cap distinct suppliers per
+    returnflag (seeded xxhash64 ranking — engine-specific, rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.sample_group_by_max_uniq_values_exact(
+                ["l_returnflag"], "l_suppkey", 10, seed=42)
+              .aggregate(["l_returnflag"], ["l_suppkey"], ["uniq_len"])
+              .rename("l_suppkey:uniq_len", "n_supp").df)
+
+
+def q_ttest(spark, sf_dir):
+    """Welch t-test + KS between two slices (reference stats.py:5-39);
+    iterative float aggregation — rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = OmigoDF(li.df.where("l_returnflag = 'R'"))
+    b = OmigoDF(li.df.where("l_returnflag = 'A'"))
+    rep = SS.do_ttest(a, b, "l_quantity")
+    return spark.createDataFrame([{k: str(v) for k, v in sorted(rep.items())}])
+
+
+def q_stream_window(spark, sf_dir):
+    """Structured Streaming: file source over events -> watermarked 1-hour
+    tumbling windows -> memory sink; oracle = the equivalent batch SQL."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = ST.file_source(spark, sf_dir, schema, glob_filter="events.parquet")
+    sdf = sdf.withColumn("ts", F.timestamp_micros(
+        (F.col("ts") / 1000).cast("long")))
+    agg = ST.windowed_aggregate(sdf, "ts", "1 hour", ["value"], ["sumdec"],
+                                grouping_cols=["event_type"])
+    name = "omigo_stream_window"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return (spark.sql(f"select * from {name}")
+            .select("window_start", "event_type",
+                    F.col("`value:sumdec`").alias("value_sum")))
+
+
+SQL_STREAM_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+# =====================================================================
 # Enrichment & multimodal (SURVEY §2.10 / north-star pipeline ops)
 # =====================================================================
 
@@ -819,6 +975,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "similarity_lsh": q_similarity_lsh,
+        "group_by_key": q_group_by_key,
+        "explode_udtf": q_explode_udtf,
+        "flatmap": q_flatmap,
+        "transform_lambda": q_transform_lambda,
+        "sql_pushdown": q_sql_pushdown,
+        "sample_uniq_cap": q_sample_uniq_cap,
+        "ttest": q_ttest,
+        "stream_window": q_stream_window,
         "ws_enrich": q_ws_enrich,
         "model_enrich": q_model_enrich,
         "multimodal_pipeline": q_multimodal_pipeline,
@@ -863,6 +1027,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "cosine_topk": _sql_cosine_topk(),
+        "group_by_key": SQL_GROUP_BY_KEY,
+        "explode_udtf": SQL_EXPLODE_UDTF,
+        "flatmap": SQL_FLATMAP,
+        "transform_lambda": SQL_TRANSFORM_LAMBDA,
+        "sql_pushdown": SQL_SQL_PUSHDOWN,
+        "stream_window": SQL_STREAM_WINDOW,
         "ws_enrich": SQL_WS_ENRICH,
         "model_enrich": SQL_MODEL_ENRICH,
         "multimodal_pipeline": SQL_MULTIMODAL,
@@ -871,5 +1041,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ancestors": SQL_GRAPH_ANCESTORS,
         "graph_remove_cycles": SQL_GRAPH_REMOVE_CYCLES,
         # no oracle (rows-only): sample_group_by_key, generate_key_hash,
-        # dedup_minhash_lsh, similarity_lsh, graph_dangling (iterative fixpoint)
+        # dedup_minhash_lsh, similarity_lsh, graph_dangling (iterative
+        # fixpoint), sample_uniq_cap (seeded engine hash), ttest
+        # (iterative float aggregation)
     }

@@ -1271,6 +1271,171 @@ class OmigoDF:
         tagged = self._df.withColumn(tmp, bucket)
         return [OmigoDF(tagged.filter(F.col(tmp) == i).drop(tmp)) for i in range(num_batches)]
 
+    def sample_group_by_col_value(self, grouping_cols, col: str, col_value: str,
+                                  sampling_ratio: float, seed: int = 0) -> "OmigoDF":
+        """Within every group, downsample rows carrying ``col_value``; other
+        rows pass through (reference dataframe.py:3023-3079). Row-local
+        seeded filter — no shuffle."""
+        self._resolve(grouping_cols)
+        self._resolve(col)
+        c = self._df[col].cast("string")
+        keep = (c != col_value) | c.isNull() | (F.rand(seed) <= sampling_ratio)
+        return self._wrap(self._df.filter(keep))
+
+    def sample_group_by_max_uniq_values_exact(self, grouping_cols, col: str,
+                                              max_uniq_values: int,
+                                              seed: int = 0) -> "OmigoDF":
+        """Cap the DISTINCT values of ``col`` per group, exactly (reference
+        dataframe.py:3081-3189): rank the group's distinct values in a
+        seeded-hash order, keep rows whose value ranks ≤ cap. Shuffles only
+        the distinct (group, value) projection; rows join back semi-style."""
+        gcols = self._resolve(grouping_cols)
+        self._resolve(col)
+        pairs = self._df.select(*[self._df[g] for g in gcols], self._df[col]).distinct()
+        w = Window.partitionBy(*gcols).orderBy(
+            F.abs(F.xxhash64(F.col(col).cast("string"), F.lit(seed))), F.col(col))
+        keep = (pairs.withColumn("__omigo_rk__", F.row_number().over(w))
+                .filter(F.col("__omigo_rk__") <= max_uniq_values)
+                .drop("__omigo_rk__"))
+        return self._wrap(self._df.join(keep, on=gcols + [col], how="left_semi"))
+
+    def sample_group_by_max_uniq_values_approx(self, grouping_cols, col: str,
+                                               max_uniq_values: int,
+                                               seed: int = 0) -> "OmigoDF":
+        """Approximate variant (reference dataframe.py:3081-3189): per group
+        compute the distinct count, then keep values whose deterministic
+        hash-bucket falls under cap/distinct — one aggregate plus a
+        broadcastable join of per-group ratios, no per-value ranking."""
+        gcols = self._resolve(grouping_cols)
+        self._resolve(col)
+        ratios = (self._df.groupBy(*gcols)
+                  .agg(F.countDistinct(col).alias("__omigo_nu__")))
+        joined = self._df.join(ratios, on=gcols, how="left")
+        bucket = F.pmod(F.abs(F.xxhash64(self._df[col].cast("string"),
+                                         F.lit(seed))), F.lit(1000000))
+        keep = bucket < (F.lit(max_uniq_values * 1000000) / F.col("__omigo_nu__"))
+        return self._wrap(joined.filter(F.col("__omigo_nu__").isNull() | keep)
+                          .drop("__omigo_nu__"))
+
+    sample_group_by_max_uniq_values = sample_group_by_max_uniq_values_exact
+
+    def sample_column_by_max_uniq_values(self, col: str, max_uniq_values: int,
+                                         seed: int = 0) -> "OmigoDF":
+        """Global distinct-value cap (reference dataframe.py:3278-3297):
+        sample the distinct values, semi-join rows back."""
+        self._resolve(col)
+        vals = self._df.select(col).distinct()
+        w = Window.orderBy(F.abs(F.xxhash64(F.col(col).cast("string"),
+                                            F.lit(seed))), F.col(col))
+        keep = (vals.withColumn("__omigo_rk__", F.row_number().over(w))
+                .filter(F.col("__omigo_rk__") <= max_uniq_values)
+                .drop("__omigo_rk__"))
+        return self._wrap(self._df.join(keep, on=[col], how="left_semi"))
+
+    # ------------------------------------------------- existence filters
+    def _exists_pred(self, cols: list[str], func: Callable):
+        def _call(v):
+            return bool(func("" if v is None else v))
+        udf = F.udf(_call, T.BooleanType())
+        preds = [F.coalesce(udf(self._df[c].cast("string")), F.lit(False))
+                 for c in cols]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out | p
+        return out
+
+    def select_rows_with_cond_exists(self, cols, func: Callable,
+                                     ignore_if_missing: bool = False) -> "OmigoDF":
+        """Keep rows where ANY of the selected cols satisfies the predicate
+        (reference dataframe.py:225-238)."""
+        resolved = self._missing_ok(cols, ignore_if_missing, "select_rows_with_cond_exists")
+        if resolved is None:
+            return self
+        return self._wrap(self._df.filter(self._exists_pred(resolved, func)))
+
+    def select_cols_with_cond_exists(self, cols, func: Callable,
+                                     ignore_if_missing: bool = False) -> "OmigoDF":
+        """Keep only the selected cols where ANY value in the column
+        satisfies the predicate (reference dataframe.py:184-204). One
+        aggregate pass decides the column set; data is not re-scanned per
+        column."""
+        resolved = self._missing_ok(cols, ignore_if_missing, "select_cols_with_cond_exists")
+        if resolved is None:
+            return self
+
+        def _call(v):
+            return bool(func("" if v is None else v))
+        udf = F.udf(_call, T.BooleanType())
+        flags = self._df.agg(*[
+            F.max(F.when(F.coalesce(udf(self._df[c].cast("string")), F.lit(False)), 1)
+                  .otherwise(0)).alias(c) for c in resolved]).first()
+        keep = [c for c in resolved if flags[c] == 1]
+        return self.select(keep) if keep else self._wrap(
+            self._df.select().limit(0))
+
+    def select_rows_with_cols_cond_exists(self, cols, func: Callable,
+                                          ignore_if_missing: bool = False) -> "OmigoDF":
+        """Rows where any selected col matches, projected to those cols
+        (reference dataframe.py:206-223)."""
+        return (self.select_rows_with_cond_exists(cols, func, ignore_if_missing)
+                .select(cols))
+
+    # --------------------------------------------------------- generic UDTF
+    def explode_udtf(self, cols, exp_func: Callable, prefix: str,
+                     out_keys: list[str] | None = None, default_val: str = "",
+                     collapse: bool = True, sample_rows: int = 100) -> "OmigoDF":
+        """Generic explode/UDTF (reference dataframe.py:4167-4290):
+        ``exp_func`` receives a dict of the selected cols (string values)
+        and returns list[dict]; each emitted dict becomes an output row with
+        columns ``<prefix>:<key>``.
+
+        Lazy-engine delta (documented, SURVEY §7.3): the reference derives
+        output columns from the union of ALL emitted keys (it is eager); we
+        need the schema up front, so callers either pass ``out_keys`` or we
+        probe ``exp_func`` on a driver-side sample of ``sample_rows`` rows.
+        Keys emitted later that were not discovered raise at execution time
+        unless they were probed. Execution itself is mapInPandas —
+        partition-parallel, no driver materialization."""
+        resolved = self._resolve(cols)
+        if out_keys is None:
+            sample = self._df.select(*[self._df[c].cast("string") for c in resolved]) \
+                .limit(sample_rows).collect()
+            seen: list[str] = []
+            for r in sample:
+                for d in exp_func({c: ("" if r[c] is None else r[c]) for c in resolved}):
+                    for k in d:
+                        if k not in seen:
+                            seen.append(k)
+            out_keys = sorted(seen)
+        out_names = [f"{prefix}{COL_SEP}{k}" for k in out_keys]
+        base_cols = [c for c in self._df.columns if not collapse or c not in resolved]
+        schema = T.StructType(
+            [self._df.schema[c] for c in base_cols]
+            + [T.StructField(n, T.StringType()) for n in out_names])
+        keys = list(out_keys)
+        in_cols = list(resolved)
+
+        def _run(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                out_rows = []
+                for row in pdf.to_dict("records"):
+                    in_dict = {c: ("" if row[c] is None else str(row[c]))
+                               for c in in_cols}
+                    for emitted in exp_func(in_dict):
+                        rec = {c: row[c] for c in base_cols}
+                        for k, n in zip(keys, out_names):
+                            v = emitted.get(k, default_val)
+                            rec[n] = default_val if v is None else str(v)
+                        out_rows.append(rec)
+                yield pd.DataFrame(out_rows, columns=base_cols + out_names) \
+                    if out_rows else pd.DataFrame(columns=base_cols + out_names)
+
+        return self._wrap(self._df.mapInPandas(_run, schema=schema))
+
+    explode = explode_udtf
+
     # --------------------------------------------------- windows / reshape
     def window_aggregate(self, win_col: str, agg_cols, agg_funcs, winsize: int,
                          select_cols=None, sliding: bool = False,

@@ -1,0 +1,129 @@
+"""Structured Streaming surface: Kafka/file sources, watermarked windowed
+aggregation, session windows, and a custom stateful operator.
+
+The reference's Kafka extension is a batch micro-pull that was "not ready"
+(reference omigo_ext/kafka_ext.py:13-73: constructor raises); its intended
+semantics — read a stream, window it, aggregate — are Structured
+Streaming natively. We expose:
+
+  * kafka_source / file_source — readStream builders;
+  * windowed_aggregate — event-time tumbling/sliding windows with a
+    watermark for late data (replaces window_aggregate for streams);
+  * sessionize — session windows by inactivity gap;
+  * running_counts — applyInPandasWithState example of a custom stateful
+    operator (per-key running count/sum that survives across batches).
+
+Scale notes: all operators are incremental — state lives in the state
+store keyed by group, watermarks bound state size, and sinks see only
+updated keys. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.aggs import agg_expr
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str,
+                 starting_offsets: str = "earliest",
+                 value_as: str = "string") -> DataFrame:
+    """Kafka readStream with the value decoded to a string column.
+    Requires the spark-sql-kafka connector on the classpath; raises a
+    clear error otherwise (this container ships without it)."""
+    try:
+        sdf = (spark.readStream.format("kafka")
+               .option("kafka.bootstrap.servers", brokers)
+               .option("subscribe", topic)
+               .option("startingOffsets", starting_offsets)
+               .load())
+    except Exception as exc:  # pragma: no cover - connector-dependent
+        raise RuntimeError(
+            "kafka source requires the spark-sql-kafka-0-10 connector jar "
+            "(pass --packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from exc
+    if value_as == "string":
+        sdf = sdf.withColumn("value", F.col("value").cast("string"))
+    return sdf
+
+
+def file_source(spark: SparkSession, path: str, schema, fmt: str = "parquet",
+                max_files_per_trigger: int | None = None,
+                glob_filter: str | None = None) -> DataFrame:
+    """File-arrival stream (the landing-zone pattern: new files under a
+    prefix become micro-batches). `path` must be a directory; use
+    `glob_filter` to select specific files within it."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    return reader.load(path)
+
+
+def windowed_aggregate(sdf: DataFrame, ts_col: str, window_duration: str,
+                       agg_cols, agg_funcs, grouping_cols=None,
+                       slide_duration: str | None = None,
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Event-time windowed aggregation with late-data watermark.
+
+    Streaming counterpart of OmigoDF.window_aggregate: tumbling when
+    slide_duration is None, sliding otherwise. agg_funcs follow the same
+    names as the batch aggregate (sumfloat, mean, uniq_len, ...). Output
+    has window_start / window_end plus ``<col>:<func>`` columns."""
+    agg_cols = list(agg_cols)
+    agg_funcs = list(agg_funcs)
+    win = (F.window(ts_col, window_duration, slide_duration)
+           if slide_duration else F.window(ts_col, window_duration))
+    keys = [win.alias("__win__")] + [F.col(g) for g in (grouping_cols or [])]
+    exprs = []
+    for c, fn in zip(agg_cols, agg_funcs):
+        name = fn if isinstance(fn, str) else getattr(fn, "__name__", str(fn))
+        exprs.append(agg_expr(fn, F.col(c)).alias(f"{c}:{name}"))
+    out = (sdf.withWatermark(ts_col, watermark)
+           .groupBy(*keys).agg(*exprs))
+    return out.select(
+        F.col("__win__.start").alias("window_start"),
+        F.col("__win__.end").alias("window_end"),
+        *[c for c in out.columns if c != "__win__"])
+
+
+def sessionize(sdf: DataFrame, key_col: str, ts_col: str, gap: str = "30 minutes",
+               watermark: str = "10 minutes") -> DataFrame:
+    """Session windows by inactivity gap: one output row per (key, session)
+    with event count and session bounds."""
+    return (sdf.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(ts_col, gap).alias("__s__"), F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key_col),
+                    F.col("__s__.start").alias("session_start"),
+                    F.col("__s__.end").alias("session_end"),
+                    "n_events"))
+
+
+def running_counts(sdf: DataFrame, key_col: str,
+                   timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key running
+    event count maintained in the state store across micro-batches. The
+    template for bespoke streaming state machines (dedupe-by-key,
+    rate trackers, CEP fragments)."""
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("total", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("total", T.LongType())])
+
+    def _update(key, pdf_iter, state):
+        prev = state.get[0] if state.exists else 0
+        n = prev + sum(len(pdf) for pdf in pdf_iter)
+        state.update((n,))
+        yield __import__("pandas").DataFrame({"key": [key[0]], "total": [n]})
+
+    return (sdf.select(F.col(key_col).cast("string").alias("key"))
+            .groupBy("key")
+            .applyInPandasWithState(_update, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="update",
+                                    timeoutConf=timeout))

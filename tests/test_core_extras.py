@@ -1,0 +1,87 @@
+"""Tests: generic explode UDTF, existence filters, uniq-value sampling."""
+
+from omigo_data_analytics_spark import OmigoDF
+
+
+def test_explode_udtf_basic(spark):
+    df = spark.createDataFrame([(1, "a,b"), (2, "c")], ["id", "tags"])
+
+    def expand(d):
+        return [{"tag": t, "n": len(t)} for t in d["tags"].split(",")]
+
+    out = OmigoDF(df).explode_udtf(["tags"], expand, prefix="e")
+    assert set(out.columns) == {"id", "e:tag", "e:n"}
+    rows = sorted((r["id"], r["e:tag"], r["e:n"]) for r in out.df.collect())
+    assert rows == [(1, "a", "1"), (1, "b", "1"), (2, "c", "1")]
+
+
+def test_explode_udtf_keeps_cols_when_not_collapse(spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    out = OmigoDF(df).explode_udtf(["v"], lambda d: [{"k": d["v"]}],
+                                   prefix="p", collapse=False)
+    assert set(out.columns) == {"id", "v", "p:k"}
+
+
+def test_explode_udtf_missing_key_gets_default(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+
+    def expand(d):
+        # key 'extra' only for value 'a'
+        return [{"k": d["v"], "extra": "!"}] if d["v"] == "a" else [{"k": d["v"]}]
+
+    out = OmigoDF(df).explode_udtf(["v"], expand, prefix="p",
+                                   out_keys=["k", "extra"], default_val="")
+    rows = {r["id"]: (r["p:k"], r["p:extra"]) for r in out.df.collect()}
+    assert rows == {1: ("a", "!"), 2: ("b", "")}
+
+
+def test_select_rows_with_cond_exists(spark):
+    df = spark.createDataFrame([(1, "x", ""), (2, "", ""), (3, "", "y")],
+                               ["id", "a", "b"])
+    out = OmigoDF(df).select_rows_with_cond_exists(["a", "b"], lambda v: v != "")
+    assert sorted(r["id"] for r in out.df.collect()) == [1, 3]
+
+
+def test_select_cols_with_cond_exists(spark):
+    df = spark.createDataFrame([(1, "", "y"), (2, "", "z")], ["id", "a", "b"])
+    out = OmigoDF(df).select_cols_with_cond_exists(["a", "b"], lambda v: v != "")
+    assert out.columns == ["b"]
+
+
+def test_sample_group_by_max_uniq_values_exact(spark):
+    rows = [("g1", f"v{i}") for i in range(10)] + [("g2", "v0")]
+    df = spark.createDataFrame(rows * 2, ["g", "v"])  # dup rows too
+    out = OmigoDF(df).sample_group_by_max_uniq_values_exact(["g"], "v", 3)
+    got = out.df.collect()
+    from collections import defaultdict
+    uniq = defaultdict(set)
+    for r in got:
+        uniq[r["g"]].add(r["v"])
+    assert len(uniq["g1"]) == 3
+    assert uniq["g2"] == {"v0"}
+    # all rows of a kept value survive (2 copies each)
+    assert len(got) == 3 * 2 + 2
+
+
+def test_sample_group_by_max_uniq_values_approx_caps(spark):
+    rows = [("g", f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = OmigoDF(df).sample_group_by_max_uniq_values_approx(["g"], "v", 10)
+    n = out.df.select("v").distinct().count()
+    assert 0 < n <= 30  # hash-ratio approximation around the cap of 10
+
+
+def test_sample_column_by_max_uniq_values(spark):
+    df = spark.createDataFrame([(i, f"v{i % 7}") for i in range(50)], ["id", "v"])
+    out = OmigoDF(df).sample_column_by_max_uniq_values("v", 2)
+    assert out.df.select("v").distinct().count() == 2
+
+
+def test_sample_group_by_col_value(spark):
+    rows = [("g", "hot")] * 100 + [("g", "cold")] * 5
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = OmigoDF(df).sample_group_by_col_value(["g"], "v", "hot", 0.1, seed=7)
+    hot = out.df.where("v = 'hot'").count()
+    cold = out.df.where("v = 'cold'").count()
+    assert cold == 5          # untouched
+    assert hot < 50           # downsampled

@@ -1,0 +1,54 @@
+"""Stats (Welch t / KS) and SQL pushdown tests."""
+
+import math
+import random
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import stats as SS
+from omigo_data_analytics_spark.sources import sql as SQ
+
+
+def test_welch_ttest_detects_shift(spark):
+    rng = random.Random(7)
+    a = spark.createDataFrame([(rng.gauss(0, 1),) for _ in range(300)], ["x"])
+    b = spark.createDataFrame([(rng.gauss(1, 1),) for _ in range(300)], ["x"])
+    r = SS.welch_ttest(OmigoDF(a), OmigoDF(b), "x")
+    assert r["n1"] == 300 and r["n2"] == 300
+    assert r["t_stat"] < -5          # strong shift
+    assert r["p_value"] < 0.001
+
+
+def test_welch_ttest_null_case(spark):
+    rng = random.Random(9)
+    a = spark.createDataFrame([(rng.gauss(0, 1),) for _ in range(200)], ["x"])
+    b = spark.createDataFrame([(rng.gauss(0, 1),) for _ in range(200)], ["x"])
+    r = SS.welch_ttest(OmigoDF(a), OmigoDF(b), "x")
+    assert abs(r["t_stat"]) < 3
+
+
+def test_ks_matches_manual(spark):
+    xs = [1.0, 2.0, 3.0, 4.0]
+    ys = [3.0, 4.0, 5.0, 6.0]
+    r = SS.ks_test(OmigoDF(spark.createDataFrame([(v,) for v in xs], ["x"])),
+                   OmigoDF(spark.createDataFrame([(v,) for v in ys], ["x"])), "x")
+    assert math.isclose(r["d_stat"], 0.5)   # CDF gap at x in [2,3)
+    assert 0 <= r["p_value"] <= 1
+
+
+def test_do_ttest_report_shape(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(50)], ["x"])
+    b = spark.createDataFrame([(float(i + 30),) for i in range(50)], ["x"])
+    rep = SS.do_ttest(OmigoDF(a), OmigoDF(b), "x")
+    assert rep["ttest_reject"] and rep["ks_reject"]
+    assert {"ttest_t_stat", "ks_d_stat", "alpha"} <= set(rep)
+
+
+def test_sql_execute_query(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["v", "g"])
+    SQ.register_table(OmigoDF(df), "t_sql_test")
+    out = SQ.execute_query(spark, ["g", "SUM(v) AS s"], "t_sql_test",
+                           where="v > 0", group_by="g", having="SUM(v) > 2",
+                           order_by="g", limit=10)
+    rows = [(r["g"], r["s"]) for r in out.df.collect()]
+    assert rows == [("a", 3), ("b", 3)]
+    assert SQ.build_query(["x"], "t", distinct=True) == "SELECT DISTINCT x FROM t"

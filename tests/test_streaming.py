@@ -1,0 +1,94 @@
+"""Structured Streaming tests: file source -> windowed agg / sessionize /
+stateful running counts -> memory sink, verified against batch results."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark.streaming import stream as ST
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark):
+    d = tempfile.mkdtemp(prefix="omigo_stream_")
+    rows = [(i, f"2024-01-01 00:{i % 60:02d}:{(7 * i) % 60:02d}",
+             f"u{i % 3}", float(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["event_id", "ts_str", "user", "value"]) \
+        .withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    yield d, df
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_aggregate_matches_batch(spark, event_dir):
+    d, batch_df = event_dir
+    sdf = ST.file_source(spark, d, batch_df.schema)
+    agg = ST.windowed_aggregate(sdf, "ts", "10 minutes",
+                                ["value"], ["sumfloat"], grouping_cols=["user"])
+    _run_to_memory(agg, "win_agg", "update")
+    got = {(r["window_start"], r["user"]): r["value:sumfloat"]
+           for r in spark.sql("select * from win_agg").collect()}
+    exp = {(r["w"]["start"], r["user"]): float(r["s"])
+           for r in batch_df.groupBy(F.window("ts", "10 minutes").alias("w"), "user")
+                            .agg(F.sum("value").alias("s")).collect()}
+    assert got == exp and len(got) >= 6
+
+
+def test_sessionize_append_across_restart(spark, event_dir):
+    """Session windows only support append mode: sessions emit once the
+    watermark passes them. Phase 1 ingests the events; phase 2 (same
+    checkpoint) ingests a far-future terminator event that advances the
+    watermark and closes every real session."""
+    d, batch_df = event_dir
+    src = tempfile.mkdtemp(prefix="omigo_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="omigo_sess_ckpt_")
+    sink = tempfile.mkdtemp(prefix="omigo_sess_sink_")
+    try:
+        batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+
+        def _phase():
+            sdf = ST.file_source(spark, src, batch_df.schema)
+            ses = ST.sessionize(sdf, "user", "ts", gap="2 minutes",
+                                watermark="1 minute")
+            q = (ses.writeStream.format("parquet").option("path", sink)
+                 .outputMode("append").option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        _phase()
+        term = spark.createDataFrame(
+            [(999, "u0", 0.0)], ["event_id", "user", "value"]) \
+            .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 02:00:00"))) \
+            .select(*batch_df.columns)
+        term.coalesce(1).write.mode("append").parquet(src)
+        _phase()
+
+        rows = spark.read.parquet(sink).collect()
+        assert sum(r["n_events"] for r in rows) == 120
+        assert all(r["session_end"] > r["session_start"] for r in rows)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_running_counts_stateful(spark, event_dir):
+    d, batch_df = event_dir
+    sdf = ST.file_source(spark, d, batch_df.schema)
+    rc = ST.running_counts(sdf, "user")
+    _run_to_memory(rc, "running", "update")
+    rows = spark.sql("select * from running").collect()
+    # final state per key should equal the batch count
+    last = {}
+    for r in rows:
+        last[r["key"]] = max(last.get(r["key"], 0), r["total"])
+    assert last == {"u0": 40, "u1": 40, "u2": 40}
