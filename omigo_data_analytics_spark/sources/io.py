@@ -110,6 +110,41 @@ def from_maps(spark: SparkSession, maps: list[dict]) -> OmigoDF:
     return OmigoDF(spark.createDataFrame(rows, schema))
 
 
+def read_zip(spark: SparkSession, path: str, sep: str = "\t",
+             header: bool = True) -> OmigoDF:
+    """`.zip` TSV read (reference file_paths_util.py:194-203). Spark has no
+    zip codec, so members extract to a temp dir driver-side (zip archives
+    in the reference are single small exports), then scan in parallel."""
+    import tempfile
+    import zipfile
+
+    tmp = tempfile.mkdtemp(prefix="omigo_zip_")
+    with zipfile.ZipFile(path) as z:
+        z.extractall(tmp)
+    return read(spark, tmp, sep=sep, header=header)
+
+
+def read_url_as_df(spark: SparkSession, url: str, sep: str = "\t",
+                   headers: dict | None = None, timeout: int = 30) -> OmigoDF:
+    """Web URL → table (reference wsclient.py:199-263): driver-side fetch
+    (the payload is a single small document by construction), parsed and
+    parallelized via createDataFrame. file:// URLs work offline."""
+    import urllib.request
+
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        text = resp.read().decode("utf-8", "replace")
+    lines = [ln for ln in text.splitlines() if ln != ""]
+    if not lines:
+        raise ValueError(f"empty document at {url}")
+    cols = lines[0].split(sep)
+    rows = [tuple(ln.split(sep)) for ln in lines[1:]]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    return OmigoDF(spark.createDataFrame(rows, schema))
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> OmigoDF:
     """Load one driver-synthesized table. The events table stores
     TIMESTAMP(NANOS) which Spark reads as long ns (nanosAsLong conf, set by

@@ -1,0 +1,100 @@
+"""Source/sink tests: TSV round-trip, gz, zip, url, date-partitioned scans
+with partition pruning, read-with-pushdown."""
+
+import os
+import shutil
+import tempfile
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.sources import etl as ETL
+from omigo_data_analytics_spark.sources import io as IO
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="omigo_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_tsv_roundtrip_and_gz(spark, tmpdir):
+    df = OmigoDF(spark.createDataFrame([(1, "a b"), (2, "cé")], ["id", "v"]))
+    IO.write(df, f"{tmpdir}/plain")
+    back = IO.read(spark, f"{tmpdir}/plain")
+    assert sorted((r["id"], r["v"]) for r in back.df.collect()) == \
+        [("1", "a b"), ("2", "cé")]
+    IO.write(df, f"{tmpdir}/z.gz")
+    backgz = IO.read(spark, f"{tmpdir}/z.gz")
+    assert backgz.num_rows() == 2
+
+
+def test_zip_read(spark, tmpdir):
+    inner = f"{tmpdir}/data.tsv"
+    with open(inner, "w") as f:
+        f.write("id\tv\n1\tx\n2\ty\n")
+    zp = f"{tmpdir}/data.tsv.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        z.write(inner, "data.tsv")
+    out = IO.read_zip(spark, zp)
+    assert sorted(r["v"] for r in out.df.collect()) == ["x", "y"]
+
+
+def test_read_url_file_scheme(spark, tmpdir):
+    p = f"{tmpdir}/doc.tsv"
+    with open(p, "w") as f:
+        f.write("a\tb\n1\t2\n3\t4\n")
+    out = IO.read_url_as_df(spark, f"file://{p}")
+    assert out.columns == ["a", "b"]
+    assert out.num_rows() == 2
+
+
+def test_url_encoded_cols_resolved(spark, tmpdir):
+    p = f"{tmpdir}/enc"
+    os.makedirs(p)
+    with open(f"{p}/part.tsv", "w") as f:
+        f.write("id\tpayload:url_encoded\n1\thello+world%21\n")
+    out = IO.read(spark, p)
+    assert out.columns == ["id", "payload"]
+    assert out.df.collect()[0]["payload"] == "hello world!"
+
+
+def test_scan_by_datetime_range_prunes_partitions(spark, tmpdir):
+    base = f"{tmpdir}/events"
+    rows = []
+    for i, dt in enumerate(["20240101", "20240102", "20240103", "20240104"]):
+        rows += [(i * 10 + j, dt) for j in range(5)]
+    df = spark.createDataFrame(rows, ["v", "dt"])
+    df.write.partitionBy("dt").parquet(base)
+
+    out = ETL.scan_by_datetime_range(spark, base, "2024-01-02", "2024-01-03")
+    assert out.num_rows() == 10
+    got_dts = {str(r["dt"]) for r in out.df.select("dt").distinct().collect()}
+    assert got_dts == {"20240102", "20240103"}  # dt partition type is inferred
+    # pruning reaches the scan: PartitionFilters mentions dt
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan
+
+
+def test_paths_for_range_hourly(spark):
+    ps = ETL.paths_for_range("/base", "2024-01-01 22:00:00", "2024-01-02 01:00:00",
+                             granularity="hourly")
+    assert ps == ["/base/dt=2024010122", "/base/dt=2024010123",
+                  "/base/dt=2024010200", "/base/dt=2024010201"]
+
+
+def test_read_with_filter_transform_pushdown(spark, tmpdir):
+    p = f"{tmpdir}/t"
+    spark.createDataFrame([(i, i % 3, f"s{i}") for i in range(100)],
+                          ["a", "b", "c"]).write.parquet(p)
+    out = ETL.read_with_filter_transform(
+        spark, p, filter_transform_func=lambda o: o.where("b = 1"),
+        cols=["a", "b"])
+    assert out.columns == ["a", "b"]
+    assert out.num_rows() == 33
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(b), EqualTo(b,1)]" in plan
+    assert "ReadSchema: struct<a:bigint,b:bigint>" in plan
