@@ -604,6 +604,95 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank 
 """
 
 
+def q_quantiles(spark, sf_dir):
+    """exact quantile aggregate (reference udfs.quantile — numpy
+    quantiles as CSV string)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.aggregate(["l_returnflag"], ["l_quantity"], ["quantile"])
+              .rename("l_quantity:quantile", "q").df)
+
+
+SQL_QUANTILES = """
+SELECT l_returnflag,
+       list_aggr(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+                                v -> printf('%.6f', v)),
+                 'string_agg', ',') AS q
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_uniq_mkstr(spark, sf_dir):
+    """uniq_mkstr: sorted distinct values joined as a ','-cell (reference
+    udfs.uniq_mkstr — the cell-level array convention)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.aggregate(["n_regionkey"], ["n_name"], ["uniq_mkstr"])
+              .rename("n_name:uniq_mkstr", "names").df)
+
+
+SQL_UNIQ_MKSTR = """
+SELECT n_regionkey,
+       array_to_string(list_sort(list_distinct(list(n_name))), ',') AS names
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_merge_intersect(spark, sf_dir):
+    """merge_intersect: schema-evolving union keeping common columns
+    (reference dfutils.py:92-185)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(["o_orderkey", "o_custkey", "o_totalprice"]).take(100)
+    b = o.select(["o_orderkey", "o_custkey", "o_orderpriority"]).skip_rows(100).take(100)
+    return a.merge_intersect([b]).df
+
+
+SQL_MERGE_INTERSECT = """
+WITH o AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT 200)
+SELECT o_orderkey, o_custkey FROM o
+"""
+
+
+def q_resolve_template(spark, sf_dir):
+    """resolve_template_col: '{col}' interpolation from row values
+    (reference dataframe.py:5321-5381)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.add_const("tpl", "{n_name} sits in region {n_regionkey}")
+             .resolve_template_col("tpl", "blurb")
+             .select(["n_nationkey", "blurb"]).df)
+
+
+SQL_RESOLVE_TEMPLATE = """
+SELECT n_nationkey,
+       n_name || ' sits in region ' || CAST(n_regionkey AS VARCHAR) AS blurb
+FROM nation
+"""
+
+
+def q_minmax_range(spark, sf_dir):
+    """min/max/range aggregate family incl. failsafe variants."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.aggregate(["l_linestatus"],
+                         ["l_quantity", "l_quantity", "l_quantity",
+                          "l_extendedprice", "l_extendedprice"],
+                         ["minint", "maxint", "get_range_int",
+                          "minfloat", "maxfloat_failsafe"])
+              .rename("l_quantity:minint", "qmin")
+              .rename("l_quantity:maxint", "qmax")
+              .rename("l_quantity:get_range_int", "qrange")
+              .rename("l_extendedprice:minfloat", "pmin")
+              .rename("l_extendedprice:maxfloat_failsafe", "pmax").df)
+
+
+SQL_MINMAX_RANGE = """
+SELECT l_linestatus,
+       CAST(floor(MIN(l_quantity)) AS BIGINT) AS qmin,
+       CAST(floor(MAX(l_quantity)) AS BIGINT) AS qmax,
+       CAST(floor(MAX(l_quantity)) - floor(MIN(l_quantity)) AS BIGINT) AS qrange,
+       MIN(l_extendedprice) AS pmin,
+       MAX(l_extendedprice) AS pmax
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 # =====================================================================
 # UDF surface / SQL / sampling / stats / streaming
 # =====================================================================
@@ -975,6 +1064,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "similarity_lsh": q_similarity_lsh,
+        "quantiles": q_quantiles,
+        "uniq_mkstr": q_uniq_mkstr,
+        "merge_intersect": q_merge_intersect,
+        "resolve_template": q_resolve_template,
+        "minmax_range": q_minmax_range,
         "group_by_key": q_group_by_key,
         "explode_udtf": q_explode_udtf,
         "flatmap": q_flatmap,
@@ -1027,6 +1121,11 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "cosine_topk": _sql_cosine_topk(),
+        "quantiles": SQL_QUANTILES,
+        "uniq_mkstr": SQL_UNIQ_MKSTR,
+        "merge_intersect": SQL_MERGE_INTERSECT,
+        "resolve_template": SQL_RESOLVE_TEMPLATE,
+        "minmax_range": SQL_MINMAX_RANGE,
         "group_by_key": SQL_GROUP_BY_KEY,
         "explode_udtf": SQL_EXPLODE_UDTF,
         "flatmap": SQL_FLATMAP,

@@ -875,7 +875,12 @@ class OmigoDF:
         gcols = self._missing_ok(grouping_cols, ignore_if_missing, "aggregate")
         if gcols is None:
             return self
-        acols = self._resolve(agg_cols)
+        # resolve per item, preserving duplicates: the reference pairs
+        # agg_cols[i] with agg_funcs[i], and repeating a column with
+        # different funcs is the normal spelling (e.g. sum+mean of one col)
+        acols: list[str] = []
+        for item in as_list(agg_cols):
+            acols.extend(self._resolve(item))
         funcs = list(agg_funcs) if isinstance(agg_funcs, (list, tuple)) else [agg_funcs]
         if len(funcs) == 1 and len(acols) > 1:
             funcs = funcs * len(acols)

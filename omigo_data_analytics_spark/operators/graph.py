@@ -31,7 +31,11 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
     `seed_vertices` is a list of vertex ids or a DataFrame/OmigoDF with a
     `node_id` column. Returns (node_id, level).
     """
-    e = _df(edges).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # checkpoint the edge projection once: every BFS level joins against it,
+    # and without the barrier the upstream plan (unions/distinct of the
+    # caller's edge construction) would re-execute per iteration
+    e = _df(edges).select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst")).localCheckpoint()
     spark = e.sparkSession
     if isinstance(seed_vertices, (list, tuple)):
         seeds = spark.createDataFrame([(v,) for v in seed_vertices], ["node_id"])
@@ -76,7 +80,8 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     get_forward_edges_only path/ancestor columns
     (graph_traversal.py:80-171). Iterates reachability joins to fixpoint.
     """
-    e = _df(edges).select(F.col(src_col).alias("anc"), F.col(dst_col).alias("node_id"))
+    e = _df(edges).select(F.col(src_col).alias("anc"),
+                          F.col(dst_col).alias("node_id")).localCheckpoint()
     reach = e.distinct().localCheckpoint()   # direct parents = 1-step ancestors
     frontier = reach
     for _ in range(max_iter):
@@ -98,7 +103,7 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     """Iteratively prune edges whose destination is a leaf (no outgoing
     edges) and not in the protected vertex set, until fixpoint or max_iter
     (reference graph_traversal.py:215-285). Returns the surviving edges."""
-    e = _df(edges)
+    e = _df(edges).localCheckpoint()
     spark = e.sparkSession
     dst_type = e.schema[dst_col].dataType
     if keep_vertices is None or (isinstance(keep_vertices, (list, tuple))
@@ -110,15 +115,17 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
         keep = keep.withColumn("node_id", F.col("node_id").cast(dst_type))
     else:
         keep = _df(keep_vertices).select("node_id")
-    cur = e.localCheckpoint()
+    cur = e
+    prev_n = cur.count()
     for _ in range(max_iter):
         srcs = cur.select(F.col(src_col).alias("node_id")).distinct()
         protected = srcs.unionByName(keep).distinct()
         pruned = cur.join(protected.withColumnRenamed("node_id", dst_col),
                           dst_col, "left_semi").localCheckpoint()
-        if pruned.count() == cur.count():
+        n = pruned.count()
+        if n == prev_n:
             break
-        cur = pruned
+        cur, prev_n = pruned, n
     return OmigoDF(cur.select(*e.columns))
 
 
