@@ -844,20 +844,47 @@ class OmigoDF:
             def _post(e):
                 return e
 
+        # Two-phase distributed prefix sum — a global orderBy window would
+        # move ALL rows to one partition (the WindowExec single-partition
+        # trap). Phase 1: within-partition running sum (window partitioned
+        # by partition id — balanced). Phase 2: per-partition totals are a
+        # tiny driver list; each row adds the prefix of the partitions
+        # before it. One balanced shuffle + one light aggregate job.
         if sort_cols is None:
-            seq = "__omigo_seq__"
-            base = self.add_seq_num(seq)
-            w = Window.orderBy(F.col(seq))
-            out = base._df.withColumn(
-                new_col,
-                _post(F.sum(_cast(base._df[col]))
-                      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-            return self._wrap(out.drop(seq))
-        w = Window.orderBy(*[self._df[c] for c in self._resolve(sort_cols)])
-        out = self._df.withColumn(
-            new_col,
-            _post(F.sum(_cast(self._df[col]))
-                  .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+            base = self._df
+        else:
+            scols = self._resolve(sort_cols)
+            base = (self._df.repartitionByRange(*[F.col(c) for c in scols])
+                    .sortWithinPartitions(*scols))
+        pid, mid = "__omigo_pid__", "__omigo_mid__"
+        # localCheckpoint pins partition ids/ordering: the plan executes
+        # twice (totals job + main job) and range partitioning samples
+        # randomly, so without the barrier the two executions could
+        # disagree on partition boundaries
+        df2 = (base.withColumn(pid, F.spark_partition_id())
+               .withColumn(mid, F.monotonically_increasing_id())
+               .localCheckpoint())
+        w = (Window.partitionBy(pid).orderBy(mid)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        within = F.sum(_cast(F.col(col))).over(w)
+        totals = {r["p"]: r["t"] for r in
+                  df2.groupBy(F.col(pid).alias("p"))
+                     .agg(F.sum(_cast(F.col(col))).alias("t")).collect()
+                  if r["t"] is not None}
+        prefix: dict[int, object] = {}
+        acc = None
+        for p in sorted(totals):
+            prefix[p] = acc
+            acc = totals[p] if acc is None else acc + totals[p]
+        pairs = []
+        for p, v in sorted(prefix.items()):
+            if v is not None:
+                pairs += [F.lit(p), F.lit(v)]
+        zero = F.lit(0).cast("decimal(18,4)") if exact else \
+            F.lit(0).cast("long" if as_int else "double")
+        off = F.coalesce(F.element_at(F.create_map(*pairs), F.col(pid)), zero) \
+            if pairs else zero
+        out = df2.withColumn(new_col, _post(within + off)).drop(pid, mid)
         return self._wrap(out)
 
     # -------------------------------------------------------- aggregations
