@@ -1012,6 +1012,48 @@ WHERE m.f IS NULL OR e.ts >= m.f
 """
 
 
+def q_graph_time_ancestors(spark, sf_dir):
+    """Time-ordered ancestor closure over the temporal user graph
+    (every path edge timestamp non-decreasing)."""
+    ev = _t(spark, sf_dir, "events").df
+    e = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"),
+                 F.expr("CAST(CAST(floor(value) AS INT) % 30 AS STRING)")).alias("dst"),
+        F.col("ts"))
+    return (GR.time_ordered_ancestors(OmigoDF(e), "ts")
+            .df.select("node_id", "ancestor").distinct())
+
+
+SQL_GRAPH_TIME_ANCESTORS = """
+WITH RECURSIVE e AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+         'u' || CAST(CAST(floor(value) AS INT) % 30 AS VARCHAR) AS dst, ts
+  FROM events),
+reach AS (
+  SELECT dst AS node_id, src AS anc, ts FROM e
+  UNION
+  SELECT e2.dst, r.anc, e2.ts
+  FROM reach r JOIN e e2 ON e2.src = r.node_id AND e2.ts >= r.ts)
+SELECT DISTINCT node_id, anc AS ancestor FROM reach
+"""
+
+
+def q_graph_merge_nodes(spark, sf_dir):
+    """Merge equivalent leaf nodes (same parent set) to one representative."""
+    o = _t(spark, sf_dir, "orders").df
+    e = o.select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+                 F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("dst"))
+    return GR.merge_similar_nodes(OmigoDF(e)).df
+
+
+SQL_GRAPH_MERGE_NODES = """
+SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       MIN('o' || CAST(o_orderkey AS VARCHAR)) AS dst
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_graph_dangling(spark, sf_dir):
     """Fixpoint dangling-edge pruning, protecting low-numbered parts."""
     part = _t(spark, sf_dir, "part").df
@@ -1084,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_ancestors": q_graph_ancestors,
         "graph_remove_cycles": q_graph_remove_cycles,
+        "graph_time_ancestors": q_graph_time_ancestors,
+        "graph_merge_nodes": q_graph_merge_nodes,
         "graph_dangling": q_graph_dangling,
     }
 
@@ -1139,6 +1183,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_degrees": SQL_GRAPH_DEGREES,
         "graph_ancestors": SQL_GRAPH_ANCESTORS,
         "graph_remove_cycles": SQL_GRAPH_REMOVE_CYCLES,
+        "graph_time_ancestors": SQL_GRAPH_TIME_ANCESTORS,
+        "graph_merge_nodes": SQL_GRAPH_MERGE_NODES,
         # no oracle (rows-only): sample_group_by_key, generate_key_hash,
         # dedup_minhash_lsh, similarity_lsh, graph_dangling (iterative
         # fixpoint), sample_uniq_cap (seeded engine hash), ttest

@@ -129,6 +129,66 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     return OmigoDF(cur.select(*e.columns))
 
 
+def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
+                           dst_col: str = "dst", max_iter: int = 30) -> OmigoDF:
+    """Ancestors reachable along TIME-ORDERED paths: a path a→…→z counts
+    only if every successive edge timestamp is >= the previous one —
+    the reference's time-based forward-edge expansion
+    (graph_traversal.py:173-212). Returns (node_id, ancestor).
+
+    State per (node, ancestor) is the MINIMUM arrival timestamp (the most
+    permissive for further extension), so each iteration is join + min-agg
+    — no path materialization, no explosion on dense DAGs."""
+    e = _df(edges).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+                          F.col(ts_col).alias("ts")).localCheckpoint()
+    reach = (e.groupBy(F.col("dst").alias("node_id"), F.col("src").alias("anc"))
+              .agg(F.min("ts").alias("arr_ts")).localCheckpoint())
+    frontier = reach
+    for _ in range(max_iter):
+        ext = (frontier.join(e, frontier["node_id"] == e["src"])
+               .where(F.col("ts") >= F.col("arr_ts"))
+               .groupBy(F.col("dst").alias("node_id"), F.col("anc"))
+               .agg(F.min("ts").alias("arr_ts")))
+        # keep only strictly-better (new pair, or earlier arrival)
+        ext = (ext.alias("x")
+               .join(reach.alias("r"), ["node_id", "anc"], "left")
+               .where(F.col("r.arr_ts").isNull()
+                      | (F.col("x.arr_ts") < F.col("r.arr_ts")))
+               .select("node_id", "anc", F.col("x.arr_ts").alias("arr_ts"))
+               .localCheckpoint())
+        if ext.isEmpty():
+            break
+        reach = (reach.unionByName(ext)
+                 .groupBy("node_id", "anc").agg(F.min("arr_ts").alias("arr_ts"))
+                 .localCheckpoint())
+        frontier = ext
+    return OmigoDF(reach.select("node_id", F.col("anc").alias("ancestor"),
+                                "arr_ts"))
+
+
+def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:
+    """Collapse equivalent leaf nodes: leaves (no outgoing edges) with the
+    same sorted parent set merge into one representative (minimum id) —
+    the working core of the reference's merge_similar_nodes_reference
+    (graph_traversal.py:344-444, whose own impl has undefined vars).
+    Returns the edge table with merged leaf destinations, deduped."""
+    e = _df(edges)
+    srcs = e.select(F.col(src_col).alias("n")).distinct()
+    leaves = (e.join(srcs, e[dst_col] == F.col("n"), "left_anti")
+              .select(F.col(dst_col).alias("leaf")).distinct())
+    parents = (e.join(leaves, e[dst_col] == F.col("leaf"))
+               .groupBy("leaf")
+               .agg(F.concat_ws(",", F.array_sort(
+                   F.collect_set(F.col(src_col).cast("string")))).alias("psig")))
+    rep = parents.groupBy("psig").agg(F.min("leaf").alias("rep"))
+    remap = parents.join(rep, "psig").select("leaf", "rep")
+    out = (e.join(remap, e[dst_col] == F.col("leaf"), "left")
+           .withColumn(dst_col, F.coalesce(F.col("rep"), e[dst_col]))
+           .drop("leaf", "rep")
+           .select(*e.columns).distinct())
+    return OmigoDF(out)
+
+
 def remove_cycles(edges, ts_col: str, src_col: str = "src",
                   dst_col: str = "dst") -> OmigoDF:
     """Drop back-edges that violate temporal ordering: an edge survives iff

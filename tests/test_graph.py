@@ -52,3 +52,22 @@ def test_remove_cycles_time_order(spark):
     # v first reached at ts=1, so v->u@0 violates time order and is dropped;
     # u first reached at ts=0; u->v@1 ok; w never a dst -> survives
     assert out == {("u", "v"), ("w", "u")}
+
+
+def test_time_ordered_ancestors(spark):
+    # a -(1)-> b -(2)-> c : time-ordered path a->c exists
+    # x -(5)-> y -(3)-> z : x->z violates time order (5 then 3)
+    rows = [("a", "b", 1), ("b", "c", 2), ("x", "y", 5), ("y", "z", 3)]
+    e = OmigoDF(spark.createDataFrame(rows, ["src", "dst", "ts"]))
+    out = {(r["node_id"], r["ancestor"])
+           for r in G.time_ordered_ancestors(e, "ts").df.collect()}
+    assert ("c", "a") in out and ("c", "b") in out
+    assert ("z", "y") in out and ("z", "x") not in out
+
+
+def test_merge_similar_nodes(spark):
+    # leaves l1, l2 share parent set {a, b}; l3 has parent set {a}
+    rows = [("a", "l1"), ("b", "l1"), ("a", "l2"), ("b", "l2"), ("a", "l3")]
+    e = OmigoDF(spark.createDataFrame(rows, ["src", "dst"]))
+    out = {(r["src"], r["dst"]) for r in G.merge_similar_nodes(e).df.collect()}
+    assert out == {("a", "l1"), ("b", "l1"), ("a", "l3")}
