@@ -26,9 +26,14 @@ def main():
     spark = get_spark("omigo_spark_bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths once with the flagship query at tiny scale
+    # warm the JVM/codegen paths once with the flagship query at tiny scale,
+    # and spin up the Python UDF workers (one per core) so no single query
+    # absorbs the one-time ~150ms/worker cold start
     try:
         entry_mod.entry(spark).write.format("noop").mode("overwrite").save()
+        (spark.range(cpus * 4).repartition(cpus)
+         .mapInPandas(lambda it: it, schema="id long")
+         .write.format("noop").mode("overwrite").save())
     except Exception:
         pass
 

@@ -141,29 +141,37 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     — no path materialization, no explosion on dense DAGs."""
     e = _df(edges).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                           F.col(ts_col).alias("ts")).localCheckpoint()
-    reach = (e.groupBy(F.col("dst").alias("node_id"), F.col("src").alias("anc"))
-              .agg(F.min("ts").alias("arr_ts")).localCheckpoint())
-    frontier = reach
+
+    def _best(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("node_id", "anc").agg(F.min("arr_ts").alias("arr_ts"))
+
+    # pieces are individually checkpointed; the running "best arrival" view
+    # is a lazy union+min over them, so each iteration runs exactly ONE job
+    # (materializing ext) instead of also re-checkpointing the accumulator
+    pieces = [(e.groupBy(F.col("dst").alias("node_id"), F.col("src").alias("anc"))
+                .agg(F.min("ts").alias("arr_ts"))).localCheckpoint()]
+    frontier = pieces[0]
     for _ in range(max_iter):
-        ext = (frontier.join(e, frontier["node_id"] == e["src"])
+        ext = (F.broadcast(frontier).join(e, frontier["node_id"] == e["src"])
                .where(F.col("ts") >= F.col("arr_ts"))
                .groupBy(F.col("dst").alias("node_id"), F.col("anc"))
                .agg(F.min("ts").alias("arr_ts")))
-        # keep only strictly-better (new pair, or earlier arrival)
+        # keep only strictly-better states (new pair, or earlier arrival)
         ext = (ext.alias("x")
-               .join(reach.alias("r"), ["node_id", "anc"], "left")
+               .join(_best(pieces).alias("r"), ["node_id", "anc"], "left")
                .where(F.col("r.arr_ts").isNull()
                       | (F.col("x.arr_ts") < F.col("r.arr_ts")))
                .select("node_id", "anc", F.col("x.arr_ts").alias("arr_ts"))
                .localCheckpoint())
         if ext.isEmpty():
             break
-        reach = (reach.unionByName(ext)
-                 .groupBy("node_id", "anc").agg(F.min("arr_ts").alias("arr_ts"))
-                 .localCheckpoint())
+        pieces.append(ext)
         frontier = ext
-    return OmigoDF(reach.select("node_id", F.col("anc").alias("ancestor"),
-                                "arr_ts"))
+    return OmigoDF(_best(pieces).select("node_id", F.col("anc").alias("ancestor"),
+                                        "arr_ts"))
 
 
 def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:

@@ -14,8 +14,9 @@ Hyperplane constants come from a seeded PRNG so results are reproducible
 (and oracle-checkable: the plane matrix can be inlined into SQL).
 """
 
-from __future__ import annotations
-
+# NOTE: no `from __future__ import annotations` here — pandas_udf reads
+# real annotation objects to infer the UDF eval type, and the future
+# import would stringify them.
 import random
 
 from pyspark.sql import Window
@@ -70,25 +71,31 @@ def cosine_topk(corpus: OmigoDF, queries: OmigoDF, k: int,
 
 def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
                  num_tables: int = NUM_TABLES):
-    """All hash-table bucket ids for a vector as ONE array expression.
+    """All hash-table bucket ids for a vector as ONE array column, via a
+    vectorized Pandas UDF: the whole Arrow batch of vectors multiplies the
+    plane matrix in one numpy matmul (BLAS), then sign bits pack into
+    per-table ints offset by (table << num_planes). This replaced an
+    inlined-SQL-expression version whose 48 higher-order dot products per
+    row ran interpreted — the one hot spot where a vectorized UDF beats
+    Catalyst expressions. Assumes uniform embedding dimension (true for
+    any real embedding column)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
 
-    The plane matrix appears as a single let-bound literal (vs one copy per
-    table×plane, which bloated the plan to multi-MB task binaries); the
-    sign bits are computed once into a let-bound array, then folded into
-    per-table integer buckets offset by (table << num_planes)."""
-    from .text import let_spark
-    planes = "array(" + ", ".join(
-        "array(" + ", ".join(f"{v!r}D" for v in HYPERPLANES[i]) + ")"
-        for i in range(num_tables * num_planes)) + ")"
-    signs = (f"transform(P0, pl -> CASE WHEN aggregate(zip_with("
-             f"CAST({vec_col} AS ARRAY<DOUBLE>), pl, (x, y) -> x * y), "
-             f"0D, (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END)")
-    bucket_sum = " + ".join(
-        f"element_at(s0, t * {num_planes} + {p + 1}) * {1 << p}"
-        for p in range(num_planes))
-    buckets = (f"transform(sequence(0, {num_tables - 1}), "
-               f"t -> shiftleft(t, {num_planes}) + {bucket_sum})")
-    return F.expr(let_spark(planes, "P0", let_spark(signs, "s0", buckets)))
+    P = np.asarray(HYPERPLANES[:num_tables * num_planes], dtype=np.float64)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+    offsets = (np.arange(num_tables) << num_planes).astype(np.int64)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        S = (V @ P[:, :V.shape[1]].T) >= 0          # (n, T*P) sign bits
+        B = (S.reshape(len(V), num_tables, num_planes) @ weights) + offsets
+        return pd.Series(list(B.astype(np.int32)))
+
+    return _buckets(F.col(vec_col))
 
 
 def cosine_topk_lsh(corpus: OmigoDF, queries: OmigoDF, k: int,
