@@ -1,0 +1,74 @@
+"""Physical-plan invariants: the scale properties the engine is designed
+around, asserted on the real bench queries at sf0.001. A plan regression
+(lost pushdown, join degraded to cartesian, single-partition window)
+fails here even while row-level results stay correct."""
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    df = entry.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    p = _plan(spark, "typed_filters")
+    assert "PushedFilters: [" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThan(l_quantity" in p  # display truncates the value
+
+
+def test_projection_prunes_scan_columns(spark):
+    p = _plan(spark, "select_regex")
+    # only the three referenced columns reach the parquet reader
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," \
+           "l_extendedprice:double>" in p
+
+
+def test_dim_join_broadcasts(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "map_join_broadcast")
+
+
+def test_no_cartesian_products_in_relational_queries(spark):
+    for name in ["inner_join_agg", "left_join_histogram", "difference_anti",
+                 "ngram_jaccard", "similarity_lsh"]:
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_aggregate_is_partial_then_final(spark):
+    # map-side combine: two HashAggregate levels around the exchange
+    p = _plan(spark, "tpch_q1_aggregate")
+    assert p.count("HashAggregate") >= 2
+    assert "partial_" in p
+
+
+def test_difference_is_anti_join_not_exists_scan(spark):
+    p = _plan(spark, "difference_anti")
+    assert "LeftAnti" in p
+
+
+def test_cumulative_sum_avoids_global_single_partition_window(spark):
+    p = _plan(spark, "cumulative_sum")
+    # the prefix-sum rewrite keys the window by partition id; a global
+    # orderBy window would show an Exchange SinglePartition feeding Window
+    assert "Window" in p
+    import re
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", p)
+
+
+def test_lsh_join_is_bucket_equijoin(spark):
+    p = _plan(spark, "similarity_lsh")
+    assert "BroadcastHashJoin [bucket" in p or "bucket#" in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_per_group_is_rank_filter_not_sort_all(spark):
+    p = _plan(spark, "topk_per_group")
+    assert "row_number" in p
+    # ranking runs per-group (hashpartitioning on the group key), never a
+    # global single-partition sort
+    assert "Exchange hashpartitioning" in p
