@@ -220,6 +220,45 @@ FROM ranked GROUP BY l_returnflag
 """
 
 
+def q_arg_min_topk(spark, sf_dir):
+    """arg_min with topk: 2 cheapest suppliers per linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.arg_min(["l_linestatus"], ["l_suppkey"], ["l_extendedprice"], topk=2).df
+
+
+SQL_ARG_MIN = """
+WITH ranked AS (
+  SELECT l_linestatus, CAST(l_suppkey AS VARCHAR) AS a, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_linestatus
+                            ORDER BY l_extendedprice ASC,
+                                     CAST(l_suppkey AS VARCHAR) ASC) AS rn
+  FROM lineitem)
+SELECT l_linestatus,
+       string_agg(CASE WHEN rn <= 2 THEN a END, ',' ORDER BY rn)
+           AS "l_suppkey:l_extendedprice:arg_min",
+       MIN(v) AS "l_extendedprice:min"
+FROM ranked GROUP BY l_linestatus
+"""
+
+
+def q_concat_as_cols(spark, sf_dir):
+    """positional column-wise zip of two equal-height tables (reference
+    dataframe.py:2554-2586) — small-table op, row_number alignment."""
+    r = _t(spark, sf_dir, "region")
+    left = r.sort(["r_regionkey"]).select(["r_name"])
+    right = OmigoDF(r.sort(["r_regionkey"], reverse=True).df
+                    .selectExpr("r_name AS rev_name"))
+    return left.concat_as_cols(right).df
+
+
+SQL_CONCAT_AS_COLS = """
+WITH a AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn FROM region),
+b AS (SELECT r_name AS rev_name,
+             row_number() OVER (ORDER BY r_regionkey DESC) AS rn FROM region)
+SELECT a.r_name, b.rev_name FROM a JOIN b USING (rn)
+"""
+
+
 def q_distinct_cols(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.distinct_cols(["l_returnflag", "l_linestatus"]).df
@@ -1082,6 +1121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "difference_anti": q_difference_anti,
         "group_count": q_group_count,
         "arg_max_topk": q_arg_max_topk,
+        "arg_min_topk": q_arg_min_topk,
+        "concat_as_cols": q_concat_as_cols,
         "distinct_cols": q_distinct_cols,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -1143,6 +1184,8 @@ def oracle_sql() -> dict[str, str]:
         "difference_anti": SQL_DIFFERENCE,
         "group_count": SQL_GROUP_COUNT,
         "arg_max_topk": SQL_ARG_MAX,
+        "arg_min_topk": SQL_ARG_MIN,
+        "concat_as_cols": SQL_CONCAT_AS_COLS,
         "distinct_cols": SQL_DISTINCT,
         "window_tumbling": _sql_window(_dsum("e.value"), "value_sum", sliding=False),
         "window_sliding": _sql_window(
