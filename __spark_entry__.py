@@ -1102,6 +1102,153 @@ def q_graph_dangling(spark, sf_dir):
 
 
 # =====================================================================
+# Relational coverage widening (SURVEY §2.2/2.3/2.5 long tail)
+# =====================================================================
+
+def q_natural_join(spark, sf_dir):
+    """Inner join on all common column names (reference dataframe.py:3642)."""
+    sup = (_t(spark, sf_dir, "supplier")
+           .select(["s_suppkey", "s_nationkey"]).rename("s_nationkey", "nationkey"))
+    nat = (_t(spark, sf_dir, "nation")
+           .select(["n_nationkey", "n_name"]).rename("n_nationkey", "nationkey"))
+    return sup.natural_join(nat).select(["n_name", "s_suppkey"]).df
+
+
+SQL_NATURAL_JOIN = """
+SELECT n_name, s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_outer_join_fill(spark, sf_dir):
+    """Full outer join with def_val_map fill of unmatched-side nulls
+    (reference dataframe.py:3545-3561)."""
+    nat = _t(spark, sf_dir, "nation").select(["n_nationkey", "n_name"])
+    rich = (_t(spark, sf_dir, "customer")
+            .gt_float("c_acctbal", 9900)
+            .aggregate(["c_nationkey"], ["c_custkey"], ["get_array_len"],
+                       collapse=True)
+            .rename("c_custkey:get_array_len", "rich_cnt"))
+    return (nat.outer_join(rich, lkeys=["n_nationkey"], rkeys=["c_nationkey"],
+                           def_val_map={"rich_cnt": "0"})
+            .select(["n_nationkey", "n_name", "rich_cnt"]).df)
+
+
+SQL_OUTER_JOIN_FILL = """
+WITH rich AS (
+  SELECT c_nationkey, COUNT(*) AS cnt FROM customer
+  WHERE c_acctbal > 9900 GROUP BY c_nationkey)
+SELECT n_nationkey, n_name, COALESCE(cnt, 0) AS rich_cnt
+FROM nation FULL JOIN rich ON n_nationkey = c_nationkey
+"""
+
+
+def q_rows_cond_exists(spark, sf_dir):
+    """Existence filter: keep rows where ANY selected col satisfies the
+    lambda (reference dataframe.py:225-238)."""
+    p = _t(spark, sf_dir, "part")
+    return (p.select_rows_with_cond_exists(
+                ["p_type", "p_name"],
+                lambda v: ("PROMO" in v) or v.startswith("red"))
+            .select(["p_partkey", "p_type", "p_name"]).df)
+
+
+SQL_ROWS_COND_EXISTS = """
+SELECT p_partkey, p_type, p_name FROM part
+WHERE p_type LIKE '%PROMO%' OR p_type LIKE 'red%'
+   OR p_name LIKE '%PROMO%' OR p_name LIKE 'red%'
+"""
+
+
+def q_sort_slice(spark, sf_dir):
+    """sort (reverse, numeric) + skip_rows + take slicing
+    (reference dataframe.py:457-477, 2019-2085)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(["l_extendedprice", "l_orderkey", "l_linenumber"])
+            .reverse_sort(["l_extendedprice", "l_orderkey", "l_linenumber"])
+            .skip_rows(10).take(20).df)
+
+
+SQL_SORT_SLICE = """
+SELECT l_extendedprice, l_orderkey, l_linenumber FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC
+LIMIT 20 OFFSET 10
+"""
+
+
+def q_seq_num(spark, sf_dir):
+    """add_seq_num in current (sorted) order (reference dataframe.py:1707)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.select(["n_nationkey", "n_name"]).sort(["n_nationkey"])
+            .add_seq_num("sno").df)
+
+
+SQL_SEQ_NUM = """
+SELECT n_nationkey, n_name,
+       row_number() OVER (ORDER BY n_nationkey) AS sno
+FROM nation
+"""
+
+
+def q_codec_base64(spark, sf_dir):
+    """base64/url codec columns + decode roundtrip
+    (reference dataframe.py:2252-2320)."""
+    r = _t(spark, sf_dir, "region")
+    return (r.select(["r_name"])
+            .base64_encode("r_name", "b64")
+            .base64_decode("b64", "rt")
+            .url_encode("r_name", "urlenc").df)
+
+
+SQL_CODEC_BASE64 = """
+SELECT r_name, base64(CAST(r_name AS BLOB)) AS b64, r_name AS rt,
+       replace(r_name, ' ', '+') AS urlenc
+FROM region
+"""
+
+
+def q_ratio_cap(spark, sf_dir):
+    """ratio (safe division, precision 6) + cap_min/cap_max clamps
+    (reference dataframe.py:440-450, 2962-2976)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"])
+            .ratio("l_extendedprice", "l_quantity", "unit_price")
+            .cap_max("unit_price", 50000.0, "capped_hi")
+            .cap_min("unit_price", 1000.0, "capped_lo").df)
+
+
+SQL_RATIO_CAP = """
+-- round via DECIMAL to replicate Spark's HALF_UP (DuckDB double round is half-even)
+WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+         CASE WHEN l_quantity != 0
+              THEN CAST(round(CAST(l_extendedprice / l_quantity AS DECIMAL(28,12)), 6)
+                        AS DOUBLE)
+              ELSE 0.0 END AS unit_price
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity, unit_price,
+       least(unit_price, 50000.0) AS capped_hi,
+       greatest(unit_price, 1000.0) AS capped_lo
+FROM r
+"""
+
+
+def q_const_missing_cols(spark, sf_dir):
+    """add_const + set_missing_values + drop_empty_cols
+    (reference dataframe.py:2404-2553, 4910, 553-635)."""
+    n = _t(spark, sf_dir, "nation")
+    return (n.select(["n_nationkey", "n_name"])
+            .add_const("alwaysempty", "")
+            .add_const("maybe", "")
+            .set_missing_values(["maybe"], "X")
+            .drop_empty_cols().df)
+
+
+SQL_CONST_MISSING = """
+SELECT n_nationkey, n_name, 'X' AS maybe FROM nation
+"""
+
+
+# =====================================================================
 # Driver contract
 # =====================================================================
 
@@ -1123,6 +1270,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arg_max_topk": q_arg_max_topk,
         "arg_min_topk": q_arg_min_topk,
         "concat_as_cols": q_concat_as_cols,
+        "natural_join": q_natural_join,
+        "outer_join_fill": q_outer_join_fill,
+        "rows_cond_exists": q_rows_cond_exists,
+        "sort_slice": q_sort_slice,
+        "seq_num": q_seq_num,
+        "codec_base64": q_codec_base64,
+        "ratio_cap": q_ratio_cap,
+        "const_missing_cols": q_const_missing_cols,
         "distinct_cols": q_distinct_cols,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -1186,6 +1341,14 @@ def oracle_sql() -> dict[str, str]:
         "arg_max_topk": SQL_ARG_MAX,
         "arg_min_topk": SQL_ARG_MIN,
         "concat_as_cols": SQL_CONCAT_AS_COLS,
+        "natural_join": SQL_NATURAL_JOIN,
+        "outer_join_fill": SQL_OUTER_JOIN_FILL,
+        "rows_cond_exists": SQL_ROWS_COND_EXISTS,
+        "sort_slice": SQL_SORT_SLICE,
+        "seq_num": SQL_SEQ_NUM,
+        "codec_base64": SQL_CODEC_BASE64,
+        "ratio_cap": SQL_RATIO_CAP,
+        "const_missing_cols": SQL_CONST_MISSING,
         "distinct_cols": SQL_DISTINCT,
         "window_tumbling": _sql_window(_dsum("e.value"), "value_sum", sliding=False),
         "window_sliding": _sql_window(
