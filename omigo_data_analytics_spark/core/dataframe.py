@@ -30,6 +30,7 @@ from pyspark.sql import types as T
 
 from . import colutils
 from .colutils import COL_SEP, as_list, resolve_cols
+from .compat import CompatMixin
 from ..functions import aggs as aggs_mod
 from ..functions.aggs import agg_expr, func_name, window_agg_expr
 
@@ -44,7 +45,7 @@ def _is_numeric_type(dt: T.DataType) -> bool:
     return isinstance(dt, T.NumericType)
 
 
-class OmigoDF:
+class OmigoDF(CompatMixin):
     """Chainable analytics DataFrame (reference ``DataFrame``, omigo_core/dataframe.py:19)."""
 
     def __init__(self, df: DataFrame):
@@ -1369,7 +1370,8 @@ class OmigoDF:
         def _call(v):
             return bool(func("" if v is None else v))
         udf = F.udf(_call, T.BooleanType())
-        preds = [F.coalesce(udf(self._df[c].cast("string")), F.lit(False))
+        # backtick-quote: col names may contain '.' (array-cell convention)
+        preds = [F.coalesce(udf(F.col(f"`{c}`").cast("string")), F.lit(False))
                  for c in cols]
         out = preds[0]
         for p in preds[1:]:
@@ -1407,10 +1409,9 @@ class OmigoDF:
 
     def select_rows_with_cols_cond_exists(self, cols, func: Callable,
                                           ignore_if_missing: bool = False) -> "OmigoDF":
-        """Rows where any selected col matches, projected to those cols
-        (reference dataframe.py:206-223)."""
-        return (self.select_rows_with_cond_exists(cols, func, ignore_if_missing)
-                .select(cols))
+        """Rows where any selected col matches; all columns kept
+        (reference dataframe.py:206-223 returns the full header)."""
+        return self.select_rows_with_cond_exists(cols, func, ignore_if_missing)
 
     # --------------------------------------------------------- generic UDTF
     def explode_udtf(self, cols, exp_func: Callable, prefix: str,
