@@ -643,6 +643,65 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank 
 """
 
 
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-flat ANN: deterministic seed centroids (lowest corpus ids),
+    map-side list assignment, nprobe-list probe + exact re-rank."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = OmigoDF(e.df.where("vec_id < 3"))
+    c = OmigoDF(e.df.where("vec_id >= 3"))
+    return SIM.cosine_topk_ivf(c, q, k=5).df
+
+
+def _sql_similarity_ivf() -> str:
+    cos_ec = SIM.cosine_sql_duck("e.embedding", "c.c_vec")
+    cos_aq = SIM.cosine_sql_duck("a.embedding", "p.embedding")
+    C, NP = SIM.IVF_CENTROIDS, SIM.IVF_NPROBE
+    return f"""
+WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM corp ORDER BY vec_id LIMIT {C}),
+ca AS (SELECT e.vec_id, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY ROUND({cos_ec}, 6) DESC, c.c_id) AS rn
+       FROM corp e CROSS JOIN cent c),
+assign AS (SELECT vec_id, embedding, c_id AS list_id FROM ca WHERE rn = 1),
+qa AS (SELECT e.query_id, e.embedding, c.c_id,
+              row_number() OVER (PARTITION BY e.query_id
+                                 ORDER BY ROUND({cos_ec}, 6) DESC, c.c_id) AS rn
+       FROM q e CROSS JOIN cent c),
+probes AS (SELECT query_id, embedding, c_id FROM qa WHERE rn <= {NP}),
+s AS (SELECT p.query_id, a.vec_id, ROUND({cos_aq}, 6) AS cosine
+      FROM probes p JOIN assign a ON a.list_id = p.c_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """embedding-cosine near-dup pairs, exact self-comparison baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    return DD.embedding_dup_pairs(e, threshold=0.4).df
+
+
+def _sql_embedding_near_dup() -> str:
+    cos = SIM.cosine_sql_duck("a.embedding", "b.embedding")
+    return f"""
+WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+"""
+
+
+def q_dedup_embedding(spark, sf_dir):
+    """corpus after dropping the higher id of each embedding near-dup pair.
+    Exact method here (this data's near-dups sit at cosine ~0.4-0.5, below
+    the hyperplane-LSH recall zone tuned for >=0.9 dups); the method='lsh'
+    scale path is unit-tested in tests/test_operators.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    return DD.dedup_embedding(e, threshold=0.4).df.select("vec_id", "label")
+
+
 def q_quantiles(spark, sf_dir):
     """exact quantile aggregate (reference udfs.quantile — numpy
     quantiles as CSV string)."""
@@ -1302,6 +1361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dedup_embedding": q_dedup_embedding,
         "quantiles": q_quantiles,
         "uniq_mkstr": q_uniq_mkstr,
         "merge_intersect": q_merge_intersect,
@@ -1371,6 +1433,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "cosine_topk": _sql_cosine_topk(),
+        "similarity_ivf": _sql_similarity_ivf(),
+        "embedding_near_dup": _sql_embedding_near_dup(),
+        "dedup_embedding": """
+WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE ROUND(""" + SIM.cosine_sql_duck("a.embedding", "b.embedding") + """, 6) >= 0.4)
+SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
+""",
         "quantiles": SQL_QUANTILES,
         "uniq_mkstr": SQL_UNIQ_MKSTR,
         "merge_intersect": SQL_MERGE_INTERSECT,

@@ -191,6 +191,60 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     return OmigoDF(out)
 
 
+def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        method: str = "exact", precision: int = 6) -> OmigoDF:
+    """Embedding-cosine near-dup pairs: (id_a < id_b, cosine >= threshold).
+
+    method='exact': full self-comparison — the correctness baseline (cosine
+    is a pure codegen expression; Spark picks broadcast-nested-loop when one
+    side is small). method='lsh': the 100 TB path — both sides bucket by
+    random-hyperplane signs (multi-table, vectorized Pandas UDF from
+    operators.similarity), candidates are bucket self-equijoins, exact
+    cosine verifies candidates only; shuffle carries (bucket, id, vec)
+    rows instead of the n^2 cross product."""
+    from .similarity import _buckets_col, _dot_expr, _norm_expr, detect_dim
+    # hoist the per-row norm out of the pair loop: O(n) norms instead of
+    # O(n^2); hoisting is value-identical so the DuckDB oracle (which
+    # computes dot/(norm_a*norm_b) inline) still hash-matches.
+    dim = detect_dim(odf.df, vec_col)
+    base = (ensure_min_parallelism(odf.df)
+            .select(F.col(id_col), F.col(vec_col).alias("__v__"),
+                    F.expr(_norm_expr(f"`{vec_col}`", dim)).alias("__n__")))
+    if method == "exact":
+        a = base.select(F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
+                        F.col("__n__").alias("__na__"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col("__v__").alias("__vb__"),
+                        F.col("__n__").alias("__nb__"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        ex = base.select(id_col, "__v__", "__n__",
+                         F.explode(_buckets_col("__v__")).alias("bucket"))
+        a = ex.select("bucket", F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
+                      F.col("__n__").alias("__na__"))
+        b = ex.select("bucket", F.col(id_col).alias("id_b"), F.col("__v__").alias("__vb__"),
+                      F.col("__n__").alias("__nb__"))
+        pairs = (a.join(b, on=[a["bucket"] == b["bucket"], F.col("id_a") < F.col("id_b")])
+                 .select("id_a", "id_b", "__va__", "__na__", "__vb__", "__nb__")
+                 .dropDuplicates(["id_a", "id_b"]))
+    else:
+        raise ValueError(f"embedding_dup_pairs: unknown method: {method}")
+    cos = F.round(F.expr(_dot_expr("__va__", "__vb__", dim))
+                  / (F.col("__na__") * F.col("__nb__")), precision)
+    return OmigoDF(pairs.select("id_a", "id_b", cos.alias("cosine"))
+                   .where(F.col("cosine") >= threshold))
+
+
+def dedup_embedding(odf: OmigoDF, threshold: float = 0.9,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    method: str = "exact") -> OmigoDF:
+    """Drop the higher id of every embedding near-dup pair (greedy
+    min-representative, same keep-rule as dedup_near)."""
+    dup_ids = (embedding_dup_pairs(odf, threshold, id_col, vec_col, method)
+               .df.select(F.col("id_b").alias(id_col)).distinct())
+    return OmigoDF(odf.df.join(dup_ids, on=id_col, how="left_anti"))
+
+
 def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                threshold: float = 0.7) -> OmigoDF:
     """LSH candidates → exact-Jaccard verification → drop the higher id of

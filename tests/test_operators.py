@@ -136,3 +136,49 @@ def test_explode_json_array_of_structs(spark):
     assert out.num_rows() == 2
     ks = sorted(r["j:items:k"] for r in out.df.collect())
     assert ks == ["a", "b"]
+
+
+def test_cosine_topk_ivf_recall_and_shape(embeddings):
+    q = OmigoDF(embeddings.df.where("vec_id < 5"))
+    c = OmigoDF(embeddings.df.where("vec_id >= 5"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in SIM.cosine_topk(c, q, k=3).df.collect()}
+    rows = SIM.cosine_topk_ivf(c, q, k=3, nprobe=8).df.collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in rows}
+    # every query answered with k ranked candidates
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
+    # probing half the lists should recover a decent share of exact neighbors
+    assert len(exact & approx) >= len(exact) // 2
+
+
+def test_ivf_centroids_deterministic(embeddings):
+    c = OmigoDF(embeddings.df.where("vec_id >= 5"))
+    cents = SIM.ivf_centroids(c, num_centroids=4)
+    assert [cid for cid, _ in cents] == [5, 6, 7, 8]
+    assert all(len(v) == 64 for _, v in cents)
+
+
+def test_embedding_dup_pairs_exact_vs_lsh(embeddings):
+    # exact pairs at a moderate threshold (this corpus has no >=0.9 dups)
+    pairs = DD.embedding_dup_pairs(embeddings, threshold=0.4).df.collect()
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.4 for r in pairs)
+    exact = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert exact  # threshold picked so sf0.001 has pairs
+    # lsh candidates are a subset with identical cosines where found
+    lsh = {(r["id_a"], r["id_b"])
+           for r in DD.embedding_dup_pairs(embeddings, threshold=0.4,
+                                           method="lsh").df.collect()}
+    assert lsh <= exact
+
+
+def test_dedup_embedding_drops_higher_ids(embeddings):
+    before = embeddings.num_rows()
+    pairs = DD.embedding_dup_pairs(embeddings, threshold=0.4).df.collect()
+    doomed = {r["id_b"] for r in pairs}
+    kept = {r["vec_id"]
+            for r in DD.dedup_embedding(embeddings, threshold=0.4).df.collect()}
+    assert kept == {r["vec_id"] for r in embeddings.df.collect()} - doomed
+    assert len(kept) == before - len(doomed)
