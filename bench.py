@@ -34,6 +34,27 @@ def main():
         (spark.range(cpus * 4).repartition(cpus)
          .mapInPandas(lambda it: it, schema="id long")
          .write.format("noop").mode("overwrite").save())
+        # JIT-warm the interpreted/codegen expression families the suite
+        # leans on (higher-order array funcs, regex/hash/string ops,
+        # windows, BNLJ + broadcast joins): first cold use otherwise costs
+        # 2-6s of C2 compilation attributed to an arbitrary query
+        from pyspark.sql import Window, functions as F  # noqa: PLC0415
+        w = (spark.range(50_000)
+             .withColumn("v", F.expr("transform(sequence(1, 64), i -> CAST(id % (i + 1) AS DOUBLE))"))
+             .withColumn("dot", F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), "
+                                       "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+             .withColumn("srt", F.expr("array_sort(v, (l, r) -> if(l < r, -1, if(l > r, 1, 0)))[0]"))
+             .withColumn("s", F.md5(F.regexp_replace(F.col("id").cast("string"), "0", "x")))
+             .withColumn("toks", F.expr("filter(split(s, 'a'), x -> length(x) > 0)"))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy(F.col("id") % 7).orderBy("dot")))
+             .select("id", "dot", "srt", "rn", F.col("toks").getItem(0)))
+        w.write.format("noop").mode("overwrite").save()
+        small = spark.range(100).withColumnRenamed("id", "k")
+        (spark.range(20_000).join(F.broadcast(small), F.col("id") % 100 == F.col("k"))
+         .join(small.withColumnRenamed("k", "j"), F.col("id") < F.col("j"))
+         .groupBy((F.col("id") % 13).alias("g")).agg(F.count(F.lit(1)))
+         .write.format("noop").mode("overwrite").save())
     except Exception:
         pass
 
