@@ -467,15 +467,59 @@ def q_sample_group_by_key(spark, sf_dir):
     return o.sample_group_by_key(["o_custkey"], 0.5, seed=42).df
 
 
+def _sql_sample_group_by_key() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), CAST(o_custkey AS VARCHAR), '42')")
+    return f"SELECT * FROM orders WHERE ({h}) % 1000000 < 500000"
+
+
 def q_generate_key_hash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.generate_key_hash(["text"], "key_hash").select(["doc_id", "key_hash"]).df
+
+
+def _sql_generate_key_hash() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), trim(CAST(text AS VARCHAR)))")
+    return f"SELECT doc_id, {h} AS key_hash FROM documents"
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup removal (candidates→verify→drop)."""
     d = _t(spark, sf_dir, "documents")
     return DD.dedup_near(d, threshold=0.7).select(["doc_id", "lang", "source"]).df
+
+
+def _sql_dedup_minhash_lsh() -> str:
+    """Full LSH-dedup pipeline oracle: portable-hash minhash signatures →
+    2-row bands → bucket self-join candidates → exact-Jaccard verify →
+    drop higher ids. Same constants as operators.dedup, so the whole
+    approximate pipeline is exactly checkable."""
+    sh = DD.shingles_expr("duck")
+    sig_cols = ", ".join(f"{e} AS mh_{j}"
+                         for j, e in enumerate(DD.minhash_exprs("duck", sh)))
+    rows_per_band = 2
+    bands = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, concat(" +
+        ", '_', ".join(f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+                       for r in range(rows_per_band)) +
+        ") AS band_key, doc_id FROM sigs"
+        for b in range(DD.NUM_HASHES // rows_per_band))
+    inter = "len(list_intersect(a.sh, b.sh))"
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+shs AS (SELECT doc_id, {sh} AS sh FROM documents),
+ver AS (SELECT c.id_a, c.id_b
+        FROM cand c JOIN shs a ON a.doc_id = c.id_a
+                    JOIN shs b ON b.doc_id = c.id_b
+        WHERE CAST({inter} AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - {inter}) >= 0.7)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM ver)
+"""
 
 
 def q_similarity_lsh(spark, sf_dir):
@@ -637,6 +681,41 @@ def _sql_cosine_topk() -> str:
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
 s AS (SELECT q.query_id, c.vec_id, ROUND({cos}, 6) AS cosine FROM c, q),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+def _sql_similarity_lsh() -> str:
+    """Oracle for the multi-table hyperplane LSH ANN: the plane constants
+    are inlined (sum-of-products in the same left-to-right float order as
+    the engine's dim-sequential bucket UDF), multiprobe = 1-bit flips per
+    table, exact-cosine re-rank of the candidate union."""
+    NP, NT = SIM.NUM_PLANES, SIM.NUM_TABLES
+
+    def bucket(t: int) -> str:
+        bits = []
+        for p in range(NP):
+            w = SIM.HYPERPLANES[t * NP + p]
+            dot = " + ".join(f"(v[{i + 1}] * {w[i]:.17e})" for i in range(64))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+        return f"({t << NP} + " + " + ".join(bits) + ")"
+
+    buckets = "[" + ", ".join(bucket(t) for t in range(NT)) + "]"
+    flips = ", ".join(f"xor(b0, {1 << p})" for p in range(NP))
+    cos = SIM.cosine_sql_duck("ce.embedding", "qe.embedding")
+    return f"""
+WITH vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bk AS (SELECT vec_id, {buckets} AS bs FROM vb),
+cb AS (SELECT vec_id, unnest(bs) AS b FROM bk WHERE vec_id >= 3),
+qb AS (SELECT vec_id AS query_id, unnest(bs) AS b0 FROM bk WHERE vec_id < 3),
+qp AS (SELECT query_id, unnest([b0, {flips}]) AS b FROM qb),
+cand AS (SELECT DISTINCT q.query_id, c.vec_id FROM qp q JOIN cb c ON q.b = c.b),
+s AS (SELECT cand.query_id, cand.vec_id, ROUND({cos}, 6) AS cosine
+      FROM cand
+      JOIN embeddings ce ON ce.vec_id = cand.vec_id
+      JOIN embeddings qe ON qe.vec_id = cand.query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, vec_id) AS rank FROM s)
 SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank <= 5
@@ -901,22 +980,86 @@ ORDER BY l_returnflag
 
 def q_sample_uniq_cap(spark, sf_dir):
     """sample_group_by_max_uniq_values_exact: cap distinct suppliers per
-    returnflag (seeded xxhash64 ranking — engine-specific, rows-only)."""
+    returnflag (portable seeded-hash ranking — exactly checkable)."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.sample_group_by_max_uniq_values_exact(
                 ["l_returnflag"], "l_suppkey", 10, seed=42)
-              .aggregate(["l_returnflag"], ["l_suppkey"], ["uniq_len"])
-              .rename("l_suppkey:uniq_len", "n_supp").df)
+              .select(["l_orderkey", "l_returnflag", "l_suppkey", "l_quantity"]).df)
+
+
+def _sql_sample_uniq_cap() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), CAST(l_suppkey AS VARCHAR), '42')")
+    return f"""
+WITH pairs AS (SELECT DISTINCT l_returnflag, l_suppkey FROM lineitem),
+rk AS (SELECT l_returnflag, l_suppkey,
+              row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY {h}, l_suppkey) AS rn
+       FROM pairs),
+keep AS (SELECT l_returnflag, l_suppkey FROM rk WHERE rn <= 10)
+SELECT l.l_orderkey, l.l_returnflag, l.l_suppkey, l.l_quantity
+FROM lineitem l SEMI JOIN keep k
+  ON l.l_returnflag = k.l_returnflag AND l.l_suppkey = k.l_suppkey
+"""
 
 
 def q_ttest(spark, sf_dir):
-    """Welch t-test + KS between two slices (reference stats.py:5-39);
-    iterative float aggregation — rows-only check."""
+    """Welch t-test + KS between two slices (reference stats.py:5-39).
+    Moments come from exact decimal sums, so the statistics are
+    bit-deterministic and the oracle mirrors the arithmetic; p-values
+    (erfc / Kolmogorov series, not expressible in DuckDB) stay on the
+    operator but are excluded from the checked projection."""
+    from pyspark.sql import types as T
     li = _t(spark, sf_dir, "lineitem")
     a = OmigoDF(li.df.where("l_returnflag = 'R'"))
     b = OmigoDF(li.df.where("l_returnflag = 'A'"))
-    rep = SS.do_ttest(a, b, "l_quantity")
-    return spark.createDataFrame([{k: str(v) for k, v in sorted(rep.items())}])
+    w = SS.welch_ttest(a, b, "l_quantity", precision=None)
+    k = SS.ks_test(a, b, "l_quantity", precision=None)
+    row = {
+        "n1": int(w["n1"]), "n2": int(w["n2"]),
+        "mean1": float(w["mean1"]), "mean2": float(w["mean2"]),
+        "var1": float(w["var1"]), "var2": float(w["var2"]),
+        "t_stat": float(w["t_stat"]), "df": float(w["df"]),
+        "d_stat": float(k["d_stat"]),
+    }
+    schema = T.StructType(
+        [T.StructField("n1", T.LongType()), T.StructField("n2", T.LongType())]
+        + [T.StructField(f, T.DoubleType())
+           for f in ("mean1", "mean2", "var1", "var2", "t_stat", "df", "d_stat")])
+    return spark.createDataFrame([row], schema)
+
+
+def _sql_ttest() -> str:
+    mom = """SELECT COUNT(x) AS n,
+       CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS s1,
+       CAST(SUM(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS s2 FROM {side}"""
+    return f"""
+WITH a AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+           WHERE l_returnflag = 'R' AND l_quantity IS NOT NULL),
+b AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem
+      WHERE l_returnflag = 'A' AND l_quantity IS NOT NULL),
+ma AS ({mom.format(side="a")}),
+mb AS ({mom.format(side="b")}),
+mo AS (SELECT ma.n AS n1, (ma.s1 / ma.n) AS m1,
+              ((ma.s2 - (ma.n * (ma.s1 / ma.n)) * (ma.s1 / ma.n)) / (ma.n - 1)) AS v1,
+              mb.n AS n2, (mb.s1 / mb.n) AS m2,
+              ((mb.s2 - (mb.n * (mb.s1 / mb.n)) * (mb.s1 / mb.n)) / (mb.n - 1)) AS v2
+       FROM ma, mb),
+se AS (SELECT *, (v1 / n1 + v2 / n2) AS se2 FROM mo),
+u AS (SELECT x, 1 AS s FROM a UNION ALL SELECT x, 2 AS s FROM b),
+cdf AS (SELECT x,
+               SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+               SUM(CASE WHEN s = 2 THEN 1 ELSE 0 END)
+                 OVER (ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        FROM u),
+ks AS (SELECT MAX(ABS(c1 / (SELECT n FROM ma) - c2 / (SELECT n FROM mb))) AS d FROM cdf)
+SELECT n1, n2, m1 AS mean1, m2 AS mean2, v1 AS var1, v2 AS var2,
+       ((m1 - m2) / sqrt(se2)) AS t_stat,
+       ((se2 * se2) / (((v1 / n1) * (v1 / n1)) / (n1 - 1)
+                       + ((v2 / n2) * (v2 / n2)) / (n2 - 1))) AS df,
+       (SELECT d FROM ks) AS d_stat
+FROM se
+"""
 
 
 def q_stream_window(spark, sf_dir):
@@ -1158,6 +1301,33 @@ def q_graph_dangling(spark, sf_dir):
     keep = OmigoDF(part.where("p_partkey < 100").select(
         F.concat(F.lit("p"), F.col("p_partkey").cast("string")).alias("node_id")))
     return GR.remove_dangling_edges(_edges_df(spark, sf_dir), keep).df
+
+
+def _sql_graph_dangling() -> str:
+    """Oracle for the pruning fixpoint: the iteration is unrolled (10
+    rounds = the operator's max_iter; this graph converges in 3), each
+    round keeping edges whose dst is still a source or protected."""
+    rounds = []
+    prev = "e0"
+    for i in range(1, 11):
+        rounds.append(
+            f"e{i} AS (SELECT * FROM {prev} WHERE dst IN (SELECT src FROM {prev})"
+            f" OR dst IN (SELECT node_id FROM keep))")
+        prev = f"e{i}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+    UNION ALL
+    SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+           'p' || CAST(l_partkey AS VARCHAR) FROM lineitem)),
+keep AS (SELECT 'p' || CAST(p_partkey AS VARCHAR) AS node_id
+         FROM part WHERE p_partkey < 100),
+{rounds_sql}
+SELECT src, dst FROM {prev}
+"""
 
 
 # =====================================================================
@@ -1428,12 +1598,18 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_filter": SQL_TEXT_QUALITY,
         "lang_id": SQL_LANG_ID,
         "fingerprint": SQL_FINGERPRINT,
+        "generate_key_hash": _sql_generate_key_hash(),
+        "sample_group_by_key": _sql_sample_group_by_key(),
+        "sample_uniq_cap": _sql_sample_uniq_cap(),
+        "ttest": _sql_ttest(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": _sql_ngram_jaccard(),
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
+        "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
         "cosine_topk": _sql_cosine_topk(),
         "similarity_ivf": _sql_similarity_ivf(),
+        "similarity_lsh": _sql_similarity_lsh(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1459,6 +1635,7 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
         "graph_degrees": SQL_GRAPH_DEGREES,
         "graph_ancestors": SQL_GRAPH_ANCESTORS,
         "graph_remove_cycles": SQL_GRAPH_REMOVE_CYCLES,
+        "graph_dangling": _sql_graph_dangling(),
         "graph_time_ancestors": SQL_GRAPH_TIME_ANCESTORS,
         "graph_merge_nodes": SQL_GRAPH_MERGE_NODES,
         # no oracle (rows-only): sample_group_by_key, generate_key_hash,

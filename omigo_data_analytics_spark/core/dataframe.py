@@ -720,13 +720,22 @@ class OmigoDF(CompatMixin):
     def transform_inline_log1p_base10(self, cols):
         return self._inline_math(cols, lambda c: F.log10(c + 1))
 
-    def generate_key_hash(self, cols, new_col: str = "key_hash") -> "OmigoDF":
-        """64-bit hash of tab-joined values (reference dataframe.py:4056-4089,
-        mmh3.hash64 via utils.py:374). Spark-native delta: xxhash64 — same
-        role (stable 64-bit key), different hash function; both abs()'d."""
+    def generate_key_hash(self, cols, new_col: str = "key_hash",
+                          portable: bool = True) -> "OmigoDF":
+        """Deterministic hash of tab-joined values (reference
+        dataframe.py:4056-4089, mmh3.hash64 via utils.py:374 — a hash that
+        is stable across processes/engines). Default is the engine's
+        portable md5-polynomial (reproducible in any engine, including the
+        DuckDB oracle); ``portable=False`` switches to xxhash64 — ~3x
+        cheaper per row, but Spark-specific."""
+        from ..operators.text import hash_spark
         resolved = self._resolve(cols)
         joined = F.concat_ws("\t", *[F.trim(self._df[c].cast("string")) for c in resolved])
-        return self._wrap(self._df.withColumn(new_col, F.abs(F.xxhash64(joined))))
+        if not portable:
+            return self._wrap(self._df.withColumn(new_col, F.abs(F.xxhash64(joined))))
+        out = (self._df.withColumn("__gkh__", joined)
+               .withColumn(new_col, F.expr(hash_spark("__gkh__"))).drop("__gkh__"))
+        return self._wrap(out)
 
     def custom_func(self, func: Callable, *args, **kwargs) -> "OmigoDF":
         """Whole-table escape hatch (reference dataframe.py:4924-4934)."""
@@ -1244,13 +1253,22 @@ class OmigoDF(CompatMixin):
         return self._wrap(self._df.filter(keep))
 
     def sample_group_by_key(self, grouping_cols, sampling_ratio: float,
-                            seed: int = 0) -> "OmigoDF":
+                            seed: int = 0, portable: bool = True) -> "OmigoDF":
         """Keep or drop whole groups with probability ratio (reference
         dataframe.py:3241-3276). Deterministic per group: hash-bucket the
-        key, no per-row RNG, no shuffle."""
+        key, no per-row RNG, no shuffle. Default is the portable
+        md5-polynomial bucket (reproducible cross-engine, like the
+        reference's seeded mmh3); ``portable=False`` uses xxhash64."""
+        from ..operators.text import hash_spark
         gcols = self._resolve(grouping_cols)
-        key = F.concat_ws("\t", *[self._df[c].cast("string") for c in gcols])
-        bucket = F.pmod(F.abs(F.xxhash64(key, F.lit(seed))), F.lit(1000000))
+        key = F.concat_ws("\t", *[self._df[c].cast("string") for c in gcols],
+                          F.lit(str(seed)))
+        if portable:
+            bucket = F.pmod(F.expr(hash_spark("__sgbk__")), F.lit(1000000))
+            out = (self._df.withColumn("__sgbk__", key)
+                   .filter(bucket < int(sampling_ratio * 1000000)).drop("__sgbk__"))
+            return self._wrap(out)
+        bucket = F.pmod(F.abs(F.xxhash64(key)), F.lit(1000000))
         return self._wrap(self._df.filter(bucket < int(sampling_ratio * 1000000)))
 
     def sample_class_by_max_values(self, col: str, max_rows: int, seed: int = 0) -> "OmigoDF":
@@ -1316,20 +1334,28 @@ class OmigoDF(CompatMixin):
         return self._wrap(self._df.filter(keep))
 
     def sample_group_by_max_uniq_values_exact(self, grouping_cols, col: str,
-                                              max_uniq_values: int,
-                                              seed: int = 0) -> "OmigoDF":
+                                              max_uniq_values: int, seed: int = 0,
+                                              portable: bool = True) -> "OmigoDF":
         """Cap the DISTINCT values of ``col`` per group, exactly (reference
         dataframe.py:3081-3189): rank the group's distinct values in a
         seeded-hash order, keep rows whose value ranks ≤ cap. Shuffles only
-        the distinct (group, value) projection; rows join back semi-style."""
+        the distinct (group, value) projection; rows join back semi-style.
+        Default ordering is the portable md5-polynomial of (value, seed) —
+        reproducible cross-engine; ``portable=False`` uses xxhash64."""
+        from ..operators.text import hash_spark
         gcols = self._resolve(grouping_cols)
         self._resolve(col)
         pairs = self._df.select(*[self._df[g] for g in gcols], self._df[col]).distinct()
-        w = Window.partitionBy(*gcols).orderBy(
-            F.abs(F.xxhash64(F.col(col).cast("string"), F.lit(seed))), F.col(col))
+        if portable:
+            pairs = pairs.withColumn("__omigo_h__", F.expr(hash_spark(
+                f"concat_ws('\\t', CAST({colutils.quote(col)} AS STRING), '{seed}')")))
+            order = F.col("__omigo_h__")
+        else:
+            order = F.abs(F.xxhash64(F.col(col).cast("string"), F.lit(seed)))
+        w = Window.partitionBy(*gcols).orderBy(order, F.col(col))
         keep = (pairs.withColumn("__omigo_rk__", F.row_number().over(w))
                 .filter(F.col("__omigo_rk__") <= max_uniq_values)
-                .drop("__omigo_rk__"))
+                .drop("__omigo_rk__", "__omigo_h__"))
         return self._wrap(self._df.join(keep, on=gcols + [col], how="left_semi"))
 
     def sample_group_by_max_uniq_values_approx(self, grouping_cols, col: str,

@@ -107,7 +107,17 @@ def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
     @pandas_udf(ArrayType(IntegerType()))
     def _buckets(v: pd.Series) -> pd.Series:
         V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        S = (V @ P[:, :V.shape[1]].T) >= 0          # (n, T*P) sign bits
+        Pt = P[:, :V.shape[1]]
+        # dim-sequential accumulation, NOT a BLAS matmul: pairwise/SIMD
+        # summation reorders float adds, while this loop is the exact
+        # left-to-right order a SQL sum-of-products evaluates in — it
+        # makes the bucket signs bit-reproducible by the DuckDB oracle
+        # (still vectorized over the batch; 64 fused row ops, same speed
+        # class as the matmul at these plane counts)
+        acc = np.zeros((len(V), Pt.shape[0]))
+        for i in range(V.shape[1]):
+            acc += V[:, i:i + 1] * Pt[:, i][None, :]
+        S = acc >= 0                                 # (n, T*P) sign bits
         B = (S.reshape(len(V), num_tables, num_planes) @ weights) + offsets
         return pd.Series(list(B.astype(np.int32)))
 

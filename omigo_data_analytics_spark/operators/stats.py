@@ -20,22 +20,39 @@ from ..core.dataframe import OmigoDF
 
 
 def _moments(odf: OmigoDF, col: str):
+    """Count/mean/sample-variance from EXACT decimal sums: per-element
+    double→decimal(38,10) rounding is order-independent and decimal
+    addition is exact, so the moments are bit-identical regardless of
+    partitioning — and reproducible by any engine (the DuckDB oracle
+    mirrors this formula)."""
+    x = F.col(col).cast("double")
     r = odf.df.agg(
-        F.count(col).alias("n"),
-        F.avg(F.col(col).cast("double")).alias("mean"),
-        F.var_samp(F.col(col).cast("double")).alias("var")).first()
-    return r["n"], r["mean"] or 0.0, r["var"] or 0.0
+        F.count(x).alias("n"),
+        F.sum(x.cast("decimal(38,10)")).alias("s1"),
+        F.sum((x * x).cast("decimal(38,10)")).alias("s2")).first()
+    n = r["n"] or 0
+    if n == 0:
+        return 0, 0.0, 0.0
+    s1, s2 = float(r["s1"]), float(r["s2"])
+    m = s1 / n
+    v = (s2 - n * m * m) / (n - 1) if n > 1 else 0.0
+    return n, m, v
 
 
 def welch_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str,
-                precision: int = 6) -> dict:
+                precision: int | None = 6) -> dict:
     """Welch two-sample t-test. Returns dict with t_stat, df, p_value,
-    plus per-side n/mean/var (all rounded for oracle comparability)."""
+    plus per-side n/mean/var. ``precision=None`` skips rounding — with
+    the exact-sum moments every statistic is then bit-deterministic
+    (add/mul/div/sqrt are IEEE correctly rounded on identical inputs)."""
     n1, m1, v1 = _moments(odf1, col)
     n2, m2, v2 = _moments(odf2, col)
     se2 = v1 / n1 + v2 / n2
     t = (m1 - m2) / math.sqrt(se2) if se2 > 0 else 0.0
-    df = (se2 ** 2) / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)) \
+    # explicit multiplication (not **): keeps the op sequence mirrorable
+    # in SQL for bit-exact oracle comparison
+    df = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                        + (v2 / n2) * (v2 / n2) / (n2 - 1)) \
         if se2 > 0 else float(n1 + n2 - 2)
     try:
         from scipy import stats as sps  # type: ignore
@@ -44,16 +61,18 @@ def welch_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str,
     except Exception:
         # normal-tail approximation (good for df ≳ 30, our scale regime)
         p = math.erfc(abs(t) / math.sqrt(2.0))
+    rnd = (lambda x: x) if precision is None else (lambda x: round(x, precision))
     return {
         "n1": n1, "n2": n2,
-        "mean1": round(m1, precision), "mean2": round(m2, precision),
-        "var1": round(v1, precision), "var2": round(v2, precision),
-        "t_stat": round(t, precision), "df": round(df, precision),
-        "p_value": round(p, precision),
+        "mean1": rnd(m1), "mean2": rnd(m2),
+        "var1": rnd(v1), "var2": rnd(v2),
+        "t_stat": rnd(t), "df": rnd(df),
+        "p_value": rnd(p),
     }
 
 
-def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str, precision: int = 6) -> dict:
+def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
+            precision: int | None = 6) -> dict:
     """Two-sample Kolmogorov-Smirnov D statistic, computed distributedly:
     union the samples tagged by side, sort-window the empirical CDFs, take
     the max gap. One shuffle (the window sort)."""
@@ -75,8 +94,8 @@ def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str, precision: int = 6) -> dict:
     p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * (lam ** 2) * (k ** 2))
                 for k in range(1, 101))
     p = max(0.0, min(1.0, p))
-    return {"n1": n1, "n2": n2, "d_stat": round(d, precision),
-            "p_value": round(p, precision)}
+    rnd = (lambda x: x) if precision is None else (lambda x: round(x, precision))
+    return {"n1": n1, "n2": n2, "d_stat": rnd(d), "p_value": rnd(p)}
 
 
 def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05) -> dict:
