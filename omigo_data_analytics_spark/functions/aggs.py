@@ -37,6 +37,20 @@ def _nonempty(c: Column) -> Column:
 
 
 # Each builder: Column -> aggregate Column (unaliased).
+def _quantile_grid(c: Column, by: float) -> Column:
+    # grid built with the reference's own float-accumulating loop
+    # (udfs.py:231-234): by=1/10 yields 11 points (last ≈ 1.0), not 10 —
+    # reproduced exactly so results hash-match.
+    qs = []
+    cur = 0.0
+    while cur < 1.0:
+        qs.append(cur)
+        cur += by
+    return F.concat_ws(
+        ",", F.transform(F.percentile(_num(c), F.array([F.lit(q) for q in qs])),
+                         lambda v: F.format_string("%.4f", v)))
+
+
 AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
     # counts
     "get_array_len": lambda c: F.count(F.lit(1)),
@@ -105,6 +119,20 @@ AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
     / F.count(c.try_cast("decimal(18,4)")),
     "meandec6": lambda c: F.sum(c.try_cast("decimal(18,6)")).cast("double")
     / F.count(c.try_cast("decimal(18,6)")),
+    # deprecated reference aliases (udfs.py:20-22, 250-258)
+    "get_len": lambda c: F.count(F.lit(1)),
+    "min_str": lambda c: F.min(c.cast("string")),
+    "max_str": lambda c: F.max(c.cast("string")),
+    # "{:4f}"-formatted CSV merge (udfs.py:85-87)
+    "mkstr4f": lambda c: F.concat_ws(
+        ",", F.transform(F.collect_list(_num(c)),
+                         lambda v: F.format_string("%4f", v))),
+    # reference quantile grids: arange(0, 1, by), precision 4, linear
+    # interpolation (udfs.py:227-248; numpy default) — F.percentile is
+    # Spark's exact linear-interpolation aggregate
+    "quantile4": lambda c: _quantile_grid(c, 0.25),
+    "quantile10": lambda c: _quantile_grid(c, 1 / 10),
+    "quantile40": lambda c: _quantile_grid(c, 1 / 40),
     # plain SQL names accepted too
     "count": lambda c: F.count(F.lit(1)),
     "sum": lambda c: F.sum(_num(c)),
@@ -118,7 +146,8 @@ AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
 
 # Window-compatible subset: most registry entries work over a Window spec as
 # analytic functions (collapse=False semantics, reference dataframe.py:1080-1123).
-_WINDOW_UNSUPPORTED = {"quantile", "approx_quantile", "median"}
+_WINDOW_UNSUPPORTED = {"quantile", "approx_quantile", "median",
+                       "quantile4", "quantile10", "quantile40"}
 
 # Compound registry entries post-process the aggregate (e.g. cast after sum);
 # over a Window the frame must attach to the inner aggregate, so these get
@@ -138,6 +167,9 @@ _WINDOW_COMPOUND: dict[str, Callable] = {
         ",", F.array_sort(F.collect_list(c.cast("string")).over(w))),
     "uniq_mkstr": lambda c, w: F.concat_ws(
         ",", F.array_sort(F.collect_set(c.cast("string")).over(w))),
+    "mkstr4f": lambda c, w: F.concat_ws(
+        ",", F.transform(F.collect_list(c.try_cast("double")).over(w),
+                         lambda v: F.format_string("%4f", v))),
 }
 
 

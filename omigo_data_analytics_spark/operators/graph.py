@@ -212,3 +212,143 @@ def remove_cycles(edges, ts_col: str, src_col: str = "src",
                    | (F.col(ts_col) >= F.col("__first_ts__")))
             .select(*e.columns))
     return OmigoDF(out)
+
+
+# ---------------------------------------------------------------------
+# Reference-named API (omigo_core/graph_traversal.py) — thin wrappers over
+# the operators above, keeping the original entry-point names.
+# ---------------------------------------------------------------------
+def get_bfs_levels(edf, vertex_ids, reverse_first: bool = False,
+                   src_col: str = "src", dst_col: str = "dst",
+                   max_iter: int = 30) -> OmigoDF:
+    """BFS level assignment from seed vertices, expanding forward AND
+    reverse (reference graph_traversal.py:7-78 walks one direction, then
+    the other; `reverse_first` flips the order, which only affects ties —
+    we keep the minimum level per node, matching its first-win rule)."""
+    e = _df(edf)
+    er = e.select(F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col),
+                  *[c for c in e.columns if c not in (src_col, dst_col)])
+    first, second = (er, e) if reverse_first else (e, er)
+    l1 = bfs_levels(first, vertex_ids, src_col, dst_col, max_iter).df
+    l2 = bfs_levels(second, vertex_ids, src_col, dst_col, max_iter).df
+    out = (l1.unionByName(l2).groupBy("node_id")
+           .agg(F.min("level").alias("level")))
+    return OmigoDF(out)
+
+
+def get_forward_edges_only(edf, prefix: str = "fwd", src_col: str = "src",
+                           dst_col: str = "dst", max_iter: int = 30) -> OmigoDF:
+    """Per-vertex ancestor summary of the DAG: (node_id,
+    <prefix>:ancestors) where ancestors is the sorted uniq ','-merge of
+    the transitive ancestor closure (reference graph_traversal.py:80-171
+    emits src_paths/all_paths/ancestors columns; the ancestor set is the
+    load-bearing one — paths are its expansions)."""
+    anc = ancestors(edf, src_col, dst_col, max_iter).df
+    out = (anc.groupBy("node_id")
+           .agg(F.concat_ws(",", F.array_sort(
+               F.collect_set(F.col("ancestor").cast("string"))))
+               .alias(f"{prefix}:ancestors")))
+    return OmigoDF(out)
+
+
+def get_time_based_forward_edges_only(edf, ts_col: str = "ts",
+                                      prefix: str = "fwd",
+                                      src_col: str = "src", dst_col: str = "dst",
+                                      max_iter: int = 30) -> OmigoDF:
+    """Time-ordered variant of get_forward_edges_only (reference
+    graph_traversal.py:173-212): only ancestors reachable along
+    non-decreasing-timestamp paths count."""
+    anc = time_ordered_ancestors(edf, ts_col, src_col, dst_col, max_iter).df
+    out = (anc.groupBy("node_id")
+           .agg(F.concat_ws(",", F.array_sort(
+               F.collect_set(F.col("ancestor").cast("string"))))
+               .alias(f"{prefix}:ancestors")))
+    return OmigoDF(out)
+
+
+def merge_similar_nodes_reference(edges, src_col: str = "src",
+                                  dst_col: str = "dst") -> OmigoDF:
+    """Reference-named alias of merge_similar_nodes (the reference's own
+    body is non-executable — undefined `prop_col` etc.,
+    graph_traversal.py:369 — so both names run the working operator)."""
+    return merge_similar_nodes(edges, src_col, dst_col)
+
+
+def split_graph_filter_func(src, tgt, ts, retain_vertex_ids,
+                            retain_vertex_annotations,
+                            retain_node_filter_func) -> bool:
+    """Row-level edge predicate for splitting a graph around retained
+    ("detection") vertices (reference graph_traversal.py:446-484): keep
+    special nodes, keep edges not touching the retained set, keep edges
+    between two retained vertices, and otherwise keep only edges whose
+    timestamp falls on the correct side of the retained vertex's
+    [ts_min, ts_max] annotation window. Plain Python — usable directly in
+    OmigoDF.filter(['src','dst','ts'], ...)."""
+    if retain_node_filter_func(src) or retain_node_filter_func(tgt):
+        return True
+    in_src = src in retain_vertex_ids
+    in_tgt = tgt in retain_vertex_ids
+    if not in_src and not in_tgt:
+        return True
+    if in_src and in_tgt:
+        return True
+    if in_tgt:
+        ann = retain_vertex_annotations.get(tgt)
+        if ann is not None and int(ts) > int(ann[1]):
+            return False
+        return True
+    ann = retain_vertex_annotations.get(src)
+    if ann is not None and int(ts) < int(ann[0]):
+        return False
+    return True
+
+
+def apply_time_order_based_filter(vdf, edf, retain_vertex_ids,
+                                  strict_ordering_flag: bool = False,
+                                  src_col: str = "src", dst_col: str = "dst",
+                                  ts_col: str = "ts"):
+    """Prune edge pairs around retained vertices that violate temporal
+    ordering (reference graph_traversal.py:486-547; its body references
+    undefined symbols, so semantics are reconstructed from its decision
+    template __apply_time_order_based_filter_template__): for consecutive
+    edges l=(a->b), r=(b->c) where min_ts(l) > max_ts(r) for every
+    occurrence (order infeasible), exclude r if l touches a retained
+    vertex, l if r does, r under strict ordering, and the edge with the
+    infeasible flag otherwise. Returns (vdf', edf')."""
+    e = _df(edf)
+    mm = (e.groupBy(src_col, dst_col)
+          .agg(F.min(F.col(ts_col).cast("long")).alias("ts_min"),
+               F.max(F.col(ts_col).cast("long")).alias("ts_max")))
+    left = mm.select(F.col(src_col).alias("l_src"), F.col(dst_col).alias("l_dst"),
+                     F.col("ts_min").alias("l_min"))
+    right = mm.select(F.col(src_col).alias("r_src"), F.col(dst_col).alias("r_dst"),
+                      F.col("ts_max").alias("r_max"))
+    spark = e.sparkSession
+    rv = spark.createDataFrame([(str(v),) for v in retain_vertex_ids] or
+                               [("",)], ["node_id"]).where("node_id != ''")
+    pairs = (left.join(right, left["l_dst"] == right["r_src"])
+             .withColumn("feasible", (F.col("l_min") <= F.col("r_max")).cast("int")))
+    bad = pairs.where("feasible = 0")
+    ldet = (bad.join(rv.withColumnRenamed("node_id", "l_src"), "l_src", "left_semi")
+            .unionByName(bad.join(rv.withColumnRenamed("node_id", "l_dst"),
+                                  "l_dst", "left_semi").select(bad.columns))
+            .select(bad.columns).distinct().withColumn("l_det", F.lit(1)))
+    if strict_ordering_flag:
+        excl = bad.select(F.col("r_src").alias(src_col),
+                          F.col("r_dst").alias(dst_col)).distinct()
+    else:
+        tagged = bad.join(ldet.select("l_src", "l_dst", "r_src", "r_dst", "l_det"),
+                          ["l_src", "l_dst", "r_src", "r_dst"], "left")
+        excl_r = (tagged.where("l_det = 1")
+                  .select(F.col("r_src").alias(src_col),
+                          F.col("r_dst").alias(dst_col)))
+        excl_l = (tagged.where("l_det IS NULL")
+                  .select(F.col("l_src").alias(src_col),
+                          F.col("l_dst").alias(dst_col)))
+        excl = excl_r.unionByName(excl_l).distinct()
+    e2 = e.join(excl, [src_col, dst_col], "left_anti")
+    v = _df(vdf)
+    keep_nodes = (e2.select(F.col(src_col).alias("node_id"))
+                  .unionByName(e2.select(F.col(dst_col).alias("node_id"))).distinct())
+    v2 = v.join(keep_nodes, "node_id", "left_semi")
+    return OmigoDF(v2), OmigoDF(e2)

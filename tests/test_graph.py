@@ -71,3 +71,65 @@ def test_merge_similar_nodes(spark):
     e = OmigoDF(spark.createDataFrame(rows, ["src", "dst"]))
     out = {(r["src"], r["dst"]) for r in G.merge_similar_nodes(e).df.collect()}
     assert out == {("a", "l1"), ("b", "l1"), ("a", "l3")}
+
+
+def test_get_bfs_levels_bidirectional(spark):
+    # a -> b -> c ; z -> a. Seed {a}: forward reaches b,c; reverse reaches z.
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("z", "a")])
+    out = {r["node_id"]: r["level"]
+           for r in G.get_bfs_levels(e, ["a"]).df.collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "z": 1}
+
+
+def test_get_forward_edges_only_ancestor_merge(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "c")])
+    out = {r["node_id"]: r["fwd:ancestors"]
+           for r in G.get_forward_edges_only(e).df.collect()}
+    assert out["b"] == "a"
+    assert out["c"] == "a,b,x"
+
+
+def test_get_time_based_forward_edges_only(spark):
+    rows = [("a", "b", 1), ("b", "c", 2), ("x", "y", 5), ("y", "z", 3)]
+    e = OmigoDF(spark.createDataFrame(rows, ["src", "dst", "ts"]))
+    out = {r["node_id"]: r["fwd:ancestors"]
+           for r in G.get_time_based_forward_edges_only(e).df.collect()}
+    assert out["c"] == "a,b"
+    assert out["z"] == "y"  # x excluded: 5 -> 3 violates time order
+
+
+def test_split_graph_filter_func():
+    ann = {"d1": (100, 200)}
+    keep = lambda n: n == "ROOT"
+    f = G.split_graph_filter_func
+    # special node always kept
+    assert f("ROOT", "d1", "999", {"d1"}, ann, keep)
+    # edge not touching retained set kept
+    assert f("a", "b", "5", {"d1"}, ann, keep)
+    # incoming edge to retained node after its window end -> dropped
+    assert not f("a", "d1", "201", {"d1"}, ann, keep)
+    assert f("a", "d1", "150", {"d1"}, ann, keep)
+    # outgoing edge from retained node before window start -> dropped
+    assert not f("d1", "b", "99", {"d1"}, ann, keep)
+    assert f("d1", "b", "100", {"d1"}, ann, keep)
+
+
+def test_apply_time_order_based_filter(spark):
+    # l = (a->b) with min ts 10; r = (b->c) with max ts 5: infeasible pair.
+    # b is retained -> l touches retained vertex -> exclude r.
+    erows = [("a", "b", 10), ("b", "c", 5)]
+    e = OmigoDF(spark.createDataFrame(erows, ["src", "dst", "ts"]))
+    v = OmigoDF(spark.createDataFrame([("a",), ("b",), ("c",)], ["node_id"]))
+    v2, e2 = G.apply_time_order_based_filter(v, e, ["b"])
+    kept = {(r["src"], r["dst"]) for r in e2.df.collect()}
+    assert kept == {("a", "b")}
+    assert {r["node_id"] for r in v2.df.collect()} == {"a", "b"}
+
+
+def test_apply_time_order_based_filter_feasible_pairs_untouched(spark):
+    erows = [("a", "b", 1), ("b", "c", 5)]
+    e = OmigoDF(spark.createDataFrame(erows, ["src", "dst", "ts"]))
+    v = OmigoDF(spark.createDataFrame([("a",), ("b",), ("c",)], ["node_id"]))
+    v2, e2 = G.apply_time_order_based_filter(v, e, ["b"])
+    assert {(r["src"], r["dst"]) for r in e2.df.collect()} == set(
+        (s, d) for s, d, _ in erows)
