@@ -789,6 +789,36 @@ def q_quantiles(spark, sf_dir):
               .rename("l_quantity:quantile", "q").df)
 
 
+def q_quantile_grid(spark, sf_dir):
+    """quantile4/quantile10 grid aggregates (reference udfs.py:241-248 —
+    numpy quantiles at arange(0,1,by) formatted to 4 decimals). Native
+    F.percentile expression; the grid reproduces the reference's
+    float-accumulating loop (11 points for by=1/10)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.aggregate(["l_returnflag"], ["l_quantity", "l_extendedprice"],
+                         ["quantile4", "quantile10"])
+              .rename("l_quantity:quantile4", "q4")
+              .rename("l_extendedprice:quantile10", "q10").df)
+
+
+def _py_arange(by):
+    qs, cur = [], 0.0
+    while cur < 1.0:
+        qs.append(cur)
+        cur += by
+    return qs
+
+
+SQL_QUANTILE_GRID = f"""
+SELECT l_returnflag,
+       list_aggr(list_transform(quantile_cont(l_quantity, {_py_arange(0.25)!r}),
+                                v -> printf('%.4f', v)), 'string_agg', ',') AS q4,
+       list_aggr(list_transform(quantile_cont(l_extendedprice, {_py_arange(1 / 10)!r}),
+                                v -> printf('%.4f', v)), 'string_agg', ',') AS q10
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 SQL_QUANTILES = """
 SELECT l_returnflag,
        list_aggr(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
@@ -1535,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_embedding": q_dedup_embedding,
         "quantiles": q_quantiles,
+        "quantile_grid": q_quantile_grid,
         "uniq_mkstr": q_uniq_mkstr,
         "merge_intersect": q_merge_intersect,
         "resolve_template": q_resolve_template,
@@ -1618,6 +1649,7 @@ WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
 SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
 """,
         "quantiles": SQL_QUANTILES,
+        "quantile_grid": SQL_QUANTILE_GRID,
         "uniq_mkstr": SQL_UNIQ_MKSTR,
         "merge_intersect": SQL_MERGE_INTERSECT,
         "resolve_template": SQL_RESOLVE_TEMPLATE,
