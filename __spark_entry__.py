@@ -801,6 +801,31 @@ def q_quantile_grid(spark, sf_dir):
               .rename("l_extendedprice:quantile10", "q10").df)
 
 
+def q_failsafe_aggs(spark, sf_dir):
+    """empty-string-skipping failsafe aggregates (reference udfs.py:155-193)
+    over a column with all-empty groups, derived through the transform
+    lambda extension point with a udfs scalar (if_else_str)."""
+    from omigo_data_analytics_spark.functions import udfs
+    d = _t(spark, sf_dir, "documents")
+    return (d.transform(["lang", "source"],
+                        lambda l, s: udfs.if_else_str(l, "en", "", s), "src_m")
+             .aggregate(["lang"], ["src_m", "src_m", "n_chars"],
+                        ["maxstr_failsafe", "minstr_failsafe", "minint_failsafe"])
+             .rename("src_m:maxstr_failsafe", "smax")
+             .rename("src_m:minstr_failsafe", "smin")
+             .rename("n_chars:minint_failsafe", "nmin").df)
+
+
+SQL_FAILSAFE_AGGS = """
+WITH t AS (SELECT lang, CASE WHEN lang = 'en' THEN '' ELSE source END AS src_m,
+                  n_chars
+           FROM documents)
+SELECT lang, max(nullif(src_m, '')) AS smax, min(nullif(src_m, '')) AS smin,
+       min(n_chars) AS nmin
+FROM t GROUP BY lang
+"""
+
+
 def _py_arange(by):
     qs, cur = [], 0.0
     while cur < 1.0:
@@ -1566,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "quantiles": q_quantiles,
         "quantile_grid": q_quantile_grid,
+        "failsafe_aggs": q_failsafe_aggs,
         "uniq_mkstr": q_uniq_mkstr,
         "merge_intersect": q_merge_intersect,
         "resolve_template": q_resolve_template,
@@ -1650,6 +1676,7 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
 """,
         "quantiles": SQL_QUANTILES,
         "quantile_grid": SQL_QUANTILE_GRID,
+        "failsafe_aggs": SQL_FAILSAFE_AGGS,
         "uniq_mkstr": SQL_UNIQ_MKSTR,
         "merge_intersect": SQL_MERGE_INTERSECT,
         "resolve_template": SQL_RESOLVE_TEMPLATE,
