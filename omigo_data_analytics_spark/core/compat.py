@@ -391,7 +391,12 @@ class CompatMixin:
         total = self._df.select(
             F.sum(row_hash.cast("decimal(38,0)")).alias("h")).first()["h"]
         total = int(total or 0)
-        header_part = hash(tuple(self._df.columns)) & 0xFFFFFFFF
+        # stable digest, not built-in hash(): str hashing is salted per
+        # process (PYTHONHASHSEED), which would break cross-run determinism
+        import hashlib
+
+        header_part = int.from_bytes(
+            hashlib.md5("\t".join(self._df.columns).encode()).digest()[:4], "big")
         return f"{header_part:x}-{total & 0xFFFFFFFFFFFFFFFF:x}"
 
     def size_in_bytes(self) -> int:

@@ -32,8 +32,29 @@ def _num(c: Column, t: str = "double") -> Column:
     return c.try_cast(t)
 
 
+def _int(c: Column) -> Column:
+    # Reference int aggregates compute int(float(x)) (udfs.py:195-199):
+    # '3.7' -> 3. A direct try_cast('long') on a string would NULL out
+    # float-formatted text, so go through double first (same two-step as
+    # dataframe.to_int). double->long truncates toward zero like Python int().
+    return c.try_cast("double").cast("long")
+
+
 def _nonempty(c: Column) -> Column:
+    # failsafe-family filter: exact (non-stripped) '' match, udfs.py:155-193.
     return F.when(c.isNotNull() & (c.cast("string") != ""), c)
+
+
+def _nonblank(c: Column) -> Column:
+    # strip-based empty filter used by mkstr/get_non_empty_len
+    # (udfs.py:35-37, 77-85): drops values that are empty after strip.
+    return F.when(c.isNotNull() & (F.trim(c.cast("string")) != ""), c)
+
+
+def _split_tokens(c: Column) -> Column:
+    # uniq_len/uniq_mkstr cell convention (udfs.py:39-54): each cell is a
+    # ','-joined list; tokens blank-after-strip are dropped, kept unstripped.
+    return F.filter(F.split(c.cast("string"), ","), lambda t: F.trim(t) != "")
 
 
 # Each builder: Column -> aggregate Column (unaliased).
@@ -54,59 +75,63 @@ def _quantile_grid(c: Column, by: float) -> Column:
 AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
     # counts
     "get_array_len": lambda c: F.count(F.lit(1)),
-    "get_non_empty_len": lambda c: F.count(_nonempty(c)),
-    "uniq_len": lambda c: F.countDistinct(c),
-    "uniq_count": lambda c: F.countDistinct(c),
+    "get_non_empty_len": lambda c: F.count(_nonblank(c)),
+    # uniq_len/uniq_mkstr: cells are ','-lists — split, drop blank tokens,
+    # uniq (udfs.py:39-54). collect_set keeps per-group state comparable to
+    # countDistinct; at extreme per-group cardinality use approx_uniq_len.
+    "uniq_len": lambda c: F.size(
+        F.array_distinct(F.flatten(F.collect_set(_split_tokens(c))))),
+    "uniq_count": lambda c: F.countDistinct(_nonblank(c)),
     "approx_uniq_len": lambda c: F.approx_count_distinct(c),
-    # string merges (cell-level ','-arrays, SURVEY §1.3)
-    "mkstr": lambda c: F.concat_ws(",", F.collect_list(c.cast("string"))),
-    "sorted_mkstr": lambda c: F.concat_ws(",", F.array_sort(F.collect_list(c.cast("string")))),
-    "uniq_mkstr": lambda c: F.concat_ws(",", F.array_sort(F.collect_set(c.cast("string")))),
+    # string merges (cell-level ','-arrays, SURVEY §1.3); mkstr family drops
+    # blank-after-strip values (udfs.py:77-85)
+    "mkstr": lambda c: F.concat_ws(",", F.collect_list(_nonblank(c).cast("string"))),
+    "sorted_mkstr": lambda c: F.concat_ws(
+        ",", F.array_sort(F.collect_list(_nonblank(c).cast("string")))),
+    "uniq_mkstr": lambda c: F.concat_ws(
+        ",", F.array_sort(F.array_distinct(F.flatten(F.collect_set(_split_tokens(c)))))),
     "split_merge_uniq_mkstr": lambda c: F.concat_ws(
-        ",",
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split(c.cast("string"), ","))))),
-    ),
+        ",", F.array_sort(F.array_distinct(F.flatten(F.collect_set(_split_tokens(c)))))),
+    # merge_uniq keeps empty tokens (udfs.py:212-219 has no filter)
     "merge_uniq": lambda c: F.concat_ws(
         ",",
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list(F.split(c.cast("string"), ","))))),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_set(F.split(c.cast("string"), ","))))),
     ),
     # numeric
     "mean": lambda c: F.avg(_num(c)),
     "std_dev": lambda c: F.coalesce(F.stddev_samp(_num(c)), F.lit(0.0)),
-    "sumint": lambda c: F.sum(_num(c, "long")),
+    "sumint": lambda c: F.sum(_int(c)),
     "sumfloat": lambda c: F.sum(_num(c)),
-    "minint": lambda c: F.min(_num(c, "long")),
-    "maxint": lambda c: F.max(_num(c, "long")),
+    "minint": lambda c: F.min(_int(c)),
+    "maxint": lambda c: F.max(_int(c)),
     "minfloat": lambda c: F.min(_num(c)),
     "maxfloat": lambda c: F.max(_num(c)),
     "minstr": lambda c: F.min(c.cast("string")),
     "maxstr": lambda c: F.max(c.cast("string")),
-    "minint_failsafe": lambda c: F.min(_num(_nonempty(c), "long")),
-    "maxint_failsafe": lambda c: F.max(_num(_nonempty(c), "long")),
+    "minint_failsafe": lambda c: F.min(_int(_nonempty(c))),
+    "maxint_failsafe": lambda c: F.max(_int(_nonempty(c))),
     "minfloat_failsafe": lambda c: F.min(_num(_nonempty(c))),
     "maxfloat_failsafe": lambda c: F.max(_num(_nonempty(c))),
     "minstr_failsafe": lambda c: F.min(_nonempty(c).cast("string")),
     "maxstr_failsafe": lambda c: F.max(_nonempty(c).cast("string")),
-    "get_range_int": lambda c: F.max(_num(c, "long")) - F.min(_num(c, "long")),
-    # order-dependent picks
+    "get_range_int": lambda c: F.max(_int(c)) - F.min(_int(c)),
+    # order-dependent picks. NOTE: F.first depends on partition/task order —
+    # nondeterministic across runs unless upstream imposes a per-group order
+    # (reference picks first in stable file order; at scale prefer min_by
+    # with an explicit order column).
     "select_first": lambda c: F.first(c, ignorenulls=False),
     "select_first_non_empty": lambda c: F.first(_nonempty(c), ignorenulls=True),
     # exact quantiles (reference uses numpy; percentile() is Spark's exact
     # aggregate — swap to percentile_approx for the 100 TB path via
-    # "approx_quantile")
+    # "approx_quantile"). Reference default quantile == quantile4: grid
+    # arange(0,1,0.25), 4-decimal format (udfs.py:227-244).
     "median": lambda c: F.percentile(_num(c), F.lit(0.5)),
-    "quantile": lambda c: F.concat_ws(
-        ",",
-        F.transform(
-            F.percentile(_num(c), F.array([F.lit(x) for x in (0.25, 0.5, 0.75)])),
-            lambda v: F.format_number(v, 6),
-        ),
-    ),
+    "quantile": lambda c: _quantile_grid(c, 0.25),
     "approx_quantile": lambda c: F.concat_ws(
         ",",
         F.transform(
             F.percentile_approx(_num(c), F.array([F.lit(x) for x in (0.25, 0.5, 0.75)])),
-            lambda v: F.format_number(v, 6),
+            lambda v: F.format_string("%.6f", v),
         ),
     ),
     # decimal-exact numeric aggregates: cast inputs to DECIMAL so the sum is
@@ -160,13 +185,14 @@ _WINDOW_COMPOUND: dict[str, Callable] = {
     "meandec6": lambda c, w: F.sum(c.try_cast("decimal(18,6)")).over(w).cast("double")
     / F.count(c.try_cast("decimal(18,6)")).over(w),
     "std_dev": lambda c, w: F.coalesce(F.stddev_samp(c.try_cast("double")).over(w), F.lit(0.0)),
-    "get_range_int": lambda c, w: F.max(c.try_cast("long")).over(w)
-    - F.min(c.try_cast("long")).over(w),
-    "mkstr": lambda c, w: F.concat_ws(",", F.collect_list(c.cast("string")).over(w)),
+    "get_range_int": lambda c, w: F.max(_int(c)).over(w) - F.min(_int(c)).over(w),
+    "mkstr": lambda c, w: F.concat_ws(
+        ",", F.collect_list(_nonblank(c).cast("string")).over(w)),
     "sorted_mkstr": lambda c, w: F.concat_ws(
-        ",", F.array_sort(F.collect_list(c.cast("string")).over(w))),
+        ",", F.array_sort(F.collect_list(_nonblank(c).cast("string")).over(w))),
     "uniq_mkstr": lambda c, w: F.concat_ws(
-        ",", F.array_sort(F.collect_set(c.cast("string")).over(w))),
+        ",", F.array_sort(F.array_distinct(
+            F.flatten(F.collect_set(_split_tokens(c)).over(w))))),
     "mkstr4f": lambda c, w: F.concat_ws(
         ",", F.transform(F.collect_list(c.try_cast("double")).over(w),
                          lambda v: F.format_string("%4f", v))),

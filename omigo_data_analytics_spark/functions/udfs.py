@@ -115,35 +115,47 @@ def get_non_empty_len(vs) -> str:
     return str(sum(1 for v in vs if str(v).strip() != ""))
 
 
+def _split_nonblank(vs) -> set:
+    # uniq_len/uniq_mkstr cell convention (reference udfs.py:39-54): each
+    # cell is a ','-list; blank-after-strip tokens dropped, kept unstripped.
+    out = set()
+    for v in vs:
+        out.update(k for k in str(v).split(",") if k.strip() != "")
+    return out
+
+
 def uniq_len(vs) -> str:
-    return str(len(set(vs)))
+    return str(len(_split_nonblank(vs)))
 
 
 def uniq_count(vs) -> str:
-    return uniq_len(vs)
+    # udfs.py:208-210 — exact-'' filter, no splitting
+    return str(len({v for v in vs if str(v).strip() != ""}))
 
 
 def mkstr(vs) -> str:
-    return ",".join(str(v) for v in vs)
+    # udfs.py:77-79 — drops blank-after-strip values
+    return ",".join(s for s in (str(v) for v in vs) if s.strip() != "")
 
 
 def sorted_mkstr(vs) -> str:
-    return ",".join(sorted(str(v) for v in vs))
+    return ",".join(sorted(s for s in (str(v) for v in vs) if s.strip() != ""))
 
 
 def uniq_mkstr(vs) -> str:
-    return ",".join(sorted({str(v) for v in vs}))
+    return ",".join(sorted(_split_nonblank(vs)))
 
 
 def split_merge_uniq_mkstr(vs) -> str:
-    out = set()
-    for v in vs:
-        out.update(x for x in str(v).split(",") if x != "")
-    return ",".join(sorted(out))
+    return ",".join(sorted(_split_nonblank(vs)))
 
 
 def merge_uniq(vs) -> str:
-    return split_merge_uniq_mkstr(vs)
+    # udfs.py:212-219 — splits but keeps empty tokens
+    out = set()
+    for v in vs:
+        out.update(str(v).split(","))
+    return ",".join(sorted(out))
 
 
 def mkstr4f(vs) -> str:

@@ -43,12 +43,21 @@ def read(spark: SparkSession, path_or_paths, sep: str = "\t", header: bool = Tru
               .option("nullValue", None)
               .csv(p))
         dfs.append(df)
-    out = dfs[0]
-    for d in dfs[1:]:
-        if do_union:
+    if do_union or len(dfs) == 1:
+        out = dfs[0]
+        for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
-        else:
-            out = out.join(d, how="cross")  # parity: do_union=False concatenates
+    else:
+        # do_union=False (the reference's default) still concatenates rows,
+        # keeping only the common columns — dfutils.merge with
+        # def_val_map=None (hydra.py:58-61, dfutils.py:92-185).
+        common = [c for c in dfs[0].columns
+                  if all(c in d.columns for d in dfs[1:])]
+        if not common:
+            raise ValueError("read(do_union=False): no common columns across paths")
+        out = dfs[0].select(*common)
+        for d in dfs[1:]:
+            out = out.unionByName(d.select(*common))
     res = OmigoDF(out)
     if url_decode_cols:
         res = res.resolve_url_encoded_cols()

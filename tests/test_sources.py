@@ -43,6 +43,24 @@ def test_zip_read(spark, tmpdir):
     assert sorted(r["v"] for r in out.df.collect()) == ["x", "y"]
 
 
+def test_read_multi_path_union_and_intersect(spark, tmpdir):
+    # two parts with differing schemas: common cols = (id, v)
+    with open(f"{tmpdir}/a.tsv", "w") as f:
+        f.write("id\tv\textra_a\n1\tx\tp\n2\ty\tq\n")
+    with open(f"{tmpdir}/b.tsv", "w") as f:
+        f.write("id\tv\textra_b\n3\tz\tr\n")
+    # do_union=True: union of columns, missing -> null
+    u = IO.read(spark, [f"{tmpdir}/a.tsv", f"{tmpdir}/b.tsv"], do_union=True)
+    assert sorted(u.columns) == ["extra_a", "extra_b", "id", "v"]
+    assert u.num_rows() == 3
+    # do_union=False (reference default, hydra.py:58-61): row concat keeping
+    # only the common columns — NOT a cross join
+    i = IO.read(spark, [f"{tmpdir}/a.tsv", f"{tmpdir}/b.tsv"], do_union=False)
+    assert i.columns == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in i.df.collect()) == \
+        [("1", "x"), ("2", "y"), ("3", "z")]
+
+
 def test_read_url_file_scheme(spark, tmpdir):
     p = f"{tmpdir}/doc.tsv"
     with open(p, "w") as f:

@@ -2,6 +2,13 @@
 on Spark at a given SF and compare against oracle_sql() in DuckDB —
 row count, column set, and order-insensitive exact value hash.
 
+Both sides go through pandas (Spark ``toPandas()``; DuckDB ``.df()``) so the
+comparison sees the same Arrow-converted dtypes the driver sees — e.g.
+DuckDB's SUM(BIGINT) yields HUGEINT which pandas renders as float64; if the
+oracle doesn't cast it back to BIGINT, an int64 Spark column hashes
+differently even when values are equal. (Round 1 lost two queries to
+exactly that: fetchall() returned Python ints and masked the drift.)
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -16,6 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -28,7 +36,12 @@ def canon_cell(v) -> str:
         if math.isnan(v):
             return "nan"
         return repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "nan" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     try:
         import decimal
@@ -37,12 +50,17 @@ def canon_cell(v) -> str:
             return repr(float(v))
     except Exception:
         pass
+    if v is None or v != v:  # pandas NaT/NaN objects
+        return "nan"
     return str(v)
 
 
-def frame_fingerprint(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\t".join(canon_cell(r[i]) for i in order) for r in rows)
+def frame_fingerprint(pdf):
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "\t".join(canon_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    )
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -74,32 +92,30 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: rows={len(srows)} cols={len(scols)} ({time.time()-t0:.1f}s) [no oracle]")
+            print(f"ROWS  {name}: rows={len(spdf)} cols={len(spdf.columns)} "
+                  f"({time.time()-t0:.1f}s) [no oracle]")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: DUCKDB ERROR {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        ok_rows = len(srows) == len(drows)
-        ok_cols = sorted(scols) == sorted(dcols)
-        sh, slines = frame_fingerprint(scols, srows)
-        dh, dlines = frame_fingerprint(dcols, drows)
-        ok_hash = sh == dh
+        ok_rows = len(spdf) == len(dpdf)
+        ok_cols = sorted(spdf.columns) == sorted(dpdf.columns)
+        sh, slines = frame_fingerprint(spdf)
+        dh, dlines = frame_fingerprint(dpdf) if ok_cols else ("", [])
+        ok_hash = ok_cols and sh == dh
         status = "PASS" if (ok_rows and ok_cols and ok_hash) else "FAIL"
-        print(f"{status}  {name}: rows {len(srows)}/{len(drows)} "
-              f"cols={'ok' if ok_cols else f'{sorted(scols)} vs {sorted(dcols)}'} "
+        print(f"{status}  {name}: rows {len(spdf)}/{len(dpdf)} "
+              f"cols={'ok' if ok_cols else f'{sorted(spdf.columns)} vs {sorted(dpdf.columns)}'} "
               f"hash={'ok' if ok_hash else 'MISMATCH'} ({time.time()-t0:.1f}s)")
         if status == "PASS":
             n_pass += 1
