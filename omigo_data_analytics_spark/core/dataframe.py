@@ -799,6 +799,38 @@ class OmigoDF(CompatMixin):
         return self._wrap(self._df.offset(max(total - n, 0)))
 
     # ---------------------------------------------------------- seq / cumsum
+    @staticmethod
+    def _global_rank(df: DataFrame, order_cols: list, out_col: str) -> DataFrame:
+        """0-based dense global ordering WITHOUT a single-partition window:
+        range-repartition on the order key (keeps ranges disjoint across
+        partitions), sort within partitions, then assign offsets from
+        per-partition counts — the add_seq_num two-phase pattern. Scales to
+        any cardinality; a global Window.orderBy would put every row in one
+        task."""
+        d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+        pid = F.spark_partition_id()
+        counts = {r["pid"]: r["cnt"] for r in
+                  d.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for p in sorted(counts):
+            offsets[p] = acc
+            acc += counts[p]
+        schema = T.StructType(d.schema.fields + [T.StructField(out_col, T.LongType())])
+        b_offsets = d.sparkSession.sparkContext.broadcast(offsets)
+
+        def _assign(iterator):
+            from pyspark import TaskContext
+
+            base = b_offsets.value.get(TaskContext.get().partitionId(), 0)
+            seen = 0
+            for pdf in iterator:
+                pdf = pdf.copy()
+                pdf[out_col] = range(base + seen, base + seen + len(pdf))
+                seen += len(pdf)
+                yield pdf
+
+        return d.mapInPandas(_assign, schema=schema)
+
     def add_seq_num(self, new_col: str = "sno", start: int = 1) -> "OmigoDF":
         """1-based row number in current order (reference dataframe.py:1707-1729).
 
@@ -948,15 +980,24 @@ class OmigoDF(CompatMixin):
         gcols = self._resolve(cols)
         cnt = f"{prefix}{COL_SEP}count"
         ratio = f"{prefix}{COL_SEP}ratio"
+        tot_col = "__omigo_total__"
         if collapse:
             g = self._df.groupBy(*[self._df[c] for c in gcols]).agg(F.count(F.lit(1)).alias(cnt))
-            g = g.withColumn(ratio, F.round(F.col(cnt) / F.sum(cnt).over(Window.partitionBy()), precision))
+            # scalar total via 1-row broadcast cross join — an unpartitioned
+            # Window.partitionBy() would shuffle every group row to one task.
+            # The group-by Exchange is reused for the total (ReusedExchange).
+            tot = g.agg(F.sum(F.col(cnt)).alias(tot_col))
+            g = (g.crossJoin(F.broadcast(tot))
+                 .withColumn(ratio, F.round(F.col(cnt) / F.col(tot_col), precision))
+                 .drop(tot_col))
             return self._wrap(g.orderBy(F.col(cnt).desc(), *[F.col(colutils.quote(c)) for c in gcols]))
         w = Window.partitionBy(*[self._df[c] for c in gcols])
-        total = self._df.count()
+        tot = self._df.agg(F.count(F.lit(1)).cast("double").alias(tot_col))
         out = (self._df
                .withColumn(cnt, F.count(F.lit(1)).over(w))
-               .withColumn(ratio, F.round(F.col(cnt) / F.lit(float(total)), precision)))
+               .crossJoin(F.broadcast(tot))
+               .withColumn(ratio, F.round(F.col(cnt) / F.col(tot_col), precision))
+               .drop(tot_col))
         return self._wrap(out)
 
     def distinct(self) -> "OmigoDF":
@@ -1384,11 +1425,11 @@ class OmigoDF(CompatMixin):
         sample the distinct values, semi-join rows back."""
         self._resolve(col)
         vals = self._df.select(col).distinct()
-        w = Window.orderBy(F.abs(F.xxhash64(F.col(col).cast("string"),
-                                            F.lit(seed))), F.col(col))
-        keep = (vals.withColumn("__omigo_rk__", F.row_number().over(w))
-                .filter(F.col("__omigo_rk__") <= max_uniq_values)
-                .drop("__omigo_rk__"))
+        # distributed top-K (TakeOrderedAndProject: K per partition, merged),
+        # not a global row_number window over all distinct values
+        keep = vals.orderBy(F.abs(F.xxhash64(F.col(col).cast("string"),
+                                             F.lit(seed))),
+                            F.col(colutils.quote(col))).limit(max_uniq_values)
         return self._wrap(self._df.join(keep, on=[col], how="left_semi"))
 
     # ------------------------------------------------- existence filters
@@ -1515,10 +1556,12 @@ class OmigoDF(CompatMixin):
         scols = self._resolve(select_cols) if select_cols else []
 
         vals = self._df.select(self._df[win_col].alias("__v__")).distinct()
-        w = Window.orderBy(F.col("__v__"))
-        vals = vals.withColumn("__i__", F.row_number().over(w) - 1)
-        n = vals.count()
+        # two-phase global numbering of the distinct values — the canonical
+        # win_col is time-like (distinct count ~ row count at scale), so a
+        # global Window.orderBy here would be a single-task bottleneck
+        vals = self._global_rank(vals, [F.col("__v__")], "__i__")
         if sliding:
+            n = vals.count()
             n_windows = max(n - winsize + 1, 1)
             vals = vals.withColumn(
                 "__w__",
@@ -1533,7 +1576,9 @@ class OmigoDF(CompatMixin):
         mapping = vals.join(labels, "__w__").select(
             F.col("__v__"), F.col(label_col))
 
-        joined = self._df.join(F.broadcast(mapping),
+        # no forced broadcast: mapping ~ distinct win_col values, which can be
+        # large at scale — AQE broadcasts it automatically when it is small
+        joined = self._df.join(mapping,
                                self._df[win_col].eqNullSafe(mapping["__v__"])).drop("__v__")
         exprs = [agg_expr(f, joined[c]).alias(f"{c}{COL_SEP}{func_name(f)}")
                  for c, f in zip(acols, funcs)]

@@ -142,36 +142,34 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     e = _df(edges).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                           F.col(ts_col).alias("ts")).localCheckpoint()
 
-    def _best(parts):
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.groupBy("node_id", "anc").agg(F.min("arr_ts").alias("arr_ts"))
-
-    # pieces are individually checkpointed; the running "best arrival" view
-    # is a lazy union+min over them, so each iteration runs exactly ONE job
-    # (materializing ext) instead of also re-checkpointing the accumulator
-    pieces = [(e.groupBy(F.col("dst").alias("node_id"), F.col("src").alias("anc"))
-                .agg(F.min("ts").alias("arr_ts"))).localCheckpoint()]
-    frontier = pieces[0]
+    # incremental accumulator: `best` is the checkpointed running minimum
+    # arrival per (node, ancestor); each iteration touches O(|best| + |ext|)
+    # — not a re-union of every prior delta (O(depth^2) recompute). The
+    # frontier delta is NOT force-broadcast: on dense DAGs it is O(V*A) and
+    # would OOM the driver at scale; AQE broadcasts it when it is small.
+    best = (e.groupBy(F.col("dst").alias("node_id"), F.col("src").alias("anc"))
+             .agg(F.min("ts").alias("arr_ts"))).localCheckpoint()
+    frontier = best
     for _ in range(max_iter):
-        ext = (F.broadcast(frontier).join(e, frontier["node_id"] == e["src"])
+        ext = (frontier.join(e, frontier["node_id"] == e["src"])
                .where(F.col("ts") >= F.col("arr_ts"))
                .groupBy(F.col("dst").alias("node_id"), F.col("anc"))
                .agg(F.min("ts").alias("arr_ts")))
         # keep only strictly-better states (new pair, or earlier arrival)
         ext = (ext.alias("x")
-               .join(_best(pieces).alias("r"), ["node_id", "anc"], "left")
+               .join(best.alias("r"), ["node_id", "anc"], "left")
                .where(F.col("r.arr_ts").isNull()
                       | (F.col("x.arr_ts") < F.col("r.arr_ts")))
                .select("node_id", "anc", F.col("x.arr_ts").alias("arr_ts"))
                .localCheckpoint())
         if ext.isEmpty():
             break
-        pieces.append(ext)
+        best = (best.unionByName(ext)
+                .groupBy("node_id", "anc")
+                .agg(F.min("arr_ts").alias("arr_ts"))).localCheckpoint()
         frontier = ext
-    return OmigoDF(_best(pieces).select("node_id", F.col("anc").alias("ancestor"),
-                                        "arr_ts"))
+    return OmigoDF(best.select("node_id", F.col("anc").alias("ancestor"),
+                               "arr_ts"))
 
 
 def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:

@@ -60,6 +60,23 @@ def test_cumulative_sum_avoids_global_single_partition_window(spark):
     assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", p)
 
 
+def test_window_aggregate_has_no_single_partition_window(spark):
+    # distinct-value numbering uses the two-phase rank, not a global
+    # Window.orderBy; group_count's total is a 1-row broadcast, not an
+    # unpartitioned window
+    import re
+
+    for name in ["window_tumbling", "window_sliding", "group_count"]:
+        p = _plan(spark, name)
+        assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", p), name
+
+
+def test_group_count_total_is_broadcast_not_window(spark):
+    p = _plan(spark, "group_count")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Window" not in p
+
+
 def test_lsh_join_is_bucket_equijoin(spark):
     p = _plan(spark, "similarity_lsh")
     assert "BroadcastHashJoin [bucket" in p or "bucket#" in p
