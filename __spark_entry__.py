@@ -35,6 +35,7 @@ from omigo_data_analytics_spark.operators import stats as SS  # noqa: E402
 from omigo_data_analytics_spark.sources import sql as SQX  # noqa: E402
 from omigo_data_analytics_spark.streaming import stream as ST  # noqa: E402
 from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
+from omigo_data_analytics_spark.functions import timefuncs as TFN  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> OmigoDF:
@@ -900,6 +901,66 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
 """
 
 
+def q_timefuncs_ladder(spark, sf_dir):
+    """timefuncs format-sniffing ladder (reference timefuncs.py:7-81) as a
+    UDF-free coalesce: render events.ts as three string shapes (19-char
+    ISO, 10-digit epoch, 24-char ISO-millis-Z), re-sniff each back, and
+    aggregate only rows where every shape recovers the true epoch."""
+    ev = _t(spark, sf_dir, "events")
+    df = ev.df.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("true_sec"),
+        F.floor(F.unix_micros("ts") / 1000).alias("true_ms"),
+        TFN.to_utctimestamp_sec(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")).alias("sec_iso"),
+        TFN.to_utctimestamp_sec(
+            F.unix_timestamp("ts").cast("string")).alias("sec_epoch"),
+        TFN.to_utctimestamp_millis(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")).alias("ms_isoz"))
+    ok = df.where((F.col("sec_iso") == F.col("true_sec"))
+                  & (F.col("sec_epoch") == F.col("true_sec"))
+                  & (F.col("ms_isoz") == F.col("true_ms")))
+    return (ok.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n_match"),
+                   F.min("sec_iso").alias("min_sec"),
+                   F.max("ms_isoz").alias("max_ms")))
+
+
+SQL_TIMEFUNCS_LADDER = """
+SELECT event_type, COUNT(*) AS n_match,
+       MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS min_sec,
+       MAX(epoch_ms(ts)) AS max_ms
+FROM events GROUP BY event_type
+"""
+
+
+def q_time_diffs(spark, sf_dir):
+    """get_time_diffs aggregate (reference funclib.py:208-238): formatted
+    consecutive deltas ('30s,2m,2h') of each group's sorted timestamps,
+    compiled to a native collect_list/array_sort/transform expression."""
+    ev = _t(spark, sf_dir, "events")
+    sub = OmigoDF(ev.df.where("event_id % 97 = 0"))
+    return (sub.aggregate(["event_type"], ["ts"], ["get_time_diffs"])
+               .rename("ts:get_time_diffs", "diffs").df)
+
+
+SQL_TIME_DIFFS = """
+WITH t AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events WHERE event_id % 97 = 0),
+g AS (SELECT event_type, list_sort(list(sec)) AS arr FROM t GROUP BY event_type)
+SELECT event_type,
+  CASE WHEN len(arr) <= 1 THEN '' ELSE
+  array_to_string(list_transform(range(1, len(arr)), i ->
+    CASE
+      WHEN arr[i+1]-arr[i] < 60 THEN (arr[i+1]-arr[i])::VARCHAR || 's'
+      WHEN arr[i+1]-arr[i] < 3600 THEN ((arr[i+1]-arr[i])//60)::VARCHAR || 'm'
+      WHEN arr[i+1]-arr[i] < 86400 THEN ((arr[i+1]-arr[i])//3600)::VARCHAR || 'h'
+      WHEN arr[i+1]-arr[i] < 2592000 THEN ((arr[i+1]-arr[i])//86400)::VARCHAR || 'd'
+      ELSE (arr[i+1]-arr[i])::VARCHAR || ':s' END), ',') END AS diffs
+FROM g
+"""
+
+
 def q_merge_intersect(spark, sf_dir):
     """merge_intersect: schema-evolving union keeping common columns
     (reference dfutils.py:92-185)."""
@@ -1582,6 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "read_tsv_intersect": q_read_tsv_intersect,
+        "timefuncs_ladder": q_timefuncs_ladder,
+        "time_diffs": q_time_diffs,
         # --- no driver row in r01 ---
         "merge_intersect": q_merge_intersect,
         "resolve_template": q_resolve_template,
@@ -1722,6 +1785,8 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
         "failsafe_aggs": SQL_FAILSAFE_AGGS,
         "uniq_mkstr": SQL_UNIQ_MKSTR,
         "read_tsv_intersect": SQL_READ_TSV_INTERSECT,
+        "timefuncs_ladder": SQL_TIMEFUNCS_LADDER,
+        "time_diffs": SQL_TIME_DIFFS,
         "merge_intersect": SQL_MERGE_INTERSECT,
         "resolve_template": SQL_RESOLVE_TEMPLATE,
         "minmax_range": SQL_MINMAX_RANGE,

@@ -25,6 +25,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import timefuncs as TF
+
 
 def _num(c: Column, t: str = "double") -> Column:
     # try_cast: string-typed inputs with junk become NULL (ANSI-safe),
@@ -158,6 +160,9 @@ AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
     "quantile4": lambda c: _quantile_grid(c, 0.25),
     "quantile10": lambda c: _quantile_grid(c, 1 / 10),
     "quantile40": lambda c: _quantile_grid(c, 1 / 40),
+    # time: formatted consecutive deltas of the sorted group timestamps
+    # (reference funclib.py:208-238; any timefuncs ladder shape accepted)
+    "get_time_diffs": TF.time_diffs_agg,
     # plain SQL names accepted too
     "count": lambda c: F.count(F.lit(1)),
     "sum": lambda c: F.sum(_num(c)),
