@@ -760,9 +760,11 @@ SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank, cosine FROM r WHERE rank 
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """embedding-cosine near-dup pairs, exact self-comparison baseline."""
+    """embedding-cosine near-dup pairs, exact self-comparison baseline
+    (method='exact' pinned: this is the oracle-checkable correctness
+    query; the operator's default is the LSH scale path)."""
     e = _t(spark, sf_dir, "embeddings")
-    return DD.embedding_dup_pairs(e, threshold=0.4).df
+    return DD.embedding_dup_pairs(e, threshold=0.4, method="exact").df
 
 
 def _sql_embedding_near_dup() -> str:
@@ -776,11 +778,13 @@ SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 
 def q_dedup_embedding(spark, sf_dir):
     """corpus after dropping the higher id of each embedding near-dup pair.
-    Exact method here (this data's near-dups sit at cosine ~0.4-0.5, below
-    the hyperplane-LSH recall zone tuned for >=0.9 dups); the method='lsh'
-    scale path is unit-tested in tests/test_operators.py."""
+    Exact method pinned (this data's near-dups sit at cosine ~0.4-0.5,
+    below the hyperplane-LSH recall zone tuned for >=0.9 dups); the
+    operator's default is the method='lsh' scale path, unit-tested in
+    tests/test_operators.py."""
     e = _t(spark, sf_dir, "embeddings")
-    return DD.dedup_embedding(e, threshold=0.4).df.select("vec_id", "label")
+    return (DD.dedup_embedding(e, threshold=0.4, method="exact")
+            .df.select("vec_id", "label"))
 
 
 def q_quantiles(spark, sf_dir):

@@ -167,14 +167,26 @@ def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
 
 def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                         n: int = SHINGLE_N, min_shared: int = 1,
-                        threshold: float = 0.0) -> OmigoDF:
+                        threshold: float = 0.0,
+                        max_shingle_df: int | None = 10000) -> OmigoDF:
     """Exact n-gram Jaccard similarity for every pair sharing ≥ min_shared
     shingles. explode→self-join on shingle→count; the join key is the
-    shingle so co-occurring docs co-locate in one shuffle."""
+    shingle so co-occurring docs co-locate in one shuffle.
+
+    ``max_shingle_df`` caps the self-join blowup: a shingle appearing in f
+    docs emits f² join rows, so boilerplate shared by millions of docs
+    goes quadratic. Shingles with document frequency above the cap are
+    dropped from candidate generation (standard DF-capping; the Jaccard
+    denominator keeps the full shingle counts, so reported similarity is
+    conservative for affected pairs). None disables the cap."""
     base = ensure_min_parallelism(odf.df).select(
         F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
     base = base.withColumn("sh_n", F.size("sh"))
     ex = base.select(id_col, "sh_n", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
+               .where(F.col("__df__") > max_shingle_df).select("s"))
+        ex = ex.join(hot, on="s", how="left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (a.join(b, on=[F.col("a.s") == F.col("b.s"),
@@ -193,16 +205,20 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
 
 def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
                         id_col: str = "vec_id", vec_col: str = "embedding",
-                        method: str = "exact", precision: int = 6) -> OmigoDF:
+                        method: str = "lsh", precision: int = 6) -> OmigoDF:
     """Embedding-cosine near-dup pairs: (id_a < id_b, cosine >= threshold).
 
-    method='exact': full self-comparison — the correctness baseline (cosine
-    is a pure codegen expression; Spark picks broadcast-nested-loop when one
-    side is small). method='lsh': the 100 TB path — both sides bucket by
+    method='lsh' (default — the 100 TB path): both sides bucket by
     random-hyperplane signs (multi-table, vectorized Pandas UDF from
     operators.similarity), candidates are bucket self-equijoins, exact
     cosine verifies candidates only; shuffle carries (bucket, id, vec)
-    rows instead of the n^2 cross product."""
+    rows instead of the n^2 cross product. Approximate: pairs landing in
+    no common bucket are missed (recall grows with tables/probes).
+
+    method='exact': full O(n²) self-comparison — the correctness baseline
+    for oracle checks and small corpora only (cosine is a pure codegen
+    expression; Spark picks broadcast-nested-loop when one side is
+    small). Do not use at scale."""
     from .similarity import _buckets_col, _dot_expr, _norm_expr, detect_dim
     # hoist the per-row norm out of the pair loop: O(n) norms instead of
     # O(n^2); hoisting is value-identical so the DuckDB oracle (which
@@ -237,7 +253,7 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
 
 def dedup_embedding(odf: OmigoDF, threshold: float = 0.9,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    method: str = "exact") -> OmigoDF:
+                    method: str = "lsh") -> OmigoDF:
     """Drop the higher id of every embedding near-dup pair (greedy
     min-representative, same keep-rule as dedup_near)."""
     dup_ids = (embedding_dup_pairs(odf, threshold, id_col, vec_col, method)

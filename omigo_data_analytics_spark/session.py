@@ -22,6 +22,10 @@ _RUNTIME_CONFS = {
     # Oracle comparability: DuckDB timestamps are UTC-naive; pin the session
     # so date_format/year/etc. agree.
     "spark.sql.session.timeZone": "UTC",
+    # Lambda-parity operators (filter/transform/flatmap with user callables)
+    # must run arbitrary Python; Arrow batch transfer makes those UDFs
+    # vectorized at the serialization layer instead of row-at-a-time pickling.
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
 }
 
 

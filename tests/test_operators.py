@@ -77,6 +77,23 @@ def test_ngram_jaccard_pairs(spark):
     assert abs(rows[(1, 2)] - 0.6) < 1e-9
 
 
+def test_ngram_jaccard_hot_shingle_df_cap(spark):
+    # 40 docs all sharing one boilerplate shingle ('x1 x2 x3' appears in
+    # every doc): uncapped, that shingle alone emits 40*39/2 = 780 pairs.
+    # With the DF cap below its frequency, the hot shingle is dropped from
+    # candidate generation and only the genuinely-similar pair survives.
+    boiler = "x1 x2 x3"
+    docs = [(i, f"{boiler} u{i}a u{i}b u{i}c") for i in range(40)]
+    docs.append((100, "y1 y2 y3 y4 y5"))
+    docs.append((101, "y1 y2 y3 y4 zz"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = DD.ngram_jaccard_pairs(OmigoDF(df), min_shared=1, max_shingle_df=10)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.df.collect()}
+    assert pairs == {(100, 101)}
+    uncapped = DD.ngram_jaccard_pairs(OmigoDF(df), min_shared=1, max_shingle_df=None)
+    assert uncapped.df.count() == 780 + 1
+
+
 def test_simhash_near_dup_low_hamming(spark):
     a = "the quick brown fox jumps over the lazy dog again and again today"
     b = a + " tomorrow"
