@@ -426,6 +426,61 @@ FROM events GROUP BY event_type
 """
 
 
+def _json_lists_frame(spark, sf_dir):
+    """Synthetic parallel-list JSON built from nation: xs = 2 structs
+    [k, k+1]; ys = (k%3)+1 structs 'r<k*10+i>' — variable lengths so
+    cogroup padding and join cartesians differ."""
+    n = _t(spark, sf_dir, "nation").df
+    k = F.col("n_nationkey")
+    xs = F.array(F.struct(k.cast("string").alias("v")),
+                 F.struct((k + 1).cast("string").alias("v")))
+    ys = F.transform(
+        F.sequence(F.lit(0), k % 3),
+        lambda i: F.struct(F.concat(F.lit("r"), ((k * 10) + i).cast("string")).alias("w")))
+    return n.select("n_nationkey",
+                    F.to_json(F.struct(xs.alias("xs"), ys.alias("ys"))).alias("js"))
+
+
+def q_explode_json_zip(spark, sf_dir):
+    """explode_json merge_list_method='cogroup' (reference default,
+    dataframe.py:4556-4576): parallel lists zip positionally, shorter list
+    pads with '', per-element index emitted."""
+    df = _json_lists_frame(spark, sf_dir)
+    out = OmigoDF(df).explode_json("js", "j", merge_list_method="cogroup",
+                                   with_index=True)
+    return out.select(["n_nationkey", "j:xs:v", "j:ys:w",
+                       "j:__explode_json_index__"]).df
+
+
+SQL_EXPLODE_JSON_ZIP = """
+WITH base AS (SELECT n_nationkey AS k, (n_nationkey % 3) + 1 AS ly FROM nation),
+idx AS (SELECT k, ly, unnest(range(0, greatest(2, ly))) AS i FROM base)
+SELECT k AS n_nationkey,
+  CASE WHEN i < 2 THEN CAST(k + i AS VARCHAR) ELSE '' END AS "j:xs:v",
+  CASE WHEN i < ly THEN 'r' || CAST(k*10 + i AS VARCHAR) ELSE '' END AS "j:ys:w",
+  CAST(i AS VARCHAR) AS "j:__explode_json_index__"
+FROM idx
+"""
+
+
+def q_explode_json_join(spark, sf_dir):
+    """explode_json merge_list_method='join' (reference
+    dataframe.py:4577-4581): combinatorial cartesian of the lists."""
+    df = _json_lists_frame(spark, sf_dir)
+    out = OmigoDF(df).explode_json("js", "j", merge_list_method="join")
+    return out.select(["n_nationkey", "j:xs:v", "j:ys:w"]).df
+
+
+SQL_EXPLODE_JSON_JOIN = """
+WITH base AS (SELECT n_nationkey AS k, (n_nationkey % 3) + 1 AS ly FROM nation),
+p AS (SELECT k, ly, unnest(range(0, 2)) AS i FROM base),
+q AS (SELECT k, ly, i, unnest(range(0, ly)) AS jx FROM p)
+SELECT k AS n_nationkey, CAST(k + i AS VARCHAR) AS "j:xs:v",
+       'r' || CAST(k*10 + jx AS VARCHAR) AS "j:ys:w"
+FROM q
+"""
+
+
 def q_split_str(spark, sf_dir):
     """split_str: indexed columns from a separated cell."""
     o = _t(spark, sf_dir, "orders")
@@ -1649,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_tsv_intersect": q_read_tsv_intersect,
         "timefuncs_ladder": q_timefuncs_ladder,
         "time_diffs": q_time_diffs,
+        "explode_json_zip": q_explode_json_zip,
+        "explode_json_join": q_explode_json_join,
         # --- no driver row in r01 ---
         "merge_intersect": q_merge_intersect,
         "resolve_template": q_resolve_template,
@@ -1791,6 +1848,8 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
         "read_tsv_intersect": SQL_READ_TSV_INTERSECT,
         "timefuncs_ladder": SQL_TIMEFUNCS_LADDER,
         "time_diffs": SQL_TIME_DIFFS,
+        "explode_json_zip": SQL_EXPLODE_JSON_ZIP,
+        "explode_json_join": SQL_EXPLODE_JSON_JOIN,
         "merge_intersect": SQL_MERGE_INTERSECT,
         "resolve_template": SQL_RESOLVE_TEMPLATE,
         "minmax_range": SQL_MINMAX_RANGE,

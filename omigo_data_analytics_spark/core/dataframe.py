@@ -1631,7 +1631,9 @@ class OmigoDF(CompatMixin):
 
     def explode_json(self, col: str, prefix: str | None = None,
                      collapse_primitive_list: bool = True, drop_col: bool = True,
-                     schema=None) -> "OmigoDF":
+                     schema=None, nested_cols=None, transpose_col_groups=None,
+                     merge_list_method: str = "cogroup", with_index: bool = False,
+                     add_json_index: bool = False) -> "OmigoDF":
         """Flatten a JSON-string column into ``<prefix>:<path>`` columns
         (reference dataframe.py:4292-4682, a ~390-line eager recursive
         flattener). Spark-first shape: schema inference runs distributed
@@ -1641,44 +1643,140 @@ class OmigoDF(CompatMixin):
         * scalars (at any struct depth) → string column ``prefix:path:key``
         * arrays of scalars → ','-joined (collapse_primitive_list=True,
           reference dataframe.py:4410-4420) or exploded rows
-        * arrays of structs → exploded rows (lateral view); multiple array
-          fields explode sequentially (reference 'join' merge semantics,
-          dataframe.py:4577-4581)
+        * arrays of structs → exploded rows (lateral view)
+        * parallel arrays at one level merge per ``merge_list_method``
+          (reference dataframe.py:4556-4581): 'cogroup' (default, as in
+          the reference) zips them positionally via ``arrays_zip`` —
+          shorter lists pad with null/''; 'join' explodes sequentially
+          (= the combinatorial cartesian of the lists)
+        * ``nested_cols``: keys whose whole subtree stays one url-encoded
+          JSON blob column ``...:<key>:json_encoded`` (reference 4380-4385)
+        * ``transpose_col_groups``: ':'-joined paths whose map becomes
+          (``<prefix>:__key__``, ``<prefix>:__value__``) element rows
+          participating in the list merge (reference 4522-4550)
+        * ``with_index``: emit the per-element list index as
+          ``<prefix>:__explode_json_index__`` (reference 4297/4438)
+        * ``add_json_index``: 1-based source-row seq num as
+          ``<prefix>:__json_index__`` before exploding (reference 4680) —
+          opt-in here: a global row number is not free in a distributed
+          engine, see add_seq_num
         """
         self._resolve(col)
         prefix = prefix if prefix is not None else col
+        if merge_list_method not in ("cogroup", "join"):
+            raise ValueError(f"unknown merge_list_method: {merge_list_method}")
+        base = self
+        if add_json_index:
+            base = self.add_seq_num(f"{prefix}{COL_SEP}__json_index__")
         if schema is None:
-            strings = self._df.select(self._df[col].cast("string").alias("j")) \
+            strings = base._df.select(base._df[col].cast("string").alias("j")) \
                               .where(F.col("j").isNotNull() & (F.col("j") != ""))
             schema = self.spark.read.json(strings.rdd.map(lambda r: r[0])).schema
             schema = T.StructType([f for f in schema.fields if f.name != "_corrupt_record"])
         tmp = "__omigo_json__"
-        out = self._df.withColumn(tmp, F.from_json(self._df[col].cast("string"), schema))
+        out = base._df.withColumn(tmp, F.from_json(base._df[col].cast("string"), schema))
         if drop_col:
             out = out.drop(col)
+        nested_cols = set(nested_cols or [])
+        transpose_col_groups = set(transpose_col_groups or [])
+        idx_name = f"{prefix}{COL_SEP}__explode_json_index__"
+
+        def _name(path: list[str]) -> str:
+            return COL_SEP.join([prefix] + path)
+
+        def _emit_scalar(df: DataFrame, comp, path: list[str]) -> DataFrame:
+            return df.withColumn(_name(path),
+                                 F.coalesce(comp.cast("string"), F.lit("")))
+
+        def _explode_arrays(df: DataFrame, arrays) -> DataFrame:
+            # arrays: list of (colname, path, kind) — kind in scalar|struct|kv
+            if not arrays:
+                return df
+            pos = "__omigo_pos__"
+            if merge_list_method == "cogroup" and len(arrays) > 1:
+                z, ze = "__omigo_zip__", "__omigo_zip__e"
+                # null list must pad, not null out the whole zip (reference
+                # pads shorter/missing lists with empty maps, 4556-4568)
+                zipped = F.arrays_zip(*[
+                    F.coalesce(F.col(a),
+                               F.array().cast(df.schema[a].dataType)).alias(a)
+                    for a, _, _ in arrays])
+                df = (df.withColumn(z, zipped)
+                        .drop(*[a for a, _, _ in arrays]))
+                df = df.select("*", F.posexplode_outer(df[z]).alias(pos, ze)).drop(z)
+                for a, p, kind in arrays:
+                    df = _emit_elem(df, df[ze][a], p, kind)
+                df = df.drop(ze)
+                if with_index:
+                    df = df.withColumn(idx_name, F.col(pos).cast("string"))
+                return df.drop(pos)
+            for a, p, kind in arrays:
+                e = f"{a}__e"
+                df = df.select("*", F.posexplode_outer(df[a]).alias(pos, e)).drop(a)
+                df = _emit_elem(df, df[e], p, kind).drop(e)
+                if with_index:
+                    df = df.withColumn(idx_name, F.col(pos).cast("string"))
+                df = df.drop(pos)
+            return df
+
+        def _emit_elem(df: DataFrame, comp, path: list[str], kind: str) -> DataFrame:
+            if kind == "scalar":
+                return _emit_scalar(df, comp, path)
+            if kind == "kv":
+                # reference 4522-4550: bare __key__/__value__ under the top
+                # prefix (the group's own path is consumed)
+                return (df.withColumn(f"{prefix}{COL_SEP}__key__",
+                                      F.coalesce(comp["key"].cast("string"), F.lit("")))
+                          .withColumn(f"{prefix}{COL_SEP}__value__",
+                                      F.coalesce(comp["value"].cast("string"), F.lit(""))))
+            sub = "__omigo_e_" + "_".join(path)
+            df = df.withColumn(sub, comp)
+            return _flatten(df, sub, path)
 
         def _flatten(df: DataFrame, src: str, path: list[str]) -> DataFrame:
             dt = df.schema[src].dataType
             if isinstance(dt, T.StructType):
+                arrays = []
                 for fld in dt.fields:
+                    p = path + [fld.name]
                     sub = f"{src}__{fld.name}"
+                    fdt = fld.dataType
+                    if fld.name in nested_cols and isinstance(fdt, (T.StructType, T.ArrayType)):
+                        df = df.withColumn(
+                            f"{_name(p)}{COL_SEP}json_encoded",
+                            F.url_encode(F.to_json(df[src][fld.name])))
+                        continue
+                    if (COL_SEP.join(p) in transpose_col_groups
+                            and isinstance(fdt, T.StructType)):
+                        df = df.withColumn(sub, F.map_entries(F.from_json(
+                            F.to_json(df[src][fld.name]), "map<string,string>")))
+                        arrays.append((sub, p, "kv"))
+                        continue
                     df = df.withColumn(sub, df[src][fld.name])
-                    df = _flatten(df, sub, path + [fld.name])
-                return df.drop(src)
-            name = COL_SEP.join([prefix] + path)
+                    if isinstance(fdt, T.StructType):
+                        df = _flatten(df, sub, p)
+                    elif isinstance(fdt, T.ArrayType):
+                        if isinstance(fdt.elementType, T.StructType):
+                            arrays.append((sub, p, "struct"))
+                        elif collapse_primitive_list:
+                            df = df.withColumn(
+                                _name(p),
+                                F.concat_ws(",", df[sub].cast("array<string>"))).drop(sub)
+                        else:
+                            arrays.append((sub, p, "scalar"))
+                    else:
+                        df = _emit_scalar(df, df[sub], p).drop(sub)
+                return _explode_arrays(df.drop(src), arrays)
             if isinstance(dt, T.ArrayType):
-                elem = dt.elementType
-                if isinstance(elem, T.StructType):
-                    ex = f"{src}__e"
-                    df = df.withColumn(ex, F.explode_outer(df[src])).drop(src)
-                    return _flatten(df, ex, path)
+                if isinstance(dt.elementType, T.StructType):
+                    return _explode_arrays(df, [(src, path, "struct")])
                 if collapse_primitive_list:
                     return df.withColumn(
-                        name, F.concat_ws(",", df[src].cast("array<string>"))).drop(src)
-                df = df.withColumn(name, F.explode_outer(df[src]).cast("string"))
-                return df.drop(src) if src != name else df
-            return df.withColumn(name, F.coalesce(df[src].cast("string"), F.lit(""))) \
-                     .drop(src) if src != name else df
+                        _name(path),
+                        F.concat_ws(",", df[src].cast("array<string>"))).drop(src)
+                return _explode_arrays(df, [(src, path, "scalar")])
+            out_df = _emit_scalar(df, df[src], path)
+            return out_df.drop(src) if src != _name(path) else out_df
 
         return self._wrap(_flatten(out, tmp, []))
 

@@ -155,6 +155,49 @@ def test_explode_json_array_of_structs(spark):
     assert ks == ["a", "b"]
 
 
+def test_explode_json_cogroup_zips_parallel_lists(spark):
+    js = '{"xs": [{"v": 1}, {"v": 2}, {"v": 3}], "ys": [{"w": "a"}, {"w": "b"}]}'
+    df = spark.createDataFrame([(1, js)], ["id", "js"])
+    # cogroup (reference default): positional zip, shorter list pads with ''
+    out = OmigoDF(df).explode_json("js", "j", merge_list_method="cogroup",
+                                   with_index=True)
+    rows = sorted(((r["j:xs:v"], r["j:ys:w"], r["j:__explode_json_index__"])
+                   for r in out.df.collect()))
+    assert rows == [("1", "a", "0"), ("2", "b", "1"), ("3", "", "2")]
+    # join: the combinatorial cartesian of the two lists
+    outj = OmigoDF(df).explode_json("js", "j", merge_list_method="join")
+    assert outj.num_rows() == 6
+
+
+def test_explode_json_nested_cols_blob(spark):
+    js = '{"a": 1, "meta": {"k1": "v1", "k2": "v2"}}'
+    df = spark.createDataFrame([(1, js)], ["id", "js"])
+    out = OmigoDF(df).explode_json("js", "j", nested_cols=["meta"])
+    assert set(out.columns) == {"id", "j:a", "j:meta:json_encoded"}
+    import urllib.parse
+    blob = out.df.collect()[0]["j:meta:json_encoded"]
+    import json as _json
+    assert _json.loads(urllib.parse.unquote(blob)) == {"k1": "v1", "k2": "v2"}
+
+
+def test_explode_json_transpose_col_groups(spark):
+    js = '{"a": 1, "meta": {"k1": "v1", "k2": "v2"}}'
+    df = spark.createDataFrame([(1, js)], ["id", "js"])
+    out = OmigoDF(df).explode_json("js", "j", transpose_col_groups=["meta"])
+    assert {"j:__key__", "j:__value__"} <= set(out.columns)
+    kv = sorted((r["j:__key__"], r["j:__value__"]) for r in out.df.collect())
+    assert kv == [("k1", "v1"), ("k2", "v2")]
+    assert all(r["j:a"] == "1" for r in out.df.collect())
+
+
+def test_explode_json_source_row_index(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, '{"a": 2}')], ["id", "js"])
+    out = OmigoDF(df).explode_json("js", "j", add_json_index=True)
+    rows = {r["id"]: r["j:__json_index__"] for r in out.df.collect()}
+    assert sorted(rows.values()) == [1, 2]
+
+
 def test_cosine_topk_ivf_recall_and_shape(embeddings):
     q = OmigoDF(embeddings.df.where("vec_id < 5"))
     c = OmigoDF(embeddings.df.where("vec_id >= 5"))
