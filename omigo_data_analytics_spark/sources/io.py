@@ -133,19 +133,60 @@ def read_zip(spark: SparkSession, path: str, sep: str = "\t",
     return read(spark, tmp, sep=sep, header=header)
 
 
-def read_url_as_df(spark: SparkSession, url: str, sep: str = "\t",
-                   headers: dict | None = None, timeout: int = 30) -> OmigoDF:
+def read_url_as_df(spark: SparkSession, url: str, sep: str | None = None,
+                   query_params: dict | None = None, headers: dict | None = None,
+                   body=None, method: str | None = None,
+                   username: str | None = None, password: str | None = None,
+                   api_token: str | None = None, timeout: int = 120) -> OmigoDF:
     """Web URL → table (reference wsclient.py:199-263): driver-side fetch
     (the payload is a single small document by construction), parsed and
-    parallelized via createDataFrame. file:// URLs work offline."""
+    parallelized via createDataFrame. file:// URLs work offline.
+
+    Parity with the reference: query_params are appended, method defaults
+    to GET (POST when a body is given or method='POST'), basic auth /
+    bearer api_token headers, transparent .gz payloads, and separator
+    sniffing — explicit ``sep`` wins, else tab if the payload has tabs,
+    else comma for .csv extensions or comma-bearing headers."""
+    import gzip as _gzip
+    import urllib.parse
     import urllib.request
 
-    req = urllib.request.Request(url, headers=headers or {})
+    if query_params:
+        glue = "&" if "?" in url else "?"
+        url = url + glue + urllib.parse.urlencode(query_params)
+    hdrs = dict(headers or {})
+    if username is not None and password is not None:
+        import base64 as _b64
+
+        tok = _b64.b64encode(f"{username}:{password}".encode()).decode()
+        hdrs.setdefault("Authorization", f"Basic {tok}")
+    elif api_token is not None:
+        hdrs.setdefault("Authorization", f"Bearer {api_token}")
+    data = None
+    if body is not None:
+        data = body.encode() if isinstance(body, str) else body
+    req = urllib.request.Request(
+        url, data=data, headers=hdrs,
+        method=(method or ("POST" if data is not None else "GET")).upper())
     with urllib.request.urlopen(req, timeout=timeout) as resp:
-        text = resp.read().decode("utf-8", "replace")
+        raw = resp.read()
+        status = getattr(resp, "status", None)  # None for file:// responses
+    if status is not None and status != 200:
+        raise ValueError(f"read_url_as_df failed: status {status} at {url}")
+    if url.split("?")[0].endswith(".gz") or raw[:2] == b"\x1f\x8b":
+        raw = _gzip.decompress(raw)
+    text = raw.decode("utf-8", "replace")
     lines = [ln for ln in text.splitlines() if ln != ""]
     if not lines:
         raise ValueError(f"empty document at {url}")
+    if sep is None:
+        base = url.split("?")[0]
+        if "\t" in text:
+            sep = "\t"
+        elif base.endswith((".csv", ".csv.gz")) or "," in lines[0]:
+            sep = ","
+        else:
+            sep = "\t"
     cols = lines[0].split(sep)
     rows = [tuple(ln.split(sep)) for ln in lines[1:]]
     from pyspark.sql import types as T

@@ -70,6 +70,53 @@ def test_read_url_file_scheme(spark, tmpdir):
     assert out.num_rows() == 2
 
 
+def test_read_url_post_auth_gzip_and_csv_sniff(spark):
+    """POST with body + bearer auth + gzip payload + separator sniffing
+    (reference wsclient.py:199-263) against an in-process HTTP server."""
+    import gzip
+    import http.server
+    import threading
+
+    seen = {}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            seen["method"] = "POST"
+            seen["auth"] = self.headers.get("Authorization")
+            seen["body"] = self.rfile.read(
+                int(self.headers.get("Content-Length", 0))).decode()
+            payload = gzip.compress(b"a,b\n1,2\n3,4\n")
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"x,y\n5,6\n")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        # POST: body + api_token, gzip response, comma sniffed
+        out = IO.read_url_as_df(spark, f"http://127.0.0.1:{port}/data.csv.gz",
+                                body='{"q": 1}', api_token="tok123")
+        assert seen == {"method": "POST", "auth": "Bearer tok123",
+                        "body": '{"q": 1}'}
+        assert out.columns == ["a", "b"]
+        assert sorted(r["a"] for r in out.df.collect()) == ["1", "3"]
+        # GET with query params, csv sniffed from content
+        out2 = IO.read_url_as_df(spark, f"http://127.0.0.1:{port}/t",
+                                 query_params={"k": "v"})
+        assert out2.columns == ["x", "y"] and out2.num_rows() == 1
+    finally:
+        srv.shutdown()
+
+
 def test_url_encoded_cols_resolved(spark, tmpdir):
     p = f"{tmpdir}/enc"
     os.makedirs(p)
