@@ -27,10 +27,32 @@ from pyspark.sql import types as T
 from ..functions.aggs import agg_expr
 
 
+def decode_kafka_frame(sdf: DataFrame, value_as: str = "string",
+                       json_schema=None) -> DataFrame:
+    """Decode a Kafka wire-schema frame (key/value binary + topic/
+    partition/offset/timestamp) into usable columns: value_as='string'
+    casts, value_as='json' additionally expands the payload through
+    from_json into top-level columns. Split from kafka_source so the
+    decode path is testable without the connector jar (the embedded-fake
+    test feeds the same wire schema from a file stream)."""
+    if value_as not in ("binary", "string", "json"):
+        raise ValueError(f"unknown value_as: {value_as}")
+    if value_as == "binary":
+        return sdf
+    out = (sdf.withColumn("key", F.col("key").cast("string"))
+              .withColumn("value", F.col("value").cast("string")))
+    if value_as == "json":
+        if json_schema is None:
+            raise ValueError("value_as='json' requires json_schema")
+        out = (out.withColumn("__j__", F.from_json("value", json_schema))
+                  .select("*", "__j__.*").drop("__j__"))
+    return out
+
+
 def kafka_source(spark: SparkSession, brokers: str, topic: str,
                  starting_offsets: str = "earliest",
-                 value_as: str = "string") -> DataFrame:
-    """Kafka readStream with the value decoded to a string column.
+                 value_as: str = "string", json_schema=None) -> DataFrame:
+    """Kafka readStream with the value decoded via decode_kafka_frame.
     Requires the spark-sql-kafka connector on the classpath; raises a
     clear error otherwise (this container ships without it)."""
     try:
@@ -44,9 +66,7 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str,
             "kafka source requires the spark-sql-kafka-0-10 connector jar "
             "(pass --packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
         ) from exc
-    if value_as == "string":
-        sdf = sdf.withColumn("value", F.col("value").cast("string"))
-    return sdf
+    return decode_kafka_frame(sdf, value_as, json_schema)
 
 
 def file_source(spark: SparkSession, path: str, schema, fmt: str = "parquet",

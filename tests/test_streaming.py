@@ -29,6 +29,48 @@ def _run_to_memory(sdf, name, output_mode):
     return q
 
 
+def test_kafka_decode_path_with_embedded_fake(spark):
+    """The Kafka path minus the connector: feed a stream with Kafka's
+    exact wire schema (key/value binary + topic/partition/offset/
+    timestamp) from files, run decode_kafka_frame(value_as='json') and
+    the windowed aggregate — the same pipeline kafka_source produces."""
+    import json
+
+    d = tempfile.mkdtemp(prefix="omigo_kafka_fake_")
+    try:
+        rows = []
+        for i in range(60):
+            payload = json.dumps({"user": f"u{i % 3}", "amount": float(i)})
+            rows.append((f"k{i}".encode(), payload.encode(), "events", i % 2,
+                         i, f"2024-01-01 00:{i % 60:02d}:00"))
+        wire = spark.createDataFrame(
+            rows, ["key", "value", "topic", "partition", "offset", "ts_str"]) \
+            .withColumn("timestamp", F.to_timestamp("ts_str")).drop("ts_str")
+        wire.coalesce(2).write.mode("overwrite").parquet(d)
+
+        sdf = ST.file_source(spark, d, wire.schema)
+        decoded = ST.decode_kafka_frame(
+            sdf, value_as="json", json_schema="user string, amount double")
+        agg = ST.windowed_aggregate(decoded, "timestamp", "30 minutes",
+                                    ["amount"], ["sumfloat"],
+                                    grouping_cols=["user"])
+        _run_to_memory(agg, "kafka_fake", "update")
+        got = {(r["user"], r["window_start"].minute): r["amount:sumfloat"]
+               for r in spark.sql("select * from kafka_fake").collect()}
+        # 60 rows, users u0/u1/u2, windows [00:00,00:30) and [00:30,01:00)
+        assert len(got) == 6
+        assert sum(got.values()) == sum(float(i) for i in range(60))
+        # decode really went through binary -> string -> json
+        assert ST.decode_kafka_frame(wire, "string").schema["value"].dataType.typeName() == "string"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kafka_source_without_connector_raises_clear_error(spark):
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        ST.kafka_source(spark, "localhost:9092", "t")
+
+
 def test_windowed_aggregate_matches_batch(spark, event_dir):
     d, batch_df = event_dir
     sdf = ST.file_source(spark, d, batch_df.schema)
