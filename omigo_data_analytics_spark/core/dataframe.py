@@ -807,7 +807,12 @@ class OmigoDF(CompatMixin):
         per-partition counts — the add_seq_num two-phase pattern. Scales to
         any cardinality; a global Window.orderBy would put every row in one
         task."""
-        d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+        # localCheckpoint pins the range partitioning: RangePartitioner
+        # samples boundaries per action, so without it the counts job and
+        # the assign job could see different partitionings (wrong offsets);
+        # it also runs the shuffle once instead of twice.
+        d = (df.repartitionByRange(*order_cols)
+               .sortWithinPartitions(*order_cols).localCheckpoint())
         pid = F.spark_partition_id()
         counts = {r["pid"]: r["cnt"] for r in
                   d.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
