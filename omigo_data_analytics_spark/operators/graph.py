@@ -83,18 +83,17 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     e = _df(edges).select(F.col(src_col).alias("anc"),
                           F.col(dst_col).alias("node_id")).localCheckpoint()
     reach = e.distinct().localCheckpoint()   # direct parents = 1-step ancestors
-    frontier = reach
+    # recursive doubling: R <- R ∪ R∘R reaches the closure in O(log depth)
+    # rounds instead of O(depth) single-step frontier expansions — fewer
+    # global barriers/checkpoints, the textbook plan for transitive closure
     for _ in range(max_iter):
-        # extend: ancestor -of-> frontier.anc gives new (node, ancestor)
-        ext = (frontier.join(
-                   e.select(F.col("anc").alias("anc2"), F.col("node_id").alias("anc")),
-                   "anc")
-               .select(F.col("anc2").alias("anc"), "node_id").distinct()
-               .join(reach, ["anc", "node_id"], "left_anti").localCheckpoint())
-        if ext.isEmpty():
+        comp = (reach.select("anc", F.col("node_id").alias("mid"))
+                .join(reach.select(F.col("anc").alias("mid"), "node_id"), "mid")
+                .select("anc", "node_id").distinct()
+                .join(reach, ["anc", "node_id"], "left_anti").localCheckpoint())
+        if comp.isEmpty():
             break
-        reach = reach.unionByName(ext).localCheckpoint()
-        frontier = ext
+        reach = reach.unionByName(comp).localCheckpoint()
     return OmigoDF(reach.select("node_id", F.col("anc").alias("ancestor")))
 
 
