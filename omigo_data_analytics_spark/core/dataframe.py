@@ -766,11 +766,28 @@ class OmigoDF(CompatMixin):
              all_numeric: bool | None = None) -> "OmigoDF":
         """(reference dataframe.py:2019-2085)"""
         resolved = self._resolve(cols)
+        # sniff all string sort columns in ONE aggregate job, not one per col
+        sniffed: dict[str, bool] = {}
+        if all_numeric is None:
+            str_cols = [c for c in resolved
+                        if isinstance(self._df.schema[c].dataType, T.StringType)]
+            if str_cols:
+                aggs = [F.max(F.when(self._df[c].isNotNull() & (self._df[c] != "")
+                                     & self._df[c].try_cast("double").isNull(), 1)
+                              .otherwise(0)).alias(c) for c in str_cols]
+                row = self._df.agg(*aggs).first()
+                sniffed = {c: (row[c] or 0) == 0 for c in str_cols}
         exprs = []
         for c in resolved:
             col = self._df[c]
-            numeric = all_numeric if all_numeric is not None else self._has_all_numeric_values(c)
-            if numeric and isinstance(self._df.schema[c].dataType, T.StringType):
+            dt = self._df.schema[c].dataType
+            if all_numeric is not None:
+                numeric = all_numeric
+            elif _is_numeric_type(dt):
+                numeric = True
+            else:
+                numeric = sniffed.get(c, False)
+            if numeric and isinstance(dt, T.StringType):
                 col = col.try_cast("double")
             exprs.append(col.desc() if reverse else col.asc())
         out = self._df.orderBy(*exprs)
