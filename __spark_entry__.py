@@ -1020,6 +1020,44 @@ FROM g
 """
 
 
+def q_string_aggs(spark, sf_dir):
+    """The realigned string-aggregate family on cells with commas and
+    blanks (reference udfs.py:35-219): split_merge_uniq_mkstr /
+    merge_uniq (keeps empty tokens) / sorted_mkstr (drops blank values) /
+    get_non_empty_len / uniq_count."""
+    from omigo_data_analytics_spark.functions import udfs
+    n = _t(spark, sf_dir, "nation")
+    t = (n.add_const("tpl", "{n_name},,{n_name}")
+          .resolve_template_col("tpl", "cell")
+          .transform(["n_regionkey", "n_name"],
+                     lambda rk, nm: udfs.if_else_str(rk, "0", "", nm), "mval"))
+    return (t.aggregate(["n_regionkey"],
+                        ["cell", "cell", "mval", "mval", "mval"],
+                        ["split_merge_uniq_mkstr", "merge_uniq", "sorted_mkstr",
+                         "get_non_empty_len", "uniq_count"])
+             .rename("cell:split_merge_uniq_mkstr", "smu")
+             .rename("cell:merge_uniq", "mu")
+             .rename("mval:sorted_mkstr", "smk")
+             .rename("mval:get_non_empty_len", "nne")
+             .rename("mval:uniq_count", "ucnt").df)
+
+
+SQL_STRING_AGGS = """
+WITH t AS (SELECT n_regionkey, n_name || ',,' || n_name AS cell,
+                  CASE WHEN n_regionkey = 0 THEN '' ELSE n_name END AS mval
+           FROM nation)
+SELECT n_regionkey,
+  array_to_string(list_sort(list_distinct(flatten(list(
+      list_filter(string_split(cell, ','), x -> trim(x) <> ''))))), ',') AS smu,
+  array_to_string(list_sort(list_distinct(flatten(list(
+      string_split(cell, ','))))), ',') AS mu,
+  array_to_string(list_sort(list(mval) FILTER (trim(mval) <> '')), ',') AS smk,
+  CAST(COUNT(*) FILTER (trim(mval) <> '') AS BIGINT) AS nne,
+  CAST(COUNT(DISTINCT mval) FILTER (trim(mval) <> '') AS BIGINT) AS ucnt
+FROM t GROUP BY n_regionkey
+"""
+
+
 def q_merge_intersect(spark, sf_dir):
     """merge_intersect: schema-evolving union keeping common columns
     (reference dfutils.py:92-185)."""
@@ -1706,6 +1744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_diffs": q_time_diffs,
         "explode_json_zip": q_explode_json_zip,
         "explode_json_join": q_explode_json_join,
+        "string_aggs": q_string_aggs,
         # --- no driver row in r01 ---
         "merge_intersect": q_merge_intersect,
         "resolve_template": q_resolve_template,
@@ -1850,6 +1889,7 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
         "time_diffs": SQL_TIME_DIFFS,
         "explode_json_zip": SQL_EXPLODE_JSON_ZIP,
         "explode_json_join": SQL_EXPLODE_JSON_JOIN,
+        "string_aggs": SQL_STRING_AGGS,
         "merge_intersect": SQL_MERGE_INTERSECT,
         "resolve_template": SQL_RESOLVE_TEMPLATE,
         "minmax_range": SQL_MINMAX_RANGE,

@@ -1371,9 +1371,16 @@ class OmigoDF(CompatMixin):
         return self._wrap(
             self._df.withColumn(tmp, F.row_number().over(w)).filter(F.col(tmp) <= k).drop(tmp))
 
-    def split_batches(self, num_batches: int, cols=None, seed: int = 0) -> list["OmigoDF"]:
+    def split_batches(self, num_batches: int, cols=None, seed: int = 0,
+                      materialize: bool = False) -> list["OmigoDF"]:
         """Split into N DataFrames (reference dataframe.py:3929-4053): by
-        hash of cols (co-partitioned split) or uniformly when cols is None."""
+        hash of cols (co-partitioned split) or uniformly when cols is None.
+
+        Each batch filters the source lazily — consuming all N re-scans the
+        upstream N times. ``materialize=True`` localCheckpoints the tagged
+        frame so the upstream runs once (costs one materialization); for
+        the write-to-storage use case prefer
+        ``write_parquet(partition_by=[bucket])`` which is one pass total."""
         if cols is not None:
             gcols = self._resolve(cols)
             key = F.concat_ws("\t", *[self._df[c].cast("string") for c in gcols])
@@ -1383,6 +1390,8 @@ class OmigoDF(CompatMixin):
                             F.lit(num_batches))
         tmp = "__omigo_bucket__"
         tagged = self._df.withColumn(tmp, bucket)
+        if materialize:
+            tagged = tagged.localCheckpoint()
         return [OmigoDF(tagged.filter(F.col(tmp) == i).drop(tmp)) for i in range(num_batches)]
 
     def sample_group_by_col_value(self, grouping_cols, col: str, col_value: str,
