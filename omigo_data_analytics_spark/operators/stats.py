@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core.dataframe import OmigoDF
@@ -71,11 +70,56 @@ def welch_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str,
     }
 
 
+def _ks_d_distributed(u, n1: int, n2: int) -> float:
+    """Max ECDF gap WITHOUT a global-order window (which would put every
+    row in one task): aggregate per distinct value (ties on x are counted
+    together, same semantics as a rangeBetween sweep), range-repartition
+    the distinct values, then a two-phase prefix sum — per-partition
+    totals broadcast as offsets, local cumsum inside mapInPandas. Exact,
+    and every stage is distributed."""
+    from pyspark.sql import types as T
+
+    g = (u.groupBy("x")
+          .agg(F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("d1"),
+               F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).alias("d2")))
+    # localCheckpoint pins the sampled range boundaries (two jobs follow)
+    d = (g.repartitionByRange("x").sortWithinPartitions("x")).localCheckpoint()
+    pid = F.spark_partition_id()
+    parts = {r["pid"]: (r["t1"], r["t2"]) for r in
+             d.groupBy(pid.alias("pid"))
+              .agg(F.sum("d1").alias("t1"), F.sum("d2").alias("t2")).collect()}
+    offsets, acc1, acc2 = {}, 0, 0
+    for p in sorted(parts):
+        offsets[p] = (acc1, acc2)
+        acc1 += parts[p][0] or 0
+        acc2 += parts[p][1] or 0
+    b_off = d.sparkSession.sparkContext.broadcast(offsets)
+    schema = T.StructType([T.StructField("gap", T.DoubleType())])
+
+    def _scan(iterator):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        c1, c2 = b_off.value.get(TaskContext.get().partitionId(), (0, 0))
+        best = 0.0
+        for pdf in iterator:
+            for d1, d2 in zip(pdf["d1"], pdf["d2"]):
+                c1 += int(d1)
+                c2 += int(d2)
+                gap = abs(c1 / n1 - c2 / n2)
+                if gap > best:
+                    best = gap
+        yield pd.DataFrame({"gap": [best]})
+
+    r = d.mapInPandas(_scan, schema=schema).agg(F.max("gap")).first()[0]
+    return float(r or 0.0)
+
+
 def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
             precision: int | None = 6) -> dict:
     """Two-sample Kolmogorov-Smirnov D statistic, computed distributedly:
-    union the samples tagged by side, sort-window the empirical CDFs, take
-    the max gap. One shuffle (the window sort)."""
+    per-distinct-value side counts, then a two-phase prefix-sum ECDF scan
+    (no global-order window — see _ks_d_distributed)."""
     a = odf1.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(1))
     b = odf2.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
@@ -83,12 +127,7 @@ def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
     n1 = a.count()
     n2 = b.count()
     u = a.unionByName(b)
-    # rangeBetween (not rowsBetween): at a tied x both sides' ties must be
-    # fully counted before the gap is evaluated, or D is inflated mid-tie
-    w = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
-    cdfs = (u.withColumn("c1", F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).over(w) / n1)
-             .withColumn("c2", F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).over(w) / n2))
-    d = cdfs.agg(F.max(F.abs(F.col("c1") - F.col("c2")))).first()[0] or 0.0
+    d = _ks_d_distributed(u, n1, n2) if n1 and n2 else 0.0
     en = math.sqrt(n1 * n2 / (n1 + n2))
     lam = (en + 0.12 + 0.11 / en) * d
     p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * (lam ** 2) * (k ** 2))
