@@ -104,6 +104,31 @@ def write_parquet(xdf: OmigoDF, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_bucketed(xdf: OmigoDF, table_name: str, bucket_cols,
+                   num_buckets: int = 64, sort_cols=None,
+                   mode: str = "overwrite", fmt: str = "parquet") -> None:
+    """Persist as a bucketed table: rows hash-partitioned into
+    ``num_buckets`` files per partition on ``bucket_cols`` at WRITE time.
+    Joins/aggregations between tables bucketed the same way on the join
+    key run WITHOUT a shuffle — the 100 TB co-located-join pattern the
+    runtime repartition can't give you across jobs. Requires a table
+    (bucket metadata lives in the catalog), hence saveAsTable."""
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = (df.write.mode(mode).format(fmt)
+           .bucketBy(num_buckets, cols[0], *cols[1:]))
+    if sort_cols:
+        sc = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(sc[0], *sc[1:])
+    w.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> OmigoDF:
+    """Catalog table read (bucket metadata preserved — joins on the
+    bucket key skip the exchange)."""
+    return OmigoDF(spark.table(table_name))
+
+
 def from_pandas_df(spark: SparkSession, pdf) -> OmigoDF:
     """(reference dataframe.py:5543-5579)"""
     return OmigoDF(spark.createDataFrame(pdf))

@@ -70,6 +70,33 @@ def test_read_url_file_scheme(spark, tmpdir):
     assert out.num_rows() == 2
 
 
+def test_bucketed_join_skips_shuffle(spark):
+    """Two tables bucketed on the join key: the join plan must contain no
+    Exchange on either side (the co-located-join contract at scale)."""
+    a = OmigoDF(spark.range(0, 1000).withColumnRenamed("id", "k")
+                .withColumn("va", F.col("k") * 2))
+    b = OmigoDF(spark.range(0, 1000).withColumnRenamed("id", "k")
+                .withColumn("vb", F.col("k") + 1))
+    IO.write_bucketed(a, "omigo_bkt_a", "k", num_buckets=8, sort_cols="k")
+    IO.write_bucketed(b, "omigo_bkt_b", "k", num_buckets=8, sort_cols="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the fact-fact (non-broadcast) path — that is what bucketing
+        # is for; tiny test tables would otherwise broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta = IO.read_table(spark, "omigo_bkt_a")
+        tb = IO.read_table(spark, "omigo_bkt_b")
+        j = ta.df.join(tb.df, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:1500]
+        assert "Bucketed: true" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS omigo_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS omigo_bkt_b")
+
+
 def test_read_url_post_auth_gzip_and_csv_sniff(spark):
     """POST with body + bearer auth + gzip payload + separator sniffing
     (reference wsclient.py:199-263) against an in-process HTTP server."""
