@@ -47,6 +47,27 @@ class CompatMixin:
     """Mixed into ``OmigoDF``; relies on its ``_df``, ``_wrap``, ``_resolve``
     and the operator methods defined there."""
 
+    def parallelize(self, func, *args, num_batches: int = 10, **kwargs):
+        """MultiThreadDF.parallelize parity (reference
+        multithread_ext.py:25-101): split into contiguous row batches,
+        apply a table→table func per batch, merge-union the outputs. On
+        Spark the thread pool is unnecessary — each batch's plan already
+        uses every core — but the split/apply/merge semantics (visible
+        when func is not row-wise, e.g. a per-batch aggregation) are
+        reproduced exactly."""
+        import math
+
+        n = self.num_rows()
+        if n <= 1 or num_batches <= 1:
+            return func(self, *args, **kwargs)
+        bs = int(math.ceil(n / num_batches))
+        results = []
+        for i in range(num_batches):
+            b = self.skip_rows(bs * i).take(bs)
+            if b.num_rows() > 0:
+                results.append(func(b, *args, **kwargs))
+        return results[0].merge_union(results[1:]) if len(results) > 1 else results[0]
+
     # ------------------------------------------------------- deprecated aliases
     def drop(self, col_or_cols, ignore_if_missing: bool = False):
         """(reference dataframe.py: deprecated alias of drop_cols)"""

@@ -183,6 +183,18 @@ def test_display_and_logging_chain(iris, capsys):
     iris.to_clipboard()  # degrades to warning headless
 
 
+def test_parallelize_batch_apply_merge(spark):
+    # reference multithread_ext semantics: func applied PER BATCH, outputs
+    # merge-unioned — visible because the func aggregates (one row/batch)
+    df = OmigoDF(spark.createDataFrame([(i, i % 3) for i in range(30)], ["v", "g"]))
+    out = df.parallelize(lambda b: b.where("v % 2 = 0"), num_batches=4)
+    assert out.num_rows() == 15
+    assert sorted(r["v"] for r in out.df.collect()) == list(range(0, 30, 2))
+    # single-batch path
+    out1 = df.parallelize(lambda b: b.where("v < 5"), num_batches=1)
+    assert out1.num_rows() == 5
+
+
 def test_explode_json_v2_and_xpath(spark):
     df = OmigoDF(spark.createDataFrame(
         [('{"a": 1, "b": {"c": "z"}}',)], ["payload"]))
