@@ -1201,6 +1201,34 @@ class OmigoDF(CompatMixin):
 
     join = inner_join
 
+    def salted_join(self, that, lkeys, rkeys=None, how: str = "inner",
+                    salt: int = 16, lsuffix: str | None = None,
+                    rsuffix: str | None = None) -> "OmigoDF":
+        """Skew-resistant equi-join (Spark-only scale tool, no reference
+        counterpart): the left side gets a random salt in [0, salt), the
+        right side is replicated salt times, and the join runs on
+        (key, salt) — a single hot key spreads over ``salt`` tasks
+        instead of one straggler. Use when one side has extreme key skew
+        and the other is too large to broadcast; AQE's skew splitting
+        covers sort-merge joins, this covers the rest. Value-identical to
+        the plain join for inner/left (each left row still meets exactly
+        its matching right rows)."""
+        if how not in ("inner", "left", "left_outer"):
+            raise ValueError("salted_join supports inner/left joins")
+        rkeys = rkeys if rkeys is not None else lkeys
+        lk = self._resolve(lkeys)
+        that_o = that if isinstance(that, OmigoDF) else OmigoDF(that)
+        rk = that_o._resolve(rkeys)
+        sc_ = "__omigo_salt__"
+        left = self._df.withColumn(
+            sc_, (F.rand(seed=0) * salt).cast("int"))
+        right = (that_o._df
+                 .withColumn(sc_, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))))
+        lw = OmigoDF(left)
+        out = lw.__join(OmigoDF(right), lk + [sc_], rk + [sc_], how,
+                        lsuffix=lsuffix, rsuffix=rsuffix)
+        return out.drop_cols(sc_)
+
     def natural_join(self, that) -> "OmigoDF":
         """Inner join on all common column names, sorted (reference
         dataframe.py:3642-3722)."""

@@ -6,6 +6,23 @@ from pyspark.sql import functions as F
 from omigo_data_analytics_spark import OmigoDF
 
 
+def test_salted_join_matches_plain_join(spark):
+    # 90% of left rows share one hot key — salted result must equal plain
+    left = OmigoDF(spark.createDataFrame(
+        [(0 if i % 10 else i, i) for i in range(500)], ["k", "lv"]))
+    right = OmigoDF(spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], ["k", "rv"]))
+    plain = {(r["k"], r["lv"], r["rv"])
+             for r in left.inner_join(right, ["k"]).df.collect()}
+    salted = {(r["k"], r["lv"], r["rv"])
+              for r in left.salted_join(right, ["k"], salt=8).df.collect()}
+    assert salted == plain and len(plain) > 0
+    # left join keeps unmatched rows exactly once
+    lp = left.left_join(right, ["k"]).num_rows()
+    ls = left.salted_join(right, ["k"], how="left", salt=8).num_rows()
+    assert lp == ls == 500
+
+
 def test_aggregate_collapse(lineitem):
     out = lineitem.aggregate(
         ["l_returnflag", "l_linestatus"],
