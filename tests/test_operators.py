@@ -198,6 +198,22 @@ def test_explode_json_source_row_index(spark):
     assert sorted(rows.values()) == [1, 2]
 
 
+def test_ivf_kmeans_trained_centroids(embeddings):
+    cents = SIM.train_ivf_centroids(embeddings, num_centroids=8, iters=2)
+    assert len(cents) == 8
+    dim = SIM.detect_dim(embeddings.df, "embedding")
+    assert all(len(v) == dim for _, v in cents)
+    q = OmigoDF(embeddings.df.where("vec_id < 5"))
+    c = OmigoDF(embeddings.df.where("vec_id >= 5"))
+    exact = {(r["query_id"], r["vec_id"])
+             for r in SIM.cosine_topk(c, q, k=3).df.collect()}
+    trained = {(r["query_id"], r["vec_id"])
+               for r in SIM.cosine_topk_ivf(c, q, k=3, nprobe=4,
+                                            centroids=cents).df.collect()}
+    # trained quantizer must keep useful recall
+    assert len(exact & trained) >= len(exact) // 2
+
+
 def test_cosine_topk_ivf_recall_and_shape(embeddings):
     q = OmigoDF(embeddings.df.where("vec_id < 5"))
     c = OmigoDF(embeddings.df.where("vec_id >= 5"))
