@@ -71,6 +71,19 @@ def test_window_aggregate_has_no_single_partition_window(spark):
         assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", p), name
 
 
+def test_timefuncs_ladder_is_pure_expressions(spark):
+    # the sniffing ladder must stay in the scan/project stages — no
+    # Python evaluation, no shuffle beyond the final aggregate
+    p = _plan(spark, "timefuncs_ladder")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange") <= 1  # just the groupBy
+
+
+def test_new_reshape_queries_have_no_cartesian(spark):
+    for name in ["explode_json_zip", "explode_json_join", "string_aggs"]:
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
 def test_group_count_total_is_broadcast_not_window(spark):
     p = _plan(spark, "group_count")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
