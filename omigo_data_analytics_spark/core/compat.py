@@ -147,12 +147,25 @@ class CompatMixin:
         warn("extend_external_class: use extend_class instead")
         return newclass(self._df, *args, **kwargs)
 
-    def explode_json_v2(self, col, prefix=None, **kwargs):
+    def explode_json_v2(self, col, prefix=None, fix_json_arr: bool = False,
+                        **kwargs):
         """v2 of the JSON flattener (reference dataframe.py:4685-4765 —
         hash + pandas read_json + map-join back). Same observable output as
         explode_json here; the Spark plan already does the join-free
-        flatten."""
-        return self.explode_json(col, prefix=prefix, **kwargs)
+        flatten. ``fix_json_arr`` repairs single-quoted pseudo-JSON the way
+        the reference does (4713-4717: strip double quotes, then ' → ") —
+        as a native expression, not a driver loop."""
+        src = self
+        if fix_json_arr:
+            from pyspark.sql import functions as F
+
+            v = src._df[col].cast("string")
+            broken = (v.startswith("{'") | v.startswith("\"{'")
+                      | v.startswith("[{'") | v.startswith("\"[{'"))
+            fixed = F.translate(F.translate(v, '"', ""), "'", '"')
+            src = src._wrap(src._df.withColumn(col, F.when(broken, fixed)
+                                               .otherwise(v)))
+        return src.explode_json(col, prefix=prefix, **kwargs)
 
     def filter_json_by_xpath(self, col, xpath_filter):
         """(reference dataframe.py:4955-4956 — unimplemented there too)"""

@@ -204,6 +204,16 @@ def test_explode_json_v2_and_xpath(spark):
         df.filter_json_by_xpath("payload", "/a")
 
 
+def test_explode_json_v2_fix_json_arr(spark):
+    # single-quoted pseudo-JSON repaired like reference dataframe.py:4713-4717
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "{'a': 'x', 'b': '2'}"), (2, '{"a": "y", "b": "3"}')],
+        ["id", "payload"]))
+    out = df.explode_json_v2("payload", "p", fix_json_arr=True)
+    rows = {r["id"]: (r["p:a"], r["p:b"]) for r in out.df.collect()}
+    assert rows == {1: ("x", "2"), 2: ("y", "3")}
+
+
 def test_write_method(iris, tmp_path):
     path = str(tmp_path / "out.tsv")
     iris.write(path)
