@@ -43,18 +43,30 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
             e.schema["src"].dataType))
     else:
         seeds = _df(seed_vertices).select("node_id")
-    visited = seeds.distinct().withColumn("level", F.lit(0)).localCheckpoint()
-    frontier = visited.select("node_id")
+    # visited is kept as a LAZY union of per-level checkpointed deltas:
+    # each iteration re-reads materialized blocks (cheap) instead of also
+    # re-writing the whole accumulated set (one fewer job per level)
+    deltas = [seeds.distinct().withColumn("level", F.lit(0)).localCheckpoint()]
+    frontier = deltas[0].select("node_id")
+
+    def _visited():
+        out = deltas[0].select("node_id")
+        for d in deltas[1:]:
+            out = out.unionByName(d.select("node_id"))
+        return out
+
     for depth in range(1, max_iter + 1):
         nxt = (e.join(frontier.withColumnRenamed("node_id", "src"), "src")
                 .select(F.col("dst").alias("node_id")).distinct()
-                .join(visited.select("node_id"), "node_id", "left_anti")
+                .join(_visited(), "node_id", "left_anti")
                 .localCheckpoint())
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(
-            nxt.withColumn("level", F.lit(depth))).localCheckpoint()
+        deltas.append(nxt.withColumn("level", F.lit(depth)))
         frontier = nxt
+    visited = deltas[0]
+    for d in deltas[1:]:
+        visited = visited.unionByName(d)
     return OmigoDF(visited.withColumnRenamed("level", out_col))
 
 
@@ -82,19 +94,30 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     """
     e = _df(edges).select(F.col(src_col).alias("anc"),
                           F.col(dst_col).alias("node_id")).localCheckpoint()
-    reach = e.distinct().localCheckpoint()   # direct parents = 1-step ancestors
     # recursive doubling: R <- R ∪ R∘R reaches the closure in O(log depth)
     # rounds instead of O(depth) single-step frontier expansions — fewer
-    # global barriers/checkpoints, the textbook plan for transitive closure
+    # global barriers, the textbook plan for transitive closure. R is a
+    # LAZY union of checkpointed deltas: the three per-round readers (two
+    # join sides + anti-join) re-scan materialized blocks instead of also
+    # re-writing the whole closure every round.
+    deltas = [e.distinct().localCheckpoint()]   # direct parents
+
+    def _reach():
+        out = deltas[0]
+        for d in deltas[1:]:
+            out = out.unionByName(d)
+        return out
+
     for _ in range(max_iter):
+        reach = _reach()
         comp = (reach.select("anc", F.col("node_id").alias("mid"))
                 .join(reach.select(F.col("anc").alias("mid"), "node_id"), "mid")
                 .select("anc", "node_id").distinct()
                 .join(reach, ["anc", "node_id"], "left_anti").localCheckpoint())
         if comp.isEmpty():
             break
-        reach = reach.unionByName(comp).localCheckpoint()
-    return OmigoDF(reach.select("node_id", F.col("anc").alias("ancestor")))
+        deltas.append(comp)
+    return OmigoDF(_reach().select("node_id", F.col("anc").alias("ancestor")))
 
 
 def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
