@@ -137,10 +137,63 @@ def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
     return {"n1": n1, "n2": n2, "d_stat": rnd(d), "p_value": rnd(p)}
 
 
-def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05) -> dict:
-    """Reference-shaped combined report (omigo_ext/stats.py:5-39)."""
-    t = welch_ttest(odf1, odf2, col)
-    k = ks_test(odf1, odf2, col)
+def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
+             precision: int | None = 6) -> dict:
+    """Reference-shaped combined report (omigo_ext/stats.py:5-39).
+
+    Fused plan: both sides' moments come from ONE aggregation over the
+    tagged union (checkpointed so the KS scan reuses it) — 2 jobs total
+    for moments+counts instead of 4, plus the distributed KS scan. The
+    statistics are numerically identical to welch_ttest/ks_test (same
+    exact-decimal formulas)."""
+    a = odf1.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
+        .withColumn("s", F.lit(1))
+    b = odf2.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
+        .withColumn("s", F.lit(2))
+    u = a.unionByName(b).localCheckpoint()
+    x = F.col("x")
+    mom = {r["s"]: r for r in
+           u.groupBy("s").agg(
+               F.count(x).alias("n"),
+               F.sum(x.cast("decimal(38,10)")).alias("s1"),
+               F.sum((x * x).cast("decimal(38,10)")).alias("s2")).collect()}
+
+    def _side(tag):
+        r = mom.get(tag)
+        if r is None or not r["n"]:
+            return 0, 0.0, 0.0
+        n = r["n"]
+        s1, s2 = float(r["s1"]), float(r["s2"])
+        m = s1 / n
+        v = (s2 - n * m * m) / (n - 1) if n > 1 else 0.0
+        return n, m, v
+
+    n1, m1, v1 = _side(1)
+    n2, m2, v2 = _side(2)
+    se2 = v1 / n1 + v2 / n2 if n1 and n2 else 0.0
+    t_stat = (m1 - m2) / math.sqrt(se2) if se2 > 0 else 0.0
+    dof = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                         + (v2 / n2) * (v2 / n2) / (n2 - 1)) \
+        if se2 > 0 else float(max(n1 + n2 - 2, 1))
+    try:
+        from scipy import stats as sps  # type: ignore
+
+        t_p = float(2 * sps.t.sf(abs(t_stat), dof))
+    except Exception:
+        t_p = math.erfc(abs(t_stat) / math.sqrt(2.0))
+
+    d = _ks_d_distributed(u, n1, n2) if n1 and n2 else 0.0
+    en = math.sqrt(n1 * n2 / (n1 + n2)) if n1 and n2 else 1.0
+    lam = (en + 0.12 + 0.11 / en) * d
+    ks_p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * (lam ** 2) * (k ** 2))
+                   for k in range(1, 101))
+    ks_p = max(0.0, min(1.0, ks_p))
+
+    rnd = (lambda v: v) if precision is None else (lambda v: round(v, precision))
+    t = {"n1": n1, "n2": n2, "mean1": rnd(m1), "mean2": rnd(m2),
+         "var1": rnd(v1), "var2": rnd(v2), "t_stat": rnd(t_stat),
+         "df": rnd(dof), "p_value": rnd(t_p)}
+    k = {"n1": n1, "n2": n2, "d_stat": rnd(d), "p_value": rnd(ks_p)}
     return {**{f"ttest_{kk}": vv for kk, vv in t.items()},
             **{f"ks_{kk}": vv for kk, vv in k.items()},
             "alpha": alpha,
