@@ -960,6 +960,45 @@ SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
 """
 
 
+def q_etl_date_scan(spark, sf_dir):
+    """Date-partitioned scan with partition pruning (reference
+    etl.scan_by_datetime_range, omigo_hydra/etl.py:24-210): write orders
+    partitioned by a derived dt=yyyymmdd of o_orderdate, scan a 1-week
+    range back — out-of-range date directories are never listed or read
+    (PartitionFilters in the plan, asserted in tests/test_sources.py)."""
+    import tempfile
+
+    from omigo_data_analytics_spark.sources import etl as ETL
+    from omigo_data_analytics_spark.sources.io import write_parquet
+
+    o = _t(spark, sf_dir, "orders")
+    # one month of partitions (a ~2400-partition write would be a
+    # tiny-files benchmark of the filesystem, not of pruning: the scan
+    # still proves 7-of-31 directories pruned)
+    tagged = OmigoDF(o.df
+                     .where("o_orderdate >= date'1995-01-01' "
+                            "AND o_orderdate < date'1995-02-01'")
+                     .withColumn("dt", F.date_format("o_orderdate", "yyyyMMdd")))
+    tmp = tempfile.mkdtemp(prefix="omigo_q_etl_")
+    write_parquet(tagged, tmp, partition_by=["dt"])
+    out = ETL.scan_by_datetime_range(spark, tmp, "1995-01-01", "1995-01-07")
+    return (out.aggregate(["dt"], ["o_orderkey", "o_totalprice"],
+                          ["uniq_count", "sumdec"])
+               .rename("o_orderkey:uniq_count", "n_orders")
+               .rename("o_totalprice:sumdec", "total")
+               .to_int("dt").df)
+
+
+SQL_ETL_DATE_SCAN = f"""
+SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS dt,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       {_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-01-08'
+GROUP BY 1
+"""
+
+
 def q_timefuncs_ladder(spark, sf_dir):
     """timefuncs format-sniffing ladder (reference timefuncs.py:7-81) as a
     UDF-free coalesce: render events.ts as three string shapes (19-char
@@ -1740,6 +1779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "read_tsv_intersect": q_read_tsv_intersect,
+        "etl_date_scan": q_etl_date_scan,
         "timefuncs_ladder": q_timefuncs_ladder,
         "time_diffs": q_time_diffs,
         "explode_json_zip": q_explode_json_zip,
@@ -1885,6 +1925,7 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
         "failsafe_aggs": SQL_FAILSAFE_AGGS,
         "uniq_mkstr": SQL_UNIQ_MKSTR,
         "read_tsv_intersect": SQL_READ_TSV_INTERSECT,
+        "etl_date_scan": SQL_ETL_DATE_SCAN,
         "timefuncs_ladder": SQL_TIMEFUNCS_LADDER,
         "time_diffs": SQL_TIME_DIFFS,
         "explode_json_zip": SQL_EXPLODE_JSON_ZIP,
