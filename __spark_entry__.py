@@ -1287,23 +1287,26 @@ FROM lineitem l SEMI JOIN keep k
 
 
 def q_ttest(spark, sf_dir):
-    """Welch t-test + KS between two slices (reference stats.py:5-39).
-    Moments come from exact decimal sums, so the statistics are
-    bit-deterministic and the oracle mirrors the arithmetic; p-values
-    (erfc / Kolmogorov series, not expressible in DuckDB) stay on the
-    operator but are excluded from the checked projection."""
+    """Welch t-test + KS between two slices (reference stats.py:5-39),
+    via the fused do_ttest (operators/stats.py:140): one tagged
+    aggregation over a shared checkpointed union gives both sides'
+    moments+counts in 2 jobs (vs 7 for separate welch+ks), and the KS
+    scan reuses the checkpointed union. Moments come from exact decimal
+    sums, so the statistics are bit-deterministic and the oracle mirrors
+    the arithmetic; p-values (erfc / Kolmogorov series, not expressible
+    in DuckDB) stay on the operator but are excluded from the checked
+    projection."""
     from pyspark.sql import types as T
     li = _t(spark, sf_dir, "lineitem")
     a = OmigoDF(li.df.where("l_returnflag = 'R'"))
     b = OmigoDF(li.df.where("l_returnflag = 'A'"))
-    w = SS.welch_ttest(a, b, "l_quantity", precision=None)
-    k = SS.ks_test(a, b, "l_quantity", precision=None)
+    r = SS.do_ttest(a, b, "l_quantity", precision=None)
     row = {
-        "n1": int(w["n1"]), "n2": int(w["n2"]),
-        "mean1": float(w["mean1"]), "mean2": float(w["mean2"]),
-        "var1": float(w["var1"]), "var2": float(w["var2"]),
-        "t_stat": float(w["t_stat"]), "df": float(w["df"]),
-        "d_stat": float(k["d_stat"]),
+        "n1": int(r["ttest_n1"]), "n2": int(r["ttest_n2"]),
+        "mean1": float(r["ttest_mean1"]), "mean2": float(r["ttest_mean2"]),
+        "var1": float(r["ttest_var1"]), "var2": float(r["ttest_var2"]),
+        "t_stat": float(r["ttest_t_stat"]), "df": float(r["ttest_df"]),
+        "d_stat": float(r["ks_d_stat"]),
     }
     schema = T.StructType(
         [T.StructField("n1", T.LongType()), T.StructField("n2", T.LongType())]

@@ -46,13 +46,16 @@ def welch_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str,
     (add/mul/div/sqrt are IEEE correctly rounded on identical inputs)."""
     n1, m1, v1 = _moments(odf1, col)
     n2, m2, v2 = _moments(odf2, col)
-    se2 = v1 / n1 + v2 / n2
+    se2 = (v1 / n1 if n1 else 0.0) + (v2 / n2 if n2 else 0.0)
     t = (m1 - m2) / math.sqrt(se2) if se2 > 0 else 0.0
     # explicit multiplication (not **): keeps the op sequence mirrorable
-    # in SQL for bit-exact oracle comparison
-    df = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                        + (v2 / n2) * (v2 / n2) / (n2 - 1)) \
-        if se2 > 0 else float(n1 + n2 - 2)
+    # in SQL for bit-exact oracle comparison. A side with n<=1 has v=0 and
+    # contributes nothing to the Welch-Satterthwaite denominator — guard it
+    # so the 0.0/0 term can't raise (pooled-df fallback when both vanish).
+    ws_den = ((v1 / n1) * (v1 / n1) / (n1 - 1) if n1 > 1 else 0.0) \
+        + ((v2 / n2) * (v2 / n2) / (n2 - 1) if n2 > 1 else 0.0)
+    df = (se2 * se2) / ws_den if se2 > 0 and ws_den > 0 \
+        else float(max(n1 + n2 - 2, 1))
     try:
         from scipy import stats as sps  # type: ignore
 
@@ -172,9 +175,13 @@ def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
     n2, m2, v2 = _side(2)
     se2 = v1 / n1 + v2 / n2 if n1 and n2 else 0.0
     t_stat = (m1 - m2) / math.sqrt(se2) if se2 > 0 else 0.0
-    dof = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
-                         + (v2 / n2) * (v2 / n2) / (n2 - 1)) \
-        if se2 > 0 else float(max(n1 + n2 - 2, 1))
+    # n<=1 side contributes 0 to the Welch-Satterthwaite denominator
+    # (v=0); guard the (0.0/0) term and fall back to pooled df when the
+    # whole denominator vanishes.
+    ws_den = ((v1 / n1) * (v1 / n1) / (n1 - 1) if n1 > 1 else 0.0) \
+        + ((v2 / n2) * (v2 / n2) / (n2 - 1) if n2 > 1 else 0.0)
+    dof = (se2 * se2) / ws_den if se2 > 0 and ws_den > 0 \
+        else float(max(n1 + n2 - 2, 1))
     try:
         from scipy import stats as sps  # type: ignore
 

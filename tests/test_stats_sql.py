@@ -43,6 +43,33 @@ def test_do_ttest_report_shape(spark):
     assert {"ttest_t_stat", "ks_d_stat", "alpha"} <= set(rep)
 
 
+def test_ttest_single_row_side_no_zerodiv(spark):
+    # one side with exactly 1 row: v=0 there, Welch-Satterthwaite term
+    # must be guarded (0.0/0 raised before the fix)
+    a = spark.createDataFrame([(5.0,)], ["x"])
+    b = spark.createDataFrame([(float(i),) for i in range(20)], ["x"])
+    w = SS.welch_ttest(OmigoDF(a), OmigoDF(b), "x")
+    assert w["n1"] == 1 and math.isfinite(w["df"]) and w["df"] > 0
+    rep = SS.do_ttest(OmigoDF(a), OmigoDF(b), "x")
+    assert rep["ttest_n1"] == 1 and math.isfinite(rep["ttest_df"])
+    # both sides single-row: se2 == 0 path, pooled fallback stays >= 1
+    w2 = SS.welch_ttest(OmigoDF(a), OmigoDF(spark.createDataFrame([(7.0,)], ["x"])), "x")
+    assert w2["df"] >= 1 and w2["t_stat"] == 0.0
+
+
+def test_do_ttest_matches_unfused(spark):
+    rng = random.Random(11)
+    a = spark.createDataFrame([(rng.gauss(0, 2),) for _ in range(150)], ["x"])
+    b = spark.createDataFrame([(rng.gauss(0.5, 1),) for _ in range(120)], ["x"])
+    oa, ob = OmigoDF(a), OmigoDF(b)
+    w = SS.welch_ttest(oa, ob, "x", precision=None)
+    k = SS.ks_test(oa, ob, "x", precision=None)
+    rep = SS.do_ttest(oa, ob, "x", precision=None)
+    assert rep["ttest_t_stat"] == w["t_stat"] and rep["ttest_df"] == w["df"]
+    assert rep["ttest_var1"] == w["var1"] and rep["ttest_var2"] == w["var2"]
+    assert rep["ks_d_stat"] == k["d_stat"]
+
+
 def test_sql_execute_query(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["v", "g"])
     SQ.register_table(OmigoDF(df), "t_sql_test")
