@@ -49,23 +49,33 @@ class CompatMixin:
 
     def parallelize(self, func, *args, num_batches: int = 10, **kwargs):
         """MultiThreadDF.parallelize parity (reference
-        multithread_ext.py:25-101): split into contiguous row batches,
-        apply a table→table func per batch, merge-union the outputs. On
-        Spark the thread pool is unnecessary — each batch's plan already
-        uses every core — but the split/apply/merge semantics (visible
-        when func is not row-wise, e.g. a per-batch aggregation) are
-        reproduced exactly."""
-        import math
+        multithread_ext.py:25-101): split into row batches, apply a
+        table→table func per batch, merge-union the outputs. On Spark the
+        thread pool is unnecessary — each batch's plan already uses every
+        core — so what's reproduced is the split/apply/merge semantics
+        (visible when func is not row-wise, e.g. a per-batch aggregation).
 
-        n = self.num_rows()
-        if n <= 1 or num_batches <= 1:
+        Batches are assigned in ONE tagging pass (same bucketing as
+        ``split_batches``) over a localCheckpointed frame: membership is
+        pinned, so the batches partition the input exactly — no overlap or
+        loss — regardless of upstream shuffles/AQE. (The previous
+        offset/limit slicing ran B+1 jobs and relied on a stable global
+        row order across actions, which Spark does not guarantee.)
+        Batch membership is hash-based rather than the reference's
+        contiguous slices; for the supported func shapes (row-wise maps /
+        per-batch reductions merged by union) the result set is the same."""
+        if num_batches <= 1:
             return func(self, *args, **kwargs)
-        bs = int(math.ceil(n / num_batches))
-        results = []
-        for i in range(num_batches):
-            b = self.skip_rows(bs * i).take(bs)
-            if b.num_rows() > 0:
-                results.append(func(b, *args, **kwargs))
+        tmp = "__omigo_batch__"
+        bucket = F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id(), F.lit(0))),
+                        F.lit(num_batches))
+        tagged = self._df.withColumn(tmp, bucket).localCheckpoint()
+        # one job to find non-empty buckets (reference skips empty batches)
+        present = sorted(r[0] for r in tagged.select(tmp).distinct().collect())
+        if not present:
+            return func(self, *args, **kwargs)
+        results = [func(self._wrap(tagged.filter(F.col(tmp) == i).drop(tmp)),
+                        *args, **kwargs) for i in present]
         return results[0].merge_union(results[1:]) if len(results) > 1 else results[0]
 
     # ------------------------------------------------------- deprecated aliases

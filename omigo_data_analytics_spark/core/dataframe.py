@@ -1767,14 +1767,25 @@ class OmigoDF(CompatMixin):
                     df = _emit_elem(df, df[ze][a], p, kind)
                 df = df.drop(ze)
                 if with_index:
-                    df = df.withColumn(idx_name, F.col(pos).cast("string"))
+                    # posexplode_outer of an all-empty zip yields one row
+                    # with NULL pos — pad the index with '' like the values
+                    df = df.withColumn(
+                        idx_name, F.coalesce(F.col(pos).cast("string"), F.lit("")))
                 return df.drop(pos)
+            multi = len(arrays) > 1
             for a, p, kind in arrays:
                 e = f"{a}__e"
                 df = df.select("*", F.posexplode_outer(df[a]).alias(pos, e)).drop(a)
                 df = _emit_elem(df, df[e], p, kind).drop(e)
                 if with_index:
-                    df = df.withColumn(idx_name, F.col(pos).cast("string"))
+                    # join (cartesian) mode explodes each array in sequence;
+                    # with >1 array a single shared column would be
+                    # overwritten by each successive explode, so the index
+                    # is emitted per array path
+                    nm = f"{_name(p)}{COL_SEP}__explode_json_index__" if multi \
+                        else idx_name
+                    df = df.withColumn(
+                        nm, F.coalesce(F.col(pos).cast("string"), F.lit("")))
                 df = df.drop(pos)
             return df
 

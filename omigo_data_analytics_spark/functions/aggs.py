@@ -117,12 +117,17 @@ AGG_REGISTRY: dict[str, Callable[[Column], Column]] = {
     "minstr_failsafe": lambda c: F.min(_nonempty(c).cast("string")),
     "maxstr_failsafe": lambda c: F.max(_nonempty(c).cast("string")),
     "get_range_int": lambda c: F.max(_int(c)) - F.min(_int(c)),
-    # order-dependent picks. NOTE: F.first depends on partition/task order —
-    # nondeterministic across runs unless upstream imposes a per-group order
-    # (reference picks first in stable file order; at scale prefer min_by
-    # with an explicit order column).
+    # order-dependent picks. Bare names keep the reference's partition-order
+    # semantics (F.first — nondeterministic across runs on Spark, warned
+    # below in agg_expr); the deterministic default is the parameterized
+    # spelling "select_first(order_col)" → min_by(c, order_col), resolved in
+    # _parse_param_agg. "select_first_unordered" is the silent opt-in to
+    # partition order.
     "select_first": lambda c: F.first(c, ignorenulls=False),
+    "select_first_unordered": lambda c: F.first(c, ignorenulls=False),
     "select_first_non_empty": lambda c: F.first(_nonempty(c), ignorenulls=True),
+    "select_first_non_empty_unordered":
+        lambda c: F.first(_nonempty(c), ignorenulls=True),
     # exact quantiles (reference uses numpy; percentile() is Spark's exact
     # aggregate — swap to percentile_approx for the 100 TB path via
     # "approx_quantile"). Reference default quantile == quantile4: grid
@@ -217,12 +222,45 @@ def _fallback_udf_agg(func: Callable, c: Column) -> Column:
     return _apply(F.collect_list(c.cast("string")))
 
 
+# Parameterized aggregates: "name(order_col)" spellings that take an explicit
+# order column and compile to deterministic min_by picks (partition-order
+# `first` is nondeterministic on Spark; min_by is order-independent).
+# min_by ignores rows whose ordering expression is NULL, which implements the
+# non-empty filter for free.
+_PARAM_AGGS = {
+    "select_first": lambda c, o: F.min_by(c, o),
+    "select_first_non_empty":
+        lambda c, o: F.min_by(c, F.when(c.isNotNull() & (c.cast("string") != ""), o)),
+    "select_last": lambda c, o: F.max_by(c, o),
+    "select_last_non_empty":
+        lambda c, o: F.max_by(c, F.when(c.isNotNull() & (c.cast("string") != ""), o)),
+}
+
+_PARAM_RE = __import__("re").compile(r"^(\w+)\(\s*([\w.]+)\s*\)$")
+
+
+def _parse_param_agg(func: str):
+    m = _PARAM_RE.match(func)
+    if m and m.group(1) in _PARAM_AGGS:
+        return _PARAM_AGGS[m.group(1)], m.group(2)
+    return None, None
+
+
 def agg_expr(func, col: Column) -> Column:
-    """Compile a function (registry name, or Python callable) + column into
-    an aggregate expression."""
+    """Compile a function (registry name, ``name(order_col)`` parameterized
+    spec, or Python callable) + column into an aggregate expression."""
     if isinstance(func, str):
+        fac, ord_col = _parse_param_agg(func)
+        if fac is not None:
+            return fac(col, F.col(ord_col))
         if func not in AGG_REGISTRY:
             raise KeyError(f"unknown aggregate function: {func!r}")
+        if func in ("select_first", "select_first_non_empty"):
+            from ..core.compat import warn_once
+
+            warn_once(f"{func}: partition-order pick is nondeterministic on "
+                      f"Spark; prefer '{func}(<order_col>)' (min_by) or opt "
+                      f"in explicitly via {func}_unordered")
         return AGG_REGISTRY[func](col)
     name = getattr(func, "__name__", "")
     if name in AGG_REGISTRY:

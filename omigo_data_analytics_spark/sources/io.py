@@ -25,6 +25,21 @@ def _as_paths(path_or_paths: str | Iterable[str]) -> list[str]:
     return list(path_or_paths)
 
 
+def _resolve_zip(p: str) -> str:
+    """`.zip` paths extract driver-side to a temp dir (Spark has no zip
+    codec; zip archives in the reference are single small exports —
+    file_paths_util.py:194-203) and the scan reads the extracted members."""
+    if not p.endswith(".zip"):
+        return p
+    import tempfile
+    import zipfile
+
+    tmp = tempfile.mkdtemp(prefix="omigo_zip_")
+    with zipfile.ZipFile(p) as z:
+        z.extractall(tmp)
+    return tmp
+
+
 def read(spark: SparkSession, path_or_paths, sep: str = "\t", header: bool = True,
          do_union: bool = True, url_decode_cols: bool = True) -> OmigoDF:
     """Read TSV/CSV file(s) into an OmigoDF (reference hydra.py:49-125).
@@ -34,7 +49,7 @@ def read(spark: SparkSession, path_or_paths, sep: str = "\t", header: bool = Tru
     are decoded and the marker suffix stripped (reference hydra.py:106,
     utils.py:894-905).
     """
-    paths = _as_paths(path_or_paths)
+    paths = [_resolve_zip(p) for p in _as_paths(path_or_paths)]
     dfs = []
     for p in paths:
         df = (spark.read
@@ -85,14 +100,44 @@ def read_json(spark: SparkSession, path_or_paths, schema=None) -> OmigoDF:
 def write(xdf: OmigoDF, path: str, sep: str = "\t", mode: str = "overwrite",
           single_file: bool = False) -> None:
     """Write TSV (reference hydra.py:7-27). `.gz` extension → gzip codec,
-    matching file_io_wrapper.py:46-70. single_file coalesces to one part —
-    only for small exports (the reference always wrote one file)."""
+    `.zip` → single-member zip archive, matching file_io_wrapper.py:46-70.
+    single_file coalesces to one part — only for small exports (the
+    reference always wrote one file). Zip is inherently a single-file
+    driver-side export (Spark has no zip codec); the distributed formats
+    are tsv/gz/parquet."""
     df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    if path.endswith(".zip"):
+        return write_zip(xdf, path, sep=sep)
     writer = df.coalesce(1).write if single_file else df.write
     w = writer.mode(mode).option("sep", sep).option("header", "true")
     if path.endswith(".gz"):
         w = w.option("compression", "gzip")
     w.csv(path)
+
+
+def write_zip(xdf: OmigoDF, path: str, sep: str = "\t") -> None:
+    """`.tsv.zip` write parity (reference file_io_wrapper.py:46-70: zip
+    archive with one TSV member named like the file without '.zip').
+    Spark writes the TSV part distributed-then-coalesced to a temp dir;
+    the archive itself is assembled driver-side — zip exports in the
+    reference are small single-file artifacts, not a scale path."""
+    import glob
+    import os as _os
+    import shutil
+    import tempfile
+    import zipfile
+
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    tmp = tempfile.mkdtemp(prefix="omigo_zipw_")
+    try:
+        (df.coalesce(1).write.mode("overwrite")
+           .option("sep", sep).option("header", "true").csv(tmp))
+        parts = sorted(glob.glob(_os.path.join(tmp, "part-*")))
+        member = _os.path.basename(path)[:-len(".zip")] or "data.tsv"
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+            z.write(parts[0], arcname=member)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_parquet(xdf: OmigoDF, path: str, mode: str = "overwrite",
@@ -146,16 +191,10 @@ def from_maps(spark: SparkSession, maps: list[dict]) -> OmigoDF:
 
 def read_zip(spark: SparkSession, path: str, sep: str = "\t",
              header: bool = True) -> OmigoDF:
-    """`.zip` TSV read (reference file_paths_util.py:194-203). Spark has no
-    zip codec, so members extract to a temp dir driver-side (zip archives
-    in the reference are single small exports), then scan in parallel."""
-    import tempfile
-    import zipfile
-
-    tmp = tempfile.mkdtemp(prefix="omigo_zip_")
-    with zipfile.ZipFile(path) as z:
-        z.extractall(tmp)
-    return read(spark, tmp, sep=sep, header=header)
+    """`.zip` TSV read (reference file_paths_util.py:194-203). `read`
+    dispatches `.zip` paths automatically; this remains as the explicit
+    named entry point."""
+    return read(spark, path, sep=sep, header=header)
 
 
 def read_url_as_df(spark: SparkSession, url: str, sep: str | None = None,
@@ -205,10 +244,17 @@ def read_url_as_df(spark: SparkSession, url: str, sep: str | None = None,
     if not lines:
         raise ValueError(f"empty document at {url}")
     if sep is None:
+        # extension is authoritative; content sniffing only as fallback and
+        # only on the header line (a CSV body with one embedded tab must not
+        # flip the whole document to TSV)
         base = url.split("?")[0]
-        if "\t" in text:
+        if base.endswith((".tsv", ".tsv.gz")):
             sep = "\t"
-        elif base.endswith((".csv", ".csv.gz")) or "," in lines[0]:
+        elif base.endswith((".csv", ".csv.gz")):
+            sep = ","
+        elif "\t" in lines[0]:
+            sep = "\t"
+        elif "," in lines[0]:
             sep = ","
         else:
             sep = "\t"

@@ -195,6 +195,23 @@ def test_parallelize_batch_apply_merge(spark):
     assert out1.num_rows() == 5
 
 
+def test_parallelize_partitions_exactly_after_shuffle(spark):
+    # batches must partition the input exactly (no dup/miss) even when the
+    # source is an unmaterialized shuffle output whose row order is not
+    # stable across actions — the old offset/limit slicing could drift
+    src = OmigoDF(spark.createDataFrame([(i % 7, i) for i in range(500)], ["g", "v"])
+                  .groupBy("g", "v").count().drop("count"))
+    out = src.parallelize(lambda b: b, num_batches=8)
+    got = sorted((r["g"], r["v"]) for r in out.df.collect())
+    assert got == sorted((i % 7, i) for i in range(500))
+    # per-batch aggregation: one row per non-empty batch, totals conserved
+    agg = src.parallelize(lambda b: b.aggregate([], ["v"], ["sumint"]),
+                          num_batches=4)
+    assert agg.num_rows() <= 4
+    assert sum(int(r[agg.df.columns[0]]) for r in agg.df.collect()) \
+        == sum(range(500))
+
+
 def test_explode_json_v2_and_xpath(spark):
     df = OmigoDF(spark.createDataFrame(
         [('{"a": 1, "b": {"c": "z"}}',)], ["payload"]))

@@ -85,3 +85,29 @@ def test_sample_group_by_col_value(spark):
     cold = out.df.where("v = 'cold'").count()
     assert cold == 5          # untouched
     assert hot < 50           # downsampled
+
+
+def test_select_first_param_agg_deterministic(spark):
+    # parameterized 'select_first(ord)' compiles to min_by — deterministic
+    # regardless of partitioning; bare select_first stays partition-order
+    df = OmigoDF(spark.createDataFrame(
+        [("g1", 3, "c"), ("g1", 1, "a"), ("g1", 2, ""), ("g2", 9, "z")],
+        ["g", "ord", "v"]).repartition(8))
+    out = (df.aggregate(["g"], ["v", "v", "v"],
+                        ["select_first(ord)", "select_last(ord)",
+                         "select_first_non_empty(ord)"])
+           .rename("v:select_first(ord)", "first_v")
+           .rename("v:select_last(ord)", "last_v")
+           .rename("v:select_first_non_empty(ord)", "first_ne"))
+    rows = {r["g"]: (r["first_v"], r["last_v"], r["first_ne"])
+            for r in out.df.collect()}
+    assert rows == {"g1": ("a", "c", "a"), "g2": ("z", "z", "z")}
+    # non-empty skip: earliest value is empty -> picks next by order
+    df2 = OmigoDF(spark.createDataFrame(
+        [("g", 1, ""), ("g", 2, "b")], ["g", "ord", "v"]).repartition(4))
+    out2 = df2.aggregate(["g"], ["v"], ["select_first_non_empty(ord)"])
+    assert out2.df.collect()[0][1] == "b"
+    # analytic (collapse=False) form works too
+    out3 = df.aggregate(["g"], ["v"], ["select_first(ord)"], collapse=False)
+    assert all(r["v:select_first(ord)"] == ("a" if r["g"] == "g1" else "z")
+               for r in out3.df.collect())

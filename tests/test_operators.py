@@ -169,6 +169,34 @@ def test_explode_json_cogroup_zips_parallel_lists(spark):
     assert outj.num_rows() == 6
 
 
+def test_explode_json_with_index_join_and_empty(spark):
+    # join mode + with_index + >1 array: per-array index columns (a single
+    # shared column would be overwritten by each successive explode)
+    js = '{"xs": [{"v": 1}, {"v": 2}], "ys": [{"w": "a"}, {"w": "b"}, {"w": "c"}]}'
+    df = spark.createDataFrame([(1, js)], ["id", "js"])
+    outj = OmigoDF(df).explode_json("js", "j", merge_list_method="join",
+                                    with_index=True)
+    assert {"j:xs:__explode_json_index__", "j:ys:__explode_json_index__"} \
+        <= set(outj.columns)
+    rows = sorted((r["j:xs:v"], r["j:xs:__explode_json_index__"],
+                   r["j:ys:w"], r["j:ys:__explode_json_index__"])
+                  for r in outj.df.collect())
+    assert len(rows) == 6 and rows[0] == ("1", "0", "a", "0")
+    assert rows[-1] == ("2", "1", "c", "2")
+    # single array keeps the reference's bare index name
+    one = spark.createDataFrame([(1, '{"xs": [{"v": 7}]}')], ["id", "js"])
+    out1 = OmigoDF(one).explode_json("js", "j", merge_list_method="join",
+                                     with_index=True)
+    assert out1.df.collect()[0]["j:__explode_json_index__"] == "0"
+    # cogroup with all-empty lists: the padding row's index is '' like values
+    js2 = '{"xs": [], "ys": []}'
+    mixed = spark.createDataFrame([(1, js), (2, js2)], ["id", "js"])
+    outc = OmigoDF(mixed).explode_json("js", "j", merge_list_method="cogroup",
+                                       with_index=True)
+    empt = [r for r in outc.df.collect() if r["id"] == 2]
+    assert len(empt) == 1 and empt[0]["j:__explode_json_index__"] == ""
+
+
 def test_explode_json_nested_cols_blob(spark):
     js = '{"a": 1, "meta": {"k1": "v1", "k2": "v2"}}'
     df = spark.createDataFrame([(1, js)], ["id", "js"])

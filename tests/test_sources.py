@@ -70,6 +70,23 @@ def test_read_url_file_scheme(spark, tmpdir):
     assert out.num_rows() == 2
 
 
+def test_read_url_csv_with_embedded_tab_stays_csv(spark, tmpdir):
+    # a .csv whose BODY contains a tab must still parse as CSV (the sniffer
+    # checks the extension first and only looks at the header line)
+    p = f"{tmpdir}/doc.csv"
+    with open(p, "w") as f:
+        f.write("a,b\n1,has\ttab\n2,y\n")
+    out = IO.read_url_as_df(spark, f"file://{p}")
+    assert out.columns == ["a", "b"] and out.num_rows() == 2
+    assert sorted(r["b"] for r in out.df.collect()) == ["has\ttab", "y"]
+    # extensionless with a tab-separated header sniffs TSV from line 1 only
+    p2 = f"{tmpdir}/noext"
+    with open(p2, "w") as f:
+        f.write("x\ty\n1\t2\n")
+    out2 = IO.read_url_as_df(spark, f"file://{p2}")
+    assert out2.columns == ["x", "y"]
+
+
 def test_bucketed_join_skips_shuffle(spark):
     """Two tables bucketed on the join key: the join plan must contain no
     Exchange on either side (the co-located-join contract at scale)."""
@@ -190,3 +207,22 @@ def test_read_with_filter_transform_pushdown(spark, tmpdir):
     plan = out.df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(b), EqualTo(b,1)]" in plan
     assert "ReadSchema: struct<a:bigint,b:bigint>" in plan
+
+
+def test_tsv_zip_write_read_roundtrip(spark, tmpdir):
+    # write-parity with reference file_io_wrapper.py:46-70 (single-member
+    # zip archive); roundtrip through read_zip must be lossless
+    df = OmigoDF(spark.createDataFrame(
+        [("1", "a"), ("2", "b"), ("3", "c")], ["id", "v"]))
+    p = f"{tmpdir}/export.tsv.zip"
+    IO.write(df, p)
+    import zipfile
+    with zipfile.ZipFile(p) as z:
+        assert z.namelist() == ["export.tsv"]
+    back = IO.read_zip(spark, p)
+    assert back.columns == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in back.df.collect()) == \
+        [("1", "a"), ("2", "b"), ("3", "c")]
+    # plain read() dispatches .zip transparently like the reference's hydra.read
+    back2 = IO.read(spark, p)
+    assert back2.columns == ["id", "v"] and back2.num_rows() == 3
