@@ -15,8 +15,10 @@ Public surface:
 
 from .session import get_spark, prepare_session
 from .core.dataframe import OmigoDF, from_spark
+from .operators.viz import VisualDF, to_visual
 from .sources import io as sources_io
 
-__all__ = ["OmigoDF", "from_spark", "get_spark", "prepare_session", "sources_io"]
+__all__ = ["OmigoDF", "VisualDF", "from_spark", "get_spark",
+           "prepare_session", "sources_io", "to_visual"]
 
 __version__ = "0.1.0"
