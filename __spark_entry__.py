@@ -1788,6 +1788,86 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+_REST_SERVERS: dict[str, str] = {}
+
+
+def _rest_events_server(sf_dir: str) -> tuple[str, int, int, int]:
+    """Start (once per sf_dir) a driver-side fake HTTP service that serves
+    the events table by time slice — the deterministic stand-in for the
+    Splunk/LogScale endpoints (reference splunk_ext.py:181-359). Returns
+    (base_url, lo_us, hi_us, n). The thread is a daemon; executor tasks in
+    local mode fetch from 127.0.0.1."""
+    import json as _json
+    import threading
+    import urllib.parse as _up
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    import duckdb as _dk
+
+    rows = _dk.sql(
+        f"SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us "
+        f"FROM '{sf_dir}/events.parquet' ORDER BY ts_us, event_id").fetchall()
+    lo, hi, n = rows[0][4], rows[-1][4] + 1, len(rows)
+
+    if sf_dir not in _REST_SERVERS:
+        class H(BaseHTTPRequestHandler):
+            def do_GET(self):
+                q = _up.parse_qs(_up.urlparse(self.path).query)
+                st, et = int(q["st"][0]), int(q["et"][0])
+                limit = int(q["limit"][0])
+                # ORDER BY in the source query makes the truncation at
+                # `limit` deterministic
+                out = [{"event_id": r[0], "user_id": r[1], "event_type": r[2],
+                        "value": repr(r[3]), "ts_us": r[4]}
+                       for r in rows if st <= r[4] < et][:limit]
+                body = _json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        _REST_SERVERS[sf_dir] = f"http://127.0.0.1:{srv.server_address[1]}"
+    return _REST_SERVERS[sf_dir], lo, hi, n
+
+
+def q_rest_partitioned(spark, sf_dir):
+    """Partitioned REST source (sources/rest.py): the Splunk/LogScale
+    time-slot pattern (reference splunk_ext.py:181-359) against a
+    deterministic fake server backed by the same events.parquet the oracle
+    reads. 4 slots with limit=n//6 force the limit-triggered one-level
+    re-split on every slot (slot ~ n/4 >= n/6; sub-slot ~ n/16 < n/6 at
+    every SF — verified against the ts distribution), so the oracle match
+    proves re-split loses and duplicates nothing. Fetches run inside
+    mapInPandas tasks, one slot per task."""
+    from omigo_data_analytics_spark.sources.rest import PartitionedRestSource
+
+    base, lo, hi, n = _rest_events_server(sf_dir)
+    limit = max(50, n // 6)
+    src = PartitionedRestSource(
+        lambda st, et: f"{base}/events?st={st}&et={et}&limit={limit}",
+        ["event_id", "user_id", "event_type", "value", "ts_us"],
+        limit=limit, num_par_on_limit=4)
+    d = src.read(spark, lo, hi, num_slots=4).df
+    return d.select(
+        d["event_id"].try_cast("bigint").alias("event_id"),
+        d["user_id"].try_cast("bigint").alias("user_id"),
+        d["event_type"],
+        d["value"].try_cast("double").alias("value"),
+        d["ts_us"].try_cast("bigint").alias("ts_us"))
+
+
+SQL_REST_PARTITIONED = """
+SELECT event_id, user_id, event_type, value,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us
+FROM events
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1838,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         # --- new or rewired in r03 ---
         "select_first": q_select_first,
+        "rest_partitioned": q_rest_partitioned,
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "explode_json_zip": q_explode_json_zip,
@@ -1859,8 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_template": q_resolve_template,
         "minmax_range": q_minmax_range,
         "explode_udtf": q_explode_udtf,
-        "flatmap": q_flatmap,
         # ---------------- 50-entry budget boundary (driver checks above) ---
+        "flatmap": q_flatmap,
         "transform_lambda": q_transform_lambda,
         "sql_pushdown": q_sql_pushdown,
         "stream_window": q_stream_window,
@@ -1896,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "select_first": SQL_SELECT_FIRST,
+        "rest_partitioned": SQL_REST_PARTITIONED,
         "tpch_q1_aggregate": SQL_TPCH_Q1,
         "typed_filters": SQL_TYPED_FILTERS,
         "select_regex": SQL_SELECT_REGEX,
