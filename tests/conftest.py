@@ -10,6 +10,13 @@ from omigo_data_analytics_spark import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-kafka", action="store_true", default=False,
+        help="run the Kafka connector end-to-end test (needs the "
+             "spark-sql-kafka jar and a broker at localhost:9092)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark("omigo_spark_tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
