@@ -1788,7 +1788,7 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
-_REST_SERVERS: dict[str, str] = {}
+_REST_SERVERS: dict[str, tuple[str, int, int, int]] = {}
 
 
 def _rest_events_server(sf_dir: str) -> tuple[str, int, int, int]:
@@ -1796,10 +1796,16 @@ def _rest_events_server(sf_dir: str) -> tuple[str, int, int, int]:
     the events table by time slice — the deterministic stand-in for the
     Splunk/LogScale endpoints (reference splunk_ext.py:181-359). Returns
     (base_url, lo_us, hi_us, n). The thread is a daemon; executor tasks in
-    local mode fetch from 127.0.0.1."""
+    local mode fetch from 127.0.0.1. Rows are loaded once per sf_dir and
+    sliced per request via bisect on the sorted ts — the fixture should
+    cost O(answer), not O(table), per fetch."""
+    if sf_dir in _REST_SERVERS:
+        return _REST_SERVERS[sf_dir]
+
     import json as _json
     import threading
     import urllib.parse as _up
+    from bisect import bisect_left
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     import duckdb as _dk
@@ -1808,31 +1814,33 @@ def _rest_events_server(sf_dir: str) -> tuple[str, int, int, int]:
         f"SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us "
         f"FROM '{sf_dir}/events.parquet' ORDER BY ts_us, event_id").fetchall()
     lo, hi, n = rows[0][4], rows[-1][4] + 1, len(rows)
+    ts_sorted = [r[4] for r in rows]
 
-    if sf_dir not in _REST_SERVERS:
-        class H(BaseHTTPRequestHandler):
-            def do_GET(self):
-                q = _up.parse_qs(_up.urlparse(self.path).query)
-                st, et = int(q["st"][0]), int(q["et"][0])
-                limit = int(q["limit"][0])
-                # ORDER BY in the source query makes the truncation at
-                # `limit` deterministic
-                out = [{"event_id": r[0], "user_id": r[1], "event_type": r[2],
-                        "value": repr(r[3]), "ts_us": r[4]}
-                       for r in rows if st <= r[4] < et][:limit]
-                body = _json.dumps(out).encode()
-                self.send_response(200)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = _up.parse_qs(_up.urlparse(self.path).query)
+            st, et = int(q["st"][0]), int(q["et"][0])
+            limit = int(q["limit"][0])
+            # rows are sorted by (ts_us, event_id): bisect the ts range,
+            # then the slice + `limit` truncation is deterministic
+            i, j = bisect_left(ts_sorted, st), bisect_left(ts_sorted, et)
+            out = [{"event_id": r[0], "user_id": r[1], "event_type": r[2],
+                    "value": repr(r[3]), "ts_us": r[4]}
+                   for r in rows[i:min(j, i + limit)]]
+            body = _json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
 
-            def log_message(self, *a):
-                pass
+        def log_message(self, *a):
+            pass
 
-        srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
-        threading.Thread(target=srv.serve_forever, daemon=True).start()
-        _REST_SERVERS[sf_dir] = f"http://127.0.0.1:{srv.server_address[1]}"
-    return _REST_SERVERS[sf_dir], lo, hi, n
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    _REST_SERVERS[sf_dir] = (base, lo, hi, n)
+    return _REST_SERVERS[sf_dir]
 
 
 def q_rest_partitioned(spark, sf_dir):
