@@ -10,6 +10,8 @@ Streaming natively. We expose:
   * windowed_aggregate — event-time tumbling/sliding windows with a
     watermark for late data (replaces window_aggregate for streams);
   * sessionize — session windows by inactivity gap;
+  * stream_dedup — watermark-bounded exact dedup (dedup_exact for
+    continuously-landing data);
   * running_counts — applyInPandasWithState example of a custom stateful
     operator (per-key running count/sum that survives across batches).
 
@@ -121,6 +123,25 @@ def sessionize(sdf: DataFrame, key_col: str, ts_col: str, gap: str = "30 minutes
                     F.col("__s__.start").alias("session_start"),
                     F.col("__s__.end").alias("session_end"),
                     "n_events"))
+
+
+def stream_dedup(sdf: DataFrame, key_cols, ts_col: str | None = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup by key — the stream-side counterpart of
+    operators/dedup.dedup_exact for continuously-landing corpora.
+
+    With `ts_col`, uses dropDuplicatesWithinWatermark: dedup state for a
+    key is dropped once the watermark passes it, so state is bounded by
+    (keys arriving within one watermark span) — the only shape that
+    survives an unbounded stream. Without `ts_col`, falls back to plain
+    dropDuplicates, whose state grows with total distinct keys forever —
+    acceptable for bounded backfills only, and documented as such.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if ts_col is not None:
+        return (sdf.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return sdf.dropDuplicates(keys)
 
 
 def running_counts(sdf: DataFrame, key_col: str,

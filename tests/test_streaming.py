@@ -153,3 +153,31 @@ def test_running_counts_stateful(spark, event_dir):
     for r in rows:
         last[r["key"]] = max(last.get(r["key"], 0), r["total"])
     assert last == {"u0": 40, "u1": 40, "u2": 40}
+
+
+def test_stream_dedup_matches_batch(spark, event_dir):
+    """Duplicate every event 3x (across separate files, so dupes span
+    micro-batch file splits), stream through stream_dedup with a
+    watermark, and land exactly the batch-distinct set."""
+    d, batch_df = event_dir
+    src = tempfile.mkdtemp(prefix="omigo_dedup_src_")
+    try:
+        tripled = batch_df.unionByName(batch_df).unionByName(batch_df)
+        tripled.coalesce(3).write.mode("overwrite").parquet(src)
+
+        sdf = ST.file_source(spark, src, batch_df.schema)
+        deduped = ST.stream_dedup(sdf, ["event_id"], ts_col="ts",
+                                  watermark="1 hour")
+        _run_to_memory(deduped, "dedup_stream", "append")
+        got = spark.sql("select * from dedup_stream")
+        assert got.count() == 120
+        assert got.select("event_id").distinct().count() == 120
+
+        # keyless spelling: plain dropDuplicates on all key cols
+        plain = ST.stream_dedup(sdf, "event_id")
+        _run_to_memory(plain, "dedup_plain", "append")
+        assert spark.sql(
+            "select count(distinct event_id) c from dedup_plain"
+        ).collect()[0]["c"] == 120
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
