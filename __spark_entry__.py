@@ -1876,6 +1876,23 @@ FROM events
 """
 
 
+def q_json_xpath_filter(spark, sf_dir):
+    """filter_json_by_xpath over events.props (flat {"k": int} JSON):
+    dict-form equality on $.k compiled to get_json_object — the operator
+    the reference declares but never implemented (dataframe.py:4955)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter_json_by_xpath("props", {"k": 3}).df
+            .selectExpr("event_id", "user_id",
+                        "get_json_object(props, '$.k') AS k_val"))
+
+
+SQL_JSON_XPATH = """
+SELECT event_id, user_id, json_extract_string(props, '$.k') AS k_val
+FROM events
+WHERE json_extract_string(props, '$.k') = '3'
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1927,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or rewired in r03 ---
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
+        "json_xpath_filter": q_json_xpath_filter,
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "explode_json_zip": q_explode_json_zip,
@@ -1986,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "select_first": SQL_SELECT_FIRST,
         "rest_partitioned": SQL_REST_PARTITIONED,
+        "json_xpath_filter": SQL_JSON_XPATH,
         "tpch_q1_aggregate": SQL_TPCH_Q1,
         "typed_filters": SQL_TYPED_FILTERS,
         "select_regex": SQL_SELECT_REGEX,

@@ -177,10 +177,42 @@ class CompatMixin:
                                                .otherwise(v)))
         return src.explode_json(col, prefix=prefix, **kwargs)
 
-    def filter_json_by_xpath(self, col, xpath_filter):
-        """(reference dataframe.py:4955-4956 — unimplemented there too)"""
-        raise NotImplementedError("filter_json_by_xpath: not implemented yet "
-                                  "(parity with reference)")
+    def filter_json_by_xpath(self, col, xpath_filter, exclude: bool = False):
+        """Filter rows by JSONPath over a JSON-string column. The reference
+        declares this but raises (dataframe.py:4955-4956), so the semantics
+        are defined here — all compiled to JVM-side get_json_object (no
+        Python in the data path except the callable form):
+
+          * str xpath            → keep rows where the path EXISTS
+            (extract is non-null);
+          * dict {xpath: value}  → keep rows where every path's extracted
+            string equals str(value);
+          * (xpath, callable)    → keep rows where callable(extracted_str
+            | None) is truthy (documented Python-UDF slow path).
+
+        Paths may be given as '$.a.b' or bare 'a.b'. ``exclude=True``
+        inverts the predicate."""
+        from pyspark.sql import functions as F
+
+        def _p(x: str) -> str:
+            return x if x.startswith("$") else "$." + x
+
+        if isinstance(xpath_filter, str):
+            cond = F.get_json_object(self._df[col].cast("string"),
+                                     _p(xpath_filter)).isNotNull()
+        elif isinstance(xpath_filter, dict):
+            cond = F.lit(True)
+            for xp, val in xpath_filter.items():
+                cond = cond & (F.get_json_object(
+                    self._df[col].cast("string"), _p(xp)) == F.lit(str(val)))
+        elif (isinstance(xpath_filter, (tuple, list)) and len(xpath_filter) == 2
+              and callable(xpath_filter[1])):
+            xp, fn = xpath_filter
+            f = F.udf(lambda s: bool(fn(s)), "boolean")
+            cond = f(F.get_json_object(self._df[col].cast("string"), _p(xp)))
+        else:
+            raise ValueError(f"unsupported xpath_filter: {xpath_filter!r}")
+        return self._wrap(self._df.where(~cond if exclude else cond))
 
     # -------------------------------------------------- array-cell predicates
     def _array_matching_cols(self, col: str) -> list[str]:

@@ -111,3 +111,27 @@ def test_select_first_param_agg_deterministic(spark):
     out3 = df.aggregate(["g"], ["v"], ["select_first(ord)"], collapse=False)
     assert all(r["v:select_first(ord)"] == ("a" if r["g"] == "g1" else "z")
                for r in out3.df.collect())
+
+
+def test_filter_json_by_xpath_forms(spark):
+    from omigo_data_analytics_spark.core.dataframe import OmigoDF
+    df = spark.createDataFrame(
+        [(1, '{"a": {"b": 5}, "tag": "x"}'),
+         (2, '{"a": {"b": 7}}'),
+         (3, '{"tag": "x"}'),
+         (4, None)], ["id", "j"])
+    o = OmigoDF(df)
+    # str form: path exists
+    assert sorted(r["id"] for r in o.filter_json_by_xpath("j", "a.b").df.collect()) == [1, 2]
+    # dict form: equality on extracted string
+    assert sorted(r["id"] for r in o.filter_json_by_xpath("j", {"a.b": 5}).df.collect()) == [1]
+    assert sorted(r["id"] for r in o.filter_json_by_xpath(
+        "j", {"a.b": 5, "tag": "x"}).df.collect()) == [1]
+    # callable form
+    assert sorted(r["id"] for r in o.filter_json_by_xpath(
+        "j", ("a.b", lambda s: s is not None and int(s) > 5)).df.collect()) == [2]
+    # exclude inverts
+    assert sorted(r["id"] for r in o.filter_json_by_xpath(
+        "j", "a.b", exclude=True).df.collect()) == [3, 4]
+    # $-prefixed path accepted
+    assert sorted(r["id"] for r in o.filter_json_by_xpath("j", "$.tag").df.collect()) == [1, 3]
