@@ -1893,6 +1893,31 @@ WHERE json_extract_string(props, '$.k') = '3'
 """
 
 
+def q_doc_chunks(spark, sf_dir):
+    """chunk_documents (operators/text.py): overlapping token-window
+    chunking of the documents corpus — the pre-tokenization fan-out of an
+    LLM training pipeline. max_tokens=40/overlap=8 → a chunk starts every
+    32 tokens; map-side sequence→slice→posexplode, no shuffle."""
+    from omigo_data_analytics_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "text", max_tokens=40, overlap=8)
+    return out.df.select("doc_id", "chunk_idx", "chunk", "chunk_n_tokens")
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 32)) AS st
+      FROM t)
+SELECT doc_id,
+       CAST(st // 32 AS BIGINT) AS chunk_idx,
+       array_to_string(toks[st + 1 : st + 40], ' ') AS chunk,
+       CAST(len(toks[st + 1 : st + 40]) AS BIGINT) AS chunk_n_tokens
+FROM s
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -1945,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
         "json_xpath_filter": q_json_xpath_filter,
+        "doc_chunks": q_doc_chunks,
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "explode_json_zip": q_explode_json_zip,
@@ -2005,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "select_first": SQL_SELECT_FIRST,
         "rest_partitioned": SQL_REST_PARTITIONED,
         "json_xpath_filter": SQL_JSON_XPATH,
+        "doc_chunks": SQL_DOC_CHUNKS,
         "tpch_q1_aggregate": SQL_TPCH_Q1,
         "typed_filters": SQL_TYPED_FILTERS,
         "select_regex": SQL_SELECT_REGEX,

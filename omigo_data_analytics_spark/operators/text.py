@@ -151,6 +151,38 @@ def fingerprint(odf: OmigoDF, col: str = "text", new_col: str = "fingerprint") -
     return OmigoDF(odf.df.withColumn(new_col, F.md5(norm)))
 
 
+def chunk_documents(odf: OmigoDF, col: str = "text", max_tokens: int = 64,
+                    overlap: int = 8, chunk_col: str = "chunk",
+                    idx_col: str = "chunk_idx",
+                    n_tokens_col: str = "chunk_n_tokens") -> OmigoDF:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization step of an LLM training pipeline (context-sized
+    pieces with `overlap` tokens of continuity between neighbors).
+
+    One chunk starts every (max_tokens - overlap) tokens; every token
+    position belongs to at least one chunk and the final chunk may be
+    short. Pure map-side expressions (split once per row, sequence →
+    slice → explode): no shuffle, rows fan out in place, so a 100 TB
+    corpus chunks at scan speed. Whitespace tokenization matches the
+    token-count metric (' ' split)."""
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    step = max_tokens - overlap
+    d = odf.df.withColumn("__toks__", F.split(F.col(col), " "))
+    gen = (f"posexplode(transform("
+           f"sequence(0, greatest(size(__toks__) - 1, 0), {step}), "
+           f"s -> struct("
+           f"concat_ws(' ', slice(__toks__, s + 1, {max_tokens})) AS c, "
+           f"size(slice(__toks__, s + 1, {max_tokens})) AS n)))")
+    out = (ensure_min_parallelism(d)
+           .select("*", F.expr(gen).alias("__pos__", "__chunk__"))
+           .withColumn(idx_col, F.col("__pos__").cast("bigint"))
+           .withColumn(chunk_col, F.col("__chunk__.c"))
+           .withColumn(n_tokens_col, F.col("__chunk__.n").cast("bigint"))
+           .drop("__toks__", "__pos__", "__chunk__"))
+    return OmigoDF(out)
+
+
 # ------------------------------------------------------------------ oracle
 def metric_sql(dialect: str, metric: str, col: str = "text") -> str:
     return _metric_exprs(dialect, col)[metric]

@@ -286,3 +286,33 @@ def test_dedup_embedding_drops_higher_ids(embeddings):
             for r in DD.dedup_embedding(embeddings, threshold=0.4).df.collect()}
     assert kept == {r["vec_id"] for r in embeddings.df.collect()} - doomed
     assert len(kept) == before - len(doomed)
+
+
+def test_chunk_documents(spark):
+    import pytest as _pt
+    from omigo_data_analytics_spark.core.dataframe import OmigoDF
+    from omigo_data_analytics_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))       # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    out = chunk_documents(OmigoDF(df), "text", max_tokens=4, overlap=1).df
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["chunk"], r["chunk_n_tokens"])
+            for r in out.collect()}
+    # doc 1: starts every 3 tokens -> 0,3,6,9 -> 4 chunks
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)       # 1-token overlap
+    assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert rows[(1, 3)] == ("w9", 1)                # short tail chunk
+    # doc 2 fits in one chunk; doc 3 empty -> one empty chunk
+    assert rows[(2, 0)] == ("a b", 2)
+    assert rows[(3, 0)][1] == 1
+    assert len(rows) == 6
+    # every token of doc 1 appears in at least one chunk
+    covered = set()
+    for (d, _), (c, _) in rows.items():
+        if d == 1:
+            covered.update(c.split())
+    assert covered == {f"w{i}" for i in range(10)}
+    with _pt.raises(ValueError):
+        chunk_documents(OmigoDF(df), "text", max_tokens=4, overlap=4)
