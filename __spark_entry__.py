@@ -1893,6 +1893,27 @@ WHERE json_extract_string(props, '$.k') = '3'
 """
 
 
+def q_token_vocab(spark, sf_dir):
+    """token_counts (operators/text.py): corpus vocabulary statistics —
+    (token, count, doc_freq) with a min_count threshold. Shuffle is
+    vocabulary-sized (map-side partial aggregation), not corpus-sized."""
+    from omigo_data_analytics_spark.operators.text import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    out = token_counts(docs, "text", min_count=2)
+    return out.df.selectExpr("token", "CAST(count AS BIGINT) AS count",
+                             "CAST(doc_freq AS BIGINT) AS doc_freq")
+
+
+SQL_TOKEN_VOCAB = """
+WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+             FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM tok WHERE token <> '' GROUP BY token HAVING count(*) >= 2
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     """chunk_documents (operators/text.py): overlapping token-window
     chunking of the documents corpus — the pre-tokenization fan-out of an
@@ -1971,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_partitioned": q_rest_partitioned,
         "json_xpath_filter": q_json_xpath_filter,
         "doc_chunks": q_doc_chunks,
+        "token_vocab": q_token_vocab,
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "explode_json_zip": q_explode_json_zip,
@@ -2032,6 +2054,7 @@ def oracle_sql() -> dict[str, str]:
         "rest_partitioned": SQL_REST_PARTITIONED,
         "json_xpath_filter": SQL_JSON_XPATH,
         "doc_chunks": SQL_DOC_CHUNKS,
+        "token_vocab": SQL_TOKEN_VOCAB,
         "tpch_q1_aggregate": SQL_TPCH_Q1,
         "typed_filters": SQL_TYPED_FILTERS,
         "select_regex": SQL_SELECT_REGEX,

@@ -183,6 +183,30 @@ def chunk_documents(odf: OmigoDF, col: str = "text", max_tokens: int = 64,
     return OmigoDF(out)
 
 
+def token_counts(odf: OmigoDF, col: str = "text", min_count: int = 1,
+                 lowercase: bool = True) -> OmigoDF:
+    """Corpus token statistics — the vocabulary step of tokenizer
+    training: (token, count, doc_freq) over whitespace tokens.
+
+    Plan: map-side explode of the token array (with a per-row distinct
+    for doc_freq computed from the same split), one hash aggregation on
+    token — partial/final combine keeps the shuffle at vocabulary size,
+    not corpus size. `min_count` prunes the long tail after the agg."""
+    toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
+    d = (ensure_min_parallelism(odf.df)
+         .select(F.explode(toks).alias("token"),
+                 F.lit(1).alias("__occ__"))
+         .where(F.col("token") != ""))
+    per_doc = (ensure_min_parallelism(odf.df)
+               .select(F.explode(F.array_distinct(toks)).alias("token"))
+               .where(F.col("token") != "")
+               .groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq")))
+    counts = d.groupBy("token").agg(F.sum("__occ__").alias("count"))
+    out = (counts.join(per_doc, "token")
+           .where(F.col("count") >= min_count))
+    return OmigoDF(out)
+
+
 # ------------------------------------------------------------------ oracle
 def metric_sql(dialect: str, metric: str, col: str = "text") -> str:
     return _metric_exprs(dialect, col)[metric]

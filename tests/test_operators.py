@@ -316,3 +316,26 @@ def test_chunk_documents(spark):
     assert covered == {f"w{i}" for i in range(10)}
     with _pt.raises(ValueError):
         chunk_documents(OmigoDF(df), "text", max_tokens=4, overlap=4)
+
+
+def test_token_counts(spark):
+    from omigo_data_analytics_spark.core.dataframe import OmigoDF
+    from omigo_data_analytics_spark.operators.text import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "The dog"),
+         (3, "")], ["doc_id", "text"])
+    rows = {r["token"]: (r["count"], r["doc_freq"])
+            for r in token_counts(OmigoDF(df), "text").df.collect()}
+    assert rows["the"] == (3, 2)      # lowercased; twice in doc 1, once in doc 2
+    assert rows["cat"] == (1, 1)
+    assert "" not in rows
+    # min_count prunes
+    pruned = {r["token"] for r in
+              token_counts(OmigoDF(df), "text", min_count=2).df.collect()}
+    assert pruned == {"the"}
+    # case-sensitive spelling
+    cs = {r["token"]: r["count"] for r in
+          token_counts(OmigoDF(df), "text", lowercase=False).df.collect()}
+    assert cs["The"] == 1 and cs["the"] == 2
