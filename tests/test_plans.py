@@ -102,3 +102,26 @@ def test_topk_per_group_is_rank_filter_not_sort_all(spark):
     # ranking runs per-group (hashpartitioning on the group key), never a
     # global single-partition sort
     assert "Exchange hashpartitioning" in p
+
+
+def test_doc_chunks_is_shuffle_free(spark):
+    # chunking is a map-side fan-out: generate/explode with NO Exchange
+    p = _plan(spark, "doc_chunks")
+    assert "Generate" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_token_vocab_aggregates_partial_then_final(spark):
+    # vocabulary shuffle must be preceded by map-side partial aggregation
+    p = _plan(spark, "token_vocab")
+    assert "partial_" in p
+    assert p.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_json_xpath_filter_stays_jvm_side(spark):
+    # dict-form filter compiles to get_json_object expressions: no
+    # BatchEvalPython / ArrowEvalPython stage in the plan
+    p = _plan(spark, "json_xpath_filter")
+    assert "EvalPython" not in p
