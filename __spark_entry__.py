@@ -23,6 +23,7 @@ if _REPO not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
 
 from omigo_data_analytics_spark import OmigoDF  # noqa: E402
 from omigo_data_analytics_spark.sources.io import load_testdata  # noqa: E402
@@ -1008,7 +1009,7 @@ def q_timefuncs_ladder(spark, sf_dir):
     df = ev.df.select(
         "event_type",
         F.unix_timestamp("ts").alias("true_sec"),
-        F.floor(F.unix_micros("ts") / 1000).alias("true_ms"),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1000).alias("true_ms"),
         TFN.to_utctimestamp_sec(
             F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")).alias("sec_iso"),
         TFN.to_utctimestamp_sec(
@@ -1354,8 +1355,14 @@ def q_stream_window(spark, sf_dir):
     tumbling windows -> memory sink; oracle = the equivalent batch SQL."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     sdf = ST.file_source(spark, sf_dir, schema, glob_filter="events.parquet")
-    sdf = sdf.withColumn("ts", F.timestamp_micros(
-        (F.col("ts") / 1000).cast("long")))
+    # event-time must be TIMESTAMP for the watermark; the driver's testdata
+    # has shipped ts both as integer nanos and as timestamp[us] (NTZ) across
+    # rounds, so adapt to whichever shape this copy has
+    if isinstance(schema["ts"].dataType, (T.LongType, T.IntegerType)):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(
+            (F.col("ts") / 1000).cast("long")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = ST.windowed_aggregate(sdf, "ts", "1 hour", ["value"], ["sumdec"],
                                 grouping_cols=["event_type"])
     name = "omigo_stream_window"
