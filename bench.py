@@ -95,7 +95,7 @@ def main():
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     total_cold = round(sum(v for v in cold.values() if v >= 0), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
-    print(json.dumps({
+    payload = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -105,7 +105,40 @@ def main():
         "cpus": cpus,
         "value_first_pass_incl_jit": total_cold,
         "passes": 2,
-    }))
+    }
+    # full-precision record (incl. both passes) for local diffing
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as fh:
+            json.dump({**payload, "pass1": cold, "pass2": pass2}, fh, indent=1)
+    except OSError:
+        pass
+    # The stdout JSON line must survive a bounded tail capture (~2000 chars):
+    # emit compactly and degrade precision/detail before ever exceeding it.
+    budget = 1900
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget:
+        payload["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        payload.pop("value_first_pass_incl_jit", None)
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > budget:
+        # keep the slowest queries (the ones a perf reader needs), fold the
+        # fastest remainder into one summary entry
+        by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+        kept: dict[str, float] = {}
+        for k, v in by_cost:
+            kept[k] = round(v, 2)
+            payload["queries"] = kept
+            if len(json.dumps(payload, separators=(",", ":"))) > budget - 80:
+                del kept[k]
+                break
+        omitted = [k for k in timings if k not in kept]
+        payload["queries"] = kept
+        payload["n_omitted_fast"] = len(omitted)
+        payload["omitted_sum"] = round(
+            sum(timings[k] for k in omitted if timings[k] >= 0), 2)
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
