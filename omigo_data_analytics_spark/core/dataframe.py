@@ -1422,6 +1422,37 @@ class OmigoDF(CompatMixin):
             tagged = tagged.localCheckpoint()
         return [OmigoDF(tagged.filter(F.col(tmp) == i).drop(tmp)) for i in range(num_batches)]
 
+    def hash_split(self, key_cols, fractions=None, seed: int = 0,
+                   split_col: str = "split") -> "OmigoDF":
+        """Deterministic train/val/test assignment: label every row by the
+        portable hash of its key — no shuffle, no state, reproducible
+        across runs, engines, and data shards (the property a training
+        pipeline needs so a document never migrates between splits when
+        the corpus regrows). ``fractions`` is an ordered {name: fraction}
+        map (default 80/10/10 train/val/test); assignment is by
+        cumulative threshold over hash(key, seed) mod 1e6. Keys hash with
+        the portable md5-polynomial, so the split is reproducible in any
+        engine with md5 (the DuckDB oracle checks it exactly)."""
+        from ..operators.text import hash_spark
+        gcols = self._resolve(key_cols)
+        fracs = list((fractions or
+                      {"train": 0.8, "val": 0.1, "test": 0.1}).items())
+        total = sum(f for _, f in fracs)
+        if not 0.999 <= total <= 1.001:
+            raise ValueError(f"hash_split: fractions sum to {total}, want 1")
+        key = "concat_ws('\\t', " + ", ".join(
+            f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+        bucket = F.pmod(F.expr(hash_spark(key)), F.lit(1000000))
+        expr = F.lit(fracs[-1][0])
+        acc = 0.0
+        branches = []
+        for name, frac in fracs[:-1]:
+            acc += frac
+            branches.append((int(round(acc * 1000000)), name))
+        for threshold, name in reversed(branches):
+            expr = F.when(bucket < threshold, F.lit(name)).otherwise(expr)
+        return self._wrap(self._df.withColumn(split_col, expr))
+
     def sample_group_by_col_value(self, grouping_cols, col: str, col_value: str,
                                   sampling_ratio: float, seed: int = 0) -> "OmigoDF":
         """Within every group, downsample rows carrying ``col_value``; other

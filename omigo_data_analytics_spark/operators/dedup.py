@@ -261,6 +261,68 @@ def dedup_embedding(odf: OmigoDF, threshold: float = 0.9,
     return OmigoDF(odf.df.join(dup_ids, on=id_col, how="left_anti"))
 
 
+def connected_components(pairs: OmigoDF, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> OmigoDF:
+    """Connected components over an undirected edge list: returns
+    (id, cluster_id) for every endpoint, cluster_id = min node id in the
+    component (deterministic canonical representative).
+
+    Distributed min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors — one shuffle per round
+    (join on the edge, then min-agg on the node), converging in
+    O(diameter) rounds. Near-dup components are shallow (dup clusters are
+    cliques or stars from LSH banding), so 2-4 rounds is typical; the
+    loop stops as soon as a round changes nothing. Labels are
+    localCheckpointed each round to cut the growing lineage. For
+    adversarially long chains the alternating large-star/small-star
+    variant halves diameter per round; the simple variant keeps the
+    per-round plan to one join + one aggregate, which is the better
+    constant factor for dedup-shaped graphs."""
+    e = pairs.df if isinstance(pairs, OmigoDF) else pairs
+    edges = (e.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+              .unionByName(e.select(F.col(id_b).alias("src"),
+                                    F.col(id_a).alias("dst")))
+              .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct().withColumn("lab", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges["dst"] == labels["id"])
+                 .select(F.col("src").alias("id"), F.col("lab")))
+        new_labels = (labels.select("id", "lab").unionByName(neigh)
+                      .groupBy("id").agg(F.min("lab").alias("lab"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
+                   .where(F.col("lab") != F.col("old")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return OmigoDF(labels.select(F.col("id"), F.col("lab").alias("cluster_id")))
+
+
+def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
+                      col: str = "text", threshold: float = 0.7) -> OmigoDF:
+    """Full near-dup clustering: LSH candidates → exact-Jaccard verify →
+    connected components → every doc labeled with its cluster's min doc
+    id (singletons label themselves). Unlike dedup_near's greedy
+    pair-drop, the transitive closure keeps exactly one representative
+    per dup *cluster* (a~b, b~c collapses all three)."""
+    cands = lsh_candidate_pairs(odf, id_col, col).df
+    sh = ensure_min_parallelism(odf.df).select(
+        F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+    j = (cands
+         .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    verified = OmigoDF(j.where(jac >= threshold).select("id_a", "id_b"))
+    cc = connected_components(verified).df.withColumnRenamed("id", id_col)
+    out = (odf.df.join(cc, on=id_col, how="left")
+           .withColumn("cluster_id",
+                       F.coalesce(F.col("cluster_id"), F.col(id_col))))
+    return OmigoDF(out)
+
+
 def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                threshold: float = 0.7) -> OmigoDF:
     """LSH candidates → exact-Jaccard verification → drop the higher id of

@@ -12,6 +12,7 @@ expressions over the scan.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..core.dataframe import OmigoDF
@@ -204,6 +205,62 @@ def token_counts(odf: OmigoDF, col: str = "text", min_count: int = 1,
     counts = d.groupBy("token").agg(F.sum("__occ__").alias("count"))
     out = (counts.join(per_doc, "token")
            .where(F.col("count") >= min_count))
+    return OmigoDF(out)
+
+
+def tfidf_top_terms(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
+                    k: int = 3, lowercase: bool = True) -> OmigoDF:
+    """Top-k terms per document by tf-idf (idf = ln(N / df), natural log,
+    df = docs containing the term). Ties break by term ascending, so the
+    ranking is total and both engines agree.
+
+    Plan shape at scale: one explode + (term) agg for document
+    frequencies, one explode + (doc, term) agg for term frequencies, an
+    equi-join on term (df side is vocabulary-sized — AQE broadcasts it
+    for real corpora), then a per-doc window top-k. Shuffles carry
+    (term) and (doc, term) tuples, never full documents."""
+    toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
+    base = ensure_min_parallelism(odf.df).select(
+        F.col(id_col), toks.alias("__toks__"))
+    n_docs = base.count()
+    tf = (base.select(id_col, F.explode("__toks__").alias("term"))
+          .where(F.col("term") != "")
+          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = (base.select(F.explode(F.array_distinct("__toks__")).alias("term"))
+           .where(F.col("term") != "")
+           .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    scored = (tf.join(df_, "term")
+              .withColumn("tfidf",
+                          F.round(F.col("tf")
+                                  * F.log(F.lit(float(n_docs)) / F.col("df")),
+                                  6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    out = (scored.withColumn("__rk__", F.row_number().over(w))
+           .where(F.col("__rk__") <= k)
+           .select(id_col, "term", "tf", "df", "tfidf",
+                   F.col("__rk__").alias("rank")))
+    return OmigoDF(out)
+
+
+def inverted_index(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
+                   max_postings: int = 100, lowercase: bool = True) -> OmigoDF:
+    """Token → postings index: (term, doc_freq, postings) where postings
+    is the comma-joined ascending doc-id list, truncated to the first
+    ``max_postings`` ids (doc_freq keeps the full count). One explode +
+    one (term) aggregation; the posting-list sort happens inside the agg
+    buffer (array_sort over collected ids), never as a global sort."""
+    toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
+    ex = (ensure_min_parallelism(odf.df)
+          .select(F.explode(F.array_distinct(toks)).alias("term"),
+                  F.col(id_col))
+          .where(F.col("term") != ""))
+    out = (ex.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("doc_freq"),
+                F.array_sort(F.collect_list(id_col)).alias("__ids__"))
+           .select("term", "doc_freq",
+                   F.concat_ws(",", F.slice(F.col("__ids__").cast("array<string>"),
+                                            1, max_postings)).alias("postings")))
     return OmigoDF(out)
 
 

@@ -1,0 +1,191 @@
+"""Time-series relational operators Spark lacks natively: as-of join,
+interval (range) join, and gap-based sessionization.
+
+The reference engine's workloads are event/telemetry tables (its window
+aggregate DF:5105-5180 and time-ordered graph filters GT:214-300 both
+assume per-key time ordering); these operators complete that family with
+the three standard time-series joins a training-data / analytics pipeline
+needs.
+
+Scale design (the point of each implementation):
+
+* ``asof_join`` — NOT a range join. Both sides are tagged and unioned,
+  then a single window pass per key carries the most recent right-side
+  row forward. One shuffle on the join key, no inequality join, no
+  candidate blowup: cost is O(n log n) per key regardless of how far back
+  the match is. This is the plan you want at 100 TB; a naive
+  ``t_left >= t_right`` join is quadratic per key.
+* ``range_join`` — inequality joins have no hash strategy in any engine;
+  the distributed answer is binning: quantize the point side and explode
+  the interval side into the bins it overlaps, equi-join on
+  (key, bin), then re-check the exact predicate. Shuffle is
+  O(rows x avg_bins); pick ``bin_width`` near the typical interval
+  length so avg_bins stays ~2.
+* ``sessionize`` — two window functions over ONE sort: lag to flag gap
+  breaks, running sum over the same (key, time) order to number
+  sessions. Catalyst plans both in a single Exchange+Sort pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..core.dataframe import OmigoDF
+
+
+def _df(x) -> DataFrame:
+    return x.df if isinstance(x, OmigoDF) else x
+
+
+def _epoch_sec(df: DataFrame, col: str) -> Column:
+    """Time column as epoch-seconds double, whatever its type: TIMESTAMP /
+    TIMESTAMP_NTZ go through unix_micros (NTZ casts to session-TZ
+    timestamp first — NTZ cannot cast straight to numeric), numerics and
+    strings cast directly."""
+    dt = df.schema[col].dataType.typeName()
+    if dt.startswith("timestamp"):
+        return (F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1e6))
+    return F.col(col).cast("double")
+
+
+def asof_join(left, right, on: list[str] | str, left_time: str,
+              right_time: str | None = None, suffix: str = "r",
+              tolerance_sec: float | None = None) -> OmigoDF:
+    """For each left row, attach the latest right row whose time is <= the
+    left row's time (backward as-of, inclusive), matching on `on` keys.
+
+    Implementation: tag right rows 0 / left rows 1, union by name, and
+    window ``last(payload, ignoreNulls) OVER (PARTITION BY on ORDER BY
+    time, side ROWS UNBOUNDED PRECEDING..CURRENT)``. Right rows sort
+    before left rows at equal times, so same-timestamp matches are
+    visible. ``tolerance_sec`` drops matches older than the given horizon
+    (checked after the carry, map-side).
+
+    Right payload columns come back as ``{suffix}:{col}``; rows with no
+    match keep nulls (left join semantics).
+    """
+    ldf, rdf = _df(left), _df(right)
+    keys = [on] if isinstance(on, str) else list(on)
+    rt = right_time or left_time
+
+    r_payload = [c for c in rdf.columns if c not in keys]
+    out_names = {c: f"{suffix}:{c}" for c in r_payload}
+
+    # align schemas: one unioned relation with a side tag
+    l_tagged = (ldf
+                .withColumn("__t__", _epoch_sec(ldf, left_time))
+                .withColumn("__side__", F.lit(1)))
+    for c in r_payload:
+        l_tagged = l_tagged.withColumn(
+            f"__r_{c}__", F.lit(None).cast(rdf.schema[c].dataType))
+    r_tagged = (rdf
+                .withColumn("__t__", _epoch_sec(rdf, rt))
+                .withColumn("__side__", F.lit(0)))
+    for c in r_payload:
+        r_tagged = r_tagged.withColumn(f"__r_{c}__", F.col(c))
+    for c in ldf.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(ldf.schema[c].dataType))
+    cols = keys + ["__t__", "__side__"] \
+        + [c for c in ldf.columns if c not in keys] \
+        + [f"__r_{c}__" for c in r_payload]
+    u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    w = (Window.partitionBy(*keys).orderBy("__t__", "__side__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "*",
+        *[F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__")
+          for c in r_payload],
+        F.last(F.when(F.col("__side__") == 0, F.col("__t__")),
+               ignorenulls=True).over(w).alias("__match_t__"))
+
+    out = carried.where(F.col("__side__") == 1)
+    if tolerance_sec is not None:
+        keep = F.col("__match_t__") >= F.col("__t__") - F.lit(tolerance_sec)
+        for c in r_payload:
+            out = out.withColumn(
+                f"__c_{c}__", F.when(keep, F.col(f"__c_{c}__")))
+    proj = keys + [c for c in ldf.columns if c not in keys]
+    out = out.select(
+        *proj,
+        *[F.col(f"__c_{c}__").alias(out_names[c]) for c in r_payload])
+    return OmigoDF(out)
+
+
+def range_join(points, intervals, point_col: str, start_col: str,
+               end_col: str, on: list[str] | None = None,
+               bin_width: float = 86400.0, how: str = "inner") -> OmigoDF:
+    """Join point rows to interval rows where
+    ``start <= point <= end`` (plus optional equi-keys ``on``).
+
+    Distributed strategy: quantize. Points get one bin
+    ``floor(point / bin_width)``; intervals explode to every bin they
+    overlap; the join is a plain equi-join on (keys, bin) and the exact
+    range predicate filters the candidates. Duplicate hits (an interval
+    spans many bins but each point lives in exactly one) cannot occur:
+    each point carries a single bin.
+    """
+    pdf, idf = _df(points), _df(intervals)
+    keys = list(on or [])
+
+    p = pdf.withColumn(
+        "__bin__", F.floor(_epoch_sec(pdf, point_col) / bin_width))
+    i = idf.withColumn(
+        "__bin__",
+        F.explode(F.sequence(
+            F.floor(_epoch_sec(idf, start_col) / bin_width),
+            F.floor(_epoch_sec(idf, end_col) / bin_width))))
+
+    cond = [p["__bin__"] == i["__bin__"]]
+    for k in keys:
+        cond.append(p[k] == i[k])
+    pt = _epoch_sec(pdf, point_col)
+    joined = (p.join(i, cond, how)
+              .where((pt >= _epoch_sec(idf, start_col))
+                     & (pt <= _epoch_sec(idf, end_col))))
+    dup = set(keys) | {"__bin__"}
+    out = joined.select(
+        *[p[c] for c in pdf.columns],
+        *[i[c] for c in idf.columns if c not in dup])
+    return OmigoDF(out.drop("__bin__"))
+
+
+def sessionize(odf, key_cols: list[str] | str, time_col: str,
+               gap_sec: float = 1800.0,
+               session_col: str = "session_id") -> OmigoDF:
+    """Assign gap-based session numbers per key: a new session starts
+    whenever the time since the previous event exceeds ``gap_sec``.
+    Adds ``{session_col}`` (1-based per key) — one shuffle on the key,
+    both window functions share the same sort order.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    d = _df(odf)
+    t: Column = _epoch_sec(d, time_col)
+    w = Window.partitionBy(*keys).orderBy(t)
+    is_break = (t - F.lag(t).over(w) > F.lit(gap_sec)).cast("bigint")
+    out = (d.withColumn("__brk__", F.coalesce(is_break, F.lit(0)))
+           .withColumn(session_col,
+                       (F.sum("__brk__").over(
+                           w.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)) + 1))
+           .drop("__brk__"))
+    return OmigoDF(out)
+
+
+def session_stats(odf, key_cols: list[str] | str, time_col: str,
+                  gap_sec: float = 1800.0) -> OmigoDF:
+    """Sessionize then collapse: one row per (key, session) with start,
+    end, duration and event count. The groupBy re-uses the sessionize
+    shuffle keys, so AQE keeps the second exchange local."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    s = sessionize(odf, keys, time_col, gap_sec).df
+    t = _epoch_sec(s, time_col)
+    return OmigoDF(
+        s.groupBy(*keys, "session_id")
+         .agg(F.min(t).alias("session_start"),
+              F.max(t).alias("session_end"),
+              (F.max(t) - F.min(t)).alias("duration_sec"),
+              F.count(F.lit(1)).alias("n_events")))

@@ -1,0 +1,103 @@
+"""Round-4 training-pipeline operators: connected-components near-dup
+clustering, tf-idf top terms, inverted index, deterministic hash split."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import dedup as DD
+from omigo_data_analytics_spark.operators import text as TX
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton edges absent
+    pairs = OmigoDF(spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"))
+    out = DD.connected_components(pairs).df
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain(spark):
+    n = 40  # diameter >> typical; exercises multi-round convergence
+    pairs = OmigoDF(spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"))
+    out = DD.connected_components(pairs, max_iter=100).df
+    labs = {r["cluster_id"] for r in out.collect()}
+    assert labs == {0}
+    assert out.count() == n + 1
+
+
+def test_cluster_near_dups_transitive(spark):
+    # a~b and b~c by shared text; greedy pair-drop would keep c, the
+    # transitive closure must label all three with min id
+    docs = OmigoDF(spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "alpha beta gamma delta epsilon eta"),
+         (9, "completely different words entirely here now")],
+        "doc_id long, text string"))
+    out = DD.cluster_near_dups(docs, threshold=0.3).df
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got[1] == 1 and got[2] == 1 and got[9] == 9
+    # doc 3 joins iff LSH banding surfaces it; both labels are legal
+    assert got[3] in (1, 3)
+
+
+def test_tfidf_top_terms(spark):
+    docs = OmigoDF(spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string"))
+    out = TX.tfidf_top_terms(docs, k=2).df
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+            for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> tfidf = 2*ln(3) ~ 2.197 beats banana
+    assert rows[(1, 1)] == ("apple", 2, 1)
+    assert rows[(1, 2)] == ("banana", 1, 2)
+    one = [r for r in out.collect() if r["doc_id"] == 1 and r["term"] == "apple"][0]
+    assert math.isclose(one["tfidf"], round(2 * math.log(3.0), 6), abs_tol=1e-6)
+
+
+def test_inverted_index(spark):
+    docs = OmigoDF(spark.createDataFrame(
+        [(5, "x y"), (3, "y z"), (4, "y")], "doc_id long, text string"))
+    out = TX.inverted_index(docs).df
+    got = {r["term"]: (r["doc_freq"], r["postings"]) for r in out.collect()}
+    assert got["y"] == (3, "3,4,5")  # sorted ascending
+    assert got["x"] == (1, "5")
+    assert got["z"] == (1, "3")
+
+
+def test_inverted_index_caps_postings(spark):
+    docs = OmigoDF(spark.createDataFrame(
+        [(i, "tok") for i in range(20)], "doc_id long, text string"))
+    out = TX.inverted_index(docs, max_postings=5).df.collect()[0]
+    assert out["doc_freq"] == 20              # full count survives the cap
+    assert out["postings"] == "0,1,2,3,4"     # postings truncated
+
+
+def test_hash_split_deterministic_and_proportional(documents):
+    out = documents.hash_split(["doc_id"]).df
+    frac = (out.groupBy("split").count().collect())
+    got = {r["split"]: r["count"] for r in frac}
+    n = sum(got.values())
+    assert set(got) <= {"train", "val", "test"}
+    assert got["train"] / n > 0.7  # 80% nominal, tolerance for 500 rows
+    # determinism: same rows -> same assignment
+    again = documents.hash_split(["doc_id"]).df
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in again.collect()}
+    assert a == b
+
+
+def test_hash_split_no_shuffle(documents):
+    plan = (documents.hash_split(["doc_id"]).df
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan  # pure map-side labeling
+
+
+def test_hash_split_custom_fractions(documents):
+    out = documents.hash_split(["doc_id"], {"a": 0.5, "b": 0.5}, seed=7).df
+    got = {r["split"] for r in out.select("split").distinct().collect()}
+    assert got == {"a", "b"}

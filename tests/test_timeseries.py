@@ -1,0 +1,127 @@
+"""Time-series operators: as-of join, range join, sessionization —
+semantics checked against hand-computed expectations on synthetic frames
+and against brute-force joins on real testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import timeseries as TS
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (key, t, px): the right side of the as-of join
+    rows = [("a", 1.0, 10.0), ("a", 5.0, 11.0), ("a", 9.0, 12.0),
+            ("b", 2.0, 20.0)]
+    return OmigoDF(spark.createDataFrame(rows, "k string, t double, px double"))
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [("a", 0.5), ("a", 1.0), ("a", 6.0), ("a", 100.0),
+            ("b", 1.0), ("c", 3.0)]
+    return OmigoDF(spark.createDataFrame(rows, "k string, t double"))
+
+
+def test_asof_backward_inclusive(trades, quotes):
+    out = TS.asof_join(trades, quotes, on="k", left_time="t",
+                       right_time="t", suffix="q").df
+    got = {(r["k"], r["t"]): r["q:px"] for r in out.collect()}
+    assert got == {
+        ("a", 0.5): None,       # before first quote
+        ("a", 1.0): 10.0,       # same-timestamp quote visible
+        ("a", 6.0): 11.0,       # latest at-or-before
+        ("a", 100.0): 12.0,     # carries arbitrarily far forward
+        ("b", 1.0): None,       # b's quote is at t=2 (future)
+        ("c", 3.0): None,       # key with no right rows at all
+    }
+    assert out.count() == 6  # left join: every left row survives
+
+
+def test_asof_tolerance(trades, quotes):
+    out = TS.asof_join(trades, quotes, on="k", left_time="t",
+                       suffix="q", tolerance_sec=10.0).df
+    got = {(r["k"], r["t"]): r["q:px"] for r in out.collect()}
+    assert got[("a", 100.0)] is None  # match is 91s stale > 10s horizon
+    assert got[("a", 6.0)] == 11.0
+
+
+def test_asof_vs_bruteforce_events(spark, events):
+    """purchase events vs the latest view event per user — union-window
+    result must equal the brute-force inequality-join result."""
+    ev = events.df.select("user_id", "event_id", "ts", "event_type",
+                          "value").limit(4000)
+    left = OmigoDF(ev.where("event_type = 'purchase'"))
+    right = OmigoDF(ev.where("event_type = 'view'")
+                    .select("user_id", "ts", F.col("event_id").alias("view_id")))
+    out = TS.asof_join(left, right, on="user_id", left_time="ts",
+                       suffix="v").df
+    # brute force: max view ts <= purchase ts, then its id
+    l, r = ev.where("event_type = 'purchase'").alias("l"), \
+        ev.where("event_type = 'view'").alias("r")
+    bf = (l.join(r, (F.col("l.user_id") == F.col("r.user_id"))
+                 & (F.col("r.ts") <= F.col("l.ts")), "left")
+          .groupBy("l.event_id")
+          .agg(F.max_by(F.col("r.event_id"), F.col("r.ts")).alias("view_id")))
+    got = {r["event_id"]: r["v:view_id"] for r in out.collect()}
+    want = {r["event_id"]: r["view_id"] for r in bf.collect()}
+    assert got == want
+
+
+def test_range_join_binned_equals_bruteforce(spark):
+    pts = OmigoDF(spark.createDataFrame(
+        [(i, float(i * 7 % 100)) for i in range(200)], "pid long, x double"))
+    iv = OmigoDF(spark.createDataFrame(
+        [(j, float(j * 13 % 90), float(j * 13 % 90 + 12)) for j in range(50)],
+        "iid long, lo double, hi double"))
+    out = TS.range_join(pts, iv, "x", "lo", "hi", bin_width=8.0).df
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    bf = (pts.df.alias("p").join(
+        iv.df.alias("i"),
+        (F.col("p.x") >= F.col("i.lo")) & (F.col("p.x") <= F.col("i.hi"))))
+    want = {(r["pid"], r["iid"]) for r in bf.select("pid", "iid").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_range_join_with_keys(spark):
+    pts = OmigoDF(spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 50.0), ("b", 3, 5.0)],
+        "k string, pid long, x double"))
+    iv = OmigoDF(spark.createDataFrame(
+        [("a", 10, 0.0, 10.0), ("b", 11, 40.0, 60.0)],
+        "k string, iid long, lo double, hi double"))
+    out = TS.range_join(pts, iv, "x", "lo", "hi", on=["k"], bin_width=10.0).df
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 10)}  # key must match AND range must contain
+
+
+def test_sessionize_gaps(spark):
+    rows = [("u", 0.0), ("u", 100.0), ("u", 5000.0), ("u", 5100.0),
+            ("u", 99999.0), ("v", 1.0)]
+    d = OmigoDF(spark.createDataFrame(rows, "k string, t double"))
+    out = TS.sessionize(d, "k", "t", gap_sec=1800.0).df
+    got = {(r["k"], r["t"]): r["session_id"] for r in out.collect()}
+    assert got == {("u", 0.0): 1, ("u", 100.0): 1,
+                   ("u", 5000.0): 2, ("u", 5100.0): 2,
+                   ("u", 99999.0): 3, ("v", 1.0): 1}
+
+
+def test_session_stats(spark):
+    rows = [("u", 0.0), ("u", 100.0), ("u", 5000.0)]
+    d = OmigoDF(spark.createDataFrame(rows, "k string, t double"))
+    out = TS.session_stats(d, "k", "t", gap_sec=1800.0).df
+    got = {r["session_id"]: (r["session_start"], r["session_end"],
+                             r["duration_sec"], r["n_events"])
+           for r in out.collect()}
+    assert got == {1: (0.0, 100.0, 100.0, 2), 2: (5000.0, 5000.0, 0.0, 1)}
+
+
+def test_asof_plan_single_window_exchange(trades, quotes):
+    """The as-of join must compile to ONE hash-partitioned exchange +
+    window — no inequality join, no cartesian."""
+    out = TS.asof_join(trades, quotes, on="k", left_time="t").df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
