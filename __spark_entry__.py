@@ -35,6 +35,7 @@ from omigo_data_analytics_spark.operators import similarity as SIM  # noqa: E402
 from omigo_data_analytics_spark.operators import stats as SS  # noqa: E402
 from omigo_data_analytics_spark.sources import sql as SQX  # noqa: E402
 from omigo_data_analytics_spark.streaming import stream as ST  # noqa: E402
+from omigo_data_analytics_spark.operators import timeseries as TS  # noqa: E402
 from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
 from omigo_data_analytics_spark.functions import timefuncs as TFN  # noqa: E402
 
@@ -1382,6 +1383,216 @@ FROM events GROUP BY 1, 2
 
 
 # =====================================================================
+# Time-series joins & sessions (operators/timeseries.py, new r04)
+# =====================================================================
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase event gets the latest preceding
+    view event of the same user (union + one window pass — not an
+    inequality join). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events").df
+    left = OmigoDF(ev.where("event_type = 'purchase'")
+                   .select("user_id", "event_id", "ts"))
+    # dedupe right to one view per (user, ts): equal-timestamp rows have
+    # no defined as-of winner, so both engines pick the same row
+    right = OmigoDF(ev.where("event_type = 'view'")
+                    .groupBy("user_id", "ts")
+                    .agg(F.max("event_id").alias("view_id")))
+    out = TS.asof_join(left, right, on="user_id", left_time="ts",
+                       suffix="v")
+    return out.df.select("user_id", "event_id",
+                         F.col("v:view_id").alias("view_id"))
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+      WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT p.user_id, p.event_id, v.view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Binned interval join: click events landing inside the 1-hour
+    window opened by each error event of the same user."""
+    ev = _t(spark, sf_dir, "events").df
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    points = OmigoDF(ev.where("event_type = 'click'")
+                     .select(F.col("event_id").alias("click_id"),
+                             "user_id", sec.alias("pt")))
+    intervals = OmigoDF(ev.where("event_type = 'error'")
+                        .select(F.col("event_id").alias("err_id"),
+                                "user_id", sec.alias("lo"),
+                                (sec + 3600.0).alias("hi")))
+    out = TS.range_join(points, intervals, "pt", "lo", "hi",
+                        on=["user_id"], bin_width=3600.0)
+    return out.df.select("click_id", "user_id", "err_id")
+
+
+SQL_RANGE_JOIN = """
+WITH c AS (SELECT event_id AS click_id, user_id, epoch(ts) AS pt
+           FROM events WHERE event_type = 'click'),
+e AS (SELECT event_id AS err_id, user_id, epoch(ts) AS lo,
+             epoch(ts) + 3600.0 AS hi
+      FROM events WHERE event_type = 'error')
+SELECT c.click_id, c.user_id, e.err_id
+FROM c JOIN e ON c.user_id = e.user_id AND c.pt >= e.lo AND c.pt <= e.hi
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min inactivity
+    splits), collapsed to per-session stats."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.session_stats(ev, "user_id", "ts", gap_sec=1800.0)
+    return out.df.select("user_id", "session_id", "session_start",
+                         "session_end", "duration_sec", "n_events")
+
+
+SQL_SESSIONIZE = """
+WITH t AS (SELECT user_id, epoch(ts) AS sec FROM events),
+m AS (SELECT user_id, sec,
+             CASE WHEN sec - lag(sec) OVER
+                  (PARTITION BY user_id ORDER BY sec) > 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM t),
+s AS (SELECT user_id, sec,
+             1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m)
+SELECT user_id, session_id, MIN(sec) AS session_start,
+       MAX(sec) AS session_end,
+       MAX(sec) - MIN(sec) AS duration_sec,
+       COUNT(*) AS n_events
+FROM s GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Round-4 training-pipeline ops: CC clustering, tf-idf, index, split
+# =====================================================================
+
+def q_dedup_cluster(spark, sf_dir):
+    """Near-dup clustering: LSH candidates → exact-Jaccard verify →
+    distributed connected components; every doc labeled with its
+    cluster's min doc id."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.cluster_near_dups(d, threshold=0.7).select(
+        ["doc_id", "cluster_id"]).df
+
+
+def _sql_dedup_cluster() -> str:
+    """LSH pipeline (same constants as _sql_dedup_minhash_lsh) + a
+    recursive-CTE transitive closure: min reachable node id = the
+    component's canonical label."""
+    sh = DD.shingles_expr("duck")
+    sig_cols = ", ".join(f"{e} AS mh_{j}"
+                         for j, e in enumerate(DD.minhash_exprs("duck", sh)))
+    rows_per_band = 2
+    bands = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, concat(" +
+        ", '_', ".join(f"CAST(mh_{b * rows_per_band + r} AS VARCHAR)"
+                       for r in range(rows_per_band)) +
+        ") AS band_key, doc_id FROM sigs"
+        for b in range(DD.NUM_HASHES // rows_per_band))
+    inter = "len(list_intersect(a.sh, b.sh))"
+    return f"""
+WITH RECURSIVE sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id),
+shs AS (SELECT doc_id, {sh} AS sh FROM documents),
+ver AS (SELECT c.id_a, c.id_b
+        FROM cand c JOIN shs a ON a.doc_id = c.id_a
+                    JOIN shs b ON b.doc_id = c.id_b
+        WHERE CAST({inter} AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - {inter}) >= 0.7),
+edges AS (SELECT id_a AS a, id_b AS b FROM ver
+          UNION SELECT id_b, id_a FROM ver),
+walk(id, lab) AS (SELECT a, a FROM edges
+                  UNION
+                  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
+cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 terms per document by tf-idf (ln idf, ties by term)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(d, k=3).df
+
+
+SQL_TFIDF = """
+WITH base AS (SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x != '') AS toks
+              FROM documents),
+tf AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, COUNT(*) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM base)
+        GROUP BY 1),
+scored AS (SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+                  round(tfc.tf * ln((SELECT COUNT(*) FROM base) * 1.0
+                                    / dfc.df), 6) AS tfidf
+           FROM tfc JOIN dfc USING (term)),
+ranked AS (SELECT *, CAST(row_number() OVER
+               (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+               AS BIGINT) AS rank
+           FROM scored)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_inverted_index(spark, sf_dir):
+    """Token → postings index over documents (doc_freq + first 100
+    ascending doc ids)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.inverted_index(d, max_postings=100).df
+
+
+SQL_INVERTED_INDEX = """
+WITH ex AS (SELECT unnest(list_distinct(list_filter(
+                       string_split(lower(text), ' '), x -> x != '')))
+                AS term, doc_id
+            FROM documents)
+SELECT term, COUNT(*) AS doc_freq,
+       array_to_string(list_transform(list_sort(list(doc_id))[1:100],
+                                      x -> CAST(x AS VARCHAR)), ',')
+           AS postings
+FROM ex GROUP BY term
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test labeling by portable hash of
+    doc_id; checked as per-(lang, split) counts."""
+    d = _t(spark, sf_dir, "documents")
+    out = d.hash_split(["doc_id"]).df
+    return (out.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _sql_hash_split() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), '0')")
+    return f"""
+WITH b AS (SELECT lang, ({h}) % 1000000 AS bk FROM documents)
+SELECT lang,
+       CASE WHEN bk < 800000 THEN 'train'
+            WHEN bk < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+# =====================================================================
 # Enrichment & multimodal (SURVEY §2.10 / north-star pipeline ops)
 # =====================================================================
 
@@ -2000,7 +2211,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rewritten in r04 (TIMESTAMP_NTZ testdata adaptation) ---
         "timefuncs_ladder": q_timefuncs_ladder,
         "stream_window": q_stream_window,
-        # --- new in r04 (slot for additions; keep total above <= 50) ---
+        # --- new in r04 ---
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "sessionize": q_sessionize,
+        "dedup_cluster": q_dedup_cluster,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_index": q_inverted_index,
+        "hash_split": q_hash_split,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -2103,6 +2321,13 @@ def oracle_sql() -> dict[str, str]:
         "ttest": _sql_ttest(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": _sql_ngram_jaccard(),
+        "asof_join": SQL_ASOF_JOIN,
+        "range_join": SQL_RANGE_JOIN,
+        "sessionize": SQL_SESSIONIZE,
+        "dedup_cluster": _sql_dedup_cluster(),
+        "tfidf_top_terms": SQL_TFIDF,
+        "inverted_index": SQL_INVERTED_INDEX,
+        "hash_split": _sql_hash_split(),
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
