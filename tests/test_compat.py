@@ -217,8 +217,12 @@ def test_explode_json_v2_and_xpath(spark):
         [('{"a": 1, "b": {"c": "z"}}',)], ["payload"]))
     out = df.explode_json_v2("payload")
     assert "payload:a" in out.columns and "payload:b:c" in out.columns
-    with pytest.raises(NotImplementedError):
-        df.filter_json_by_xpath("payload", "/a")
+    # filter_json_by_xpath (implemented r03; the reference's own raises)
+    assert df.filter_json_by_xpath("payload", "a").num_rows() == 1
+    assert df.filter_json_by_xpath("payload", "missing").num_rows() == 0
+    assert df.filter_json_by_xpath("payload", {"b.c": "z"}).num_rows() == 1
+    assert df.filter_json_by_xpath(
+        "payload", {"b.c": "z"}, exclude=True).num_rows() == 0
 
 
 def test_explode_json_v2_fix_json_arr(spark):
