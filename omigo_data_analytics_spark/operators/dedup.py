@@ -147,14 +147,24 @@ def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     (id_a < id_b) candidate pairs."""
     sigs = minhash_signatures(odf, col, k).df.select(
         id_col, *[f"mh_{j}" for j in range(k)])
-    bands = []
+    # one banded projection via a single explode — NOT a union of
+    # per-band selects, which would re-evaluate the md5-heavy signature
+    # expression once per band per join side (8x the map work for
+    # 4 bands). The result is localCheckpointed so the self-join reads
+    # materialized (band, key, id) triples instead of recomputing
+    # signatures on each side; that projection is the same tiny footprint
+    # the join would shuffle anyway.
+    structs = []
     for b in range(k // rows_per_band):
         key = F.concat_ws("_", *[F.col(f"mh_{b * rows_per_band + r}").cast("string")
                                  for r in range(rows_per_band)])
-        bands.append(sigs.select(F.lit(b).alias("band"), key.alias("band_key"), F.col(id_col)))
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
+        structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    all_bands = (sigs.select(F.col(id_col),
+                             F.explode(F.array(*structs)).alias("__bb__"))
+                 .select(F.col("__bb__.band").alias("band"),
+                         F.col("__bb__.band_key").alias("band_key"),
+                         F.col(id_col))
+                 .localCheckpoint(eager=False))
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     pairs = (a.join(b, on=[F.col("a.band") == F.col("b.band"),
@@ -234,6 +244,10 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
                         F.col("__n__").alias("__nb__"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
+        # NOT checkpointed: the bucketed projection carries the full
+        # vectors, so materializing it costs more than re-running the
+        # BLAS-vectorized bucket UDF on each join side (measured 2-6x
+        # slower with a localCheckpoint here)
         ex = base.select(id_col, "__v__", "__n__",
                          F.explode(_buckets_col("__v__")).alias("bucket"))
         a = ex.select("bucket", F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
@@ -308,8 +322,9 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
     pair-drop, the transitive closure keeps exactly one representative
     per dup *cluster* (a~b, b~c collapses all three)."""
     cands = lsh_candidate_pairs(odf, id_col, col).df
-    sh = ensure_min_parallelism(odf.df).select(
-        F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+    sh = (ensure_min_parallelism(odf.df)
+          .select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+          .localCheckpoint(eager=False))
     j = (cands
          .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
          .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
@@ -328,8 +343,12 @@ def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     """LSH candidates → exact-Jaccard verification → drop the higher id of
     each confirmed near-dup pair (connected via min-representative)."""
     cands = lsh_candidate_pairs(odf, id_col, col).df
-    sh = ensure_min_parallelism(odf.df).select(
-        F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+    # shingle sets are joined from both pair endpoints; checkpoint the
+    # (id, shingles) projection so the tokenizing expr runs once, not
+    # once per side
+    sh = (ensure_min_parallelism(odf.df)
+          .select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+          .localCheckpoint(eager=False))
     j = (cands
          .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
          .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
