@@ -125,3 +125,44 @@ def test_json_xpath_filter_stays_jvm_side(spark):
     # BatchEvalPython / ArrowEvalPython stage in the plan
     p = _plan(spark, "json_xpath_filter")
     assert "EvalPython" not in p
+
+
+def test_asof_join_is_window_not_inequality_join(spark):
+    # the as-of compiles to union + window over the key: no BNLJ/cartesian
+    p = _plan(spark, "asof_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    assert "Union" in p
+
+
+def test_range_join_is_binned_equijoin(spark):
+    # the interval predicate must ride an equi-join on (key, bin), never
+    # a nested-loop over the inequality alone
+    p = _plan(spark, "range_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "__bin__" in p
+
+
+def test_sessionize_shares_one_sort(spark):
+    # lag + running sum + the stats agg: exactly one hashpartitioning
+    # exchange on the session key feeds it all
+    p = _plan(spark, "sessionize")
+    assert p.count("Exchange hashpartitioning") == 1
+    import re
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", p)
+
+
+def test_tfidf_aggregates_partial_then_final(spark):
+    p = _plan(spark, "tfidf_top_terms")
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    import re
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", p)
+
+
+def test_inverted_index_single_term_shuffle(spark):
+    p = _plan(spark, "inverted_index")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_" in p  # objectagg partial before the exchange
