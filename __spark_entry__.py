@@ -1470,6 +1470,45 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Structured Streaming session windows (inactivity gap 30 min) over
+    the events stream; oracle = batch gap-sessionization SQL (a gap
+    session window is exactly: start = min ts, end = max ts + gap)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = ST.file_source(spark, sf_dir, schema, glob_filter="events.parquet")
+    if isinstance(schema["ts"].dataType, (T.LongType, T.IntegerType)):
+        sdf = sdf.withColumn("ts", F.timestamp_micros(
+            (F.col("ts") / 1000).cast("long")))
+    else:
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = ST.sessionize(sdf, "user_id", "ts", gap="30 minutes")
+    name = "omigo_stream_sessions"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    ep = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)  # noqa: E731
+    return (spark.sql(f"select * from {name}")
+            .select("user_id", ep("session_start").alias("session_start"),
+                    ep("session_end").alias("session_end"), "n_events"))
+
+
+SQL_STREAM_SESSIONS = """
+WITH t AS (SELECT user_id, epoch(ts) AS sec FROM events),
+m AS (SELECT user_id, sec,
+             CASE WHEN sec - lag(sec) OVER
+                  (PARTITION BY user_id ORDER BY sec) > 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM t),
+s AS (SELECT user_id, sec,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, MIN(sec) AS session_start,
+       MAX(sec) + 1800.0 AS session_end, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
 # =====================================================================
 # Round-4 training-pipeline ops: CC clustering, tf-idf, index, split
 # =====================================================================
@@ -2219,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "inverted_index": q_inverted_index,
         "hash_split": q_hash_split,
+        "stream_sessions": q_stream_sessions,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -2328,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": SQL_TFIDF,
         "inverted_index": SQL_INVERTED_INDEX,
         "hash_split": _sql_hash_split(),
+        "stream_sessions": SQL_STREAM_SESSIONS,
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
