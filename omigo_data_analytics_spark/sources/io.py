@@ -149,6 +149,21 @@ def write_parquet(xdf: OmigoDF, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path_or_paths) -> OmigoDF:
+    """ORC scan (columnar alternate to parquet; same pushdown/pruning)."""
+    paths = _as_paths(path_or_paths)
+    return OmigoDF(spark.read.orc(*paths))
+
+
+def write_orc(xdf: OmigoDF, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_bucketed(xdf: OmigoDF, table_name: str, bucket_cols,
                    num_buckets: int = 64, sort_cols=None,
                    mode: str = "overwrite", fmt: str = "parquet") -> None:

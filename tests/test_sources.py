@@ -226,3 +226,17 @@ def test_tsv_zip_write_read_roundtrip(spark, tmpdir):
     # plain read() dispatches .zip transparently like the reference's hydra.read
     back2 = IO.read(spark, p)
     assert back2.columns == ["id", "v"] and back2.num_rows() == 3
+
+
+def test_orc_roundtrip_with_pushdown(spark, nation, tmpdir):
+    from omigo_data_analytics_spark.sources import io
+
+    path = f"{tmpdir}/nation_orc"
+    io.write_orc(nation, path)
+    back = io.read_orc(spark, path)
+    assert back.num_rows() == nation.num_rows()
+    assert sorted(back.columns) == sorted(nation.columns)
+    # predicate pushdown reaches the ORC scan like parquet
+    plan = (back.df.where("n_regionkey = 1").select("n_name")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [" in plan and "n_regionkey" in plan
