@@ -106,3 +106,65 @@ def test_window_topk_matches_duck(spark, rows):
         rows, "SELECT k, v FROM (SELECT k, v, row_number() OVER "
               "(PARTITION BY k ORDER BY v DESC, s) rn FROM t) WHERE rn <= 2"))
     assert got == exp
+
+
+TS_ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.floats(min_value=0, max_value=100, allow_nan=False)),
+    min_size=0, max_size=25)
+
+
+@given(left=TS_ROWS, right=TS_ROWS)
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from pyspark.sql import functions as F
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    if not left:
+        return
+    # dedupe right on (k, t): equal keys have no defined as-of winner
+    rseen, rdedup = set(), []
+    for i, (k, t) in enumerate(right):
+        if (k, t) not in rseen:
+            rseen.add((k, t))
+            rdedup.append((k, t, float(i)))
+    l = OmigoDF(spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)],
+        "k string, t double, lid long"))
+    r = OmigoDF(spark.createDataFrame(
+        rdedup or [("zz", -1.0, 0.0)], "k string, t double, px double"))
+    out = TS.asof_join(l, r, on="k", left_time="t", suffix="q").df
+    got = {row["lid"]: row["q:px"] for row in out.collect()}
+    want = {}
+    for i, (k, t) in enumerate(left):
+        best = None
+        for (rk, rt, px) in (rdedup or []):
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, px)
+        want[i] = best[1] if best else None
+    assert got == want
+
+
+@given(rows=TS_ROWS, gap=st.floats(min_value=0.5, max_value=50))
+@_SETTINGS
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    rows = [(k, t, i) for i, (k, t) in enumerate(rows)]
+    if not rows:
+        return
+    d = OmigoDF(spark.createDataFrame(rows, "k string, t double, rid long"))
+    out = TS.sessionize(d, "k", "t", gap_sec=gap).df
+    got = {r["rid"]: r["session_id"] for r in out.collect()}
+    # brute force per key: sort by (t, insertion) — ties get the same
+    # session id either way since their gap is 0
+    want = {}
+    for key in {k for k, _, _ in rows}:
+        seq = sorted([(t, rid) for k, t, rid in rows if k == key])
+        sid, prev = 1, None
+        for t, rid in seq:
+            if prev is not None and t - prev > gap:
+                sid += 1
+            want[rid] = sid
+            prev = t
+    assert got == want
