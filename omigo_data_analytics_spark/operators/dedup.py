@@ -314,6 +314,73 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
     return OmigoDF(labels.select(F.col("id"), F.col("lab").alias("cluster_id")))
 
 
+def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
+                              id_b: str = "id_b",
+                              max_iter: int = 40) -> OmigoDF:
+    """Connected components via alternating large-star / small-star
+    rounds — O(log n) rounds on ANY graph shape, including the long
+    chains where plain min-label propagation needs O(diameter) rounds.
+
+    Each round is two grouped aggregations + joins over the edge list
+    (public algorithm: Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): large-star points every neighbor larger
+    than u at u's minimum neighborhood label; small-star re-points the
+    small neighbors. The edge list contracts toward star graphs whose
+    centers are the component minima. Convergence is detected by an
+    order-insensitive (count, hash-sum) signature of the canonical edge
+    set — one tiny aggregate, no edge-set equality join.
+
+    Same output contract as connected_components: (id, cluster_id) with
+    cluster_id = min node id in the component."""
+    e0 = pairs.df if isinstance(pairs, OmigoDF) else pairs
+    nodes = (e0.select(F.col(id_a).alias("id"))
+             .unionByName(e0.select(F.col(id_b).alias("id"))).distinct()
+             .localCheckpoint(eager=False))
+    # symmetric, loop-free working edge list
+    e = (e0.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+         .unionByName(e0.select(F.col(id_b).alias("u"),
+                                F.col(id_a).alias("v")))
+         .where(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+
+    def _star(edges, large: bool):
+        m = (edges.groupBy("u")
+             .agg(F.min("v").alias("__mn__"))
+             .select("u", F.least(F.col("__mn__"), F.col("u")).alias("m")))
+        j = edges.join(m, "u")
+        keep = (F.col("v") > F.col("u")) if large else (F.col("v") <= F.col("u"))
+        out = (j.where(keep).select(F.col("v").alias("a"), F.col("m").alias("b"))
+               .unionByName(m.select(F.col("u").alias("a"),
+                                     F.col("m").alias("b"))))
+        # re-symmetrize the contracted edge set for the next round
+        sym = (out.where(F.col("a") != F.col("b"))
+               .select(F.col("a").alias("u"), F.col("b").alias("v")))
+        return (sym.unionByName(sym.select(F.col("v").alias("u"),
+                                           F.col("u").alias("v")))
+                .distinct().localCheckpoint(eager=True))
+
+    def _sig(edges):
+        row = (edges.where(F.col("u") < F.col("v"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(u, v))").alias("h")).first())
+        return (row["n"], row["h"])
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e = _star(_star(e, large=True), large=False)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # stars: every node's component min is its smallest neighbor (or self)
+    lab = (e.groupBy("u").agg(F.min("v").alias("mn"))
+           .select(F.col("u").alias("id"),
+                   F.least(F.col("mn"), F.col("u")).alias("cluster_id")))
+    out = (nodes.join(lab, "id", "left")
+           .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")))
+    return OmigoDF(out)
+
+
 def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
                       col: str = "text", threshold: float = 0.7) -> OmigoDF:
     """Full near-dup clustering: LSH candidates → exact-Jaccard verify →

@@ -101,3 +101,28 @@ def test_hash_split_custom_fractions(documents):
     out = documents.hash_split(["doc_id"], {"a": 0.5, "b": 0.5}, seed=7).df
     got = {r["split"] for r in out.select("split").distinct().collect()}
     assert got == {"a", "b"}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    import random
+    rng = random.Random(4)
+    # random sparse graph: several components of mixed shape
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(80)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = OmigoDF(spark.createDataFrame(edges, "id_a long, id_b long"))
+    prop = {r["id"]: r["cluster_id"]
+            for r in DD.connected_components(pairs, max_iter=200).df.collect()}
+    star = {r["id"]: r["cluster_id"]
+            for r in DD.connected_components_star(pairs).df.collect()}
+    assert star == prop
+
+
+def test_connected_components_star_long_chain(spark):
+    # diameter-200 chain: propagation needs ~200 rounds, star needs O(log)
+    n = 200
+    pairs = OmigoDF(spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"))
+    out = DD.connected_components_star(pairs, max_iter=15).df
+    got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
