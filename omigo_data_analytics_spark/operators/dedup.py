@@ -192,7 +192,11 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     base = ensure_min_parallelism(odf.df).select(
         F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
     base = base.withColumn("sh_n", F.size("sh"))
-    ex = base.select(id_col, "sh_n", F.explode("sh").alias("s"))
+    # the exploded (id, shingle) projection feeds the DF-cap count and
+    # BOTH self-join sides — checkpoint it so tokenization+explode run
+    # once, not three times
+    ex = (base.select(id_col, "sh_n", F.explode("sh").alias("s"))
+          .localCheckpoint(eager=False))
     if max_shingle_df is not None:
         hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
                .where(F.col("__df__") > max_shingle_df).select("s"))
