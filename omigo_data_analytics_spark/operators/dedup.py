@@ -386,12 +386,18 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
 
 
 def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
-                      col: str = "text", threshold: float = 0.7) -> OmigoDF:
+                      col: str = "text", threshold: float = 0.7,
+                      algorithm: str = "propagation") -> OmigoDF:
     """Full near-dup clustering: LSH candidates → exact-Jaccard verify →
     connected components → every doc labeled with its cluster's min doc
     id (singletons label themselves). Unlike dedup_near's greedy
     pair-drop, the transitive closure keeps exactly one representative
-    per dup *cluster* (a~b, b~c collapses all three)."""
+    per dup *cluster* (a~b, b~c collapses all three).
+
+    ``algorithm``: 'propagation' (default — one join+agg per round,
+    best constants for the shallow star/clique components dedup
+    produces) or 'star' (large-star/small-star, O(log n) rounds on any
+    shape — the safe choice if components may chain arbitrarily deep)."""
     cands = lsh_candidate_pairs(odf, id_col, col).df
     sh = (ensure_min_parallelism(odf.df)
           .select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
@@ -402,7 +408,9 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     verified = OmigoDF(j.where(jac >= threshold).select("id_a", "id_b"))
-    cc = connected_components(verified).df.withColumnRenamed("id", id_col)
+    cc_fn = (connected_components_star if algorithm == "star"
+             else connected_components)
+    cc = cc_fn(verified).df.withColumnRenamed("id", id_col)
     out = (odf.df.join(cc, on=id_col, how="left")
            .withColumn("cluster_id",
                        F.coalesce(F.col("cluster_id"), F.col(id_col))))
