@@ -274,6 +274,77 @@ def cosine_topk_ivf(corpus: OmigoDF, queries: OmigoDF, k: int,
               .select("query_id", id_col, "rank", "cosine"))
 
 
+# ------------------------------------------------------ persisted IVF index
+def build_ivf_index(corpus: OmigoDF, path: str,
+                    num_centroids: int = IVF_CENTROIDS, iters: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_fraction: float | None = None) -> list:
+    """Train the coarse quantizer and PERSIST the index: centroids as a
+    tiny parquet at ``{path}/centroids`` and the corpus re-written at
+    ``{path}/assignments`` partitioned by list id.
+
+    This is the train-once / query-many shape of a real IVF deployment:
+    probing ``nprobe`` of ``C`` lists becomes a *partition-pruned scan* —
+    the unprobed lists are never read from storage, so per-query IO is
+    nprobe/C of the corpus (vs. full-scan-then-filter if assignment were
+    recomputed per query). Returns the centroid list."""
+    spark = corpus.df.sparkSession
+    cents = train_ivf_centroids(corpus, num_centroids, iters, id_col,
+                                vec_col, sample_fraction)
+    dim = detect_dim(corpus.df, vec_col)
+    (spark.createDataFrame([(int(cid), [float(x) for x in vec])
+                            for cid, vec in cents],
+                           "centroid_id long, vec array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    assigned = corpus.df.withColumn("__list__", F.expr(
+        f"array_sort({_ivf_cands_expr(vec_col, cents, dim)}, {_IVF_SORT})[0].id"))
+    (assigned.write.mode("overwrite").partitionBy("__list__")
+     .parquet(f"{path}/assignments"))
+    return cents
+
+
+def load_ivf_centroids(spark, path: str) -> list:
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    return sorted((int(r["centroid_id"]), list(r["vec"])) for r in rows)
+
+
+def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            query_id_col: str | None = None,
+                            nprobe: int = IVF_NPROBE,
+                            precision: int = 6) -> OmigoDF:
+    """Query a persisted IVF index (build_ivf_index): probe each query's
+    ``nprobe`` nearest lists and scan ONLY those partitions of the
+    assignments table — the `__list__ IN (...)` filter becomes a
+    PartitionFilter, so unprobed lists cost zero IO. Exact cosine
+    re-ranks the probed lists' members."""
+    qid = query_id_col or id_col
+    cents = load_ivf_centroids(spark, path)
+    corpus = spark.read.parquet(f"{path}/assignments")
+    dim = detect_dim(corpus, vec_col)
+
+    q = (queries.df
+         .select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
+         .withColumn("__list__", F.explode(F.expr(
+             f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents, dim)}, "
+             f"{_IVF_SORT}), 1, {int(nprobe)}), s -> s.id)"))))
+    # collect the probed list ids (tiny: <= nprobe x |queries|) so the scan
+    # prunes partitions at planning time
+    probed = sorted({int(r["__list__"]) for r in
+                     q.select("__list__").distinct().collect()})
+    c = (corpus.where(F.col("__list__").isin(probed))
+         .select("__list__", F.col(id_col), F.col(vec_col).alias("__cv__")))
+    joined = c.join(F.broadcast(q), "__list__")
+    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__", dim)), precision)
+    scored = joined.select("query_id", id_col, cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col(id_col).asc())
+    return OmigoDF(
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select("query_id", id_col, "rank", "cosine"))
+
+
 # --------------------------------------------------------------- oracle sql
 def cosine_sql_duck(a: str, b: str) -> str:
     """DuckDB-side cosine with the same left-to-right double accumulation

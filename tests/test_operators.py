@@ -339,3 +339,24 @@ def test_token_counts(spark):
     cs = {r["token"]: r["count"] for r in
           token_counts(OmigoDF(df), "text", lowercase=False).df.collect()}
     assert cs["The"] == 1 and cs["the"] == 2
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, embeddings, tmp_path):
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators import similarity as SIM
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ivf_index")
+    cents = SIM.build_ivf_index(embeddings, path, num_centroids=8, iters=2)
+    assert len(cents) == 8
+    q = OmigoDF(embeddings.df.where("vec_id < 3"))
+    got = SIM.cosine_topk_ivf_indexed(spark, path, q, k=5, nprobe=3).df
+    # identical results to the in-memory IVF path with the same centroids
+    want = SIM.cosine_topk_ivf(embeddings, q, k=5, nprobe=3,
+                               centroids=cents).df
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the probed-list filter must prune partitions at the scan
+    corpus = spark.read.parquet(f"{path}/assignments")
+    plan = (corpus.where(F.col("__list__").isin([cents[0][0]]))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters: [" in plan and "__list__" in plan
