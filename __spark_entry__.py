@@ -1522,10 +1522,11 @@ def q_dedup_cluster(spark, sf_dir):
         ["doc_id", "cluster_id"]).df
 
 
-def _sql_dedup_cluster() -> str:
-    """LSH pipeline (same constants as _sql_dedup_minhash_lsh) + a
-    recursive-CTE transitive closure: min reachable node id = the
-    component's canonical label."""
+def _sql_cc_ctes(src: str, threshold: float = 0.7) -> str:
+    """The LSH → verify → recursive-closure CTE chain (same constants as
+    operators.dedup) against a source relation ``src`` that exposes
+    (doc_id, text). Yields CTEs ending in ``cc(id, cluster_id)``; embed
+    inside a WITH RECURSIVE list."""
     sh = DD.shingles_expr("duck")
     sig_cols = ", ".join(f"{e} AS mh_{j}"
                          for j, e in enumerate(DD.minhash_exprs("duck", sh)))
@@ -1538,26 +1539,89 @@ def _sql_dedup_cluster() -> str:
         for b in range(DD.NUM_HASHES // rows_per_band))
     inter = "len(list_intersect(a.sh, b.sh))"
     return f"""
-WITH RECURSIVE sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+sigs AS (SELECT doc_id, {sig_cols} FROM {src}),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key
           AND a.doc_id < b.doc_id),
-shs AS (SELECT doc_id, {sh} AS sh FROM documents),
+shs AS (SELECT doc_id, {sh} AS sh FROM {src}),
 ver AS (SELECT c.id_a, c.id_b
         FROM cand c JOIN shs a ON a.doc_id = c.id_a
                     JOIN shs b ON b.doc_id = c.id_b
         WHERE CAST({inter} AS DOUBLE)
-              / (len(a.sh) + len(b.sh) - {inter}) >= 0.7),
+              / (len(a.sh) + len(b.sh) - {inter}) >= {threshold}),
 edges AS (SELECT id_a AS a, id_b AS b FROM ver
           UNION SELECT id_b, id_a FROM ver),
 walk(id, lab) AS (SELECT a, a FROM edges
                   UNION
                   SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.id),
-cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)
+cc AS (SELECT id, MIN(lab) AS cluster_id FROM walk GROUP BY id)"""
+
+
+def _sql_dedup_cluster() -> str:
+    """LSH pipeline (same constants as _sql_dedup_minhash_lsh) + a
+    recursive-CTE transitive closure: min reachable node id = the
+    component's canonical label."""
+    return f"""
+WITH RECURSIVE {_sql_cc_ctes('documents')}
 SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+"""
+
+
+def q_pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data prep: quality filter → exact dedup (min
+    doc id per text) → near-dup clustering keeping cluster
+    representatives → overlapping-window chunking → deterministic
+    train/val/test split → per-(lang, split) corpus stats. Every stage
+    is one of the engine's operators; the oracle replays the identical
+    algebra in DuckDB, so the whole pipeline is hash-checked."""
+    d = _t(spark, sf_dir, "documents")
+    m = TX.text_metrics(d, metrics=["token_count", "quality_score"])
+    q = OmigoDF(m.df.where("quality_score >= 0.55 AND token_count >= 20")
+                .select("doc_id", "text", "lang"))
+    keep = q.df.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    d2 = OmigoDF(q.df.join(keep.select("doc_id"), "doc_id", "left_semi"))
+    cl = DD.cluster_near_dups(d2, threshold=0.7)
+    reps = OmigoDF(cl.df.where("doc_id = cluster_id")
+                   .select("doc_id", "text", "lang"))
+    ch = TX.chunk_documents(reps, "text", max_tokens=40, overlap=8)
+    sp = ch.hash_split(["doc_id", "chunk_idx"])
+    return (sp.df.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("chunk_n_tokens").alias("total_tokens")))
+
+
+def _sql_pipeline_e2e() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), "
+                     "CAST(chunk_idx AS VARCHAR), '0')")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE {TX.metric_sql('duck', 'quality_score')} >= 0.55
+    AND {TX.metric_sql('duck', 'token_count')} >= 20),
+dmin AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY text),
+d2 AS (SELECT b.* FROM base b JOIN dmin USING (doc_id)),
+{_sql_cc_ctes('d2')},
+reps AS (SELECT d2.doc_id, d2.text, d2.lang FROM d2
+         LEFT JOIN cc ON cc.id = d2.doc_id
+         WHERE COALESCE(cc.cluster_id, d2.doc_id) = d2.doc_id),
+t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM reps),
+s AS (SELECT doc_id, lang, toks,
+             unnest(range(0, greatest(len(toks), 1), 32)) AS st
+      FROM t),
+ch AS (SELECT doc_id, lang, CAST(st // 32 AS BIGINT) AS chunk_idx,
+              CAST(len(toks[st + 1 : st + 40]) AS BIGINT) AS n
+       FROM s),
+b AS (SELECT lang, n, ({h}) % 1000000 AS bk FROM ch)
+SELECT lang,
+       CASE WHEN bk < 800000 THEN 'train'
+            WHEN bk < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1, 2
 """
 
 
@@ -2259,7 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "hash_split": q_hash_split,
         "stream_sessions": q_stream_sessions,
-        # --- stable r03-green tail; the first 8 still land inside the
+        "pipeline_e2e": q_pipeline_e2e,
+        # --- stable r03-green tail; the first 7 still land inside the
         # --- driver's 50-entry budget and get a fresh row this round
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -2268,8 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_sum": q_cumulative_sum,
         "merge_union": q_merge_union,
         "pivot": q_pivot,
-        "split_str": q_split_str,
         # ---------------- 50-entry budget boundary (driver checks above) ---
+        "split_str": q_split_str,
         "replicate_rows": q_replicate_rows,
         "sample_group_by_key": q_sample_group_by_key,
         "generate_key_hash": q_generate_key_hash,
@@ -2371,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": SQL_INVERTED_INDEX,
         "hash_split": _sql_hash_split(),
         "stream_sessions": SQL_STREAM_SESSIONS,
+        "pipeline_e2e": _sql_pipeline_e2e(),
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
