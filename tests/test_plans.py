@@ -166,3 +166,10 @@ def test_inverted_index_single_term_shuffle(spark):
     p = _plan(spark, "inverted_index")
     assert p.count("Exchange hashpartitioning") == 1
     assert "partial_" in p  # objectagg partial before the exchange
+
+
+def test_pipeline_e2e_no_cartesian_partial_aggs(spark):
+    p = _plan(spark, "pipeline_e2e")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_" in p
