@@ -168,3 +168,32 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
             want[rid] = sid
             prev = t
     assert got == want
+
+
+@given(points=TS_ROWS,
+       ivs=st.lists(st.tuples(st.sampled_from(["a", "b"]),
+                              st.floats(min_value=0, max_value=90,
+                                        allow_nan=False),
+                              st.floats(min_value=0, max_value=30,
+                                        allow_nan=False)),
+                    min_size=0, max_size=15),
+       bw=st.floats(min_value=1, max_value=40))
+@_SETTINGS
+def test_range_join_matches_bruteforce(spark, points, ivs, bw):
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    if not points or not ivs:
+        return
+    p = OmigoDF(spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)],
+        "k string, x double, pid long"))
+    iv = OmigoDF(spark.createDataFrame(
+        [(k, lo, lo + w, j) for j, (k, lo, w) in enumerate(ivs)],
+        "k string, lo double, hi double, iid long"))
+    out = TS.range_join(p, iv, "x", "lo", "hi", on=["k"], bin_width=bw).df
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    want = {(i, j)
+            for i, (pk, x) in enumerate(points)
+            for j, (ik, lo, w) in enumerate(ivs)
+            if pk == ik and lo <= x <= lo + w}
+    assert got == want
