@@ -2324,16 +2324,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stream_sessions": q_stream_sessions,
         "pipeline_e2e": q_pipeline_e2e,
-        # --- stable r03-green tail; the first 7 still land inside the
+        # --- r03-green but REWRITTEN this round (LSH banding/checkpoint
+        # --- restructure in operators/dedup.py): need fresh driver rows
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dedup_embedding": q_dedup_embedding,
+        # --- stable r03-green tail; the first 2 still land inside the
         # --- driver's 50-entry budget and get a fresh row this round
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
         "topk_per_group": q_topk_per_group,
         "aggregate_analytic": q_aggregate_analytic,
         "cumulative_sum": q_cumulative_sum,
         "merge_union": q_merge_union,
         "pivot": q_pivot,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
         "split_str": q_split_str,
         "replicate_rows": q_replicate_rows,
         "sample_group_by_key": q_sample_group_by_key,
@@ -2346,15 +2353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "cosine_topk": q_cosine_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "dedup_embedding": q_dedup_embedding,
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
         "json_xpath_filter": q_json_xpath_filter,
