@@ -51,20 +51,26 @@ def _epoch_sec(df: DataFrame, col: str) -> Column:
 
 def asof_join(left, right, on: list[str] | str, left_time: str,
               right_time: str | None = None, suffix: str = "r",
-              tolerance_sec: float | None = None) -> OmigoDF:
+              tolerance_sec: float | None = None,
+              direction: str = "backward") -> OmigoDF:
     """For each left row, attach the latest right row whose time is <= the
-    left row's time (backward as-of, inclusive), matching on `on` keys.
+    left row's time (``direction='backward'``, inclusive — the default) or
+    the earliest right row whose time is >= it (``'forward'``), matching
+    on `on` keys.
 
     Implementation: tag right rows 0 / left rows 1, union by name, and
     window ``last(payload, ignoreNulls) OVER (PARTITION BY on ORDER BY
     time, side ROWS UNBOUNDED PRECEDING..CURRENT)``. Right rows sort
     before left rows at equal times, so same-timestamp matches are
-    visible. ``tolerance_sec`` drops matches older than the given horizon
+    visible. Forward is the same single-shuffle plan on negated time.
+    ``tolerance_sec`` drops matches further than the given horizon
     (checked after the carry, map-side).
 
     Right payload columns come back as ``{suffix}:{col}``; rows with no
     match keep nulls (left join semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction: {direction}")
     ldf, rdf = _df(left), _df(right)
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
@@ -72,15 +78,17 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     r_payload = [c for c in rdf.columns if c not in keys]
     out_names = {c: f"{suffix}:{c}" for c in r_payload}
 
-    # align schemas: one unioned relation with a side tag
+    # align schemas: one unioned relation with a side tag; forward as-of
+    # is backward as-of on negated time
+    sign = F.lit(1.0) if direction == "backward" else F.lit(-1.0)
     l_tagged = (ldf
-                .withColumn("__t__", _epoch_sec(ldf, left_time))
+                .withColumn("__t__", sign * _epoch_sec(ldf, left_time))
                 .withColumn("__side__", F.lit(1)))
     for c in r_payload:
         l_tagged = l_tagged.withColumn(
             f"__r_{c}__", F.lit(None).cast(rdf.schema[c].dataType))
     r_tagged = (rdf
-                .withColumn("__t__", _epoch_sec(rdf, rt))
+                .withColumn("__t__", sign * _epoch_sec(rdf, rt))
                 .withColumn("__side__", F.lit(0)))
     for c in r_payload:
         r_tagged = r_tagged.withColumn(f"__r_{c}__", F.col(c))

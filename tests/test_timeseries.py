@@ -125,3 +125,25 @@ def test_asof_plan_single_window_exchange(trades, quotes):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_asof_forward(trades, quotes):
+    out = TS.asof_join(trades, quotes, on="k", left_time="t",
+                       suffix="q", direction="forward").df
+    got = {(r["k"], r["t"]): r["q:px"] for r in out.collect()}
+    assert got == {
+        ("a", 0.5): 10.0,      # earliest at-or-after
+        ("a", 1.0): 10.0,      # same-timestamp inclusive
+        ("a", 6.0): 12.0,
+        ("a", 100.0): None,    # nothing after
+        ("b", 1.0): 20.0,
+        ("c", 3.0): None,
+    }
+
+
+def test_asof_forward_tolerance(trades, quotes):
+    out = TS.asof_join(trades, quotes, on="k", left_time="t", suffix="q",
+                       direction="forward", tolerance_sec=2.0).df
+    got = {(r["k"], r["t"]): r["q:px"] for r in out.collect()}
+    assert got[("a", 6.0)] is None    # next quote is 3s ahead > 2s horizon
+    assert got[("a", 0.5)] == 10.0    # 0.5s ahead, inside horizon
