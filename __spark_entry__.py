@@ -1625,6 +1625,72 @@ FROM b GROUP BY 1, 2
 """
 
 
+def q_normalize(spark, sf_dir):
+    """Per-group feature scaling: z-score of quantity and min-max of
+    extendedprice within each returnflag group (exact decimal moments →
+    deterministic under any partitioning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    z = li.normalize(["l_quantity"], method="zscore",
+                     group_cols=["l_returnflag"])
+    mm = z.normalize(["l_extendedprice"], method="minmax",
+                     group_cols=["l_returnflag"])
+    return (mm.df.where("l_orderkey % 50 = 0")
+            .select("l_orderkey", "l_linenumber", "l_returnflag",
+                    F.col("`l_quantity:norm`").alias("qty_z"),
+                    F.col("`l_extendedprice:norm`").alias("price_mm")))
+
+
+SQL_NORMALIZE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(28,8))
+                       * CAST(l_quantity AS DECIMAL(28,8)) AS DECIMAL(38,8)))
+              AS DOUBLE) AS sq2,
+         COUNT(l_quantity) AS n,
+         MIN(CAST(l_extendedprice AS DOUBLE)) AS mnp,
+         MAX(CAST(l_extendedprice AS DOUBLE)) AS mxp
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round(CASE WHEN s.n > 1
+                   AND (s.sq2 - s.n * (s.sq/s.n) * (s.sq/s.n)) / (s.n - 1) > 0
+             THEN (CAST(l.l_quantity AS DOUBLE) - s.sq/s.n)
+                  / sqrt((s.sq2 - s.n * (s.sq/s.n) * (s.sq/s.n)) / (s.n - 1))
+             ELSE 0.0 END, 6) AS qty_z,
+       round(CASE WHEN s.mxp - s.mnp > 0
+             THEN (CAST(l.l_extendedprice AS DOUBLE) - s.mnp) / (s.mxp - s.mnp)
+             ELSE 0.5 END, 6) AS price_mm
+FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+WHERE l.l_orderkey % 50 = 0
+"""
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over a synthesized PII-bearing column (the corpus text
+    itself is clean, so the query plants emails/IPs/phones
+    deterministically, then redacts)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = OmigoDF(d.df.withColumn(
+        "dirty",
+        F.concat_ws(" ", F.col("text"),
+                    F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                             F.lit("@example.com")),
+                    F.concat(F.lit("10.0."),
+                             (F.col("doc_id") % 256).cast("string"),
+                             F.lit(".7")),
+                    F.lit("call 555-867-5309 now"))))
+    out = TX.redact_pii(planted, col="dirty", new_col="clean")
+    return out.df.select("doc_id", "clean")
+
+
+def _sql_redact_pii() -> str:
+    dirty = ("concat_ws(' ', text, "
+             "concat('user', CAST(doc_id AS VARCHAR), '@example.com'), "
+             "concat('10.0.', CAST(doc_id % 256 AS VARCHAR), '.7'), "
+             "'call 555-867-5309 now')")
+    return f"SELECT doc_id, {TX.redact_pii_sql_duck(dirty)} AS clean FROM documents"
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 terms per document by tf-idf (ln idf, ties by term)."""
     d = _t(spark, sf_dir, "documents")
@@ -2324,6 +2390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stream_sessions": q_stream_sessions,
         "pipeline_e2e": q_pipeline_e2e,
+        "normalize": q_normalize,
+        "redact_pii": q_redact_pii,
         # --- r03-green but REWRITTEN this round (LSH banding/checkpoint
         # --- restructure in operators/dedup.py): need fresh driver rows
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2331,11 +2399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_embedding": q_dedup_embedding,
-        # --- stable r03-green tail; the first 2 still land inside the
-        # --- driver's 50-entry budget and get a fresh row this round
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # --- stable r03-green tail below (unchanged operators) ---
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
         "topk_per_group": q_topk_per_group,
         "aggregate_analytic": q_aggregate_analytic,
         "cumulative_sum": q_cumulative_sum,
@@ -2439,6 +2506,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _sql_hash_split(),
         "stream_sessions": SQL_STREAM_SESSIONS,
         "pipeline_e2e": _sql_pipeline_e2e(),
+        "normalize": SQL_NORMALIZE,
+        "redact_pii": _sql_redact_pii(),
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),

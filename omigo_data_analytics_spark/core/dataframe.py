@@ -887,6 +887,63 @@ class OmigoDF(CompatMixin):
 
         return self._wrap(df.mapInPandas(_assign, schema=schema))
 
+    def normalize(self, cols, method: str = "zscore", group_cols=None,
+                  precision: int = 6, suffix: str = "norm") -> "OmigoDF":
+        """Feature scaling for training pipelines: append
+        ``<col>:<suffix>`` columns with z-score ((x-mean)/stddev_samp,
+        0.0 when the group is constant) or min-max ((x-min)/(max-min),
+        0.5 when constant) normalization, globally or per
+        ``group_cols``.
+
+        Plan: one partial+final aggregation computes the group stats
+        (a 1-row broadcast when global, a broadcast-joined tiny frame
+        per group otherwise) and the scaling itself is map-side — the
+        rows never shuffle. Stats use exact DECIMAL sums so results are
+        deterministic under any partitioning."""
+        use = self._resolve(cols)
+        gcols = self._resolve(group_cols) if group_cols else []
+        if method not in ("zscore", "minmax"):
+            raise ValueError(f"normalize: unknown method: {method}")
+        aggs = []
+        for c in use:
+            x = self._df[c].try_cast("double")
+            if method == "zscore":
+                # exact decimal moments -> bit-deterministic mean/std
+                aggs += [
+                    F.sum(self._df[c].try_cast("decimal(28,8)")).alias(f"__s_{c}__"),
+                    F.sum((self._df[c].try_cast("decimal(28,8)")
+                           * self._df[c].try_cast("decimal(28,8)"))
+                          .try_cast("decimal(38,8)")).alias(f"__s2_{c}__"),
+                    F.count(x).alias(f"__n_{c}__"),
+                ]
+            else:
+                aggs += [F.min(x).alias(f"__mn_{c}__"),
+                         F.max(x).alias(f"__mx_{c}__")]
+        stats = self._df.groupBy(*[self._df[g] for g in gcols]).agg(*aggs)
+        if gcols:
+            joined = self._df.join(F.broadcast(stats), on=gcols, how="left")
+        else:
+            joined = self._df.crossJoin(F.broadcast(stats))
+        out = joined
+        for c in use:
+            x = F.col(colutils.quote(c)).try_cast("double")
+            if method == "zscore":
+                n = F.col(f"__n_{c}__").cast("double")
+                mean = F.col(f"__s_{c}__").cast("double") / n
+                # sample variance from exact sums; guard n<=1 and var=0
+                var = (F.col(f"__s2_{c}__").cast("double")
+                       - n * mean * mean) / (n - 1)
+                z = F.when((F.col(f"__n_{c}__") > 1) & (var > 0),
+                           (x - mean) / F.sqrt(var)).otherwise(0.0)
+                out = out.withColumn(f"{c}:{suffix}", F.round(z, precision))
+            else:
+                rng = F.col(f"__mx_{c}__") - F.col(f"__mn_{c}__")
+                mm = F.when(rng > 0, (x - F.col(f"__mn_{c}__")) / rng) \
+                      .otherwise(0.5)
+                out = out.withColumn(f"{c}:{suffix}", F.round(mm, precision))
+        drop = [f.name for f in stats.schema.fields if f.name.startswith("__")]
+        return self._wrap(out.drop(*drop))
+
     def cumulative_sum(self, col: str, new_col: str, sort_cols=None, as_int: bool = True,
                        exact: bool = False) -> "OmigoDF":
         """Running sum (reference dataframe.py:4091-4129). The reference sums

@@ -264,6 +264,45 @@ def inverted_index(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     return OmigoDF(out)
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB)
+# treat identically: no backrefs, no lookaround.
+PII_PATTERNS = [
+    # order matters: specific shapes before the permissive phone pattern
+    # (an SSN is also a valid phone-shaped digit run)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\+?\d[\d -]{7,14}\d\b"),
+]
+
+
+def redact_pii(odf: OmigoDF, col: str = "text", new_col: str | None = None,
+               kinds=None) -> OmigoDF:
+    """Replace email / IPv4 / phone-number / SSN-shaped spans with
+    ``<KIND>`` tokens — the standard curation scrub before a corpus
+    becomes training data. Pure chained regexp_replace expressions:
+    map-side, codegen, no shuffle; patterns are anchored to the
+    Java∩RE2 regex subset so the DuckDB oracle applies the identical
+    automaton."""
+    out_col = new_col or col
+    use = [(k, p) for k, p in PII_PATTERNS
+           if kinds is None or k in set(kinds)]
+    expr = F.col(col)
+    for kind, pat in use:
+        expr = F.regexp_replace(expr, pat, f"<{kind.upper()}>")
+    return OmigoDF(odf.df.withColumn(out_col, expr))
+
+
+def redact_pii_sql_duck(col: str = "text", kinds=None) -> str:
+    use = [(k, p) for k, p in PII_PATTERNS
+           if kinds is None or k in set(kinds)]
+    expr = col
+    for kind, pat in use:
+        lit = pat.replace("'", "''")  # DuckDB '...' takes backslashes literally
+        expr = f"regexp_replace({expr}, '{lit}', '<{kind.upper()}>', 'g')"
+    return expr
+
+
 # ------------------------------------------------------------------ oracle
 def metric_sql(dialect: str, metric: str, col: str = "text") -> str:
     return _metric_exprs(dialect, col)[metric]

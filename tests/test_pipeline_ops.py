@@ -126,3 +126,38 @@ def test_connected_components_star_long_chain(spark):
     got = {r["id"]: r["cluster_id"] for r in out.collect()}
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_normalize_zscore_and_minmax(spark):
+    d = OmigoDF(spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0)],
+        "g string, x double"))
+    z = d.normalize(["x"], method="zscore", group_cols=["g"]).df
+    got = {(r["g"], r["x"]): r["x:norm"] for r in z.collect()}
+    assert got[("a", 2.0)] == 0.0
+    assert got[("a", 3.0)] == 1.0      # (3-2)/1 with sample stddev
+    assert got[("b", 5.0)] == 0.0      # singleton group -> 0
+    mm = d.normalize(["x"], method="minmax", group_cols=["g"]).df
+    got = {(r["g"], r["x"]): r["x:norm"] for r in mm.collect()}
+    assert got[("a", 1.0)] == 0.0 and got[("a", 3.0)] == 1.0
+    assert got[("b", 5.0)] == 0.5      # constant group -> midpoint
+
+
+def test_normalize_no_row_shuffle(spark, lineitem):
+    plan = (lineitem.normalize(["l_quantity"], group_cols=["l_returnflag"])
+            .df._jdf.queryExecution().executedPlan().toString())
+    # stats come back via broadcast; the fact rows never hash-repartition
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_redact_pii(spark):
+    d = OmigoDF(spark.createDataFrame(
+        [(1, "mail bob@corp.io from 192.168.1.1 or call 555-123-4567"),
+         (2, "ssn 123-45-6789 stays secret"),
+         (3, "nothing sensitive here")],
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r["text"] for r in TX.redact_pii(d).df.collect()}
+    assert "<EMAIL>" in out[1] and "<IPV4>" in out[1] and "<PHONE>" in out[1]
+    assert "bob@" not in out[1] and "192.168" not in out[1]
+    assert out[2] == "ssn <SSN> stays secret"
+    assert out[3] == "nothing sensitive here"
