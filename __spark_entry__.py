@@ -1509,6 +1509,67 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_rolling_aggregate(spark, sf_dir):
+    """Trailing-5-row rolling mean/max of event value per user, ordered
+    by event time (tie-free: event ids make ts unique per user in this
+    data; rows sampled down for the check)."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.rolling_aggregate(ev, "user_id", "ts", ["value", "value"],
+                               ["mean", "max"], window_rows=5)
+    return (out.df.where("event_id % 37 = 0")
+            .select("event_id", "user_id",
+                    F.col("`value:rolling_mean`").alias("roll_mean"),
+                    F.col("`value:rolling_max`").alias("roll_max")))
+
+
+SQL_ROLLING = """
+WITH w AS (
+  SELECT event_id, user_id,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER win AS DOUBLE)
+               / COUNT(value) OVER win, 6) AS roll_mean,
+         MAX(CAST(value AS DOUBLE)) OVER win AS roll_max
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, roll_mean, roll_max FROM w
+WHERE event_id % 37 = 0
+"""
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Gaps-and-islands: union each user's overlapping 1-hour event
+    windows into maximal busy periods."""
+    ev = _t(spark, sf_dir, "events").df
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    iv = OmigoDF(ev.where("event_id % 5 = 0")
+                 .select("user_id", sec.alias("lo"),
+                         (sec + 3600.0).alias("hi")))
+    out = TS.merge_intervals(iv, "user_id", "lo", "hi")
+    return out.df.select("user_id", "island_id", "island_start",
+                         "island_end", "n_intervals")
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (SELECT user_id, epoch(ts) AS lo, epoch(ts) + 3600.0 AS hi
+            FROM events WHERE event_id % 5 = 0),
+m AS (SELECT user_id, lo, hi,
+             MAX(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM iv),
+b AS (SELECT user_id, lo, hi,
+             CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END AS brk
+      FROM m),
+s AS (SELECT user_id, lo, hi,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY lo, hi
+                            ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM b)
+SELECT user_id, island_id, MIN(lo) AS island_start, MAX(hi) AS island_end,
+       COUNT(*) AS n_intervals
+FROM s GROUP BY user_id, island_id
+"""
+
+
 # =====================================================================
 # Round-4 training-pipeline ops: CC clustering, tf-idf, index, split
 # =====================================================================
@@ -2392,15 +2453,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_e2e": q_pipeline_e2e,
         "normalize": q_normalize,
         "redact_pii": q_redact_pii,
+        "rolling_aggregate": q_rolling_aggregate,
+        "merge_intervals_islands": q_merge_intervals,
         # --- r03-green but REWRITTEN this round (LSH banding/checkpoint
         # --- restructure in operators/dedup.py): need fresh driver rows
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # embedding_near_dup/dedup_embedding had only comment-level edits
+        # this round (r03-green rows remain valid); the rest is the stable
+        # unchanged tail
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_embedding": q_dedup_embedding,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
-        # --- stable r03-green tail below (unchanged operators) ---
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "topk_per_group": q_topk_per_group,
@@ -2508,6 +2573,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_e2e": _sql_pipeline_e2e(),
         "normalize": SQL_NORMALIZE,
         "redact_pii": _sql_redact_pii(),
+        "rolling_aggregate": SQL_ROLLING,
+        "merge_intervals_islands": SQL_MERGE_INTERVALS,
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),

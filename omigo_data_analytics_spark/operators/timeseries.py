@@ -183,6 +183,75 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
     return OmigoDF(out)
 
 
+def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
+                      agg_cols, agg_funcs, window_rows: int = 5,
+                      precision: int = 6) -> OmigoDF:
+    """Per-key rolling-window features over the trailing ``window_rows``
+    rows (current row inclusive) in ``order_col`` order — the moving
+    mean/min/max/sum shape of time-series feature engineering.
+
+    One shuffle on the key; every requested aggregate shares the same
+    window frame, so Catalyst plans a single Exchange+Sort+Window.
+    Output columns: ``<col>:rolling_<func>``. Sums/means go through
+    DECIMAL so results are add-order deterministic."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    d = _df(odf)
+    w = (Window.partitionBy(*keys).orderBy(_epoch_sec(d, order_col))
+         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    out = d
+    for c, fn in zip(list(agg_cols), list(agg_funcs)):
+        x = F.col(c).try_cast("double")
+        xd = F.col(c).try_cast("decimal(28,8)")
+        if fn == "mean":
+            expr = F.round((F.sum(xd).over(w).cast("double")
+                            / F.count(x).over(w)), precision)
+        elif fn == "sum":
+            expr = F.round(F.sum(xd).over(w).cast("double"), precision)
+        elif fn == "min":
+            expr = F.min(x).over(w)
+        elif fn == "max":
+            expr = F.max(x).over(w)
+        elif fn == "count":
+            expr = F.count(x).over(w)
+        else:
+            raise ValueError(f"rolling_aggregate: unknown func: {fn}")
+        out = out.withColumn(f"{c}:rolling_{fn}", expr)
+    return OmigoDF(out)
+
+
+def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
+                    end_col: str) -> OmigoDF:
+    """Union overlapping/touching [start, end] intervals per key into
+    maximal disjoint islands (gaps-and-islands): one output row per
+    island with its bounds and member count.
+
+    Window plan: order intervals by (start, end), carry the running max
+    end; an island starts where start > max(previous ends); the island
+    number is the running sum of those breaks. Both windows and the
+    final collapse share one hash partitioning on the key."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    d = _df(odf)
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    w = Window.partitionBy(*keys).orderBy(s, e)
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    brk = (F.when(prev_max_end.isNull() | (s > prev_max_end), 1)
+           .otherwise(0))
+    tagged = (d.withColumn("__brk__", brk)
+              .withColumn("__island__",
+                          F.sum("__brk__").over(
+                              w.rowsBetween(Window.unboundedPreceding,
+                                            Window.currentRow)))
+              .drop("__brk__"))
+    return OmigoDF(
+        tagged.groupBy(*keys, "__island__")
+        .agg(F.min(s).alias("island_start"),
+             F.max(e).alias("island_end"),
+             F.count(F.lit(1)).alias("n_intervals"))
+        .withColumnRenamed("__island__", "island_id"))
+
+
 def session_stats(odf, key_cols: list[str] | str, time_col: str,
                   gap_sec: float = 1800.0) -> OmigoDF:
     """Sessionize then collapse: one row per (key, session) with start,

@@ -147,3 +147,35 @@ def test_asof_forward_tolerance(trades, quotes):
     got = {(r["k"], r["t"]): r["q:px"] for r in out.collect()}
     assert got[("a", 6.0)] is None    # next quote is 3s ahead > 2s horizon
     assert got[("a", 0.5)] == 10.0    # 0.5s ahead, inside horizon
+
+
+def test_rolling_aggregate(spark):
+    rows = [("u", float(t), float(v)) for t, v in
+            [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50), (6, 60), (7, 70)]]
+    d = OmigoDF(spark.createDataFrame(rows, "k string, t double, v double"))
+    out = TS.rolling_aggregate(d, "k", "t", ["v"], ["mean"], window_rows=3).df
+    got = {r["t"]: r["v:rolling_mean"] for r in out.collect()}
+    assert got[1.0] == 10.0          # window of 1
+    assert got[2.0] == 15.0          # (10+20)/2
+    assert got[7.0] == 60.0          # (50+60+70)/3
+
+
+def test_merge_intervals_islands(spark):
+    rows = [("u", 0.0, 10.0), ("u", 5.0, 12.0), ("u", 20.0, 25.0),
+            ("v", 1.0, 2.0)]
+    d = OmigoDF(spark.createDataFrame(rows, "k string, lo double, hi double"))
+    out = TS.merge_intervals(d, "k", "lo", "hi").df
+    got = {(r["k"], r["island_id"]): (r["island_start"], r["island_end"],
+                                      r["n_intervals"])
+           for r in out.collect()}
+    assert got[("u", 1)] == (0.0, 12.0, 2)   # overlapping pair merged
+    assert got[("u", 2)] == (20.0, 25.0, 1)
+    assert got[("v", 1)] == (1.0, 2.0, 1)
+
+
+def test_merge_intervals_contained(spark):
+    # an interval fully inside an earlier one must not split the island
+    rows = [("u", 0.0, 100.0), ("u", 10.0, 20.0), ("u", 50.0, 200.0)]
+    d = OmigoDF(spark.createDataFrame(rows, "k string, lo double, hi double"))
+    out = TS.merge_intervals(d, "k", "lo", "hi").df.collect()
+    assert len(out) == 1 and out[0]["island_end"] == 200.0
