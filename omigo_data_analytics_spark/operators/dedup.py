@@ -304,17 +304,26 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
     labels = (edges.select(F.col("src").alias("id"))
               .distinct().withColumn("lab", F.col("id"))
               .localCheckpoint(eager=True))
+
+    def _sig(lab_df):
+        # order-insensitive label-set signature: labels converged iff the
+        # signature repeats — one tiny aggregate instead of a per-round
+        # join against the previous labels
+        row = lab_df.agg(F.expr("bit_xor(xxhash64(id, lab))").alias("h"),
+                         F.count(F.lit(1)).alias("n")).first()
+        return (row["h"], row["n"])
+
+    sig = _sig(labels)
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["dst"] == labels["id"])
                  .select(F.col("src").alias("id"), F.col("lab")))
-        new_labels = (labels.select("id", "lab").unionByName(neigh)
-                      .groupBy("id").agg(F.min("lab").alias("lab"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
-                   .where(F.col("lab") != F.col("old")).limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.select("id", "lab").unionByName(neigh)
+                  .groupBy("id").agg(F.min("lab").alias("lab"))
+                  .localCheckpoint(eager=True))
+        new_sig = _sig(labels)
+        if new_sig == sig:
             break
+        sig = new_sig
     return OmigoDF(labels.select(F.col("id"), F.col("lab").alias("cluster_id")))
 
 
