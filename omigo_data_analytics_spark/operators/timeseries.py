@@ -69,8 +69,11 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     Right payload columns come back as ``{suffix}:{col}``; rows with no
     match keep nulls (left join semantics).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction: {direction}")
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, left_time, right_time,
+                             suffix, tolerance_sec)
     ldf, rdf = _df(left), _df(right)
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
@@ -120,6 +123,69 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     out = out.select(
         *proj,
         *[F.col(f"__c_{c}__").alias(out_names[c]) for c in r_payload])
+    return OmigoDF(out)
+
+
+def _asof_nearest(left, right, on, left_time, right_time, suffix,
+                  tolerance_sec) -> OmigoDF:
+    """Nearest-match as-of: both directional carries over ONE union —
+    the backward and forward windows share the hash partitioning (one
+    Exchange, two Sorts) — then a map-side pick of the closer match
+    (ties prefer the backward/earlier row, pandas merge_asof style)."""
+    ldf, rdf = _df(left), _df(right)
+    keys = [on] if isinstance(on, str) else list(on)
+    rt = right_time or left_time
+    r_payload = [c for c in rdf.columns if c not in keys]
+
+    l_tagged = (ldf.withColumn("__t__", _epoch_sec(ldf, left_time))
+                .withColumn("__side__", F.lit(1)))
+    for c in r_payload:
+        l_tagged = l_tagged.withColumn(
+            f"__r_{c}__", F.lit(None).cast(rdf.schema[c].dataType))
+    r_tagged = (rdf.withColumn("__t__", _epoch_sec(rdf, rt))
+                .withColumn("__side__", F.lit(0)))
+    for c in r_payload:
+        r_tagged = r_tagged.withColumn(f"__r_{c}__", F.col(c))
+    for c in ldf.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(
+                c, F.lit(None).cast(ldf.schema[c].dataType))
+    cols = keys + ["__t__", "__side__"] \
+        + [c for c in ldf.columns if c not in keys] \
+        + [f"__r_{c}__" for c in r_payload]
+    u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wb = (Window.partitionBy(*keys).orderBy("__t__", "__side__")
+          .rowsBetween(*frame))
+    wf = (Window.partitionBy(*keys)
+          .orderBy(F.col("__t__").desc(), "__side__").rowsBetween(*frame))
+    sel = ["*"]
+    for c in r_payload:
+        sel.append(F.last(f"__r_{c}__", ignorenulls=True).over(wb)
+                   .alias(f"__b_{c}__"))
+        sel.append(F.last(f"__r_{c}__", ignorenulls=True).over(wf)
+                   .alias(f"__f_{c}__"))
+    rt_col = F.when(F.col("__side__") == 0, F.col("__t__"))
+    sel.append(F.last(rt_col, ignorenulls=True).over(wb).alias("__bt__"))
+    sel.append(F.last(rt_col, ignorenulls=True).over(wf).alias("__ft__"))
+    carried = u.select(*sel).where(F.col("__side__") == 1)
+
+    bd = F.col("__t__") - F.col("__bt__")
+    fd = F.col("__ft__") - F.col("__t__")
+    if tolerance_sec is not None:
+        b_ok = F.col("__bt__").isNotNull() & (bd <= F.lit(tolerance_sec))
+        f_ok = F.col("__ft__").isNotNull() & (fd <= F.lit(tolerance_sec))
+    else:
+        b_ok = F.col("__bt__").isNotNull()
+        f_ok = F.col("__ft__").isNotNull()
+    use_b = b_ok & (~f_ok | (bd <= fd))   # tie -> backward
+    proj = keys + [c for c in ldf.columns if c not in keys]
+    out = carried.select(
+        *proj,
+        *[F.when(use_b, F.col(f"__b_{c}__"))
+          .when(f_ok, F.col(f"__f_{c}__"))
+          .alias(f"{suffix}:{c}") for c in r_payload])
     return OmigoDF(out)
 
 

@@ -179,3 +179,37 @@ def test_merge_intervals_contained(spark):
     d = OmigoDF(spark.createDataFrame(rows, "k string, lo double, hi double"))
     out = TS.merge_intervals(d, "k", "lo", "hi").df.collect()
     assert len(out) == 1 and out[0]["island_end"] == 200.0
+
+
+def test_asof_nearest(trades, quotes):
+    out = TS.asof_join(trades, quotes, on="k", left_time="t",
+                       suffix="q", direction="nearest").df
+    got = {(r["k"], r["t"]): r["q:px"] for r in out.collect()}
+    assert got == {
+        ("a", 0.5): 10.0,     # only forward exists
+        ("a", 1.0): 10.0,     # exact hit
+        ("a", 6.0): 11.0,     # back 1s vs fwd 3s -> backward
+        ("a", 100.0): 12.0,   # only backward exists
+        ("b", 1.0): 20.0,
+        ("c", 3.0): None,
+    }
+
+
+def test_asof_nearest_tolerance_and_tie(spark):
+    q = OmigoDF(spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 5.0, 2.0)], "k string, t double, px double"))
+    l = OmigoDF(spark.createDataFrame(
+        [("a", 3.0), ("a", 50.0)], "k string, t double"))
+    out = TS.asof_join(l, q, on="k", left_time="t", suffix="q",
+                       direction="nearest", tolerance_sec=10.0).df
+    got = {r["t"]: r["q:px"] for r in out.collect()}
+    assert got[3.0] == 1.0     # tie (2s both ways) -> backward row
+    assert got[50.0] is None   # both sides beyond tolerance
+
+
+def test_asof_nearest_single_exchange(trades, quotes):
+    plan = (TS.asof_join(trades, quotes, on="k", left_time="t",
+                         direction="nearest").df
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
