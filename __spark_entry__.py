@@ -1787,6 +1787,67 @@ def _sql_redact_pii() -> str:
     return f"SELECT doc_id, {TX.redact_pii_sql_duck(dirty)} AS clean FROM documents"
 
 
+def q_sample_weighted(spark, sf_dir):
+    """Quality-weighted corpus sampling: each doc kept with probability
+    = its quality score (portable-hash coin, reproducible)."""
+    d = _t(spark, sf_dir, "documents")
+    m = TX.text_metrics(d, metrics=["quality_score"])
+    out = m.sample_weighted("quality_score", ["doc_id"], seed=11)
+    return out.df.select("doc_id", "lang", "quality_score")
+
+
+def _sql_sample_weighted() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), '11')")
+    qs = TX.metric_sql("duck", "quality_score")
+    return f"""
+WITH m AS (SELECT doc_id, lang, {qs} AS quality_score FROM documents)
+SELECT doc_id, lang, quality_score FROM m
+WHERE (({h}) % 1000000) / 1000000.0
+      < least(greatest(quality_score, 0.0), 1.0)
+"""
+
+
+def q_profile(spark, sf_dir):
+    """Column profile of the orders table (counts, nulls, exact distinct,
+    string min/max per column) — one aggregation job for all columns."""
+    o = _t(spark, sf_dir, "orders")
+    return o.profile(["o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice"]).df
+
+
+def _sql_profile() -> str:
+    parts = []
+    for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]:
+        parts.append(f"""
+SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT CAST({c} AS VARCHAR)) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_stream_running_counts(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-key running event counts; with availableNow the single batch's
+    final state equals the batch group count, so the oracle is exact."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    sdf = ST.file_source(spark, sf_dir, schema, glob_filter="events.parquet")
+    agg = ST.running_counts(sdf, "event_type")
+    name = "omigo_stream_rc"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"select key, total from {name}")
+
+
+SQL_STREAM_RUNNING_COUNTS = """
+SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS total
+FROM events GROUP BY event_type
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 terms per document by tf-idf (ln idf, ties by term)."""
     d = _t(spark, sf_dir, "documents")
@@ -2459,7 +2520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dangling": q_graph_dangling,
         "text_metrics": q_text_metrics,
         "typed_filters": q_typed_filters,
-        "select_regex": q_select_regex,
         "inner_join_agg": q_inner_join_agg,
         "left_join_histogram": q_left_join_histogram,
         "map_join_broadcast": q_map_join_broadcast,
@@ -2471,8 +2531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_join": q_natural_join,
         "outer_join_fill": q_outer_join_fill,
         "rows_cond_exists": q_rows_cond_exists,
-        "sort_slice": q_sort_slice,
-        "seq_num": q_seq_num,
         # --- rewritten in r04 (TIMESTAMP_NTZ testdata adaptation) ---
         "timefuncs_ladder": q_timefuncs_ladder,
         "stream_window": q_stream_window,
@@ -2491,11 +2549,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_aggregate": q_rolling_aggregate,
         "merge_intervals_islands": q_merge_intervals,
         "asof_nearest": q_asof_nearest,
+        "sample_weighted": q_sample_weighted,
+        "profile": q_profile,
+        "stream_running_counts": q_stream_running_counts,
         # --- r03-green but REWRITTEN this round (LSH banding/checkpoint
         # --- restructure in operators/dedup.py): need fresh driver rows
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         # ---------------- 50-entry budget boundary (driver checks above) ---
+        # select_regex/sort_slice/seq_num: r02-green, untouched since —
+        # ceded their budget slots to this round's rewritten queries
+        "select_regex": q_select_regex,
+        "sort_slice": q_sort_slice,
+        "seq_num": q_seq_num,
         # minhash_signatures/embedding_near_dup/dedup_embedding had no
         # functional edits this round (r03-green rows remain valid); the
         # rest is the stable unchanged tail
@@ -2612,6 +2678,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_aggregate": SQL_ROLLING,
         "merge_intervals_islands": SQL_MERGE_INTERVALS,
         "asof_nearest": SQL_ASOF_NEAREST,
+        "sample_weighted": _sql_sample_weighted(),
+        "profile": _sql_profile(),
+        "stream_running_counts": SQL_STREAM_RUNNING_COUNTS,
         "minhash_signatures": _sql_minhash(),
         "simhash": _sql_simhash(),
         "dedup_minhash_lsh": _sql_dedup_minhash_lsh(),

@@ -1479,6 +1479,53 @@ class OmigoDF(CompatMixin):
             tagged = tagged.localCheckpoint()
         return [OmigoDF(tagged.filter(F.col(tmp) == i).drop(tmp)) for i in range(num_batches)]
 
+    def sample_weighted(self, weight_col: str, key_cols, seed: int = 0) -> "OmigoDF":
+        """Per-row weighted keep: a row survives with probability equal
+        to its ``weight_col`` value (clamped to [0,1]) — quality-weighted
+        corpus downsampling. The coin is the portable hash of
+        ``key_cols`` (+seed) scaled to [0,1), NOT an RNG: the decision is
+        reproducible across runs/engines (DuckDB oracle checks it
+        exactly) and stable per key when the corpus regrows. Map-side,
+        no shuffle."""
+        from ..operators.text import hash_spark
+        gcols = self._resolve(key_cols)
+        self._resolve(weight_col)
+        key = "concat_ws('\\t', " + ", ".join(
+            f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+        u = F.pmod(F.expr(hash_spark(key)), F.lit(1000000)) / F.lit(1000000.0)
+        w = F.least(F.greatest(self._df[weight_col].try_cast("double"),
+                               F.lit(0.0)), F.lit(1.0))
+        return self._wrap(self._df.filter(u < w))
+
+    def profile(self, cols=None) -> "OmigoDF":
+        """Column profile: one row per column with row count, null count,
+        exact distinct count, and min/max of the string form — the
+        first-look data-quality pass over a new corpus. One aggregation
+        job computes every column's stats together (partial+final; no
+        per-column scans); the unpivot to rows happens on the 1-row
+        aggregate."""
+        use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        aggs = []
+        for c in use:
+            col = self._df[c]
+            s = col.cast("string")
+            aggs += [F.count(F.lit(1)).alias(f"__n_{c}__"),
+                     F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}__"),
+                     F.countDistinct(s).alias(f"__nd_{c}__"),
+                     F.min(s).alias(f"__mn_{c}__"),
+                     F.max(s).alias(f"__mx_{c}__")]
+        row = self._df.agg(*aggs)
+        parts = []
+        for c in use:
+            parts.append(
+                f"named_struct('column', '{c}', "
+                f"'n_rows', `__n_{c}__`, 'n_null', `__nn_{c}__`, "
+                f"'n_distinct', `__nd_{c}__`, "
+                f"'min_str', `__mn_{c}__`, 'max_str', `__mx_{c}__`)")
+        out = row.select(F.expr(
+            "inline(array(" + ", ".join(parts) + "))"))
+        return self._wrap(out)
+
     def hash_split(self, key_cols, fractions=None, seed: int = 0,
                    split_col: str = "split") -> "OmigoDF":
         """Deterministic train/val/test assignment: label every row by the

@@ -161,3 +161,28 @@ def test_redact_pii(spark):
     assert "bob@" not in out[1] and "192.168" not in out[1]
     assert out[2] == "ssn <SSN> stays secret"
     assert out[3] == "nothing sensitive here"
+
+
+def test_sample_weighted_deterministic_and_monotone(documents):
+    d = documents
+    w1 = d.df.withColumn("w", F.lit(1.0))
+    w0 = d.df.withColumn("w", F.lit(0.0))
+    half = d.df.withColumn("w", F.lit(0.5))
+    assert OmigoDF(w1).sample_weighted("w", ["doc_id"]).num_rows() \
+        == d.num_rows()
+    assert OmigoDF(w0).sample_weighted("w", ["doc_id"]).num_rows() == 0
+    n = OmigoDF(half).sample_weighted("w", ["doc_id"]).num_rows()
+    assert 0.35 * d.num_rows() < n < 0.65 * d.num_rows()
+    # determinism
+    n2 = OmigoDF(half).sample_weighted("w", ["doc_id"]).num_rows()
+    assert n == n2
+
+
+def test_profile(spark):
+    d = OmigoDF(spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], "id long, s string"))
+    got = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                         r["min_str"], r["max_str"])
+           for r in d.profile().df.collect()}
+    assert got["id"] == (3, 0, 2, "1", "2")
+    assert got["s"] == (3, 1, 2, "a", "b")
