@@ -1494,8 +1494,9 @@ m AS (SELECT user_id, sec,
                   THEN 1 ELSE 0 END AS brk
       FROM t),
 s AS (SELECT user_id, sec,
-             1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(1 + SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                     ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM m)
 SELECT user_id, session_id, MIN(sec) AS session_start,
        MAX(sec) AS session_end,
@@ -1596,8 +1597,9 @@ b AS (SELECT user_id, lo, hi,
              CASE WHEN pmax IS NULL OR lo > pmax THEN 1 ELSE 0 END AS brk
       FROM m),
 s AS (SELECT user_id, lo, hi,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY lo, hi
-                            ROWS UNBOUNDED PRECEDING) AS island_id
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY lo, hi
+                                 ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS island_id
       FROM b)
 SELECT user_id, island_id, MIN(lo) AS island_start, MAX(hi) AS island_end,
        COUNT(*) AS n_intervals
@@ -1812,7 +1814,7 @@ def q_profile(spark, sf_dir):
     string min/max per column) — one aggregation job for all columns."""
     o = _t(spark, sf_dir, "orders")
     return o.profile(["o_orderkey", "o_custkey", "o_orderstatus",
-                      "o_totalprice"]).df
+                      "o_totalprice"], exact=True).df
 
 
 def _sql_profile() -> str:

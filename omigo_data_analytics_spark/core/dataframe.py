@@ -908,13 +908,19 @@ class OmigoDF(CompatMixin):
         for c in use:
             x = self._df[c].try_cast("double")
             if method == "zscore":
-                # exact decimal moments -> bit-deterministic mean/std
+                # exact decimal moments -> bit-deterministic mean/std.
+                # try_cast/try_multiply/try_sum make every overflow a NULL
+                # regardless of spark.sql.ansi.enabled; the counts then
+                # detect rows silently dropped from a partial sum, and the
+                # overflow guard below is the single, loud failure point.
+                dec = self._df[c].try_cast("decimal(28,8)")
+                sq = F.try_multiply(dec, dec).try_cast("decimal(38,8)")
                 aggs += [
-                    F.sum(self._df[c].try_cast("decimal(28,8)")).alias(f"__s_{c}__"),
-                    F.sum((self._df[c].try_cast("decimal(28,8)")
-                           * self._df[c].try_cast("decimal(28,8)"))
-                          .try_cast("decimal(38,8)")).alias(f"__s2_{c}__"),
+                    F.try_sum(dec).alias(f"__s_{c}__"),
+                    F.try_sum(sq).alias(f"__s2_{c}__"),
                     F.count(x).alias(f"__n_{c}__"),
+                    F.count(dec).alias(f"__nc_{c}__"),
+                    F.count(sq).alias(f"__n2_{c}__"),
                 ]
             else:
                 aggs += [F.min(x).alias(f"__mn_{c}__"),
@@ -933,7 +939,21 @@ class OmigoDF(CompatMixin):
                 # sample variance from exact sums; guard n<=1 and var=0
                 var = (F.col(f"__s2_{c}__").cast("double")
                        - n * mean * mean) / (n - 1)
-                z = F.when((F.col(f"__n_{c}__") > 1) & (var > 0),
+                # decimal overflow NULLs rows (try_cast, any ANSI mode) or
+                # whole sums (non-ANSI aggregate overflow); either way the
+                # WHEN would fall through to 0.0 — a silently wrong
+                # z-score (the DuckDB oracle raises). Fail loudly instead.
+                overflow = (F.col(f"__n_{c}__") > 0) & (
+                    F.col(f"__s_{c}__").isNull()
+                    | F.col(f"__s2_{c}__").isNull()
+                    | (F.col(f"__nc_{c}__") < F.col(f"__n_{c}__"))
+                    | (F.col(f"__n2_{c}__") < F.col(f"__n_{c}__")))
+                z = F.when(overflow, F.raise_error(F.lit(
+                        f"normalize: decimal sum overflow on column '{c}' "
+                        f"(|x| or group size too large for DECIMAL(38,8) "
+                        f"moments) — pre-scale the column"))
+                        .cast("double")) \
+                     .when((F.col(f"__n_{c}__") > 1) & (var > 0),
                            (x - mean) / F.sqrt(var)).otherwise(0.0)
                 out = out.withColumn(f"{c}:{suffix}", F.round(z, precision))
             else:
@@ -1497,21 +1517,30 @@ class OmigoDF(CompatMixin):
                                F.lit(0.0)), F.lit(1.0))
         return self._wrap(self._df.filter(u < w))
 
-    def profile(self, cols=None) -> "OmigoDF":
+    def profile(self, cols=None, exact: bool = False) -> "OmigoDF":
         """Column profile: one row per column with row count, null count,
-        exact distinct count, and min/max of the string form — the
-        first-look data-quality pass over a new corpus. One aggregation
-        job computes every column's stats together (partial+final; no
-        per-column scans); the unpivot to rows happens on the 1-row
-        aggregate."""
+        distinct count, and min/max of the string form — the first-look
+        data-quality pass over a new corpus. One aggregation job computes
+        every column's stats together (partial+final; no per-column
+        scans); the unpivot to rows happens on the 1-row aggregate.
+
+        ``n_distinct`` defaults to ``approx_count_distinct`` (HLL++,
+        one streaming pass, constant memory per column): N exact
+        ``countDistinct`` in one agg compiles to an Expand node that
+        duplicates every scanned row ~once per distinct aggregate — a
+        ~N× row inflation that turns a cheap first-look pass into a
+        multiplied full shuffle at 100 TB. ``exact=True`` opts back in
+        for small tables / oracle comparison."""
         use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        nd = F.countDistinct if exact else (
+            lambda s: F.approx_count_distinct(s, rsd=0.02))
         aggs = []
         for c in use:
             col = self._df[c]
             s = col.cast("string")
             aggs += [F.count(F.lit(1)).alias(f"__n_{c}__"),
                      F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}__"),
-                     F.countDistinct(s).alias(f"__nd_{c}__"),
+                     nd(s).alias(f"__nd_{c}__"),
                      F.min(s).alias(f"__mn_{c}__"),
                      F.max(s).alias(f"__mx_{c}__")]
         row = self._df.agg(*aggs)

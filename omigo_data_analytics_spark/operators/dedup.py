@@ -280,7 +280,8 @@ def dedup_embedding(odf: OmigoDF, threshold: float = 0.9,
 
 
 def connected_components(pairs: OmigoDF, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 20) -> OmigoDF:
+                         id_b: str = "id_b", max_iter: int = 20,
+                         on_nonconverged: str = "raise") -> OmigoDF:
     """Connected components over an undirected edge list: returns
     (id, cluster_id) for every endpoint, cluster_id = min node id in the
     component (deterministic canonical representative).
@@ -295,7 +296,16 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
     adversarially long chains the alternating large-star/small-star
     variant halves diameter per round; the simple variant keeps the
     per-round plan to one join + one aggregate, which is the better
-    constant factor for dedup-shaped graphs."""
+    constant factor for dedup-shaped graphs.
+
+    If the signature has not converged after ``max_iter`` rounds the
+    labels are PARTIAL (a component with diameter > max_iter would get
+    split labels); ``on_nonconverged`` controls what happens then:
+    'raise' (default — silent wrong clusters are worse than a retry
+    with connected_components_star or a larger max_iter) or 'warn'."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"connected_components: on_nonconverged={on_nonconverged!r}")
     e = pairs.df if isinstance(pairs, OmigoDF) else pairs
     edges = (e.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
               .unionByName(e.select(F.col(id_b).alias("src"),
@@ -314,6 +324,7 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
         return (row["h"], row["n"])
 
     sig = _sig(labels)
+    converged = False
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges["dst"] == labels["id"])
                  .select(F.col("src").alias("id"), F.col("lab")))
@@ -322,8 +333,19 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
                   .localCheckpoint(eager=True))
         new_sig = _sig(labels)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        msg = (f"connected_components: label propagation did not converge "
+               f"in max_iter={max_iter} rounds — a component's diameter "
+               f"exceeds max_iter and its labels are split; use "
+               f"connected_components_star (O(log n) rounds) or raise "
+               f"max_iter")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return OmigoDF(labels.select(F.col("id"), F.col("lab").alias("cluster_id")))
 
 

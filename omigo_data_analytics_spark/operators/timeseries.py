@@ -198,10 +198,21 @@ def range_join(points, intervals, point_col: str, start_col: str,
     Distributed strategy: quantize. Points get one bin
     ``floor(point / bin_width)``; intervals explode to every bin they
     overlap; the join is a plain equi-join on (keys, bin) and the exact
-    range predicate filters the candidates. Duplicate hits (an interval
-    spans many bins but each point lives in exactly one) cannot occur:
-    each point carries a single bin.
+    range predicate rides IN the join condition (not a post-join filter,
+    which would silently drop a left join's unmatched NULL rows and
+    degrade it to inner). Duplicate hits (an interval spans many bins
+    but each point lives in exactly one) cannot occur: each point
+    carries a single bin.
+
+    ``how`` is 'inner' or 'left' (points-preserving). 'right'/'full'
+    are rejected: bin explosion duplicates an unmatched interval once
+    per bin it spans; call with the sides swapped instead.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"range_join: how={how!r} unsupported — bin explosion would "
+            "duplicate unmatched intervals; use 'inner' or 'left' "
+            "(swap sides for an interval-preserving join)")
     pdf, idf = _df(points), _df(intervals)
     keys = list(on or [])
 
@@ -217,9 +228,9 @@ def range_join(points, intervals, point_col: str, start_col: str,
     for k in keys:
         cond.append(p[k] == i[k])
     pt = _epoch_sec(pdf, point_col)
-    joined = (p.join(i, cond, how)
-              .where((pt >= _epoch_sec(idf, start_col))
-                     & (pt <= _epoch_sec(idf, end_col))))
+    cond.append(pt >= _epoch_sec(idf, start_col))
+    cond.append(pt <= _epoch_sec(idf, end_col))
+    joined = p.join(i, cond, how)
     dup = set(keys) | {"__bin__"}
     out = joined.select(
         *[p[c] for c in pdf.columns],

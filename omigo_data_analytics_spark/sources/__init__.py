@@ -1,3 +1,3 @@
 from . import io
 
-__all__ = ["io"]
+__all__ = ["io", "jira"]

@@ -29,6 +29,20 @@ def test_connected_components_long_chain(spark):
     assert out.count() == n + 1
 
 
+def test_connected_components_nonconvergence_is_loud(spark):
+    import pytest
+    # a 10-chain cannot converge in 2 rounds: default raises, warn
+    # mode returns partial labels with a RuntimeWarning
+    pairs = OmigoDF(spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=2)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = DD.connected_components(pairs, max_iter=2,
+                                      on_nonconverged="warn").df
+        assert out.count() == 11  # partial labels, but every node present
+
+
 def test_cluster_near_dups_transitive(spark):
     # a~b and b~c by shared text; greedy pair-drop would keep c, the
     # transitive closure must label all three with min id
@@ -143,6 +157,19 @@ def test_normalize_zscore_and_minmax(spark):
     assert got[("b", 5.0)] == 0.5      # constant group -> midpoint
 
 
+def test_normalize_zscore_overflow_raises(spark):
+    import pytest
+    # overflow anywhere in the decimal moments (per-row try_cast at
+    # 1e21, or the x^2 try_multiply at 9e17) is a uniform NULL under
+    # any ANSI mode; the guard must raise, never emit a z-score that
+    # averaged only the surviving rows (the DuckDB oracle raises too)
+    for bad in (1e21, 9e17):
+        d = OmigoDF(spark.createDataFrame(
+            [(1, bad), (2, -9e17), (3, 3e17)], "id long, x double"))
+        with pytest.raises(Exception, match="decimal sum overflow"):
+            d.normalize(["x"], method="zscore").df.collect()
+
+
 def test_normalize_no_row_shuffle(spark, lineitem):
     plan = (lineitem.normalize(["l_quantity"], group_cols=["l_returnflag"])
             .df._jdf.queryExecution().executedPlan().toString())
@@ -181,8 +208,9 @@ def test_sample_weighted_deterministic_and_monotone(documents):
 def test_profile(spark):
     d = OmigoDF(spark.createDataFrame(
         [(1, "a"), (2, None), (2, "b")], "id long, s string"))
-    got = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"],
-                         r["min_str"], r["max_str"])
-           for r in d.profile().df.collect()}
-    assert got["id"] == (3, 0, 2, "1", "2")
-    assert got["s"] == (3, 1, 2, "a", "b")
+    for kw in ({}, {"exact": True}):  # approx is exact at tiny cardinality
+        got = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                             r["min_str"], r["max_str"])
+               for r in d.profile(**kw).df.collect()}
+        assert got["id"] == (3, 0, 2, "1", "2")
+        assert got["s"] == (3, 1, 2, "a", "b")

@@ -173,3 +173,17 @@ def test_pipeline_e2e_no_cartesian_partial_aggs(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "partial_" in p
+
+
+def test_profile_default_has_no_expand(spark):
+    # N exact countDistinct in one agg compiles to an Expand node that
+    # duplicates every scanned row ~once per distinct aggregate — the
+    # default (approx_count_distinct) must not
+    from omigo_data_analytics_spark.core.dataframe import OmigoDF
+    o = OmigoDF(spark.read.parquet(f"{SF}/orders.parquet"))
+    default_plan = (o.profile(["o_orderkey", "o_custkey"])
+                    .df._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" not in default_plan
+    exact_plan = (o.profile(["o_orderkey", "o_custkey"], exact=True)
+                  .df._jdf.queryExecution().executedPlan().toString())
+    assert "Expand" in exact_plan  # opt-in path unchanged

@@ -96,6 +96,21 @@ def test_range_join_with_keys(spark):
     assert got == {(1, 10)}  # key must match AND range must contain
 
 
+def test_range_join_left_preserves_unmatched_points(spark):
+    # the range predicate rides the join condition: a left join keeps
+    # every point, with NULL interval cols for non-contained points
+    pts = OmigoDF(spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 7.0)], "pid long, x double"))
+    iv = OmigoDF(spark.createDataFrame(
+        [(10, 0.0, 10.0)], "iid long, lo double, hi double"))
+    out = TS.range_join(pts, iv, "x", "lo", "hi", bin_width=8.0,
+                        how="left").df
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert got == {(1, 10), (3, 10), (2, None)}
+    with pytest.raises(ValueError, match="unsupported"):
+        TS.range_join(pts, iv, "x", "lo", "hi", how="full")
+
+
 def test_sessionize_gaps(spark):
     rows = [("u", 0.0), ("u", 100.0), ("u", 5000.0), ("u", 5100.0),
             ("u", 99999.0), ("v", 1.0)]

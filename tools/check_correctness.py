@@ -9,6 +9,12 @@ oracle doesn't cast it back to BIGINT, an int64 Spark column hashes
 differently even when values are equal. (Round 1 lost two queries to
 exactly that: fetchall() returned Python ints and masked the drift.)
 
+Dtype strictness (round 5): canonicalization is PER COLUMN, never via
+``iterrows()`` — iterrows coerces each mixed-dtype row to one common dtype,
+turning an int64-vs-float64 column divergence into identical float rows on
+both sides. That coercion is exactly how the round-4 sessionize /
+merge_intervals HUGEINT drift passed locally while failing the driver.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -57,10 +63,10 @@ def canon_cell(v) -> str:
 
 def frame_fingerprint(pdf):
     cols = sorted(pdf.columns)
-    lines = sorted(
-        "\t".join(canon_cell(row[c]) for c in cols)
-        for _, row in pdf.iterrows()
-    )
+    # per-column canon preserves each column's dtype; .tolist() yields
+    # native ints for int64 and floats for float64, so "2" != "2.0"
+    canon_cols = [[canon_cell(v) for v in pdf[c].tolist()] for c in cols]
+    lines = sorted("\t".join(cells) for cells in zip(*canon_cols))
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
