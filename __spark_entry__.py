@@ -2695,9 +2695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_json_join": q_explode_json_join,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
         "quantiles": q_quantiles,
-        "quantile_grid": q_quantile_grid,
+        # merge_similar_nodes rewritten this round (window-min rep):
+        # takes quantile_grid's slot; quantile_grid leads the r6 queue
+        "graph_merge_nodes": q_graph_merge_nodes,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # r3-row queries that didn't fit the budget: first in line for r6
+        "quantile_grid": q_quantile_grid,
         "failsafe_aggs": q_failsafe_aggs,
         "uniq_mkstr": q_uniq_mkstr,
         "string_aggs": q_string_aggs,
@@ -2722,7 +2725,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ancestors": q_graph_ancestors,
         "graph_remove_cycles": q_graph_remove_cycles,
         "graph_time_ancestors": q_graph_time_ancestors,
-        "graph_merge_nodes": q_graph_merge_nodes,
         "graph_dangling": q_graph_dangling,
         "text_metrics": q_text_metrics,
         "typed_filters": q_typed_filters,

@@ -199,7 +199,14 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     same sorted parent set merge into one representative (minimum id) —
     the working core of the reference's merge_similar_nodes_reference
     (graph_traversal.py:344-444, whose own impl has undefined vars).
-    Returns the edge table with merged leaf destinations, deduped."""
+    Returns the edge table with merged leaf destinations, deduped.
+
+    The representative per parent-signature comes from a window min over
+    psig rather than a groupBy + join-back: the join form evaluates the
+    whole leaves->parents subtree twice (once per side) unless the
+    optimizer happens to reuse the exchange, and costs an extra join —
+    the window is one psig shuffle over a leaf-count-sized frame."""
+    from pyspark.sql import Window
     e = _df(edges)
     srcs = e.select(F.col(src_col).alias("n")).distinct()
     leaves = (e.join(srcs, e[dst_col] == F.col("n"), "left_anti")
@@ -208,8 +215,8 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
                .groupBy("leaf")
                .agg(F.concat_ws(",", F.array_sort(
                    F.collect_set(F.col(src_col).cast("string")))).alias("psig")))
-    rep = parents.groupBy("psig").agg(F.min("leaf").alias("rep"))
-    remap = parents.join(rep, "psig").select("leaf", "rep")
+    remap = parents.select(
+        "leaf", F.min("leaf").over(Window.partitionBy("psig")).alias("rep"))
     out = (e.join(remap, e[dst_col] == F.col("leaf"), "left")
            .withColumn(dst_col, F.coalesce(F.col("rep"), e[dst_col]))
            .drop("leaf", "rep")
