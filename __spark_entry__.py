@@ -2619,6 +2619,129 @@ FROM s
 """
 
 
+def q_graphviz_dot(spark, sf_dir):
+    """DOT export as a distributed line-per-row frame
+    (operators/dot.dot_lines; reference graphviz_ext.py:23-138 builds the
+    same document in a driver-side dict loop). Nation→region membership
+    graph; deterministic (section, sort_key) ordering."""
+    from omigo_data_analytics_spark.operators.dot import dot_lines
+
+    nat = _t(spark, sf_dir, "nation").df
+    reg = _t(spark, sf_dir, "region").df
+    v = (nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("id"),
+            F.col("n_name").alias("name"), F.lit("nation").alias("kind"))
+         .unionByName(reg.select(
+            F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("id"),
+            F.col("r_name").alias("name"), F.lit("region").alias("kind"))))
+    e = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("dst"),
+        F.lit("member").alias("rel"))
+    out = dot_lines(OmigoDF(v), OmigoDF(e), "id", "src", "dst",
+                    vertex_display_id_col="name", node_props=["kind"],
+                    edge_props=["rel"], validate=False)
+    return out.df.select("section", "sort_key", "line")
+
+
+SQL_GRAPHVIZ_DOT = """
+WITH v AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS id, n_name AS name,
+         'nation' AS kind FROM nation
+  UNION ALL
+  SELECT 'r' || CAST(r_regionkey AS VARCHAR), r_name, 'region' FROM region),
+e AS (
+  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS src,
+         'r' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation),
+vl AS (
+  SELECT 1 AS section, id AS sort_key,
+         '    "' || id || '" ["label" = "' ||
+         (CASE WHEN name IS NULL OR name = '' THEN id ELSE name END) ||
+         chr(10) || '[kind = ' || kind ||
+         ']", "style" = "filled", "shape" = "rectangle" ]' AS line
+  FROM v),
+el AS (
+  SELECT 3 AS section, src || chr(31) || dst AS sort_key,
+         '    "' || src || '" -> "' || dst ||
+         '" [ label = "[rel = member]" ]' AS line
+  FROM e),
+hf AS (SELECT * FROM (VALUES (0, '', 'digraph G {'), (2, '', ''),
+                             (4, '', '}')) t(section, sort_key, line))
+SELECT section, sort_key, line FROM hf
+UNION ALL SELECT * FROM vl
+UNION ALL SELECT * FROM el
+"""
+
+
+def q_geomap_mercator(spark, sf_dir):
+    """Distributed Web-Mercator projection (operators/geomap.geomap_prepare;
+    reference geomap_viz.py:16-25 projects in a driver-side pandas loop).
+    Lat/lon synthesized deterministically from c_custkey (testdata has no
+    geo columns); projected meters rounded to 3 decimals (mm) — the cosine
+    oracles' ROUND(…,6) convention scaled to ~2e7-magnitude values."""
+    from omigo_data_analytics_spark.operators.geomap import geomap_prepare
+
+    c = _t(spark, sf_dir, "customer").df
+    pts = c.select(
+        ((F.col("c_custkey") * 37) % 160 - 80 + 0.5).alias("lat"),
+        ((F.col("c_custkey") * 91) % 340 - 170 + 0.5).alias("lon"))
+    out = geomap_prepare(OmigoDF(pts), "lat", "lon").df
+    return out.select("lat", "lon",
+                      F.round("mercator_x", 3).alias("mx"),
+                      F.round("mercator_y", 3).alias("my"))
+
+
+SQL_GEOMAP_MERCATOR = """
+WITH pts AS (
+  SELECT DISTINCT (c_custkey * 37) % 160 - 80 + 0.5 AS lat,
+                  (c_custkey * 91) % 340 - 170 + 0.5 AS lon
+  FROM customer),
+m AS (
+  SELECT lat, lon, 6378137.000 * radians(lon) AS x FROM pts
+  WHERE lat <> 0 AND lon <> 0)
+SELECT lat, lon, ROUND(x, 3) AS mx,
+       ROUND(180.0 / pi() * ln(tan(pi() / 4.0 + lat * (pi() / 180.0) / 2.0))
+             * (x / lon), 3) AS my
+FROM m
+"""
+
+
+def q_sankey_links(spark, sf_dir):
+    """Sankey node/link aggregation (operators/sankey.sankey_links; the
+    reference's plotly_ext.py:13-33 renders a caller-built map — the
+    distributed shaping is the scale-relevant half). Order-priority →
+    order-status flows weighted by DECIMAL-exact total price."""
+    from omigo_data_analytics_spark.operators.sankey import sankey_links
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderpriority", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price_d"))
+    out = sankey_links(OmigoDF(o), "o_orderpriority", "o_orderstatus",
+                       value_col="price_d")
+    return out.df.select(
+        "src_label", "dst_label",
+        F.col("source").cast("long").alias("source"),
+        F.col("target").cast("long").alias("target"),
+        F.col("value").cast("double").alias("value"))
+
+
+SQL_SANKEY_LINKS = """
+WITH links AS (
+  SELECT CAST(o_orderpriority AS VARCHAR) AS src_label,
+         CAST(o_orderstatus AS VARCHAR) AS dst_label,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS value
+  FROM orders GROUP BY 1, 2),
+labels AS (
+  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS BIGINT) AS idx
+  FROM (SELECT src_label AS label FROM links
+        UNION SELECT dst_label FROM links) u)
+SELECT l.src_label, l.dst_label, s.idx AS source, t.idx AS target, l.value
+FROM links l
+JOIN labels s ON s.label = l.src_label
+JOIN labels t ON t.label = l.dst_label
+"""
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2654,6 +2777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r05 ---
         "jira_search": q_jira_search,
         "stream_dedup": q_stream_dedup,
+        "graphviz_dot": q_graphviz_dot,
+        "geomap_mercator": q_geomap_mercator,
+        "sankey_links": q_sankey_links,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -2820,6 +2946,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_intervals_islands": SQL_MERGE_INTERVALS,
         "jira_search": SQL_JIRA_SEARCH,
         "stream_dedup": SQL_STREAM_DEDUP,
+        "graphviz_dot": SQL_GRAPHVIZ_DOT,
+        "geomap_mercator": SQL_GEOMAP_MERCATOR,
+        "sankey_links": SQL_SANKEY_LINKS,
         "asof_nearest": SQL_ASOF_NEAREST,
         "sample_weighted": _sql_sample_weighted(),
         "profile": _sql_profile(),
