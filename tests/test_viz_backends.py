@@ -168,6 +168,27 @@ def test_sankey_figure_import_gated():
                               "value": []})
 
 
+def test_dot_document_partition_invariant(small_graph):
+    """Same DOT document regardless of input partitioning (the dedup aggs
+    and sorted collect must make the output deterministic)."""
+    v, e = small_graph
+    base = D.get_graphviz_data(v, e, "id", "src", "dst",
+                               node_props=["kind"], validate=False)
+    v7 = OmigoDF(v.df.repartition(7))
+    e3 = OmigoDF(e.df.repartition(3, "dst"))
+    assert D.get_graphviz_data(v7, e3, "id", "src", "dst",
+                               node_props=["kind"], validate=False) == base
+
+
+def test_sankey_data_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [(f"s{i % 5}", f"t{i % 3}", float(i)) for i in range(200)],
+        "src string, dst string, v double")
+    a = SK.sankey_data(OmigoDF(df), "src", "dst", "v")
+    b = SK.sankey_data(OmigoDF(df.repartition(13)), "src", "dst", "v")
+    assert a == b
+
+
 def test_sankey_links_broadcasts_label_index(spark):
     df = OmigoDF(spark.createDataFrame(
         [("a", "x", 1.0)], "src string, dst string, v double"))
