@@ -48,6 +48,11 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
     # re-writing the whole accumulated set (one fewer job per level)
     deltas = [seeds.distinct().withColumn("level", F.lit(0)).localCheckpoint()]
     frontier = deltas[0].select("node_id")
+    # dead-end probe: frontier nodes without outgoing edges cannot expand;
+    # when the whole frontier is dead the loop exits without shuffling the
+    # edge table one last time (the convergence round becomes frontier-
+    # sized instead of |E|-sized)
+    srcs = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
 
     def _visited():
         out = deltas[0].select("node_id")
@@ -56,7 +61,10 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
         return out
 
     for depth in range(1, max_iter + 1):
-        nxt = (e.join(frontier.withColumnRenamed("node_id", "src"), "src")
+        live = frontier.join(srcs, "node_id", "left_semi").localCheckpoint()
+        if live.isEmpty():
+            break
+        nxt = (e.join(live.withColumnRenamed("node_id", "src"), "src")
                 .select(F.col("dst").alias("node_id")).distinct()
                 .join(_visited(), "node_id", "left_anti")
                 .localCheckpoint())
@@ -94,13 +102,26 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     """
     e = _df(edges).select(F.col(src_col).alias("anc"),
                           F.col(dst_col).alias("node_id")).localCheckpoint()
-    # recursive doubling: R <- R ∪ R∘R reaches the closure in O(log depth)
-    # rounds instead of O(depth) single-step frontier expansions — fewer
-    # global barriers, the textbook plan for transitive closure. R is a
-    # LAZY union of checkpointed deltas: the three per-round readers (two
-    # join sides + anti-join) re-scan materialized blocks instead of also
-    # re-writing the whole closure every round.
+    # semi-naive recursive doubling ("smart" transitive closure):
+    # Δ_k = Δ_{k-1} ∘ R_{k-1}, still O(log depth) rounds — a pair whose
+    # MINIMAL path length lies in (2^(k-1), 2^k] splits at 2^(k-1) into a
+    # prefix that is minimal-length-new at step k-1 (∈ Δ) and a suffix
+    # already in R; composing the full closure with itself (R∘R) each
+    # round instead re-derives every previously-known pair before the
+    # anti-join throws them away — on a depth-d graph the last (empty)
+    # round alone costs a full |R|×|R| self-join. With Δ on the build
+    # side the convergence round joins only the newest (often tiny or
+    # dead-ended) delta against R. R is a LAZY union of checkpointed
+    # deltas: per-round readers re-scan materialized blocks instead of
+    # also re-writing the whole closure every round.
     deltas = [e.distinct().localCheckpoint()]   # direct parents
+    # dead-end pruning: only delta rows whose endpoint has an outgoing
+    # edge can compose further. The semi-join against the (once-
+    # checkpointed) source set is delta-sized; when it comes back empty
+    # the loop exits WITHOUT shuffling the ever-growing closure — on a
+    # depth-d graph the convergence round degrades from an |R|-sized
+    # join to this probe.
+    srcs = e.select(F.col("anc").alias("node_id")).distinct().localCheckpoint()
 
     def _reach():
         out = deltas[0]
@@ -109,8 +130,12 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
         return out
 
     for _ in range(max_iter):
+        live = (deltas[-1].join(srcs, "node_id", "left_semi")
+                .localCheckpoint())
+        if live.isEmpty():
+            break
         reach = _reach()
-        comp = (reach.select("anc", F.col("node_id").alias("mid"))
+        comp = (live.select("anc", F.col("node_id").alias("mid"))
                 .join(reach.select(F.col("anc").alias("mid"), "node_id"), "mid")
                 .select("anc", "node_id").distinct()
                 .join(reach, ["anc", "node_id"], "left_anti").localCheckpoint())
@@ -172,7 +197,14 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     best = (e.groupBy(F.col("dst").alias("node_id"), F.col("src").alias("anc"))
              .agg(F.min("ts").alias("arr_ts"))).localCheckpoint()
     frontier = best
+    # dead-end probe, as in ancestors(): states at nodes with no outgoing
+    # edges cannot extend, so the convergence round is a frontier-sized
+    # semi-join instead of a frontier×|E| join
+    srcs = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
     for _ in range(max_iter):
+        frontier = frontier.join(srcs, "node_id", "left_semi").localCheckpoint()
+        if frontier.isEmpty():
+            break
         ext = (frontier.join(e, frontier["node_id"] == e["src"])
                .where(F.col("ts") >= F.col("arr_ts"))
                .groupBy(F.col("dst").alias("node_id"), F.col("anc"))

@@ -204,6 +204,46 @@ def from_maps(spark: SparkSession, maps: list[dict]) -> OmigoDF:
     return OmigoDF(spark.createDataFrame(rows, schema))
 
 
+def split_headers_in_common_and_diff(df_list) -> tuple[list[str], list[str]]:
+    """(sorted all columns, sorted columns not present in every frame) —
+    reference dfutils.py:65-83. Pure schema metadata; no jobs run."""
+    counts: dict[str, int] = {}
+    for xdf in df_list:
+        for h in xdf.df.columns:
+            counts[h] = counts.get(h, 0) + 1
+    non_common = [k for k, v in counts.items() if v != len(df_list)]
+    return sorted(counts.keys()), sorted(non_common)
+
+
+def get_diffs_in_headers(df_list) -> list[str]:
+    """Columns missing from at least one frame (reference dfutils.py:86-89)."""
+    return split_headers_in_common_and_diff(df_list)[1]
+
+
+def load_from_array_of_map(spark: SparkSession, map_arr: list[dict]) -> OmigoDF:
+    """list-of-dicts → string-typed table with the reference's value-typing
+    rules (dfutils.py:189-255): list values comma-join, dict values become
+    url-encoded JSON under a ``<key>:json_encoded`` column, everything else
+    stringifies; columns are the sorted union of keys, absent values ''.
+    (The reference also routes every key/value through its whitespace
+    cleaner, which is currently a documented no-op — utils.py:553-555.)"""
+    import json as _json
+    import urllib.parse as _up
+
+    cleaned = []
+    for mp in map_arr:
+        mp2 = {}
+        for k, v in mp.items():
+            if isinstance(v, dict):
+                mp2[f"{k}:json_encoded"] = _up.quote_plus(_json.dumps(v))
+            elif isinstance(v, list):
+                mp2[k] = ",".join(str(t) for t in v)
+            else:
+                mp2[k] = v
+        cleaned.append(mp2)
+    return from_maps(spark, cleaned)
+
+
 def read_zip(spark: SparkSession, path: str, sep: str = "\t",
              header: bool = True) -> OmigoDF:
     """`.zip` TSV read (reference file_paths_util.py:194-203). `read`

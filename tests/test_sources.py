@@ -240,3 +240,37 @@ def test_orc_roundtrip_with_pushdown(spark, nation, tmpdir):
     plan = (back.df.where("n_regionkey = 1").select("n_name")
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
+
+
+# ---------------------------------------------------------------- dfutils
+def test_split_headers_in_common_and_diff(spark):
+    from omigo_data_analytics_spark.sources import io
+
+    a = io.from_maps(spark, [{"x": 1, "y": 2}])
+    b = io.from_maps(spark, [{"x": 1, "z": 3}])
+    common, diff = io.split_headers_in_common_and_diff([a, b])
+    assert common == ["x", "y", "z"]
+    assert diff == ["y", "z"]
+    assert io.get_diffs_in_headers([a, b]) == ["y", "z"]
+    assert io.get_diffs_in_headers([a, a]) == []
+
+
+def test_load_from_array_of_map_value_typing(spark):
+    """reference dfutils.py:189-255 — list→comma-join, dict→url-encoded
+    JSON under <key>:json_encoded, int→str, sorted-union columns."""
+    from omigo_data_analytics_spark.sources import io
+    import json
+    import urllib.parse
+
+    out = io.load_from_array_of_map(spark, [
+        {"a": 1, "tags": ["x", "y"], "meta": {"k": "v 1"}},
+        {"a": "s", "b": 2.5},
+    ])
+    cols = out.df.columns
+    assert cols == sorted(["a", "tags", "meta:json_encoded", "b"])
+    rows = {r["a"]: r for r in out.df.collect()}
+    assert rows["1"]["tags"] == "x,y"
+    enc = rows["1"]["meta:json_encoded"]
+    assert json.loads(urllib.parse.unquote_plus(enc)) == {"k": "v 1"}
+    assert rows["s"]["b"] == "2.5"
+    assert rows["1"]["b"] == ""   # absent value -> ''
