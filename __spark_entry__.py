@@ -37,6 +37,7 @@ from omigo_data_analytics_spark.sources import sql as SQX  # noqa: E402
 from omigo_data_analytics_spark.streaming import stream as ST  # noqa: E402
 from omigo_data_analytics_spark.operators import timeseries as TS  # noqa: E402
 from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
+from omigo_data_analytics_spark.operators import curation as CU  # noqa: E402
 from omigo_data_analytics_spark.functions import timefuncs as TFN  # noqa: E402
 
 
@@ -2742,6 +2743,68 @@ JOIN labels t ON t.label = l.dst_label
 """
 
 
+def q_repetition_metrics(spark, sf_dir):
+    """Gopher-style per-document repetition statistics
+    (operators/curation.repetition_metrics): bigram count, duplicate-
+    bigram fraction, top-bigram dominance. Pure map-side codegen'd
+    expressions — at 100 TB the cost is the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return (CU.repetition_metrics(docs).df
+            .select("doc_id", "ngram_count", "dup_ngram_frac",
+                    "top_ngram_frac"))
+
+
+def _sql_repetition() -> str:
+    ex = CU.repetition_exprs("duckdb")
+    cols = ", ".join(f"{e} AS {k}" for k, e in ex.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.decontaminate):
+    training docs sharing any 5-gram with the held-out set (doc_id % 20
+    == 0 plays the benchmark) are dropped. Eval shingles broadcast;
+    the only shuffle is the distinct over contaminated ids."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = OmigoDF(docs.df.filter("doc_id % 20 = 0"))
+    tr = OmigoDF(docs.df.filter("doc_id % 20 <> 0"))
+    out = CU.decontaminate(tr, ev, "doc_id", n=5)
+    return out.df.select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_decontaminate() -> str:
+    sh = DD.shingles_expr("duckdb", "text", 5)
+    return f"""
+WITH ev AS (SELECT DISTINCT unnest({sh}) AS s FROM documents
+            WHERE doc_id % 20 = 0),
+tr AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+cont AS (SELECT DISTINCT doc_id
+         FROM (SELECT doc_id, unnest({sh}) AS s FROM tr) t
+         JOIN ev USING (s))
+SELECT doc_id, lang, source, n_chars FROM tr
+WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+"""
+
+
+MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_mix_sources(spark, sf_dir):
+    """Deterministic source mixing (operators/curation.mix_sources):
+    downsample each source to 50/30/20 target shares with a portable-
+    hash coin — counts/rates in-plan (broadcast), keep decision
+    map-side, no RNG and no driver collect."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CU.mix_sources(docs, "source", MIX_SHARES, ["doc_id"], seed=7)
+    return out.df.select("doc_id", "source", "lang")
+
+
+def _sql_mix_sources() -> str:
+    return CU.mix_sources_sql_duck(
+        "documents", "source", MIX_SHARES, ["doc_id"], seed=7,
+        select="d.doc_id, d.source, d.lang")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -2780,6 +2843,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphviz_dot": q_graphviz_dot,
         "geomap_mercator": q_geomap_mercator,
         "sankey_links": q_sankey_links,
+        "repetition_metrics": q_repetition_metrics,
+        "decontaminate": q_decontaminate,
+        "mix_sources": q_mix_sources,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -2817,15 +2883,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_vocab": q_token_vocab,
         "ttest": q_ttest,
         "explode_json": q_explode_json,
-        "explode_json_zip": q_explode_json_zip,
-        "explode_json_join": q_explode_json_join,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        "quantiles": q_quantiles,
         # merge_similar_nodes rewritten this round (window-min rep):
         # takes quantile_grid's slot; quantile_grid leads the r6 queue
         "graph_merge_nodes": q_graph_merge_nodes,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # r3-row queries that didn't fit the budget: first in line for r6
+        # (explode_json_zip/_join and quantiles ceded their slots to the
+        # three new curation queries — r3-green, family-covered by
+        # explode_json and quantile_grid respectively)
+        "explode_json_zip": q_explode_json_zip,
+        "explode_json_join": q_explode_json_join,
+        "quantiles": q_quantiles,
         "quantile_grid": q_quantile_grid,
         "failsafe_aggs": q_failsafe_aggs,
         "uniq_mkstr": q_uniq_mkstr,
@@ -2946,6 +3015,9 @@ def oracle_sql() -> dict[str, str]:
         "merge_intervals_islands": SQL_MERGE_INTERVALS,
         "jira_search": SQL_JIRA_SEARCH,
         "stream_dedup": SQL_STREAM_DEDUP,
+        "repetition_metrics": _sql_repetition(),
+        "decontaminate": _sql_decontaminate(),
+        "mix_sources": _sql_mix_sources(),
         "graphviz_dot": SQL_GRAPHVIZ_DOT,
         "geomap_mercator": SQL_GEOMAP_MERCATOR,
         "sankey_links": SQL_SANKEY_LINKS,

@@ -1,0 +1,224 @@
+"""Corpus-curation operators beyond dedup: repetition metrics, benchmark
+decontamination, and deterministic source mixing.
+
+These extend the reference's filter/sample surface (omigo_core
+dataframe.py filter/sampling families) with the curation passes a
+training-data pipeline runs over raw corpora before tokenization:
+
+  * ``repetition_metrics`` — per-document n-gram repetition statistics
+    (duplicate-gram fraction, top-gram dominance) in the style of the
+    Gopher/MassiveText quality rules. Pure per-row SQL expressions:
+    map-side, codegen'd, zero shuffle — at 100 TB the cost is the scan.
+  * ``decontaminate`` — drop training documents that share any word
+    n-gram with an evaluation/benchmark set. The eval side is shingled,
+    deduplicated, and broadcast (benchmarks are MBs, corpora are TBs);
+    the train side shingles map-side and anti-joins on document id, so
+    the only shuffle is the distinct over contaminated ids — a vanishing
+    fraction of the corpus.
+  * ``mix_sources`` — downsample each source to target mixture shares
+    with a portable-hash coin, entirely in-plan: per-source counts are a
+    partial-aggregated (tiny) shuffle, the achievable total and per-source
+    rates are computed by a scalar aggregate + broadcast join, and the
+    keep decision is a map-side filter. No driver collect, no RNG — the
+    same document survives across runs, engines, and corpus regrowth.
+
+Determinism: hashes are the portable md5 polynomial (operators/text.py),
+so the DuckDB oracles reproduce every decision bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core.dataframe import OmigoDF, colutils
+from .text import ensure_min_parallelism, hash_duck, hash_spark, let_duck, let_spark
+from .dedup import shingles_expr, _tokens
+
+REPETITION_N = 2
+DECONTAM_N = 5
+_RATE_SCALE = 1000000
+
+
+# ------------------------------------------------------------ expressions
+def _grams(dialect: str, col: str, n: int) -> str:
+    """Word n-gram list WITH multiplicity (repetition needs counts, so no
+    array_distinct — contrast dedup.shingles_expr). Documents shorter
+    than n tokens fall back to their token list so the metrics stay
+    defined for stub-length rows."""
+    t = _tokens(dialect, col)
+    if dialect == "spark":
+        gram = "concat_ws(' ', " + ", ".join(
+            f"element_at(t0, i + {j})" for j in range(n)) + ")"
+        body = (f"CASE WHEN size(t0) >= {n} "
+                f"THEN transform(sequence(1, size(t0) - {n - 1}), i -> {gram}) "
+                f"ELSE t0 END")
+        return let_spark(t, "t0", body)
+    gram = "concat_ws(' ', " + ", ".join(f"t0[i + {j}]" for j in range(n)) + ")"
+    body = (f"CASE WHEN len(t0) >= {n} "
+            f"THEN list_transform(range(1, len(t0) - {n - 2}), i -> {gram}) "
+            f"ELSE t0 END")
+    return let_duck(t, "t0", body)
+
+
+def repetition_exprs(dialect: str, col: str = "text", n: int = REPETITION_N,
+                     grams_override: str | None = None) -> dict[str, str]:
+    """One definition, two dialects (the text.py `_metric_exprs` pattern).
+
+    * ``ngram_count``    — total n-grams in the document.
+    * ``dup_ngram_frac`` — fraction of gram INSTANCES that are repeats of
+      an earlier instance (1 - distinct/total): the Gopher duplicate-
+      n-gram-fraction rule.
+    * ``top_ngram_frac`` — share of the most frequent gram: the Gopher
+      top-n-gram-dominance rule.
+
+    The per-distinct-gram counting is O(distinct x total) per row — fine
+    for documents (hundreds of tokens), and it stays inside whole-stage
+    codegen instead of paying an explode + two corpus-sized shuffles to
+    re-aggregate counts per document."""
+    if dialect == "spark":
+        g = grams_override or _grams("spark", col, n)
+        size, distinct, amax = "size", "array_distinct", "array_max"
+
+        def count_of(x):
+            return f"size(filter(g0, y -> y = {x}))"
+    else:
+        g = _grams("duckdb", col, n)
+        size, distinct, amax = "len", "list_distinct", "list_max"
+
+        def count_of(x):
+            return f"len(list_filter(g0, y -> y = {x}))"
+
+    total = f"{size}(g0)"
+    uniq = f"{size}({distinct}(g0))"
+    if dialect == "spark":
+        top = f"{amax}(transform({distinct}(g0), x -> {count_of('x')}))"
+    else:
+        top = f"{amax}(list_transform({distinct}(g0), x -> {count_of('x')}))"
+    exprs = {
+        "ngram_count": f"CAST({total} AS BIGINT)",
+        "dup_ngram_frac":
+            f"round(1.0 - CAST({uniq} AS DOUBLE) / {total}, 6)",
+        "top_ngram_frac":
+            f"round(CAST({top} AS DOUBLE) / {total}, 6)",
+    }
+    let = let_spark if dialect == "spark" else let_duck
+    return {name: let(g, "g0", body) for name, body in exprs.items()}
+
+
+# ------------------------------------------------------------------ engine
+def repetition_metrics(odf: OmigoDF, col: str = "text",
+                       n: int = REPETITION_N) -> OmigoDF:
+    """Append per-document repetition statistics. Map-side only."""
+    odf._resolve(col)
+    df = ensure_min_parallelism(odf.df)
+    exprs = repetition_exprs("spark", col, n)
+    return OmigoDF(df.select(
+        "*", *[F.expr(e).alias(name) for name, e in exprs.items()]))
+
+
+def filter_repetitive(odf: OmigoDF, col: str = "text", n: int = REPETITION_N,
+                      max_dup_frac: float = 0.30,
+                      max_top_frac: float = 0.20) -> OmigoDF:
+    """Drop documents dominated by repeated n-grams (Gopher-style rule:
+    reject when the duplicate-gram fraction or the top-gram share exceeds
+    its threshold). Filter composes into the scan — no added shuffle."""
+    m = repetition_metrics(odf, col, n)
+    kept = (m.df.filter((F.col("dup_ngram_frac") <= max_dup_frac)
+                        & (F.col("top_ngram_frac") <= max_top_frac))
+            .drop("ngram_count", "dup_ngram_frac", "top_ngram_frac"))
+    return OmigoDF(kept)
+
+
+def decontaminate(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
+                  col: str = "text", eval_col: str | None = None,
+                  n: int = DECONTAM_N) -> OmigoDF:
+    """Remove training documents that share ANY word ``n``-gram with the
+    evaluation corpus — benchmark-decontamination for a training set.
+
+    Plan shape (the part that must survive 100 TB):
+      1. eval shingles: explode + distinct — benchmark-sized (small).
+      2. contaminated ids: train shingles explode map-side, equi-join
+         against the BROADCAST eval shingle set, distinct over ids. The
+         shuffle carries only contaminated ids.
+      3. result: train LEFT ANTI join on id. The right side is the
+         (small) contaminated-id set, so AQE broadcasts it — the full
+         corpus never shuffles.
+    An explicit broadcast hint pins step 2; step 3 is left to AQE because
+    the contaminated-id cardinality is data-dependent."""
+    train._resolve([id_col, col])
+    ecol = eval_col or col
+    eval_odf._resolve(ecol)
+    ev = (eval_odf.df
+          .select(F.explode(F.expr(shingles_expr("spark", ecol, n)))
+                  .alias("__shingle__"))
+          .distinct())
+    tr_sh = (ensure_min_parallelism(train.df)
+             .select(F.col(id_col),
+                     F.explode(F.expr(shingles_expr("spark", col, n)))
+                     .alias("__shingle__")))
+    contaminated = (tr_sh.join(F.broadcast(ev), "__shingle__")
+                    .select(id_col).distinct())
+    return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
+
+
+def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
+                key_cols, seed: int = 0) -> OmigoDF:
+    """Downsample each source to target mixture ``shares`` (summing to 1),
+    keeping the largest total for which no source needs upsampling:
+    T = min_s(n_s / share_s), rate_s = share_s * T / n_s. A row survives
+    when its portable key-hash coin falls under floor(rate_s * 1e6) —
+    deterministic across runs/engines/shards (no RNG), so the mixture is
+    reproducible and a surviving document never churns when the corpus
+    regrows. Sources absent from ``shares`` are dropped.
+
+    Everything stays in-plan: counts are a partial-aggregated shuffle of
+    ~|sources| rows, T is a scalar aggregate cross-joined back (1 row),
+    rates ride a broadcast join, and the keep decision is a map-side
+    filter. ``floor`` (not round) on both engines — round ties break
+    differently between Python/DuckDB/Spark; floor never ties."""
+    total = sum(shares.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"mix_sources: shares sum to {total}, want 1")
+    if any(s <= 0 for s in shares.values()):
+        raise ValueError("mix_sources: shares must be positive")
+    odf._resolve(source_col)
+    gcols = odf._resolve(key_cols)
+    spark = odf.df.sparkSession
+    w = spark.createDataFrame(list(shares.items()), f"{source_col} string, __share__ double")
+    counts = odf.df.groupBy(source_col).agg(F.count("*").alias("__n__"))
+    per_src = counts.join(F.broadcast(w), source_col)
+    t_row = per_src.agg(F.min(F.col("__n__") / F.col("__share__")).alias("__t__"))
+    rates = (per_src.crossJoin(F.broadcast(t_row))
+             .select(source_col,
+                     F.floor(F.col("__share__") * F.col("__t__")
+                             / F.col("__n__") * _RATE_SCALE)
+                     .alias("__rate_u__")))
+    key = "concat_ws('\\t', " + ", ".join(
+        f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+    u = F.pmod(F.expr(hash_spark(key)), F.lit(_RATE_SCALE))
+    out = (odf.df.join(F.broadcast(rates), source_col)
+           .filter(u < F.col("__rate_u__"))
+           .drop("__rate_u__")
+           .select(*odf.df.columns))
+    return OmigoDF(out)
+
+
+# ------------------------------------------------------------------ oracle
+def mix_sources_sql_duck(table: str, source_col: str,
+                         shares: dict[str, float], key_cols,
+                         seed: int = 0, select: str = "d.*") -> str:
+    """DuckDB replay of mix_sources: same counts, same floor'd rates,
+    same portable-hash coin."""
+    vals = ", ".join(f"('{s}', {v!r})" for s, v in shares.items())
+    key = "concat_ws(chr(9), " + ", ".join(
+        f"CAST({c} AS VARCHAR)" for c in key_cols) + f", '{seed}')"
+    return f"""
+WITH w({source_col}, share) AS (VALUES {vals}),
+c AS (SELECT {source_col}, COUNT(*) AS n FROM {table} GROUP BY {source_col}),
+t AS (SELECT MIN(n / share) AS t FROM c JOIN w USING ({source_col})),
+r AS (SELECT {source_col},
+             CAST(floor(share * t.t / n * {_RATE_SCALE}) AS BIGINT) AS rate_u
+      FROM c JOIN w USING ({source_col}) CROSS JOIN t)
+SELECT {select} FROM {table} d JOIN r USING ({source_col})
+WHERE {hash_duck(key)} % {_RATE_SCALE} < rate_u
+"""

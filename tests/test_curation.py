@@ -1,0 +1,136 @@
+"""Round-5 curation operators: repetition metrics (Gopher-style rules),
+benchmark decontamination, deterministic source mixing."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import curation as CU
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from omigo_data_analytics_spark.sources.io import load_testdata
+
+    return load_testdata(spark, SF, "documents")
+
+
+def test_repetition_known_values(spark):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> 5 total,
+    # 2 distinct, dup_frac 3/5, top (a b) 3/5
+    d = OmigoDF(spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z"), (3, "solo")],
+        "doc_id long, text string"))
+    rows = {r["doc_id"]: r for r in CU.repetition_metrics(d).df.collect()}
+    assert rows[1]["ngram_count"] == 5
+    assert rows[1]["dup_ngram_frac"] == 0.6
+    assert rows[1]["top_ngram_frac"] == 0.6
+    assert rows[2]["dup_ngram_frac"] == 0.0
+    assert rows[2]["top_ngram_frac"] == 0.2
+    # short doc falls back to its token list (1 token, no repetition)
+    assert rows[3]["ngram_count"] == 1
+    assert rows[3]["dup_ngram_frac"] == 0.0
+
+
+def test_repetition_matches_duckdb(spark):
+    sp = (CU.repetition_metrics(_docs(spark)).df
+          .select("doc_id", "ngram_count", "dup_ngram_frac", "top_ngram_frac")
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    ex = CU.repetition_exprs("duckdb")
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT doc_id, " + ", ".join(f"{e} AS {k}" for k, e in ex.items())
+        + f" FROM '{SF}/documents.parquet' ORDER BY doc_id").df()
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False)
+
+
+def test_repetition_is_map_side(spark):
+    df = CU.repetition_metrics(_docs(spark)).df
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p  # no shuffle, scan + project
+
+
+def test_filter_repetitive(spark):
+    d = OmigoDF(spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "a perfectly normal varied sentence about spark plans")],
+        "doc_id long, text string"))
+    out = CU.filter_repetitive(d).df
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    assert out.columns == ["doc_id", "text"]  # metric cols dropped
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    tr = OmigoDF(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated training text about join plans"),
+         (3, "short doc")],
+        "doc_id long, text string"))
+    ev = OmigoDF(spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps here")],
+        "doc_id long, text string"))
+    # doc 1 shares the 5-gram "the quick brown fox jumps" -> dropped
+    out = CU.decontaminate(tr, ev, "doc_id", n=5).df
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    assert out.columns == tr.df.columns
+
+
+def test_decontaminate_no_overlap_keeps_all(spark):
+    tr = _docs(spark)
+    ev = OmigoDF(spark.createDataFrame(
+        [(0, "zz yy xx ww vv uu tt ss")], "doc_id long, text string"))
+    assert CU.decontaminate(tr, ev, "doc_id").df.count() == tr.df.count()
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    tr, ev = _docs(spark), OmigoDF(_docs(spark).df.filter("doc_id % 20 = 0"))
+    out = CU.decontaminate(tr, ev, "doc_id")
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    # eval shingle set rides a broadcast join; corpus never shuffles whole
+    assert "BroadcastHashJoin" in p
+
+
+def test_mix_sources_deterministic_and_exact_oracle(spark):
+    docs = _docs(spark)
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    a = CU.mix_sources(docs, "source", shares, ["doc_id"], seed=7)
+    b = CU.mix_sources(docs, "source", shares, ["doc_id"], seed=7)
+    ids = sorted(r["doc_id"] for r in a.df.select("doc_id").collect())
+    assert ids == sorted(r["doc_id"] for r in b.df.select("doc_id").collect())
+    assert a.df.columns == docs.df.columns
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    sql = CU.mix_sources_sql_duck("documents", "source", shares, ["doc_id"],
+                                  seed=7, select="d.doc_id")
+    du = sorted(r[0] for r in con.execute(sql).fetchall())
+    assert ids == du
+
+
+def test_mix_sources_respects_shares(spark):
+    docs = _docs(spark)
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    got = {r["source"]: r["n"] for r in
+           (CU.mix_sources(docs, "source", shares, ["doc_id"], seed=1).df
+            .groupBy("source").agg(F.count("*").alias("n")).collect())}
+    total = sum(got.values())
+    # hash-coin sampling: expect shares within a loose tolerance at n~500
+    for s, w in shares.items():
+        assert abs(got.get(s, 0) / total - w) < 0.15, (s, got)
+
+
+def test_mix_sources_drops_unlisted_source(spark):
+    docs = _docs(spark)
+    out = CU.mix_sources(docs, "source", {"src0": 1.0}, ["doc_id"])
+    srcs = {r["source"] for r in out.df.select("source").distinct().collect()}
+    assert srcs == {"src0"}
+
+
+def test_mix_sources_validates_shares(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="sum"):
+        CU.mix_sources(docs, "source", {"src0": 0.4}, ["doc_id"])
+    with pytest.raises(ValueError, match="positive"):
+        CU.mix_sources(docs, "source", {"src0": 1.5, "src1": -0.5}, ["doc_id"])
