@@ -197,3 +197,26 @@ def test_range_join_matches_bruteforce(spark, points, ivs, bw):
             for j, (ik, lo, w) in enumerate(ivs)
             if pk == ik and lo <= x <= lo + w}
     assert got == want
+
+
+@given(docs=st.lists(st.lists(st.sampled_from(["a", "b", "cc", "déf"]),
+                              min_size=1, max_size=12),
+                     min_size=1, max_size=10))
+@_SETTINGS
+def test_repetition_metrics_match_brute_force(spark, docs):
+    from collections import Counter
+
+    from omigo_data_analytics_spark.operators import curation as CU
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    odf = OmigoDF(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {r["doc_id"]: r for r in CU.repetition_metrics(odf, n=2).df.collect()}
+    for i, toks in enumerate(docs):
+        grams = ([" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+                 if len(toks) >= 2 else toks)
+        c = Counter(grams)
+        assert got[i]["ngram_count"] == len(grams)
+        assert got[i]["dup_ngram_frac"] == pytest.approx(
+            round(1.0 - len(c) / len(grams), 6), abs=1e-9)
+        assert got[i]["top_ngram_frac"] == pytest.approx(
+            round(max(c.values()) / len(grams), 6), abs=1e-9)

@@ -76,6 +76,8 @@ def frame_fingerprint(pdf):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir) and os.path.isdir(f"/root/testdata/{sf_dir}"):
+        sf_dir = f"/root/testdata/{sf_dir}"  # accept bare "sf0.01"
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
