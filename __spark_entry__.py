@@ -1880,6 +1880,45 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
+def q_stream_lsh_candidates(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup detection
+    (streaming/stream.stream_near_dup_candidates): map-side portable
+    minhash banding + a stateful first-wins bucket registry via
+    applyInPandasWithState. availableNow lands the corpus in one batch
+    with in-batch arrivals ordered by doc_id, so the run is exactly a
+    batch min-over-bucket window query — the oracle replays it."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    sdf = ST.file_source(spark, sf_dir, schema,
+                         glob_filter="documents.parquet")
+    out = ST.stream_near_dup_candidates(sdf)
+    name = "omigo_stream_lsh"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.sql(f"select band, band_key, doc_id, first_id from {name}")
+
+
+def _sql_stream_lsh() -> str:
+    sh = DD.shingles_expr("duck")
+    sig_cols = ", ".join(f"{e} AS mh_{j}"
+                         for j, e in enumerate(DD.minhash_exprs("duck", sh)))
+    rpb = 2
+    bands = "\nUNION ALL\n".join(
+        f"SELECT {b} AS band, concat(" +
+        ", '_', ".join(f"CAST(mh_{b * rpb + r} AS VARCHAR)"
+                       for r in range(rpb)) +
+        ") AS band_key, doc_id FROM sigs"
+        for b in range(DD.NUM_HASHES // rpb))
+    return f"""
+WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
+bands AS ({bands}),
+w AS (SELECT band, band_key, doc_id,
+             MIN(doc_id) OVER (PARTITION BY band, band_key) AS first_id
+      FROM bands)
+SELECT band, band_key, doc_id, first_id FROM w WHERE doc_id > first_id
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 terms per document by tf-idf (ln idf, ties by term)."""
     d = _t(spark, sf_dir, "documents")
@@ -2846,15 +2885,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
         "mix_sources": q_mix_sources,
+        "stream_lsh_candidates": q_stream_lsh_candidates,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
         "seq_num": q_seq_num,
         "minhash_signatures": q_minhash_signatures,
         "embedding_near_dup": q_embedding_near_dup,
-        "dedup_embedding": q_dedup_embedding,
         "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
         "topk_per_group": q_topk_per_group,
         "aggregate_analytic": q_aggregate_analytic,
         "cumulative_sum": q_cumulative_sum,
@@ -2862,7 +2900,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "split_str": q_split_str,
         "replicate_rows": q_replicate_rows,
-        "sample_group_by_key": q_sample_group_by_key,
         "generate_key_hash": q_generate_key_hash,
         "codec_base64": q_codec_base64,
         "ratio_cap": q_ratio_cap,
@@ -2874,7 +2911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
-        "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
@@ -2889,9 +2925,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_merge_nodes": q_graph_merge_nodes,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # r3-row queries that didn't fit the budget: first in line for r6
-        # (explode_json_zip/_join and quantiles ceded their slots to the
-        # three new curation queries — r3-green, family-covered by
-        # explode_json and quantile_grid respectively)
+        # (explode_json_zip/_join, quantiles, window_sliding,
+        # sample_group_by_key, dedup_embedding and similarity_lsh ceded
+        # their slots to the seven new r5 queries — all r3-green and
+        # family-covered in-budget: explode_json, quantile_grid lead the
+        # r6 queue, window_tumbling / sample_uniq_cap /
+        # embedding_near_dup / similarity_ivf represent their families)
+        "window_sliding": q_window_sliding,
+        "sample_group_by_key": q_sample_group_by_key,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_lsh": q_similarity_lsh,
         "explode_json_zip": q_explode_json_zip,
         "explode_json_join": q_explode_json_join,
         "quantiles": q_quantiles,
@@ -3015,6 +3058,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_intervals_islands": SQL_MERGE_INTERVALS,
         "jira_search": SQL_JIRA_SEARCH,
         "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_lsh_candidates": _sql_stream_lsh(),
         "repetition_metrics": _sql_repetition(),
         "decontaminate": _sql_decontaminate(),
         "mix_sources": _sql_mix_sources(),

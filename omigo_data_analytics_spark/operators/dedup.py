@@ -108,19 +108,25 @@ def dedup_exact(odf: OmigoDF, cols, keep_col: str = "doc_id") -> OmigoDF:
               .agg(F.min(keep_col).alias(keep_col), F.count(F.lit(1)).alias("dup_count")))
 
 
-def minhash_signatures(odf: OmigoDF, col: str = "text", k: int = NUM_HASHES,
-                       n: int = SHINGLE_N) -> OmigoDF:
-    """Append mh_0..mh_{k-1} minhash columns. Pure map-side expressions.
-
-    The md5-based hash runs ONCE per shingle into a let-bound array; the k
-    minhashes are k cheap affine folds over it, emitted through an inline()
-    generator so they become real attributes (no recompute per column)."""
+def minhash_struct_expr(col: str = "text", k: int = NUM_HASHES,
+                        n: int = SHINGLE_N) -> str:
+    """named_struct(mh_0..mh_{k-1}) Spark expression: the md5-based hash
+    runs ONCE per shingle into a let-bound array; the k minhashes are k
+    cheap affine folds over it. Emit through inline(array(...)) so the
+    fields become real attributes (no recompute per column) — shared by
+    batch minhash_signatures and the streaming LSH operator."""
     hs_val = f"transform({_shingles_spark(col, n)}, s -> {hash_spark('s')})"
     fields = []
     for j in range(k):
         a, b = MINHASH_AB[j]
         fields.append(f"'mh_{j}', array_min(transform(h0, h -> ({a}L * h + {b}L) % {HASH_MOD}L))")
-    gen = let_spark(hs_val, "h0", "named_struct(" + ", ".join(fields) + ")")
+    return let_spark(hs_val, "h0", "named_struct(" + ", ".join(fields) + ")")
+
+
+def minhash_signatures(odf: OmigoDF, col: str = "text", k: int = NUM_HASHES,
+                       n: int = SHINGLE_N) -> OmigoDF:
+    """Append mh_0..mh_{k-1} minhash columns. Pure map-side expressions."""
+    gen = minhash_struct_expr(col, k, n)
     out = ensure_min_parallelism(odf.df).select("*", F.expr(f"inline(array({gen}))"))
     return OmigoDF(out)
 

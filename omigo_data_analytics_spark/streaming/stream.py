@@ -168,3 +168,87 @@ def running_counts(sdf: DataFrame, key_col: str,
                                     stateStructType=state_schema,
                                     outputMode="update",
                                     timeoutConf=timeout))
+
+
+def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               rows_per_band: int = 2,
+                               ts_col: str | None = None,
+                               watermark: str = "1 hour") -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: the stream-side
+    counterpart of operators/dedup.lsh_candidate_pairs for continuously
+    landing corpora, where the batch bucket self-join cannot exist
+    (the other side hasn't arrived yet).
+
+    Map-side, per document: shingle → portable minhash signature → band
+    keys (the exact expressions batch dedup uses, so thresholds and
+    collision behavior match the batch pipeline bit-for-bit). Stateful,
+    per (band, bucket) key via applyInPandasWithState: the state is the
+    FIRST document id to claim the bucket; every later arrival emits a
+    candidate row (band, band_key, doc_id, first_id). Downstream either
+    drops flagged ids (streaming near-dedup) or routes candidates to an
+    exact-verify job.
+
+    Within one micro-batch arrivals sort by ``id_col`` so "first" is
+    deterministic (min id claims the bucket) — which also makes the
+    operator exactly replayable as a batch window query (the oracle).
+
+    Scale/state: state is one long per DISTINCT bucket — the bucket
+    registry, not the corpus. With ``ts_col`` the input is watermarked;
+    pair that with a state-store TTL (RocksDB provider) in production to
+    bound the registry for unbounded streams. Nothing collects to the
+    driver; the shuffle carries (band, band_key, id) triples only.
+    """
+    import pandas as pd
+
+    from ..operators import dedup as DD
+
+    k = DD.NUM_HASHES
+    sigs = sdf.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *([F.col(ts_col)] if ts_col else []),
+        F.expr(f"inline(array({DD.minhash_struct_expr(text_col)}))"))
+    if ts_col:
+        sigs = sigs.withWatermark(ts_col, watermark)
+    structs = []
+    for b in range(k // rows_per_band):
+        key = F.concat_ws("_", *[
+            F.col(f"mh_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)])
+        structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
+    bands = (sigs.select("doc_id",
+                         F.explode(F.array(*structs)).alias("__bb__"))
+             .select(F.col("__bb__.band").alias("band"),
+                     F.col("__bb__.band_key").alias("band_key"),
+                     F.col("doc_id")))
+
+    out_schema = T.StructType([
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_key", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("first_id", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("first", T.LongType())])
+
+    def _claim(key, pdf_iter, state):
+        ids = sorted({int(i) for pdf in pdf_iter for i in pdf["doc_id"]})
+        if not ids:
+            return
+        if state.exists:
+            first = state.get[0]
+        else:
+            first = ids[0]
+            state.update((first,))
+            ids = ids[1:]
+        later = [i for i in ids if i != first]
+        if later:
+            yield pd.DataFrame({"band": [key[0]] * len(later),
+                                "band_key": [key[1]] * len(later),
+                                "doc_id": later,
+                                "first_id": [first] * len(later)})
+
+    return (bands.groupBy("band", "band_key")
+            .applyInPandasWithState(_claim, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf="NoTimeout"))

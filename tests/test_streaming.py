@@ -181,3 +181,61 @@ def test_stream_dedup_matches_batch(spark, event_dir):
         ).collect()[0]["c"] == 120
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_near_dup_candidates_multi_batch(spark):
+    """A bucket claimed in micro-batch 1 flags later arrivals in batch 2
+    with the ORIGINAL first_id — the state survives across batches."""
+    d = tempfile.mkdtemp(prefix="omigo_stream_lsh_")
+    try:
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows1 = [(1, base), (2, "totally different words here now okay")]
+        rows2 = [(3, base)]  # near-dup of doc 1, lands a batch later
+        schema = "doc_id long, text string"
+        spark.createDataFrame(rows1, schema).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        spark.createDataFrame(rows2, schema).coalesce(1) \
+            .write.mode("append").parquet(d)
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        out = ST.stream_near_dup_candidates(sdf)
+        q = (out.writeStream.format("memory").queryName("snd_mb")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("select distinct doc_id, first_id from snd_mb") \
+            .collect()
+        assert {(r["doc_id"], r["first_id"]) for r in got} == {(3, 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_near_dup_matches_batch_lsh(spark):
+    """Single-batch run over the documents corpus == the batch window
+    replay (first-wins per bucket, min doc_id claims)."""
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    sf = "/root/testdata/sf0.001"
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    sdf = ST.file_source(spark, sf, schema, glob_filter="documents.parquet")
+    out = ST.stream_near_dup_candidates(sdf)
+    _run_to_memory(out, "snd_batch_eq", "append")
+    got = {(r["band"], r["band_key"], r["doc_id"], r["first_id"])
+           for r in spark.sql("select * from snd_batch_eq").collect()}
+    # batch replay: min doc_id per (band, bucket) claims; later ids flagged
+    sigs = DD.minhash_signatures(
+        OmigoDF(spark.read.parquet(f"{sf}/documents.parquet"))).df
+    from pyspark.sql import Window
+    rpb = 2
+    exp = set()
+    import pyspark.sql.functions as SF
+    for b in range(DD.NUM_HASHES // rpb):
+        key = SF.concat_ws("_", *[SF.col(f"mh_{b * rpb + r}").cast("string")
+                                  for r in range(rpb)])
+        w = Window.partitionBy(key)
+        rows = (sigs.select(SF.lit(b).alias("band"), key.alias("bk"),
+                            "doc_id",
+                            SF.min("doc_id").over(w).alias("first_id"))
+                .where("doc_id > first_id").collect())
+        exp |= {(r["band"], r["bk"], r["doc_id"], r["first_id"]) for r in rows}
+    assert got == exp and len(got) > 0
