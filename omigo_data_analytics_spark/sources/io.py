@@ -183,6 +183,38 @@ def write_bucketed(xdf: OmigoDF, table_name: str, bucket_cols,
     w.saveAsTable(table_name)
 
 
+def write_clustered(xdf: OmigoDF, path: str, cluster_by,
+                    num_files: int | None = None, target_file_mb: int = 128,
+                    mode: str = "overwrite", fmt: str = "parquet",
+                    partition_by: list[str] | None = None) -> int:
+    """Range-clustered write: repartitionByRange + sortWithinPartitions on
+    ``cluster_by`` so each output file holds a contiguous key range. The
+    footer min/max statistics then let ANY later reader (Spark, DuckDB,
+    Trino) skip whole files/row groups for selective key predicates —
+    the single-key data-layout optimization that makes a 100 TB table
+    queryable by key at interactive cost without a table format.
+    repartitionByRange samples the key distribution, so skewed keys
+    still yield balanced files (equal keys always co-locate).
+
+    ``num_files`` defaults to the optimizer's size estimate over
+    ``target_file_mb`` — sized so one file is one comfortable task read.
+    Returns the file count used. Also fixes small-file proliferation:
+    compacting a directory of shards is read → write_clustered."""
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    if num_files is None:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())
+        num_files = max(1, -(-est // (target_file_mb * 1024 * 1024)))
+    out = (df.repartitionByRange(num_files, *cols)
+             .sortWithinPartitions(*cols))
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    getattr(w, "orc" if fmt == "orc" else "parquet")(path)
+    return num_files
+
+
 def read_table(spark: SparkSession, table_name: str) -> OmigoDF:
     """Catalog table read (bucket metadata preserved — joins on the
     bucket key skip the exchange)."""

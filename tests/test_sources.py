@@ -274,3 +274,47 @@ def test_load_from_array_of_map_value_typing(spark):
     assert json.loads(urllib.parse.unquote_plus(enc)) == {"k": "v 1"}
     assert rows["s"]["b"] == "2.5"
     assert rows["1"]["b"] == ""   # absent value -> ''
+
+
+def test_write_clustered_disjoint_key_ranges(spark, tmp_path):
+    """Range clustering produces files whose footer min/max key ranges
+    are disjoint — the property file/row-group skipping depends on."""
+    import pyarrow.parquet as pq
+
+    from omigo_data_analytics_spark.sources import io as oio
+
+    ev = oio.load_testdata(spark, "/root/testdata/sf0.001", "events")
+    d = str(tmp_path / "clustered")
+    n = oio.write_clustered(ev, d, "user_id", num_files=4)
+    assert n == 4
+    files = sorted(p for p in os.listdir(d) if p.endswith(".parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(d, f)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("user_id")
+        los = [md.row_group(g).column(idx).statistics.min
+               for g in range(md.num_row_groups)]
+        his = [md.row_group(g).column(idx).statistics.max
+               for g in range(md.num_row_groups)]
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # contiguous, non-overlapping key ranges
+    # the point of the exercise: a selective key predicate touches 1 file
+    key = ranges[0][0]
+    hit = [r for r in ranges if r[0] <= key <= r[1]]
+    assert len(hit) == 1
+    # and the clustered copy is byte-identical data
+    back = spark.read.parquet(d)
+    assert back.count() == ev.df.count()
+
+
+def test_write_clustered_auto_file_count(spark, tmp_path):
+    from omigo_data_analytics_spark.sources import io as oio
+
+    ev = oio.load_testdata(spark, "/root/testdata/sf0.001", "events")
+    d = str(tmp_path / "auto")
+    n = oio.write_clustered(ev, d, "user_id")  # tiny input -> 1 file
+    assert n == 1
+    assert len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 1
