@@ -134,3 +134,35 @@ def test_mix_sources_validates_shares(spark):
         CU.mix_sources(docs, "source", {"src0": 0.4}, ["doc_id"])
     with pytest.raises(ValueError, match="positive"):
         CU.mix_sources(docs, "source", {"src0": 1.5, "src1": -0.5}, ["doc_id"])
+
+
+def test_curation_ops_on_empty_input(spark):
+    empty = OmigoDF(spark.createDataFrame([], "doc_id long, text string, source string"))
+    assert CU.repetition_metrics(empty).df.count() == 0
+    assert CU.filter_repetitive(empty).df.count() == 0
+    ev = OmigoDF(spark.createDataFrame([(1, "a b c d e f")],
+                                       "doc_id long, text string"))
+    assert CU.decontaminate(empty, ev, "doc_id").df.count() == 0
+    # empty eval set: nothing is contaminated
+    tr = OmigoDF(spark.createDataFrame([(1, "a b c d e f")],
+                                       "doc_id long, text string"))
+    e2 = OmigoDF(spark.createDataFrame([], "doc_id long, text string"))
+    assert CU.decontaminate(tr, e2, "doc_id").df.count() == 1
+    # all-empty-text rows: metrics stay defined (0-token docs -> nulls ok)
+    blank = OmigoDF(spark.createDataFrame([(1, ""), (2, "   ")],
+                                          "doc_id long, text string"))
+    assert CU.repetition_metrics(blank).df.count() == 2
+
+
+def test_mix_sources_partition_invariant(spark):
+    """The mixture is a pure function of (key, seed, per-source counts) —
+    shuffle layout must not change it."""
+    docs = _docs(spark)
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    a = CU.mix_sources(docs, "source", shares, ["doc_id"], seed=5)
+    b = CU.mix_sources(
+        OmigoDF(docs.df.repartition(17, "lang")), "source", shares,
+        ["doc_id"], seed=5)
+    ids_a = sorted(r["doc_id"] for r in a.df.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in b.df.select("doc_id").collect())
+    assert ids_a == ids_b
