@@ -2825,6 +2825,52 @@ WHERE doc_id NOT IN (SELECT doc_id FROM cont)
 """
 
 
+def q_distribution_stats(spark, sf_dir):
+    """Per-event-type categorical distribution stats
+    (operators/trends.category_distribution_stats — the reference
+    TrendsAnalysis.scala:740-781 dict stats re-expressed as two partial
+    aggregations; entropy folded without collecting distributions)."""
+    from omigo_data_analytics_spark.operators import trends as TR
+
+    ev = OmigoDF(_t(spark, sf_dir, "events").df
+                 .selectExpr("event_type", "user_id % 50 AS uv"))
+    return TR.category_distribution_stats(ev, ["event_type"], "uv").df
+
+
+def _sql_distribution_stats() -> str:
+    from omigo_data_analytics_spark.operators import trends as TR
+
+    inner = TR.category_stats_sql_duck("t", ["event_type"], "uv")
+    # fold the source CTE into the helper's own WITH clause
+    inner = inner.replace("\nWITH ", "\n, ", 1)
+    return ("WITH t AS (SELECT event_type, user_id % 50 AS uv FROM events)"
+            + inner)
+
+
+def q_distribution_drift(spark, sf_dir):
+    """Week-over-week behavioral drift per event type
+    (operators/trends.distribution_drift — the reference trends job's
+    paired cosine/jaccard stats, TrendsAnalysis.scala:791-900, as one
+    equi-join + aggregates; no per-key value lists materialize)."""
+    from omigo_data_analytics_spark.operators import trends as TR
+
+    ev = OmigoDF(_t(spark, sf_dir, "events").df
+                 .selectExpr("event_type", "user_id % 50 AS uv",
+                             "CAST(CAST(date_trunc('WEEK', CAST(ts AS "
+                             "TIMESTAMP)) AS DATE) AS STRING) AS wk"))
+    return TR.distribution_drift(ev, ["event_type"], "wk", "uv").df
+
+
+def _sql_distribution_drift() -> str:
+    from omigo_data_analytics_spark.operators import trends as TR
+
+    inner = TR.distribution_drift_sql_duck("t", ["event_type"], "wk", "uv")
+    inner = inner.replace("\nWITH ", "\n, ", 1)
+    return ("WITH t AS (SELECT event_type, user_id % 50 AS uv, "
+            "CAST(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) "
+            "AS VARCHAR) AS wk FROM events)" + inner)
+
+
 MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -2886,6 +2932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "mix_sources": q_mix_sources,
         "stream_lsh_candidates": q_stream_lsh_candidates,
+        "distribution_stats": q_distribution_stats,
+        "distribution_drift": q_distribution_drift,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -2915,8 +2963,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
         "json_xpath_filter": q_json_xpath_filter,
-        "doc_chunks": q_doc_chunks,
-        "token_vocab": q_token_vocab,
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
@@ -2933,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_near_dup / similarity_ivf represent their families)
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
+        "doc_chunks": q_doc_chunks,
+        "token_vocab": q_token_vocab,
         "dedup_embedding": q_dedup_embedding,
         "similarity_lsh": q_similarity_lsh,
         "explode_json_zip": q_explode_json_zip,
@@ -3059,6 +3107,8 @@ def oracle_sql() -> dict[str, str]:
         "jira_search": SQL_JIRA_SEARCH,
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_lsh_candidates": _sql_stream_lsh(),
+        "distribution_stats": _sql_distribution_stats(),
+        "distribution_drift": _sql_distribution_drift(),
         "repetition_metrics": _sql_repetition(),
         "decontaminate": _sql_decontaminate(),
         "mix_sources": _sql_mix_sources(),

@@ -1,0 +1,83 @@
+"""Round-5 trends operators: categorical distribution stats (entropy) and
+time-paired distribution drift (cosine/jaccard across adjacent buckets) —
+the reference TrendsAnalysis.scala stats/pairedStats semantics."""
+
+import math
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import trends as TR
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distribution_stats_known_entropy(spark):
+    # key a: values x,x,y,y -> uniform over 2 -> entropy 1 bit
+    # key b: values x,x,x,x -> entropy 0
+    d = OmigoDF(spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+         ("b", "x"), ("b", "x"), ("b", "x"), ("b", "x")],
+        "k string, v string"))
+    got = {r["k"]: r for r in
+           TR.category_distribution_stats(d, ["k"], "v").df.collect()}
+    assert got["a"]["total_count"] == 4 and got["a"]["uniq_count"] == 2
+    assert got["a"]["entropy"] == 1.0
+    assert got["b"]["entropy"] == 0.0
+
+
+def test_distribution_drift_known_values(spark):
+    # key a: bucket 1 {x:1, y:1}, bucket 2 {x:1, y:1} -> identical:
+    #   cosine 1, jaccard 1
+    # key a: bucket 3 {z:1} -> vs bucket 2: no overlap -> 0, 0
+    rows = [("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"), ("a", 2, "y"),
+            ("a", 3, "z")]
+    d = OmigoDF(spark.createDataFrame(rows, "k string, b int, v string"))
+    out = {(r["k"], r["b"]): r for r in
+           TR.distribution_drift(d, ["k"], "b", "v").df.collect()}
+    assert out[("a", 1)]["cosine_sim"] == 1.0
+    assert out[("a", 1)]["jaccard_sim"] == 1.0
+    assert out[("a", 1)]["bucket_next"] == 2
+    assert out[("a", 2)]["cosine_sim"] == 0.0
+    assert out[("a", 2)]["jaccard_sim"] == 0.0
+    # partial overlap: bucket 1 {x:2} vs 2 {x:1, y:1}:
+    # cos = 2 / (2 * sqrt(2)); jac = 1 / 2
+    d2 = OmigoDF(spark.createDataFrame(
+        [("c", 1, "x"), ("c", 1, "x"), ("c", 2, "x"), ("c", 2, "y")],
+        "k string, b int, v string"))
+    r2 = TR.distribution_drift(d2, ["k"], "b", "v").df.collect()[0]
+    assert r2["cosine_sim"] == round(2 / (2 * math.sqrt(2)), 6)
+    assert r2["jaccard_sim"] == 0.5
+
+
+def test_distribution_drift_matches_duckdb(spark):
+    ev = OmigoDF(spark.read.parquet(f"{SF}/events.parquet")
+                 .selectExpr("event_type", "user_id % 10 AS uv",
+                             "CAST(CAST(date_trunc('WEEK', CAST(ts AS "
+                             "TIMESTAMP)) AS DATE) AS STRING) AS wk"))
+    sp = (TR.distribution_drift(ev, ["event_type"], "wk", "uv").df
+          .toPandas().sort_values(["event_type", "wk"])
+          .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW t AS SELECT event_type, user_id % 10 AS uv,
+        CAST(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+             AS VARCHAR) AS wk FROM '{SF}/events.parquet'""")
+    du = con.execute(
+        "SELECT * FROM ("
+        + TR.distribution_drift_sql_duck("t", ["event_type"], "wk", "uv")
+        + ") ORDER BY 1, 2").df()
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False)
+
+
+def test_distribution_drift_plan_partial_aggregation(spark):
+    """The count aggregation must be partial+final (map-side combine) —
+    the shuffle carries (key,bucket,value) partial counts, not rows."""
+    ev = OmigoDF(spark.read.parquet(f"{SF}/events.parquet")
+                 .selectExpr("event_type", "user_id % 10 AS uv",
+                             "CAST(ts AS STRING) AS wk"))
+    p = (TR.distribution_drift(ev, ["event_type"], "wk", "uv")
+         .df._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in p or "HashAggregate" in p
+    assert "CartesianProduct" not in p
