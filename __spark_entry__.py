@@ -2972,11 +2972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # r3-row queries that didn't fit the budget: first in line for r6
         # (explode_json_zip/_join, quantiles, window_sliding,
-        # sample_group_by_key, dedup_embedding and similarity_lsh ceded
-        # their slots to the seven new r5 queries — all r3-green and
-        # family-covered in-budget: explode_json, quantile_grid lead the
-        # r6 queue, window_tumbling / sample_uniq_cap /
-        # embedding_near_dup / similarity_ivf represent their families)
+        # sample_group_by_key, doc_chunks, token_vocab, dedup_embedding
+        # and similarity_lsh ceded their slots to the nine new r5
+        # queries — all r3-green and family-covered in-budget:
+        # explode_json / quantile_grid lead the r6 queue; window_tumbling,
+        # sample_uniq_cap, text_quality_filter, embedding_near_dup and
+        # similarity_ivf represent their families)
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
         "doc_chunks": q_doc_chunks,
