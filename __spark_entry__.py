@@ -2856,8 +2856,7 @@ def q_distribution_drift(spark, sf_dir):
 
     ev = OmigoDF(_t(spark, sf_dir, "events").df
                  .selectExpr("event_type", "user_id % 50 AS uv",
-                             "CAST(CAST(date_trunc('WEEK', CAST(ts AS "
-                             "TIMESTAMP)) AS DATE) AS STRING) AS wk"))
+                             "CAST(CAST(ts AS DATE) AS STRING) AS wk"))
     return TR.distribution_drift(ev, ["event_type"], "wk", "uv").df
 
 
@@ -2867,8 +2866,8 @@ def _sql_distribution_drift() -> str:
     inner = TR.distribution_drift_sql_duck("t", ["event_type"], "wk", "uv")
     inner = inner.replace("\nWITH ", "\n, ", 1)
     return ("WITH t AS (SELECT event_type, user_id % 50 AS uv, "
-            "CAST(CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) "
-            "AS VARCHAR) AS wk FROM events)" + inner)
+            "CAST(CAST(ts AS TIMESTAMP) AS DATE)::VARCHAR AS wk "
+            "FROM events)" + inner)
 
 
 MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}

@@ -166,3 +166,17 @@ def test_mix_sources_partition_invariant(spark):
     ids_a = sorted(r["doc_id"] for r in a.df.select("doc_id").collect())
     ids_b = sorted(r["doc_id"] for r in b.df.select("doc_id").collect())
     assert ids_a == ids_b
+
+
+def test_mix_sources_rates_ride_broadcast(spark):
+    """The corpus joins the (tiny) per-source rate table via broadcast —
+    the full table never shuffles for the mixture decision."""
+    docs = _docs(spark)
+    out = CU.mix_sources(docs, "source",
+                         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                         ["doc_id"], seed=2)
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    # no hash-repartition of the corpus itself: the only exchanges are
+    # for the ~|sources|-row count aggregation
+    assert "Exchange rangepartitioning" not in p
