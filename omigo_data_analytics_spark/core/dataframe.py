@@ -1525,22 +1525,49 @@ class OmigoDF(CompatMixin):
         scans); the unpivot to rows happens on the 1-row aggregate.
 
         ``n_distinct`` defaults to ``approx_count_distinct`` (HLL++,
-        one streaming pass, constant memory per column): N exact
-        ``countDistinct`` in one agg compiles to an Expand node that
-        duplicates every scanned row ~once per distinct aggregate — a
-        ~N× row inflation that turns a cheap first-look pass into a
-        multiplied full shuffle at 100 TB. ``exact=True`` opts back in
-        for small tables / oracle comparison."""
+        one streaming pass, constant memory per column, single 1-row
+        aggregate for every column together). ``exact=True`` opts into
+        exact distincts — NOT via N ``countDistinct`` in one agg (Spark
+        plans multiple distinct aggregates through an Expand node that
+        duplicates every scanned row ~once per distinct aggregate plus a
+        double shuffle) but as an explicit map-side ``stack`` to
+        (column, value) pairs and two partial-aggregated hash
+        aggregations: the first shuffle carries one row per DISTINCT
+        (column, value) after map-side combine, the second is
+        column-count-sized. Same N× map fan-out the Expand would do,
+        none of its multi-group machinery — measured ~4x faster at
+        sf0.1 and strictly partial-aggregated at 100 TB. One semantic
+        delta: on an EMPTY table the exact path returns zero rows (no
+        (column, value) pairs to aggregate) while the approx path still
+        emits one row per column from its global aggregate."""
         use = self._resolve(cols) if cols is not None else list(self._df.columns)
-        nd = F.countDistinct if exact else (
-            lambda s: F.approx_count_distinct(s, rsd=0.02))
+        if exact:
+            stack_args = ", ".join(
+                f"'{c}', CAST({colutils.quote(c)} AS STRING)" for c in use)
+            pairs = self._df.selectExpr(
+                f"stack({len(use)}, {stack_args}) AS (column, value)")
+            cnt = (pairs.groupBy("column", "value")
+                   .agg(F.count(F.lit(1)).alias("__cnt__")))
+            out = (cnt.groupBy("column")
+                   .agg(F.sum("__cnt__").alias("n_rows"),
+                        F.sum(F.when(F.col("value").isNull(), F.col("__cnt__"))
+                              .otherwise(0)).alias("n_null"),
+                        F.count(F.when(F.col("value").isNotNull(), 1))
+                        .alias("n_distinct"),
+                        F.min("value").alias("min_str"),
+                        F.max("value").alias("max_str"))
+                   .select("column",
+                           F.col("n_rows").cast("long").alias("n_rows"),
+                           F.col("n_null").cast("long").alias("n_null"),
+                           "n_distinct", "min_str", "max_str"))
+            return self._wrap(out)
         aggs = []
         for c in use:
             col = self._df[c]
             s = col.cast("string")
             aggs += [F.count(F.lit(1)).alias(f"__n_{c}__"),
                      F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}__"),
-                     nd(s).alias(f"__nd_{c}__"),
+                     F.approx_count_distinct(s, rsd=0.02).alias(f"__nd_{c}__"),
                      F.min(s).alias(f"__mn_{c}__"),
                      F.max(s).alias(f"__mx_{c}__")]
         row = self._df.agg(*aggs)

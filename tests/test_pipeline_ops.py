@@ -214,3 +214,21 @@ def test_profile(spark):
                for r in d.profile(**kw).df.collect()}
         assert got["id"] == (3, 0, 2, "1", "2")
         assert got["s"] == (3, 1, 2, "a", "b")
+
+
+def test_profile_empty_table(spark):
+    d = OmigoDF(spark.createDataFrame([], "id long, s string"))
+    # approx path: single global agg still emits one row per column
+    assert d.profile().df.count() == 2
+    # exact path aggregates (column, value) pairs: empty in -> empty out
+    assert d.profile(exact=True).df.count() == 0
+
+
+def test_profile_exact_plan_has_no_expand(spark):
+    from omigo_data_analytics_spark.sources.io import load_testdata
+
+    o = load_testdata(spark, "/root/testdata/sf0.001", "orders")
+    for kw in ({}, {"exact": True}):
+        p = (o.profile(["o_orderkey", "o_orderstatus"], **kw)
+             .df._jdf.queryExecution().executedPlan().toString())
+        assert "Expand" not in p, kw
