@@ -184,6 +184,9 @@ def test_profile_default_has_no_expand(spark):
     default_plan = (o.profile(["o_orderkey", "o_custkey"])
                     .df._jdf.queryExecution().executedPlan().toString())
     assert "Expand" not in default_plan
+    # the exact path avoids Expand too since its stack rewrite: explicit
+    # map-side fan-out + two plain partial+final hash aggregations
     exact_plan = (o.profile(["o_orderkey", "o_custkey"], exact=True)
                   .df._jdf.queryExecution().executedPlan().toString())
-    assert "Expand" in exact_plan  # opt-in path unchanged
+    assert "Expand" not in exact_plan
+    assert "partial_count" in exact_plan or "HashAggregate" in exact_plan
