@@ -73,26 +73,38 @@ def distribution_drift(odf: OmigoDF, key_cols, bucket_col: str,
     between the value-count distributions of bucket and bucket_next —
     low similarity = the key's behavior drifted between windows.
 
-    Returns (keys..., bucket, bucket_next, cosine_sim, jaccard_sim).
-    Adjacency is over the buckets PRESENT for that key, in order (the
-    reference iterates the sorted agg_key_value list the same way)."""
+    Returns (keys..., bucket, bucket_next, cosine_sim, jaccard_sim,
+    jsd). ``jsd`` is the Jensen-Shannon divergence in bits (0 =
+    identical distributions, 1 = disjoint support) — well-defined on
+    zero probabilities with no smoothing constant, and decomposable
+    into the same aggregates the similarity join already carries:
+    H(m)'s matched terms sum inside the join; its one-sided terms come
+    from each bucket's Σc·log2c, via Σ_all (p/2)log2(p/2) =
+    hterm/(2T) - (1+log2 T)/2, minus the matched share. Adjacency is
+    over the buckets PRESENT for that key, in order (the reference
+    iterates the sorted agg_key_value list the same way)."""
     keys = odf._resolve(key_cols)
     odf._resolve([bucket_col, value_col])
     counts = (odf.df.groupBy(*keys, bucket_col, value_col)
               .agg(F.count(F.lit(1)).alias("cnt")))
     norms = (counts.groupBy(*keys, bucket_col)
              .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
-                  F.count(F.lit(1)).alias("nvals")))
+                  F.count(F.lit(1)).alias("nvals"),
+                  F.sum("cnt").alias("tot"),
+                  F.sum(F.col("cnt") * F.log2("cnt")).alias("hterm")))
     w = Window.partitionBy(*keys).orderBy(bucket_col)
+    lead_cols = ["sq", "nvals", "tot", "hterm"]
     pairs = (norms
-             .select(*keys, bucket_col, "sq", "nvals",
+             .select(*keys, bucket_col, *lead_cols,
                      F.lead(bucket_col).over(w).alias("__bnext__"),
-                     F.lead("sq").over(w).alias("sq2"),
-                     F.lead("nvals").over(w).alias("nvals2"))
+                     *[F.lead(c).over(w).alias(f"{c}2") for c in lead_cols])
              .where(F.col("__bnext__").isNotNull()))
     a = counts.alias("a")
     b = counts.alias("b")
     pr = pairs.alias("p")
+    pa = F.col("a.cnt") / F.col("p.tot")
+    pb = F.col("b.cnt") / F.col("p.tot2")
+    m = (pa + pb) / 2
     dots = (pr
             .join(a, [F.col(f"a.{k}") == F.col(f"p.{k}") for k in keys]
                   + [F.col(f"a.{bucket_col}") == F.col(f"p.{bucket_col}")])
@@ -101,21 +113,29 @@ def distribution_drift(odf: OmigoDF, key_cols, bucket_col: str,
                      F.col(f"b.{value_col}") == F.col(f"a.{value_col}")])
             .groupBy(*[F.col(f"p.{k}").alias(k) for k in keys],
                      F.col(f"p.{bucket_col}").alias(bucket_col),
-                     F.col("p.__bnext__").alias("bucket_next"),
-                     F.col("p.sq").alias("sq"), F.col("p.sq2").alias("sq2"),
-                     F.col("p.nvals").alias("nvals"),
-                     F.col("p.nvals2").alias("nvals2"))
+                     F.col("p.__bnext__").alias("bucket_next"))
             .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"),
-                 F.count(F.lit(1)).alias("matched")))
+                 F.count(F.lit(1)).alias("matched"),
+                 F.sum(m * F.log2(m)).alias("mterm"),
+                 F.sum((pa / 2) * F.log2(pa / 2)).alias("fa_m"),
+                 F.sum((pb / 2) * F.log2(pb / 2)).alias("fb_m")))
     # pairs with zero shared values drop out of the join; re-attach them
-    # with dot=0, matched=0 via a left join from the pair list
+    # with dot=0, matched=0 (and empty matched entropy terms) via a left
+    # join from the pair list
     dsel = dots.select(*[F.col(k).alias(f"__d_{k}__") for k in keys],
                        F.col(bucket_col).alias("__d_b__"),
                        F.col("bucket_next").alias("__d_bn__"),
-                       "dot", "matched")
+                       "dot", "matched", "mterm", "fa_m", "fb_m")
     cond = [pairs[k] == dsel[f"__d_{k}__"] for k in keys]
     cond += [pairs[bucket_col] == dsel["__d_b__"],
              pairs["__bnext__"] == dsel["__d_bn__"]]
+    z = lambda c: F.coalesce(dsel[c], F.lit(0.0))  # noqa: E731
+    tot, tot2 = pairs["tot"], pairs["tot2"]
+    ha = F.log2(tot) - pairs["hterm"] / tot
+    hb = F.log2(tot2) - pairs["hterm2"] / tot2
+    fa_all = pairs["hterm"] / (2 * tot) - (1 + F.log2(tot)) / 2
+    fb_all = pairs["hterm2"] / (2 * tot2) - (1 + F.log2(tot2)) / 2
+    hm = -(z("mterm") + (fa_all - z("fa_m")) + (fb_all - z("fb_m")))
     full = (pairs.join(dsel, cond, "left")
             .select(*[pairs[k] for k in keys],
                     pairs[bucket_col],
@@ -126,7 +146,9 @@ def distribution_drift(odf: OmigoDF, key_cols, bucket_col: str,
                     F.round(F.coalesce(dsel["matched"], F.lit(0)).cast("double")
                             / (pairs["nvals"] + pairs["nvals2"]
                                - F.coalesce(dsel["matched"], F.lit(0))), 6)
-                    .alias("jaccard_sim")))
+                    .alias("jaccard_sim"),
+                    F.round(F.greatest(hm - (ha + hb) / 2, F.lit(0.0)), 6)
+                    .alias("jsd")))
     return OmigoDF(full)
 
 
@@ -140,15 +162,22 @@ def distribution_drift_sql_duck(table: str, key_cols, bucket_col: str,
 WITH c AS (SELECT {keys}, {bucket_col} AS bkt, {value_col} AS v,
                   COUNT(*) AS cnt
            FROM {table} GROUP BY {keys}, {bucket_col}, {value_col}),
-n AS (SELECT {keys}, bkt, SUM(cnt * cnt) AS sq, COUNT(*) AS nvals
+n AS (SELECT {keys}, bkt, SUM(cnt * cnt) AS sq, COUNT(*) AS nvals,
+             SUM(cnt) AS tot, SUM(cnt * log2(cnt)) AS hterm
       FROM c GROUP BY {keys}, bkt),
-p AS (SELECT {keys}, bkt, sq, nvals,
+p AS (SELECT {keys}, bkt, sq, nvals, tot, hterm,
              lead(bkt) OVER (PARTITION BY {keys} ORDER BY bkt) AS bnext,
              lead(sq) OVER (PARTITION BY {keys} ORDER BY bkt) AS sq2,
-             lead(nvals) OVER (PARTITION BY {keys} ORDER BY bkt) AS nvals2
+             lead(nvals) OVER (PARTITION BY {keys} ORDER BY bkt) AS nvals2,
+             lead(tot) OVER (PARTITION BY {keys} ORDER BY bkt) AS tot2,
+             lead(hterm) OVER (PARTITION BY {keys} ORDER BY bkt) AS hterm2
       FROM n QUALIFY bnext IS NOT NULL),
 d AS (SELECT {p_keys}, p.bkt, p.bnext,
-             SUM(a.cnt * b.cnt) AS dot, COUNT(*) AS matched
+             SUM(a.cnt * b.cnt) AS dot, COUNT(*) AS matched,
+             SUM(((a.cnt / p.tot + b.cnt / p.tot2) / 2)
+                 * log2((a.cnt / p.tot + b.cnt / p.tot2) / 2)) AS mterm,
+             SUM((a.cnt / p.tot / 2) * log2(a.cnt / p.tot / 2)) AS fa_m,
+             SUM((b.cnt / p.tot2 / 2) * log2(b.cnt / p.tot2 / 2)) AS fb_m
       FROM p JOIN c a ON {on_keys} AND a.bkt = p.bkt
              JOIN c b ON {on_keys_b} AND b.bkt = p.bnext AND b.v = a.v
       GROUP BY {p_keys}, p.bkt, p.bnext)
@@ -156,7 +185,16 @@ SELECT {p_keys}, p.bkt AS {bucket_col}, p.bnext AS bucket_next,
        round(COALESCE(d.dot, 0) / sqrt(p.sq * p.sq2), 6) AS cosine_sim,
        round(CAST(COALESCE(d.matched, 0) AS DOUBLE)
              / (p.nvals + p.nvals2 - COALESCE(d.matched, 0)), 6)
-           AS jaccard_sim
+           AS jaccard_sim,
+       round(greatest(
+           -(COALESCE(d.mterm, 0)
+             + (p.hterm / (2 * p.tot) - (1 + log2(p.tot)) / 2
+                - COALESCE(d.fa_m, 0))
+             + (p.hterm2 / (2 * p.tot2) - (1 + log2(p.tot2)) / 2
+                - COALESCE(d.fb_m, 0)))
+           - ((log2(p.tot) - p.hterm / p.tot)
+              + (log2(p.tot2) - p.hterm2 / p.tot2)) / 2,
+           0), 6) AS jsd
 FROM p LEFT JOIN d ON {" AND ".join(f"d.{k} = p.{k}" for k in key_cols)}
                    AND d.bkt = p.bkt
 """

@@ -39,9 +39,11 @@ def test_distribution_drift_known_values(spark):
            TR.distribution_drift(d, ["k"], "b", "v").df.collect()}
     assert out[("a", 1)]["cosine_sim"] == 1.0
     assert out[("a", 1)]["jaccard_sim"] == 1.0
+    assert out[("a", 1)]["jsd"] == 0.0       # identical distributions
     assert out[("a", 1)]["bucket_next"] == 2
     assert out[("a", 2)]["cosine_sim"] == 0.0
     assert out[("a", 2)]["jaccard_sim"] == 0.0
+    assert out[("a", 2)]["jsd"] == 1.0       # disjoint support = 1 bit
     # partial overlap: bucket 1 {x:2} vs 2 {x:1, y:1}:
     # cos = 2 / (2 * sqrt(2)); jac = 1 / 2
     d2 = OmigoDF(spark.createDataFrame(
@@ -50,6 +52,10 @@ def test_distribution_drift_known_values(spark):
     r2 = TR.distribution_drift(d2, ["k"], "b", "v").df.collect()[0]
     assert r2["cosine_sim"] == round(2 / (2 * math.sqrt(2)), 6)
     assert r2["jaccard_sim"] == 0.5
+    # {x:1} vs {x:.5,y:.5}: H(m)=-(0.75 log2 .75 + .25 log2 .25),
+    # H(a)=0, H(b)=1 -> jsd = H(m) - 0.5
+    hm = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert r2["jsd"] == round(hm - 0.5, 6)
 
 
 def test_distribution_drift_matches_duckdb(spark):
