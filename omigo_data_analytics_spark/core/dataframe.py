@@ -1117,24 +1117,65 @@ class OmigoDF(CompatMixin):
 
     def _arg_minmax(self, grouping_cols, argcols, valcols, topk, sep, use_min) -> "OmigoDF":
         """Per group: value(s) of argcols at the extremum of each valcol,
-        top-k joined by `sep`. Implemented as sort_array over collected
-        (val, arg) structs — one shuffle, no window pass."""
+        top-k joined by `sep`.
+
+        Implemented as per-(val,arg) row_number windows + a bounded final
+        aggregate — NOT sort_array(collect_list(...)): collect_list's
+        partial aggregation concatenates, so every group becomes ONE
+        unsplittable array row carrying the whole group (measured 32 MB
+        across 9 shuffle rows at sf0.1; a hot group at 100 TB is an
+        executor OOM, not a slow task). The window pass shuffles the same
+        volume as individual spill-safe rows, all orderings share one
+        hash exchange on the grouping key, and the final aggregate only
+        ever collects rows that won a top-k rank for some combo — at
+        most k * n_combos per group."""
         gcols = self._resolve(grouping_cols)
         acols = self._resolve(argcols)
         vcols = self._resolve(valcols)
-        exprs = []
         suffix = "arg_min" if use_min else "arg_max"
-        for v in vcols:
-            vc = self._df[v].try_cast("double")
-            for a in acols:
-                pair = F.struct(vc.alias("v"), self._df[a].cast("string").alias("a"))
-                arr = F.sort_array(F.collect_list(pair), asc=use_min)
-                picked = F.transform(F.slice(arr, 1, topk), lambda s: s["a"])
-                exprs.append(F.concat_ws(sep, picked).alias(f"{a}{COL_SEP}{v}{COL_SEP}{suffix}"))
-            exprs.append(
-                (F.min(vc) if use_min else F.max(vc)).alias(
-                    f"{v}{COL_SEP}{'min' if use_min else 'max'}"))
-        return self._wrap(self._df.groupBy(*[self._df[g] for g in gcols]).agg(*exprs))
+        if not acols:  # degenerate: plain per-group extremum, one agg
+            ex = F.min if use_min else F.max
+            return self._wrap(self._df.groupBy(*gcols).agg(
+                *[ex(self._df[v].try_cast("double")).alias(
+                    f"{v}{COL_SEP}{'min' if use_min else 'max'}")
+                  for v in vcols]))
+        base_cols = [self._df[g] for g in gcols]
+        rn_names, combos = [], []
+        # project once, then attach one row_number per (v, a) combo; ties
+        # break on the arg string, matching sort_array's struct order
+        base = self._df.select(*base_cols,
+                               *[self._df[v].try_cast("double").alias(f"__v_{vi}__")
+                                 for vi, v in enumerate(vcols)],
+                               *[self._df[a].cast("string").alias(f"__a_{ai}__")
+                                 for ai, a in enumerate(acols)])
+        sel = ["*"]
+        for vi, v in enumerate(vcols):
+            for ai, a in enumerate(acols):
+                order = ([F.col(f"__v_{vi}__").asc(), F.col(f"__a_{ai}__").asc()]
+                         if use_min else
+                         [F.col(f"__v_{vi}__").desc(), F.col(f"__a_{ai}__").desc()])
+                w = Window.partitionBy(*gcols).orderBy(*order)
+                rn = f"__rn_{vi}_{ai}__"
+                rn_names.append(rn)
+                combos.append((vi, v, ai, a))
+                sel.append(F.row_number().over(w).alias(rn))
+        ranked = base.select(*sel).filter(
+            F.least(*[F.col(r) for r in rn_names]) <= topk
+            if len(rn_names) > 1 else F.col(rn_names[0]) <= topk)
+        aggs = []
+        for (vi, v, ai, a), rn in zip(combos, rn_names):
+            hit = F.when(F.col(rn) <= topk,
+                         F.struct(F.col(rn).alias("r"),
+                                  F.col(f"__a_{ai}__").alias("a")))
+            picked = F.transform(F.sort_array(F.collect_list(hit)),
+                                 lambda s: s["a"])
+            aggs.append(F.concat_ws(sep, picked)
+                        .alias(f"{a}{COL_SEP}{v}{COL_SEP}{suffix}"))
+        for vi, v in enumerate(vcols):
+            rn0 = f"__rn_{vi}_0__"
+            ext = F.max(F.when(F.col(rn0) == 1, F.col(f"__v_{vi}__")))
+            aggs.append(ext.alias(f"{v}{COL_SEP}{'min' if use_min else 'max'}"))
+        return self._wrap(ranked.groupBy(*gcols).agg(*aggs))
 
     def group_by_key(self, grouping_cols, agg_cols, agg_func: Callable,
                      suffix: str = "", collapse: bool = True) -> "OmigoDF":

@@ -190,3 +190,18 @@ def test_profile_default_has_no_expand(spark):
                   .df._jdf.queryExecution().executedPlan().toString())
     assert "Expand" not in exact_plan
     assert "partial_count" in exact_plan or "HashAggregate" in exact_plan
+
+
+def test_arg_minmax_mapside_topk(spark):
+    """arg_max/arg_min must plan a Partial WindowGroupLimit BEFORE the
+    exchange: each map task pre-filters to its local top-k per group, so
+    the shuffle carries k rows per group per task instead of the whole
+    corpus (the old collect_list form shipped entire groups as single
+    unsplittable array rows — measured 32 MB across 9 rows at sf0.1)."""
+    import re
+    p = _plan(spark, "arg_max_topk")
+    # toString is top-down: the map-side (Partial) limit prints BELOW the
+    # exchange it feeds
+    i_exch = p.index("Exchange hashpartitioning")
+    assert re.search(r"WindowGroupLimit.*Partial", p[i_exch:]), \
+        "no map-side partial window-group limit below the exchange"
