@@ -183,10 +183,53 @@ def write_bucketed(xdf: OmigoDF, table_name: str, bucket_cols,
     w.saveAsTable(table_name)
 
 
-def write_clustered(xdf: OmigoDF, path: str, cluster_by,
+def zorder_key(df: DataFrame, cols, bits: int = 8):
+    """Z-order (Morton) key column over ``cols``: each column maps to a
+    2^bits-bucket rank via its own approx-quantile boundaries (so skewed
+    columns still spread evenly), and the bucket indices bit-interleave
+    into one BIGINT. Range-clustering on this key gives every output
+    file a small hyper-rectangle of the multi-column space — footer
+    min/max stats then skip files for predicates on ANY of the columns,
+    the multi-dimensional layout Delta/Iceberg call Z-ORDER, here as a
+    plain column expression over plain parquet.
+
+    The boundary list (≤ (2^bits - 1) * n_cols doubles) is computed by
+    one approx_percentile aggregate and ridden into the plan as
+    literals — the IVF-centroid pattern; nothing corpus-sized touches
+    the driver. Bucketing is size(filter(boundaries, b -> b <= x)) —
+    O(2^bits) codegen comparisons per row, no shuffle."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    n = 1 << bits
+    qs = [i / n for i in range(1, n)]
+    row = df.agg(*[
+        F.expr(f"approx_percentile(CAST({c} AS DOUBLE), "
+               f"array({', '.join(str(q) for q in qs)}), 10000)").alias(c)
+        for c in cols]).first()
+    parts = []
+    for ci, c in enumerate(cols):
+        bounds = row[c]
+        if bounds is None:
+            parts.append(F.lit(0))
+            continue
+        blit = "array(" + ", ".join(repr(float(b)) for b in bounds) + ")"
+        bucket = (f"size(filter({blit}, "
+                  f"b -> b <= CAST({c} AS DOUBLE)))")
+        # interleave: bit i of this column lands at position i*n_cols+ci
+        shifted = " + ".join(
+            f"(shiftleft(CAST(shiftright({bucket}, {i}) & 1 AS BIGINT), "
+            f"{i * len(cols) + ci}))" for i in range(bits))
+        parts.append(F.expr(shifted))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out.cast("long")
+
+
+def write_clustered(xdf: OmigoDF, path: str, cluster_by=None,
                     num_files: int | None = None, target_file_mb: int = 128,
                     mode: str = "overwrite", fmt: str = "parquet",
-                    partition_by: list[str] | None = None) -> int:
+                    partition_by: list[str] | None = None,
+                    zorder=None, zorder_bits: int = 8) -> int:
     """Range-clustered write: repartitionByRange + sortWithinPartitions on
     ``cluster_by`` so each output file holds a contiguous key range. The
     footer min/max statistics then let ANY later reader (Spark, DuckDB,
@@ -199,15 +242,32 @@ def write_clustered(xdf: OmigoDF, path: str, cluster_by,
     ``num_files`` defaults to the optimizer's size estimate over
     ``target_file_mb`` — sized so one file is one comfortable task read.
     Returns the file count used. Also fixes small-file proliferation:
-    compacting a directory of shards is read → write_clustered."""
+    compacting a directory of shards is read → write_clustered.
+
+    ``zorder=[cols...]`` clusters on the Morton key from ``zorder_key``
+    instead of a lexicographic range: every file becomes a small
+    hyper-rectangle, so selective predicates on ANY z-ordered column
+    skip files (lexicographic multi-key clustering only helps the
+    leading column). Mutually exclusive with ``cluster_by``."""
     df = xdf.df if isinstance(xdf, OmigoDF) else xdf
-    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    if (cluster_by is None) == (zorder is None):
+        raise ValueError("write_clustered: pass exactly one of "
+                         "cluster_by / zorder")
     if num_files is None:
         est = int(df._jdf.queryExecution().optimizedPlan().stats()
                   .sizeInBytes())
         num_files = max(1, -(-est // (target_file_mb * 1024 * 1024)))
-    out = (df.repartitionByRange(num_files, *cols)
-             .sortWithinPartitions(*cols))
+    if zorder is not None:
+        key = zorder_key(df, zorder, bits=zorder_bits)
+        out = (df.withColumn("__zk__", key)
+                 .repartitionByRange(num_files, F.col("__zk__"))
+                 .sortWithinPartitions("__zk__")
+                 .drop("__zk__"))
+    else:
+        cols = ([cluster_by] if isinstance(cluster_by, str)
+                else list(cluster_by))
+        out = (df.repartitionByRange(num_files, *cols)
+                 .sortWithinPartitions(*cols))
     w = out.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -318,3 +318,56 @@ def test_write_clustered_auto_file_count(spark, tmp_path):
     n = oio.write_clustered(ev, d, "user_id")  # tiny input -> 1 file
     assert n == 1
     assert len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 1
+
+
+def test_write_clustered_zorder_balances_all_dimensions(spark, tmp_path):
+    """Lexicographic multi-key clustering only narrows the LEADING
+    column's per-file range; z-order gives every clustered column a
+    small per-file span, so predicates on ANY of them skip files."""
+    import pyarrow.parquet as pq
+
+    from omigo_data_analytics_spark.sources import io as oio
+
+    ev = oio.load_testdata(spark, "/root/testdata/sf0.01", "events")
+
+    def avg_span(dirpath, col):
+        files = [f for f in os.listdir(dirpath) if f.endswith(".parquet")]
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            st = [md.row_group(g).column(idx).statistics
+                  for g in range(md.num_row_groups)]
+            spans.append((min(s.min for s in st), max(s.max for s in st)))
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        dom = (hi - lo) or 1
+        return sum((b - a) / dom for a, b in spans) / len(spans)
+
+    lex = str(tmp_path / "lex")
+    zed = str(tmp_path / "z")
+    oio.write_clustered(ev, lex, cluster_by=["user_id", "value"],
+                        num_files=16)
+    oio.write_clustered(ev, zed, zorder=["user_id", "value"], num_files=16)
+    # lexicographic: trailing column is unclustered (near-full span)
+    assert avg_span(lex, "user_id") < 0.15
+    assert avg_span(lex, "value") > 0.5
+    # z-order: BOTH columns land well under the lexicographic trailing
+    # span — every file is a hyper-rectangle
+    assert avg_span(zed, "user_id") < 0.5
+    assert avg_span(zed, "value") < 0.5
+    # same rows either way
+    assert spark.read.parquet(zed).count() == ev.df.count()
+
+
+def test_write_clustered_validates_exclusive_args(spark, tmp_path):
+    import pytest
+
+    from omigo_data_analytics_spark.sources import io as oio
+
+    ev = oio.load_testdata(spark, "/root/testdata/sf0.001", "events")
+    with pytest.raises(ValueError, match="exactly one"):
+        oio.write_clustered(ev, str(tmp_path / "x"))
+    with pytest.raises(ValueError, match="exactly one"):
+        oio.write_clustered(ev, str(tmp_path / "y"), cluster_by="user_id",
+                            zorder=["user_id"])
