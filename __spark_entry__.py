@@ -2870,6 +2870,26 @@ def _sql_distribution_drift() -> str:
             "FROM events)" + inner)
 
 
+def q_sample_n_per_group(spark, sf_dir):
+    """Deterministic exact-3-docs-per-language sample
+    (OmigoDF.sample_n_per_group): portable-hash rank within group,
+    row_number + filter → map-side WindowGroupLimit."""
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.sample_n_per_group(["lang"], 3, key_cols=["doc_id"], seed=4)
+    return out.df.select("doc_id", "lang", "source")
+
+
+def _sql_sample_n_per_group() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), '4')")
+    return f"""
+WITH r AS (SELECT doc_id, lang, source,
+                  row_number() OVER (PARTITION BY lang
+                      ORDER BY ({h}) ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+           FROM documents)
+SELECT doc_id, lang, source FROM r WHERE rn <= 3
+"""
+
+
 MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -2933,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_lsh_candidates": q_stream_lsh_candidates,
         "distribution_stats": q_distribution_stats,
         "distribution_drift": q_distribution_drift,
+        "sample_n_per_group": q_sample_n_per_group,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -2961,7 +2982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
-        "json_xpath_filter": q_json_xpath_filter,
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
@@ -2979,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity_ivf represent their families)
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
+        "json_xpath_filter": q_json_xpath_filter,
         "doc_chunks": q_doc_chunks,
         "token_vocab": q_token_vocab,
         "dedup_embedding": q_dedup_embedding,
@@ -3109,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_lsh_candidates": _sql_stream_lsh(),
         "distribution_stats": _sql_distribution_stats(),
         "distribution_drift": _sql_distribution_drift(),
+        "sample_n_per_group": _sql_sample_n_per_group(),
         "repetition_metrics": _sql_repetition(),
         "decontaminate": _sql_decontaminate(),
         "mix_sources": _sql_mix_sources(),

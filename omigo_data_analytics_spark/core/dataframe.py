@@ -1623,6 +1623,34 @@ class OmigoDF(CompatMixin):
             "inline(array(" + ", ".join(parts) + "))"))
         return self._wrap(out)
 
+    def sample_n_per_group(self, group_cols, n: int, key_cols=None,
+                           seed: int = 0) -> "OmigoDF":
+        """Deterministic EXACT-n sample per group: rows rank by the
+        portable hash of ``key_cols`` (+seed) within each group and the
+        first ``n`` survive — reproducible across runs/engines (DuckDB
+        oracle checks it exactly) and stable per key as the corpus
+        regrows, unlike fraction-based sampling which can't promise a
+        count. ``key_cols`` is the row identity the hash ranks on
+        (default: every column — duplicate identities tie-break together,
+        keeping the result a deterministic function of the DATA, not the
+        partitioning). The row_number + filter shape triggers Spark's
+        WindowGroupLimit pushdown, so each map task pre-filters to its
+        local top-n per group before the exchange — the shuffle carries
+        n rows per group per task, never the corpus."""
+        from ..operators.text import hash_spark
+        gcols = self._resolve(group_cols)
+        kcols = (self._resolve(key_cols) if key_cols is not None
+                 else list(self._df.columns))
+        key = "concat_ws('\\t', " + ", ".join(
+            f"CAST({colutils.quote(c)} AS STRING)" for c in kcols) + f", '{seed}')"
+        u = F.expr(hash_spark(key))
+        tie = F.concat_ws("\t", *[self._df[c].cast("string") for c in kcols])
+        w = Window.partitionBy(*gcols).orderBy(u.asc(), tie.asc())
+        return self._wrap(self._df
+                          .withColumn("__rn__", F.row_number().over(w))
+                          .filter(F.col("__rn__") <= n)
+                          .drop("__rn__"))
+
     def hash_split(self, key_cols, fractions=None, seed: int = 0,
                    split_col: str = "split") -> "OmigoDF":
         """Deterministic train/val/test assignment: label every row by the

@@ -135,3 +135,28 @@ def test_filter_json_by_xpath_forms(spark):
         "j", "a.b", exclude=True).df.collect()) == [3, 4]
     # $-prefixed path accepted
     assert sorted(r["id"] for r in o.filter_json_by_xpath("j", "$.tag").df.collect()) == [1, 3]
+
+
+def test_sample_n_per_group_exact_and_deterministic(spark, documents):
+    a = documents.sample_n_per_group(["lang"], 2, key_cols=["doc_id"])
+    b = documents.sample_n_per_group(["lang"], 2, key_cols=["doc_id"])
+    rows_a = sorted((r["lang"], r["doc_id"]) for r in a.df.collect())
+    assert rows_a == sorted((r["lang"], r["doc_id"]) for r in b.df.collect())
+    from pyspark.sql import functions as F
+    per = {r["lang"]: r["n"] for r in
+           a.df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in
+            documents.df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(2, full[lang])
+    # different seed -> (almost surely) different pick
+    c = documents.sample_n_per_group(["lang"], 2, key_cols=["doc_id"], seed=9)
+    assert rows_a != sorted((r["lang"], r["doc_id"]) for r in c.df.collect())
+
+
+def test_sample_n_per_group_mapside_limit(spark, documents):
+    d = documents.sample_n_per_group(["lang"], 2, key_cols=["doc_id"])
+    p = d.df._jdf.queryExecution().executedPlan().toString()
+    import re
+    i = p.index("Exchange hashpartitioning")
+    assert re.search(r"WindowGroupLimit.*Partial", p[i:])
