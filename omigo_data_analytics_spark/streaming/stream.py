@@ -174,7 +174,8 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
                                text_col: str = "text",
                                rows_per_band: int = 2,
                                ts_col: str | None = None,
-                               watermark: str = "1 hour") -> DataFrame:
+                               watermark: str = "1 hour",
+                               state_ttl: str | None = None) -> DataFrame:
     """Streaming MinHash-LSH near-dup detection: the stream-side
     counterpart of operators/dedup.lsh_candidate_pairs for continuously
     landing corpora, where the batch bucket self-join cannot exist
@@ -194,22 +195,30 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
     operator exactly replayable as a batch window query (the oracle).
 
     Scale/state: state is one long per DISTINCT bucket — the bucket
-    registry, not the corpus. With ``ts_col`` the input is watermarked;
-    pair that with a state-store TTL (RocksDB provider) in production to
-    bound the registry for unbounded streams. Nothing collects to the
-    driver; the shuffle carries (band, band_key, id) triples only.
+    registry, not the corpus. With ``ts_col`` the input is watermarked,
+    and ``state_ttl`` (e.g. "2 hours") arms an EventTimeTimeout per
+    bucket: once the watermark passes last-seen + ttl the registry entry
+    is dropped, bounding state to the buckets active within one dedup
+    horizon — the only shape that survives an unbounded stream. (A doc
+    arriving after its bucket expired re-claims it as new: the ttl IS
+    the dedup horizon, by design.) Nothing collects to the driver; the
+    shuffle carries (band, band_key, id) triples only.
     """
     import pandas as pd
 
     from ..operators import dedup as DD
 
+    if state_ttl is not None and ts_col is None:
+        raise ValueError("state_ttl requires ts_col (event-time timeout "
+                         "needs a watermark)")
     k = DD.NUM_HASHES
     sigs = sdf.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        *([F.col(ts_col)] if ts_col else []),
+        *([F.col(ts_col).cast("timestamp").alias("__ts__")]
+          if ts_col else []),
         F.expr(f"inline(array({DD.minhash_struct_expr(text_col)}))"))
     if ts_col:
-        sigs = sigs.withWatermark(ts_col, watermark)
+        sigs = sigs.withWatermark("__ts__", watermark)
     structs = []
     for b in range(k // rows_per_band):
         key = F.concat_ws("_", *[
@@ -217,10 +226,12 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
             for r in range(rows_per_band)])
         structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
     bands = (sigs.select("doc_id",
+                         *(["__ts__"] if ts_col else []),
                          F.explode(F.array(*structs)).alias("__bb__"))
              .select(F.col("__bb__.band").alias("band"),
                      F.col("__bb__.band_key").alias("band_key"),
-                     F.col("doc_id")))
+                     F.col("doc_id"),
+                     *(["__ts__"] if ts_col else [])))
 
     out_schema = T.StructType([
         T.StructField("band", T.IntegerType()),
@@ -228,18 +239,49 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
         T.StructField("doc_id", T.LongType()),
         T.StructField("first_id", T.LongType()),
     ])
-    state_schema = T.StructType([T.StructField("first", T.LongType())])
+    state_schema = T.StructType([T.StructField("first", T.LongType()),
+                                 T.StructField("last_ms", T.LongType())])
+    ttl_ms = None
+    if state_ttl is not None:
+        n, unit = state_ttl.split()
+        ttl_ms = int(float(n) * {"second": 1000, "seconds": 1000,
+                                 "minute": 60000, "minutes": 60000,
+                                 "hour": 3600000, "hours": 3600000,
+                                 "day": 86400000, "days": 86400000}[unit])
 
     def _claim(key, pdf_iter, state):
-        ids = sorted({int(i) for pdf in pdf_iter for i in pdf["doc_id"]})
+        if state.hasTimedOut:
+            state.remove()  # idle bucket: watermark passed last-seen+ttl
+            return
+        ids, max_ts = set(), None
+        for pdf in pdf_iter:
+            ids.update(int(i) for i in pdf["doc_id"])
+            if ttl_ms is not None and len(pdf):
+                m = pdf["__ts__"].max()
+                max_ts = m if max_ts is None else max(max_ts, m)
+        ids = sorted(ids)
         if not ids:
             return
-        if state.exists:
+        max_ms = (int(max_ts.value // 1_000_000)
+                  if ttl_ms is not None and max_ts is not None else 0)
+        expired = False
+        if ttl_ms is not None and state.exists:
+            # keys WITH data in a batch never get the timed-out callback
+            # (data takes precedence) — enforce the horizon inline: if the
+            # watermark already passed last-seen + ttl, the old claim is
+            # beyond the dedup horizon and the bucket restarts fresh
+            expired = state.getCurrentWatermarkMs() > state.get[1] + ttl_ms
+        if state.exists and not expired:
             first = state.get[0]
+            if ttl_ms is not None:
+                state.update((first, max(state.get[1], max_ms)))
         else:
             first = ids[0]
-            state.update((first,))
+            state.update((first, max_ms))
             ids = ids[1:]
+        if ttl_ms is not None:
+            state.setTimeoutTimestamp(
+                max(max_ms + ttl_ms, state.getCurrentWatermarkMs() + 1))
         later = [i for i in ids if i != first]
         if later:
             yield pd.DataFrame({"band": [key[0]] * len(later),
@@ -248,7 +290,8 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
                                 "first_id": [first] * len(later)})
 
     return (bands.groupBy("band", "band_key")
-            .applyInPandasWithState(_claim, outputStructType=out_schema,
-                                    stateStructType=state_schema,
-                                    outputMode="append",
-                                    timeoutConf="NoTimeout"))
+            .applyInPandasWithState(
+                _claim, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=("EventTimeTimeout" if ttl_ms is not None
+                             else "NoTimeout")))

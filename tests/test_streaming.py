@@ -239,3 +239,64 @@ def test_stream_near_dup_matches_batch_lsh(spark):
                 .where("doc_id > first_id").collect())
         exp |= {(r["band"], r["bk"], r["doc_id"], r["first_id"]) for r in rows}
     assert got == exp and len(got) > 0
+
+
+def test_stream_near_dup_state_ttl_expires_buckets(spark):
+    """EventTimeTimeout horizon: a bucket claimed at t0 expires once the
+    watermark passes t0 + ttl, so the same content arriving later
+    re-claims the bucket as NEW (no candidate row) — state is bounded by
+    the dedup horizon, not stream lifetime."""
+    import pyspark.sql.functions as SF
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "unrelated filler words advancing the watermark forward now"
+    d = tempfile.mkdtemp(prefix="omigo_lsh_ttl_")
+    try:
+        schema = "doc_id long, text string, ts timestamp"
+
+        def _write(rows, mode):
+            (spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+             .withColumn("ts", SF.to_timestamp("ts_s")).drop("ts_s")
+             .coalesce(1).write.mode(mode).parquet(d))
+
+        # batch 1: doc 1 claims its buckets at 00:00
+        _write([(1, base, "2024-01-01 00:00:00")], "overwrite")
+        # batch 2: unrelated doc at 06:00 -> watermark (10m) advances to
+        # ~05:50, far past 00:00 + 1h ttl -> doc 1's buckets time out
+        _write([(50, other, "2024-01-01 06:00:00")], "append")
+        # batch 3: same content as doc 1 at 06:00 -> bucket re-claimed,
+        # NOT flagged against doc 1
+        _write([(60, base, "2024-01-01 06:00:00")], "append")
+        sdf = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(d))
+        out = ST.stream_near_dup_candidates(
+            sdf, ts_col="ts", watermark="10 minutes", state_ttl="1 hour")
+        q = (out.writeStream.format("memory").queryName("snd_ttl")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("select * from snd_ttl").collect()
+        assert got == []  # doc 60 re-claimed expired buckets, no flags
+
+        # control: without ttl the same stream flags 60 against 1
+        sdf2 = (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(d))
+        out2 = ST.stream_near_dup_candidates(
+            sdf2, ts_col="ts", watermark="10 minutes")
+        q2 = (out2.writeStream.format("memory").queryName("snd_ttl_ctl")
+              .outputMode("append").trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        pairs = {(r["doc_id"], r["first_id"]) for r in
+                 spark.sql("select distinct doc_id, first_id "
+                           "from snd_ttl_ctl").collect()}
+        assert pairs == {(60, 1)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_near_dup_ttl_requires_ts(spark):
+    import pytest
+
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .parquet("/root/testdata/sf0.001"))
+    with pytest.raises(ValueError, match="state_ttl requires ts_col"):
+        ST.stream_near_dup_candidates(sdf, state_ttl="1 hour")
