@@ -87,3 +87,19 @@ def test_distribution_drift_plan_partial_aggregation(spark):
          .df._jdf.queryExecution().executedPlan().toString())
     assert "partial_count" in p or "HashAggregate" in p
     assert "CartesianProduct" not in p
+
+
+def test_distribution_drift_partition_invariant(spark):
+    """Float entropy/JSD sums must survive a different shuffle layout —
+    guards the round-6 canonicalization against partial-sum reordering."""
+    ev = OmigoDF(spark.read.parquet(f"{SF}/events.parquet")
+                 .selectExpr("event_type", "user_id % 10 AS uv",
+                             "CAST(CAST(ts AS DATE) AS STRING) AS day"))
+    a = (TR.distribution_drift(ev, ["event_type"], "day", "uv").df
+         .toPandas().sort_values(["event_type", "day"])
+         .reset_index(drop=True))
+    ev2 = OmigoDF(ev.df.repartition(17, "uv"))
+    b = (TR.distribution_drift(ev2, ["event_type"], "day", "uv").df
+         .toPandas().sort_values(["event_type", "day"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
