@@ -219,3 +219,49 @@ def test_concat_as_cols(iris):
     z = a.concat_as_cols(b)
     assert set(z.columns) == {"class", "petal_length"}
     assert z.num_rows() == 150
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The engine's first line against skew is AQE's runtime skew-join
+    (salted_join is the explicit fallback, asserted above): with a 90%%
+    hot key, the final adaptive plan must mark the join skew=true and
+    read the hot partition through a skewed AQEShuffleRead split —
+    runtime re-planning, no salting code in the query."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.join.preferSortMergeJoin"]}
+    try:
+        # shrink thresholds so local-scale data exhibits the 100 TB shape
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                       "16KB")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+        left = spark.range(0, 200000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string"))
+            .alias("pad"))
+        right = spark.range(0, 20000).select(
+            F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k").select("k", "rv", "pad")
+        assert len(j.collect()) == 182000
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in p
+        assert "skew=true" in p
+        assert "AQEShuffleRead skewed" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
