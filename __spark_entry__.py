@@ -2206,19 +2206,17 @@ def q_graph_dangling(spark, sf_dir):
 
 
 def _sql_graph_dangling() -> str:
-    """Oracle for the pruning fixpoint: the iteration is unrolled (10
-    rounds = the operator's max_iter; this graph converges in 3), each
-    round keeping edges whose dst is still a source or protected."""
-    rounds = []
-    prev = "e0"
-    for i in range(1, 11):
-        rounds.append(
-            f"e{i} AS (SELECT * FROM {prev} WHERE dst IN (SELECT src FROM {prev})"
-            f" OR dst IN (SELECT node_id FROM keep))")
-        prev = f"e{i}"
-    rounds_sql = ",\n".join(rounds)
-    return f"""
-WITH e0 AS (
+    """Oracle for the pruning fixpoint. The run-to-convergence fixpoint
+    (this layered DAG converges in 3 of max_iter=10 rounds) removes an
+    edge iff its dst cannot reach a protected node: each round keeps
+    edges whose dst still sources a surviving edge or is protected, so
+    at convergence an edge survives exactly when a directed path
+    dst→...→keep exists. Restated as backward reachability from the
+    keep set via a recursive CTE — node-set-sized state, where the
+    previous 10-round unrolled form materialized ten full edge-set
+    copies and exhausted DuckDB's temp disk at sf0.1."""
+    return """
+WITH RECURSIVE e0 AS (
   SELECT DISTINCT src, dst FROM (
     SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
            'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
@@ -2227,8 +2225,11 @@ WITH e0 AS (
            'p' || CAST(l_partkey AS VARCHAR) FROM lineitem)),
 keep AS (SELECT 'p' || CAST(p_partkey AS VARCHAR) AS node_id
          FROM part WHERE p_partkey < 100),
-{rounds_sql}
-SELECT src, dst FROM {prev}
+alive AS (
+  SELECT node_id AS v FROM keep
+  UNION
+  SELECT e.src FROM e0 e JOIN alive a ON e.dst = a.v)
+SELECT src, dst FROM e0 WHERE dst IN (SELECT v FROM alive)
 """
 
 
@@ -3184,8 +3185,4 @@ SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
         "graph_dangling": _sql_graph_dangling(),
         "graph_time_ancestors": SQL_GRAPH_TIME_ANCESTORS,
         "graph_merge_nodes": SQL_GRAPH_MERGE_NODES,
-        # no oracle (rows-only): sample_group_by_key, generate_key_hash,
-        # dedup_minhash_lsh, similarity_lsh, graph_dangling (iterative
-        # fixpoint), sample_uniq_cap (seeded engine hash), ttest
-        # (iterative float aggregation)
     }
