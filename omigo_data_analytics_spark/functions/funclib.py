@@ -61,6 +61,13 @@ parse_image_file_base_name = _udfs.parse_file_base_name
 datetime_to_utctimestamp_sec = _tf.datetime_to_utctimestamp_sec
 datetime_to_utctimestamp_millis = _tf.datetime_to_utctimestamp_millis
 datetime_to_utctimestamp = _tf.datetime_to_utctimestamp
+utctimestamp_to_datetime = _tf.utctimestamp_to_datetime
+utctimestamp_millis_to_datetime = _tf.utctimestamp_millis_to_datetime
+utctimestamp_millis_to_datetime_str = _tf.utctimestamp_millis_to_datetime_str
+datetime_to_timestamp = _tf.datetime_to_timestamp
+get_utctimestamp_sec = _tf.get_utctimestamp_sec
+get_utctimestamp_millis = _tf.get_utctimestamp_millis
+datestr_to_datetime = _tf.datestr_to_datetime
 
 
 def str_arr_to_float(xs) -> list[float]:
@@ -145,3 +152,45 @@ def get_display_relative_time_str(v) -> str:
         if amount > 0 and len(results) < 2:
             results.append(f"{amount}{unit}")
     return " ".join(results)
+
+
+def get_counts_map(xs) -> dict:
+    """(reference utils.py:312-319)"""
+    mp = {}
+    for x in xs:
+        mp[x] = mp.get(x, 0) + 1
+    return mp
+
+
+def merge_arrays(arr_list) -> list:
+    """(reference utils.py:331-337)"""
+    return [v for arr in arr_list for v in arr]
+
+
+def split_str_to_arr(x) -> list:
+    """(reference utils.py:827-831): comma split, empties dropped."""
+    if x is None or x == "":
+        return []
+    return [t for t in x.split(",") if t != ""]
+
+
+def convert_ipv4_to_hex(ip: str) -> str:
+    """(reference utils.py:845-861) — including its quirk: each octet's
+    hex is concatenated UNPADDED ('10.0.0.1' → 'a001', not '0a000001'),
+    so the mapping is not injective; kept for output parity."""
+    if ip is None or ip == "":
+        raise ValueError(f"convert_ipv4_to_hex: invalid input: {ip}")
+    parts = ip.split(".")
+    if len(parts) != 4:
+        raise ValueError(f"convert_ipv4_to_hex: invalid input: {ip}")
+    return "".join(hex(int(p)) for p in parts).replace("0x", "")
+
+
+def convert_ipv4_to_hex_col(c):
+    """Distributed twin of convert_ipv4_to_hex — same unpadded-octet
+    output, as a codegen expression (no Python in the hot path)."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(c, r"\.")
+    return F.concat(*[
+        F.lower(F.conv(F.element_at(parts, i), 10, 16)) for i in (1, 2, 3, 4)])

@@ -126,6 +126,55 @@ def datetime_to_utctimestamp(x) -> int:
     return datetime_to_utctimestamp_sec(x)
 
 
+def utctimestamp_to_datetime(x) -> "_dt.datetime":
+    """(reference timefuncs.py:90-101) epoch sec / millis / fractional-sec
+    string or int → timezone-aware UTC datetime."""
+    s = str(x).strip()
+    if len(s) == 10 and s.isdigit():
+        return _dt.datetime.fromtimestamp(int(s), tz=_dt.timezone.utc)
+    if len(s) == 13 and s.isdigit():
+        return _dt.datetime.fromtimestamp(int(s) / 1000, tz=_dt.timezone.utc)
+    if len(s) > 10 and s.find(".") == 10:
+        return _dt.datetime.fromtimestamp(float(s), tz=_dt.timezone.utc)
+    raise ValueError(f"utctimestamp_to_datetime: unknown format: {x!r}")
+
+
+def utctimestamp_millis_to_datetime(x) -> "_dt.datetime":
+    """(reference timefuncs.py:103-104 — same sniffing ladder)"""
+    return utctimestamp_to_datetime(x)
+
+
+def utctimestamp_millis_to_datetime_str(x) -> str:
+    """(reference timefuncs.py:112-117)"""
+    result = utctimestamp_to_datetime(x).isoformat()
+    return result[0:23] if result.endswith("UTC") else result
+
+
+def datetime_to_timestamp(x):
+    """(reference timefuncs.py:119-120 — raises by design there too)"""
+    raise ValueError("Please use datetime_to_utctimestamp")
+
+
+def get_utctimestamp_sec() -> int:
+    """(reference timefuncs.py:122-123)"""
+    return int(_dt.datetime.now(_dt.timezone.utc).timestamp())
+
+
+def get_utctimestamp_millis() -> int:
+    """(reference timefuncs.py:125-126)"""
+    return int(_dt.datetime.now(_dt.timezone.utc).timestamp() * 1000)
+
+
+def datestr_to_datetime(x) -> "_dt.datetime":
+    """(reference timefuncs.py:128-129)"""
+    return utctimestamp_to_datetime(datetime_to_utctimestamp_sec(x))
+
+
+def get_datetime_str() -> str:
+    """(reference timefuncs.py:131-132)"""
+    return utctimestamp_to_datetime(get_utctimestamp_sec()).isoformat()[0:19]
+
+
 def _parse_iso(s: str) -> _dt.datetime:
     s = s.replace(" UTC", "+00:00").replace(" GMT", "+00:00")
     if s.endswith("Z"):

@@ -44,3 +44,25 @@ def test_aliases_resolve_to_reference_bodies():
     assert fl.sumint(["3.7", "2"]) == 5  # int(float()) semantics
     assert fl.uniq_mkstr(["a,b", "b"]) == "a,b"
     assert fl.datetime_to_utctimestamp_sec("1681202675") == 1681202675
+
+
+def test_small_utils_parity(spark):
+    from omigo_data_analytics_spark.functions import funclib as fl
+
+    assert fl.get_counts_map(["a", "b", "a"]) == {"a": 2, "b": 1}
+    assert fl.merge_arrays([[1], [2, 3], []]) == [1, 2, 3]
+    assert fl.split_str_to_arr("a,,b") == ["a", "b"]
+    assert fl.split_str_to_arr(None) == []
+    # reference quirk preserved: unpadded octets
+    assert fl.convert_ipv4_to_hex("10.0.0.1") == "a001"
+    assert fl.convert_ipv4_to_hex("255.255.255.255") == "ffffffff"
+    import pytest
+    with pytest.raises(ValueError):
+        fl.convert_ipv4_to_hex("1.2.3")
+    # distributed twin agrees with the scalar on a real column
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("10.0.0.1",), ("192.168.17.254",)], ["ip"])
+    rows = df.select("ip", fl.convert_ipv4_to_hex_col(F.col("ip"))
+                     .alias("hx")).collect()
+    for r in rows:
+        assert r["hx"] == fl.convert_ipv4_to_hex(r["ip"])

@@ -74,3 +74,26 @@ def test_get_time_diffs_aggregate(spark):
     vs = [base, base + 30, base + 150, base + 7350]
     diffs = [vs[i + 1] - vs[i] for i in range(3)]
     assert diffs == [30, 120, 7200]
+
+
+def test_scalar_utctimestamp_converters():
+    import datetime as dt
+
+    from omigo_data_analytics_spark.functions import timefuncs as tf
+
+    d = tf.utctimestamp_to_datetime("1700000000")
+    assert d == dt.datetime(2023, 11, 14, 22, 13, 20, tzinfo=dt.timezone.utc)
+    assert tf.utctimestamp_millis_to_datetime("1700000000000") == d
+    assert tf.utctimestamp_to_datetime(1700000000) == d
+    assert tf.utctimestamp_to_datetime("1700000000.500").microsecond == 500000
+    assert tf.datestr_to_datetime("2023-11-14T22:13:20+00:00") == d
+    assert tf.utctimestamp_millis_to_datetime_str("1700000000")\
+        .startswith("2023-11-14T22:13:20")
+    import pytest
+    with pytest.raises(ValueError, match="datetime_to_utctimestamp"):
+        tf.datetime_to_timestamp("x")
+    with pytest.raises(ValueError, match="unknown format"):
+        tf.utctimestamp_to_datetime("not-a-ts")
+    assert isinstance(tf.get_utctimestamp_sec(), int)
+    assert tf.get_utctimestamp_millis() >= tf.get_utctimestamp_sec() * 1000 - 1
+    assert len(tf.get_datetime_str()) == 19
