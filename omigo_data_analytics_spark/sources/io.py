@@ -413,6 +413,91 @@ def read_url_as_df(spark: SparkSession, url: str, sep: str | None = None,
     return OmigoDF(spark.createDataFrame(rows, schema))
 
 
+def read_url_response(url: str, query_params: dict | None = None,
+                      headers: dict | None = None, body=None,
+                      username: str | None = None,
+                      password: str | None = None,
+                      api_token: str | None = None, timeout: int = 120,
+                      method: str | None = None,
+                      num_retries: int = 3,
+                      retry_sleep_sec: float = 1.0) -> tuple[str, int, str]:
+    """(reference wsclient.py:130-170) fetch → (text, status, error_msg):
+    never raises for HTTP errors, returns ("", status, message) instead,
+    and retries 429/503 with linear backoff like the reference. Driver-
+    side by design (one small document); bulk ingestion is
+    `sources/rest.PartitionedRestSource`."""
+    import time as _time
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    if query_params:
+        glue = "&" if "?" in url else "?"
+        url = url + glue + urllib.parse.urlencode(query_params)
+    hdrs = dict(headers or {})
+    if username is not None and password is not None:
+        import base64 as _b64
+
+        tok = _b64.b64encode(f"{username}:{password}".encode()).decode()
+        hdrs.setdefault("Authorization", f"Basic {tok}")
+    elif api_token is not None:
+        hdrs.setdefault("Authorization", f"Bearer {api_token}")
+    data = body.encode() if isinstance(body, str) else body
+    req = urllib.request.Request(
+        url, data=data, headers=hdrs,
+        method=(method or ("POST" if data is not None else "GET")).upper())
+    for attempt in range(num_retries + 1):
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                raw = resp.read()
+                status = getattr(resp, "status", None) or 200
+            return raw.decode("utf-8", "replace"), int(status), ""
+        except urllib.error.HTTPError as e:
+            if e.code in (429, 503) and attempt < num_retries:
+                _time.sleep(retry_sleep_sec * (attempt + 1))
+                continue
+            return "", int(e.code), str(e)
+        except Exception as e:  # noqa: BLE001 — URL/socket errors
+            return "", 500, str(e)
+    return "", 500, "retries exhausted"
+
+
+def read_url_json(spark: SparkSession, url: str, **kwargs) -> OmigoDF:
+    """(reference wsclient.py:94-128) JSON URL → table with columns
+    (json_encoded, status_code, error_msg): a top-level list flattens to
+    one row per element, a dict is one row, each element url-encoded
+    JSON under the ``json_encoded`` convention — feed `explode_json` to
+    expand. Errors land as data rows (status_code '0' + message), not
+    exceptions, exactly like the reference."""
+    import json as _json
+    import urllib.parse as _up
+
+    text, status, err = read_url_response(url, **kwargs)
+    rows = []
+    if status == 200:
+        try:
+            obj = _json.loads(text)
+        except ValueError:
+            obj = None
+        if isinstance(obj, list):
+            rows = [( _up.quote(_json.dumps(v).replace("\n", " ")),
+                     str(status), str(err)) for v in obj]
+        elif isinstance(obj, dict):
+            rows = [(_up.quote(_json.dumps(obj).replace("\n", " ")),
+                     str(status), str(err))]
+        else:
+            rows = [("", "0", f"Unable to parse the json response: {text}")]
+    else:
+        rows = [("", "0", "Unable to parse the json response: "
+                 + _up.quote(text).replace("\n", " ") + f" ({err})")]
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(c, T.StringType())
+                           for c in ("json_encoded", "status_code",
+                                     "error_msg")])
+    return OmigoDF(spark.createDataFrame(rows, schema))
+
+
 def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> OmigoDF:
     """Load one driver-synthesized table. The events table stores
     TIMESTAMP(NANOS) which Spark reads as long ns (nanosAsLong conf, set by

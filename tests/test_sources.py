@@ -371,3 +371,37 @@ def test_write_clustered_validates_exclusive_args(spark, tmp_path):
     with pytest.raises(ValueError, match="exactly one"):
         oio.write_clustered(ev, str(tmp_path / "y"), cluster_by="user_id",
                             zorder=["user_id"])
+
+
+def test_read_url_response_and_json(spark, tmp_path):
+    import json
+
+    doc = tmp_path / "obj.json"
+    doc.write_text(json.dumps({"a": 1, "b": "x"}))
+    arr = tmp_path / "arr.json"
+    arr.write_text(json.dumps([{"i": 1}, {"i": 2}, {"i": 3}]))
+
+    from omigo_data_analytics_spark.sources import io as oio
+
+    text, status, err = oio.read_url_response(f"file://{doc}")
+    assert status == 200 and err == "" and json.loads(text) == {"a": 1, "b": "x"}
+    # errors come back as a triple, not an exception
+    _, status2, err2 = oio.read_url_response(f"file://{tmp_path}/absent.json")
+    assert status2 == 500 and err2 != ""
+
+    # dict -> one row; list -> one row per element; json_encoded is
+    # url-encoded JSON (the reference's *:json_encoded convention)
+    one = oio.read_url_json(spark, f"file://{doc}").df.collect()
+    assert len(one) == 1 and one[0]["status_code"] == "200"
+    import urllib.parse
+    assert json.loads(urllib.parse.unquote(one[0]["json_encoded"])) \
+        == {"a": 1, "b": "x"}
+    many = oio.read_url_json(spark, f"file://{arr}").df.collect()
+    assert [json.loads(urllib.parse.unquote(r["json_encoded"]))["i"]
+            for r in many] == [1, 2, 3]
+    # parse failure -> data row with status_code '0'
+    bad = tmp_path / "bad.json"
+    bad.write_text("not json at all")
+    rows = oio.read_url_json(spark, f"file://{bad}").df.collect()
+    assert rows[0]["status_code"] == "0"
+    assert "Unable to parse" in rows[0]["error_msg"]
