@@ -184,3 +184,28 @@ def _parse_iso(s: str) -> _dt.datetime:
     if d.tzinfo is None:
         d = d.replace(tzinfo=_dt.timezone.utc)
     return d
+
+
+def resolve_time_str(x) -> str:
+    """(reference splunk_common.py:5-41) 'now' / 'now-3h' style relative
+    time resolution (units d/h/m/s) → ISO datetime string; anything else
+    goes through the datetime sniffing ladder. The Splunk/LogScale
+    search-window syntax, usable by any time-ranged source."""
+    s = str(x).strip()
+    if s.startswith("now"):
+        s = s.replace(" ", "")
+        base = int(_dt.datetime.now(_dt.timezone.utc).timestamp())
+        if s == "now":
+            diff = 0
+        else:
+            if not s.startswith("now-"):
+                raise ValueError(f"Unknown operator against now: {x}")
+            diffstr = s[len("now-"):]
+            unit, count = diffstr[-1], int(diffstr[:-1])
+            mult = {"d": 86400, "h": 3600, "m": 60, "s": 1}.get(unit)
+            if mult is None:
+                raise ValueError(f"Unknown time unit: {unit}")
+            diff = count * mult
+        return utctimestamp_to_datetime(base - diff).isoformat()[0:19]
+    return utctimestamp_to_datetime(
+        datetime_to_utctimestamp_sec(s)).isoformat()[0:19]

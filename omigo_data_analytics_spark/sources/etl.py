@@ -94,3 +94,51 @@ def read_with_filter_transform(spark: SparkSession, path_or_paths,
     if filter_transform_func is not None:
         odf = filter_transform_func(odf)
     return odf
+
+
+# ------------------------------------------------- ETL path-name helpers
+# Pure string formatting parity (reference hydra etl.py:104-150 — also
+# surfaced through extensions etl_ext.py). The scan-side counterparts
+# (paths_for_range / scan_by_datetime_range above) are the data path.
+
+def get_etl_date_str_from_ts(ts) -> str:
+    """(etl.py:105-107) epoch/str ts → 'YYYY-MM-DD'."""
+    from ..functions.timefuncs import utctimestamp_to_datetime
+
+    return utctimestamp_to_datetime(ts).strftime("%Y-%m-%d")
+
+
+def get_etl_datetime_str_from_ts(ts) -> str:
+    """(etl.py:110-112)"""
+    from ..functions.timefuncs import utctimestamp_to_datetime
+
+    return utctimestamp_to_datetime(ts).strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def get_etl_file_date_str_from_ts(ts) -> str:
+    """(etl.py:115-117) filename form 'YYYYMMDD'."""
+    from ..functions.timefuncs import utctimestamp_to_datetime
+
+    return utctimestamp_to_datetime(ts).strftime("%Y%m%d")
+
+
+def get_etl_file_datetime_str_from_ts(ts) -> str:
+    """(etl.py:120-122) filename form 'YYYYMMDD-HHMMSS'."""
+    from ..functions.timefuncs import utctimestamp_to_datetime
+
+    return utctimestamp_to_datetime(ts).strftime("%Y%m%d-%H%M%S")
+
+
+def get_etl_file_base_name_by_ts(prefix: str, start_ts, end_ts) -> str:
+    """(etl.py:126-150) '<prefix>-<startYYYYMMDD-HHMMSS>-<endYYYYMMDD-
+    HHMMSS>' — the reference's ETL artifact naming scheme."""
+    return (f"{prefix}-{get_etl_file_datetime_str_from_ts(start_ts)}"
+            f"-{get_etl_file_datetime_str_from_ts(end_ts)}")
+
+
+def get_etl_file_path_by_ts(base_path: str, prefix: str, start_ts, end_ts,
+                            extension: str = "tsv.gz") -> str:
+    """ETL artifact full path under the dt= partition of its start day."""
+    return (f"{base_path}/dt={get_etl_file_date_str_from_ts(start_ts)}/"
+            f"{get_etl_file_base_name_by_ts(prefix, start_ts, end_ts)}"
+            f".{extension}")

@@ -233,3 +233,10 @@ class FSWrapper:
         """Epoch seconds of last modification."""
         st = self._fs(path).getFileStatus(self._path(path))
         return int(st.getModificationTime() // 1000)
+
+    def read_text_file_with_wait(self, path: str,
+                                 wait_sec: int = DEFAULT_WAIT_SEC,
+                                 attempts: int = DEFAULT_ATTEMPTS) -> str:
+        """(hydra s3io_wrapper read_text_file_with_wait)"""
+        return self.read_file_contents_as_text_with_wait(
+            path, wait_sec=wait_sec, attempts=attempts)

@@ -509,3 +509,51 @@ def load_testdata(spark: SparkSession, sf_dir: str, table: str) -> OmigoDF:
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return OmigoDF(df)
+
+
+# ---------------------------------------------------------- constructors
+# Module-level constructor parity (reference dataframe.py:5696-5737).
+
+def new_df(spark: SparkSession, header_fields: list[str],
+           data_fields: list[list]) -> OmigoDF:
+    """(reference dataframe.py:5730-5731) header + row-lists → table,
+    all-string columns (the reference's cell model)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField(c, T.StringType())
+                           for c in header_fields])
+    rows = [tuple("" if v is None else str(v) for v in r)
+            for r in data_fields]
+    return OmigoDF(spark.createDataFrame(rows, schema))
+
+
+def new_with_cols(spark: SparkSession, header_fields: list[str],
+                  data_fields: list[list] | None = None) -> OmigoDF:
+    """(reference dataframe.py:5733-5734)"""
+    return new_df(spark, header_fields, data_fields or [])
+
+
+def create_empty(spark: SparkSession) -> OmigoDF:
+    """(reference dataframe.py:5736-5737) zero columns, zero rows."""
+    return OmigoDF(spark.createDataFrame([], "struct<>"))
+
+
+def from_header_data(spark: SparkSession, header: str,
+                     data: list[str]) -> OmigoDF:
+    """(reference dataframe.py:5709-5712) tab-joined header + tab-joined
+    row strings."""
+    return new_df(spark, header.split("\t"),
+                  [t.split("\t") for t in data])
+
+
+def from_tsv_new_with_cols(spark: SparkSession, header_fields: list[str],
+                           data: list[str] | None = None) -> OmigoDF:
+    """(reference dataframe.py:5726-5728)"""
+    return new_df(spark, header_fields,
+                  [t.split("\t") for t in (data or [])])
+
+
+def read_url_as_tsv(spark: SparkSession, url: str, **kwargs) -> OmigoDF:
+    """Deprecated reference alias (dfutils.py:269-271) of the live
+    read_url_as_df."""
+    return read_url_as_df(spark, url, **kwargs)

@@ -405,3 +405,34 @@ def test_read_url_response_and_json(spark, tmp_path):
     rows = oio.read_url_json(spark, f"file://{bad}").df.collect()
     assert rows[0]["status_code"] == "0"
     assert "Unable to parse" in rows[0]["error_msg"]
+
+
+def test_etl_path_name_helpers():
+    from omigo_data_analytics_spark.sources import etl as ETL2
+
+    ts = 1700000000  # 2023-11-14T22:13:20Z
+    assert ETL2.get_etl_date_str_from_ts(ts) == "2023-11-14"
+    assert ETL2.get_etl_datetime_str_from_ts(ts) == "2023-11-14T22:13:20"
+    assert ETL2.get_etl_file_date_str_from_ts(ts) == "20231114"
+    assert ETL2.get_etl_file_datetime_str_from_ts(ts) == "20231114-221320"
+    base = ETL2.get_etl_file_base_name_by_ts("events", ts, ts + 3600)
+    assert base == "events-20231114-221320-20231114-231320"
+    # dt= partition uses the reference's yyyymmdd form (etl.py:10,13)
+    p = ETL2.get_etl_file_path_by_ts("s3a://bkt/raw", "events", ts, ts + 3600)
+    assert p == ("s3a://bkt/raw/dt=20231114/"
+                 "events-20231114-221320-20231114-231320.tsv.gz")
+
+
+def test_module_constructors(spark):
+    from omigo_data_analytics_spark.sources import io as oio
+
+    d = oio.new_df(spark, ["a", "b"], [[1, "x"], [None, "y"]])
+    rows = d.df.collect()
+    assert d.df.columns == ["a", "b"]
+    assert [tuple(r) for r in rows] == [("1", "x"), ("", "y")]
+    assert oio.new_with_cols(spark, ["c1"]).df.count() == 0
+    assert oio.create_empty(spark).df.columns == []
+    h = oio.from_header_data(spark, "x\ty", ["1\t2", "3\t4"])
+    assert [tuple(r) for r in h.df.collect()] == [("1", "2"), ("3", "4")]
+    t = oio.from_tsv_new_with_cols(spark, ["x", "y"], ["5\t6"])
+    assert [tuple(r) for r in t.df.collect()] == [("5", "6")]

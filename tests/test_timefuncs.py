@@ -97,3 +97,18 @@ def test_scalar_utctimestamp_converters():
     assert isinstance(tf.get_utctimestamp_sec(), int)
     assert tf.get_utctimestamp_millis() >= tf.get_utctimestamp_sec() * 1000 - 1
     assert len(tf.get_datetime_str()) == 19
+
+
+def test_resolve_time_str():
+    from omigo_data_analytics_spark.functions.timefuncs import resolve_time_str
+
+    iso = resolve_time_str("1700000000")
+    assert iso == "2023-11-14T22:13:20"
+    now = resolve_time_str("now")
+    past = resolve_time_str("now-3h")
+    assert len(now) == 19 and len(past) == 19 and past < now
+    import pytest
+    with pytest.raises(ValueError, match="Unknown operator"):
+        resolve_time_str("now+3h")
+    with pytest.raises(ValueError, match="Unknown time unit"):
+        resolve_time_str("now-3y")
