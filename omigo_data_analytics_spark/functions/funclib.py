@@ -194,3 +194,14 @@ def convert_ipv4_to_hex_col(c):
     parts = F.split(c, r"\.")
     return F.concat(*[
         F.lower(F.conv(F.element_at(parts, i), 10, 16)) for i in (1, 2, 3, 4)])
+
+
+def get_func_name(f) -> str:
+    """(reference dataframe.py:5509-5510)"""
+    return f.__name__
+
+
+def get_version() -> str:
+    """(reference dataframe.py:5506-5507 returns its package version;
+    this engine reports its own.)"""
+    return "omigo-spark-0.5"

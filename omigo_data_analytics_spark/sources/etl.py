@@ -142,3 +142,34 @@ def get_etl_file_path_by_ts(base_path: str, prefix: str, start_ts, end_ts,
     return (f"{base_path}/dt={get_etl_file_date_str_from_ts(start_ts)}/"
             f"{get_etl_file_base_name_by_ts(prefix, start_ts, end_ts)}"
             f".{extension}")
+
+
+def get_file_paths_by_datetime_range(base_path: str, start, end,
+                                     granularity: str = "daily",
+                                     prefix: str = "dt") -> list[str]:
+    """Reference-named alias (hydra etl.py:187, file_paths_util.py) of
+    paths_for_range — enumerate dt= partition paths between datetimes."""
+    return paths_for_range(base_path, start, end, granularity=granularity,
+                           prefix=prefix)
+
+
+def get_matching_etl_date_time_path(path: str, new_base_path: str,
+                                    new_prefix: str,
+                                    new_extension: str | None = None) -> str:
+    """(hydra etl.py:96-102) rewrite an ETL artifact path onto a new base
+    directory / prefix, preserving its dt= partition and time-range name
+    parts: .../dt=D/<prefix>-<start_date>-<start_time>-<end_date>-
+    <end_time>.<ext>."""
+    parts = path.split("/")
+    if len(parts) < 2 or not parts[-2].startswith("dt="):
+        raise ValueError(f"not an ETL dt= path: {path}")
+    date_part = parts[-2][len("dt="):]
+    base = parts[-1]
+    name, _, extension = base.partition(".")
+    pieces = name.split("-")
+    if len(pieces) < 5:
+        raise ValueError(f"not an ETL artifact name: {base}")
+    start_date, start_time, end_date, end_time = pieces[-4:]
+    ext = new_extension if new_extension is not None else extension
+    return (f"{new_base_path}/dt={date_part}/{new_prefix}-{start_date}"
+            f"-{start_time}-{end_date}-{end_time}.{ext}")

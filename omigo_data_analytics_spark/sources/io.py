@@ -557,3 +557,9 @@ def read_url_as_tsv(spark: SparkSession, url: str, **kwargs) -> OmigoDF:
     """Deprecated reference alias (dfutils.py:269-271) of the live
     read_url_as_df."""
     return read_url_as_df(spark, url, **kwargs)
+
+
+def from_df(spark: SparkSession, pdf) -> OmigoDF:
+    """Deprecated reference alias (dataframe.py:5539-5541) of
+    from_pandas_df."""
+    return from_pandas_df(spark, pdf)

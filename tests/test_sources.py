@@ -436,3 +436,22 @@ def test_module_constructors(spark):
     assert [tuple(r) for r in h.df.collect()] == [("1", "2"), ("3", "4")]
     t = oio.from_tsv_new_with_cols(spark, ["x", "y"], ["5\t6"])
     assert [tuple(r) for r in t.df.collect()] == [("5", "6")]
+
+
+def test_etl_path_rewrite_and_range_alias():
+    from omigo_data_analytics_spark.sources import etl as ETL2
+
+    src = ("s3a://b/raw/dt=20231114/"
+           "events-20231114-221320-20231114-231320.tsv.gz")
+    out = ETL2.get_matching_etl_date_time_path(src, "s3a://b/clean", "ev2")
+    assert out == ("s3a://b/clean/dt=20231114/"
+                   "ev2-20231114-221320-20231114-231320.tsv.gz")
+    out2 = ETL2.get_matching_etl_date_time_path(src, "/tmp/x", "ev",
+                                                new_extension="parquet")
+    assert out2.endswith(".parquet")
+    import pytest
+    with pytest.raises(ValueError, match="dt= path"):
+        ETL2.get_matching_etl_date_time_path("/no/partition/f.tsv", "/x", "p")
+    assert (ETL2.get_file_paths_by_datetime_range(
+        "/b", "2024-01-01", "2024-01-03")
+        == ETL2.paths_for_range("/b", "2024-01-01", "2024-01-03"))
