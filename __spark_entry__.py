@@ -2891,6 +2891,23 @@ SELECT doc_id, lang, source FROM r WHERE rn <= 3
 """
 
 
+def q_bloom_search(spark, sf_dir):
+    """Bloom-bitset substring search (operators/search — the matel
+    text-analysis job's searchable-hash flow): map-side 1024-bit phrase
+    signatures, subset-test prefilter, exact contains verification —
+    results are exact, so the oracle is a plain LIKE."""
+    from omigo_data_analytics_spark.operators import search as SR
+
+    docs = _t(spark, sf_dir, "documents")
+    out = SR.bloom_substring_search(docs, "window", col="text")
+    return out.df.select("doc_id", "lang", "source")
+
+
+SQL_BLOOM_SEARCH = """
+SELECT doc_id, lang, source FROM documents WHERE contains(text, 'window')
+"""
+
+
 MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -2955,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_stats": q_distribution_stats,
         "distribution_drift": q_distribution_drift,
         "sample_n_per_group": q_sample_n_per_group,
+        "bloom_search": q_bloom_search,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -2973,7 +2991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_base64": q_codec_base64,
         "ratio_cap": q_ratio_cap,
         "const_missing_cols": q_const_missing_cols,
-        "distinct_cols": q_distinct_cols,
         "text_quality_filter": q_text_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -3000,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity_ivf represent their families)
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
+        "distinct_cols": q_distinct_cols,
         "json_xpath_filter": q_json_xpath_filter,
         "doc_chunks": q_doc_chunks,
         "token_vocab": q_token_vocab,
@@ -3132,6 +3150,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_stats": _sql_distribution_stats(),
         "distribution_drift": _sql_distribution_drift(),
         "sample_n_per_group": _sql_sample_n_per_group(),
+        "bloom_search": SQL_BLOOM_SEARCH,
         "repetition_metrics": _sql_repetition(),
         "decontaminate": _sql_decontaminate(),
         "mix_sources": _sql_mix_sources(),

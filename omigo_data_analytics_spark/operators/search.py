@@ -1,0 +1,148 @@
+"""Bloom-bitset substring search — the reference's text-analysis Spark
+job (projects/matel/text-analysis HashUtils.scala:22-130 +
+BitSetOperations.scala:38-160) re-expressed as DataFrame algebra.
+
+The idea: every document's words shred into sliding ``phrase_len``-char
+phrases, each phrase hashes to a bit in a ``hash_space``-bit signature,
+and a substring query becomes a SUBSET test — a doc can contain the
+query only if the doc's signature has every bit of the query's
+signature. The subset test is a handful of 64-bit AND/compare ops per
+row (pure codegen, no shuffle, no Python), so a 100 TB corpus is
+prefiltered at scan speed; survivors get the exact ``contains`` check,
+making results EXACT (the bloom layer can only produce false
+positives, which verification removes — the oracle is a plain LIKE).
+
+Signatures can be computed once and persisted next to the corpus
+(``add_search_signature`` + io.write_parquet), after which searches
+never touch the text column until verification — the reference job's
+serialize-bitsets-then-filter flow (BitSetOperations.bitSetMapFunction).
+
+Delta from the reference, documented: its phrase hash is JVM
+``String.hashCode`` seeding ``java.util.Random`` (HashUtils.scala:22-41)
+— JVM-private; here phrases use the portable md5-polynomial hash
+(operators/text.py) so the Python query side, the JVM doc side, and the
+DuckDB oracle agree bit-for-bit. Word shredding follows
+generatePhrasesV1 (HashUtils.scala:119-130): split on ``[:\\/,; -]``,
+all sliding phrases of words >= phrase_len chars.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ..core.dataframe import OmigoDF
+from .text import HASH_MOD, ensure_min_parallelism, hash_spark, let_spark
+
+PHRASE_LEN = 5
+HASH_SPACE = 1024  # bits -> 16 longs per signature
+_SEP_SPARK = r"[:\\\\/,; -]"
+_SEP_PY = r"[:\\/,; -]"
+
+
+def _phrases_expr(col: str, phrase_len: int) -> str:
+    """Sliding phrase list: split on the reference's separator class,
+    keep words >= phrase_len, emit every phrase_len-char substring."""
+    words = f"filter(split({col}, '{_SEP_SPARK}'), w -> length(w) >= {phrase_len})"
+    grams = (f"transform(sequence(1, length(w0) - {phrase_len - 1}), "
+             f"i -> substring(w0, i, {phrase_len}))")
+    return (f"flatten(transform({words}, w0 -> {grams}))")
+
+
+def signature_expr(col: str, phrase_len: int = PHRASE_LEN,
+                   hash_space: int = HASH_SPACE) -> str:
+    """array<bigint> signature (hash_space/64 words), bits OR-folded over
+    the phrase hashes. Pure per-row expression — map-side, codegen."""
+    n_words = hash_space // 64
+    hashes = (f"transform({_phrases_expr(col, phrase_len)}, "
+              f"p -> {hash_spark('p')} % {hash_space}L)")
+    fold = (f"aggregate(h0, array_repeat(0L, {n_words}), (acc, b) -> "
+            f"transform(acc, (w, wi) -> CASE WHEN CAST(b / 64 AS INT) = wi "
+            f"THEN w | shiftleft(1L, CAST(b % 64 AS INT)) ELSE w END))")
+    return let_spark(hashes, "h0", fold)
+
+
+def _py_phrase_bit(phrase: str, hash_space: int) -> int:
+    """Python twin of hash_spark(p) % hash_space."""
+    h = int(hashlib.md5(phrase.encode()).hexdigest()[:15], 16) % HASH_MOD
+    return h % hash_space
+
+
+def query_signature(query: str, phrase_len: int = PHRASE_LEN,
+                    hash_space: int = HASH_SPACE) -> list[int]:
+    """Driver-side signature of a search string: same shredding as the
+    doc side, but a query SEGMENT shorter than phrase_len contributes
+    nothing (it may be a partial word in the document — skipping it can
+    only weaken the prefilter, never produce a false negative)."""
+    import re
+
+    words = [w for w in re.split(_SEP_PY, query) if len(w) >= phrase_len]
+    sig = [0] * (hash_space // 64)
+    for w in words:
+        for i in range(len(w) - phrase_len + 1):
+            b = _py_phrase_bit(w[i:i + phrase_len], hash_space)
+            sig[b // 64] |= 1 << (b % 64)
+    return sig
+
+
+def add_search_signature(odf: OmigoDF, col: str = "text",
+                         new_col: str = "search_bits",
+                         phrase_len: int = PHRASE_LEN,
+                         hash_space: int = HASH_SPACE) -> OmigoDF:
+    """Persistable signature column — compute once, search many."""
+    odf._resolve(col)
+    df = ensure_min_parallelism(odf.df)
+    return OmigoDF(df.withColumn(
+        new_col, F.expr(signature_expr(col, phrase_len, hash_space))))
+
+
+def subset_filter(sig_col: str, qsig: list[int]):
+    """(doc_sig AND q) == q over the non-zero words of the query
+    signature — the candidate predicate. Empty query signature (all
+    segments shorter than phrase_len) keeps every row: the prefilter
+    degenerates but exactness is preserved by verification."""
+    conds = None
+    for wi, qw in enumerate(qsig):
+        if qw == 0:
+            continue
+        c = (F.element_at(F.col(sig_col), wi + 1).bitwiseAND(F.lit(qw))
+             == F.lit(qw))
+        conds = c if conds is None else (conds & c)
+    return conds if conds is not None else F.lit(True)
+
+
+def bloom_substring_search(odf: OmigoDF, query: str, col: str = "text",
+                           sig_col: str | None = None,
+                           phrase_len: int = PHRASE_LEN,
+                           hash_space: int = HASH_SPACE) -> OmigoDF:
+    """Exact substring search with a bloom-bitset prefilter. If
+    ``sig_col`` names a precomputed signature column it is used (the
+    persisted-index path); otherwise signatures compute inline (single
+    pass, still map-side)."""
+    odf._resolve(col)
+    df = odf.df
+    qsig = query_signature(query, phrase_len, hash_space)
+    if sig_col is None:
+        sig = F.expr(signature_expr(col, phrase_len, hash_space))
+        tmp = "__search_bits__"
+        df = ensure_min_parallelism(df).withColumn(tmp, sig)
+        out = (df.filter(subset_filter(tmp, qsig))
+               .filter(F.instr(F.col(col), F.lit(query)) > 0)
+               .drop(tmp))
+    else:
+        odf._resolve(sig_col)
+        out = (df.filter(subset_filter(sig_col, qsig))
+               .filter(F.instr(F.col(col), F.lit(query)) > 0))
+    return OmigoDF(out)
+
+
+def candidate_count(odf: OmigoDF, query: str, col: str = "text",
+                    phrase_len: int = PHRASE_LEN,
+                    hash_space: int = HASH_SPACE) -> int:
+    """Diagnostic: how many rows survive the bloom prefilter alone
+    (before exact verification) — the prefilter's selectivity."""
+    df = ensure_min_parallelism(odf.df).withColumn(
+        "__sb__", F.expr(signature_expr(col, phrase_len, hash_space)))
+    qsig = query_signature(query, phrase_len, hash_space)
+    return df.filter(subset_filter("__sb__", qsig)).count()
