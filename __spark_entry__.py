@@ -2660,6 +2660,32 @@ FROM s
 """
 
 
+def q_parent_hierarchy(spark, sf_dir):
+    """Bounded parent-chain flattening (operators/graph.parent_hierarchy
+    — the reference trends job's createHierarchy,
+    TrendsAnalysis.scala:240-390): per node, parent_1..parent_3 over the
+    c->o->p DAG via chained equi-joins on one min-parent map."""
+    e = _edges_df(spark, sf_dir)
+    return GR.parent_hierarchy(e, levels=3, child_col="dst",
+                               parent_col="src").df
+
+
+SQL_PARENT_HIERARCHY = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           'o' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+    UNION ALL
+    SELECT 'o' || CAST(l_orderkey AS VARCHAR),
+           'p' || CAST(l_partkey AS VARCHAR) FROM lineitem)),
+pmap AS (SELECT dst AS c, MIN(src) AS p FROM e GROUP BY dst)
+SELECT m1.c AS node_id, m1.p AS parent_1, m2.p AS parent_2, m3.p AS parent_3
+FROM pmap m1
+LEFT JOIN pmap m2 ON m2.c = m1.p
+LEFT JOIN pmap m3 ON m3.c = m2.p
+"""
+
+
 def q_graphviz_dot(spark, sf_dir):
     """DOT export as a distributed line-per-row frame
     (operators/dot.dot_lines; reference graphviz_ext.py:23-138 builds the
@@ -2973,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_drift": q_distribution_drift,
         "sample_n_per_group": q_sample_n_per_group,
         "bloom_search": q_bloom_search,
+        "parent_hierarchy": q_parent_hierarchy,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -2990,7 +3017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_key_hash": q_generate_key_hash,
         "codec_base64": q_codec_base64,
         "ratio_cap": q_ratio_cap,
-        "const_missing_cols": q_const_missing_cols,
         "text_quality_filter": q_text_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -3018,6 +3044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
         "distinct_cols": q_distinct_cols,
+        "const_missing_cols": q_const_missing_cols,
         "json_xpath_filter": q_json_xpath_filter,
         "doc_chunks": q_doc_chunks,
         "token_vocab": q_token_vocab,
@@ -3151,6 +3178,7 @@ def oracle_sql() -> dict[str, str]:
         "distribution_drift": _sql_distribution_drift(),
         "sample_n_per_group": _sql_sample_n_per_group(),
         "bloom_search": SQL_BLOOM_SEARCH,
+        "parent_hierarchy": SQL_PARENT_HIERARCHY,
         "repetition_metrics": _sql_repetition(),
         "decontaminate": _sql_decontaminate(),
         "mix_sources": _sql_mix_sources(),

@@ -411,3 +411,37 @@ def apply_time_order_based_filter(vdf, edf, retain_vertex_ids,
                   .unionByName(e2.select(F.col(dst_col).alias("node_id"))).distinct())
     v2 = v.join(keep_nodes, "node_id", "left_semi")
     return OmigoDF(v2), OmigoDF(e2)
+
+
+def parent_hierarchy(edges, levels: int = 6, child_col: str = "child",
+                     parent_col: str = "parent") -> OmigoDF:
+    """Flatten parent pointers into per-node ancestor columns
+    (node_id, parent_1 .. parent_<levels>) — the reference trends job's
+    createHierarchy step (TrendsAnalysis.scala:240-390), which builds
+    bounded parent chains with RDD groupByKey joins; here it is
+    ``levels`` chained equi-joins against one deduplicated parent map.
+
+    A node with several recorded parents takes the MIN parent id
+    (deterministic canonical chain — the reference's process trees have
+    single parents, this guards malformed input). Chains shorter than
+    ``levels`` pad with nulls; cycles are naturally truncated at
+    ``levels``.
+
+    Scale: the parent map is (node, parent) — vertex-sized, far smaller
+    than the event table the reference re-keys per level; each level is
+    one shuffle on the chain head, ``levels`` is a small constant, and
+    AQE broadcasts the map when it fits."""
+    e = _df(edges)
+    pmap = (e.select(F.col(child_col).alias("__c__"),
+                     F.col(parent_col).alias("__p__"))
+            .where(F.col(child_col).isNotNull())
+            .groupBy("__c__").agg(F.min("__p__").alias("__p__")))
+    out = pmap.select(F.col("__c__").alias("node_id"),
+                      F.col("__p__").alias("parent_1"))
+    for i in range(2, levels + 1):
+        prev = f"parent_{i - 1}"
+        step = pmap.select(F.col("__c__").alias(prev),
+                           F.col("__p__").alias(f"parent_{i}"))
+        out = out.join(step, prev, "left")
+    return OmigoDF(out.select("node_id",
+                              *[f"parent_{i}" for i in range(1, levels + 1)]))

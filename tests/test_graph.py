@@ -133,3 +133,24 @@ def test_apply_time_order_based_filter_feasible_pairs_untouched(spark):
     v2, e2 = G.apply_time_order_based_filter(v, e, ["b"])
     assert {(r["src"], r["dst"]) for r in e2.df.collect()} == set(
         (s, d) for s, d, _ in erows)
+
+
+def test_parent_hierarchy_chains_pad_and_canonicalize(spark):
+    from omigo_data_analytics_spark.operators.graph import parent_hierarchy
+
+    e = OmigoDF(spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "a"),
+         ("dup", "b"), ("dup", "a")],  # malformed double parent
+        "child string, parent string"))
+    rows = {r["node_id"]: r for r in parent_hierarchy(e, levels=3).df.collect()}
+    d = rows["d"]
+    assert (d["parent_1"], d["parent_2"], d["parent_3"]) == ("c", "b", "a")
+    b = rows["b"]
+    assert b["parent_1"] == "a" and b["parent_2"] is None
+    assert rows["dup"]["parent_1"] == "a"  # min-parent canonical chain
+    # cycle truncates at levels instead of looping
+    cyc = OmigoDF(spark.createDataFrame(
+        [("p", "q"), ("q", "p")], "child string, parent string"))
+    r = {x["node_id"]: x for x in parent_hierarchy(cyc, levels=4).df.collect()}
+    assert (r["p"]["parent_1"], r["p"]["parent_2"],
+            r["p"]["parent_3"], r["p"]["parent_4"]) == ("q", "p", "q", "p")
