@@ -2934,6 +2934,31 @@ SELECT doc_id, lang, source FROM documents WHERE contains(text, 'window')
 """
 
 
+def q_trend_scores(spark, sf_dir):
+    """Trailing-window spike detection (operators/trends.trend_scores —
+    the reference trends job's generateTrends core,
+    TrendsAnalysis.scala:1199-1330): per event type and day, robust
+    stats of the preceding 7 days' counts and the day's deviation in
+    stddev/IQR units. Bounded collect_list window frame — no per-key
+    list materialization."""
+    from omigo_data_analytics_spark.operators import trends as TR
+
+    ev = OmigoDF(_t(spark, sf_dir, "events").df
+                 .selectExpr("event_type",
+                             "CAST(CAST(ts AS DATE) AS STRING) AS day"))
+    return TR.trend_scores(ev, ["event_type"], "day", learning_window=7).df
+
+
+def _sql_trend_scores() -> str:
+    from omigo_data_analytics_spark.operators import trends as TR
+
+    inner = TR.trend_scores_sql_duck("t", ["event_type"], "day", 7)
+    inner = inner.replace("\nWITH ", "\n, ", 1)
+    return ("WITH t AS (SELECT event_type, "
+            "CAST(CAST(ts AS TIMESTAMP) AS DATE)::VARCHAR AS day "
+            "FROM events)" + inner)
+
+
 MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
@@ -3000,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_n_per_group": q_sample_n_per_group,
         "bloom_search": q_bloom_search,
         "parent_hierarchy": q_parent_hierarchy,
+        "trend_scores": q_trend_scores,
         # --- stalest driver rows (r2, then r3) ---
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -3016,7 +3042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replicate_rows": q_replicate_rows,
         "generate_key_hash": q_generate_key_hash,
         "codec_base64": q_codec_base64,
-        "ratio_cap": q_ratio_cap,
         "text_quality_filter": q_text_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -3044,6 +3069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
         "distinct_cols": q_distinct_cols,
+        "ratio_cap": q_ratio_cap,
         "const_missing_cols": q_const_missing_cols,
         "json_xpath_filter": q_json_xpath_filter,
         "doc_chunks": q_doc_chunks,
@@ -3179,6 +3205,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_n_per_group": _sql_sample_n_per_group(),
         "bloom_search": SQL_BLOOM_SEARCH,
         "parent_hierarchy": SQL_PARENT_HIERARCHY,
+        "trend_scores": _sql_trend_scores(),
         "repetition_metrics": _sql_repetition(),
         "decontaminate": _sql_decontaminate(),
         "mix_sources": _sql_mix_sources(),

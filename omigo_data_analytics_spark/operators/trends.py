@@ -198,3 +198,132 @@ SELECT {p_keys}, p.bkt AS {bucket_col}, p.bnext AS bucket_next,
 FROM p LEFT JOIN d ON {" AND ".join(f"d.{k} = p.{k}" for k in key_cols)}
                    AND d.bkt = p.bkt
 """
+
+
+# -------------------------------------------------------- trend detection
+def _stats_exprs(dialect: str, arr: str) -> dict[str, str]:
+    """Robust trailing-window stats over a (sorted) numeric list — the
+    reference's computeStats (TrendsAnalysis.scala:807-819): population
+    stddev, index-based median, and 'mad' = IQR by its (n*q).toInt
+    indexing. One definition, two dialects; every fold runs over the
+    SORTED list so the float summation order is identical in Spark and
+    DuckDB (exact hash comparability)."""
+    if dialect == "spark":
+        n = f"size({arr})"
+        srt = f"sort_array({arr})"
+        # greatest(n, 1): the let-binding evaluates eagerly even when the
+        # CASE later discards it, and ANSI mode faults on 0/0; for n > 0
+        # the value is unchanged, so both engines still agree bit-for-bit
+        mean = f"aggregate({arr}, 0.0D, (a, x) -> a + x) / greatest({n}, 1)"
+
+        def q_at(q):
+            return f"element_at(s0, CAST({n} * {q} AS INT) + 1)"
+        var = (f"aggregate({arr}, 0.0D, (a, x) -> a + (x - m0) * (x - m0))"
+               f" / greatest({n}, 1)")
+    else:
+        n = f"len({arr})"
+        srt = f"list_sort({arr})"
+        mean = f"list_sum({arr}) / {n}"
+
+        def q_at(q):
+            # floor, not CAST: DuckDB CAST rounds half-up while the
+            # reference's .toInt (and Spark's CAST) truncate
+            return f"s0[CAST(floor({n} * {q}) AS INT) + 1]"
+        var = f"list_sum(list_transform({arr}, x -> (x - m0) * (x - m0))) / {n}"
+    return {"n": n, "sorted": srt, "mean": mean, "var": var, "q_at": q_at}
+
+
+def trend_scores(odf: OmigoDF, key_cols, bucket_col: str,
+                 learning_window: int = 7) -> OmigoDF:
+    """Trailing-window spike detection — the reference trends job's core
+    (TrendsAnalysis.scala:1199-1330 generateTrends): per key and time
+    bucket, the event count deviates from the preceding
+    ``learning_window`` buckets' robust statistics:
+
+      * learning_mean / learning_median / learning_stddev (population) /
+        learning_mad (IQR by the reference's indexing);
+      * spike_stddev = max((count - mean) / stddev, 0);
+      * spike_mad    = max((count - median) / mad, 0).
+
+    Rows whose learning window is empty score 0 (the reference's
+    computeStats on an empty list). The reference materializes every
+    key's full (bucket, count) list in one groupByKey closure — a hot
+    key OOMs; here the trailing window is a bounded collect_list window
+    frame (≤ learning_window doubles per row), so state is constant per
+    row and the shuffle is the counts table, not the corpus."""
+    keys = odf._resolve(key_cols)
+    odf._resolve(bucket_col)
+    counts = (odf.df.groupBy(*keys, bucket_col)
+              .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
+    w = (Window.partitionBy(*keys).orderBy(bucket_col)
+         .rowsBetween(-learning_window, -1))
+    with_arr = counts.withColumn("__arr__", F.collect_list("cnt").over(w))
+    ex = _stats_exprs("spark", "s0")
+    # let-bind the sorted list and its mean, then build the stats struct
+    from .text import let_spark
+    var_s = ex["var"]
+    struct = let_spark(
+        "sort_array(__arr__)", "s0",
+        let_spark(
+            ex["mean"], "m0",
+            "CASE WHEN size(s0) = 0 THEN named_struct('mean', 0.0D,"
+            " 'med', 0.0D, 'sd', 0.0D, 'mad', 0.0D) ELSE named_struct("
+            "'mean', m0, "
+            f"'med', {ex['q_at'](0.5)}, "
+            f"'sd', sqrt({var_s}), "
+            f"'mad', {ex['q_at'](0.75)} - {ex['q_at'](0.25)}) END"))
+    scored = (with_arr.withColumn("__st__", F.expr(struct))
+              .select(*keys, bucket_col,
+                      F.col("cnt").cast("long").alias("n_events"),
+                      F.round(F.col("__st__.mean"), 6).alias("learning_mean"),
+                      F.round(F.col("__st__.med"), 6).alias("learning_median"),
+                      F.round(F.col("__st__.sd"), 6).alias("learning_stddev"),
+                      F.round(F.col("__st__.mad"), 6).alias("learning_mad"),
+                      F.round(F.when(F.col("__st__.sd") > 0, F.greatest(
+                          (F.col("cnt") - F.col("__st__.mean"))
+                          / F.col("__st__.sd"), F.lit(0.0)))
+                          .otherwise(0.0), 6).alias("spike_stddev"),
+                      F.round(F.when(F.col("__st__.mad") > 0, F.greatest(
+                          (F.col("cnt") - F.col("__st__.med"))
+                          / F.col("__st__.mad"), F.lit(0.0)))
+                          .otherwise(0.0), 6).alias("spike_mad")))
+    return OmigoDF(scored)
+
+
+def trend_scores_sql_duck(table: str, key_cols, bucket_col: str,
+                          learning_window: int = 7) -> str:
+    keys = ", ".join(key_cols)
+    return f"""
+WITH c AS (SELECT {keys}, {bucket_col},
+                  CAST(COUNT(*) AS DOUBLE) AS cnt
+           FROM {table} GROUP BY {keys}, {bucket_col}),
+a AS (SELECT {keys}, {bucket_col}, cnt,
+             list_sort(COALESCE(list(cnt) OVER (PARTITION BY {keys}
+                 ORDER BY {bucket_col}
+                 ROWS BETWEEN {learning_window} PRECEDING AND 1 PRECEDING),
+                 [])) AS s0
+      FROM c),
+m AS (SELECT *, CASE WHEN len(s0) = 0 THEN 0.0
+                     ELSE list_sum(s0) / len(s0) END AS m0 FROM a),
+st AS (SELECT {keys}, {bucket_col}, cnt,
+              CASE WHEN len(s0) = 0 THEN 0.0 ELSE m0 END AS mean,
+              CASE WHEN len(s0) = 0 THEN 0.0
+                   ELSE s0[CAST(floor(len(s0) * 0.5) AS INT) + 1] END AS med,
+              CASE WHEN len(s0) = 0 THEN 0.0
+                   ELSE sqrt(list_sum(list_transform(s0,
+                        x -> (x - m0) * (x - m0))) / len(s0)) END AS sd,
+              CASE WHEN len(s0) = 0 THEN 0.0
+                   ELSE s0[CAST(floor(len(s0) * 0.75) AS INT) + 1]
+                        - s0[CAST(floor(len(s0) * 0.25) AS INT) + 1] END AS mad
+       FROM m)
+SELECT {keys}, {bucket_col}, CAST(cnt AS BIGINT) AS n_events,
+       round(mean, 6) AS learning_mean,
+       round(med, 6) AS learning_median,
+       round(sd, 6) AS learning_stddev,
+       round(mad, 6) AS learning_mad,
+       round(CASE WHEN sd > 0 THEN greatest((cnt - mean) / sd, 0.0)
+                  ELSE 0.0 END, 6) AS spike_stddev,
+       round(CASE WHEN mad > 0 THEN greatest((cnt - med) / mad, 0.0)
+                  ELSE 0.0 END, 6) AS spike_mad
+FROM st
+"""

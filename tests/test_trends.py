@@ -103,3 +103,53 @@ def test_distribution_drift_partition_invariant(spark):
          .toPandas().sort_values(["event_type", "day"])
          .reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_trend_scores_known_values(spark):
+    # key a: buckets 1..5 with counts 2,2,2,2,10 -> at bucket 5 the
+    # learning window [2,2,2,2]: mean 2, median 2 (idx floor(4*.5)=2 ->
+    # 3rd sorted value), stddev 0, mad 0 -> spikes 0 (guarded); at
+    # bucket 4 window [2,2,2]: stddev 0 -> spike 0
+    rows = []
+    for b, n in [(1, 2), (2, 2), (3, 2), (4, 2), (5, 10)]:
+        rows += [("a", b)] * n
+    # key c has variance: counts 1,5,3 -> at bucket 3, window [1,5]:
+    # mean 3, median (idx 1) = 5, sd = 2, mad = s[floor(2*.75)=1 -> 2nd]
+    # - s[floor(2*.25)=0 -> 1st] = 5-1 = 4; cnt 3 -> spike_sd = 0,
+    # spike_mad = max((3-5)/4, 0) = 0
+    for b, n in [(1, 1), (2, 5), (3, 3)]:
+        rows += [("c", b)] * n
+    from omigo_data_analytics_spark.operators.trends import trend_scores
+
+    d = OmigoDF(spark.createDataFrame(rows, "k string, b int"))
+    out = {(r["k"], r["b"]): r for r in
+           trend_scores(d, ["k"], "b", learning_window=4).df.collect()}
+    r5 = out[("a", 5)]
+    assert r5["learning_mean"] == 2.0 and r5["learning_median"] == 2.0
+    assert r5["learning_stddev"] == 0.0 and r5["spike_stddev"] == 0.0
+    r1 = out[("a", 1)]  # empty window -> all zeros
+    assert (r1["learning_mean"], r1["spike_stddev"], r1["spike_mad"]) \
+        == (0.0, 0.0, 0.0)
+    rc = out[("c", 3)]
+    assert rc["learning_mean"] == 3.0 and rc["learning_median"] == 5.0
+    assert rc["learning_stddev"] == 2.0 and rc["learning_mad"] == 4.0
+    assert rc["spike_stddev"] == 0.0 and rc["spike_mad"] == 0.0
+    # a real spike: key c bucket 2 (cnt 5) vs window [1]: sd 0 -> 0; but
+    # mean 1, median 1, mad = s[0]-s[0] = 0 -> guarded 0
+    rc2 = out[("c", 2)]
+    assert rc2["learning_mean"] == 1.0 and rc2["spike_stddev"] == 0.0
+
+
+def test_trend_scores_detects_spike(spark):
+    # stable series then a 10x day: spike_stddev must light up
+    rows = []
+    for b in range(1, 9):
+        rows += [("k", b)] * (3 + (b % 2))  # counts 4,3,4,3,...
+    rows += [("k", 9)] * 40
+    from omigo_data_analytics_spark.operators.trends import trend_scores
+
+    d = OmigoDF(spark.createDataFrame(rows, "k string, b int"))
+    out = {r["b"]: r for r in
+           trend_scores(d, ["k"], "b", learning_window=7).df.collect()}
+    assert out[9]["spike_stddev"] > 10
+    assert out[8]["spike_stddev"] < 1
