@@ -2991,15 +2991,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
     # entries) covers what needs (re-)validation most. Round 5:
     # (a) the two r04 reds whose oracles were fixed (CAST AS BIGINT),
-    # (b) everything r05 touched functionally — profile (approx default),
-    #     range_join (predicate in join cond), dedup_cluster/pipeline_e2e
-    #     (CC convergence guard), normalize (overflow guard) — plus the
-    #     two new queries (jira_search, stream_dedup),
-    # (c) the stalest rows: select_regex/sort_slice/seq_num (r2),
-    #     minhash_signatures (restructured r4 on an r3 row), and the
-    #     r3-row tail that ceded its slots to r4's new queries.
-    # The 48 r4-green unchanged queries hold the tail; the nine r3-row
-    # queries that didn't fit lead the post-boundary block for r6.
+    # (b) everything r05 touched functionally — profile (stack-rewritten
+    #     exact path), range_join (predicate in join cond),
+    #     dedup_cluster/pipeline_e2e (CC convergence guard), normalize
+    #     (overflow guard), arg_max/arg_min (WindowGroupLimit rewrite,
+    #     r4-green rows still valid for the unchanged semantics),
+    #     minhash_signatures (r4-restructured),
+    # (c) the fourteen queries NEW in r05: jira_search, stream_dedup,
+    #     graphviz_dot, geomap_mercator, sankey_links,
+    #     repetition_metrics, decontaminate, mix_sources,
+    #     stream_lsh_candidates, distribution_stats, distribution_drift,
+    #     sample_n_per_group, bloom_search, parent_hierarchy,
+    #     trend_scores,
+    # (d) the stalest rows: select_regex/sort_slice/seq_num (r2).
+    # The r4-green unchanged queries hold the tail; the r3-row queries
+    # that ceded budget slots lead the post-boundary block for r6.
     return {
         # --- r04 red, oracle fixed this round ---
         "sessionize": q_sessionize,
