@@ -220,3 +220,41 @@ def test_repetition_metrics_match_brute_force(spark, docs):
             round(1.0 - len(c) / len(grams), 6), abs=1e-9)
         assert got[i]["top_ngram_frac"] == pytest.approx(
             round(max(c.values()) / len(grams), 6), abs=1e-9)
+
+
+@given(counts=st.lists(st.integers(min_value=1, max_value=8),
+                       min_size=1, max_size=12))
+@_SETTINGS
+def test_trend_scores_match_brute_force(spark, counts):
+    import math
+
+    from omigo_data_analytics_spark.operators.trends import trend_scores
+
+    rows = [("k", b) for b, n in enumerate(counts) for _ in range(n)]
+    odf = OmigoDF(spark.createDataFrame(rows, "k string, b int"))
+    W = 4
+    got = {r["b"]: r for r in
+           trend_scores(odf, ["k"], "b", learning_window=W).df.collect()}
+
+    def ref_stats(xs):  # the reference's computeStats semantics
+        if not xs:
+            return 0.0, 0.0, 0.0, 0.0
+        s = sorted(xs)
+        n = len(s)
+        mean = sum(s) / n
+        med = s[int(n * 0.5)]
+        sd = math.sqrt(sum((x - mean) ** 2 for x in s) / n)
+        mad = s[int(n * 0.75)] - s[int(n * 0.25)]
+        return mean, med, sd, mad
+
+    for b, c in enumerate(counts):
+        window = [float(x) for x in counts[max(0, b - W):b]]
+        mean, med, sd, mad = ref_stats(window)
+        r = got[b]
+        assert r["n_events"] == c
+        assert r["learning_mean"] == pytest.approx(round(mean, 6), abs=1e-9)
+        assert r["learning_median"] == pytest.approx(round(med, 6), abs=1e-9)
+        assert r["learning_stddev"] == pytest.approx(round(sd, 6), abs=1e-6)
+        assert r["learning_mad"] == pytest.approx(round(mad, 6), abs=1e-9)
+        exp_sp = max((c - mean) / sd, 0.0) if sd > 0 else 0.0
+        assert r["spike_stddev"] == pytest.approx(round(exp_sp, 6), abs=1e-6)
