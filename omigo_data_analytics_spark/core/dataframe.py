@@ -1631,9 +1631,13 @@ class OmigoDF(CompatMixin):
         oracle checks it exactly) and stable per key as the corpus
         regrows, unlike fraction-based sampling which can't promise a
         count. ``key_cols`` is the row identity the hash ranks on
-        (default: every column — duplicate identities tie-break together,
-        keeping the result a deterministic function of the DATA, not the
-        partitioning). The row_number + filter shape triggers Spark's
+        (default: every column). Determinism caveat: rows sharing the
+        same key identity are interchangeable under the rank — with the
+        default (full-row) identity the OUTPUT is still deterministic
+        (identical rows are indistinguishable), but passing key_cols
+        that don't uniquely identify rows makes which duplicate-key row
+        survives the cutoff partition-order-dependent; use a unique key.
+        The row_number + filter shape triggers Spark's
         WindowGroupLimit pushdown, so each map task pre-filters to its
         local top-n per group before the exchange — the shuffle carries
         n rows per group per task, never the corpus."""

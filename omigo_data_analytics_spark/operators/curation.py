@@ -171,6 +171,10 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     reproducible and a surviving document never churns when the corpus
     regrows. Sources absent from ``shares`` are dropped.
 
+    ``shares`` keys must be the STRING values of ``source_col`` (the
+    rate table is built string-typed; a non-string source column joins
+    through Spark's implicit cast but the DuckDB oracle will not).
+
     Everything stays in-plan: counts are a partial-aggregated shuffle of
     ~|sources| rows, T is a scalar aggregate cross-joined back (1 row),
     rates ride a broadcast join, and the keep decision is a map-side
