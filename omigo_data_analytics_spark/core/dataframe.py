@@ -1149,11 +1149,18 @@ class OmigoDF(CompatMixin):
                                *[self._df[a].cast("string").alias(f"__a_{ai}__")
                                  for ai, a in enumerate(acols)])
         sel = ["*"]
+        # Nulls (try_cast failures) order LAST in every rank: the rn==1 row
+        # is then a real extremum whenever one exists, so the `{v}:min/max`
+        # companion no longer regresses to NULL on groups containing an
+        # unparseable value, and the arg picks prefer parseable rows — the
+        # same ordering DuckDB's default NULLS LAST gives the oracle.
         for vi, v in enumerate(vcols):
             for ai, a in enumerate(acols):
-                order = ([F.col(f"__v_{vi}__").asc(), F.col(f"__a_{ai}__").asc()]
+                order = ([F.col(f"__v_{vi}__").asc_nulls_last(),
+                          F.col(f"__a_{ai}__").asc_nulls_last()]
                          if use_min else
-                         [F.col(f"__v_{vi}__").desc(), F.col(f"__a_{ai}__").desc()])
+                         [F.col(f"__v_{vi}__").desc_nulls_last(),
+                          F.col(f"__a_{ai}__").desc_nulls_last()])
                 w = Window.partitionBy(*gcols).orderBy(*order)
                 rn = f"__rn_{vi}_{ai}__"
                 rn_names.append(rn)
@@ -1162,16 +1169,22 @@ class OmigoDF(CompatMixin):
         ranked = base.select(*sel).filter(
             F.least(*[F.col(r) for r in rn_names]) <= topk
             if len(rn_names) > 1 else F.col(rn_names[0]) <= topk)
+        # output order matches the original implementation: per valcol, its
+        # arg-combo columns then that valcol's extremum (positional
+        # consumers of multi-valcol calls rely on the interleaving)
         aggs = []
+        combo_agg = {}
         for (vi, v, ai, a), rn in zip(combos, rn_names):
             hit = F.when(F.col(rn) <= topk,
                          F.struct(F.col(rn).alias("r"),
                                   F.col(f"__a_{ai}__").alias("a")))
             picked = F.transform(F.sort_array(F.collect_list(hit)),
                                  lambda s: s["a"])
-            aggs.append(F.concat_ws(sep, picked)
-                        .alias(f"{a}{COL_SEP}{v}{COL_SEP}{suffix}"))
+            combo_agg.setdefault(vi, []).append(
+                F.concat_ws(sep, picked)
+                .alias(f"{a}{COL_SEP}{v}{COL_SEP}{suffix}"))
         for vi, v in enumerate(vcols):
+            aggs.extend(combo_agg[vi])
             rn0 = f"__rn_{vi}_0__"
             ext = F.max(F.when(F.col(rn0) == 1, F.col(f"__v_{vi}__")))
             aggs.append(ext.alias(f"{v}{COL_SEP}{'min' if use_min else 'max'}"))
@@ -1624,7 +1637,8 @@ class OmigoDF(CompatMixin):
         return self._wrap(out)
 
     def sample_n_per_group(self, group_cols, n: int, key_cols=None,
-                           seed: int = 0) -> "OmigoDF":
+                           seed: int = 0,
+                           check_unique: bool = False) -> "OmigoDF":
         """Deterministic EXACT-n sample per group: rows rank by the
         portable hash of ``key_cols`` (+seed) within each group and the
         first ``n`` survive — reproducible across runs/engines (DuckDB
@@ -1637,6 +1651,10 @@ class OmigoDF(CompatMixin):
         (identical rows are indistinguishable), but passing key_cols
         that don't uniquely identify rows makes which duplicate-key row
         survives the cutoff partition-order-dependent; use a unique key.
+        Pass ``check_unique=True`` to spend one counting job verifying
+        that — a ``UserWarning`` fires when ``key_cols`` doesn't uniquely
+        identify rows (opt-in: the check is a full-input aggregate, so it
+        isn't free at 100 TB).
         The row_number + filter shape triggers Spark's
         WindowGroupLimit pushdown, so each map task pre-filters to its
         local top-n per group before the exchange — the shuffle carries
@@ -1647,6 +1665,19 @@ class OmigoDF(CompatMixin):
                  else list(self._df.columns))
         key = "concat_ws('\\t', " + ", ".join(
             f"CAST({colutils.quote(c)} AS STRING)" for c in kcols) + f", '{seed}')"
+        if check_unique and key_cols is not None:
+            stats = self._df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(
+                    F.concat_ws("\t", *[self._df[c].cast("string")
+                                        for c in kcols])).alias("d")).first()
+            if stats["n"] != stats["d"]:
+                import warnings
+                warnings.warn(
+                    f"sample_n_per_group: key_cols {kcols} does not uniquely "
+                    f"identify rows ({stats['n']} rows, {stats['d']} distinct "
+                    "keys) — which duplicate-key row survives the cutoff is "
+                    "partition-order-dependent", UserWarning, stacklevel=2)
         u = F.expr(hash_spark(key))
         tie = F.concat_ws("\t", *[self._df[c].cast("string") for c in kcols])
         w = Window.partitionBy(*gcols).orderBy(u.asc(), tie.asc())

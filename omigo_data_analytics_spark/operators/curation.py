@@ -171,9 +171,12 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     reproducible and a surviving document never churns when the corpus
     regrows. Sources absent from ``shares`` are dropped.
 
-    ``shares`` keys must be the STRING values of ``source_col`` (the
-    rate table is built string-typed; a non-string source column joins
-    through Spark's implicit cast but the DuckDB oracle will not).
+    ``source_col`` must be string-typed and ``shares`` keys must be its
+    STRING values: the rate table is built string-typed, and while Spark
+    would join a numeric column through an implicit cast, the DuckDB
+    oracle will not — shares keyed ``"1"`` against a numeric ``1`` could
+    silently drop every row. Both mistypings raise ``ValueError``; cast
+    the column to string first if needed.
 
     Everything stays in-plan: counts are a partial-aggregated shuffle of
     ~|sources| rows, T is a scalar aggregate cross-joined back (1 row),
@@ -186,6 +189,15 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     if any(s <= 0 for s in shares.values()):
         raise ValueError("mix_sources: shares must be positive")
     odf._resolve(source_col)
+    src_type = odf.df.schema[source_col].dataType.simpleString()
+    if src_type != "string":
+        raise ValueError(
+            f"mix_sources: source_col {source_col!r} is {src_type}, not "
+            "string — the rate join would rely on an implicit cast that "
+            "silently mismatches shares keys; cast it to string first")
+    if any(not isinstance(k, str) for k in shares):
+        raise ValueError("mix_sources: shares keys must be strings "
+                         "(the string values of source_col)")
     gcols = odf._resolve(key_cols)
     spark = odf.df.sparkSession
     w = spark.createDataFrame(list(shares.items()), f"{source_col} string, __share__ double")

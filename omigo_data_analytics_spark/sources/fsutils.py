@@ -105,15 +105,17 @@ class FSWrapper:
     # ------------------------------------------------------------ listings
     def get_directory_listing(self, path: str, filter_func=None,
                               ignore_if_missing: bool = False) -> list[str]:
-        """Full child paths, sorted (reference returns full keys)."""
+        """Full child paths as complete URIs, sorted (reference returns full
+        keys). The scheme and authority are kept (``s3a://bucket/dir/child``,
+        not ``/dir/child``) so every returned path round-trips into any
+        FSWrapper method on any filesystem, not just the default FS."""
         if not self.dir_exists(path):
             if ignore_if_missing:
                 return []
             raise FileNotFoundError(path)
         fs = self._fs(path)
         statuses = fs.listStatus(self._path(path))
-        out = sorted(str(st.getPath().toUri().getPath())
-                     for st in statuses)
+        out = sorted(str(st.getPath().toString()) for st in statuses)
         if filter_func:
             out = [x for x in out if filter_func(x)]
         return out
@@ -122,12 +124,13 @@ class FSWrapper:
            wait_sec: int = DEFAULT_WAIT_SEC,
            attempts: int = DEFAULT_ATTEMPTS) -> list[str]:
         """Child names relative to path (reference __simplify_dir_list__);
-        waits for the directory to appear first (object-store sync)."""
+        waits for the directory to appear first (object-store sync).
+        Names are the URI basename of each direct child, so the result is
+        scheme-independent."""
         path = self._normalize(path)
         self.dir_exists_with_wait(path, wait_sec=wait_sec, attempts=attempts)
-        base = self._path(path).toUri().getPath()
         full = self.get_directory_listing(path, ignore_if_missing=False)
-        names = [f[len(base) + 1:] for f in full]
+        names = [f.rstrip("/").rsplit("/", 1)[-1] for f in full]
         if filter_func:
             names = [n for n in names if filter_func(n)]
         return names

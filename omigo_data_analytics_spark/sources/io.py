@@ -256,7 +256,17 @@ def write_clustered(xdf: OmigoDF, path: str, cluster_by=None,
     if num_files is None:
         est = int(df._jdf.queryExecution().optimizedPlan().stats()
                   .sizeInBytes())
-        num_files = max(1, -(-est // (target_file_mb * 1024 * 1024)))
+        # Sources without stats (JDBC, RDD-backed plans) report the
+        # spark.sql.defaultSizeInBytes sentinel (Long.MaxValue by default)
+        # — a ~7e10-partition repartitionByRange. Treat any estimate that
+        # would exceed the current partition count by >100x as absent and
+        # fall back to the physical partition count.
+        sentinel = int(df.sparkSession.conf.get(
+            "spark.sql.defaultSizeInBytes", str(2**63 - 1)))
+        n_est = max(1, -(-est // (target_file_mb * 1024 * 1024)))
+        n_parts = max(1, df.rdd.getNumPartitions())
+        num_files = n_parts if (est >= sentinel or n_est > 100 * n_parts) \
+            else n_est
     if zorder is not None:
         key = zorder_key(df, zorder, bits=zorder_bits)
         out = (df.withColumn("__zk__", key)

@@ -74,6 +74,35 @@ def test_arg_max_topk(lineitem):
     assert len(row["l_orderkey:l_quantity:arg_max"].split(",")) <= 2
 
 
+def test_arg_min_null_values_extremum(spark):
+    # group containing an unparseable value: the {v}:min companion must be
+    # the real minimum (nulls order last), not NULL (ADVICE r5 regression)
+    df = OmigoDF(spark.createDataFrame(
+        [("g", "x", "bad"), ("g", "y", "2.0"), ("g", "z", "1.0")],
+        ["k", "a", "v"]))
+    row = df.arg_min(["k"], ["a"], ["v"]).df.first()
+    assert row["v:min"] == 1.0
+    assert row["a:v:arg_min"] == "z"
+    rmax = df.arg_max(["k"], ["a"], ["v"]).df.first()
+    assert rmax["v:max"] == 2.0 and rmax["a:v:arg_max"] == "y"
+    # all-null group: extremum stays NULL, args still picked
+    allnull = OmigoDF(spark.createDataFrame(
+        [("g", "x", "bad"), ("g", "y", "worse")], ["k", "a", "v"]))
+    r = allnull.arg_min(["k"], ["a"], ["v"]).df.first()
+    assert r["v:min"] is None and r["a:v:arg_min"] == "x"
+
+
+def test_arg_minmax_multi_valcol_interleaved_order(lineitem):
+    # schema order parity with the original implementation: per valcol,
+    # its arg combos then that valcol's extremum
+    out = lineitem.arg_max(["l_returnflag"], ["l_orderkey"],
+                           ["l_quantity", "l_extendedprice"])
+    assert out.columns == [
+        "l_returnflag",
+        "l_orderkey:l_quantity:arg_max", "l_quantity:max",
+        "l_orderkey:l_extendedprice:arg_max", "l_extendedprice:max"]
+
+
 def test_group_by_key_applyinpandas(iris):
     def stats(rows):
         if not rows:

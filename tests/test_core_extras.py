@@ -1,5 +1,7 @@
 """Tests: generic explode UDTF, existence filters, uniq-value sampling."""
 
+import pytest
+
 from omigo_data_analytics_spark import OmigoDF
 
 
@@ -152,6 +154,20 @@ def test_sample_n_per_group_exact_and_deterministic(spark, documents):
     # different seed -> (almost surely) different pick
     c = documents.sample_n_per_group(["lang"], 2, key_cols=["doc_id"], seed=9)
     assert rows_a != sorted((r["lang"], r["doc_id"]) for r in c.df.collect())
+
+
+def test_sample_n_per_group_check_unique_warns(spark, documents):
+    import warnings
+
+    # duplicate-key identity: lang does NOT uniquely identify rows
+    with pytest.warns(UserWarning, match="does not uniquely identify"):
+        documents.sample_n_per_group(["lang"], 2, key_cols=["lang"],
+                                     check_unique=True)
+    # unique key: silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        documents.sample_n_per_group(["lang"], 2, key_cols=["doc_id"],
+                                     check_unique=True)
 
 
 def test_sample_n_per_group_mapside_limit(spark, documents):

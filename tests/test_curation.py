@@ -136,6 +136,25 @@ def test_mix_sources_validates_shares(spark):
         CU.mix_sources(docs, "source", {"src0": 1.5, "src1": -0.5}, ["doc_id"])
 
 
+def test_mix_sources_rejects_non_string_source_col(spark):
+    """An integer source column would join the string-typed rate table
+    through Spark's implicit cast but silently drop every row in the
+    DuckDB oracle — it must raise, not mis-join."""
+    df = OmigoDF(spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "doc_id long, src int"))
+    with pytest.raises(ValueError, match="not\\s+string"):
+        CU.mix_sources(df, "src", {"0": 0.5, "1": 0.5}, ["doc_id"])
+    # non-string shares keys are the same trap from the other side
+    docs = _docs(spark)
+    with pytest.raises(ValueError, match="shares keys"):
+        CU.mix_sources(docs, "source", {0: 0.5, "src1": 0.5}, ["doc_id"])
+    # the documented remedy works: cast to string first
+    cast_ok = CU.mix_sources(
+        OmigoDF(df.df.withColumn("src", F.col("src").cast("string"))),
+        "src", {"0": 0.5, "1": 0.5}, ["doc_id"])
+    assert cast_ok.df.count() > 0
+
+
 def test_curation_ops_on_empty_input(spark):
     empty = OmigoDF(spark.createDataFrame([], "doc_id long, text string, source string"))
     assert CU.repetition_metrics(empty).df.count() == 0

@@ -28,7 +28,13 @@ def test_exists_rw_listing_roundtrip(fsw, tmp_path):
     assert fsw.list_files(f"{base}/a", filter_func=lambda n: n.startswith("x")) \
         == ["x.txt"]
     listing = fsw.get_directory_listing(f"{base}/a")
-    assert len(listing) == 3 and all(p.startswith("/") for p in listing)
+    # full URIs (scheme kept) that round-trip into any FSWrapper method
+    assert len(listing) == 3 and all(p.startswith("file:") for p in listing)
+    assert [p.rsplit("/", 1)[-1] for p in listing] == ["b", "x.txt", "y.txt"]
+    x_uri = [p for p in listing if p.endswith("x.txt")][0]
+    assert fsw.is_file(x_uri) and fsw.read_text_file(x_uri) == "hello fs"
+    b_uri = [p for p in listing if p.endswith("/b")][0]
+    assert fsw.is_directory(b_uri)
     assert fsw.get_parent_directory(f"{base}/a/x.txt") == f"{base}/a"
     assert fsw.get_last_modified_timestamp(f"{base}/a/x.txt") > 1_500_000_000
 

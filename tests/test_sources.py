@@ -320,6 +320,24 @@ def test_write_clustered_auto_file_count(spark, tmp_path):
     assert len([p for p in os.listdir(d) if p.endswith(".parquet")]) == 1
 
 
+def test_write_clustered_auto_count_statless_source(spark, tmp_path):
+    """RDD-backed plans report the defaultSizeInBytes sentinel
+    (Long.MaxValue) — the auto file count must fall back to the physical
+    partition count instead of a ~7e10-partition repartitionByRange."""
+    from omigo_data_analytics_spark.sources import io as oio
+    from omigo_data_analytics_spark import OmigoDF
+
+    rdd = spark.sparkContext.parallelize(
+        [(i, f"u{i % 7}") for i in range(100)], 4)
+    df = spark.createDataFrame(rdd, "id long, user_id string")
+    est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert est > 2**60  # precondition: this source really is statless
+    d = str(tmp_path / "statless")
+    n = oio.write_clustered(OmigoDF(df), d, "user_id")
+    assert 1 <= n <= 4
+    assert spark.read.parquet(d).count() == 100
+
+
 def test_write_clustered_zorder_balances_all_dimensions(spark, tmp_path):
     """Lexicographic multi-key clustering only narrows the LEADING
     column's per-file range; z-order gives every clustered column a
