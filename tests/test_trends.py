@@ -153,3 +153,26 @@ def test_trend_scores_detects_spike(spark):
            trend_scores(d, ["k"], "b", learning_window=7).df.collect()}
     assert out[9]["spike_stddev"] > 10
     assert out[8]["spike_stddev"] < 1
+
+
+def test_trends_job_e2e_matches_oracle(spark):
+    """The executed TrendsAnalysis composition (hierarchy → stats →
+    drift → trend scores → export join) hash-matches its DuckDB oracle
+    at sf0.001 — the same comparison the driver gate runs at sf0.01."""
+    import os
+
+    import __spark_entry__ as entry
+
+    got = (entry.q_trends_job_e2e(spark, SF).toPandas()
+           .sort_values("grp").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS FROM '{os.path.join(SF, t)}.parquet'")
+    want = (con.execute(entry._sql_trends_job_e2e()).df()
+            .sort_values("grp").reset_index(drop=True))
+    assert list(got.columns) == list(want.columns) or \
+        set(got.columns) == set(want.columns)
+    want = want[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == 10  # one row per customer-segment digit
+    assert (got["total_count"] > 0).all()
