@@ -185,43 +185,69 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
 
     State per (node, ancestor) is the MINIMUM arrival timestamp (the most
     permissive for further extension), so each iteration is join + min-agg
-    — no path materialization, no explosion on dense DAGs."""
+    — no path materialization, no explosion on dense DAGs.
+
+    The edge table is pre-grouped ONCE to (src, dst, sorted distinct ts
+    array): the per-iteration extension join then emits one row per
+    (state, successor-pair) with a binary probe for the first eligible
+    timestamp, instead of one row per (state, raw edge) — at high edge
+    multiplicity (many events per node pair, the common temporal-graph
+    shape) that divides the join volume by the multiplicity factor.
+    Caveat: the distinct-ts array of ONE (src, dst) pair must fit in a
+    row; for adversarial inputs where a single pair carries ~10^8
+    distinct timestamps, split the pair's time range before calling."""
     e = _df(edges).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-                          F.col(ts_col).alias("ts")).localCheckpoint()
+                          F.col(ts_col).alias("ts"))
+    eg = (e.groupBy("src", "dst")
+          .agg(F.sort_array(F.collect_set("ts")).alias("tss"))
+          ).localCheckpoint()
 
     # incremental accumulator: `best` is the checkpointed running minimum
     # arrival per (node, ancestor); each iteration touches O(|best| + |ext|)
     # — not a re-union of every prior delta (O(depth^2) recompute). The
     # frontier delta is NOT force-broadcast: on dense DAGs it is O(V*A) and
     # would OOM the driver at scale; AQE broadcasts it when it is small.
-    best = (e.groupBy(F.col("dst").alias("node_id"), F.col("src").alias("anc"))
-             .agg(F.min("ts").alias("arr_ts"))).localCheckpoint()
+    # (src, dst) is unique in eg, so the depth-1 closure needs no extra
+    # shuffle: the min arrival is the sorted array's head.
+    best = eg.select(F.col("dst").alias("node_id"), F.col("src").alias("anc"),
+                     F.expr("get(tss, 0)").alias("arr_ts")).localCheckpoint()
     frontier = best
     # dead-end probe, as in ancestors(): states at nodes with no outgoing
     # edges cannot extend, so the convergence round is a frontier-sized
     # semi-join instead of a frontier×|E| join
-    srcs = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
+    srcs = eg.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
     for _ in range(max_iter):
-        frontier = frontier.join(srcs, "node_id", "left_semi").localCheckpoint()
+        # dead-end probe rides INSIDE the extension plan (states at nodes
+        # with no outgoing edges cannot extend) — no per-iteration
+        # checkpoint job for it; if a round's delta is all dead-ends the
+        # next delta comes back empty and the loop exits one round later.
+        probed = frontier.join(srcs, "node_id", "left_semi")
+        # Extensions union the accumulator straight into ONE tagged
+        # aggregate: min arrival overall + min arrival among prior states.
+        # That single shuffle replaces three (the extension pre-agg, the
+        # strictly-better left join against `best`, and the union
+        # re-aggregate) — the combined groupBy's map-side partial agg does
+        # the extension combine, and a row is a delta exactly when its
+        # overall min beats (or lacks) a prior-state min. The first
+        # eligible timestamp per successor pair comes from the sorted
+        # array via get() — null (no eligible edge, or an all-null-ts pair) drops pre-shuffle; ANSI subscripting would throw on the empty filter result.
+        ext_raw = (probed.join(eg, probed["node_id"] == eg["src"])
+                   .select(F.col("dst").alias("node_id"), F.col("anc"),
+                           F.expr("get(filter(tss, t -> t >= arr_ts), 0)")
+                           .alias("arr_ts"),
+                           F.lit(False).alias("__old__"))
+                   .where(F.col("arr_ts").isNotNull()))
+        agg = (best.withColumn("__old__", F.lit(True)).unionByName(ext_raw)
+               .groupBy("node_id", "anc")
+               .agg(F.min("arr_ts").alias("arr_ts"),
+                    F.min(F.when(F.col("__old__"), F.col("arr_ts")))
+                    .alias("__old_ts__"))).localCheckpoint()
+        best = agg.select("node_id", "anc", "arr_ts")
+        frontier = (agg.where(F.col("__old_ts__").isNull()
+                              | (F.col("arr_ts") < F.col("__old_ts__")))
+                    .select("node_id", "anc", "arr_ts"))
         if frontier.isEmpty():
             break
-        ext = (frontier.join(e, frontier["node_id"] == e["src"])
-               .where(F.col("ts") >= F.col("arr_ts"))
-               .groupBy(F.col("dst").alias("node_id"), F.col("anc"))
-               .agg(F.min("ts").alias("arr_ts")))
-        # keep only strictly-better states (new pair, or earlier arrival)
-        ext = (ext.alias("x")
-               .join(best.alias("r"), ["node_id", "anc"], "left")
-               .where(F.col("r.arr_ts").isNull()
-                      | (F.col("x.arr_ts") < F.col("r.arr_ts")))
-               .select("node_id", "anc", F.col("x.arr_ts").alias("arr_ts"))
-               .localCheckpoint())
-        if ext.isEmpty():
-            break
-        best = (best.unionByName(ext)
-                .groupBy("node_id", "anc")
-                .agg(F.min("arr_ts").alias("arr_ts"))).localCheckpoint()
-        frontier = ext
     return OmigoDF(best.select("node_id", F.col("anc").alias("ancestor"),
                                "arr_ts"))
 

@@ -65,6 +65,41 @@ def test_time_ordered_ancestors(spark):
     assert ("z", "y") in out and ("z", "x") not in out
 
 
+def test_time_ordered_ancestors_multiplicity_and_min_arrival(spark):
+    """Duplicate (src,dst) events at many timestamps (the pre-grouped
+    sorted-ts-array path) and arrival minimization through a later hop:
+    a->b has edges at ts 5 and 9; b->c at ts 3 and 7. Path a->c must use
+    the FIRST eligible b->c edge after each arrival: arrive b at 5 ->
+    b->c at 7 (not 3, not 9). Also brute-force cross-check."""
+    rows = [("a", "b", 5), ("a", "b", 9), ("a", "b", 5),  # dup event
+            ("b", "c", 3), ("b", "c", 7),
+            ("c", "d", 6),   # too early after arriving c at 7 -> no a->d
+            ("c", "d", 8)]   # eligible: a->d arrives 8
+    e = OmigoDF(spark.createDataFrame(rows, ["src", "dst", "ts"]))
+    out = {(r["node_id"], r["ancestor"]): r["arr_ts"]
+           for r in G.time_ordered_ancestors(e, "ts").df.collect()}
+    assert out[("b", "a")] == 5
+    assert out[("c", "b")] == 3        # direct min edge
+    assert out[("c", "a")] == 7        # first b->c edge >= 5
+    assert out[("d", "c")] == 6
+    assert out[("d", "b")] == 6        # b->c at 3, then c->d at 6
+    assert out[("d", "a")] == 8        # a(5)->b, b->c(7), c->d(8)
+
+
+def test_time_ordered_ancestors_all_null_ts_pair(spark):
+    # a (src,dst) pair whose every ts is NULL must not throw (empty
+    # sorted set -> get() null). Parity with the pre-array version:
+    # the direct pair stays reachable with NULL arrival (min over an
+    # all-null group), but nothing extends through it (ts >= NULL is
+    # never true)
+    rows = [("a", "b", None), ("b", "c", 2)]
+    e = OmigoDF(spark.createDataFrame(rows, "src string, dst string, ts int"))
+    out = {(r["node_id"], r["ancestor"]): r["arr_ts"]
+           for r in G.time_ordered_ancestors(e, "ts").df.collect()}
+    assert set(out) == {("b", "a"), ("c", "b")}
+    assert out[("b", "a")] is None and ("c", "a") not in out
+
+
 def test_merge_similar_nodes(spark):
     # leaves l1, l2 share parent set {a, b}; l3 has parent set {a}
     rows = [("a", "l1"), ("b", "l1"), ("a", "l2"), ("b", "l2"), ("a", "l3")]
