@@ -107,10 +107,37 @@ def main():
         "passes": 2,
     }
     # full-precision record (incl. both passes) for local diffing
+    repo = os.path.dirname(os.path.abspath(__file__))
+    full = {**payload, "pass1": cold, "pass2": pass2}
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_full.json"), "w") as fh:
-            json.dump({**payload, "pass1": cold, "pass2": pass2}, fh, indent=1)
+        with open(os.path.join(repo, "bench_full.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    # round-keyed history: the stdout artifact (BENCH_r{N}.json) self-
+    # truncates to the slowest queries under its tail budget, so cross-
+    # round per-query diffs come from here — every run appends its COMPLETE
+    # per-query map. round_guess = recorded driver artifacts + 1.
+    try:
+        import datetime
+        import glob
+
+        hist_path = os.path.join(repo, "bench_history.json")
+        try:
+            with open(hist_path) as fh:
+                hist = json.load(fh)
+            if not isinstance(hist, list):
+                hist = []
+        except (OSError, ValueError):
+            hist = []
+        hist.append({
+            **full,
+            "round_guess": len(glob.glob(os.path.join(repo, "BENCH_r*.json"))) + 1,
+            "recorded_at": datetime.datetime.now(datetime.timezone.utc)
+                           .strftime("%Y-%m-%dT%H:%M:%SZ"),
+        })
+        with open(hist_path, "w") as fh:
+            json.dump(hist, fh, indent=1)
     except OSError:
         pass
     # The stdout JSON line must survive a bounded tail capture (~2000 chars):
