@@ -201,13 +201,16 @@ FROM p LEFT JOIN d ON {" AND ".join(f"d.{k} = p.{k}" for k in key_cols)}
 
 
 # -------------------------------------------------------- trend detection
-def _stats_exprs(dialect: str, arr: str) -> dict[str, str]:
+def _stats_exprs(dialect: str, arr: str, s: str = "s0",
+                 m: str = "m0") -> dict[str, str]:
     """Robust trailing-window stats over a (sorted) numeric list — the
     reference's computeStats (TrendsAnalysis.scala:807-819): population
     stddev, index-based median, and 'mad' = IQR by its (n*q).toInt
     indexing. One definition, two dialects; every fold runs over the
     SORTED list so the float summation order is identical in Spark and
-    DuckDB (exact hash comparability)."""
+    DuckDB (exact hash comparability). ``s``/``m`` name the sorted-list
+    and mean bindings the q_at/var expressions reference (callers that
+    stage several metrics side by side pass distinct names)."""
     if dialect == "spark":
         n = f"size({arr})"
         srt = f"sort_array({arr})"
@@ -217,8 +220,8 @@ def _stats_exprs(dialect: str, arr: str) -> dict[str, str]:
         mean = f"aggregate({arr}, 0.0D, (a, x) -> a + x) / greatest({n}, 1)"
 
         def q_at(q):
-            return f"element_at(s0, CAST({n} * {q} AS INT) + 1)"
-        var = (f"aggregate({arr}, 0.0D, (a, x) -> a + (x - m0) * (x - m0))"
+            return f"element_at({s}, CAST({n} * {q} AS INT) + 1)"
+        var = (f"aggregate({arr}, 0.0D, (a, x) -> a + (x - {m}) * (x - {m}))"
                f" / greatest({n}, 1)")
     else:
         n = f"len({arr})"
@@ -228,8 +231,9 @@ def _stats_exprs(dialect: str, arr: str) -> dict[str, str]:
         def q_at(q):
             # floor, not CAST: DuckDB CAST rounds half-up while the
             # reference's .toInt (and Spark's CAST) truncate
-            return f"s0[CAST(floor({n} * {q}) AS INT) + 1]"
-        var = f"list_sum(list_transform({arr}, x -> (x - m0) * (x - m0))) / {n}"
+            return f"{s}[CAST(floor({n} * {q}) AS INT) + 1]"
+        var = (f"list_sum(list_transform({arr}, x -> (x - {m}) * (x - {m})))"
+               f" / {n}")
     return {"n": n, "sorted": srt, "mean": mean, "var": var, "q_at": q_at}
 
 
@@ -326,4 +330,183 @@ SELECT {keys}, {bucket_col}, CAST(cnt AS BIGINT) AS n_events,
        round(CASE WHEN mad > 0 THEN greatest((cnt - med) / mad, 0.0)
                   ELSE 0.0 END, 6) AS spike_mad
 FROM st
+"""
+
+
+# ---------------------------------------------------- sequence statistics
+def sequence_stats(odf: OmigoDF, key_cols, seq_col: str, metric_cols,
+                   minus_window: int = 3,
+                   inference_col: str | None = None) -> OmigoDF:
+    """Ordered-sequence prefix statistics with shrinking windows — the
+    reference trends job's generateDictSequenceStats
+    (TrendsAnalysis.scala:969-1070) and generateStatsSequenceStats
+    (:1072-1197) in one operator. Input is one row per (keys..., seq)
+    carrying pre-aggregated numeric metrics (the reference's dict/stats
+    tables); for every w in 0..minus_window with len(sequence)-w > 0,
+    the last w elements are held out and the PREFIX (sequence sorted by
+    ``seq_col``, minus the held-out tail) yields per metric: min, max,
+    mean, index-median, population stddev, 'mad' (IQR by (n*q).toInt
+    indexing), mean/stddev and stddev/mean (-1 sentinels on zero
+    denominators) — the reference's computeStats ladder.
+
+    ``inference_col`` (the generateDictSequenceStats variant; must be
+    one of ``metric_cols``) additionally scores the HELD-OUT tail
+    against the prefix maximum: percIncreaseMax = value/max when value
+    exceeds a positive max (the raw value when max <= 0, else 0), and
+    returns the tail's mean and index-median of those scores (-1 when
+    the tail is empty, i.e. w = 0).
+
+    Scale: the reference's groupByKey materializes every key's full
+    (seq, metrics) list in one Scala closure; here ONE shuffle builds a
+    per-key struct array whose length is the key's SEQUENCE-BUCKET
+    count (time buckets by construction — bounded state, not the
+    corpus), and every window/stat is a map-side array expression over
+    slices of it. Output is keys x min(minus_window+1, n) rows. Floats
+    fold over SORTED slices so Spark and DuckDB sum in the same order
+    (exact hash comparability)."""
+    keys = odf._resolve(key_cols)
+    mets = odf._resolve(metric_cols)
+    odf._resolve(seq_col)
+    if inference_col is not None and inference_col not in mets:
+        raise ValueError("sequence_stats: inference_col must be one of "
+                         "metric_cols")
+    # ONE ordered struct array per key: every metric list is a slice of
+    # the same (seq, metrics...) ordering, so prefix membership is
+    # identical across metrics (and across engines)
+    fields = [F.col(seq_col).alias("k")] + \
+        [F.col(m).cast("double").alias(f"v{i}") for i, m in enumerate(mets)]
+    g = (odf.df.groupBy(*keys)
+         .agg(F.sort_array(F.collect_list(F.struct(*fields))).alias("__sc__"),
+              F.count(F.lit(1)).alias("__n__")))
+    e = (g.select(*keys, "__sc__", "__n__",
+                  F.explode(F.sequence(
+                      F.lit(0),
+                      F.least(F.lit(int(minus_window)),
+                              (F.col("__n__") - 1).cast("int"))))
+                  .alias("minus_window_value"))
+         .withColumn("__pn__",
+                     (F.col("__n__") - F.col("minus_window_value"))
+                     .cast("int")))
+    from .text import let_spark
+    st_cols = []
+    for i, m in enumerate(mets):
+        ex = _stats_exprs("spark", "s0")
+        struct = let_spark(
+            f"sort_array(transform(slice(__sc__, 1, __pn__), x -> x.v{i}))",
+            "s0",
+            let_spark(
+                ex["mean"], "m0",
+                "named_struct("
+                "'mean', m0, "
+                f"'med', {ex['q_at'](0.5)}, "
+                f"'sd', sqrt({ex['var']}), "
+                f"'mad', {ex['q_at'](0.75)} - {ex['q_at'](0.25)}, "
+                "'mn', element_at(s0, 1), "
+                "'mx', element_at(s0, size(s0)))"))
+        st_cols.append(F.expr(struct).alias(f"__st_{i}__"))
+    staged = e.select(*keys, "__sc__", "__pn__", "minus_window_value",
+                      *st_cols)
+    out_cols = [*[F.col(k) for k in keys],
+                F.col("minus_window_value").cast("long")
+                .alias("minus_window_value"),
+                F.col("__pn__").cast("long").alias("num_count")]
+    for i, m in enumerate(mets):
+        st = f"__st_{i}__"
+        sd, mean = F.col(f"{st}.sd"), F.col(f"{st}.mean")
+        out_cols += [
+            F.round(F.col(f"{st}.mn"), 6).alias(f"{m}_min"),
+            F.round(F.col(f"{st}.mx"), 6).alias(f"{m}_max"),
+            F.round(mean, 6).alias(f"{m}_mean"),
+            F.round(F.col(f"{st}.med"), 6).alias(f"{m}_median"),
+            F.round(sd, 6).alias(f"{m}_stddev"),
+            F.round(F.col(f"{st}.mad"), 6).alias(f"{m}_mad"),
+            F.round(F.when(sd != 0.0, mean / sd).otherwise(-1.0), 6)
+            .alias(f"{m}_mean_over_stddev"),
+            F.round(F.when(mean != 0.0, sd / mean).otherwise(-1.0), 6)
+            .alias(f"{m}_stddev_over_mean"),
+        ]
+    if inference_col is not None:
+        fi = mets.index(inference_col)
+        mx = f"__st_{fi}__.mx"
+        inf = let_spark(
+            f"sort_array(transform(slice(__sc__, __pn__ + 1, "
+            f"minus_window_value), x -> "
+            f"CASE WHEN x.v{fi} > {mx} THEN "
+            f"CASE WHEN {mx} > 0.0D THEN x.v{fi} / {mx} ELSE x.v{fi} END "
+            "ELSE 0.0D END))",
+            "infs",
+            "named_struct("
+            "'pm', IF(size(infs) > 0, "
+            "aggregate(infs, 0.0D, (a, x) -> a + x) / size(infs), -1.0D), "
+            "'pmed', IF(size(infs) > 0, "
+            "element_at(infs, CAST(size(infs) * 0.5 AS INT) + 1), -1.0D))")
+        staged = staged.withColumn("__inf__", F.expr(inf))
+        out_cols += [
+            F.round(F.col("__inf__.pm"), 6).alias("perc_over_max_mean"),
+            F.round(F.col("__inf__.pmed"), 6).alias("perc_over_max_median"),
+        ]
+    return OmigoDF(staged.select(*out_cols))
+
+
+def sequence_stats_sql_duck(table: str, key_cols, seq_col: str, metric_cols,
+                            minus_window: int = 3,
+                            inference_col: str | None = None) -> str:
+    """DuckDB replay of sequence_stats: lists ordered by the full
+    (seq, metrics...) tuple so tie order matches Spark's struct sort."""
+    keys = ", ".join(key_cols)
+    mets = list(metric_cols)
+    order = ", ".join([seq_col] + mets)
+    lists = ", ".join(
+        f"list(CAST({m} AS DOUBLE) ORDER BY {order}) AS l_{i}"
+        for i, m in enumerate(mets))
+    sorts = ", ".join(
+        f"list_sort(l_{i}[1 : pn]) AS s0_{i}" for i in range(len(mets)))
+    means = ", ".join(
+        f"CASE WHEN len(s0_{i}) = 0 THEN 0.0 "
+        f"ELSE list_sum(s0_{i}) / len(s0_{i}) END AS m0_{i}"
+        for i in range(len(mets)))
+    out = [keys, "CAST(w AS BIGINT) AS minus_window_value",
+           "CAST(pn AS BIGINT) AS num_count"]
+    for i, m in enumerate(mets):
+        ex = _stats_exprs("duckdb", f"s0_{i}", s=f"s0_{i}", m=f"m0_{i}")
+        sd = f"sqrt({ex['var']})"
+        out += [
+            f"round(s0_{i}[1], 6) AS {m}_min",
+            f"round(s0_{i}[len(s0_{i})], 6) AS {m}_max",
+            f"round(m0_{i}, 6) AS {m}_mean",
+            f"round({ex['q_at'](0.5)}, 6) AS {m}_median",
+            f"round({sd}, 6) AS {m}_stddev",
+            f"round({ex['q_at'](0.75)} - {ex['q_at'](0.25)}, 6) AS {m}_mad",
+            f"round(CASE WHEN {sd} <> 0 THEN m0_{i} / {sd} "
+            f"ELSE -1.0 END, 6) AS {m}_mean_over_stddev",
+            f"round(CASE WHEN m0_{i} <> 0 THEN {sd} / m0_{i} "
+            f"ELSE -1.0 END, 6) AS {m}_stddev_over_mean",
+        ]
+    inf_stage = ""
+    if inference_col is not None:
+        fi = mets.index(inference_col)
+        mx = f"s0_{fi}[len(s0_{fi})]"
+        inf_stage = (
+            f", list_sort(list_transform(l_{fi}[pn + 1 : CAST(n AS INT)], "
+            f"c -> CASE WHEN c > {mx} THEN "
+            f"CASE WHEN {mx} > 0 THEN c / {mx} ELSE c END "
+            "ELSE 0.0 END)) AS infs")
+        out += [
+            "round(CASE WHEN len(infs) > 0 THEN list_sum(infs) / len(infs) "
+            "ELSE -1.0 END, 6) AS perc_over_max_mean",
+            "round(CASE WHEN len(infs) > 0 THEN "
+            "infs[CAST(floor(len(infs) * 0.5) AS INT) + 1] "
+            "ELSE -1.0 END, 6) AS perc_over_max_median",
+        ]
+    proj = ",\n       ".join(out)
+    return f"""
+WITH qg AS (SELECT {keys}, {lists}, COUNT(*) AS n
+            FROM {table} GROUP BY {keys}),
+qe AS (SELECT *, unnest(range(0, {int(minus_window)} + 1)) AS w FROM qg),
+qs AS (SELECT {keys}, w, CAST(n - w AS INT) AS pn, n,
+              {", ".join(f"l_{i}" for i in range(len(mets)))}
+       FROM qe WHERE n - w > 0),
+qx AS (SELECT *, {sorts} FROM qs),
+qm AS (SELECT *, {means}{inf_stage} FROM qx)
+SELECT {proj} FROM qm
 """

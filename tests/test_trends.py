@@ -176,3 +176,63 @@ def test_trends_job_e2e_matches_oracle(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(got) == 10  # one row per customer-segment digit
     assert (got["total_count"] > 0).all()
+
+
+def test_sequence_stats_matches_duck_and_reference_semantics(spark):
+    """sequence_stats (generateDict/StatsSequenceStats): Spark output ==
+    DuckDB helper bit-for-bit, and both == a brute-force replay of the
+    reference's computeStats + percIncreaseMax closures."""
+    import duckdb as ddb
+
+    rows = [("a", 1, 4, 10), ("a", 2, 3, 12), ("a", 3, 8, 9),
+            ("a", 4, 2, 30), ("a", 5, 9, 11),
+            ("b", 1, 5, 5), ("b", 2, 5, 5)]
+    pdf = pd.DataFrame(rows, columns=["k", "b", "cnt", "tot"])
+    d = OmigoDF(spark.createDataFrame(pdf))
+    got = (TR.sequence_stats(d, ["k"], "b", ["cnt", "tot"], minus_window=3,
+                             inference_col="cnt")
+           .df.toPandas().sort_values(["k", "minus_window_value"])
+           .reset_index(drop=True))
+    con = ddb.connect()
+    con.register("t", pdf)
+    want = (con.execute(TR.sequence_stats_sql_duck(
+                "t", ["k"], "b", ["cnt", "tot"], minus_window=3,
+                inference_col="cnt")).df()
+            .sort_values(["k", "minus_window_value"]).reset_index(drop=True))
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def compute_stats(vals):
+        s = sorted(vals)
+        n = len(s)
+        mean = sum(s) / n
+        sd = (sum((x - mean) ** 2 for x in s) / n) ** 0.5
+        return mean, s[int(n * 0.5)], sd, s[int(n * 0.75)] - s[int(n * 0.25)]
+
+    seq = [4, 3, 8, 2, 9]  # cnt for key a, in b order
+    for w in range(0, 4):
+        pfx, sfx = seq[:len(seq) - w], seq[len(seq) - w:]
+        mean, med, sd, mad = compute_stats(pfx)
+        mx = max(pfx)
+        infs = sorted((c / mx if mx > 0 else c) if c > mx else 0.0
+                      for c in sfx)
+        r = got[(got.k == "a") & (got.minus_window_value == w)].iloc[0]
+        assert r["num_count"] == len(pfx)
+        assert abs(r["cnt_mean"] - round(mean, 6)) < 1e-9
+        assert (r["cnt_median"], r["cnt_min"], r["cnt_max"], r["cnt_mad"]) \
+            == (med, min(pfx), mx, mad)
+        assert abs(r["cnt_stddev"] - round(sd, 6)) < 1e-9
+        pm = sum(infs) / len(infs) if infs else -1.0
+        pmed = infs[int(len(infs) * 0.5)] if infs else -1.0
+        assert abs(r["perc_over_max_mean"] - round(pm, 6)) < 1e-9
+        assert abs(r["perc_over_max_median"] - round(pmed, 6)) < 1e-9
+    # constant sequence -> stddev 0 -> the reference's -1 sentinel
+    rb = got[(got.k == "b") & (got.minus_window_value == 0)].iloc[0]
+    assert rb["cnt_stddev"] == 0.0 and rb["cnt_mean_over_stddev"] == -1.0
+
+
+def test_sequence_stats_validates_inference_col(spark):
+    d = OmigoDF(spark.createDataFrame([("a", 1, 2)], "k string, b int, c int"))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="inference_col"):
+        TR.sequence_stats(d, ["k"], "b", ["c"], inference_col="b")
