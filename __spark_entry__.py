@@ -3025,6 +3025,82 @@ def _sql_stats_sequence_stats() -> str:
             f"qst AS (SELECT * FROM ({stats_q}) s)" + inner)
 
 
+def q_trends_dataset(spark, sf_dir):
+    """The trends job's generateTrendsDataset relational core
+    (TrendsAnalysis.scala:1520-1640): parse a packed top-k feature
+    string column — '(name,value,type)|(...)' — into features, cap
+    values at 1000, build the feature vocabulary whose support (distinct
+    id prefixes) passes a per-polarity threshold, then merge polarity
+    branches and count the union support. The packed column is first
+    BUILT from events (per-user event counts, sorted for determinism) —
+    the same shape the upstream trends output feeds the reference.
+    Everything is split/explode/distinct/count-distinct algebra: two
+    aggregate shuffles over feature-vocabulary-sized data."""
+    ev = _t(spark, sf_dir, "events").df
+    packed = (ev.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .groupBy("user_id")
+              .agg(F.concat_ws("|", F.sort_array(F.collect_list(
+                  F.format_string("(%s,%d,unary)", F.col("event_type"),
+                                  F.col("c"))))).alias("top_k_features")))
+    feats = (packed
+             .select("user_id",
+                     F.explode(F.split("top_k_features", "[|]"))
+                     .alias("__t__"))
+             .select("user_id",
+                     F.split(F.regexp_replace("__t__", "[()]", ""), ",")
+                     .alias("__p__"))
+             .select(
+                 F.concat_ws("_", F.expr("__p__[0]"), F.expr("__p__[2]"))
+                 .alias("feature_name"),
+                 F.least(F.expr("CAST(__p__[1] AS DOUBLE)"), F.lit(1000.0))
+                 .alias("value"),
+                 (F.col("user_id") % 2).cast("int").alias("is_pos"),
+                 F.substring(F.col("user_id").cast("string"), 1, 2)
+                 .alias("idp")))
+    sup = feats.select("feature_name", "is_pos", "idp").distinct()
+    per_branch = (sup.groupBy("feature_name", "is_pos")
+                  .agg(F.count_distinct("idp").alias("c")))
+    keep = per_branch.where(
+        ((F.col("is_pos") == 1) & (F.col("c") >= 3))
+        | ((F.col("is_pos") == 0) & (F.col("c") >= 4)))
+    out = (sup.join(keep.select("feature_name", "is_pos"),
+                    ["feature_name", "is_pos"], "left_semi")
+           .groupBy("feature_name")
+           .agg(F.count_distinct("idp").cast("long").alias("n_ids")))
+    return out
+
+
+SQL_TRENDS_DATASET = """
+WITH pk AS (
+  SELECT user_id,
+         string_agg(fmt, '|' ORDER BY fmt) AS top_k_features
+  FROM (SELECT user_id,
+               '(' || event_type || ',' || CAST(COUNT(*) AS VARCHAR)
+                   || ',unary)' AS fmt
+        FROM events GROUP BY user_id, event_type) t
+  GROUP BY user_id),
+fx AS (
+  SELECT user_id, string_split(replace(replace(u, '(', ''), ')', ''), ',') AS p
+  FROM (SELECT user_id, unnest(string_split(top_k_features, '|')) AS u
+        FROM pk) s),
+feats AS (
+  SELECT p[1] || '_' || p[3] AS feature_name,
+         least(CAST(p[2] AS DOUBLE), 1000.0) AS value,
+         CAST(user_id % 2 AS INT) AS is_pos,
+         substr(CAST(user_id AS VARCHAR), 1, 2) AS idp
+  FROM fx),
+sup AS (SELECT DISTINCT feature_name, is_pos, idp FROM feats),
+pb AS (SELECT feature_name, is_pos, COUNT(DISTINCT idp) AS c
+       FROM sup GROUP BY feature_name, is_pos),
+keep AS (SELECT feature_name, is_pos FROM pb
+         WHERE (is_pos = 1 AND c >= 3) OR (is_pos = 0 AND c >= 4))
+SELECT s.feature_name, CAST(COUNT(DISTINCT s.idp) AS BIGINT) AS n_ids
+FROM sup s JOIN keep k USING (feature_name, is_pos)
+GROUP BY s.feature_name
+"""
+
+
 def q_trends_job_e2e(spark, sf_dir):
     """End-to-end trends job — the reference TrendsAnalysis.scala main
     flow (:63-140) composed from the engine's operators, each step the
@@ -3174,6 +3250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trends_job_e2e": q_trends_job_e2e,
         "dict_sequence_stats": q_dict_sequence_stats,
         "stats_sequence_stats": q_stats_sequence_stats,
+        "trends_dataset": q_trends_dataset,
         # --- engine paths touched in r06 ---
         "arg_max_topk": q_arg_max_topk,
         "arg_min_topk": q_arg_min_topk,
@@ -3223,11 +3300,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_filters": q_typed_filters,
         "inner_join_agg": q_inner_join_agg,
         "left_join_histogram": q_left_join_histogram,
-        "map_join_broadcast": q_map_join_broadcast,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # remaining r4-green rows: first in line for the r7 budget
-        # (difference_anti / group_count slid below the boundary when the
-        # two sequence-stats queries joined the head)
+        # (map_join_broadcast / difference_anti / group_count slid below
+        # the boundary when the three sequence/dataset queries joined
+        # the head)
+        "map_join_broadcast": q_map_join_broadcast,
         "difference_anti": q_difference_anti,
         "group_count": q_group_count,
         "concat_as_cols": q_concat_as_cols,
@@ -3305,6 +3383,7 @@ def oracle_sql() -> dict[str, str]:
         "trends_job_e2e": _sql_trends_job_e2e(),
         "dict_sequence_stats": _sql_dict_sequence_stats(),
         "stats_sequence_stats": _sql_stats_sequence_stats(),
+        "trends_dataset": SQL_TRENDS_DATASET,
         "select_first": SQL_SELECT_FIRST,
         "rest_partitioned": SQL_REST_PARTITIONED,
         "json_xpath_filter": SQL_JSON_XPATH,
