@@ -80,17 +80,18 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
 
 def degrees(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:
     """(node_id, out_degree, in_degree) for every vertex appearing in the
-    edge table. One aggregation per direction, outer-merged."""
+    edge table. A tagged union into ONE conditional aggregate — a single
+    partial-aggregated shuffle, where the per-direction groupBy + full
+    outer join form costs two shuffles plus a vertex-sized join."""
     e = _df(edges)
-    outd = e.groupBy(F.col(src_col).alias("node_id")).agg(
-        F.count(F.lit(1)).alias("out_degree"))
-    ind = e.groupBy(F.col(dst_col).alias("node_id")).agg(
-        F.count(F.lit(1)).alias("in_degree"))
-    return OmigoDF(
-        outd.join(ind, "node_id", "full")
-            .select("node_id",
-                    F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
-                    F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
+    u = (e.select(F.col(src_col).alias("node_id"),
+                  F.lit(1).alias("__o__"), F.lit(0).alias("__i__"))
+         .unionByName(e.select(F.col(dst_col).alias("node_id"),
+                               F.lit(0).alias("__o__"),
+                               F.lit(1).alias("__i__"))))
+    return OmigoDF(u.groupBy("node_id")
+                    .agg(F.sum("__o__").alias("out_degree"),
+                         F.sum("__i__").alias("in_degree")))
 
 
 def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
