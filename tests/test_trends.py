@@ -236,3 +236,16 @@ def test_sequence_stats_validates_inference_col(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="inference_col"):
         TR.sequence_stats(d, ["k"], "b", ["c"], inference_col="b")
+
+
+def test_sequence_stats_single_shuffle_plan(spark):
+    """The whole operator rides ONE hash exchange (the per-key array
+    build); every window/stat after it is a map-side slice expression —
+    the property that separates it from the reference's groupByKey."""
+    import re
+
+    d = OmigoDF(spark.createDataFrame([("a", 1, 2)],
+                                      "k string, b int, cnt int"))
+    out = TR.sequence_stats(d, ["k"], "b", ["cnt"], inference_col="cnt")
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
