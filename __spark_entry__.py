@@ -2110,12 +2110,12 @@ def q_graph_degrees(spark, sf_dir):
 
 SQL_GRAPH_DEGREES = f"""
 WITH edges AS ({_SQL_EDGES}),
-o AS (SELECT src AS node_id, COUNT(*) AS out_degree FROM edges GROUP BY src),
-i AS (SELECT dst AS node_id, COUNT(*) AS in_degree FROM edges GROUP BY dst)
-SELECT COALESCE(o.node_id, i.node_id) AS node_id,
-       COALESCE(out_degree, 0) AS out_degree,
-       COALESCE(in_degree, 0) AS in_degree
-FROM o FULL OUTER JOIN i ON o.node_id = i.node_id
+u AS (SELECT src AS node_id, 1 AS o, 0 AS i FROM edges
+      UNION ALL
+      SELECT dst, 0, 1 FROM edges)
+SELECT node_id, CAST(SUM(o) AS BIGINT) AS out_degree,
+       CAST(SUM(i) AS BIGINT) AS in_degree
+FROM u GROUP BY node_id
 """
 
 
@@ -3028,8 +3028,8 @@ def _sql_stats_sequence_stats() -> str:
 def q_trends_dataset(spark, sf_dir):
     """The trends job's generateTrendsDataset relational core
     (TrendsAnalysis.scala:1520-1640): parse a packed top-k feature
-    string column — '(name,value,type)|(...)' — into features, cap
-    values at 1000, build the feature vocabulary whose support (distinct
+    string column — '(name,value,type)|(...)' — into features and build
+    the feature vocabulary whose support (distinct
     id prefixes) passes a per-polarity threshold, then merge polarity
     branches and count the union support. The packed column is first
     BUILT from events (per-user event counts, sorted for determinism) —
@@ -3053,8 +3053,6 @@ def q_trends_dataset(spark, sf_dir):
              .select(
                  F.concat_ws("_", F.expr("__p__[0]"), F.expr("__p__[2]"))
                  .alias("feature_name"),
-                 F.least(F.expr("CAST(__p__[1] AS DOUBLE)"), F.lit(1000.0))
-                 .alias("value"),
                  (F.col("user_id") % 2).cast("int").alias("is_pos"),
                  F.substring(F.col("user_id").cast("string"), 1, 2)
                  .alias("idp")))
@@ -3086,7 +3084,6 @@ fx AS (
         FROM pk) s),
 feats AS (
   SELECT p[1] || '_' || p[3] AS feature_name,
-         least(CAST(p[2] AS DOUBLE), 1000.0) AS value,
          CAST(user_id % 2 AS INT) AS is_pos,
          substr(CAST(user_id AS VARCHAR), 1, 2) AS idp
   FROM fx),

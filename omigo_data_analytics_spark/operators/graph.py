@@ -82,7 +82,10 @@ def degrees(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:
     """(node_id, out_degree, in_degree) for every vertex appearing in the
     edge table. A tagged union into ONE conditional aggregate — a single
     partial-aggregated shuffle, where the per-direction groupBy + full
-    outer join form costs two shuffles plus a vertex-sized join."""
+    outer join form costs two shuffles plus a vertex-sized join.
+    Delta from that join form: a NULL node id aggregates into ONE row
+    carrying both directions (groupBy groups NULLs), where the full
+    outer join emitted two separate NULL rows (NULL keys never match)."""
     e = _df(edges)
     u = (e.select(F.col(src_col).alias("node_id"),
                   F.lit(1).alias("__o__"), F.lit(0).alias("__i__"))
@@ -212,7 +215,12 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     # shuffle: the min arrival is the sorted array's head.
     best = eg.select(F.col("dst").alias("node_id"), F.col("src").alias("anc"),
                      F.expr("get(tss, 0)").alias("arr_ts")).localCheckpoint()
-    frontier = best
+    # NULL-arrival states (all-null-ts pairs) stay in `best` (reachability
+    # with unknown time) but never enter the frontier: ts >= NULL can't
+    # extend them, and a NULL state's __old_ts__ is NULL every round, so
+    # keeping them in the delta would defeat convergence detection and
+    # force all max_iter rounds
+    frontier = best.where(F.col("arr_ts").isNotNull())
     # dead-end probe, as in ancestors(): states at nodes with no outgoing
     # edges cannot extend, so the convergence round is a frontier-sized
     # semi-join instead of a frontier×|E| join
@@ -244,8 +252,9 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
                     F.min(F.when(F.col("__old__"), F.col("arr_ts")))
                     .alias("__old_ts__"))).localCheckpoint()
         best = agg.select("node_id", "anc", "arr_ts")
-        frontier = (agg.where(F.col("__old_ts__").isNull()
-                              | (F.col("arr_ts") < F.col("__old_ts__")))
+        frontier = (agg.where(F.col("arr_ts").isNotNull()
+                              & (F.col("__old_ts__").isNull()
+                                 | (F.col("arr_ts") < F.col("__old_ts__"))))
                     .select("node_id", "anc", "arr_ts"))
         if frontier.isEmpty():
             break

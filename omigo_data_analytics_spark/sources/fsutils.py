@@ -108,7 +108,9 @@ class FSWrapper:
         """Full child paths as complete URIs, sorted (reference returns full
         keys). The scheme and authority are kept (``s3a://bucket/dir/child``,
         not ``/dir/child``) so every returned path round-trips into any
-        FSWrapper method on any filesystem, not just the default FS."""
+        FSWrapper method on any filesystem, not just the default FS.
+        ``filter_func`` accordingly receives the full URI — match on
+        suffixes/basenames, not on a bare-path prefix."""
         if not self.dir_exists(path):
             if ignore_if_missing:
                 return []

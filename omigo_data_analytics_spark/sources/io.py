@@ -258,15 +258,19 @@ def write_clustered(xdf: OmigoDF, path: str, cluster_by=None,
                   .sizeInBytes())
         # Sources without stats (JDBC, RDD-backed plans) report the
         # spark.sql.defaultSizeInBytes sentinel (Long.MaxValue by default)
-        # — a ~7e10-partition repartitionByRange. Treat any estimate that
-        # would exceed the current partition count by >100x as absent and
-        # fall back to the physical partition count.
-        sentinel = int(df.sparkSession.conf.get(
-            "spark.sql.defaultSizeInBytes", str(2**63 - 1)))
-        n_est = max(1, -(-est // (target_file_mb * 1024 * 1024)))
-        n_parts = max(1, df.rdd.getNumPartitions())
-        num_files = n_parts if (est >= sentinel or n_est > 100 * n_parts) \
-            else n_est
+        # — a ~7e10-partition repartitionByRange. Only then fall back to
+        # the physical partition count (df.rdd finalizes AQE stages, so
+        # it's evaluated exclusively on this branch); a genuinely large
+        # estimate is trusted — that's the documented sizing.
+        try:
+            sentinel = int(df.sparkSession.conf.get(
+                "spark.sql.defaultSizeInBytes", str(2**63 - 1)))
+        except ValueError:  # byte-suffix form ("1GB") — not the sentinel
+            sentinel = 2**63 - 1
+        if est >= sentinel:
+            num_files = max(1, df.rdd.getNumPartitions())
+        else:
+            num_files = max(1, -(-est // (target_file_mb * 1024 * 1024)))
     if zorder is not None:
         key = zorder_key(df, zorder, bits=zorder_bits)
         out = (df.withColumn("__zk__", key)

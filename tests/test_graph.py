@@ -94,10 +94,19 @@ def test_time_ordered_ancestors_all_null_ts_pair(spark):
     # never true)
     rows = [("a", "b", None), ("b", "c", 2)]
     e = OmigoDF(spark.createDataFrame(rows, "src string, dst string, ts int"))
-    out = {(r["node_id"], r["ancestor"]): r["arr_ts"]
-           for r in G.time_ordered_ancestors(e, "ts").df.collect()}
+    sc = spark.sparkContext
+    sc.setJobGroup("tta_nullts", "convergence check")
+    try:
+        out = {(r["node_id"], r["ancestor"]): r["arr_ts"]
+               for r in G.time_ordered_ancestors(e, "ts").df.collect()}
+    finally:
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("tta_nullts"))
+        sc.setJobGroup(None, None)
     assert set(out) == {("b", "a"), ("c", "b")}
     assert out[("b", "a")] is None and ("c", "a") not in out
+    # convergence must NOT be defeated by the NULL-arrival state: the loop
+    # exits after ~2 rounds (a handful of jobs), not max_iter=30 rounds
+    assert n_jobs < 20, f"null-ts pair kept the frontier alive: {n_jobs} jobs"
 
 
 def test_merge_similar_nodes(spark):
