@@ -3025,6 +3025,23 @@ def _sql_stats_sequence_stats() -> str:
             f"qst AS (SELECT * FROM ({stats_q}) s)" + inner)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing (operators/text.pack_sequences):
+    deterministic contiguous packing of documents into ~20000-token
+    bins via the two-level distributed prefix sum — per-bucket window
+    cumsums plus a 256-row bucket-offset broadcast; NO global window."""
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.pack_sequences(docs, "n_chars", budget=20000,
+                            key_cols=["doc_id"])
+    return out.df.select("doc_id", "lang", "bin_id")
+
+
+def _sql_pack_sequences() -> str:
+    return TX.pack_sequences_sql_duck(
+        "documents", "n_chars", 20000, ["doc_id"],
+        select="d.doc_id, d.lang")
+
+
 def q_trends_dataset(spark, sf_dir):
     """The trends job's generateTrendsDataset relational core
     (TrendsAnalysis.scala:1520-1640): parse a packed top-k feature
@@ -3248,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_sequence_stats": q_dict_sequence_stats,
         "stats_sequence_stats": q_stats_sequence_stats,
         "trends_dataset": q_trends_dataset,
+        "pack_sequences": q_pack_sequences,
         # --- engine paths touched in r06 ---
         "arg_max_topk": q_arg_max_topk,
         "arg_min_topk": q_arg_min_topk,
@@ -3296,12 +3314,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "typed_filters": q_typed_filters,
         "inner_join_agg": q_inner_join_agg,
-        "left_join_histogram": q_left_join_histogram,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # remaining r4-green rows: first in line for the r7 budget
-        # (map_join_broadcast / difference_anti / group_count slid below
-        # the boundary when the three sequence/dataset queries joined
-        # the head)
+        # (left_join_histogram / map_join_broadcast / difference_anti /
+        # group_count slid below the boundary as the five new r6 queries
+        # joined the head)
+        "left_join_histogram": q_left_join_histogram,
         "map_join_broadcast": q_map_join_broadcast,
         "difference_anti": q_difference_anti,
         "group_count": q_group_count,
@@ -3381,6 +3399,7 @@ def oracle_sql() -> dict[str, str]:
         "dict_sequence_stats": _sql_dict_sequence_stats(),
         "stats_sequence_stats": _sql_stats_sequence_stats(),
         "trends_dataset": SQL_TRENDS_DATASET,
+        "pack_sequences": _sql_pack_sequences(),
         "select_first": SQL_SELECT_FIRST,
         "rest_partitioned": SQL_REST_PARTITIONED,
         "json_xpath_filter": SQL_JSON_XPATH,

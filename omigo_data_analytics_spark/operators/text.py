@@ -310,3 +310,85 @@ def metric_sql(dialect: str, metric: str, col: str = "text") -> str:
 
 def fingerprint_sql_duck(col: str = "text") -> str:
     return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
+
+
+# ------------------------------------------------- training-batch packing
+def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
+                   key_cols, seed: int = 0, n_buckets: int = 256,
+                   bin_col: str = "bin_id") -> OmigoDF:
+    """Assign every document to a fixed-token-budget training bin —
+    contiguous greedy packing in a deterministic portable-hash order.
+    The concatenated token stream partitions into budget-sized offset
+    ranges and a document belongs to the range its start offset falls
+    in (bin = floor(exclusive_cumsum / budget)). Bin ids are contiguous
+    and each bin's assigned token volume deviates from ``budget`` by at
+    most the largest single document (a straddling document overshoots
+    its own bin and consumes the next bin's range) — the contiguous
+    approximation; exact per-bin capacity capping is inherently
+    sequential. The order is hash(key, seed), so the
+    packing is reproducible across runs and engines — NOT stable under
+    corpus growth (a global prefix sum shifts by construction; repack
+    per training snapshot).
+
+    Scale: NO global window. The classic two-level distributed prefix
+    sum: docs land in ``n_buckets`` hash-order buckets; per-bucket token
+    totals (a ``n_buckets``-row aggregate) turn into exclusive bucket
+    offsets via a tiny window over n_buckets rows, broadcast back; the
+    within-bucket running sum is a window partitioned BY BUCKET. Every
+    shuffle is either n_buckets rows or hash-partitioned by bucket —
+    nothing single-partition, any corpus size."""
+    from ..core import colutils
+
+    tks = odf._resolve([token_col])[0]
+    gcols = odf._resolve(key_cols)
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    key = "concat_ws('\\t', " + ", ".join(
+        f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+    h = F.expr(hash_spark(key))
+    d = (odf.df
+         .withColumn("__h__", h)
+         .withColumn("__bkt__", F.pmod(F.col("__h__"), F.lit(n_buckets))))
+    tie = F.concat_ws("\t", *[d[c].cast("string") for c in gcols])
+    per_bucket = (d.groupBy("__bkt__")
+                  .agg(F.sum(F.col(tks).cast("long")).alias("__btot__")))
+    woff = (Window.orderBy("__bkt__")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.select(
+        "__bkt__",
+        F.coalesce(F.sum("__btot__").over(woff), F.lit(0)).alias("__boff__"))
+    win = (Window.partitionBy("__bkt__").orderBy(F.col("__h__").asc(),
+                                                 tie.asc())
+           .rowsBetween(Window.unboundedPreceding, -1))
+    out = (d.join(F.broadcast(offsets), "__bkt__")
+           .withColumn("__start__",
+                       F.col("__boff__")
+                       + F.coalesce(F.sum(F.col(tks).cast("long")).over(win),
+                                    F.lit(0)))
+           .withColumn(bin_col,
+                       F.floor(F.col("__start__") / F.lit(budget))
+                       .cast("long"))
+           .drop("__h__", "__bkt__", "__boff__", "__start__"))
+    return OmigoDF(out)
+
+
+def pack_sequences_sql_duck(table: str, token_col: str, budget: int,
+                            key_cols, seed: int = 0,
+                            n_buckets: int = 256,
+                            bin_col: str = "bin_id",
+                            select: str = "d.*") -> str:
+    """DuckDB replay: one global exclusive cumsum in (bucket, hash, key)
+    order — semantically identical to the two-level distributed form."""
+    key = "concat_ws(chr(9), " + ", ".join(
+        f"CAST({c} AS VARCHAR)" for c in key_cols) + f", '{seed}')"
+    h = hash_duck(key)
+    tie = "concat_ws(chr(9), " + ", ".join(
+        f"CAST({c} AS VARCHAR)" for c in key_cols) + ")"
+    return f"""
+SELECT {select},
+       CAST(FLOOR(COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
+                ORDER BY ({h}) % {n_buckets}, {h}, {tie}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {budget}) AS BIGINT) AS {bin_col}
+FROM {table} d
+"""

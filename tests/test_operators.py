@@ -360,3 +360,52 @@ def test_ivf_persisted_index_prunes_partitions(spark, embeddings, tmp_path):
     plan = (corpus.where(F.col("__list__").isin([cents[0][0]]))
             ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters: [" in plan and "__list__" in plan
+
+
+def test_pack_sequences_contiguous_and_bounded(spark, documents):
+    """Deterministic training-bin packing: bin ids contiguous from 0,
+    volumes conserved, every non-last bin's assigned volume within one
+    document of the budget, and the plan has NO global (unpartitioned)
+    window over the data — the per-row cumsum windows are partitioned
+    by hash bucket."""
+    import collections
+    import re
+
+    from omigo_data_analytics_spark.operators import text as TX
+
+    budget = 20000
+    out = TX.pack_sequences(documents, "n_chars", budget=budget,
+                            key_cols=["doc_id"])
+    rows = {r["doc_id"]: (r["bin_id"], r["n_chars"])
+            for r in out.df.select("doc_id", "bin_id", "n_chars").collect()}
+    assert len(rows) == documents.num_rows()
+    vol = collections.defaultdict(int)
+    for b, n in rows.values():
+        vol[b] += n
+    mx = max(vol)
+    assert set(vol) == set(range(mx + 1))
+    maxdoc = max(n for _, n in rows.values())
+    assert all(abs(v - budget) <= maxdoc
+               for b, v in vol.items() if b != mx)
+    # determinism
+    again = {r["doc_id"]: r["bin_id"] for r in
+             TX.pack_sequences(documents, "n_chars", budget=budget,
+                               key_cols=["doc_id"])
+             .df.select("doc_id", "bin_id").collect()}
+    assert again == {k: b for k, (b, _) in rows.items()}
+    # scale guard: every window over the document rows is partitioned;
+    # the only orderBy-without-partitionBy window is the 256-row bucket
+    # offset table (its child is the per-bucket aggregate, not the docs)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    n_windows = len(re.findall(r"\bWindow \[", plan))
+    n_partitioned = len(re.findall(
+        r"Window \[[^\]]*\], \[__bkt__", plan))
+    assert n_windows - n_partitioned <= 1
+
+
+def test_pack_sequences_validates_budget(spark, documents):
+    import pytest as _pt
+
+    from omigo_data_analytics_spark.operators import text as TX
+    with _pt.raises(ValueError, match="budget"):
+        TX.pack_sequences(documents, "n_chars", budget=0, key_cols=["doc_id"])
