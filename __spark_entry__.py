@@ -3148,11 +3148,17 @@ def q_trends_job_e2e(spark, sf_dir):
         F.expr("CAST(CAST(date_trunc('week', l_shipdate) AS DATE) AS STRING)")
         .alias("wk"),
         F.expr("CAST(CAST(l_shipdate AS DATE) AS STRING)").alias("day"))
+    # the enriched event table feeds THREE downstream branches (stats,
+    # drift, trend scores) plus the export join: checkpoint it once or
+    # every branch re-reads and re-joins the whole input (measured 1.0 GB
+    # of file reads at sf0.1 without the barrier — a ~90x corpus re-scan
+    # multiplier that would dominate at 100 TB; on a cluster use
+    # .persist() with a real storage level instead)
     enr = OmigoDF(
         ev.join(hier.where(F.col("parent_2").isNotNull())
                     .select("node_id", "parent_2"), "node_id")
           .select(F.expr("substring(parent_2, -1, 1)").alias("grp"),
-                  "v", "wk", "day"))
+                  "v", "wk", "day").localCheckpoint())
     stats = TR.category_distribution_stats(enr, ["grp"], "v").df
     drift = TR.distribution_drift(enr, ["grp"], "wk", "v").df
     n = F.count(F.lit(1))

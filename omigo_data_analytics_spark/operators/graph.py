@@ -468,10 +468,14 @@ def parent_hierarchy(edges, levels: int = 6, child_col: str = "child",
     one shuffle on the chain head, ``levels`` is a small constant, and
     AQE broadcasts the map when it fits."""
     e = _df(edges)
+    # the parent map joins back once per level: checkpoint it so each
+    # level reads the vertex-sized map instead of re-scanning (and
+    # re-aggregating) the edge table `levels` times
     pmap = (e.select(F.col(child_col).alias("__c__"),
                      F.col(parent_col).alias("__p__"))
             .where(F.col(child_col).isNotNull())
-            .groupBy("__c__").agg(F.min("__p__").alias("__p__")))
+            .groupBy("__c__").agg(F.min("__p__").alias("__p__"))
+            ).localCheckpoint()
     out = pmap.select(F.col("__c__").alias("node_id"),
                       F.col("__p__").alias("parent_1"))
     for i in range(2, levels + 1):
