@@ -165,3 +165,18 @@ def test_resolve_template_col(spark):
         T.StructType([T.StructField("user", T.StringType()), T.StructField("tpl", T.StringType())]))
     out = OmigoDF(df).resolve_template_col("tpl", "resolved")
     assert out.df.first()["resolved"] == "q=u1"
+
+
+def test_to_clipboard_env_gated(region):
+    """Clipboard copy works where a backend exists; in a headless
+    container it must raise the documented RuntimeError, not an obscure
+    pandas/pyperclip stack."""
+    import pytest
+
+    try:
+        out = region.to_clipboard(n=5)
+        assert out is region  # fluent chain when a backend exists
+    except RuntimeError as ex:
+        assert "clipboard backend" in str(ex)
+    except Exception as ex:  # noqa: BLE001
+        pytest.fail(f"unexpected error type: {type(ex).__name__}: {ex}")
