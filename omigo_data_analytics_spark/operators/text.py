@@ -320,12 +320,14 @@ def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
     contiguous greedy packing in a deterministic portable-hash order.
     The concatenated token stream partitions into budget-sized offset
     ranges and a document belongs to the range its start offset falls
-    in (bin = floor(exclusive_cumsum / budget)). Bin ids are contiguous
-    and each bin's assigned token volume deviates from ``budget`` by at
-    most the largest single document (a straddling document overshoots
-    its own bin and consumes the next bin's range) — the contiguous
-    approximation; exact per-bin capacity capping is inherently
-    sequential. The order is hash(key, seed), so the
+    in (bin = floor(exclusive_cumsum / budget)). When every document is
+    smaller than ``budget``, bin ids are contiguous and each bin's
+    assigned token volume deviates from ``budget`` by at most the
+    largest single document (a straddling document overshoots its own
+    bin and consumes the next bin's range); a document LARGER than the
+    budget occupies several ranges and skips the bin ids its body
+    covers. The contiguous approximation — exact per-bin capacity
+    capping is inherently sequential. The order is hash(key, seed), so the
     packing is reproducible across runs and engines — NOT stable under
     corpus growth (a global prefix sum shifts by construction; repack
     per training snapshot).

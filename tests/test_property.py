@@ -258,3 +258,104 @@ def test_trend_scores_match_brute_force(spark, counts):
         assert r["learning_mad"] == pytest.approx(round(mad, 6), abs=1e-9)
         exp_sp = max((c - mean) / sd, 0.0) if sd > 0 else 0.0
         assert r["spike_stddev"] == pytest.approx(round(exp_sp, 6), abs=1e-6)
+
+
+SEQ_ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30),
+              st.integers(1, 50)),
+    min_size=1, max_size=25,
+    unique_by=lambda r: (r[0], r[1]))  # one row per (key, seq) by contract
+
+
+@given(rows=SEQ_ROWS, mw=st.integers(0, 4))
+@_SETTINGS
+def test_sequence_stats_match_brute_force(spark, rows, mw):
+    """sequence_stats == a pure-Python replay of the reference's
+    computeStats + percIncreaseMax closures on random sequences."""
+    from omigo_data_analytics_spark.operators.trends import sequence_stats
+
+    d = OmigoDF(spark.createDataFrame(rows, "k string, b int, cnt int"))
+    got = {(r["k"], r["minus_window_value"]): r
+           for r in sequence_stats(d, ["k"], "b", ["cnt"], minus_window=mw,
+                                   inference_col="cnt").df.collect()}
+    by_key = {}
+    for k, b, c in rows:
+        by_key.setdefault(k, []).append((b, c))
+    expect_rows = 0
+    for k, seq in by_key.items():
+        seq = [c for _, c in sorted(seq)]
+        for w in range(0, mw + 1):
+            if len(seq) - w <= 0:
+                continue
+            expect_rows += 1
+            pfx, sfx = seq[:len(seq) - w], seq[len(seq) - w:]
+            s = sorted(pfx)
+            n = len(s)
+            mean = sum(s) / n
+            med = s[int(n * 0.5)]
+            sd = (sum((x - mean) ** 2 for x in s) / n) ** 0.5
+            mad = s[int(n * 0.75)] - s[int(n * 0.25)]
+            mx = max(pfx)
+            infs = sorted(
+                ((c / mx if mx > 0 else float(c)) if c > mx else 0.0)
+                for c in sfx)
+            r = got[(k, w)]
+            assert r["num_count"] == n
+            assert abs(r["cnt_mean"] - round(mean, 6)) < 1e-9
+            assert r["cnt_median"] == med
+            assert abs(r["cnt_stddev"] - round(sd, 6)) < 1e-9
+            assert r["cnt_mad"] == mad
+            assert r["cnt_min"] == min(pfx) and r["cnt_max"] == mx
+            pm = sum(infs) / len(infs) if infs else -1.0
+            pmed = infs[int(len(infs) * 0.5)] if infs else -1.0
+            assert abs(r["perc_over_max_mean"] - round(pm, 6)) < 1e-9
+            assert abs(r["perc_over_max_median"] - round(pmed, 6)) < 1e-9
+    assert len(got) == expect_rows
+
+
+PACK_ROWS = st.lists(st.tuples(st.integers(0, 10_000), st.integers(1, 900)),
+                     min_size=1, max_size=40,
+                     unique_by=lambda r: r[0])
+
+
+@given(rows=PACK_ROWS, budget=st.integers(100, 2000))
+@_SETTINGS
+def test_pack_sequences_invariants(spark, rows, budget):
+    """Random documents: bin ids contiguous from 0, assignment matches
+    the global exclusive-cumsum definition in portable-hash order, and
+    non-last bins deviate from the budget by at most one document."""
+    import collections
+
+    from omigo_data_analytics_spark.operators import text as TX
+
+    d = OmigoDF(spark.createDataFrame(rows, "doc_id long, toks int"))
+    got = {r["doc_id"]: r["bin_id"]
+           for r in TX.pack_sequences(d, "toks", budget=budget,
+                                      key_cols=["doc_id"])
+           .df.select("doc_id", "bin_id").collect()}
+    # brute force: same hash order via the DuckDB twin of the hash
+    import duckdb as ddb
+
+    con = ddb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, toks INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    from omigo_data_analytics_spark.operators.text import (
+        pack_sequences_sql_duck,
+    )
+    want = {r[0]: r[1] for r in con.execute(pack_sequences_sql_duck(
+        "t", "toks", budget, ["doc_id"], select="d.doc_id")).fetchall()}
+    assert got == want
+    vol = collections.defaultdict(int)
+    toks = dict(rows)
+    for did, b in got.items():
+        vol[b] += toks[did]
+    mx = max(vol)
+    maxdoc = max(toks.values())
+    if maxdoc < budget:
+        # contiguity + bounded deviation hold when no document spans
+        # multiple budget ranges; an oversized document legitimately
+        # skips the bins its own body covers
+        assert set(vol) == set(range(mx + 1))
+        assert all(abs(v - budget) <= maxdoc
+                   for b, v in vol.items() if b != mx)
+    assert sum(vol.values()) == sum(toks.values())
