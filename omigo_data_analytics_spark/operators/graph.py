@@ -275,7 +275,11 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     optimizer happens to reuse the exchange, and costs an extra join —
     the window is one psig shuffle over a leaf-count-sized frame."""
     from pyspark.sql import Window
-    e = _df(edges)
+    # the edge table is referenced four times (source probe, leaf
+    # detection, parent signatures, final remap) with different
+    # projections — no exchange reuse is possible, so without a barrier
+    # the plan scans the input four times (measured: 4 parquet scans)
+    e = _df(edges).localCheckpoint()
     srcs = e.select(F.col(src_col).alias("n")).distinct()
     leaves = (e.join(srcs, e[dst_col] == F.col("n"), "left_anti")
               .select(F.col(dst_col).alias("leaf")).distinct())
