@@ -579,11 +579,14 @@ class CompatMixin:
               f"{len(self._df.columns)}")
         return self
 
-    def to_clipboard(self):
-        """(reference dataframe.py:4937) — no display in this environment;
-        degrade to a warning rather than fail the chain."""
+    def to_clipboard(self, n: int = 1000):
+        """Copy up to ``n`` rows to the clipboard as TSV (reference
+        dataframe.py:4937). Headless environments (no clipboard backend /
+        display) degrade to a warning rather than fail the chain — the
+        reference's show/display chains never abort the pipeline. The
+        ``n`` cap bounds the driver-side collect."""
         try:
-            self.to_pandas_df().to_clipboard()
+            self.take(n).to_pandas_df().to_clipboard(sep="\t", index=False)
         except Exception as e:  # headless container: no clipboard backend
             warn(f"to_clipboard: unavailable ({e.__class__.__name__})")
         return self

@@ -2275,23 +2275,6 @@ class OmigoDF(CompatMixin):
         self.group_count(cols).show(50, title=title)
         return self
 
-    def to_clipboard(self, n: int = 1000) -> "OmigoDF":
-        """Copy up to ``n`` rows to the system clipboard as TSV
-        (reference dataframe.py:4937 — its pandas to_clipboard path).
-        Driver-side convenience for interactive use only: requires a
-        clipboard backend (xclip/pbcopy/...), so it raises a clear
-        RuntimeError in headless environments instead of failing
-        obscurely. Never call in a pipeline — it collects ``n`` rows."""
-        pdf = OmigoDF(self._df.limit(n)).to_pandas_df()
-        try:
-            pdf.to_clipboard(sep="\t", index=False)
-        except Exception as ex:  # pyperclip missing / no display
-            raise RuntimeError(
-                "to_clipboard needs a clipboard backend (xclip, xsel or "
-                "pbcopy) and a display; this environment has none: "
-                f"{ex}") from ex
-        return self
-
     def explain(self, mode: str = "formatted") -> "OmigoDF":
         self._df.explain(mode)
         return self

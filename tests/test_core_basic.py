@@ -168,15 +168,8 @@ def test_resolve_template_col(spark):
 
 
 def test_to_clipboard_env_gated(region):
-    """Clipboard copy works where a backend exists; in a headless
-    container it must raise the documented RuntimeError, not an obscure
-    pandas/pyperclip stack."""
-    import pytest
-
-    try:
-        out = region.to_clipboard(n=5)
-        assert out is region  # fluent chain when a backend exists
-    except RuntimeError as ex:
-        assert "clipboard backend" in str(ex)
-    except Exception as ex:  # noqa: BLE001
-        pytest.fail(f"unexpected error type: {type(ex).__name__}: {ex}")
+    """Clipboard copy keeps the fluent chain alive: where a backend
+    exists it copies up to n rows; headless it degrades to a warning —
+    the reference's display chains never abort the pipeline."""
+    out = region.to_clipboard(n=5)
+    assert out is region
