@@ -48,10 +48,11 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
     # re-writing the whole accumulated set (one fewer job per level)
     deltas = [seeds.distinct().withColumn("level", F.lit(0)).localCheckpoint()]
     frontier = deltas[0].select("node_id")
-    # dead-end probe: frontier nodes without outgoing edges cannot expand;
-    # when the whole frontier is dead the loop exits without shuffling the
-    # edge table one last time (the convergence round becomes frontier-
-    # sized instead of |E|-sized)
+    # dead-end probe: frontier nodes without outgoing edges cannot expand.
+    # It rides inside the expansion plan (no extra job): the probe's
+    # semi-join materializes as its own query stage, and when it comes
+    # back empty AQE's empty-relation propagation collapses the |E| join
+    # — the convergence round stays frontier-sized
     srcs = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
 
     def _visited():
@@ -61,9 +62,10 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
         return out
 
     for depth in range(1, max_iter + 1):
-        live = frontier.join(srcs, "node_id", "left_semi").localCheckpoint()
-        if live.isEmpty():
-            break
+        # the dead-end probe rides inside the expansion plan (no
+        # per-level checkpoint job for it): an all-dead frontier just
+        # yields an empty nxt and exits on the same isEmpty check
+        live = frontier.join(srcs, "node_id", "left_semi")
         nxt = (e.join(live.withColumnRenamed("node_id", "src"), "src")
                 .select(F.col("dst").alias("node_id")).distinct()
                 .join(_visited(), "node_id", "left_anti")
@@ -121,10 +123,10 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     deltas = [e.distinct().localCheckpoint()]   # direct parents
     # dead-end pruning: only delta rows whose endpoint has an outgoing
     # edge can compose further. The semi-join against the (once-
-    # checkpointed) source set is delta-sized; when it comes back empty
-    # the loop exits WITHOUT shuffling the ever-growing closure — on a
-    # depth-d graph the convergence round degrades from an |R|-sized
-    # join to this probe.
+    # checkpointed) source set is delta-sized and rides inside the
+    # composition plan (no per-round checkpoint job); when it comes back
+    # empty, AQE's empty-relation propagation collapses the closure join,
+    # so the convergence round still never shuffles the ever-growing R.
     srcs = e.select(F.col("anc").alias("node_id")).distinct().localCheckpoint()
 
     def _reach():
@@ -134,10 +136,10 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
         return out
 
     for _ in range(max_iter):
-        live = (deltas[-1].join(srcs, "node_id", "left_semi")
-                .localCheckpoint())
-        if live.isEmpty():
-            break
+        # the probe rides inside the composition plan (no per-round
+        # checkpoint job): a fully-dead delta yields an empty comp and
+        # exits on the same isEmpty check
+        live = deltas[-1].join(srcs, "node_id", "left_semi")
         reach = _reach()
         comp = (live.select("anc", F.col("node_id").alias("mid"))
                 .join(reach.select(F.col("anc").alias("mid"), "node_id"), "mid")
