@@ -359,3 +359,57 @@ def test_pack_sequences_invariants(spark, rows, budget):
         assert all(abs(v - budget) <= maxdoc
                    for b, v in vol.items() if b != mx)
     assert sum(vol.values()) == sum(toks.values())
+
+
+DRIFT_ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 4),
+              st.sampled_from(["x", "y", "z", "w"])),
+    min_size=2, max_size=40)
+
+
+@given(rows=DRIFT_ROWS)
+@_SETTINGS
+def test_distribution_drift_matches_brute_force(spark, rows):
+    """distribution_drift's decomposed cosine/jaccard/JSD == a direct
+    Python computation over the per-bucket count distributions."""
+    import math
+
+    from omigo_data_analytics_spark.operators.trends import (
+        distribution_drift,
+    )
+
+    d = OmigoDF(spark.createDataFrame(rows, "k string, b int, v string"))
+    got = {(r["k"], r["b"]): r
+           for r in distribution_drift(d, ["k"], "b", "v").df.collect()}
+
+    counts = {}
+    for k, b, v in rows:
+        counts.setdefault(k, {}).setdefault(b, {})
+        counts[k][b][v] = counts[k][b].get(v, 0) + 1
+    n_pairs = 0
+    for k, buckets in counts.items():
+        order = sorted(buckets)
+        for b1, b2 in zip(order, order[1:]):
+            n_pairs += 1
+            c1, c2 = buckets[b1], buckets[b2]
+            dot = sum(c1[v] * c2[v] for v in set(c1) & set(c2))
+            cos = dot / math.sqrt(sum(c * c for c in c1.values())
+                                  * sum(c * c for c in c2.values()))
+            matched = len(set(c1) & set(c2))
+            jac = matched / (len(c1) + len(c2) - matched)
+            t1, t2 = sum(c1.values()), sum(c2.values())
+            vals = set(c1) | set(c2)
+
+            def h(dist, tot):
+                return -sum((c / tot) * math.log2(c / tot)
+                            for c in dist.values())
+            hm = -sum(m * math.log2(m) for m in
+                      ((c1.get(v, 0) / t1 + c2.get(v, 0) / t2) / 2
+                       for v in vals) if m > 0)
+            jsd = max(hm - (h(c1, t1) + h(c2, t2)) / 2, 0.0)
+            r = got[(k, b1)]
+            assert r["bucket_next"] == b2
+            assert abs(r["cosine_sim"] - round(cos, 6)) < 1e-6
+            assert abs(r["jaccard_sim"] - round(jac, 6)) < 1e-6
+            assert abs(r["jsd"] - round(jsd, 6)) < 1e-6, (k, b1, r["jsd"], jsd)
+    assert len(got) == n_pairs
