@@ -3253,18 +3253,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
     # entries) covers what needs (re-)validation most. Round 6:
-    # (a) trends_job_e2e — NEW: the executed TrendsAnalysis composition,
-    # (b) engine paths touched in r06: arg_max/arg_min (nulls-last
+    # (a) the five queries NEW this round: trends_job_e2e (the executed
+    #     TrendsAnalysis composition), dict_sequence_stats /
+    #     stats_sequence_stats (trends.sequence_stats), trends_dataset
+    #     (feature-vocabulary export core), pack_sequences (training-
+    #     batch packing);
+    # (b) every engine path touched in r06: arg_max/arg_min (nulls-last
     #     extremum + interleaved column order), mix_sources (source-col
     #     type validation), sample_n_per_group (check_unique guard),
-    #     graph_time_ancestors (single-shuffle convergence round),
-    # (c) the 23 queries whose newest driver row was r3 (benched but not
-    #     driver-checked for two rounds — the full list from the r5
-    #     verdict), and
-    # (d) 21 of the r4-green rows, oldest-first. The 18 r4 rows that
-    #     didn't fit (concat_as_cols .. ngram_jaccard) lead the
-    #     post-boundary block and take the r7 budget; the r5-green
-    #     unchanged queries hold the tail.
+    #     graph_time_ancestors (grouped-edge arrays + single-shuffle
+    #     round + null-arrival convergence), parent_hierarchy /
+    #     graph_merge_nodes (shared-subtree checkpoints), and the graph
+    #     family below (inline dead-end probes, degrees tagged-union);
+    # (c) all 23 queries whose newest driver row was r3, and
+    # (d) the oldest r4-green rows up to the 50-slot boundary. The r4
+    #     rows that did not fit lead the post-boundary block and take
+    #     the r7 budget; the r5-green unchanged queries hold the tail.
     return {
         # --- new in r06 ---
         "trends_job_e2e": q_trends_job_e2e,
@@ -3278,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "sample_n_per_group": q_sample_n_per_group,
         "graph_time_ancestors": q_graph_time_ancestors,
+        "parent_hierarchy": q_parent_hierarchy,
+        "graph_merge_nodes": q_graph_merge_nodes,
         # --- r3-row queries (stalest driver rows) ---
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
@@ -3318,9 +3324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_remove_cycles": q_graph_remove_cycles,
         "graph_dangling": q_graph_dangling,
         "text_metrics": q_text_metrics,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
         "typed_filters": q_typed_filters,
         "inner_join_agg": q_inner_join_agg,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
         # remaining r4-green rows: first in line for the r7 budget
         # (left_join_histogram / map_join_broadcast / difference_anti /
         # group_count slid below the boundary as the five new r6 queries
@@ -3366,7 +3372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distribution_stats": q_distribution_stats,
         "distribution_drift": q_distribution_drift,
         "bloom_search": q_bloom_search,
-        "parent_hierarchy": q_parent_hierarchy,
         "trend_scores": q_trend_scores,
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -3395,7 +3400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        "graph_merge_nodes": q_graph_merge_nodes,
     }
 
 
