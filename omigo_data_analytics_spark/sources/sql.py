@@ -16,32 +16,80 @@ from pyspark.sql import SparkSession
 from ..core.dataframe import OmigoDF
 
 
+def _col_selected(columns, gcol: str) -> bool:
+    """Reference effective-columns check (sql_helper.py:27-44): a group-by
+    column counts as selected when any select item equals it, comparing
+    case-insensitively and ignoring an ``... AS alias`` suffix."""
+    g = gcol.lower()
+    for col in columns:
+        c = str(col).lower()
+        idx = c.find(" as ")
+        if idx != -1:
+            c = c[:idx].strip()
+        if c == g:
+            return True
+    return False
+
+
 def build_query(columns="*", table: str = "", where: str | None = None,
-                group_by: str | None = None, having: str | None = None,
-                order_by: str | None = None, limit: int | None = None,
-                distinct: bool = False) -> str:
-    """Assemble the reference's query shape (sql_helper.py:58-87)."""
-    cols = ", ".join(columns) if isinstance(columns, (list, tuple)) else str(columns)
-    q = f"SELECT {'DISTINCT ' if distinct else ''}{cols} FROM {table}"
+                group_by=None, having: str | None = None,
+                order_by=None, limit: int | None = None,
+                distinct: bool = False,
+                sort_order: str | None = None) -> str:
+    """Assemble the reference's query shape (sql_helper.py:58-87).
+
+    ``group_by`` as a LIST follows the reference exactly: group-by
+    columns not already selected are prepended to the select list
+    (alias-aware, case-insensitive) and the GROUP BY clause is emitted
+    as ordinals over those leading positions. A plain string passes
+    through unchanged (this engine's original convenience form).
+    ``order_by`` may be a string or a list; ``sort_order`` ('asc'/'desc')
+    appends once after the order list, as the reference does."""
+    cols = list(columns) if isinstance(columns, (list, tuple)) else [str(columns)]
+    group_expr = None
+    if isinstance(group_by, (list, tuple)):
+        prepend = [g for g in group_by if not _col_selected(cols, g)]
+        cols = prepend + cols
+        group_expr = ", ".join(str(i + 1) for i in range(len(group_by)))
+    elif group_by:
+        group_expr = str(group_by)
+    q = f"SELECT {'DISTINCT ' if distinct else ''}{', '.join(cols)} FROM {table}"
     if where:
         q += f" WHERE {where}"
-    if group_by:
-        q += f" GROUP BY {group_by}"
+    if group_expr:
+        q += f" GROUP BY {group_expr}"
     if having:
         q += f" HAVING {having}"
     if order_by:
-        q += f" ORDER BY {order_by}"
+        ob = (", ".join(order_by) if isinstance(order_by, (list, tuple))
+              else str(order_by))
+        q += f" ORDER BY {ob}"
+        if sort_order:
+            q += f" {sort_order}"
     if limit is not None:
         q += f" LIMIT {int(limit)}"
     return q
 
 
 def execute_query(spark: SparkSession, columns="*", table: str = "",
-                  where: str | None = None, group_by: str | None = None,
-                  having: str | None = None, order_by: str | None = None,
-                  limit: int | None = None, distinct: bool = False) -> OmigoDF:
-    return OmigoDF(spark.sql(build_query(columns, table, where, group_by,
-                                         having, order_by, limit, distinct)))
+                  where: str | None = None, group_by=None,
+                  having: str | None = None, order_by=None,
+                  limit: int | None = None, distinct: bool = False,
+                  sort_order: str | None = None,
+                  map_col: str | None = None) -> OmigoDF:
+    """Build + run the statement. ``map_col`` names a map/struct-typed
+    result column to serialize as a JSON string (reference
+    sql_helper.py:120-140 json.dumps's it row by row; here it is one
+    ``to_json`` expression, case-insensitive match like the reference)."""
+    out = spark.sql(build_query(columns, table, where, group_by, having,
+                                order_by, limit, distinct, sort_order))
+    if map_col is not None:
+        from pyspark.sql import functions as F
+
+        hits = [c for c in out.columns if c.lower() == map_col.lower()]
+        for c in hits:
+            out = out.withColumn(c, F.to_json(F.col(c)))
+    return OmigoDF(out)
 
 
 def register_table(odf: OmigoDF, name: str) -> None:

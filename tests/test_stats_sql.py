@@ -79,3 +79,28 @@ def test_sql_execute_query(spark):
     rows = [(r["g"], r["s"]) for r in out.df.collect()]
     assert rows == [("a", 3), ("b", 3)]
     assert SQ.build_query(["x"], "t", distinct=True) == "SELECT DISTINCT x FROM t"
+
+
+def test_sql_execute_query_reference_shape(spark):
+    """List group_by: unselected group cols prepend to the select and
+    GROUP BY emits ordinals (sql_helper.py effective-columns behavior);
+    order list + sort_order; map_col JSON-serializes a map column."""
+    q = SQ.build_query(["SUM(v) AS s"], "t", group_by=["g", "h"],
+                       order_by=["g", "h"], sort_order="desc")
+    assert q == ("SELECT g, h, SUM(v) AS s FROM t GROUP BY 1, 2 "
+                 "ORDER BY g, h desc")
+    # alias-aware, case-insensitive dedup: G already selected via alias base
+    q2 = SQ.build_query(["G AS grp", "SUM(v) AS s"], "t", group_by=["g"])
+    assert q2 == "SELECT G AS grp, SUM(v) AS s FROM t GROUP BY 1"
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], ["v", "g"])
+    SQ.register_table(OmigoDF(df), "t_sql_ref")
+    out = SQ.execute_query(spark, ["SUM(v) AS s"], "t_sql_ref",
+                           group_by=["g"], order_by=["g"])
+    assert [(r["g"], r["s"]) for r in out.df.collect()] == [("a", 3), ("b", 3)]
+    # map_col serialization
+    m = spark.createDataFrame([(1,)], ["k"]).selectExpr(
+        "k", "map('a', 1) AS mc")
+    SQ.register_table(OmigoDF(m), "t_sql_map")
+    got = SQ.execute_query(spark, ["k", "mc"], "t_sql_map", map_col="MC")
+    row = got.df.first()
+    assert row["mc"] == '{"a":1}'
