@@ -671,6 +671,17 @@ SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents GROUP BY text
 """
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-span stats (operators/dedup.duplicate_span_stats):
+    per document, the fraction covered by token 8-grams that also occur in
+    another document — the distributed form of Lee et al. 2022 exact
+    substring dedup. One partial-agg shuffle on 60-bit span keys (min<>max
+    distinct-doc test, no countDistinct Expand), semi-join back, window
+    coverage over hit rows only."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.duplicate_span_stats(d, n=8).df
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """exact n-gram Jaccard near-dup pairs (≥2 shared shingles)."""
     d = _t(spark, sf_dir, "documents")
@@ -3253,7 +3264,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
     # entries) covers what needs (re-)validation most. Round 6:
-    # (a) the five queries NEW this round: trends_job_e2e (the executed
+    # (a) the six queries NEW this round: duplicate_spans (Lee et al.
+    #     exact substring-dedup stats), trends_job_e2e (the executed
     #     TrendsAnalysis composition), dict_sequence_stats /
     #     stats_sequence_stats (trends.sequence_stats), trends_dataset
     #     (feature-vocabulary export core), pack_sequences (training-
@@ -3271,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the r7 budget; the r5-green unchanged queries hold the tail.
     return {
         # --- new in r06 ---
+        "duplicate_spans": q_duplicate_spans,
         "trends_job_e2e": q_trends_job_e2e,
         "dict_sequence_stats": q_dict_sequence_stats,
         "stats_sequence_stats": q_stats_sequence_stats,
@@ -3308,7 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_date_scan": q_etl_date_scan,
         "time_diffs": q_time_diffs,
         "merge_intersect": q_merge_intersect,
-        # --- r4-green rows, oldest 21 of 42 ---
+        # --- r4-green rows, oldest 14 of 42 ---
         "resolve_template": q_resolve_template,
         "minmax_range": q_minmax_range,
         "explode_udtf": q_explode_udtf,
@@ -3323,8 +3336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ancestors": q_graph_ancestors,
         "graph_remove_cycles": q_graph_remove_cycles,
         "graph_dangling": q_graph_dangling,
-        "text_metrics": q_text_metrics,
         # ---------------- 50-entry budget boundary (driver checks above) ---
+        # (text_metrics slid below when duplicate_spans joined the head)
+        "text_metrics": q_text_metrics,
         "typed_filters": q_typed_filters,
         "inner_join_agg": q_inner_join_agg,
         # remaining r4-green rows: first in line for the r7 budget
@@ -3456,6 +3470,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_uniq_cap": _sql_sample_uniq_cap(),
         "ttest": _sql_ttest(),
         "dedup_exact": SQL_DEDUP_EXACT,
+        "duplicate_spans": DD.duplicate_span_stats_sql_duck(n=8),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "asof_join": SQL_ASOF_JOIN,
         "range_join": SQL_RANGE_JOIN,

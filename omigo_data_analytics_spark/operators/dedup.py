@@ -181,6 +181,146 @@ def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     return OmigoDF(pairs)
 
 
+SPAN_N = 8
+
+
+def wide_hash(dialect: str, expr: str) -> str:
+    """60-bit md5-prefix hash (no modulus): identical in Spark and DuckDB.
+    Used where the key SPACE matters (span keys): the 1e9+7 modulus of
+    hash_spark/hash_duck would collide at the birthday bound over
+    corpus-scale n-gram counts; 2^60 does not."""
+    if dialect == "spark":
+        return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def span_grams_expr(dialect: str, col: str = "text", n: int = SPAN_N) -> str:
+    """POSITIONAL (non-distinct) n-gram key array in token order — element i
+    is the 60-bit key of tokens[i..i+n); docs shorter than n tokens yield
+    an empty array. The token array is let-bound so the split runs once."""
+    if dialect == "spark":
+        gram = "concat_ws(' ', " + ", ".join(f"element_at(t0, i + {j})" for j in range(n)) + ")"
+        body = (f"CASE WHEN size(t0) >= {n} "
+                f"THEN transform(sequence(1, size(t0) - {n - 1}), i -> {wide_hash('spark', gram)}) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+        return let_spark(_tokens("spark", col), "t0", body)
+    gram = "concat_ws(' ', " + ", ".join(f"t0[i + {j}]" for j in range(n)) + ")"
+    body = (f"CASE WHEN len(t0) >= {n} "
+            f"THEN list_transform(range(1, len(t0) - {n - 2}), i -> {wide_hash('duckdb', gram)}) "
+            f"ELSE CAST([] AS BIGINT[]) END")
+    return let_duck(_tokens("duckdb", col), "t0", body)
+
+
+def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
+                         col: str = "text", n: int = SPAN_N,
+                         scope: str = "cross_doc") -> OmigoDF:
+    """Exact duplicate-SPAN statistics: for every document, how much of it
+    is covered by token n-grams that also occur elsewhere in the corpus.
+    The distributed re-expression of exact substring deduplication (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better",
+    which uses a single-node suffix array): a span key here is a length-n
+    token window, and a key is "duplicated" when it appears in ≥2 distinct
+    documents (``scope='cross_doc'``, the contamination-relevant default)
+    or ≥2 times anywhere including within one document (``scope='any'``).
+
+    Output: one row per input row — id, n_tokens, dup_spans (number of
+    duplicated window starts), dup_tokens (tokens covered by the union of
+    those windows), dup_ratio (coverage / n_tokens, 6dp).
+
+    Scale shape (the plan, in order):
+      * span keys are map-side codegen'd SQL (let-bound token array, one
+        md5 per window) — at 100 TB this is the dominant compute and it is
+        embarrassingly parallel;
+      * ONE corpus-sized shuffle keyed on the 60-bit span key, carrying
+        (key, id, pos); duplicated keys fall out of a partial-aggregated
+        min(id)<>max(id) test — no countDistinct Expand, and a boilerplate
+        key shared by millions of docs is still just (key, min, max, count)
+        of aggregate state, so hot keys cannot skew the reduce;
+      * the (id, pos, key) stream semi-joins the duplicated-key set on the
+        same key — AQE picks the strategy, and when dup keys are few the
+        join side broadcasts;
+      * coverage is a per-document window over HIT rows only (a vanishing
+        fraction of the corpus): windows all have length n, so the union
+        of intervals is exactly sum(min(n, next_start - start)) over
+        starts in order — one pass, no interval machinery.
+    The final left join back to (id, n_tokens) re-reads the source, but
+    Catalyst prunes the span-key expressions out of that branch — it costs
+    a tokenize+size, not a re-hash.
+    """
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
+    df = ensure_min_parallelism(odf.df)
+    base = df.selectExpr(
+        id_col,
+        f"CAST(size({_tokens('spark', col)}) AS BIGINT) AS n_tokens",
+        f"{span_grams_expr('spark', col, n)} AS __grams__")
+    # the exploded (id, pos, key) stream feeds BOTH the dup-key aggregate
+    # and the semi-join probe side — checkpoint it so the md5 window pass
+    # runs once, not twice (same pattern as ngram_jaccard_pairs)
+    pos = (base.selectExpr(id_col, "posexplode(__grams__) AS (pos, key)")
+           .localCheckpoint(eager=False))
+    grp = pos.groupBy("key")
+    if scope == "cross_doc":
+        dup = (grp.agg(F.min(id_col).alias("__mn__"), F.max(id_col).alias("__mx__"))
+               .where(F.col("__mn__") != F.col("__mx__")).select("key"))
+    else:
+        dup = (grp.agg(F.count(F.lit(1)).alias("__c__"))
+               .where(F.col("__c__") >= 2).select("key"))
+    hits = pos.join(dup, on="key", how="leftsemi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    cov = (hits
+           .withColumn("__cover__",
+                       F.least(F.lit(n),
+                               F.coalesce(F.lead("pos").over(w) - F.col("pos"),
+                                          F.lit(n))))
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("dup_spans"),
+                F.sum("__cover__").cast("bigint").alias("dup_tokens")))
+    out = (base.select(id_col, "n_tokens")
+           .join(cov, on=id_col, how="left")
+           .selectExpr(id_col, "n_tokens",
+                       "COALESCE(dup_spans, 0L) AS dup_spans",
+                       "COALESCE(dup_tokens, 0L) AS dup_tokens",
+                       "ROUND(CAST(COALESCE(dup_tokens, 0) AS DOUBLE)"
+                       " / GREATEST(n_tokens, 1L), 6) AS dup_ratio"))
+    return OmigoDF(out)
+
+
+def duplicate_span_stats_sql_duck(table: str = "documents",
+                                  id_col: str = "doc_id", col: str = "text",
+                                  n: int = SPAN_N,
+                                  scope: str = "cross_doc") -> str:
+    """DuckDB oracle for duplicate_span_stats — same algebra, same keys."""
+    having = ("HAVING MIN(doc_id) <> MAX(doc_id)" if scope == "cross_doc"
+              else "HAVING COUNT(*) >= 2").replace("doc_id", id_col)
+    return f"""
+WITH grams AS (
+  SELECT {id_col},
+         CAST(len(({_tokens('duckdb', col)})) AS BIGINT) AS n_tokens,
+         {span_grams_expr('duckdb', col, n)} AS g
+  FROM {table}),
+pos AS (
+  SELECT {id_col}, unnest(g) AS key, generate_subscripts(g, 1) AS pos
+  FROM grams WHERE len(g) > 0),
+dupk AS (SELECT key FROM pos GROUP BY key {having}),
+hits AS (SELECT p.{id_col}, p.pos FROM pos p JOIN dupk USING (key)),
+win AS (
+  SELECT {id_col},
+         LEAST({n}, COALESCE(LEAD(pos) OVER (PARTITION BY {id_col} ORDER BY pos) - pos, {n})) AS cover
+  FROM hits),
+cov AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+         CAST(SUM(cover) AS BIGINT) AS dup_tokens
+  FROM win GROUP BY {id_col})
+SELECT b.{id_col}, b.n_tokens,
+       COALESCE(c.dup_spans, CAST(0 AS BIGINT)) AS dup_spans,
+       COALESCE(c.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+       ROUND(CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE)
+             / GREATEST(b.n_tokens, 1), 6) AS dup_ratio
+FROM grams b LEFT JOIN cov c USING ({id_col})
+"""
+
+
 def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                         n: int = SHINGLE_N, min_shared: int = 1,
                         threshold: float = 0.0,

@@ -232,3 +232,80 @@ def test_profile_exact_plan_has_no_expand(spark):
         p = (o.profile(["o_orderkey", "o_orderstatus"], **kw)
              .df._jdf.queryExecution().executedPlan().toString())
         assert "Expand" not in p, kw
+
+
+# -------------------------------------------------- duplicate span stats
+def _mk_docs(spark, texts):
+    return OmigoDF(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"))
+
+
+def test_duplicate_span_stats_basic(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = _mk_docs(spark, [
+        f"{shared} one two three",          # doc0: dup span at pos 0
+        f"x y {shared}",                    # doc1: dup span at pos 2
+        "totally unique words here nothing repeats at all ever once",
+        "short doc",                        # < n tokens: no spans
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.duplicate_span_stats(docs, n=8).df.collect()}
+    assert len(out) == 4
+    assert out[0]["dup_spans"] == 1 and out[0]["dup_tokens"] == 8
+    assert out[0]["n_tokens"] == 11
+    assert math.isclose(out[0]["dup_ratio"], round(8 / 11, 6))
+    assert out[1]["dup_spans"] == 1 and out[1]["dup_tokens"] == 8
+    assert out[2]["dup_spans"] == 0 and out[2]["dup_tokens"] == 0
+    assert out[3]["dup_spans"] == 0 and out[3]["n_tokens"] == 2
+
+
+def test_duplicate_span_stats_overlap_coverage(spark):
+    # docs share an 11-token run -> doc0 has dup 8-gram starts at pos
+    # 0..3; interval union = 3*1 + 8 = 11 tokens, not 4*8
+    run = "a b c d e f g h i j k"
+    docs = _mk_docs(spark, [f"{run} tail0 tail1", f"pre {run}"])
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.duplicate_span_stats(docs, n=8).df.collect()}
+    assert out[0]["dup_spans"] == 4 and out[0]["dup_tokens"] == 11
+    assert out[1]["dup_spans"] == 4 and out[1]["dup_tokens"] == 11
+
+
+def test_duplicate_span_stats_scope_any(spark):
+    # the 8-gram repeats WITHIN doc0 only: cross_doc misses it, any finds it
+    span = "p q r s t u v w"
+    docs = _mk_docs(spark, [f"{span} mid {span}", "other text entirely"])
+    cross = {r["doc_id"]: r["dup_spans"]
+             for r in DD.duplicate_span_stats(docs, n=8).df.collect()}
+    any_ = {r["doc_id"]: r["dup_spans"]
+            for r in DD.duplicate_span_stats(docs, n=8, scope="any").df.collect()}
+    assert cross[0] == 0
+    assert any_[0] == 2
+    import pytest
+    with pytest.raises(ValueError, match="scope"):
+        DD.duplicate_span_stats(docs, scope="bogus")
+
+
+def test_duplicate_span_stats_matches_bruteforce(spark, documents):
+    # brute-force reference on real sf0.001 documents
+    n = 8
+    rows = documents.df.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: [t for t in r["text"].split(" ") if t] for r in rows}
+    from collections import Counter
+    owner = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            g = " ".join(ts[i:i + n])
+            owner.setdefault(g, set()).add(d)
+    dup = {g for g, ds in owner.items() if len(ds) >= 2}
+    exp = {}
+    for d, ts in toks.items():
+        starts = sorted(i for i in range(len(ts) - n + 1)
+                        if " ".join(ts[i:i + n]) in dup)
+        covered = 0
+        for j, s in enumerate(starts):
+            nxt = starts[j + 1] if j + 1 < len(starts) else None
+            covered += min(n, nxt - s) if nxt is not None else n
+        exp[d] = (len(starts), covered)
+    got = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"])
+           for r in DD.duplicate_span_stats(documents, n=n).df.collect()}
+    assert got == exp
