@@ -682,6 +682,22 @@ def q_duplicate_spans(spark, sf_dir):
     return DD.duplicate_span_stats(d, n=8).df
 
 
+def q_remove_dup_spans(spark, sf_dir):
+    """Exact substring-dedup REMOVAL (dedup.remove_duplicate_spans): each
+    cross-doc duplicated 8-gram keeps its occurrence in the min-id owner
+    doc; covered tokens are stripped elsewhere. The owner falls out of the
+    same min/max partial aggregate that detects duplication; the token
+    filter is n map lookups per token, map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return (DD.remove_duplicate_spans(d, n=8).df
+            .select("doc_id", "text", "removed_tokens"))
+
+
+SQL_REMOVE_DUP_SPANS_WRAP = """
+SELECT doc_id, text, removed_tokens FROM ({inner})
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """exact n-gram Jaccard near-dup pairs (≥2 shared shingles)."""
     d = _t(spark, sf_dir, "documents")
@@ -3264,8 +3280,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
     # entries) covers what needs (re-)validation most. Round 6:
-    # (a) the six queries NEW this round: duplicate_spans (Lee et al.
-    #     exact substring-dedup stats), trends_job_e2e (the executed
+    # (a) the seven queries NEW this round: duplicate_spans /
+    #     remove_dup_spans (exact substring-dedup stats + removal,
+    #     Lee et al. 2022), trends_job_e2e (the executed
     #     TrendsAnalysis composition), dict_sequence_stats /
     #     stats_sequence_stats (trends.sequence_stats), trends_dataset
     #     (feature-vocabulary export core), pack_sequences (training-
@@ -3284,6 +3301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r06 ---
         "duplicate_spans": q_duplicate_spans,
+        "remove_dup_spans": q_remove_dup_spans,
         "trends_job_e2e": q_trends_job_e2e,
         "dict_sequence_stats": q_dict_sequence_stats,
         "stats_sequence_stats": q_stats_sequence_stats,
@@ -3335,9 +3353,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": q_graph_degrees,
         "graph_ancestors": q_graph_ancestors,
         "graph_remove_cycles": q_graph_remove_cycles,
-        "graph_dangling": q_graph_dangling,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # (text_metrics slid below when duplicate_spans joined the head)
+        # (graph_dangling and text_metrics slid below when the two
+        #  duplicate-span queries joined the head)
+        "graph_dangling": q_graph_dangling,
         "text_metrics": q_text_metrics,
         "typed_filters": q_typed_filters,
         "inner_join_agg": q_inner_join_agg,
@@ -3471,6 +3490,8 @@ def oracle_sql() -> dict[str, str]:
         "ttest": _sql_ttest(),
         "dedup_exact": SQL_DEDUP_EXACT,
         "duplicate_spans": DD.duplicate_span_stats_sql_duck(n=8),
+        "remove_dup_spans": SQL_REMOVE_DUP_SPANS_WRAP.format(
+            inner=DD.remove_duplicate_spans_sql_duck(n=8)),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "asof_join": SQL_ASOF_JOIN,
         "range_join": SQL_RANGE_JOIN,

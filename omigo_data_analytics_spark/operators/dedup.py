@@ -286,6 +286,101 @@ def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
     return OmigoDF(out)
 
 
+def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
+                           col: str = "text", n: int = SPAN_N) -> OmigoDF:
+    """The removal half of exact substring dedup: every cross-document
+    duplicated n-gram span keeps ONE occurrence — in its owner document,
+    the minimum id containing the span — and the covered tokens are
+    stripped from every other document. Returns the input rows with `col`
+    replaced by the cleaned text plus a `removed_tokens` count.
+
+    Scale shape: same key shuffle as duplicate_span_stats (the owner falls
+    out of the SAME min/max partial aggregate that detects duplication);
+    removal starts come back as one per-doc array (bounded by that doc's
+    span count), and the token filter is a map-side expression doing n
+    O(1) map lookups per token — never a per-token join. The final join
+    touches only docs that lose tokens; everything else passes through the
+    left join unchanged.
+    """
+    df = ensure_min_parallelism(odf.df)
+    grams = df.selectExpr("*", f"{span_grams_expr('spark', col, n)} AS __grams__")
+    pos = (grams.selectExpr(id_col, "posexplode(__grams__) AS (pos, key)")
+           .localCheckpoint(eager=False))
+    own = (pos.groupBy("key")
+           .agg(F.min(id_col).alias("__own__"), F.max(id_col).alias("__mx__"))
+           .where(F.col("__own__") != F.col("__mx__"))
+           .select("key", "__own__"))
+    rm = (pos.join(own, on="key")
+          .where(F.col(id_col) != F.col("__own__"))
+          .groupBy(id_col)
+          .agg(F.collect_list("pos").alias("__starts__")))
+    j = df.join(rm, on=id_col, how="left")
+    # token i is removed iff some start s in [i-n+1, i] is in the starts
+    # set — n map lookups, not a scan of the starts array per token
+    lookups = " OR ".join(f"map_contains_key(m0, i - {k})" for k in range(n))
+    kept = f"filter(t0, (x, i) -> NOT ({lookups}))"
+    # output text is token-normalized (single-space rejoin) for EVERY row,
+    # removals or not — the invariant the oracle's string_agg re-derivation
+    # checks; a no-removal doc runs the same path over an empty starts set
+    starts = "COALESCE(__starts__, CAST(array() AS ARRAY<INT>))"
+    cleaned = let_spark(
+        f"map_from_arrays({starts}, array_repeat(1, size({starts})))", "m0",
+        let_spark(_tokens("spark", col), "t0",
+                  let_spark(kept, "k0",
+                            "struct(concat_ws(' ', k0) AS txt, "
+                            "size(t0) - size(k0) AS rm)")))
+    out = j.selectExpr(
+        *[c for c in df.columns if c != col],
+        f"{cleaned} AS __c__"
+    ).selectExpr(
+        *[c for c in df.columns if c != col],
+        f"__c__.txt AS {col}",
+        "CAST(__c__.rm AS BIGINT) AS removed_tokens")
+    return OmigoDF(out)
+
+
+def remove_duplicate_spans_sql_duck(table: str = "documents",
+                                    id_col: str = "doc_id",
+                                    col: str = "text",
+                                    n: int = SPAN_N) -> str:
+    """DuckDB oracle for remove_duplicate_spans — relational re-derivation
+    (positions table + NOT EXISTS over removal intervals + ordered
+    string_agg), deliberately a different algorithm than the engine's
+    map-lookup filter so agreement checks semantics, not implementation."""
+    return f"""
+WITH toksrc AS (
+  SELECT *, ({_tokens('duckdb', col)}) AS t FROM {table}),
+grams AS (
+  SELECT {id_col}, {span_grams_expr('duckdb', col, n)} AS g FROM toksrc),
+pos AS (
+  SELECT {id_col}, unnest(g) AS key, generate_subscripts(g, 1) - 1 AS pos
+  FROM grams WHERE len(g) > 0),
+own AS (
+  SELECT key, MIN({id_col}) AS own FROM pos GROUP BY key
+  HAVING MIN({id_col}) <> MAX({id_col})),
+rm AS (
+  SELECT p.{id_col}, p.pos FROM pos p JOIN own o USING (key)
+  WHERE p.{id_col} <> o.own),
+toks AS (
+  SELECT {id_col}, unnest(t) AS tok, generate_subscripts(t, 1) - 1 AS j
+  FROM toksrc),
+kept AS (
+  SELECT tk.{id_col}, tk.j, tk.tok FROM toks tk
+  WHERE NOT EXISTS (SELECT 1 FROM rm r WHERE r.{id_col} = tk.{id_col}
+                    AND tk.j BETWEEN r.pos AND r.pos + {n - 1})),
+agg AS (
+  SELECT {id_col}, string_agg(tok, ' ' ORDER BY j) AS txt,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY {id_col}),
+ntok AS (SELECT {id_col}, CAST(len(t) AS BIGINT) AS n_tok FROM toksrc)
+SELECT s.* EXCLUDE ({col}, t), COALESCE(a.txt, '') AS {col},
+       nt.n_tok - COALESCE(a.n_kept, 0) AS removed_tokens
+FROM toksrc s
+LEFT JOIN agg a USING ({id_col})
+JOIN ntok nt USING ({id_col})
+"""
+
+
 def duplicate_span_stats_sql_duck(table: str = "documents",
                                   id_col: str = "doc_id", col: str = "text",
                                   n: int = SPAN_N,

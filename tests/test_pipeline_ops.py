@@ -309,3 +309,44 @@ def test_duplicate_span_stats_matches_bruteforce(spark, documents):
     got = {r["doc_id"]: (r["dup_spans"], r["dup_tokens"])
            for r in DD.duplicate_span_stats(documents, n=n).df.collect()}
     assert got == exp
+
+
+def test_remove_duplicate_spans_owner_keeps(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = _mk_docs(spark, [
+        f"{shared} tail0 tail1",   # doc0 = owner (min id): keeps the span
+        f"pre0 pre1 {shared}",     # doc1: span removed
+        "unique words only here never repeated anywhere at all once",
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.remove_duplicate_spans(docs, n=8).df.collect()}
+    assert out[0]["text"] == f"{shared} tail0 tail1"
+    assert out[0]["removed_tokens"] == 0
+    assert out[1]["text"] == "pre0 pre1"
+    assert out[1]["removed_tokens"] == 8
+    assert out[2]["removed_tokens"] == 0
+
+
+def test_remove_duplicate_spans_normalizes_whitespace(spark):
+    # contract: output text is token-normalized for every row, even
+    # untouched ones — matches the oracle's string_agg re-derivation
+    docs = _mk_docs(spark, ["a  b   c", "d e f"])
+    out = {r["doc_id"]: r["text"]
+           for r in DD.remove_duplicate_spans(docs, n=8).df.collect()}
+    assert out[0] == "a b c"
+
+
+def test_remove_duplicate_spans_full_removal(spark):
+    run = "a b c d e f g h"
+    docs = _mk_docs(spark, [run, run, run])
+    out = {r["doc_id"]: r.asDict()
+           for r in DD.remove_duplicate_spans(docs, n=8).df.collect()}
+    assert out[0]["text"] == run and out[0]["removed_tokens"] == 0
+    assert out[1]["text"] == "" and out[1]["removed_tokens"] == 8
+    assert out[2]["text"] == "" and out[2]["removed_tokens"] == 8
+
+
+def test_remove_duplicate_spans_keeps_other_columns(spark, documents):
+    out = DD.remove_duplicate_spans(documents, n=8).df
+    assert set(documents.df.columns) | {"removed_tokens"} == set(out.columns)
+    assert out.count() == documents.df.count()
