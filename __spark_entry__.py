@@ -3252,6 +3252,23 @@ FROM stats s JOIN dagg g USING (grp) JOIN tagg a USING (grp)
 MIX_SHARES = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
 
 
+def q_lm_score(spark, sf_dir):
+    """CCNet-style bigram LM quality score (operators/curation.lm_score):
+    train an add-k-smoothed bigram LM on the doc_id%5==0 slice, score the
+    rest by average token log-probability + perplexity. Count tables are
+    vocabulary-sized (AQE broadcasts them); V is the one scalar collect."""
+    docs = _t(spark, sf_dir, "documents")
+    tr = OmigoDF(docs.df.filter("doc_id % 5 = 0"))
+    scd = OmigoDF(docs.df.filter("doc_id % 5 <> 0"))
+    return CU.lm_score(tr, scd).df
+
+
+def _sql_lm_score() -> str:
+    return CU.lm_score_sql_duck(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 5 <> 0)")
+
+
 def q_mix_sources(spark, sf_dir):
     """Deterministic source mixing (operators/curation.mix_sources):
     downsample each source to 50/30/20 target shares with a portable-
@@ -3280,9 +3297,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
     # entries) covers what needs (re-)validation most. Round 6:
-    # (a) the seven queries NEW this round: duplicate_spans /
+    # (a) the eight queries NEW this round: duplicate_spans /
     #     remove_dup_spans (exact substring-dedup stats + removal,
-    #     Lee et al. 2022), trends_job_e2e (the executed
+    #     Lee et al. 2022), lm_score (CCNet-style bigram-LM
+    #     perplexity quality ranking), trends_job_e2e (the executed
     #     TrendsAnalysis composition), dict_sequence_stats /
     #     stats_sequence_stats (trends.sequence_stats), trends_dataset
     #     (feature-vocabulary export core), pack_sequences (training-
@@ -3302,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r06 ---
         "duplicate_spans": q_duplicate_spans,
         "remove_dup_spans": q_remove_dup_spans,
+        "lm_score": q_lm_score,
         "trends_job_e2e": q_trends_job_e2e,
         "dict_sequence_stats": q_dict_sequence_stats,
         "stats_sequence_stats": q_stats_sequence_stats,
@@ -3352,10 +3371,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "graph_degrees": q_graph_degrees,
         "graph_ancestors": q_graph_ancestors,
-        "graph_remove_cycles": q_graph_remove_cycles,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # (graph_dangling and text_metrics slid below when the two
-        #  duplicate-span queries joined the head)
+        # (graph_remove_cycles, graph_dangling and text_metrics slid
+        #  below as the three new curation/dedup queries joined the head)
+        "graph_remove_cycles": q_graph_remove_cycles,
         "graph_dangling": q_graph_dangling,
         "text_metrics": q_text_metrics,
         "typed_filters": q_typed_filters,
@@ -3517,6 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_scores": _sql_trend_scores(),
         "repetition_metrics": _sql_repetition(),
         "decontaminate": _sql_decontaminate(),
+        "lm_score": _sql_lm_score(),
         "mix_sources": _sql_mix_sources(),
         "graphviz_dot": SQL_GRAPHVIZ_DOT,
         "geomap_mercator": SQL_GEOMAP_MERCATOR,

@@ -161,6 +161,128 @@ def decontaminate(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
 
 
+LM_SMOOTH_K = 0.1
+
+
+def _bigram_pairs(dialect: str, col: str) -> str:
+    """Array of (bigram-key, context-key) structs over the token stream —
+    keys are 60-bit portable hashes (dedup.wide_hash), so the count-table
+    join keys are 8 bytes instead of strings and the DuckDB oracle
+    reproduces them bit-for-bit. Docs with <2 tokens yield an empty
+    array (no bigram is defined, score stays NULL)."""
+    from .dedup import wide_hash
+    if dialect == "spark":
+        bk = wide_hash("spark", "concat_ws(' ', element_at(t0, i), element_at(t0, i + 1))")
+        uk = wide_hash("spark", "element_at(t0, i)")
+        body = (f"CASE WHEN size(t0) >= 2 "
+                f"THEN transform(sequence(1, size(t0) - 1), i -> struct({bk} AS bk, {uk} AS uk)) "
+                f"ELSE CAST(array() AS ARRAY<STRUCT<bk: BIGINT, uk: BIGINT>>) END")
+        return let_spark(_tokens("spark", col), "t0", body)
+    bk = wide_hash("duckdb", "concat_ws(' ', t0[i], t0[i + 1])")
+    uk = wide_hash("duckdb", "t0[i]")
+    body = (f"CASE WHEN len(t0) >= 2 "
+            f"THEN list_transform(range(1, len(t0)), i -> {{'bk': {bk}, 'uk': {uk}}}) "
+            f"ELSE [] END")
+    return let_duck(_tokens("duckdb", col), "t0", body)
+
+
+def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
+             col: str = "text", k: float = LM_SMOOTH_K) -> OmigoDF:
+    """CCNet-style language-model quality score: train an add-k-smoothed
+    bigram LM on a reference corpus, score each document by its average
+    token log-probability (and perplexity). The classic curation signal —
+    rank/filter raw web text by how "reference-like" it reads; low
+    avg_logprob (high perplexity) marks gibberish, boilerplate, or
+    wrong-language rows.
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)
+
+    with c from the train side and V its distinct-token count. Scale
+    shape: both corpora emit (bigram-key, context-key) pairs map-side
+    (60-bit portable hashes — 8-byte join keys); bigram and context
+    counts are two partial-agg shuffles over the SAME checkpointed train
+    stream and are vocabulary-sized, so at 100 TB AQE typically
+    broadcasts them to the score-side joins; the per-document average is
+    one final shuffle on id. V is the one scalar driver value (exact
+    distinct over tokens). Unseen bigrams/contexts hit the smoothing
+    floor via left joins — no lookup misses, no UDFs anywhere.
+
+    Output: one row per score row — id, n_bigrams, avg_logprob (6dp),
+    perplexity (= exp(-avg_logprob), 4dp, from the rounded average so
+    engines agree). Documents with <2 tokens score NULL with
+    n_bigrams = 0.
+    """
+    pairs = _bigram_pairs("spark", col)
+    tr = (ensure_min_parallelism(train.df)
+          .selectExpr(f"explode({pairs}) AS p")
+          .selectExpr("p.bk AS bk", "p.uk AS uk")
+          .localCheckpoint(eager=False))
+    cb = tr.groupBy("bk").agg(F.count(F.lit(1)).alias("cb"))
+    cu = tr.groupBy("uk").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (ensure_min_parallelism(train.df)
+             .selectExpr(f"explode({_tokens('spark', col)}) AS w")
+             .agg(F.countDistinct("w").alias("v")).collect()[0]["v"])
+    if not vocab:
+        raise ValueError(
+            "lm_score: train corpus has no tokens (V=0) — the smoothing "
+            "denominator would be zero for every unseen context")
+    sc = (ensure_min_parallelism(score.df)
+          .selectExpr(id_col, f"posexplode({pairs}) AS (pos, p)")
+          .selectExpr(id_col, "p.bk AS bk", "p.uk AS uk"))
+    logp = (sc.join(cb, on="bk", how="left")
+              .join(cu, on="uk", how="left")
+              .selectExpr(id_col,
+                          f"ln((COALESCE(cb, 0L) + {k}) / "
+                          f"(COALESCE(cu, 0L) + {k} * {vocab})) AS lp")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                   F.round(F.avg("lp"), 6).alias("avg_logprob")))
+    out = (score.df.select(id_col)
+           .join(logp, on=id_col, how="left")
+           .selectExpr(id_col,
+                       "COALESCE(n_bigrams, 0L) AS n_bigrams",
+                       "avg_logprob",
+                       "ROUND(exp(-avg_logprob), 4) AS perplexity"))
+    return OmigoDF(out)
+
+
+def lm_score_sql_duck(train_sql: str, score_sql: str, id_col: str = "doc_id",
+                      col: str = "text", k: float = LM_SMOOTH_K) -> str:
+    """DuckDB oracle for lm_score; train_sql/score_sql are relational
+    expressions (e.g. table names or parenthesized selects)."""
+    pairs = _bigram_pairs("duckdb", col)
+    toks = _tokens("duckdb", col)
+    return f"""
+WITH tr AS (
+  SELECT unnest({pairs}) AS p FROM {train_sql}),
+trp AS (SELECT p.bk AS bk, p.uk AS uk FROM tr),
+cb AS (SELECT bk, COUNT(*) AS cb FROM trp GROUP BY bk),
+cu AS (SELECT uk, COUNT(*) AS cu FROM trp GROUP BY uk),
+v AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT unnest({toks}) AS w FROM {train_sql})),
+scp0 AS (
+  SELECT {id_col}, unnest({pairs}) AS p FROM {score_sql}),
+scp AS (SELECT {id_col}, p.bk AS bk, p.uk AS uk FROM scp0),
+lp AS (
+  SELECT s.{id_col},
+         ln((COALESCE(cb.cb, 0) + {k}) / (COALESCE(cu.cu, 0) + {k} * v.v)) AS lp
+  FROM scp s
+  LEFT JOIN cb USING (bk)
+  LEFT JOIN cu USING (uk)
+  CROSS JOIN v),
+agg AS (
+  SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(AVG(lp), 6) AS avg_logprob
+  FROM lp GROUP BY {id_col})
+SELECT b.{id_col},
+       COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       a.avg_logprob,
+       ROUND(exp(-a.avg_logprob), 4) AS perplexity
+FROM {score_sql} b LEFT JOIN agg a USING ({id_col})
+"""
+
+
 def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
                 key_cols, seed: int = 0) -> OmigoDF:
     """Downsample each source to target mixture ``shares`` (summing to 1),

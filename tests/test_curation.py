@@ -199,3 +199,49 @@ def test_mix_sources_rates_ride_broadcast(spark):
     # no hash-repartition of the corpus itself: the only exchanges are
     # for the ~|sources|-row count aggregation
     assert "Exchange rangepartitioning" not in p
+
+
+# ------------------------------------------------------------- lm_score
+def _lm_docs(spark, texts):
+    return OmigoDF(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"))
+
+
+def test_lm_score_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+    train_texts = ["the cat sat on the mat", "the dog sat on the rug",
+                   "a cat and a dog"]
+    score_texts = ["the cat sat", "zebra quantum flux", "single"]
+    k = CU.LM_SMOOTH_K
+    # brute-force reference
+    bg, ctx, vocab = Counter(), Counter(), set()
+    for t in train_texts:
+        ws = t.split()
+        vocab.update(ws)
+        for i in range(len(ws) - 1):
+            bg[(ws[i], ws[i + 1])] += 1
+            ctx[ws[i]] += 1
+    V = len(vocab)
+    exp = {}
+    for d, t in enumerate(score_texts):
+        ws = t.split()
+        lps = [math.log((bg[(a, b)] + k) / (ctx[a] + k * V))
+               for a, b in zip(ws, ws[1:])]
+        exp[d] = (len(lps), round(sum(lps) / len(lps), 6) if lps else None)
+    out = CU.lm_score(_lm_docs(spark, train_texts), _lm_docs(spark, score_texts)).df
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in out.collect()}
+    assert got == exp
+    # seen bigrams score higher than unseen gibberish
+    assert got[0][1] > got[1][1]
+    # <2 tokens: NULL score, 0 bigrams
+    assert got[2] == (0, None)
+    # perplexity derived from the rounded average
+    pp = {r["doc_id"]: r["perplexity"] for r in out.collect()}
+    assert pp[0] == round(math.exp(-got[0][1]), 4)
+    assert pp[2] is None
+
+
+def test_lm_score_empty_train_raises(spark):
+    with pytest.raises(ValueError, match="V=0"):
+        CU.lm_score(_lm_docs(spark, []), _lm_docs(spark, ["a b c"]))
