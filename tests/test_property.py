@@ -413,3 +413,53 @@ def test_distribution_drift_matches_brute_force(spark, rows):
             assert abs(r["jaccard_sim"] - round(jac, 6)) < 1e-6
             assert abs(r["jsd"] - round(jsd, 6)) < 1e-6, (k, b1, r["jsd"], jsd)
     assert len(got) == n_pairs
+
+
+# ------------------------------------------- duplicate spans (n small)
+# Tiny alphabet + short docs force heavy cross-doc n-gram collisions —
+# exactly the overlap/ownership edge cases the fixed queries can't hit.
+SPAN_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1, max_size=8)
+
+
+def _span_brute(docs_tokens, n):
+    owner, occ = {}, {}
+    for d, ts in enumerate(docs_tokens):
+        for i in range(len(ts) - n + 1):
+            g = tuple(ts[i:i + n])
+            occ.setdefault(g, set()).add(d)
+    dup = {g for g, ds in occ.items() if len(ds) >= 2}
+    stats, removed = {}, {}
+    for d, ts in enumerate(docs_tokens):
+        starts = [i for i in range(len(ts) - n + 1)
+                  if tuple(ts[i:i + n]) in dup]
+        cov = 0
+        for j, s in enumerate(starts):
+            nxt = starts[j + 1] if j + 1 < len(starts) else None
+            cov += min(n, nxt - s) if nxt is not None else n
+        stats[d] = (len(ts), len(starts), cov)
+        own_starts = [s for s in starts
+                      if d != min(occ[tuple(ts[s:s + n])])]
+        drop = set()
+        for s in own_starts:
+            drop.update(range(s, s + n))
+        removed[d] = " ".join(t for i, t in enumerate(ts) if i not in drop)
+    return stats, removed
+
+
+@given(docs=SPAN_DOCS)
+@_SETTINGS
+def test_duplicate_spans_match_brute_force(spark, docs):
+    from omigo_data_analytics_spark.operators import dedup as DD
+    n = 3
+    odf = OmigoDF(spark.createDataFrame(
+        [(i, " ".join(ts)) for i, ts in enumerate(docs)],
+        "doc_id long, text string"))
+    exp_stats, exp_removed = _span_brute(docs, n)
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"])
+           for r in DD.duplicate_span_stats(odf, n=n).df.collect()}
+    assert got == exp_stats
+    got_rm = {r["doc_id"]: r["text"]
+              for r in DD.remove_duplicate_spans(odf, n=n).df.collect()}
+    assert got_rm == exp_removed
