@@ -310,7 +310,10 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
         raise ValueError(f"mix_sources: shares sum to {total}, want 1")
     if any(s <= 0 for s in shares.values()):
         raise ValueError("mix_sources: shares must be positive")
-    odf._resolve(source_col)
+    # keep the RESOLVED name: a regex-pattern source_col resolves to the
+    # matched column, but indexing schema[] with the raw caller-supplied
+    # pattern would raise KeyError instead of the intended ValueError
+    source_col = odf._resolve([source_col])[0]
     src_type = odf.df.schema[source_col].dataType.simpleString()
     if src_type != "string":
         raise ValueError(

@@ -184,30 +184,55 @@ def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
 SPAN_N = 8
 
 
-def wide_hash(dialect: str, expr: str) -> str:
-    """60-bit md5-prefix hash (no modulus): identical in Spark and DuckDB.
-    Used where the key SPACE matters (span keys): the 1e9+7 modulus of
-    hash_spark/hash_duck would collide at the birthday bound over
-    corpus-scale n-gram counts; 2^60 does not."""
-    if dialect == "spark":
-        return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
-    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+def wide_hash(dialect: str, expr: str, bits: int = 60) -> str:
+    """md5-prefix hash key: identical in Spark and DuckDB. Used where the
+    key SPACE matters (span keys): the 1e9+7 modulus of hash_spark/
+    hash_duck collides at the birthday bound (~sqrt(2^30) ≈ 3e4 keys)
+    over any real corpus.
+
+    ``bits=60`` (BIGINT, 8-byte shuffle key): expected colliding PAIRS at
+    g distinct grams ≈ g²/2^61 — negligible below ~1e9 grams, but NOT
+    zero at corpus scale: at the 100 TB design point (~1e13 span grams)
+    that is ≈ 4e7 collisions, a ~4e-6 fraction. Fine for MEASUREMENT
+    (duplicate_span_stats over-counts dup coverage by ppm), not for
+    MUTATION: remove_duplicate_spans would silently strip tens of
+    millions of false-positive spans.
+
+    ``bits=120`` (the 30-hex-char md5 prefix as a STRING key): expected
+    collisions at 1e13 grams ≈ 4e-11 — effectively zero at any feasible
+    corpus. A two-BIGINT struct key would shave ~14 bytes/key of shuffle
+    width, but complicates every downstream groupBy/join; the span-key
+    shuffle is ~12% of the scan at n=8, so the string overhead is
+    marginal — use 120 for removal, 60 for stats."""
+    if bits == 60:
+        if dialect == "spark":
+            return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+        return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+    if bits == 120:
+        if dialect == "spark":
+            return f"substring(md5({expr}), 1, 30)"
+        return f"substr(md5({expr}), 1, 30)"
+    raise ValueError(f"wide_hash: bits must be 60 or 120, got {bits}")
 
 
-def span_grams_expr(dialect: str, col: str = "text", n: int = SPAN_N) -> str:
+def span_grams_expr(dialect: str, col: str = "text", n: int = SPAN_N,
+                    key_bits: int = 60) -> str:
     """POSITIONAL (non-distinct) n-gram key array in token order — element i
-    is the 60-bit key of tokens[i..i+n); docs shorter than n tokens yield
-    an empty array. The token array is let-bound so the split runs once."""
+    is the ``key_bits``-wide key of tokens[i..i+n); docs shorter than n
+    tokens yield an empty array. The token array is let-bound so the
+    split runs once."""
+    empty_t = {60: ("ARRAY<BIGINT>", "BIGINT[]"),
+               120: ("ARRAY<STRING>", "VARCHAR[]")}[key_bits]
     if dialect == "spark":
         gram = "concat_ws(' ', " + ", ".join(f"element_at(t0, i + {j})" for j in range(n)) + ")"
         body = (f"CASE WHEN size(t0) >= {n} "
-                f"THEN transform(sequence(1, size(t0) - {n - 1}), i -> {wide_hash('spark', gram)}) "
-                f"ELSE CAST(array() AS ARRAY<BIGINT>) END")
+                f"THEN transform(sequence(1, size(t0) - {n - 1}), i -> {wide_hash('spark', gram, key_bits)}) "
+                f"ELSE CAST(array() AS {empty_t[0]}) END")
         return let_spark(_tokens("spark", col), "t0", body)
     gram = "concat_ws(' ', " + ", ".join(f"t0[i + {j}]" for j in range(n)) + ")"
     body = (f"CASE WHEN len(t0) >= {n} "
-            f"THEN list_transform(range(1, len(t0) - {n - 2}), i -> {wide_hash('duckdb', gram)}) "
-            f"ELSE CAST([] AS BIGINT[]) END")
+            f"THEN list_transform(range(1, len(t0) - {n - 2}), i -> {wide_hash('duckdb', gram, key_bits)}) "
+            f"ELSE CAST([] AS {empty_t[1]}) END")
     return let_duck(_tokens("duckdb", col), "t0", body)
 
 
@@ -287,12 +312,20 @@ def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
 
 
 def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
-                           col: str = "text", n: int = SPAN_N) -> OmigoDF:
+                           col: str = "text", n: int = SPAN_N,
+                           key_bits: int = 120) -> OmigoDF:
     """The removal half of exact substring dedup: every cross-document
     duplicated n-gram span keeps ONE occurrence — in its owner document,
     the minimum id containing the span — and the covered tokens are
     stripped from every other document. Returns the input rows with `col`
     replaced by the cleaned text plus a `removed_tokens` count.
+
+    ``key_bits`` defaults to 120 here (vs 60 in duplicate_span_stats):
+    this operator MUTATES data on key equality, and a 60-bit key's
+    expected ~4e7 collisions at the 100 TB design point (~1e13 grams)
+    would each silently strip a non-duplicated span — see wide_hash for
+    the birthday math. Pass ``key_bits=60`` to trade that ppm-level
+    false-removal rate for an 8-byte BIGINT shuffle key.
 
     Scale shape: same key shuffle as duplicate_span_stats (the owner falls
     out of the SAME min/max partial aggregate that detects duplication);
@@ -303,7 +336,8 @@ def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
     left join unchanged.
     """
     df = ensure_min_parallelism(odf.df)
-    grams = df.selectExpr("*", f"{span_grams_expr('spark', col, n)} AS __grams__")
+    grams = df.selectExpr(
+        "*", f"{span_grams_expr('spark', col, n, key_bits)} AS __grams__")
     pos = (grams.selectExpr(id_col, "posexplode(__grams__) AS (pos, key)")
            .localCheckpoint(eager=False))
     own = (pos.groupBy("key")
@@ -342,7 +376,8 @@ def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
 def remove_duplicate_spans_sql_duck(table: str = "documents",
                                     id_col: str = "doc_id",
                                     col: str = "text",
-                                    n: int = SPAN_N) -> str:
+                                    n: int = SPAN_N,
+                                    key_bits: int = 120) -> str:
     """DuckDB oracle for remove_duplicate_spans — relational re-derivation
     (positions table + NOT EXISTS over removal intervals + ordered
     string_agg), deliberately a different algorithm than the engine's
@@ -351,7 +386,7 @@ def remove_duplicate_spans_sql_duck(table: str = "documents",
 WITH toksrc AS (
   SELECT *, ({_tokens('duckdb', col)}) AS t FROM {table}),
 grams AS (
-  SELECT {id_col}, {span_grams_expr('duckdb', col, n)} AS g FROM toksrc),
+  SELECT {id_col}, {span_grams_expr('duckdb', col, n, key_bits)} AS g FROM toksrc),
 pos AS (
   SELECT {id_col}, unnest(g) AS key, generate_subscripts(g, 1) - 1 AS pos
   FROM grams WHERE len(g) > 0),

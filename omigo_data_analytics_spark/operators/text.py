@@ -315,12 +315,21 @@ def fingerprint_sql_duck(col: str = "text") -> str:
 # ------------------------------------------------- training-batch packing
 def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
                    key_cols, seed: int = 0, n_buckets: int = 256,
-                   bin_col: str = "bin_id") -> OmigoDF:
+                   bin_col: str = "bin_id",
+                   check_unique: bool = False) -> OmigoDF:
     """Assign every document to a fixed-token-budget training bin —
     contiguous greedy packing in a deterministic portable-hash order.
     The concatenated token stream partitions into budget-sized offset
     ranges and a document belongs to the range its start offset falls
-    in (bin = floor(exclusive_cumsum / budget)). When every document is
+    in (bin = floor(exclusive_cumsum / budget)). ``key_cols`` MUST
+    uniquely identify rows: the hash order breaks ties on the key, so
+    duplicate-key rows are interchangeable under the sort and which one
+    precedes the other in the cumsum is partition-order-dependent —
+    their bin ids (and every later row's start offset) can differ
+    between runs/engines. Pass ``check_unique=True`` to spend one
+    counting job verifying that — a ``UserWarning`` fires on duplicate
+    keys (opt-in: the check is a full-input aggregate, so it isn't free
+    at 100 TB). When every document is
     smaller than ``budget``, bin ids are contiguous and each bin's
     assigned token volume deviates from ``budget`` by at most the
     largest single document (a straddling document overshoots its own
@@ -347,6 +356,20 @@ def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
         raise ValueError("pack_sequences: budget must be positive")
     key = "concat_ws('\\t', " + ", ".join(
         f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+    if check_unique:
+        stats = odf.df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(
+                F.concat_ws("\t", *[odf.df[c].cast("string")
+                                    for c in gcols])).alias("d")).first()
+        if stats["n"] != stats["d"]:
+            import warnings
+            warnings.warn(
+                f"pack_sequences: key_cols {gcols} does not uniquely "
+                f"identify rows ({stats['n']} rows, {stats['d']} distinct "
+                "keys) — duplicate-key rows' relative cumsum order (and so "
+                "bin assignment) is partition-order-dependent",
+                UserWarning, stacklevel=2)
     h = F.expr(hash_spark(key))
     d = (odf.df
          .withColumn("__h__", h)

@@ -1,0 +1,25 @@
+"""bench.py helper units: the committed-history growth cap."""
+
+import importlib.util
+import os
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_cap_history_keeps_first_and_newest_per_round():
+    hist = [{"round_guess": r, "i": i}
+            for r in range(1, 13) for i in range(5)]
+    capped = bench._cap_history(hist)
+    rounds = sorted({e["round_guess"] for e in capped})
+    assert rounds == list(range(3, 13))  # last _HIST_MAX_ROUNDS rounds
+    for r in rounds:
+        es = [e for e in capped if e["round_guess"] == r]
+        assert [e["i"] for e in es] == [0, 4]  # first + newest
+
+
+def test_cap_history_passthrough_small():
+    hist = [{"round_guess": 1, "i": 0}, {"round_guess": 2, "i": 0}]
+    assert bench._cap_history(hist) == hist

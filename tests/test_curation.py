@@ -245,3 +245,21 @@ def test_lm_score_matches_bruteforce(spark):
 def test_lm_score_empty_train_raises(spark):
     with pytest.raises(ValueError, match="V=0"):
         CU.lm_score(_lm_docs(spark, []), _lm_docs(spark, ["a b c"]))
+
+
+def test_mix_sources_resolved_source_col(spark):
+    """source_col goes through column resolution like every other column
+    arg — a regex-pattern name must hit the intended ValueError on a
+    non-string match (not KeyError from a raw schema[] lookup) and run
+    identically to the literal name on a string match."""
+    df = OmigoDF(spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "doc_id long, src int"))
+    with pytest.raises(ValueError, match="not\\s+string"):
+        CU.mix_sources(df, "sr.*", {"0": 0.5, "1": 0.5}, ["doc_id"])
+    docs = _docs(spark)
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    a = CU.mix_sources(docs, "sourc.*", shares, ["doc_id"], seed=7)
+    b = CU.mix_sources(docs, "source", shares, ["doc_id"], seed=7)
+    assert (sorted(r["doc_id"] for r in a.df.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in b.df.select("doc_id").collect()))
+    assert a.df.columns == docs.df.columns

@@ -409,3 +409,37 @@ def test_pack_sequences_validates_budget(spark, documents):
     from omigo_data_analytics_spark.operators import text as TX
     with _pt.raises(ValueError, match="budget"):
         TX.pack_sequences(documents, "n_chars", budget=0, key_cols=["doc_id"])
+
+
+def test_pack_sequences_check_unique_guard(spark, documents):
+    """Opt-in duplicate-key detection: silent on a unique key, UserWarning
+    (with counts) when key_cols doesn't uniquely identify rows — the
+    cumsum order of duplicate-key rows is partition-order-dependent."""
+    import warnings
+
+    import pytest as _pt
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        TX.pack_sequences(documents, "n_chars", budget=20000,
+                          key_cols=["doc_id"], check_unique=True)
+    dup = OmigoDF(documents.df.limit(40)
+                  .unionByName(documents.df.limit(40)))
+    with _pt.warns(UserWarning, match="uniquely"):
+        TX.pack_sequences(dup, "n_chars", budget=20000,
+                          key_cols=["doc_id"], check_unique=True)
+
+
+def test_span_dedup_key_bits(spark, documents):
+    """120-bit removal keys (the mutation-safe default) agree exactly with
+    the 60-bit path at collision-free test scale, and bad widths raise."""
+    import pytest as _pt
+
+    a = {(r["doc_id"], r["text"], r["removed_tokens"])
+         for r in DD.remove_duplicate_spans(documents, n=8).df.collect()}
+    b = {(r["doc_id"], r["text"], r["removed_tokens"])
+         for r in DD.remove_duplicate_spans(documents, n=8,
+                                            key_bits=60).df.collect()}
+    assert a == b
+    with _pt.raises(ValueError, match="60 or 120"):
+        DD.wide_hash("spark", "x", bits=90)
