@@ -2112,7 +2112,11 @@ def _edges_df(spark, sf_dir):
 
 
 def q_graph_bfs(spark, sf_dir):
-    """BFS min-levels from seed customers over the c->o->p DAG."""
+    """BFS min-levels from seed customers over the c->o->p DAG.
+    encode_vertices stays OFF here — measured (SCALE.md r7): the ids are
+    4-7 chars (narrower than a BIGINT) and the traversal is depth-3, so
+    the dictionary build costs more than the rounds save. The encoded
+    path is driver-checked where it measurably wins: graph_ancestors_guid."""
     cust = _t(spark, sf_dir, "customer").df
     seeds = OmigoDF(cust.where("c_custkey < 5").select(
         F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node_id")))
@@ -2153,6 +2157,41 @@ def q_graph_ancestors(spark, sf_dir):
 
 SQL_GRAPH_ANCESTORS = f"""
 WITH RECURSIVE edges AS ({_SQL_EDGES}),
+reach AS (
+  SELECT dst AS node_id, src AS anc FROM edges
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node_id)
+SELECT node_id, anc AS ancestor FROM reach
+"""
+
+
+def q_graph_ancestors_guid(spark, sf_dir):
+    """Ancestor closure over the c->o->p DAG re-keyed to md5 guids —
+    the realistic telemetry-graph shape (the reference's process trees
+    key on guid-style ids), with encode_vertices=True: the closure
+    iterates over dictionary BIGINTs and decodes at the tail. Measured
+    at sf0.1 (SCALE.md r7): 273 MB -> 112 MB total shuffle (2.4x)
+    vs the un-encoded run on the same guid-keyed graph."""
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    e1 = o.select(
+        F.md5(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))).alias("src"),
+        F.md5(F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))).alias("dst"))
+    e2 = li.select(
+        F.md5(F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))).alias("src"),
+        F.md5(F.concat(F.lit("p"), F.col("l_partkey").cast("string"))).alias("dst"))
+    e = OmigoDF(e1.unionByName(e2).distinct())
+    return GR.ancestors(e, encode_vertices=True).df
+
+
+SQL_GRAPH_ANCESTORS_GUID = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT md5('c' || CAST(o_custkey AS VARCHAR)) AS src,
+           md5('o' || CAST(o_orderkey AS VARCHAR)) AS dst FROM orders
+    UNION ALL
+    SELECT md5('o' || CAST(l_orderkey AS VARCHAR)),
+           md5('p' || CAST(l_partkey AS VARCHAR)) FROM lineitem)),
 reach AS (
   SELECT dst AS node_id, src AS anc FROM edges
   UNION
@@ -2257,6 +2296,108 @@ alive AS (
   UNION
   SELECT e.src FROM e0 e JOIN alive a ON e.dst = a.v)
 SELECT src, dst FROM e0 WHERE dst IN (SELECT v FROM alive)
+"""
+
+
+def q_graph_job_e2e(spark, sf_dir):
+    """End-to-end graph-analysis job — the matel QueryGraph batch flow
+    (reference projects/matel/graph-analysis GraphAnalysis.scala:750-876)
+    composed from the engine's operators, mirroring what trends_job_e2e
+    does for the trends job:
+
+      load event edges       → two-layer temporal graph from events:
+                               user→user hub edges plus user→artifact
+                               edges (artifacts are pure leaves)
+      remove_dangling_edges  → prune edges to unprotected leaves
+                               (protect artifacts x0..x9; max_iter=3 —
+                               fixpoint in 2 rounds, the oracle unrolls
+                               the same 3 rounds since the cyclic hub
+                               layer breaks the backward-reachability
+                               shortcut _sql_graph_dangling uses on DAGs)
+      remove_cycles          → drop temporally-infeasible back-edges
+      bfs_levels             → min levels from seed users u0..u4
+      ancestors              → full reachability closure
+      summary                → per-node: level, ancestor count, sorted
+                               ancestor merge (get_forward_edges_only's
+                               column shape)
+
+    Scale: each stage is the audited operator; the composition adds one
+    distinct + two node-sized joins. The edge set is checkpointed once
+    after cleaning so BFS and the closure don't re-run the pruning."""
+    ev = _t(spark, sf_dir, "events").df
+    uu = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("u"),
+                 F.expr("CAST(CAST(floor(value) AS INT) % 30 AS STRING)")).alias("dst"),
+        F.col("ts"))
+    ux = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("x"),
+                 F.expr("CAST(CAST(floor(value * 7) AS INT) % 97 AS STRING)")).alias("dst"),
+        F.col("ts"))
+    e0 = OmigoDF(uu.unionByName(ux))
+    pruned = GR.remove_dangling_edges(e0, [f"x{i}" for i in range(10)],
+                                      max_iter=3)
+    dag = GR.remove_cycles(pruned, "ts")
+    ed = OmigoDF(dag.df.select("src", "dst").distinct().localCheckpoint())
+    lv = GR.bfs_levels(ed, [f"u{i}" for i in range(5)]).df
+    anc_agg = (GR.ancestors(ed).df
+               .groupBy("node_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_ancestors"),
+                    F.concat_ws(",", F.array_sort(F.collect_set("ancestor")))
+                    .alias("ancestors")))
+    nodes = (ed.df.select(F.col("src").alias("node_id"))
+             .unionByName(ed.df.select(F.col("dst").alias("node_id")))
+             .distinct())
+    return (nodes.join(lv, "node_id", "left")
+            .join(anc_agg, "node_id", "left")
+            .selectExpr("node_id", "CAST(level AS INT) AS level",
+                        "COALESCE(n_ancestors, 0L) AS n_ancestors",
+                        "COALESCE(ancestors, '') AS ancestors"))
+
+
+SQL_GRAPH_JOB_E2E = """
+WITH RECURSIVE e0 AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS src,
+         'u' || CAST(CAST(floor(value) AS INT) % 30 AS VARCHAR) AS dst,
+         ts FROM events
+  UNION ALL
+  SELECT 'u' || CAST(user_id AS VARCHAR),
+         'x' || CAST(CAST(floor(value * 7) AS INT) % 97 AS VARCHAR),
+         ts FROM events),
+keep(node) AS (SELECT 'x' || CAST(i AS VARCHAR) FROM range(10) t(i)),
+p1 AS (SELECT * FROM e0 WHERE dst IN (SELECT src FROM e0)
+                           OR dst IN (SELECT node FROM keep)),
+p2 AS (SELECT * FROM p1 WHERE dst IN (SELECT src FROM p1)
+                           OR dst IN (SELECT node FROM keep)),
+p3 AS (SELECT * FROM p2 WHERE dst IN (SELECT src FROM p2)
+                           OR dst IN (SELECT node FROM keep)),
+m AS (SELECT dst AS node, MIN(ts) AS f FROM p3 GROUP BY dst),
+e2 AS (SELECT p3.* FROM p3 LEFT JOIN m ON p3.src = m.node
+       WHERE m.f IS NULL OR p3.ts >= m.f),
+ed AS (SELECT DISTINCT src, dst FROM e2),
+walk AS (
+  SELECT 'u' || CAST(i AS VARCHAR) AS node_id, 0 AS level FROM range(5) t(i)
+  UNION
+  SELECT e.dst, w.level + 1 FROM walk w JOIN ed e ON e.src = w.node_id
+  WHERE w.level < 30),
+lv AS (SELECT node_id, CAST(MIN(level) AS INT) AS level FROM walk
+       GROUP BY node_id),
+reach AS (
+  SELECT dst AS node_id, src AS anc FROM ed
+  UNION
+  SELECT e.dst, r.anc FROM reach r JOIN ed e ON e.src = r.node_id),
+aagg AS (SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_ancestors,
+                string_agg(anc, ',' ORDER BY anc) AS ancestors
+         FROM reach GROUP BY node_id),
+-- explicit DISTINCT: inside a WITH RECURSIVE clause DuckDB does not
+-- apply set-union dedup to this non-self-referencing CTE's UNION
+nodes AS (SELECT DISTINCT node_id FROM (
+  SELECT src AS node_id FROM ed UNION ALL SELECT dst FROM ed))
+SELECT n.node_id, l.level,
+       COALESCE(a.n_ancestors, CAST(0 AS BIGINT)) AS n_ancestors,
+       COALESCE(a.ancestors, '') AS ancestors
+FROM nodes n LEFT JOIN lv l USING (node_id) LEFT JOIN aagg a USING (node_id)
 """
 
 
@@ -3296,93 +3437,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
-    # entries) covers what needs (re-)validation most. Round 6:
-    # (a) the eight queries NEW this round: duplicate_spans /
-    #     remove_dup_spans (exact substring-dedup stats + removal,
-    #     Lee et al. 2022), lm_score (CCNet-style bigram-LM
-    #     perplexity quality ranking), trends_job_e2e (the executed
-    #     TrendsAnalysis composition), dict_sequence_stats /
-    #     stats_sequence_stats (trends.sequence_stats), trends_dataset
-    #     (feature-vocabulary export core), pack_sequences (training-
-    #     batch packing);
-    # (b) every engine path touched in r06: arg_max/arg_min (nulls-last
-    #     extremum + interleaved column order), mix_sources (source-col
-    #     type validation), sample_n_per_group (check_unique guard),
-    #     graph_time_ancestors (grouped-edge arrays + single-shuffle
-    #     round + null-arrival convergence), parent_hierarchy /
-    #     graph_merge_nodes (shared-subtree checkpoints), and the graph
-    #     family below (inline dead-end probes, degrees tagged-union);
-    # (c) all 23 queries whose newest driver row was r3, and
-    # (d) the oldest r4-green rows up to the 50-slot boundary. The r4
-    #     rows that did not fit lead the post-boundary block and take
-    #     the r7 budget; the r5-green unchanged queries hold the tail.
+    # entries) covers what needs (re-)validation most. Round 7:
+    # (a) the two queries NEW this round: graph_job_e2e (the executed
+    #     matel graph-analysis composition) and graph_ancestors_guid
+    #     (the ancestor closure over a guid-keyed graph with
+    #     encode_vertices=True, the measured 2.4x-shuffle-cut shape);
+    # (b) every engine path touched in r07: the span-dedup pair (120-bit
+    #     removal keys), mix_sources (resolved source_col), pack_sequences
+    #     (check_unique guard), and the three iterative graph operators
+    #     (vertex-dictionary codec plumbing — default path re-validated);
+    # (c) all 27 queries whose newest driver row was r4 (the full list
+    #     from VERDICT r6 What's-wrong #1), and
+    # (d) the oldest 14 r5-green rows. After this round every registry
+    #     entry has a driver row from r5-r7; the remaining r5 rows lead
+    #     the post-boundary block and take the r8 budget.
     return {
-        # --- new in r06 ---
-        "duplicate_spans": q_duplicate_spans,
+        # --- new in r07 ---
+        "graph_job_e2e": q_graph_job_e2e,
+        "graph_ancestors_guid": q_graph_ancestors_guid,
+        # --- engine paths touched in r07 ---
         "remove_dup_spans": q_remove_dup_spans,
-        "lm_score": q_lm_score,
-        "trends_job_e2e": q_trends_job_e2e,
-        "dict_sequence_stats": q_dict_sequence_stats,
-        "stats_sequence_stats": q_stats_sequence_stats,
-        "trends_dataset": q_trends_dataset,
-        "pack_sequences": q_pack_sequences,
-        # --- engine paths touched in r06 ---
-        "arg_max_topk": q_arg_max_topk,
-        "arg_min_topk": q_arg_min_topk,
+        "duplicate_spans": q_duplicate_spans,
         "mix_sources": q_mix_sources,
-        "sample_n_per_group": q_sample_n_per_group,
-        "graph_time_ancestors": q_graph_time_ancestors,
-        "parent_hierarchy": q_parent_hierarchy,
-        "graph_merge_nodes": q_graph_merge_nodes,
-        # --- r3-row queries (stalest driver rows) ---
-        "window_sliding": q_window_sliding,
-        "sample_group_by_key": q_sample_group_by_key,
-        "distinct_cols": q_distinct_cols,
-        "ratio_cap": q_ratio_cap,
-        "const_missing_cols": q_const_missing_cols,
-        "json_xpath_filter": q_json_xpath_filter,
-        "doc_chunks": q_doc_chunks,
-        "token_vocab": q_token_vocab,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_lsh": q_similarity_lsh,
-        "explode_json_zip": q_explode_json_zip,
-        "explode_json_join": q_explode_json_join,
-        "quantiles": q_quantiles,
-        "quantile_grid": q_quantile_grid,
-        "failsafe_aggs": q_failsafe_aggs,
-        "uniq_mkstr": q_uniq_mkstr,
-        "string_aggs": q_string_aggs,
-        "group_by_key": q_group_by_key,
-        "sample_uniq_cap": q_sample_uniq_cap,
-        "read_tsv_intersect": q_read_tsv_intersect,
-        "etl_date_scan": q_etl_date_scan,
-        "time_diffs": q_time_diffs,
-        "merge_intersect": q_merge_intersect,
-        # --- r4-green rows, oldest 14 of 42 ---
-        "resolve_template": q_resolve_template,
-        "minmax_range": q_minmax_range,
-        "explode_udtf": q_explode_udtf,
-        "flatmap": q_flatmap,
-        "transform_lambda": q_transform_lambda,
-        "sql_pushdown": q_sql_pushdown,
-        "ws_enrich": q_ws_enrich,
-        "model_enrich": q_model_enrich,
-        "multimodal_pipeline": q_multimodal_pipeline,
+        "pack_sequences": q_pack_sequences,
         "graph_bfs": q_graph_bfs,
-        "graph_degrees": q_graph_degrees,
         "graph_ancestors": q_graph_ancestors,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
-        # (graph_remove_cycles, graph_dangling and text_metrics slid
-        #  below as the three new curation/dedup queries joined the head)
+        "graph_time_ancestors": q_graph_time_ancestors,
+        # --- the 27 r4-row queries (the r7 rotation obligation) ---
         "graph_remove_cycles": q_graph_remove_cycles,
         "graph_dangling": q_graph_dangling,
         "text_metrics": q_text_metrics,
         "typed_filters": q_typed_filters,
         "inner_join_agg": q_inner_join_agg,
-        # remaining r4-green rows: first in line for the r7 budget
-        # (left_join_histogram / map_join_broadcast / difference_anti /
-        # group_count slid below the boundary as the five new r6 queries
-        # joined the head)
         "left_join_histogram": q_left_join_histogram,
         "map_join_broadcast": q_map_join_broadcast,
         "difference_anti": q_difference_anti,
@@ -3405,7 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_counts": q_stream_running_counts,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
-        # --- r5-green, unchanged since: stable tail ---
+        # --- oldest r5-green rows ---
         "sessionize": q_sessionize,
         "merge_intervals_islands": q_merge_intervals,
         "profile": q_profile,
@@ -3420,6 +3506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sankey_links": q_sankey_links,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # remaining r5-green rows: first in line for the r8 budget
         "stream_lsh_candidates": q_stream_lsh_candidates,
         "distribution_stats": q_distribution_stats,
         "distribution_drift": q_distribution_drift,
@@ -3452,11 +3540,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ttest": q_ttest,
         "explode_json": q_explode_json,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
+        # --- r6-green, unchanged since: stable tail ---
+        "lm_score": q_lm_score,
+        "trends_job_e2e": q_trends_job_e2e,
+        "dict_sequence_stats": q_dict_sequence_stats,
+        "stats_sequence_stats": q_stats_sequence_stats,
+        "trends_dataset": q_trends_dataset,
+        "arg_max_topk": q_arg_max_topk,
+        "arg_min_topk": q_arg_min_topk,
+        "sample_n_per_group": q_sample_n_per_group,
+        "parent_hierarchy": q_parent_hierarchy,
+        "graph_merge_nodes": q_graph_merge_nodes,
+        "window_sliding": q_window_sliding,
+        "sample_group_by_key": q_sample_group_by_key,
+        "distinct_cols": q_distinct_cols,
+        "ratio_cap": q_ratio_cap,
+        "const_missing_cols": q_const_missing_cols,
+        "json_xpath_filter": q_json_xpath_filter,
+        "doc_chunks": q_doc_chunks,
+        "token_vocab": q_token_vocab,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_lsh": q_similarity_lsh,
+        "explode_json_zip": q_explode_json_zip,
+        "explode_json_join": q_explode_json_join,
+        "quantiles": q_quantiles,
+        "quantile_grid": q_quantile_grid,
+        "failsafe_aggs": q_failsafe_aggs,
+        "uniq_mkstr": q_uniq_mkstr,
+        "string_aggs": q_string_aggs,
+        "group_by_key": q_group_by_key,
+        "sample_uniq_cap": q_sample_uniq_cap,
+        "read_tsv_intersect": q_read_tsv_intersect,
+        "etl_date_scan": q_etl_date_scan,
+        "time_diffs": q_time_diffs,
+        "merge_intersect": q_merge_intersect,
+        "resolve_template": q_resolve_template,
+        "minmax_range": q_minmax_range,
+        "explode_udtf": q_explode_udtf,
+        "flatmap": q_flatmap,
+        "transform_lambda": q_transform_lambda,
+        "sql_pushdown": q_sql_pushdown,
+        "ws_enrich": q_ws_enrich,
+        "model_enrich": q_model_enrich,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "graph_degrees": q_graph_degrees,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "graph_job_e2e": SQL_GRAPH_JOB_E2E,
+        "graph_ancestors_guid": SQL_GRAPH_ANCESTORS_GUID,
         "trends_job_e2e": _sql_trends_job_e2e(),
         "dict_sequence_stats": _sql_dict_sequence_stats(),
         "stats_sequence_stats": _sql_stats_sequence_stats(),

@@ -22,20 +22,86 @@ def _df(x) -> DataFrame:
     return x.df if isinstance(x, OmigoDF) else x
 
 
+# ------------------------------------------------- vertex dictionary codec
+# The iterative operators re-shuffle vertex ids every round (up to max_iter
+# times). Real telemetry graphs key on long strings (the reference's process
+# trees use guid-style ids), so each round's exchange carries the full id in
+# every row and every hash/compare walks the string. With
+# ``encode_vertices=True`` the operator builds a (node -> BIGINT) dictionary
+# ONCE, runs every iteration over 8-byte longs, and decodes before
+# returning — shuffle bytes and compare cost drop 2-3x on string-keyed
+# graphs (SCALE.md records the measured cut), for the one-time price of a
+# vertex-set distinct plus encode/decode joins that AQE broadcasts whenever
+# the dictionary fits. monotonically_increasing_id assigns the ids: unique
+# without any global sort/window barrier; the ids are not dense and not
+# stable across runs, but they never escape the operator (decoded before
+# return), so output determinism is unaffected.
+
+# Above this row count the dictionary is left to AQE (a billion-vertex
+# dictionary must NOT be force-broadcast); below it the encode/decode joins
+# get an explicit broadcast hint. The hint matters because the dictionary is
+# localCheckpoint'd (stable ids require materialization) and checkpointed
+# plans carry no size statistics — without the hint Spark sort-merge-joins,
+# shuffling the corpus-sized edge/output side to encode it (measured at
+# sf0.1: 10x MORE shuffle than no encoding at all).
+_DICT_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def _vertex_dict(*node_dfs: DataFrame) -> tuple[DataFrame, bool]:
+    """(``__node__``, ``__vid__`` BIGINT) dictionary over the union of the
+    given single-column vertex frames, checkpointed (encode and decode
+    must see the SAME id assignment) — plus whether it is small enough to
+    broadcast. The count is one cheap job over the just-materialized
+    blocks."""
+    u = node_dfs[0].toDF("__node__")
+    for d in node_dfs[1:]:
+        u = u.unionByName(d.toDF("__node__"))
+    vdict = (u.distinct()
+              .withColumn("__vid__", F.monotonically_increasing_id())
+              .localCheckpoint())
+    return vdict, vdict.count() <= _DICT_BROADCAST_MAX_ROWS
+
+
+def _encode_vcol(df: DataFrame, vdict: DataFrame, col: str,
+                 small: bool) -> DataFrame:
+    """Replace vertex column ``col`` with its dictionary id (inner join —
+    every value is in the dictionary by construction)."""
+    cols = df.columns
+    d = vdict.withColumnRenamed("__node__", col)
+    return (df.join(F.broadcast(d) if small else d, col)
+              .select(*[F.col("__vid__").alias(c) if c == col else F.col(c)
+                        for c in cols]))
+
+
+def _decode_vcol(df: DataFrame, vdict: DataFrame, col: str,
+                 small: bool) -> DataFrame:
+    """Inverse of _encode_vcol: dictionary id back to the original vertex."""
+    cols = df.columns
+    d = vdict.withColumnRenamed("__vid__", col)
+    return (df.join(F.broadcast(d) if small else d, col)
+              .select(*[F.col("__node__").alias(c) if c == col else F.col(c)
+                        for c in cols]))
+
+
 def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
-               max_iter: int = 30, out_col: str = "level") -> OmigoDF:
+               max_iter: int = 30, out_col: str = "level",
+               encode_vertices: bool = False) -> OmigoDF:
     """Minimum BFS level of every reachable vertex from the seed set
     (seeds = level 0). Cycle-tolerant: a vertex keeps its first (minimum)
     level (reference graph_traversal.py:7-78, forward direction).
 
     `seed_vertices` is a list of vertex ids or a DataFrame/OmigoDF with a
     `node_id` column. Returns (node_id, level).
+
+    ``encode_vertices=True`` runs every BFS round over dictionary-encoded
+    BIGINT vertex ids (see _vertex_dict) — same output, 2-3x less
+    per-round shuffle on string-keyed graphs.
     """
     # checkpoint the edge projection once: every BFS level joins against it,
     # and without the barrier the upstream plan (unions/distinct of the
     # caller's edge construction) would re-execute per iteration
     e = _df(edges).select(F.col(src_col).alias("src"),
-                          F.col(dst_col).alias("dst")).localCheckpoint()
+                          F.col(dst_col).alias("dst"))
     spark = e.sparkSession
     if isinstance(seed_vertices, (list, tuple)):
         seeds = spark.createDataFrame([(v,) for v in seed_vertices], ["node_id"])
@@ -43,6 +109,20 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
             e.schema["src"].dataType))
     else:
         seeds = _df(seed_vertices).select("node_id")
+    vdict = None
+    if encode_vertices:
+        # checkpoint the RAW projection first: the dict build + two encode
+        # joins would otherwise re-execute the caller's edge construction
+        # three more times (measured 3x scan inflation at sf0.1)
+        e = e.localCheckpoint()
+        # seeds participate in the dictionary: a seed absent from the edge
+        # table still appears in the output at level 0
+        vdict, vsmall = _vertex_dict(e.select("src"), e.select("dst"),
+                                     seeds.select("node_id"))
+        e = _encode_vcol(_encode_vcol(e, vdict, "src", vsmall),
+                         vdict, "dst", vsmall)
+        seeds = _encode_vcol(seeds, vdict, "node_id", vsmall)
+    e = e.localCheckpoint()
     # visited is kept as a LAZY union of per-level checkpointed deltas:
     # each iteration re-reads materialized blocks (cheap) instead of also
     # re-writing the whole accumulated set (one fewer job per level)
@@ -77,6 +157,8 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
     visited = deltas[0]
     for d in deltas[1:]:
         visited = visited.unionByName(d)
+    if vdict is not None:
+        visited = _decode_vcol(visited, vdict, "node_id", vsmall)
     return OmigoDF(visited.withColumnRenamed("level", out_col))
 
 
@@ -100,14 +182,26 @@ def degrees(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:
 
 
 def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
-              max_iter: int = 30) -> OmigoDF:
+              max_iter: int = 30, encode_vertices: bool = False) -> OmigoDF:
     """Full ancestor set of every vertex in a DAG: (node_id, ancestor)
     pairs — the relational core of the reference's
     get_forward_edges_only path/ancestor columns
     (graph_traversal.py:80-171). Iterates reachability joins to fixpoint.
+
+    ``encode_vertices=True`` runs the closure over dictionary-encoded
+    BIGINT ids (see _vertex_dict) — the closure is the worst case for
+    wide ids, since |R| grows toward V x avg-ancestry pairs, every one
+    carrying BOTH ids through every round's shuffle.
     """
     e = _df(edges).select(F.col(src_col).alias("anc"),
-                          F.col(dst_col).alias("node_id")).localCheckpoint()
+                          F.col(dst_col).alias("node_id"))
+    vdict = None
+    if encode_vertices:
+        e = e.localCheckpoint()
+        vdict, vsmall = _vertex_dict(e.select("anc"), e.select("node_id"))
+        e = _encode_vcol(_encode_vcol(e, vdict, "anc", vsmall),
+                         vdict, "node_id", vsmall)
+    e = e.localCheckpoint()
     # semi-naive recursive doubling ("smart" transitive closure):
     # Δ_k = Δ_{k-1} ∘ R_{k-1}, still O(log depth) rounds — a pair whose
     # MINIMAL path length lies in (2^(k-1), 2^k] splits at 2^(k-1) into a
@@ -148,7 +242,11 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
         if comp.isEmpty():
             break
         deltas.append(comp)
-    return OmigoDF(_reach().select("node_id", F.col("anc").alias("ancestor")))
+    out = _reach().select("node_id", F.col("anc").alias("ancestor"))
+    if vdict is not None:
+        out = _decode_vcol(_decode_vcol(out, vdict, "node_id", vsmall),
+                           vdict, "ancestor", vsmall)
+    return OmigoDF(out)
 
 
 def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
@@ -183,7 +281,8 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
 
 
 def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
-                           dst_col: str = "dst", max_iter: int = 30) -> OmigoDF:
+                           dst_col: str = "dst", max_iter: int = 30,
+                           encode_vertices: bool = False) -> OmigoDF:
     """Ancestors reachable along TIME-ORDERED paths: a path a→…→z counts
     only if every successive edge timestamp is >= the previous one —
     the reference's time-based forward-edge expansion
@@ -201,9 +300,21 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     shape) that divides the join volume by the multiplicity factor.
     Caveat: the distinct-ts array of ONE (src, dst) pair must fit in a
     row; for adversarial inputs where a single pair carries ~10^8
-    distinct timestamps, split the pair's time range before calling."""
+    distinct timestamps, split the pair's time range before calling.
+
+    ``encode_vertices=True`` runs the whole loop (pre-grouping included)
+    over dictionary-encoded BIGINT ids — see _vertex_dict."""
     e = _df(edges).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
                           F.col(ts_col).alias("ts"))
+    vdict = None
+    if encode_vertices:
+        # encode BEFORE the pre-grouping so even that first corpus-sized
+        # (src, dst) shuffle runs over BIGINT keys — the accumulator
+        # (node, ancestor, ts) then never carries a string id at all
+        e = e.localCheckpoint()
+        vdict, vsmall = _vertex_dict(e.select("src"), e.select("dst"))
+        e = _encode_vcol(_encode_vcol(e, vdict, "src", vsmall),
+                         vdict, "dst", vsmall)
     eg = (e.groupBy("src", "dst")
           .agg(F.sort_array(F.collect_set("ts")).alias("tss"))
           ).localCheckpoint()
@@ -260,8 +371,11 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
                     .select("node_id", "anc", "arr_ts"))
         if frontier.isEmpty():
             break
-    return OmigoDF(best.select("node_id", F.col("anc").alias("ancestor"),
-                               "arr_ts"))
+    out = best.select("node_id", F.col("anc").alias("ancestor"), "arr_ts")
+    if vdict is not None:
+        out = _decode_vcol(_decode_vcol(out, vdict, "node_id", vsmall),
+                           vdict, "ancestor", vsmall)
+    return OmigoDF(out)
 
 
 def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:

@@ -198,3 +198,56 @@ def test_parent_hierarchy_chains_pad_and_canonicalize(spark):
     r = {x["node_id"]: x for x in parent_hierarchy(cyc, levels=4).df.collect()}
     assert (r["p"]["parent_1"], r["p"]["parent_2"],
             r["p"]["parent_3"], r["p"]["parent_4"]) == ("q", "p", "q", "p")
+
+
+def test_encode_vertices_identical_results(spark):
+    """Dictionary-encoded runs must return exactly the un-encoded results
+    (ids are decoded before return), including a seed absent from the
+    edge table (level-0 row must survive the dictionary build)."""
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"),
+                       ("d", "e")])
+    plain = {(r["node_id"], r["level"])
+             for r in G.bfs_levels(e, ["a", "zz"]).df.collect()}
+    enc = {(r["node_id"], r["level"])
+           for r in G.bfs_levels(e, ["a", "zz"],
+                                 encode_vertices=True).df.collect()}
+    assert enc == plain and ("zz", 0) in enc
+
+    dag = _edges(spark, [("a", "b"), ("b", "c"), ("b", "d"), ("d", "f")])
+    assert ({tuple(r) for r in G.ancestors(dag, encode_vertices=True)
+             .df.collect()}
+            == {tuple(r) for r in G.ancestors(dag).df.collect()})
+
+    rows = [("a", "b", 1), ("b", "c", 2), ("x", "y", 5), ("y", "z", 3),
+            ("a", "b", 4)]
+    te = OmigoDF(spark.createDataFrame(rows, ["src", "dst", "ts"]))
+    assert ({tuple(r) for r in
+             G.time_ordered_ancestors(te, "ts", encode_vertices=True)
+             .df.collect()}
+            == {tuple(r) for r in
+                G.time_ordered_ancestors(te, "ts").df.collect()})
+
+
+def test_encode_vertices_loop_shuffles_bigint(spark):
+    """With encoding on, the iteration state is BIGINT — the dictionary is
+    built once and the per-round frontier/closure never carries the
+    string id (decode happens only at the tail)."""
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    out = G.bfs_levels(e, ["a"], encode_vertices=True)
+    # output schema is decoded back to the input vertex type
+    assert dict(out.df.dtypes)["node_id"] == "string"
+    anc = G.ancestors(e, encode_vertices=True).df
+    assert dict(anc.dtypes) == {"node_id": "string", "ancestor": "string"}
+
+
+def test_encode_vertices_small_dict_broadcasts(spark):
+    """A dictionary under _DICT_BROADCAST_MAX_ROWS must ride the
+    encode/decode joins as a broadcast: the dictionary is checkpointed
+    (no size stats), so without the explicit hint Spark sort-merge-joins
+    and shuffles the corpus-sized side — measured 10x MORE shuffle than
+    no encoding at all."""
+    e = _edges(spark, [(f"n{i}", f"n{i+1}") for i in range(20)])
+    out = G.ancestors(e, encode_vertices=True).df
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
