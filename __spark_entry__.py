@@ -2336,24 +2336,9 @@ def q_graph_job_e2e(spark, sf_dir):
                  F.expr("CAST(CAST(floor(value * 7) AS INT) % 97 AS STRING)")).alias("dst"),
         F.col("ts"))
     e0 = OmigoDF(uu.unionByName(ux))
-    pruned = GR.remove_dangling_edges(e0, [f"x{i}" for i in range(10)],
-                                      max_iter=3)
-    dag = GR.remove_cycles(pruned, "ts")
-    ed = OmigoDF(dag.df.select("src", "dst").distinct().localCheckpoint())
-    lv = GR.bfs_levels(ed, [f"u{i}" for i in range(5)]).df
-    anc_agg = (GR.ancestors(ed).df
-               .groupBy("node_id")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_ancestors"),
-                    F.concat_ws(",", F.array_sort(F.collect_set("ancestor")))
-                    .alias("ancestors")))
-    nodes = (ed.df.select(F.col("src").alias("node_id"))
-             .unionByName(ed.df.select(F.col("dst").alias("node_id")))
-             .distinct())
-    return (nodes.join(lv, "node_id", "left")
-            .join(anc_agg, "node_id", "left")
-            .selectExpr("node_id", "CAST(level AS INT) AS level",
-                        "COALESCE(n_ancestors, 0L) AS n_ancestors",
-                        "COALESCE(ancestors, '') AS ancestors"))
+    return GR.analysis_job(e0, "ts", [f"x{i}" for i in range(10)],
+                           [f"u{i}" for i in range(5)],
+                           prune_max_iter=3).df
 
 
 SQL_GRAPH_JOB_E2E = """

@@ -569,6 +569,51 @@ def apply_time_order_based_filter(vdf, edf, retain_vertex_ids,
     return OmigoDF(v2), OmigoDF(e2)
 
 
+def analysis_job(edges, ts_col: str, keep_vertices, seed_vertices,
+                 src_col: str = "src", dst_col: str = "dst",
+                 prune_max_iter: int = 3, max_iter: int = 30,
+                 encode_vertices: bool = False) -> OmigoDF:
+    """The matel graph-analysis batch flow as one composition (reference
+    projects/matel/graph-analysis GraphAnalysis.scala:750-876 RunQuery:
+    load → clean → traverse → summarize), built from the audited
+    operators:
+
+      1. remove_dangling_edges(keep_vertices, prune_max_iter)
+      2. remove_cycles(ts_col)
+      3. distinct (src, dst) — checkpointed once so the two traversals
+         below don't re-run the cleaning
+      4. bfs_levels(seed_vertices) + ancestors(), joined to a per-node
+         summary: (node_id, level, n_ancestors, ancestors) with the
+         sorted ','-merged ancestor column get_forward_edges_only uses.
+
+    Scale: each stage is the individually-audited operator; the
+    composition itself adds one distinct and two node-sized joins.
+    ``encode_vertices`` forwards to both traversals (see _vertex_dict —
+    worth it on guid-keyed deep graphs, not on short synthetic ids)."""
+    e0 = OmigoDF(_df(edges))
+    pruned = remove_dangling_edges(e0, keep_vertices, src_col, dst_col,
+                                   max_iter=prune_max_iter)
+    dag = remove_cycles(pruned, ts_col, src_col, dst_col)
+    ed = OmigoDF(dag.df.select(src_col, dst_col).distinct().localCheckpoint())
+    lv = bfs_levels(ed, seed_vertices, src_col, dst_col, max_iter,
+                    encode_vertices=encode_vertices).df
+    anc_agg = (ancestors(ed, src_col, dst_col, max_iter,
+                         encode_vertices=encode_vertices).df
+               .groupBy("node_id")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_ancestors"),
+                    F.concat_ws(",", F.array_sort(F.collect_set("ancestor")))
+                    .alias("ancestors")))
+    nodes = (ed.df.select(F.col(src_col).alias("node_id"))
+             .unionByName(ed.df.select(F.col(dst_col).alias("node_id")))
+             .distinct())
+    out = (nodes.join(lv, "node_id", "left")
+           .join(anc_agg, "node_id", "left")
+           .selectExpr("node_id", "CAST(level AS INT) AS level",
+                       "COALESCE(n_ancestors, 0L) AS n_ancestors",
+                       "COALESCE(ancestors, '') AS ancestors"))
+    return OmigoDF(out)
+
+
 def parent_hierarchy(edges, levels: int = 6, child_col: str = "child",
                      parent_col: str = "parent") -> OmigoDF:
     """Flatten parent pointers into per-node ancestor columns

@@ -251,3 +251,27 @@ def test_encode_vertices_small_dict_broadcasts(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_analysis_job_composition(spark):
+    """The matel-flow composition: dangling prune (protect z), cycle
+    removal, BFS + ancestor summary — hand-checked micro-graph."""
+    rows = [("a", "b", 1), ("b", "c", 2), ("c", "b", 1),  # c->b back-edge
+            ("b", "z", 3),                                 # kept artifact
+            ("b", "w", 3)]                                 # unprotected leaf
+    e = OmigoDF(spark.createDataFrame(rows, ["src", "dst", "ts"]))
+    out = {r["node_id"]: (r["level"], r["n_ancestors"], r["ancestors"])
+           for r in G.analysis_job(e, "ts", ["z"], ["a"]).df.collect()}
+    # b->w pruned (w a leaf, unprotected); c->b@1 dropped (b first seen
+    # at ts=2 via... b first seen as dst at ts=1 (a->b@1); c->b@1 needs
+    # ts >= first_ts(c)=2 -> dropped. Remaining: a->b, b->c, b->z.
+    assert set(out) == {"a", "b", "c", "z"}
+    assert out["a"] == (0, 0, "")
+    assert out["b"] == (1, 1, "a")
+    assert out["c"] == (2, 2, "a,b")
+    assert out["z"] == (2, 2, "a,b")
+    # encoded run returns the identical summary
+    enc = {r["node_id"]: (r["level"], r["n_ancestors"], r["ancestors"])
+           for r in G.analysis_job(e, "ts", ["z"], ["a"],
+                                   encode_vertices=True).df.collect()}
+    assert enc == out
