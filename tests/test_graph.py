@@ -275,3 +275,14 @@ def test_analysis_job_composition(spark):
            for r in G.analysis_job(e, "ts", ["z"], ["a"],
                                    encode_vertices=True).df.collect()}
     assert enc == out
+
+
+def test_encode_vertices_large_dict_fallback(spark, monkeypatch):
+    """Above _DICT_BROADCAST_MAX_ROWS the dictionary must NOT be
+    force-broadcast (a billion-vertex dict would OOM the driver at
+    scale) — the join falls back to AQE's choice and results are
+    unchanged."""
+    monkeypatch.setattr(G, "_DICT_BROADCAST_MAX_ROWS", 1)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("b", "d")])
+    got = {tuple(r) for r in G.ancestors(e, encode_vertices=True).df.collect()}
+    assert got == {("b", "a"), ("c", "b"), ("c", "a"), ("d", "b"), ("d", "a")}
