@@ -38,6 +38,7 @@ from omigo_data_analytics_spark.streaming import stream as ST  # noqa: E402
 from omigo_data_analytics_spark.operators import timeseries as TS  # noqa: E402
 from omigo_data_analytics_spark.operators import text as TX  # noqa: E402
 from omigo_data_analytics_spark.operators import curation as CU  # noqa: E402
+from omigo_data_analytics_spark.operators import query_graph as QG  # noqa: E402
 from omigo_data_analytics_spark.functions import timefuncs as TFN  # noqa: E402
 
 
@@ -2386,6 +2387,86 @@ FROM nodes n LEFT JOIN lv l USING (node_id) LEFT JOIN aagg a USING (node_id)
 """
 
 
+_QG_WINDOW_MIN = 600          # Child2 time_window (minutes)
+_QG_MIN_GROUP = 2             # Child2 min_group_size
+
+
+def q_query_graph_job(spark, sf_dir):
+    """The matel QueryGraph DSL end-to-end (reference RunQuery.main,
+    GraphAnalysis.scala:878-918: Table1 -> Child1 -> Child2 with
+    time_window + min_group_size), compiled to ONE Catalyst plan by
+    operators/query_graph.py. Pillar tables are derived from events as a
+    process-tree shape: node ids are unique per event ('e<event_id>'),
+    parents are the 16-aligned sibling-group head, entities (id1) are
+    user buckets — so chain joins are bounded-fanout tree hops, never
+    hub joins, and output scales linearly with the corpus."""
+    ev = _t(spark, sf_dir, "events").df
+    t1 = ev.selectExpr(
+        "concat('h', CAST(user_id % 4 AS STRING)) AS id1",
+        "'d0' AS id2",
+        "CAST(event_id AS STRING) AS uuid",
+        "concat('e', CAST(event_id AS STRING)) AS node_id",
+        "event_type AS event_id",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 1000) AS BIGINT) AS ts")
+    hier = ev.selectExpr(
+        "concat('h', CAST(user_id % 4 AS STRING)) AS id1",
+        "'d0' AS id2",
+        "concat('e', CAST(event_id AS STRING)) AS node_id",
+        "concat('e', CAST(event_id DIV 16 * 16 AS STRING)) AS parent_id",
+        "event_type AS event_id",
+        "CAST(FLOOR(unix_micros(CAST(ts AS TIMESTAMP)) / 1000) AS BIGINT) AS ts")
+    nodes = [
+        QG.Table1().as_("T1").add_filter("event_id", {"purchase"}),
+        QG.Hierarchy().as_("C1"),
+        QG.Hierarchy().as_("C2").time_window(_QG_WINDOW_MIN)
+                               .min_group_size(_QG_MIN_GROUP),
+    ]
+    gi = QG.QueryGraphInput({"table1": t1, "hierarchy": hier})
+    return QG.QueryGraph("bench", nodes, gi).execute().df
+
+
+def _sql_query_graph_job() -> str:
+    """Independent DuckDB derivation of the same chain: explicit joins
+    plus the reference's own groupBy+count+join-back group filter
+    (GraphAnalysis.scala:673-681) — deliberately NOT the engine's count
+    window, so agreement checks the DSL compiler's semantics."""
+    w_ms = _QG_WINDOW_MIN * 60 * 1000
+    return f"""
+WITH t1 AS (
+  SELECT 'h' || CAST(user_id % 4 AS VARCHAR) AS id1, 'd0' AS id2,
+         CAST(event_id AS VARCHAR) AS uuid,
+         'e' || CAST(event_id AS VARCHAR) AS node_id,
+         event_type AS eid, CAST(epoch_ms(ts) AS BIGINT) AS ts
+  FROM events WHERE event_type IN ('purchase')),
+h AS (
+  SELECT 'h' || CAST(user_id % 4 AS VARCHAR) AS id1, 'd0' AS id2,
+         'e' || CAST(event_id AS VARCHAR) AS node_id,
+         'e' || CAST((event_id // 16) * 16 AS VARCHAR) AS parent_id,
+         event_type AS eid, CAST(epoch_ms(ts) AS BIGINT) AS ts
+  FROM events),
+j1 AS (
+  SELECT c.id1 AS C1_id1, c.id2 AS C1_id2, c.node_id AS C1_node_id,
+         c.parent_id AS C1_parent_id, c.eid AS C1_event_id, c.ts AS C1_ts,
+         t.id1 AS T1_id1, t.id2 AS T1_id2, t.uuid AS T1_uuid,
+         t.node_id AS T1_node_id, t.eid AS T1_event_id, t.ts AS T1_ts
+  FROM h c JOIN t1 t
+    ON c.id1 = t.id1 AND c.id2 = t.id2 AND c.parent_id = t.node_id),
+j2 AS (
+  SELECT c.id1 AS C2_id1, c.id2 AS C2_id2, c.node_id AS C2_node_id,
+         c.parent_id AS C2_parent_id, c.eid AS C2_event_id, c.ts AS C2_ts,
+         j1.*
+  FROM h c JOIN j1
+    ON c.id1 = j1.C1_id1 AND c.id2 = j1.C1_id2
+   AND c.parent_id = j1.C1_node_id
+   AND c.ts <= j1.C1_ts + {w_ms}),
+g AS (
+  SELECT C2_id1, C2_id2, C2_parent_id FROM j2
+  GROUP BY C2_id1, C2_id2, C2_parent_id
+  HAVING COUNT(*) >= {_QG_MIN_GROUP})
+SELECT j2.* FROM j2 JOIN g USING (C2_id1, C2_id2, C2_parent_id)
+"""
+
+
 # =====================================================================
 # Relational coverage widening (SURVEY §2.2/2.3/2.5 long tail)
 # =====================================================================
@@ -3438,6 +3519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     the post-boundary block and take the r8 budget.
     return {
         # --- new in r07 ---
+        "query_graph_job": q_query_graph_job,
         "graph_job_e2e": q_graph_job_e2e,
         "graph_ancestors_guid": q_graph_ancestors_guid,
         # --- engine paths touched in r07 ---
@@ -3490,9 +3572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geomap_mercator": q_geomap_mercator,
         "sankey_links": q_sankey_links,
         "repetition_metrics": q_repetition_metrics,
-        "decontaminate": q_decontaminate,
         # ---------------- 50-entry budget boundary (driver checks above) ---
+        # (decontaminate slid below as query_graph_job joined the head)
         # remaining r5-green rows: first in line for the r8 budget
+        "decontaminate": q_decontaminate,
         "stream_lsh_candidates": q_stream_lsh_candidates,
         "distribution_stats": q_distribution_stats,
         "distribution_drift": q_distribution_drift,
@@ -3574,6 +3657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "query_graph_job": _sql_query_graph_job(),
         "graph_job_e2e": SQL_GRAPH_JOB_E2E,
         "graph_ancestors_guid": SQL_GRAPH_ANCESTORS_GUID,
         "trends_job_e2e": _sql_trends_job_e2e(),

@@ -1,0 +1,403 @@
+"""Declarative event-graph query DSL — the matel QueryGraph surface
+(reference projects/matel/graph-analysis/src/main/scala/omigo/matel/
+GraphAnalysis.scala:50-918: QueryNode / Table1 / Hierarchy /
+QueryGraphInput / QueryGraph / RunQuery), re-expressed Spark-first.
+
+The reference runs each node as its own job: it renders a SQL string over
+temp views, materializes every node's output to a parquet batch directory
+(`node=X/batch=Y`), and re-reads it as the next node's input, with a
+driver loop over uuid-prefix batches for sampling. Here the whole node
+chain compiles into ONE lazy DataFrame plan: per-node self-filters become
+scan-level predicates Catalyst pushes into the source, the chain joins
+stay a single Catalyst tree (AQE picks broadcast vs shuffle per step and
+re-plans on runtime sizes), and nothing touches disk between nodes. The
+uuid-prefix sampling loop (`sampling_depth` / `max_results`) is retained
+for parity — each batch is still one lazy plan; only the early-stop
+count is driver-side, exactly as in the reference.
+
+Semantics parity map (reference -> here):
+  addSelectString / addFilter / addSuffixFilter  -> add_select /
+      add_filter (IN-set) / add_suffix_filter (LIKE '%v' OR-chain)
+  addBitSetAndFilter / addBitSetOrFilter -> add_word_all_filter /
+      add_word_any_filter: the reference hashes each value's words into a
+      BitSet and subset-tests against broadcast filter BitSets
+      (BitSetFilterFunctions) — a scan-speed approximation of word-set
+      containment. Here the EXACT predicate compiles to codegen'd
+      split + array_contains conjunctions (no hash false positives); the
+      indexed variant of the same idea ships as
+      operators/search.py's bloom-bitset prefilter.
+  addPairNumericLimitFilter / time_window -> one-sided numeric window
+      vs a named (or the previous agent) node: cur.key <= prev.key + limit
+      (GraphAnalysis.scala:515-516 — note the reference window has NO
+      lower bound; preserved as-is).
+  addContextMapEqualityFilter -> equality vs the most recent prior node
+      that provides the field (the availableFields back-scan,
+      GraphAnalysis.scala:779-805), auto-adding the key to that node's
+      select list.
+  setFilterGroupSizeMinLimit / min_group_size -> post-join group-size
+      floor over (id1, id2, join keys); the reference runs
+      groupBy+count+join-back (two shuffles of the joined table,
+      GraphAnalysis.scala:673-681), here a count window over the same
+      keys — one shuffle.
+  Annotation marker -> time-range join prev_ts in [cur.ts, cur.ts_end)
+      (GraphAnalysis.scala:517-518).
+  addPairValuesFilter -> accepted for API parity but (like the
+      reference, where filterStringPairMap is populated in build() and
+      never referenced by generateJoinQuery) NOT applied; a warning is
+      logged at build().
+
+Scale: one plan per batch means predicate pushdown, column pruning and
+join reordering are Catalyst's problem, not a temp-directory protocol's;
+node outputs never hit storage, so the 100 TB cost is the scans plus the
+chain joins — each keyed on (id1, id2, join keys), i.e. co-partitioned
+by entity, the same key the reference's batch directories shard on.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..core.dataframe import OmigoDF
+
+log = logging.getLogger(__name__)
+
+# reference QueryAnnotation (GraphAnalysis.scala:41-45)
+NODE_AGENT = "NodeAgent"
+ACTION = "Action"
+ANNOTATION = "Annotation"
+
+# uuid-prefix batch space for sampling_depth (the reference's
+# UUID_PREFIXES; hex-uniform entity id prefixes)
+UUID_PREFIXES = list("0123456789abcdef")
+
+
+def _df(x) -> DataFrame:
+    return x.df if isinstance(x, OmigoDF) else x
+
+
+class QueryNode:
+    """One pillar of the query chain (reference QueryNode,
+    GraphAnalysis.scala:50-709). Subclass or instantiate with the table's
+    column model; chain builder calls mutate and return self."""
+
+    def __init__(self, table_name: str, default_select, supported_join_keys,
+                 default_join_keys, available_fields, markers,
+                 join_keys_map, index_table_name: str = ""):
+        self.table_name = table_name
+        self.name = table_name
+        self.default_select = list(default_select)
+        self.supported_join_keys = list(supported_join_keys)
+        self.join_keys = list(default_join_keys)
+        self.available_fields = list(available_fields)
+        self.markers = set(markers)
+        self.join_keys_map = dict(join_keys_map)
+        self.index_table_name = index_table_name
+
+        self.select_list: list[str] = []
+        self.filter_in_map: dict[str, set] = {}
+        self.filter_suffix_map: dict[str, set] = {}
+        self.filter_word_all: dict[str, set] = {}
+        self.filter_word_any: dict[str, set] = {}
+        self.pair_values_initial: dict[tuple[str, str], set] = {}
+        self.pair_numeric_initial: dict[tuple[str, str], int] = {}
+        self.pair_numeric_map: dict[tuple[str, str], int] = {}
+        self.context_equality_keys: set[str] = set()
+        self.context_equality_map: dict[str, str] = {}
+        self.group_size_min = -1
+
+        self.prev_node_name = ""
+        self.prev_agent_name = ""
+        self.prev_nodes_with_keys: dict[str, str] = {}
+        self.is_start = False
+        self.is_end = False
+        for c in self.default_select:
+            self.add_select(c)
+
+    # -------------------------------------------------- builder surface
+    def as_(self, name: str) -> "QueryNode":
+        self.name = name
+        return self
+
+    set_name = as_
+
+    def add_select(self, col: str) -> "QueryNode":
+        if col not in self.select_list:
+            self.select_list.append(col)
+        return self
+
+    def add_filter(self, col: str, values) -> "QueryNode":
+        self.filter_in_map[col] = set(values)
+        return self
+
+    def add_suffix_filter(self, col: str, values) -> "QueryNode":
+        self.filter_suffix_map[col] = set(values)
+        return self
+
+    def add_word_all_filter(self, col: str, words) -> "QueryNode":
+        """Keep rows whose ``col`` word set contains EVERY word
+        (reference addBitSetAndFilter — exact, not hash-approximate)."""
+        self.add_select(col)
+        self.filter_word_all[col] = set(words)
+        return self
+
+    def add_word_any_filter(self, col: str, values) -> "QueryNode":
+        """Keep rows whose ``col`` word set contains all words of AT
+        LEAST ONE value (reference addBitSetOrFilter)."""
+        self.add_select(col)
+        self.filter_word_any[col] = set(values)
+        return self
+
+    def add_pair_values_filter(self, source: str, key: str, values) -> "QueryNode":
+        self.pair_values_initial[(source, key)] = set(values)
+        return self
+
+    def add_pair_numeric_limit_filter(self, source: str, key: str,
+                                      limit: int) -> "QueryNode":
+        self.pair_numeric_initial[(source, key)] = limit
+        return self
+
+    def time_window(self, minutes: int, source: str = "") -> "QueryNode":
+        """cur.ts <= <source-or-prev-agent>.ts + minutes (reference
+        time_window, GraphAnalysis.scala:318-320 — upper bound only)."""
+        return self.add_pair_numeric_limit_filter(source, "ts",
+                                                  minutes * 60 * 1000)
+
+    def min_group_size(self, n: int) -> "QueryNode":
+        self.group_size_min = n
+        return self
+
+    def add_context_map_equality_filter(self, key: str) -> "QueryNode":
+        self.context_equality_keys.add(key)
+        return self
+
+    def set_join_keys(self, keys) -> "QueryNode":
+        self.join_keys = list(keys)
+        return self
+
+    # -------------------------------------------------------- internals
+    def build(self) -> "QueryNode":
+        """Resolve pair filters against the previous agent node
+        (reference build(), GraphAnalysis.scala:349-371)."""
+        for (src, key), limit in self.pair_numeric_initial.items():
+            self.pair_numeric_map[(src or self.prev_agent_name, key)] = limit
+        for key in self.context_equality_keys:
+            self.context_equality_map[key] = self.prev_nodes_with_keys[key]
+        if self.pair_values_initial:
+            log.warning(
+                "QueryNode %s: pair-values filters are accepted for API "
+                "parity but not applied (the reference populates "
+                "filterStringPairMap and never uses it in the join)",
+                self.name)
+        return self
+
+    def compile_base(self, tables: dict, batch_key: str, batch_prefix: str,
+                     id1_base_prefix: str, id2_base_prefix: str) -> DataFrame:
+        """The node's self-slice: source table -> prefix/self filters ->
+        selected columns renamed ``<name>_<col>`` (the reference's
+        generateSelectQuery + the prefixed half of generateJoinQuery)."""
+        if self.table_name not in tables:
+            raise KeyError(f"QueryGraph: no table registered for "
+                           f"{self.table_name!r} (node {self.name})")
+        df = _df(tables[self.table_name])
+        # entity-prefix (batch) filters — scan-level predicates
+        id1_prefix = (id1_base_prefix + batch_prefix
+                      if batch_key == "id1" else id1_base_prefix)
+        id2_prefix = (id2_base_prefix + batch_prefix
+                      if batch_key == "id2" else id2_base_prefix)
+        if id1_prefix:
+            df = df.where(F.col("id1").startswith(id1_prefix))
+        if id2_prefix:
+            df = df.where(F.col("id2").startswith(id2_prefix))
+        for col, values in self.filter_in_map.items():
+            df = df.where(F.col(col).isin(*sorted(values)))
+        for col, values in self.filter_suffix_map.items():
+            cond = None
+            for v in sorted(values):
+                c = F.col(col).endswith(v)
+                cond = c if cond is None else (cond | c)
+            df = df.where(cond)
+        for col, words in self.filter_word_all.items():
+            toks = F.split(F.col(col), r"\s+")
+            for w in sorted(words):
+                df = df.where(F.array_contains(toks, w))
+        for col, values in self.filter_word_any.items():
+            cond = None
+            toks = F.split(F.col(col), r"\s+")
+            for v in sorted(values):
+                c = None
+                for w in v.split():
+                    cc = F.array_contains(toks, w)
+                    c = cc if c is None else (c & cc)
+                if c is not None:
+                    cond = c if cond is None else (cond | c)
+            if cond is not None:
+                df = df.where(cond)
+        return df.select(*[F.col(c).alias(f"{self.name}_{c}")
+                           for c in self.select_list])
+
+
+class Table1(QueryNode):
+    """Event pillar (reference Table1, GraphAnalysis.scala:714-722)."""
+
+    def __init__(self):
+        super().__init__(
+            table_name="table1",
+            default_select=["id1", "id2", "uuid", "node_id", "event_id", "ts"],
+            supported_join_keys=["uuid"], default_join_keys=["node_id"],
+            available_fields=["event_id"], markers={NODE_AGENT},
+            join_keys_map={}, index_table_name="table1_index")
+
+
+class Hierarchy(QueryNode):
+    """Parent-child pillar (reference Hierarchy,
+    GraphAnalysis.scala:727-750): joins its parent_id to the previous
+    agent's node_id."""
+
+    def __init__(self):
+        super().__init__(
+            table_name="hierarchy",
+            default_select=["id1", "id2", "node_id", "parent_id",
+                            "event_id", "ts"],
+            supported_join_keys=["parent_id"], default_join_keys=["parent_id"],
+            available_fields=["event_id"], markers={NODE_AGENT},
+            join_keys_map={"parent_id": "node_id"}, index_table_name="")
+
+
+class QueryGraphInput:
+    """Execution context (reference QueryGraphInput,
+    GraphAnalysis.scala:752-753) — ``tables`` replaces the reference's
+    Hive table names with DataFrames/OmigoDFs keyed by pillar table
+    name."""
+
+    def __init__(self, tables: dict, sampling_depth: int = 0,
+                 max_results: int | None = None, batch_key: str = "id1",
+                 id1_base_prefix: str = "", id2_base_prefix: str = ""):
+        if sampling_depth not in (0, 1, 2):
+            raise ValueError(
+                f"sampling_depth {sampling_depth} not supported")
+        self.tables = tables
+        self.sampling_depth = sampling_depth
+        self.max_results = max_results
+        self.batch_key = batch_key
+        self.id1_base_prefix = id1_base_prefix
+        self.id2_base_prefix = id2_base_prefix
+
+
+class QueryGraph:
+    """Ordered node chain -> one composed plan per batch (reference
+    QueryGraph, GraphAnalysis.scala:758-876)."""
+
+    def __init__(self, name: str, nodes, graph_input: QueryGraphInput):
+        self.name = name
+        self.nodes = list(nodes)
+        self.graph_input = graph_input
+        self._built = False
+
+    def build(self) -> "QueryGraph":
+        """Wire prev pointers, the prev-agent scan, and the
+        available-fields back-fill (reference build(),
+        GraphAnalysis.scala:761-813)."""
+        nodes = self.nodes
+        by_name = {n.name: n for n in nodes}
+        if len(by_name) != len(nodes):
+            raise ValueError("QueryGraph: node names must be unique "
+                             "(use .as_())")
+        for i in range(1, len(nodes)):
+            cur = nodes[i]
+            cur.prev_node_name = nodes[i - 1].name
+            cur.prev_agent_name = next(
+                (n.name for n in reversed(nodes[:i])
+                 if ANNOTATION not in n.markers), "")
+            prev_agent_idx = next(
+                (j for j in range(i - 1, -1, -1)
+                 if ANNOTATION not in nodes[j].markers), -1)
+            if prev_agent_idx != -1:
+                for prev in nodes[prev_agent_idx:i]:
+                    for key in prev.available_fields:
+                        cur.prev_nodes_with_keys[key] = prev.name
+        # context-equality keys must be selected by their provider node
+        for node in nodes:
+            for key in node.context_equality_keys:
+                by_name[node.prev_nodes_with_keys[key]].add_select(key)
+        nodes[0].is_start = True
+        nodes[-1].is_end = True
+        for node in nodes:
+            node.build()
+        self._built = True
+        return self
+
+    def _compile_chain(self, batch_prefix: str) -> DataFrame:
+        gi = self.graph_input
+        acc = None
+        for node in self.nodes:
+            cur = node.compile_base(gi.tables, gi.batch_key, batch_prefix,
+                                    gi.id1_base_prefix, gi.id2_base_prefix)
+            if acc is None:
+                acc = cur
+            else:
+                p = node.prev_agent_name
+                cond = None
+                for k in ["id1", "id2"] + node.join_keys:
+                    mapped = node.join_keys_map.get(k, k)
+                    c = (cur[f"{node.name}_{k}"] == acc[f"{p}_{mapped}"])
+                    cond = c if cond is None else (cond & c)
+                for key, provider in node.context_equality_map.items():
+                    cond = cond & (cur[f"{node.name}_{key}"]
+                                   == acc[f"{provider}_{key}"])
+                for (nname, key), limit in node.pair_numeric_map.items():
+                    cond = cond & (cur[f"{node.name}_{key}"]
+                                   <= acc[f"{nname}_{key}"] + F.lit(limit))
+                if ANNOTATION in node.markers:
+                    cond = (cond
+                            & (acc[f"{p}_ts"] >= cur[f"{node.name}_ts"])
+                            & (acc[f"{p}_ts"] < cur[f"{node.name}_ts_end"]))
+                joined = cur.join(acc, cond)
+                # current node's columns first, then the accumulator —
+                # the reference's select order (GraphAnalysis.scala:524)
+                joined = joined.select(
+                    *[cur[c] for c in cur.columns],
+                    *[acc[c] for c in acc.columns])
+                if node.group_size_min >= 0:
+                    keys = [f"{node.name}_{k}"
+                            for k in ["id1", "id2"] + node.join_keys]
+                    w = Window.partitionBy(*keys)
+                    joined = (joined
+                              .withColumn("__gs__", F.count(F.lit(1)).over(w))
+                              .where(F.col("__gs__") >= node.group_size_min)
+                              .drop("__gs__"))
+                acc = joined
+        return acc
+
+    def execute(self) -> OmigoDF:
+        """Compose and return the end-node result. ``sampling_depth=0``
+        (the default) is ONE lazy plan — nothing driver-side at all.
+        Depth 1/2 iterates uuid-prefix batches and stops once
+        ``max_results`` rows have accumulated: the reference's sampling
+        loop (GraphAnalysis.scala:823-868), with per-batch row counts as
+        the only driver-side step."""
+        if not self._built:
+            self.build()
+        gi = self.graph_input
+        if gi.sampling_depth == 0:
+            return OmigoDF(self._compile_chain(""))
+        prefixes = (UUID_PREFIXES if gi.sampling_depth == 1 else
+                    [a + b for a in UUID_PREFIXES for b in UUID_PREFIXES])
+        total = 0
+        parts = []
+        for prefix in prefixes:
+            if gi.max_results is not None and total >= gi.max_results:
+                break
+            batch = self._compile_chain(prefix).localCheckpoint()
+            n = batch.count()
+            if n > 0:
+                parts.append(batch)
+                total += n
+        if not parts:
+            return OmigoDF(self._compile_chain(prefixes[0]).limit(0))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return OmigoDF(out)
