@@ -3504,17 +3504,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
     # entries) covers what needs (re-)validation most. Round 7:
-    # (a) the two queries NEW this round: graph_job_e2e (the executed
-    #     matel graph-analysis composition) and graph_ancestors_guid
-    #     (the ancestor closure over a guid-keyed graph with
-    #     encode_vertices=True, the measured 2.4x-shuffle-cut shape);
+    # (a) the three queries NEW this round: query_graph_job (the matel
+    #     QueryNode/QueryGraph DSL compiled to one Catalyst plan),
+    #     graph_job_e2e (the executed graph-analysis composition) and
+    #     graph_ancestors_guid (the ancestor closure over a guid-keyed
+    #     graph with encode_vertices=True, the measured 2.4x cut);
     # (b) every engine path touched in r07: the span-dedup pair (120-bit
     #     removal keys), mix_sources (resolved source_col), pack_sequences
     #     (check_unique guard), and the three iterative graph operators
     #     (vertex-dictionary codec plumbing — default path re-validated);
     # (c) all 27 queries whose newest driver row was r4 (the full list
     #     from VERDICT r6 What's-wrong #1), and
-    # (d) the oldest 14 r5-green rows. After this round every registry
+    # (d) the oldest 13 r5-green rows. After this round every registry
     #     entry has a driver row from r5-r7; the remaining r5 rows lead
     #     the post-boundary block and take the r8 budget.
     return {

@@ -463,3 +463,64 @@ def test_duplicate_spans_match_brute_force(spark, docs):
     got_rm = {r["doc_id"]: r["text"]
               for r in DD.remove_duplicate_spans(odf, n=n).df.collect()}
     assert got_rm == exp_removed
+
+
+# --------------------------------------------------------------- QueryGraph
+QG_ENTITIES = ["h0", "h1"]
+QG_NODES = ["n0", "n1", "n2", "n3"]
+QG_TS = st.integers(min_value=0, max_value=10_000)
+
+QG_T1_ROWS = st.lists(
+    st.tuples(st.sampled_from(QG_ENTITIES), st.sampled_from(QG_NODES), QG_TS),
+    min_size=0, max_size=12)
+QG_H_ROWS = st.lists(
+    st.tuples(st.sampled_from(QG_ENTITIES), st.sampled_from(QG_NODES), QG_TS),
+    min_size=0, max_size=20)
+
+
+@given(t1_rows=QG_T1_ROWS, h_rows=QG_H_ROWS,
+       window=st.sampled_from([0, 1, 100]),
+       min_group=st.sampled_from([-1, 2]))
+@_SETTINGS
+def test_query_graph_chain_matches_bruteforce(spark, t1_rows, h_rows,
+                                              window, min_group):
+    """The compiled 3-node chain (Table1 -> Hierarchy -> Hierarchy with
+    time_window + min_group_size) against a brute-force nested-loop
+    evaluation of the same semantics."""
+    from omigo_data_analytics_spark.operators import query_graph as QG
+
+    t1 = spark.createDataFrame(
+        [(e, "d", f"u{i}", n, "ev", ts)
+         for i, (e, n, ts) in enumerate(t1_rows)],
+        "id1 string, id2 string, uuid string, node_id string, "
+        "event_id string, ts long")
+    hier = spark.createDataFrame(
+        [(e, "d", f"c{i}", p, "ev", ts)
+         for i, (e, p, ts) in enumerate(h_rows)],
+        "id1 string, id2 string, node_id string, parent_id string, "
+        "event_id string, ts long")
+    c2 = QG.Hierarchy().as_("C2").time_window(window)
+    if min_group >= 0:
+        c2.min_group_size(min_group)
+    nodes = [QG.Table1().as_("T1"), QG.Hierarchy().as_("C1"), c2]
+    out = QG.QueryGraph("p", nodes, QG.QueryGraphInput(
+        {"table1": t1, "hierarchy": hier})).execute().df
+    got = {(r["T1_uuid"], r["C1_node_id"], r["C2_node_id"])
+           for r in out.collect()}
+
+    # brute force
+    t1l = [(e, f"u{i}", n, ts) for i, (e, n, ts) in enumerate(t1_rows)]
+    hl = [(e, f"c{i}", p, ts) for i, (e, p, ts) in enumerate(h_rows)]
+    j1 = [(u, cn, e1, ts2)
+          for (e1, u, n1, _ts1) in t1l
+          for (e2, cn, p2, ts2) in hl if e1 == e2 and p2 == n1]
+    j2 = [(u, cn, gn, e3, p3)
+          for (u, cn, e1, ts1) in j1
+          for (e3, gn, p3, ts3) in hl
+          if e1 == e3 and p3 == cn and ts3 <= ts1 + window * 60_000]
+    if min_group >= 0:
+        from collections import Counter
+        sizes = Counter((e3, p3) for (_u, _cn, _gn, e3, p3) in j2)
+        j2 = [row for row in j2 if sizes[(row[3], row[4])] >= min_group]
+    want = {(u, cn, gn) for (u, cn, gn, _e, _p) in j2}
+    assert got == want
