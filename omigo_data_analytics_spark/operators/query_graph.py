@@ -113,6 +113,7 @@ class QueryNode:
         self.prev_nodes_with_keys: dict[str, str] = {}
         self.is_start = False
         self.is_end = False
+        self.signature_cols: dict[str, str] = {}
         for c in self.default_select:
             self.add_select(c)
 
@@ -173,6 +174,21 @@ class QueryNode:
         self.context_equality_keys.add(key)
         return self
 
+    def set_signature(self, col: str, sig_col: str) -> "QueryNode":
+        """Declare a persisted bloom-bitset signature column for ``col``
+        (built with search.add_search_signature and written next to the
+        table): word filters on ``col`` then prepend the signature
+        SUBSET test — a few 64-bit AND/compares per row, scan-speed —
+        before the exact word check. This is the reference's indexed
+        bitset path (executeAndGetIndexedPaths + BitSetFilterFunctions,
+        GraphAnalysis.scala:408-442/587-637) without the side index
+        table: the signature rides the row, so min/max file stats on a
+        clustered write prune files and the prefilter prunes rows, and
+        exactness is preserved because the bloom layer only produces
+        false positives which the exact predicate removes."""
+        self.signature_cols[col] = sig_col
+        return self
+
     def set_join_keys(self, keys) -> "QueryNode":
         self.join_keys = list(keys)
         return self
@@ -220,10 +236,12 @@ class QueryNode:
                 cond = c if cond is None else (cond | c)
             df = df.where(cond)
         for col, words in self.filter_word_all.items():
+            df = self._sig_prefilter(df, col, [" ".join(sorted(words))])
             toks = F.split(F.col(col), r"\s+")
             for w in sorted(words):
                 df = df.where(F.array_contains(toks, w))
         for col, values in self.filter_word_any.items():
+            df = self._sig_prefilter(df, col, sorted(values))
             cond = None
             toks = F.split(F.col(col), r"\s+")
             for v in sorted(values):
@@ -237,6 +255,23 @@ class QueryNode:
                 df = df.where(cond)
         return df.select(*[F.col(c).alias(f"{self.name}_{c}")
                            for c in self.select_list])
+
+    def _sig_prefilter(self, df: DataFrame, col: str, phrases) -> DataFrame:
+        """Bloom-subset prefilter (OR over per-phrase signatures) when a
+        signature column is declared for ``col``. Sound for the exact
+        word predicates that follow: a filter word always appears inside
+        SOME signature-side token, so every phrase bit of a word the
+        document actually contains is set — the bloom layer can only
+        over-approximate."""
+        sig_col = self.signature_cols.get(col)
+        if sig_col is None:
+            return df
+        from .search import query_signature, subset_filter
+        cond = None
+        for p in phrases:
+            c = subset_filter(sig_col, query_signature(p))
+            cond = c if cond is None else (cond | c)
+        return df.where(cond) if cond is not None else df
 
 
 class Table1(QueryNode):

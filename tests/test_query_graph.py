@@ -139,3 +139,44 @@ def test_build_validations(spark):
     with pytest.raises(KeyError, match="no table"):
         QG.QueryGraph("t", [QG.Table1().as_("T")],
                       QG.QueryGraphInput({})).execute()
+
+
+def test_signature_prefilter_same_results_and_in_plan(spark):
+    """With a persisted bloom signature declared, word filters prepend
+    the subset test (visible in the plan as bitwise ops on the sig col)
+    and results are unchanged — the bloom layer only over-approximates."""
+    from omigo_data_analytics_spark.operators import search as SE
+
+    t1 = OmigoDF(spark.createDataFrame([
+        ("h0", "d", "u1", "n1", "malware dropper detected", 1000),
+        ("h0", "d", "u2", "n2", "benign installer finished", 2000),
+        ("h0", "d", "u3", "n3", "malware beacon detected", 3000),
+    ], T1_COLS))
+    with_sig = SE.add_search_signature(t1, col="event_id",
+                                       new_col="search_bits").df
+    tables = {"table1": with_sig}
+
+    def _node(sig):
+        n = (QG.Table1().as_("T")
+             .add_word_all_filter("event_id", {"malware", "detected"}))
+        if sig:
+            n.set_signature("event_id", "search_bits")
+        return n
+
+    plain = {r["T_uuid"] for r in QG.QueryGraph(
+        "t", [_node(False)], QG.QueryGraphInput(tables)).execute().df.collect()}
+    node = _node(True)
+    out = QG.QueryGraph("t", [node],
+                        QG.QueryGraphInput(tables)).execute().df
+    got = {r["T_uuid"] for r in out.collect()}
+    assert got == plain == {"u1", "u3"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the subset test survives to the executed plan: bitwise element_at
+    # probes (the optimizer may inline the lazy signature projection, so
+    # assert on the probe shape, not the column name)
+    assert "element_at" in plan
+    plain_plan = QG.QueryGraph(
+        "t", [_node(False)],
+        QG.QueryGraphInput(tables)).execute().df._jdf.queryExecution()\
+        .executedPlan().toString()
+    assert "element_at" not in plain_plan
