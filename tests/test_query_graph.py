@@ -180,3 +180,17 @@ def test_signature_prefilter_same_results_and_in_plan(spark):
         QG.QueryGraphInput(tables)).execute().df._jdf.queryExecution()\
         .executedPlan().toString()
     assert "element_at" not in plain_plan
+
+
+def test_driver_chain_pushdown_and_pruning(spark, sf_dir):
+    """The bench chain's self-filter reaches the parquet scan (the
+    event_type IN-filter survives through the pillar projection) and
+    unused source columns (props) are pruned from every scan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_query_graph_job(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, plan
+    assert any("event_type" in s and "purchase" in s for s in scans)
+    assert not any("props" in s for s in scans)
