@@ -286,3 +286,17 @@ def test_encode_vertices_large_dict_fallback(spark, monkeypatch):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("b", "d")])
     got = {tuple(r) for r in G.ancestors(e, encode_vertices=True).df.collect()}
     assert got == {("b", "a"), ("c", "b"), ("c", "a"), ("d", "b"), ("d", "a")}
+
+
+def test_encode_vertices_null_ts_pair_identical(spark):
+    """The encoded path must preserve the NULL-arrival semantics: the
+    all-null pair stays reachable with NULL arrival, nothing extends
+    through it, and results equal the un-encoded run."""
+    rows = [("a", "b", None), ("b", "c", 2), ("c", "d", 3)]
+    e = OmigoDF(spark.createDataFrame(rows, "src string, dst string, ts int"))
+    plain = {tuple(r) for r in G.time_ordered_ancestors(e, "ts").df.collect()}
+    enc = {tuple(r) for r in G.time_ordered_ancestors(
+        e, "ts", encode_vertices=True).df.collect()}
+    assert enc == plain
+    assert ("b", "a", None) in enc and not any(
+        n == "c" and a == "a" for (n, a, _t) in enc)

@@ -524,3 +524,66 @@ def test_query_graph_chain_matches_bruteforce(spark, t1_rows, h_rows,
         j2 = [row for row in j2 if sizes[(row[3], row[4])] >= min_group]
     want = {(u, cn, gn) for (u, cn, gn, _e, _p) in j2}
     assert got == want
+
+
+# ----------------------------------------------------- graph analysis_job
+AJ_NODES = ["a", "b", "c", "d", "e"]
+AJ_EDGES = st.lists(
+    st.tuples(st.sampled_from(AJ_NODES), st.sampled_from(AJ_NODES),
+              st.integers(min_value=0, max_value=9)),
+    min_size=1, max_size=14)
+
+
+@given(edges=AJ_EDGES,
+       keep=st.sets(st.sampled_from(AJ_NODES), max_size=2),
+       seeds=st.sets(st.sampled_from(AJ_NODES), min_size=1, max_size=2))
+@_SETTINGS
+def test_analysis_job_matches_bruteforce(spark, edges, keep, seeds):
+    """graph.analysis_job (prune -> decycle -> BFS + ancestor summary)
+    vs a literal Python re-execution of each stage's semantics."""
+    from collections import deque
+
+    from omigo_data_analytics_spark.operators import graph as G
+
+    e = OmigoDF(spark.createDataFrame(edges, "src string, dst string, ts int"))
+    got = {r["node_id"]: (r["level"], r["n_ancestors"], r["ancestors"])
+           for r in G.analysis_job(e, "ts", sorted(keep),
+                                   sorted(seeds)).df.collect()}
+
+    # stage 1: dangling prune, fixpoint <= 3 rounds (engine default)
+    cur = list(edges)
+    for _ in range(3):
+        protected = {s for s, _d, _t in cur} | keep
+        nxt = [r for r in cur if r[1] in protected]
+        if len(nxt) == len(cur):
+            break
+        cur = nxt
+    # stage 2: temporal back-edge removal
+    first = {}
+    for _s, d, t in cur:
+        first[d] = min(first.get(d, t), t)
+    cur = [r for r in cur if r[0] not in first or r[2] >= first[r[0]]]
+    ed = {(s, d) for s, d, _t in cur}
+    nodes = {s for s, _d in ed} | {d for _s, d in ed}
+    # stage 3: BFS min levels from seeds
+    lvl = {s: 0 for s in seeds}
+    q = deque(sorted(seeds))
+    while q:
+        n = q.popleft()
+        for s, d in ed:
+            if s == n and d not in lvl:
+                lvl[d] = lvl[n] + 1
+                q.append(d)
+    # stage 4: ancestor closure
+    anc = {n: set() for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in ed:
+            new = ({s} | anc.get(s, set())) - anc[d]
+            if new:
+                anc[d] |= new
+                changed = True
+    want = {n: (lvl.get(n), len(anc[n]), ",".join(sorted(anc[n])))
+            for n in nodes}
+    assert got == want
