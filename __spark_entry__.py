@@ -3492,6 +3492,23 @@ def _sql_mix_sources() -> str:
         select="d.doc_id, d.source, d.lang")
 
 
+def q_mix_sources_weighted(spark, sf_dir):
+    """Token-budget source mixing (mix_sources(weight_col=...)): shares
+    measured in summed n_chars, not documents — what an LLM pipeline
+    actually mixes by. Same portable-hash coin, rates from BIGINT weight
+    sums (exact, partition-order-independent)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = CU.mix_sources(docs, "source", MIX_SHARES, ["doc_id"], seed=11,
+                         weight_col="n_chars")
+    return out.df.select("doc_id", "source", "n_chars")
+
+
+def _sql_mix_sources_weighted() -> str:
+    return CU.mix_sources_sql_duck(
+        "documents", "source", MIX_SHARES, ["doc_id"], seed=11,
+        select="d.doc_id, d.source, d.n_chars", weight_col="n_chars")
+
+
 # =====================================================================
 # Driver contract
 # =====================================================================
@@ -3504,7 +3521,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
     # entries) covers what needs (re-)validation most. Round 7:
-    # (a) the three queries NEW this round: query_graph_job (the matel
+    # (a) the four queries NEW this round: mix_sources_weighted
+    #     (token-budget mixing), query_graph_job (the matel
     #     QueryNode/QueryGraph DSL compiled to one Catalyst plan),
     #     graph_job_e2e (the executed graph-analysis composition) and
     #     graph_ancestors_guid (the ancestor closure over a guid-keyed
@@ -3515,7 +3533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #     (vertex-dictionary codec plumbing — default path re-validated);
     # (c) all 27 queries whose newest driver row was r4 (the full list
     #     from VERDICT r6 What's-wrong #1), and
-    # (d) the oldest 13 r5-green rows. After this round every registry
+    # (d) the oldest 12 r5-green rows. After this round every registry
     #     entry has a driver row from r5-r7; the remaining r5 rows lead
     #     the post-boundary block and take the r8 budget.
     return {
@@ -3572,10 +3590,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graphviz_dot": q_graphviz_dot,
         "geomap_mercator": q_geomap_mercator,
         "sankey_links": q_sankey_links,
-        "repetition_metrics": q_repetition_metrics,
+        "mix_sources_weighted": q_mix_sources_weighted,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # (decontaminate slid below as query_graph_job joined the head)
+        # (decontaminate and repetition_metrics slid below as
+        #  query_graph_job and mix_sources_weighted joined the head)
         # remaining r5-green rows: first in line for the r8 budget
+        "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
         "stream_lsh_candidates": q_stream_lsh_candidates,
         "distribution_stats": q_distribution_stats,
@@ -3742,6 +3762,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _sql_decontaminate(),
         "lm_score": _sql_lm_score(),
         "mix_sources": _sql_mix_sources(),
+        "mix_sources_weighted": _sql_mix_sources_weighted(),
         "graphviz_dot": SQL_GRAPHVIZ_DOT,
         "geomap_mercator": SQL_GEOMAP_MERCATOR,
         "sankey_links": SQL_SANKEY_LINKS,

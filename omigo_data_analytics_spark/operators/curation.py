@@ -284,7 +284,8 @@ FROM {score_sql} b LEFT JOIN agg a USING ({id_col})
 
 
 def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
-                key_cols, seed: int = 0) -> OmigoDF:
+                key_cols, seed: int = 0,
+                weight_col: str | None = None) -> OmigoDF:
     """Downsample each source to target mixture ``shares`` (summing to 1),
     keeping the largest total for which no source needs upsampling:
     T = min_s(n_s / share_s), rate_s = share_s * T / n_s. A row survives
@@ -292,6 +293,16 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     deterministic across runs/engines/shards (no RNG), so the mixture is
     reproducible and a surviving document never churns when the corpus
     regrows. Sources absent from ``shares`` are dropped.
+
+    ``weight_col`` switches the mixture UNIT from documents to that
+    column's sum — pass a token-count column and the shares become
+    TOKEN-budget shares (what an LLM data pipeline actually mixes by:
+    n_s = sum(weight) per source, so each source's expected sampled
+    token volume is share_s of the achievable total). The keep decision
+    stays a per-row hash coin, so realized token shares converge to the
+    target as 1/sqrt(docs-per-source) — exact-volume packing would need
+    a per-source running sum (inherently sequential) for a precision
+    real mixtures don't need.
 
     ``source_col`` must be string-typed and ``shares`` keys must be its
     STRING values: the rate table is built string-typed, and while Spark
@@ -326,7 +337,16 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     gcols = odf._resolve(key_cols)
     spark = odf.df.sparkSession
     w = spark.createDataFrame(list(shares.items()), f"{source_col} string, __share__ double")
-    counts = odf.df.groupBy(source_col).agg(F.count("*").alias("__n__"))
+    if weight_col is not None:
+        # BIGINT sum, not double: FP addition is partition-order-
+        # dependent and a last-ulp wobble could flip the floor'd rate —
+        # integer sums are exact and deterministic on both engines
+        # (fractional weights are floored per row)
+        wc = odf._resolve([weight_col])[0]
+        measure = F.sum(F.col(wc).cast("long"))
+    else:
+        measure = F.count("*")
+    counts = odf.df.groupBy(source_col).agg(measure.alias("__n__"))
     per_src = counts.join(F.broadcast(w), source_col)
     t_row = per_src.agg(F.min(F.col("__n__") / F.col("__share__")).alias("__t__"))
     rates = (per_src.crossJoin(F.broadcast(t_row))
@@ -347,15 +367,18 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
 # ------------------------------------------------------------------ oracle
 def mix_sources_sql_duck(table: str, source_col: str,
                          shares: dict[str, float], key_cols,
-                         seed: int = 0, select: str = "d.*") -> str:
-    """DuckDB replay of mix_sources: same counts, same floor'd rates,
-    same portable-hash coin."""
+                         seed: int = 0, select: str = "d.*",
+                         weight_col: str | None = None) -> str:
+    """DuckDB replay of mix_sources: same counts (or weight sums), same
+    floor'd rates, same portable-hash coin."""
     vals = ", ".join(f"('{s}', {v!r})" for s, v in shares.items())
     key = "concat_ws(chr(9), " + ", ".join(
         f"CAST({c} AS VARCHAR)" for c in key_cols) + f", '{seed}')"
+    n_expr = ("COUNT(*)" if weight_col is None
+              else f"CAST(SUM(CAST({weight_col} AS BIGINT)) AS BIGINT)")
     return f"""
 WITH w({source_col}, share) AS (VALUES {vals}),
-c AS (SELECT {source_col}, COUNT(*) AS n FROM {table} GROUP BY {source_col}),
+c AS (SELECT {source_col}, {n_expr} AS n FROM {table} GROUP BY {source_col}),
 t AS (SELECT MIN(n / share) AS t FROM c JOIN w USING ({source_col})),
 r AS (SELECT {source_col},
              CAST(floor(share * t.t / n * {_RATE_SCALE}) AS BIGINT) AS rate_u

@@ -263,3 +263,29 @@ def test_mix_sources_resolved_source_col(spark):
     assert (sorted(r["doc_id"] for r in a.df.select("doc_id").collect())
             == sorted(r["doc_id"] for r in b.df.select("doc_id").collect()))
     assert a.df.columns == docs.df.columns
+
+
+def test_mix_sources_weighted_token_budget(spark):
+    """weight_col switches the mixture unit to the column's sum: realized
+    TOKEN shares approach the targets, the limiting source keeps ~all its
+    tokens, and the DuckDB oracle reproduces the kept set exactly."""
+    docs = _docs(spark)
+    shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = CU.mix_sources(docs, "source", shares, ["doc_id"], seed=11,
+                         weight_col="n_chars")
+    kept = {r["source"]: r["w"] for r in
+            (out.df.groupBy("source")
+             .agg(F.sum("n_chars").alias("w")).collect())}
+    total = sum(kept.values())
+    for s, w in shares.items():
+        assert abs(kept.get(s, 0) / total - w) < 0.15, (s, kept)
+    # exact oracle replay
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    sql = CU.mix_sources_sql_duck("documents", "source", shares, ["doc_id"],
+                                  seed=11, select="d.doc_id",
+                                  weight_col="n_chars")
+    du = sorted(r[0] for r in con.execute(sql).fetchall())
+    got = sorted(r["doc_id"] for r in out.df.select("doc_id").collect())
+    assert got == du
