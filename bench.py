@@ -66,7 +66,7 @@ def run_isolated(names):
     if unknown:
         print(f"# unknown queries: {unknown}", file=sys.stderr)
     import gc
-    best: dict[str, float] = {}
+    ok: dict[str, list[float]] = {}
     for _ in range(3):
         for name in names:
             if name not in qs:
@@ -74,13 +74,15 @@ def run_isolated(names):
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = round(time.time() - t0, 3)
-                best[name] = min(best.get(name, dt), dt)
+                ok.setdefault(name, []).append(round(time.time() - t0, 3))
             except Exception as e:
-                best.setdefault(name, -1.0)
                 print(f"# bench error {name}: {type(e).__name__}: {e}",
                       file=sys.stderr)
             gc.collect()
+    # MIN over the passes that succeeded; -1 only when EVERY pass failed
+    # (a transient pass-1 failure must not poison later good passes)
+    best = {name: (min(ok[name]) if ok.get(name) else -1.0)
+            for name in names if name in qs}
     repo = os.path.dirname(os.path.abspath(__file__))
     hist_path = os.path.join(repo, "bench_history.json")
     hist = _load_history(hist_path)
@@ -247,7 +249,14 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--isolated":
-        run_isolated([n.strip() for n in sys.argv[2].split(",") if n.strip()])
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolated":
+        names = ([n.strip() for n in sys.argv[2].split(",") if n.strip()]
+                 if len(sys.argv) >= 3 else [])
+        if not names:
+            # a forgotten query list must NOT fall through to the full
+            # multi-minute sweep (which would append a history entry)
+            print("usage: bench.py --isolated q1[,q2,...]", file=sys.stderr)
+            sys.exit(2)
+        run_isolated(names)
     else:
         main()

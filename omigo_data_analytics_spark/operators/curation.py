@@ -298,11 +298,18 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     column's sum — pass a token-count column and the shares become
     TOKEN-budget shares (what an LLM data pipeline actually mixes by:
     n_s = sum(weight) per source, so each source's expected sampled
-    token volume is share_s of the achievable total). The keep decision
-    stays a per-row hash coin, so realized token shares converge to the
-    target as 1/sqrt(docs-per-source) — exact-volume packing would need
-    a per-source running sum (inherently sequential) for a precision
-    real mixtures don't need.
+    token volume is share_s of the achievable total). Weights are
+    floor'd per row to BIGINT on BOTH engines before summing (explicit
+    ``floor`` — Spark's double->long cast truncates where DuckDB's
+    rounds, so a bare cast would silently diverge the oracle on
+    fractional weights). A shares-listed source whose weight sum is
+    zero or NULL raises at execution (``raise_error`` in the rate
+    plan): T = min(n_s/share_s) = 0 would otherwise silently empty the
+    ENTIRE mixture. The keep decision stays a per-row hash coin, so
+    realized token shares converge to the target as
+    1/sqrt(docs-per-source) — exact-volume packing would need a
+    per-source running sum (inherently sequential) for a precision real
+    mixtures don't need.
 
     ``source_col`` must be string-typed and ``shares`` keys must be its
     STRING values: the rate table is built string-typed, and while Spark
@@ -321,10 +328,20 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
         raise ValueError(f"mix_sources: shares sum to {total}, want 1")
     if any(s <= 0 for s in shares.values()):
         raise ValueError("mix_sources: shares must be positive")
-    # keep the RESOLVED name: a regex-pattern source_col resolves to the
-    # matched column, but indexing schema[] with the raw caller-supplied
-    # pattern would raise KeyError instead of the intended ValueError
-    source_col = odf._resolve([source_col])[0]
+    def _resolve_one(name: str, what: str) -> str:
+        # keep the RESOLVED name: a regex-pattern arg resolves to the
+        # matched column, but indexing schema[] with the raw pattern
+        # would raise KeyError instead of the intended ValueError; a
+        # pattern matching SEVERAL columns is ambiguous for a
+        # single-column parameter and must not silently take the first
+        cols = odf._resolve([name])
+        if len(cols) != 1:
+            raise ValueError(
+                f"mix_sources: {what} {name!r} matches {cols} — a "
+                "single-column parameter must resolve to exactly one")
+        return cols[0]
+
+    source_col = _resolve_one(source_col, "source_col")
     src_type = odf.df.schema[source_col].dataType.simpleString()
     if src_type != "string":
         raise ValueError(
@@ -338,22 +355,32 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     spark = odf.df.sparkSession
     w = spark.createDataFrame(list(shares.items()), f"{source_col} string, __share__ double")
     if weight_col is not None:
-        # BIGINT sum, not double: FP addition is partition-order-
-        # dependent and a last-ulp wobble could flip the floor'd rate —
-        # integer sums are exact and deterministic on both engines
-        # (fractional weights are floored per row)
-        wc = odf._resolve([weight_col])[0]
-        measure = F.sum(F.col(wc).cast("long"))
+        # explicit per-row floor, then BIGINT sum: FP addition is
+        # partition-order-dependent (a last-ulp wobble could flip the
+        # floor'd rate), and Spark's double->long CAST truncates where
+        # DuckDB's rounds — floor is the one shared exact semantic
+        wc = _resolve_one(weight_col, "weight_col")
+        measure = F.sum(F.floor(F.col(wc)).cast("long"))
     else:
         measure = F.count("*")
     counts = odf.df.groupBy(source_col).agg(measure.alias("__n__"))
     per_src = counts.join(F.broadcast(w), source_col)
     t_row = per_src.agg(F.min(F.col("__n__") / F.col("__share__")).alias("__t__"))
+    # degenerate-source guard: a listed source with NULL/zero measure
+    # would set T=0 (or skip MIN as NULL) and silently empty the WHOLE
+    # output — raise at execution instead. The branch lives inside the
+    # rate projection so column pruning can't drop it.
+    n_ok = F.col("__n__").isNotNull() & (F.col("__n__") > 0)
+    rate = F.floor(F.col("__share__") * F.col("__t__")
+                   / F.col("__n__") * _RATE_SCALE)
     rates = (per_src.crossJoin(F.broadcast(t_row))
              .select(source_col,
-                     F.floor(F.col("__share__") * F.col("__t__")
-                             / F.col("__n__") * _RATE_SCALE)
-                     .alias("__rate_u__")))
+                     F.when(n_ok, rate).otherwise(F.raise_error(F.concat(
+                         F.lit("mix_sources: source '"), F.col(source_col),
+                         F.lit("' has no positive weight/count — its share "
+                               "is unsatisfiable and would empty the whole "
+                               "mixture; drop it from shares or fix the "
+                               "weights")))).alias("__rate_u__")))
     key = "concat_ws('\\t', " + ", ".join(
         f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
     u = F.pmod(F.expr(hash_spark(key)), F.lit(_RATE_SCALE))
@@ -375,7 +402,7 @@ def mix_sources_sql_duck(table: str, source_col: str,
     key = "concat_ws(chr(9), " + ", ".join(
         f"CAST({c} AS VARCHAR)" for c in key_cols) + f", '{seed}')"
     n_expr = ("COUNT(*)" if weight_col is None
-              else f"CAST(SUM(CAST({weight_col} AS BIGINT)) AS BIGINT)")
+              else f"CAST(SUM(CAST(floor({weight_col}) AS BIGINT)) AS BIGINT)")
     return f"""
 WITH w({source_col}, share) AS (VALUES {vals}),
 c AS (SELECT {source_col}, {n_expr} AS n FROM {table} GROUP BY {source_col}),

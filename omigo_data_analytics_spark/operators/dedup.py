@@ -221,6 +221,9 @@ def span_grams_expr(dialect: str, col: str = "text", n: int = SPAN_N,
     is the ``key_bits``-wide key of tokens[i..i+n); docs shorter than n
     tokens yield an empty array. The token array is let-bound so the
     split runs once."""
+    if key_bits not in (60, 120):
+        raise ValueError(
+            f"span_grams_expr: key_bits must be 60 or 120, got {key_bits}")
     empty_t = {60: ("ARRAY<BIGINT>", "BIGINT[]"),
                120: ("ARRAY<STRING>", "VARCHAR[]")}[key_bits]
     if dialect == "spark":

@@ -59,6 +59,17 @@ def _vertex_dict(*node_dfs: DataFrame) -> tuple[DataFrame, bool]:
     vdict = (u.distinct()
               .withColumn("__vid__", F.monotonically_increasing_id())
               .localCheckpoint())
+    # NULL vertex ids cannot be dictionary-encoded without changing
+    # semantics: the un-encoded traversal's joins never match NULL=NULL
+    # (while still carrying NULL-keyed rows through non-join paths), but
+    # an encoded NULL would become a real id that DOES match itself —
+    # and an inner-join encode would instead silently DROP those rows.
+    # Refuse loudly (one cheap probe over the materialized blocks).
+    if vdict.where(F.col("__node__").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            "encode_vertices: NULL vertex ids are not supported — filter "
+            "or fill them first (encoding NULL would silently change "
+            "traversal semantics)")
     return vdict, vdict.count() <= _DICT_BROADCAST_MAX_ROWS
 
 

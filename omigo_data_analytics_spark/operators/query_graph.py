@@ -313,6 +313,13 @@ class QueryGraphInput:
         if sampling_depth not in (0, 1, 2):
             raise ValueError(
                 f"sampling_depth {sampling_depth} not supported")
+        if batch_key not in ("id1", "id2"):
+            # compile_base applies the batch prefix only to id1/id2; any
+            # other value would make every sampling batch the identical
+            # unfiltered plan and the sampling loop would union
+            # duplicate copies of the full result
+            raise ValueError(
+                f"batch_key must be 'id1' or 'id2', got {batch_key!r}")
         self.tables = tables
         self.sampling_depth = sampling_depth
         self.max_results = max_results
@@ -353,10 +360,15 @@ class QueryGraph:
                 for prev in nodes[prev_agent_idx:i]:
                     for key in prev.available_fields:
                         cur.prev_nodes_with_keys[key] = prev.name
-        # context-equality keys must be selected by their provider node
+        # context-equality keys must be selected by BOTH sides of the
+        # equality: the provider node (the reference's :805 behavior)
+        # AND the consuming node — a custom pillar whose default_select
+        # lacks the key would otherwise compile a join referencing a
+        # column its slice never selected
         for node in nodes:
             for key in node.context_equality_keys:
                 by_name[node.prev_nodes_with_keys[key]].add_select(key)
+                node.add_select(key)
         nodes[0].is_start = True
         nodes[-1].is_end = True
         for node in nodes:

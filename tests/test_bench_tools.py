@@ -23,3 +23,14 @@ def test_cap_history_keeps_first_and_newest_per_round():
 def test_cap_history_passthrough_small():
     hist = [{"round_guess": 1, "i": 0}, {"round_guess": 2, "i": 0}]
     assert bench._cap_history(hist) == hist
+
+
+def test_isolated_min_ignores_transient_failures():
+    """A pass-1 failure must not poison later successful passes: best =
+    min over SUCCESSFUL runs, -1 only when every pass failed."""
+    ok = {"q1": [4.2, 3.9], "q3": []}
+    names = ["q1", "q2", "q3"]
+    qs = {"q1": 1, "q2": 1, "q3": 1}
+    best = {name: (min(ok[name]) if ok.get(name) else -1.0)
+            for name in names if name in qs}
+    assert best == {"q1": 3.9, "q2": -1.0, "q3": -1.0}

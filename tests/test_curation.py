@@ -289,3 +289,40 @@ def test_mix_sources_weighted_token_budget(spark):
     du = sorted(r[0] for r in con.execute(sql).fetchall())
     got = sorted(r["doc_id"] for r in out.df.select("doc_id").collect())
     assert got == du
+
+
+def test_mix_sources_weighted_fractional_and_degenerate(spark):
+    """Fractional weights floor per row on BOTH engines (Spark's
+    double->long cast truncates where DuckDB's rounds — explicit floor
+    is the shared semantic); a shares-listed source with zero total
+    weight raises instead of silently emptying the mixture."""
+    import duckdb
+
+    rows = [(i, ["a", "b"][i % 2], 2.7 if i % 2 else 3.2)
+            for i in range(40)]
+    df = OmigoDF(spark.createDataFrame(
+        rows, "doc_id long, src string, wgt double"))
+    shares = {"a": 0.5, "b": 0.5}
+    got = sorted(r["doc_id"] for r in CU.mix_sources(
+        df, "src", shares, ["doc_id"], seed=3, weight_col="wgt")
+        .df.select("doc_id").collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE mtab (doc_id BIGINT, src VARCHAR, wgt DOUBLE)")
+    con.executemany("INSERT INTO mtab VALUES (?, ?, ?)", rows)
+    sql = CU.mix_sources_sql_duck("mtab", "src", shares, ["doc_id"], seed=3,
+                                  select="d.doc_id", weight_col="wgt")
+    assert got == sorted(r[0] for r in con.execute(sql).fetchall())
+    # degenerate: source 'z' listed but all-zero weight -> loud error
+    zrows = rows + [(100 + i, "z", 0.0) for i in range(3)]
+    zdf = OmigoDF(spark.createDataFrame(
+        zrows, "doc_id long, src string, wgt double"))
+    with pytest.raises(Exception, match="no positive weight"):
+        CU.mix_sources(zdf, "src", {"a": 0.4, "b": 0.4, "z": 0.2},
+                       ["doc_id"], weight_col="wgt").df.count()
+
+
+def test_mix_sources_ambiguous_pattern_rejected(spark):
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "a", "x", 5)], "doc_id long, src string, srcx string, w int"))
+    with pytest.raises(ValueError, match="exactly one"):
+        CU.mix_sources(df, "src.*", {"a": 1.0}, ["doc_id"])

@@ -300,3 +300,14 @@ def test_encode_vertices_null_ts_pair_identical(spark):
     assert enc == plain
     assert ("b", "a", None) in enc and not any(
         n == "c" and a == "a" for (n, a, _t) in enc)
+
+
+def test_encode_vertices_rejects_null_ids(spark):
+    """Encoding NULL vertex ids would silently change traversal
+    semantics (or drop rows at the encode join) — must raise."""
+    import pytest as _pt
+
+    e = OmigoDF(spark.createDataFrame(
+        [("a", None), ("a", "b")], "src string, dst string"))
+    with _pt.raises(ValueError, match="NULL vertex ids"):
+        G.ancestors(e, encode_vertices=True)

@@ -443,3 +443,10 @@ def test_span_dedup_key_bits(spark, documents):
     assert a == b
     with _pt.raises(ValueError, match="60 or 120"):
         DD.wide_hash("spark", "x", bits=90)
+
+
+def test_span_grams_expr_validates_key_bits():
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="60 or 120"):
+        DD.span_grams_expr("spark", "text", 8, key_bits=90)

@@ -194,3 +194,25 @@ def test_driver_chain_pushdown_and_pruning(spark, sf_dir):
     assert scans, plan
     assert any("event_type" in s and "purchase" in s for s in scans)
     assert not any("props" in s for s in scans)
+
+
+def test_batch_key_validated(spark):
+    with pytest.raises(ValueError, match="batch_key"):
+        QG.QueryGraphInput(_tables(spark), batch_key="uuid")
+
+
+def test_context_key_added_to_consumer_select(spark):
+    """A custom pillar whose default_select lacks the context key still
+    compiles: build() adds the key to BOTH provider and consumer."""
+    slim = QG.QueryNode(
+        table_name="hierarchy",
+        default_select=["id1", "id2", "node_id", "parent_id", "ts"],
+        supported_join_keys=["parent_id"], default_join_keys=["parent_id"],
+        available_fields=[], markers={QG.NODE_AGENT},
+        join_keys_map={"parent_id": "node_id"})
+    nodes = [QG.Table1().as_("T"),
+             slim.as_("C").add_context_map_equality_filter("event_id")]
+    out = QG.QueryGraph("t", nodes,
+                        QG.QueryGraphInput(_tables(spark))).execute().df
+    assert "C_event_id" in out.columns
+    assert out.count() == 0  # no matching event_ids in the fixtures
