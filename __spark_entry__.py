@@ -3578,9 +3578,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
         # --- oldest r5-green rows ---
-        "sessionize": q_sessionize,
-        "merge_intervals_islands": q_merge_intervals,
-        "profile": q_profile,
+        "seq_num": q_seq_num,
+        "replicate_rows": q_replicate_rows,
+        "split_str": q_split_str,
         "range_join": q_range_join,
         "dedup_cluster": q_dedup_cluster,
         "pipeline_e2e": q_pipeline_e2e,
@@ -3595,6 +3595,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (decontaminate and repetition_metrics slid below as
         #  query_graph_job and mix_sources_weighted joined the head)
         # remaining r5-green rows: first in line for the r8 budget
+        # (sessionize/merge_intervals_islands/profile slid below as the
+        #  review-fix-touched seq_num/replicate_rows/split_str took their
+        #  head slots)
+        "sessionize": q_sessionize,
+        "merge_intervals_islands": q_merge_intervals,
+        "profile": q_profile,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
         "stream_lsh_candidates": q_stream_lsh_candidates,
@@ -3604,7 +3610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_scores": q_trend_scores,
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
-        "seq_num": q_seq_num,
         "minhash_signatures": q_minhash_signatures,
         "embedding_near_dup": q_embedding_near_dup,
         "window_tumbling": q_window_tumbling,
@@ -3613,8 +3618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_sum": q_cumulative_sum,
         "merge_union": q_merge_union,
         "pivot": q_pivot,
-        "split_str": q_split_str,
-        "replicate_rows": q_replicate_rows,
         "generate_key_hash": q_generate_key_hash,
         "codec_base64": q_codec_base64,
         "text_quality_filter": q_text_quality_filter,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import logging
 import random
+import re
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import Column, DataFrame, Window
@@ -479,7 +480,17 @@ class OmigoDF(CompatMixin):
             c = c.cast("string")
             value = str(value)
         cond = {
-            "eq": c == value, "ne": c != value,
+            "eq": c == value,
+            # missing KEEPS the row under 'ne': the module's "'' and NULL
+            # are both missing" contract ('' != 'x' is True in the
+            # reference's string-first model) — matching every sibling
+            # negative filter (values_not_in, not_startswith,
+            # not_regex_match), where a bare c != value would silently
+            # drop NULL/unparseable rows
+            "ne": ~F.coalesce(c == value, F.lit(False)),
+            # 'ne_strict' drops missing: for is_nonzero*, where a missing
+            # value is not a nonzero number
+            "ne_strict": c.isNotNull() & (c != value),
             "gt": c > value, "ge": c >= value,
             "lt": c < value, "le": c <= value,
         }[op]
@@ -550,10 +561,10 @@ class OmigoDF(CompatMixin):
         return self.is_nonzero_float(col, ignore_if_missing)
 
     def is_nonzero_int(self, col, ignore_if_missing=False):
-        return self._cmp(col, 0, "ne", "int", ignore_if_missing)
+        return self._cmp(col, 0, "ne_strict", "int", ignore_if_missing)
 
     def is_nonzero_float(self, col, ignore_if_missing=False):
-        return self._cmp(col, 0.0, "ne", "float", ignore_if_missing)
+        return self._cmp(col, 0.0, "ne_strict", "float", ignore_if_missing)
 
     def startswith(self, col: str, prefix: str, ignore_if_missing=False) -> "OmigoDF":
         resolved = self._missing_ok(col, ignore_if_missing, "startswith")
@@ -859,8 +870,13 @@ class OmigoDF(CompatMixin):
         Scale-aware: instead of a single-partition global window, compute
         per-partition counts (one tiny job), then assign offsets per
         partition with mapInPandas — no shuffle of the data itself.
+        localCheckpoint pins the partitioning between the two jobs: a
+        nondeterministic upstream (sample, rand ordering, AQE re-plan)
+        could otherwise place different rows per partition in the counts
+        job vs the assign job, duplicating/skipping sequence numbers —
+        the same hazard _global_rank documents.
         """
-        df = self._df
+        df = self._df.localCheckpoint()
         pid = F.spark_partition_id()
         counts = {r["pid"]: r["cnt"] for r in
                   df.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -1791,8 +1807,10 @@ class OmigoDF(CompatMixin):
         def _call(v):
             return bool(func("" if v is None else v))
         udf = F.udf(_call, T.BooleanType())
-        # backtick-quote: col names may contain '.' (array-cell convention)
-        preds = [F.coalesce(udf(F.col(f"`{c}`").cast("string")), F.lit(False))
+        # colutils.quote: names may contain '.' (array-cell convention)
+        # AND backticks, which need doubling
+        preds = [F.coalesce(udf(F.col(colutils.quote(c)).cast("string")),
+                            F.lit(False))
                  for c in cols]
         out = preds[0]
         for p in preds[1:]:
@@ -1952,17 +1970,22 @@ class OmigoDF(CompatMixin):
         return self._wrap(self._df.withColumn(new_col, F.explode(_f(self._df[col].cast("string")))))
 
     def explode_list_col(self, col: str, new_col: str, sep: str = ",") -> "OmigoDF":
-        """Native path for the cell-level ','-array convention (SURVEY §1.3)."""
+        """Native path for the cell-level ','-array convention (SURVEY §1.3).
+        ``sep`` is a LITERAL separator (reference str.split), not a regex —
+        escaped before hitting F.split's Java-regex pattern arg, else
+        sep='|' or '.' would split between every character."""
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            new_col, F.explode(F.split(self._df[col].cast("string"), sep))))
+            new_col, F.explode(F.split(self._df[col].cast("string"),
+                                       re.escape(sep)))))
 
     def split_str(self, col: str, prefix: str | None = None, sep: str = ",") -> "OmigoDF":
         """Split a cell into indexed columns <prefix>:N (reference
-        dataframe.py:5257-5299). Width = max parts (one cheap agg)."""
+        dataframe.py:5257-5299). Width = max parts (one cheap agg).
+        ``sep`` is literal, as in the reference's str.split."""
         self._resolve(col)
         prefix = prefix or col
-        parts = F.split(self._df[col].cast("string"), sep)
+        parts = F.split(self._df[col].cast("string"), re.escape(sep))
         width = self._df.agg(F.max(F.size(parts))).first()[0] or 0
         out = self._df
         for i in range(width):
@@ -1976,7 +1999,12 @@ class OmigoDF(CompatMixin):
         cnt = self._df[col].try_cast("double").cast("long")
         if max_repl > 0:
             cnt = F.least(cnt, F.lit(max_repl))
-        seq = F.explode(F.sequence(F.lit(1), cnt))
+        # count <= 0 must DROP the row (reference: `for i in range(int(v))`);
+        # a bare sequence(1, cnt) instead auto-steps BACKWARDS for cnt < 1
+        # ([1, 0] for 0) and would silently INFLATE zero-count rows.
+        # explode of a NULL array drops the row.
+        seq = F.explode(F.when(cnt >= 1, F.sequence(F.lit(1), cnt))
+                        .otherwise(F.lit(None).cast("array<long>")))
         tmp = new_col or "__omigo_repl_idx__"
         out = self._df.withColumn(tmp, seq)
         if new_col is None:
@@ -2173,14 +2201,21 @@ class OmigoDF(CompatMixin):
         p = self._df.groupBy(*[self._df[g] for g in gcols]) \
                     .pivot(transpose_key).agg(*aggs)
         renames = {}
+        # multi-agg pivot columns are '{pivotValue}_{aggAlias}'; the pivot
+        # VALUE may itself contain '_', so match the KNOWN agg alias as a
+        # suffix (longest alias first, in case one alias suffixes another)
+        # instead of splitting on the first underscore
+        by_len = sorted(tcols, key=len, reverse=True)
         for c in p.columns:
             if c in gcols:
                 continue
             if len(tcols) == 1:
                 renames[c] = f"{tcols[0]}{COL_SEP}{transpose_key}{COL_SEP}{c}"
-            elif "_" in c:
-                val, tc = c.split("_", 1)
-                renames[c] = f"{tc}{COL_SEP}{transpose_key}{COL_SEP}{val}"
+            else:
+                tc = next((t for t in by_len if c.endswith(f"_{t}")), None)
+                if tc is not None:
+                    val = c[:-(len(tc) + 1)]
+                    renames[c] = f"{tc}{COL_SEP}{transpose_key}{COL_SEP}{val}"
         out = p
         for old, new in renames.items():
             out = out.withColumnRenamed(old, new)

@@ -38,15 +38,17 @@ def _df(x) -> DataFrame:
     return x.df if isinstance(x, OmigoDF) else x
 
 
-def _epoch_sec(df: DataFrame, col: str) -> Column:
+def _epoch_sec(df: DataFrame, col: str, ref: Column | None = None) -> Column:
     """Time column as epoch-seconds double, whatever its type: TIMESTAMP /
     TIMESTAMP_NTZ go through unix_micros (NTZ casts to session-TZ
     timestamp first — NTZ cannot cast straight to numeric), numerics and
-    strings cast directly."""
+    strings cast directly. ``ref`` supplies a dataframe-QUALIFIED column
+    for join conditions where a bare F.col(name) would be ambiguous."""
     dt = df.schema[col].dataType.typeName()
+    c = ref if ref is not None else F.col(col)
     if dt.startswith("timestamp"):
-        return (F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1e6))
-    return F.col(col).cast("double")
+        return (F.unix_micros(c.cast("timestamp")) / F.lit(1e6))
+    return c.cast("double")
 
 
 def asof_join(left, right, on: list[str] | str, left_time: str,
@@ -215,6 +217,15 @@ def range_join(points, intervals, point_col: str, start_col: str,
             "(swap sides for an interval-preserving join)")
     pdf, idf = _df(points), _df(intervals)
     keys = list(on or [])
+    # reject shared non-key names up front (the __join rule): the output
+    # would carry duplicate column names that break every by-name select
+    # downstream, and the range predicate would be ambiguous to compile
+    dup_names = [c for c in idf.columns
+                 if c in set(pdf.columns) and c not in keys]
+    if dup_names:
+        raise ValueError(
+            f"range_join: columns {dup_names} exist on both sides — only "
+            "the equi-keys `on` may be shared; rename one side first")
 
     p = pdf.withColumn(
         "__bin__", F.floor(_epoch_sec(pdf, point_col) / bin_width))
@@ -227,9 +238,10 @@ def range_join(points, intervals, point_col: str, start_col: str,
     cond = [p["__bin__"] == i["__bin__"]]
     for k in keys:
         cond.append(p[k] == i[k])
-    pt = _epoch_sec(pdf, point_col)
-    cond.append(pt >= _epoch_sec(idf, start_col))
-    cond.append(pt <= _epoch_sec(idf, end_col))
+    # dataframe-qualified refs: the equi-keys exist on both join sides
+    pt = _epoch_sec(pdf, point_col, p[point_col])
+    cond.append(pt >= _epoch_sec(idf, start_col, i[start_col]))
+    cond.append(pt <= _epoch_sec(idf, end_col, i[end_col]))
     joined = p.join(i, cond, how)
     dup = set(keys) | {"__bin__"}
     out = joined.select(
@@ -279,11 +291,24 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
     for c, fn in zip(list(agg_cols), list(agg_funcs)):
         x = F.col(c).try_cast("double")
         xd = F.col(c).try_cast("decimal(28,8)")
+        # overflow guard (the normalize() rule): a value that parses as
+        # double but overflows DECIMAL(28,8) NULLs out of the window sum
+        # while count(x) still includes it — the sum/mean would be
+        # silently wrong. Fail loudly instead.
+        overflow = ((F.count(x).over(w) > F.count(xd).over(w))
+                    | (F.sum(xd).over(w).isNull()
+                       & (F.count(xd).over(w) > 0)))
+        boom = F.raise_error(F.lit(
+            f"rolling_aggregate: decimal overflow on column '{c}' "
+            "(|x| too large for DECIMAL(28,8)) — pre-scale the column"
+        )).cast("double")
         if fn == "mean":
-            expr = F.round((F.sum(xd).over(w).cast("double")
-                            / F.count(x).over(w)), precision)
+            expr = F.when(overflow, boom).otherwise(
+                F.round((F.sum(xd).over(w).cast("double")
+                         / F.count(x).over(w)), precision))
         elif fn == "sum":
-            expr = F.round(F.sum(xd).over(w).cast("double"), precision)
+            expr = F.when(overflow, boom).otherwise(
+                F.round(F.sum(xd).over(w).cast("double"), precision))
         elif fn == "min":
             expr = F.min(x).over(w)
         elif fn == "max":

@@ -176,3 +176,60 @@ def test_sample_n_per_group_mapside_limit(spark, documents):
     import re
     i = p.index("Exchange hashpartitioning")
     assert re.search(r"WindowGroupLimit.*Partial", p[i:])
+
+
+def test_replicate_rows_zero_and_negative_counts_drop(spark):
+    """count <= 0 drops the row (reference range(int(v))); a bare
+    sequence(1, 0) would auto-step BACKWARDS and emit [1, 0]."""
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "3"), (2, "1"), (3, "0"), (4, "-2")], ["id", "cnt"]))
+    got = sorted(r["id"] for r in df.replicate_rows("cnt").df.collect())
+    assert got == [1, 1, 1, 2]
+
+
+def test_not_eq_keeps_missing_is_nonzero_drops(spark):
+    """'ne' filters keep NULL/unparseable rows ('' != 'x' is True in the
+    reference's string-first model, like every sibling negative filter);
+    is_nonzero* drops them (missing is not a nonzero number)."""
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "x", "5"), (2, None, None), (3, "y", "0"), (4, "", "junk")],
+        ["id", "s", "v"]))
+    assert sorted(r["id"] for r in
+                  df.not_eq_str("s", "x").df.collect()) == [2, 3, 4]
+    assert sorted(r["id"] for r in
+                  df.is_nonzero_float("v").df.collect()) == [1]
+
+
+def test_split_literal_separator(spark):
+    """split_str / explode_list_col treat sep as a LITERAL (reference
+    str.split) — '|' or '.' must not be interpreted as a regex."""
+    df = OmigoDF(spark.createDataFrame([(1, "a|b|c")], ["id", "s"]))
+    out = df.split_str("s", "p", "|")
+    row = out.df.first()
+    assert (row["p:1"], row["p:2"], row["p:3"]) == ("a", "b", "c")
+    ex = df.explode_list_col("s", "e", sep="|")
+    assert sorted(r["e"] for r in ex.df.collect()) == ["a", "b", "c"]
+
+
+def test_reverse_transpose_underscore_pivot_values(spark):
+    """Pivot values containing '_' must parse by matching the KNOWN agg
+    alias suffix, not by splitting on the first underscore."""
+    df = OmigoDF(spark.createDataFrame(
+        [("g1", "NORTH_AMERICA", "1", "2"), ("g1", "EU", "3", "4")],
+        ["g", "k", "a", "b"]))
+    out = df.reverse_transpose(["g"], "k", ["a", "b"])
+    assert "a:k:NORTH_AMERICA" in out.columns
+    assert "b:k:NORTH_AMERICA" in out.columns
+    row = out.df.first()
+    assert row["a:k:NORTH_AMERICA"] == "1"
+    assert row["b:k:EU"] == "4"
+
+
+def test_add_seq_num_stable_on_nondeterministic_upstream(spark):
+    """The counts job and the assign job must see the SAME partitioning
+    (localCheckpoint) — a sampled upstream previously risked duplicate/
+    skipped numbers between the two executions."""
+    base = OmigoDF(spark.range(2000).toDF("id").sample(0.5, seed=None))
+    out = base.add_seq_num("sno")
+    nums = sorted(r["sno"] for r in out.df.select("sno").collect())
+    assert nums == list(range(1, len(nums) + 1))

@@ -228,3 +228,26 @@ def test_asof_nearest_single_exchange(trades, quotes):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_rejects_shared_nonkey_names(spark):
+    """Shared non-key column names would produce duplicate output names
+    (unselectable downstream) and an ambiguous range predicate — reject
+    up front, like the core join's collision rule."""
+    p = OmigoDF(spark.createDataFrame([(1, 5.0, "x")], ["k", "ts", "name"]))
+    i = OmigoDF(spark.createDataFrame(
+        [(1, 0.0, 10.0, "y")], ["k", "s", "e", "name"]))
+    with pytest.raises(ValueError, match="both sides"):
+        TS.range_join(p, i, "ts", "s", "e", on=["k"])
+
+
+def test_rolling_aggregate_overflow_raises(spark):
+    """A value that parses as double but overflows DECIMAL(28,8) must
+    raise, not silently vanish from the window sum while the count
+    denominator keeps it."""
+    df = OmigoDF(spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 1e22), ("a", 3, 2.0)],
+        ["k", "t", "v"]))
+    with pytest.raises(Exception, match="decimal overflow"):
+        (TS.rolling_aggregate(df, "k", "t", ["v"], ["mean"], window_rows=2)
+         .df.collect())
