@@ -2882,7 +2882,9 @@ def q_doc_chunks(spark, sf_dir):
 
 
 SQL_DOC_CHUNKS = """
-WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, ' +'), x -> x != '')
+                    AS toks FROM documents),
 s AS (SELECT doc_id, toks,
              unnest(range(0, greatest(len(toks), 1), 32)) AS st
       FROM t)
@@ -3582,9 +3584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replicate_rows": q_replicate_rows,
         "split_str": q_split_str,
         "range_join": q_range_join,
-        "dedup_cluster": q_dedup_cluster,
-        "pipeline_e2e": q_pipeline_e2e,
-        "normalize": q_normalize,
+        "lang_id": q_lang_id,
+        "doc_chunks": q_doc_chunks,
+        "stream_lsh_candidates": q_stream_lsh_candidates,
         "jira_search": q_jira_search,
         "stream_dedup": q_stream_dedup,
         "graphviz_dot": q_graphviz_dot,
@@ -3595,15 +3597,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (decontaminate and repetition_metrics slid below as
         #  query_graph_job and mix_sources_weighted joined the head)
         # remaining r5-green rows: first in line for the r8 budget
-        # (sessionize/merge_intervals_islands/profile slid below as the
-        #  review-fix-touched seq_num/replicate_rows/split_str took their
-        #  head slots)
+        # (sessionize/merge_intervals_islands/profile and dedup_cluster/
+        #  pipeline_e2e/normalize slid below as the review-fix-touched
+        #  seq_num/replicate_rows/split_str and lang_id/doc_chunks/
+        #  stream_lsh_candidates took their head slots)
+        "dedup_cluster": q_dedup_cluster,
+        "pipeline_e2e": q_pipeline_e2e,
+        "normalize": q_normalize,
         "sessionize": q_sessionize,
         "merge_intervals_islands": q_merge_intervals,
         "profile": q_profile,
         "repetition_metrics": q_repetition_metrics,
         "decontaminate": q_decontaminate,
-        "stream_lsh_candidates": q_stream_lsh_candidates,
         "distribution_stats": q_distribution_stats,
         "distribution_drift": q_distribution_drift,
         "bloom_search": q_bloom_search,
@@ -3621,7 +3626,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generate_key_hash": q_generate_key_hash,
         "codec_base64": q_codec_base64,
         "text_quality_filter": q_text_quality_filter,
-        "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "simhash": q_simhash,
@@ -3649,7 +3653,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_cap": q_ratio_cap,
         "const_missing_cols": q_const_missing_cols,
         "json_xpath_filter": q_json_xpath_filter,
-        "doc_chunks": q_doc_chunks,
         "token_vocab": q_token_vocab,
         "dedup_embedding": q_dedup_embedding,
         "similarity_lsh": q_similarity_lsh,

@@ -241,7 +241,8 @@ def span_grams_expr(dialect: str, col: str = "text", n: int = SPAN_N,
 
 def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
                          col: str = "text", n: int = SPAN_N,
-                         scope: str = "cross_doc") -> OmigoDF:
+                         scope: str = "cross_doc",
+                         check_unique: bool = False) -> OmigoDF:
     """Exact duplicate-SPAN statistics: for every document, how much of it
     is covered by token n-grams that also occur elsewhere in the corpus.
     The distributed re-expression of exact substring deduplication (Lee et
@@ -278,6 +279,23 @@ def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
     if scope not in ("cross_doc", "any"):
         raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
     df = ensure_min_parallelism(odf.df)
+    # id_col MUST uniquely identify rows: duplicate ids interleave their
+    # positions in the coverage window (lead(pos)-pos collapses to 0 on
+    # ties, undercounting dup_tokens) and 'cross_doc' treats the copies
+    # as ONE document, reporting their mutual duplication as 0. Opt-in
+    # verification (a full-input aggregate — the pack_sequences /
+    # sample_n_per_group guard pattern).
+    if check_unique:
+        stats = df.agg(F.count(F.lit(1)).alias("n"),
+                       F.count_distinct(F.col(id_col)).alias("d")).first()
+        if stats["n"] != stats["d"]:
+            import warnings
+            warnings.warn(
+                f"duplicate_span_stats: {id_col!r} does not uniquely "
+                f"identify rows ({stats['n']} rows, {stats['d']} distinct "
+                "ids) — coverage undercounts on interleaved positions and "
+                "same-id copies are treated as one document",
+                UserWarning, stacklevel=2)
     base = df.selectExpr(
         id_col,
         f"CAST(size({_tokens('spark', col)}) AS BIGINT) AS n_tokens",

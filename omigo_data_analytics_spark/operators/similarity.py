@@ -55,8 +55,11 @@ def cosine_expr(a: str, b: str, dim: int | None = None) -> str:
 
 
 def detect_dim(df, vec_col: str) -> int | None:
-    """Embedding dimension from one row (tiny driver action; embedding
-    columns are dim-uniform in practice — same assumption as _buckets_col)."""
+    """Embedding dimension from one row — a DRIVER JOB over the input
+    plan, so the operator paths no longer call it (the dot/norm
+    expressions never needed dim; each API call was paying one wasted
+    full-plan evaluation). Kept as a public helper for callers that
+    want the dimension."""
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"]) if row and row["d"] is not None and row["d"] > 0 else None
 
@@ -72,11 +75,10 @@ def cosine_topk(corpus: OmigoDF, queries: OmigoDF, k: int,
     """
     from .text import ensure_min_parallelism
     qid = query_id_col or id_col
-    dim = detect_dim(corpus.df, vec_col)
     q = queries.df.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
     c = ensure_min_parallelism(corpus.df).select(F.col(id_col), F.col(vec_col).alias("__cv__"))
     joined = c.crossJoin(F.broadcast(q))
-    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__", dim)), precision)
+    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
     scored = joined.select("query_id", id_col, cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return OmigoDF(
@@ -150,8 +152,7 @@ def cosine_topk_lsh(corpus: OmigoDF, queries: OmigoDF, k: int,
                  _buckets_col("__cv__", num_planes, num_tables).alias("__bs__"))
          .withColumn("bucket", F.explode("__bs__")).drop("__bs__"))
     joined = c.join(F.broadcast(q), "bucket")
-    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__", detect_dim(corpus.df, vec_col))),
-                  precision)
+    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
     scored = joined.select("query_id", id_col, cos.alias("cosine")).dropDuplicates(
         ["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -214,11 +215,10 @@ def train_ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
     else:
         corpus_s = corpus
     cents = ivf_centroids(corpus_s, num_centroids, id_col, vec_col)
-    dim = detect_dim(df, vec_col)
     base = df.select(F.col(vec_col).alias("__cv__"))
     for _ in range(iters):
         assigned = base.withColumn("__list__", F.expr(
-            f"array_sort({_ivf_cands_expr('__cv__', cents, dim)}, {_IVF_SORT})[0].id"))
+            f"array_sort({_ivf_cands_expr('__cv__', cents)}, {_IVF_SORT})[0].id"))
         means = (assigned
                  .select("__list__", F.posexplode("__cv__").alias("pos", "x"))
                  .groupBy("__list__", "pos").agg(F.avg("x").alias("m"))
@@ -250,22 +250,21 @@ def cosine_topk_ivf(corpus: OmigoDF, queries: OmigoDF, k: int,
     corpus vs 1.0 for brute force."""
     from .text import ensure_min_parallelism
     qid = query_id_col or id_col
-    dim = detect_dim(corpus.df, vec_col)
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, num_centroids, id_col, vec_col)
 
     c = (ensure_min_parallelism(corpus.df)
          .select(F.col(id_col), F.col(vec_col).alias("__cv__"))
          .withColumn("__list__", F.expr(
-             f"array_sort({_ivf_cands_expr('__cv__', cents, dim)}, {_IVF_SORT})[0].id")))
+             f"array_sort({_ivf_cands_expr('__cv__', cents)}, {_IVF_SORT})[0].id")))
     q = (queries.df
          .select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
          .withColumn("__list__", F.explode(F.expr(
-             f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents, dim)}, "
+             f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents)}, "
              f"{_IVF_SORT}), 1, {int(nprobe)}), s -> s.id)"))))
 
     joined = c.join(F.broadcast(q), "__list__")
-    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__", dim)), precision)
+    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
     scored = joined.select("query_id", id_col, cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return OmigoDF(
@@ -291,13 +290,12 @@ def build_ivf_index(corpus: OmigoDF, path: str,
     spark = corpus.df.sparkSession
     cents = train_ivf_centroids(corpus, num_centroids, iters, id_col,
                                 vec_col, sample_fraction)
-    dim = detect_dim(corpus.df, vec_col)
     (spark.createDataFrame([(int(cid), [float(x) for x in vec])
                             for cid, vec in cents],
                            "centroid_id long, vec array<double>")
      .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
     assigned = corpus.df.withColumn("__list__", F.expr(
-        f"array_sort({_ivf_cands_expr(vec_col, cents, dim)}, {_IVF_SORT})[0].id"))
+        f"array_sort({_ivf_cands_expr(vec_col, cents)}, {_IVF_SORT})[0].id"))
     (assigned.write.mode("overwrite").partitionBy("__list__")
      .parquet(f"{path}/assignments"))
     return cents
@@ -321,12 +319,11 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
     qid = query_id_col or id_col
     cents = load_ivf_centroids(spark, path)
     corpus = spark.read.parquet(f"{path}/assignments")
-    dim = detect_dim(corpus, vec_col)
 
     q = (queries.df
          .select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
          .withColumn("__list__", F.explode(F.expr(
-             f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents, dim)}, "
+             f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents)}, "
              f"{_IVF_SORT}), 1, {int(nprobe)}), s -> s.id)"))))
     # collect the probed list ids (tiny: <= nprobe x |queries|) so the scan
     # prunes partitions at planning time
@@ -335,7 +332,7 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
     c = (corpus.where(F.col("__list__").isin(probed))
          .select("__list__", F.col(id_col), F.col(vec_col).alias("__cv__")))
     joined = c.join(F.broadcast(q), "__list__")
-    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__", dim)), precision)
+    cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
     scored = joined.select("query_id", id_col, cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col(id_col).asc())

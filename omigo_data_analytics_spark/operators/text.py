@@ -114,10 +114,15 @@ def _metric_exprs(dialect: str, col: str = "text",
         f"round(0.3 * least(CAST({n} AS DOUBLE) / 100.0, 1.0)"
         f" + 0.4 * (CAST({uniq} AS DOUBLE) / {n})"
         f" + 0.3 * (1.0 - CAST({stop} AS DOUBLE) / {n}), 6)")
-    # language-ID: argmax of marker-set hit counts, deterministic tie order
+    # language-ID: argmax of marker-set hit counts, deterministic tie
+    # order. The zero-signal guard comes FIRST: without it the argmax
+    # CASE always matches some language (every score ties at 0 and the
+    # first in order wins), so 'und' was unreachable and out-of-set
+    # documents were all labeled 'en'
     scores = {lang: count_in(words) for lang, words in LANG_MARKERS.items()}
     order = list(LANG_MARKERS)
-    case = "CASE "
+    all_scores = ", ".join(scores[lang] for lang in order)
+    case = f"CASE WHEN greatest({all_scores}) = 0 THEN 'und' "
     for i, lang in enumerate(order):
         conds = [f"{scores[lang]} >= {scores[o]}" for o in order[i + 1:]]
         conds += [f"{scores[lang]} > {scores[o]}" for o in order[:i]]
@@ -164,12 +169,15 @@ def chunk_documents(odf: OmigoDF, col: str = "text", max_tokens: int = 64,
     position belongs to at least one chunk and the final chunk may be
     short. Pure map-side expressions (split once per row, sequence →
     slice → explode): no shuffle, rows fan out in place, so a 100 TB
-    corpus chunks at scan speed. Whitespace tokenization matches the
-    token-count metric (' ' split)."""
+    corpus chunks at scan speed. Tokenization is the token-count
+    metric's (runs of whitespace collapse, empty tokens dropped) — a
+    bare split(' ') would count phantom empty tokens on double spaces
+    and shift chunk boundaries."""
     if overlap >= max_tokens:
         raise ValueError(f"overlap ({overlap}) must be < max_tokens ({max_tokens})")
+    from .dedup import _tokens
     step = max_tokens - overlap
-    d = odf.df.withColumn("__toks__", F.split(F.col(col), " "))
+    d = odf.df.withColumn("__toks__", F.expr(_tokens("spark", col)))
     gen = (f"posexplode(transform("
            f"sequence(0, greatest(size(__toks__) - 1, 0), {step}), "
            f"s -> struct("
@@ -272,7 +280,10 @@ PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
-    ("phone", r"\b\+?\d[\d -]{7,14}\d\b"),
+    # 10-15 DIGITS with single optional separators — the earlier
+    # \d[\d -]{7,14}\d shape also matched ISO dates ('2026-08-14') and
+    # numeric ranges ('1000 - 2000'), silently mangling non-PII text
+    ("phone", r"\b\+?(?:\d[ -]?){9,14}\d\b"),
 ]
 
 

@@ -28,14 +28,28 @@ def _as_paths(path_or_paths: str | Iterable[str]) -> list[str]:
 def _resolve_zip(p: str) -> str:
     """`.zip` paths extract driver-side to a temp dir (Spark has no zip
     codec; zip archives in the reference are single small exports —
-    file_paths_util.py:194-203) and the scan reads the extracted members."""
+    file_paths_util.py:194-203) and the scan reads the extracted members.
+
+    LOCAL paths only, and the extracted dir must be visible to the
+    executors (local mode, or a shared filesystem): a remote scheme
+    would hit the local-filesystem zipfile API with a useless
+    FileNotFoundError — raise the real limitation instead. The temp dir
+    is cleaned up at interpreter exit (it must outlive the lazy scan)."""
     if not p.endswith(".zip"):
         return p
+    if "://" in p and not p.startswith("file://"):
+        raise ValueError(
+            f"read: zip archives must be on the local filesystem, got {p!r}"
+            " — Spark has no zip codec, so the archive is extracted with "
+            "the driver-local zipfile module; download it first")
+    import atexit
+    import shutil
     import tempfile
     import zipfile
 
     tmp = tempfile.mkdtemp(prefix="omigo_zip_")
-    with zipfile.ZipFile(p) as z:
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    with zipfile.ZipFile(p.removeprefix("file://")) as z:
         z.extractall(tmp)
     return tmp
 

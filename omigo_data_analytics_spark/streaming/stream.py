@@ -211,6 +211,17 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
     if state_ttl is not None and ts_col is None:
         raise ValueError("state_ttl requires ts_col (event-time timeout "
                          "needs a watermark)")
+    # the state stores one LONG per bucket and first-wins is NUMERIC
+    # ordering; a string id would cast to NULL and crash the stateful UDF
+    # (or silently collapse unparseable ids into one identity) — require
+    # a numeric id loudly; map string ids to a dense numeric id first
+    id_type = sdf.schema[id_col].dataType.typeName()
+    if id_type not in ("long", "integer", "short", "byte"):
+        raise ValueError(
+            f"stream_near_dup_candidates: id_col {id_col!r} is {id_type}; "
+            "a numeric id is required (the bucket registry stores a long "
+            "and first-wins is numeric order) — assign a numeric id "
+            "upstream, e.g. with generate_key_hash or add_seq_num")
     k = DD.NUM_HASHES
     sigs = sdf.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -273,15 +284,21 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
             expired = state.getCurrentWatermarkMs() > state.get[1] + ttl_ms
         if state.exists and not expired:
             first = state.get[0]
+            last = max(state.get[1], max_ms) if ttl_ms is not None else 0
             if ttl_ms is not None:
-                state.update((first, max(state.get[1], max_ms)))
+                state.update((first, last))
         else:
             first = ids[0]
-            state.update((first, max_ms))
+            last = max_ms
+            state.update((first, last))
             ids = ids[1:]
         if ttl_ms is not None:
+            # anchor the timeout on the STORED last-seen, not this batch's
+            # max: a late/out-of-order batch (max_ms < stored last) must
+            # not pull the expiry earlier than last_seen + ttl, or the
+            # claim dies inside the advertised dedup horizon
             state.setTimeoutTimestamp(
-                max(max_ms + ttl_ms, state.getCurrentWatermarkMs() + 1))
+                max(last + ttl_ms, state.getCurrentWatermarkMs() + 1))
         later = [i for i in ids if i != first]
         if later:
             yield pd.DataFrame({"band": [key[0]] * len(later),

@@ -304,9 +304,10 @@ def test_chunk_documents(spark):
     assert rows[(1, 1)] == ("w3 w4 w5 w6", 4)       # 1-token overlap
     assert rows[(1, 2)] == ("w6 w7 w8 w9", 4)
     assert rows[(1, 3)] == ("w9", 1)                # short tail chunk
-    # doc 2 fits in one chunk; doc 3 empty -> one empty chunk
+    # doc 2 fits in one chunk; doc 3 empty -> one empty chunk with ZERO
+    # tokens (the filtered tokenizer no longer counts the phantom '' token)
     assert rows[(2, 0)] == ("a b", 2)
-    assert rows[(3, 0)][1] == 1
+    assert rows[(3, 0)] == ("", 0)
     assert len(rows) == 6
     # every token of doc 1 appears in at least one chunk
     covered = set()
@@ -450,3 +451,72 @@ def test_span_grams_expr_validates_key_bits():
 
     with _pt.raises(ValueError, match="60 or 120"):
         DD.span_grams_expr("spark", "text", 8, key_bits=90)
+
+
+def test_redact_pii_leaves_dates_and_ranges(spark):
+    """The phone pattern demands 10-15 digits: ISO dates and numeric
+    ranges (8 digits) must survive; real phone shapes still redact."""
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "released 2026-08-14 batch"),
+         (2, "order 1000 - 2000 units"),
+         (3, "call +1 415-555-0199 now"),
+         (4, "call 4155550199 now")], ["doc_id", "text"]))
+    got = {r["doc_id"]: r["text"] for r in TX.redact_pii(df).df.collect()}
+    assert got[1] == "released 2026-08-14 batch"
+    assert got[2] == "order 1000 - 2000 units"
+    assert "<PHONE>" in got[3] and "<PHONE>" in got[4]
+
+
+def test_lang_guess_und_reachable(spark):
+    """Zero-signal documents (no marker words) must label 'und', not
+    fall through to the first language in tie order."""
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "xyzzy plugh zork"),      # no markers in any language
+         (2, "the and is of house")],  # english markers
+        ["doc_id", "text"]))
+    got = {r["doc_id"]: r["lang_guess"]
+           for r in TX.text_metrics(df).df.select("doc_id", "lang_guess")
+           .collect()}
+    assert got[1] == "und" and got[2] == "en"
+
+
+def test_chunk_documents_collapses_whitespace_runs(spark):
+    """Tokenization matches the token-count metric: runs of spaces must
+    not produce phantom empty tokens that shift chunk boundaries."""
+    from omigo_data_analytics_spark.operators.text import chunk_documents
+
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "a  b   c d")], ["doc_id", "text"]))
+    rows = chunk_documents(df, "text", max_tokens=3, overlap=0).df.collect()
+    got = {(r["chunk_idx"]): (r["chunk"], r["chunk_n_tokens"]) for r in rows}
+    assert got[0] == ("a b c", 3) and got[1] == ("d", 1)
+
+
+def test_duplicate_span_stats_check_unique_warns(spark, documents):
+    import warnings
+
+    import pytest as _pt
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DD.duplicate_span_stats(documents, n=8, check_unique=True)
+    dup = OmigoDF(documents.df.limit(20)
+                  .unionByName(documents.df.limit(20)))
+    with _pt.warns(UserWarning, match="uniquely"):
+        DD.duplicate_span_stats(dup, n=8, check_unique=True)
+
+
+def test_similarity_builders_launch_no_driver_jobs(spark, embeddings):
+    """Building the (lazy) top-k plan must not run Spark jobs — the old
+    detect_dim probe executed the corpus plan once per API call for a
+    value the dot/norm expressions never used."""
+    sc = spark.sparkContext
+    q = OmigoDF(embeddings.df.limit(3))
+    sc.setJobGroup("simbuild", "plan construction only")
+    try:
+        SIM.cosine_topk(embeddings, q, k=2)
+        SIM.cosine_topk_lsh(embeddings, q, k=2)
+    finally:
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("simbuild"))
+        sc.setJobGroup(None, None)
+    assert n_jobs == 0, f"plan construction launched {n_jobs} jobs"

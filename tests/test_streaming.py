@@ -300,3 +300,19 @@ def test_stream_near_dup_ttl_requires_ts(spark):
            .parquet("/root/testdata/sf0.001"))
     with pytest.raises(ValueError, match="state_ttl requires ts_col"):
         ST.stream_near_dup_candidates(sdf, state_ttl="1 hour")
+
+
+def test_stream_near_dup_rejects_non_numeric_ids(spark):
+    """String ids would cast to NULL and crash the stateful UDF (or
+    collapse unparseable ids into one identity) — loud ValueError."""
+    import pytest as _pt
+
+    schema = "doc_id string, text string"
+    sdf = (spark.readStream.schema(schema).format("rate").load()
+           if False else None)
+    # build a dummy streaming df with string id via rate + cast
+    src = (spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+           .selectExpr("CAST(value AS STRING) AS doc_id",
+                       "'some text here' AS text"))
+    with _pt.raises(ValueError, match="numeric id"):
+        ST.stream_near_dup_candidates(src)
