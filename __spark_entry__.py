@@ -3587,10 +3587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_chunks": q_doc_chunks,
         "stream_lsh_candidates": q_stream_lsh_candidates,
-        "jira_search": q_jira_search,
-        "stream_dedup": q_stream_dedup,
-        "graphviz_dot": q_graphviz_dot,
-        "geomap_mercator": q_geomap_mercator,
+        "ttest": q_ttest,
+        "ws_enrich": q_ws_enrich,
+        "model_enrich": q_model_enrich,
+        "sql_pushdown": q_sql_pushdown,
         "sankey_links": q_sankey_links,
         "mix_sources_weighted": q_mix_sources_weighted,
         # ---------------- 50-entry budget boundary (driver checks above) ---
@@ -3601,6 +3601,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #  pipeline_e2e/normalize slid below as the review-fix-touched
         #  seq_num/replicate_rows/split_str and lang_id/doc_chunks/
         #  stream_lsh_candidates took their head slots)
+        "jira_search": q_jira_search,
+        "stream_dedup": q_stream_dedup,
+        "graphviz_dot": q_graphviz_dot,
+        "geomap_mercator": q_geomap_mercator,
         "dedup_cluster": q_dedup_cluster,
         "pipeline_e2e": q_pipeline_e2e,
         "normalize": q_normalize,
@@ -3633,7 +3637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
-        "ttest": q_ttest,
         "explode_json": q_explode_json,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
         # --- r6-green, unchanged since: stable tail ---
@@ -3674,9 +3677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_udtf": q_explode_udtf,
         "flatmap": q_flatmap,
         "transform_lambda": q_transform_lambda,
-        "sql_pushdown": q_sql_pushdown,
-        "ws_enrich": q_ws_enrich,
-        "model_enrich": q_model_enrich,
         "multimodal_pipeline": q_multimodal_pipeline,
         "graph_degrees": q_graph_degrees,
     }

@@ -115,11 +115,18 @@ class CompatMixin:
 
     def numerical_sort(self, cols, reorder: bool = False,
                        ignore_if_missing: bool = False):
-        return self.sort(cols, reorder=reorder, all_numeric=True)
+        resolved = self._missing_ok(cols, ignore_if_missing, "numerical_sort")
+        if resolved is None:
+            return self
+        return self.sort(resolved, reorder=reorder, all_numeric=True)
 
     def reverse_numerical_sort(self, cols, reorder: bool = False,
                                ignore_if_missing: bool = False):
-        return self.reverse_sort(cols, reorder=reorder, all_numeric=True)
+        resolved = self._missing_ok(cols, ignore_if_missing,
+                                    "reverse_numerical_sort")
+        if resolved is None:
+            return self
+        return self.reverse_sort(resolved, reorder=reorder, all_numeric=True)
 
     def reorder_reverse(self, cols):
         warn("reorder_reverse: use reverse_reorder instead")
@@ -269,20 +276,29 @@ class CompatMixin:
                                                 ignore_if_missing: bool = False):
         """Rows where ANY selected col satisfies func (reference
         dataframe.py:1211-1250)."""
-        use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        use = (self._resolve(cols, ignore_if_missing=ignore_if_missing)
+               if cols is not None else list(self._df.columns))
+        if not use:
+            return self
         return self._wrap(self._df.filter(self._exists_pred(use, func)))
 
     def select_any_cols_with_cond_exists_exclude_filter(self, func: Callable, cols=None,
                                                         ignore_if_missing: bool = False):
-        use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        use = (self._resolve(cols, ignore_if_missing=ignore_if_missing)
+               if cols is not None else list(self._df.columns))
+        if not use:
+            return self
         return self._wrap(self._df.filter(~self._exists_pred(use, func)))
 
     def _forall_pred(self, cols: list[str], func: Callable):
         def _call(v):
             return bool(func("" if v is None else v))
         udf = F.udf(_call, T.BooleanType())
-        # backtick-quote: col names may contain '.' (array-cell convention)
-        preds = [F.coalesce(udf(F.col(f"`{c}`").cast("string")), F.lit(False))
+        # colutils.quote: names may contain '.' (array-cell convention)
+        # AND backticks, which need doubling
+        from . import colutils
+        preds = [F.coalesce(udf(F.col(colutils.quote(c)).cast("string")),
+                            F.lit(False))
                  for c in cols]
         out = preds[0]
         for p in preds[1:]:
@@ -293,12 +309,18 @@ class CompatMixin:
                                                 ignore_if_missing: bool = False):
         """Rows where ALL selected cols satisfy func (reference
         dataframe.py:1252-1317)."""
-        use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        use = (self._resolve(cols, ignore_if_missing=ignore_if_missing)
+               if cols is not None else list(self._df.columns))
+        if not use:
+            return self
         return self._wrap(self._df.filter(self._forall_pred(use, func)))
 
     def select_all_cols_with_cond_exists_exclude_filter(self, func: Callable, cols=None,
                                                         ignore_if_missing: bool = False):
-        use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        use = (self._resolve(cols, ignore_if_missing=ignore_if_missing)
+               if cols is not None else list(self._df.columns))
+        if not use:
+            return self
         return self._wrap(self._df.filter(~self._forall_pred(use, func)))
 
     def select_rows_and_cols_with_cond_exists(self, func: Callable):
@@ -401,7 +423,9 @@ class CompatMixin:
             sub = self._wrap(self._df.filter(cls == F.lit(str(k))))
             parts.append(sub.sample_group_by_max_uniq_values_exact(
                 grouping_cols, col, int(cap), seed=seed))
-        rest = self._wrap(self._df.filter(~cls.isin(mapped)))
+        # NULL-class rows must pass through to the default branch (a bare
+        # ~isin evaluates to NULL and silently drops them)
+        rest = self._wrap(self._df.filter(cls.isNull() | ~cls.isin(mapped)))
         if def_max_uniq_values is not None:
             rest = rest.sample_group_by_max_uniq_values_exact(
                 grouping_cols, col, int(def_max_uniq_values), seed=seed)

@@ -206,6 +206,22 @@ _WINDOW_COMPOUND: dict[str, Callable] = {
     "mkstr4f": lambda c, w: F.concat_ws(
         ",", F.transform(F.collect_list(c.try_cast("double")).over(w),
                          lambda v: F.format_string("%4f", v))),
+    # token-merge family: the frame attaches to the inner collect_set,
+    # outer flatten/distinct/size post-process the window result
+    "uniq_len": lambda c, w: F.size(F.array_distinct(
+        F.flatten(F.collect_set(_split_tokens(c)).over(w)))),
+    "split_merge_uniq_mkstr": lambda c, w: F.concat_ws(
+        ",", F.array_sort(F.array_distinct(
+            F.flatten(F.collect_set(_split_tokens(c)).over(w))))),
+    "merge_uniq": lambda c, w: F.concat_ws(
+        ",", F.array_sort(F.array_distinct(F.flatten(
+            F.collect_set(F.split(c.cast("string"), ",")).over(w))))),
+    # DISTINCT aggregates are rejected as window functions by Spark —
+    # the window-exact form is size(collect_set) over the frame (same
+    # null/blank semantics: collect_set drops nulls)
+    "uniq_count": lambda c, w: F.size(F.collect_set(_nonblank(c)).over(w)),
+    "count_distinct": lambda c, w: F.size(F.collect_set(c).over(w)),
+    "get_time_diffs": lambda c, w: TF.time_diffs_window_agg(c, w),
 }
 
 
@@ -236,7 +252,10 @@ _PARAM_AGGS = {
         lambda c, o: F.max_by(c, F.when(c.isNotNull() & (c.cast("string") != ""), o)),
 }
 
-_PARAM_RE = __import__("re").compile(r"^(\w+)\(\s*([\w.]+)\s*\)$")
+# ':' is this library's own column-namespace separator and '.' is legal in
+# names — both are accepted in the order-column position and the reference
+# is backtick-quoted so neither parses as struct access
+_PARAM_RE = __import__("re").compile(r"^(\w+)\(\s*([\w.:]+)\s*\)$")
 
 
 def _parse_param_agg(func: str):
@@ -252,7 +271,8 @@ def agg_expr(func, col: Column) -> Column:
     if isinstance(func, str):
         fac, ord_col = _parse_param_agg(func)
         if fac is not None:
-            return fac(col, F.col(ord_col))
+            from ..core import colutils
+            return fac(col, F.col(colutils.quote(ord_col)))
         if func not in AGG_REGISTRY:
             raise KeyError(f"unknown aggregate function: {func!r}")
         if func in ("select_first", "select_first_non_empty"):

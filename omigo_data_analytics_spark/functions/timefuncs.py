@@ -88,7 +88,18 @@ def time_diffs_agg(c: Column) -> Column:
     """``get_time_diffs`` as a native aggregate: sort the group's
     timestamps (any ladder shape), emit formatted consecutive deltas as a
     CSV string; '' for groups of <=1 (funclib.py:208-238)."""
-    arr = F.array_sort(F.collect_list(to_utctimestamp_sec(c)))
+    return _time_diffs_from(F.collect_list(to_utctimestamp_sec(c)))
+
+
+def time_diffs_window_agg(c: Column, w) -> Column:
+    """Analytic (collapse=False) form: the window frame attaches to the
+    inner collect_list; the sort/format post-processing is an ordinary
+    expression over the window result."""
+    return _time_diffs_from(F.collect_list(to_utctimestamp_sec(c)).over(w))
+
+
+def _time_diffs_from(collected: Column) -> Column:
+    arr = F.array_sort(collected)
     n = F.size(arr)
     diffs = F.transform(
         F.slice(arr, 1, F.greatest(n - 1, F.lit(0))),
@@ -145,7 +156,11 @@ def utctimestamp_millis_to_datetime(x) -> "_dt.datetime":
 
 
 def utctimestamp_millis_to_datetime_str(x) -> str:
-    """(reference timefuncs.py:112-117)"""
+    """(reference timefuncs.py:112-117). The endswith('UTC') truncation
+    branch is DEAD in the reference too — isoformat() ends '+00:00',
+    never 'UTC' — so actual behavior on both sides is the full
+    offset-suffixed string; the dead branch is reproduced for parity,
+    not as a live code path."""
     result = utctimestamp_to_datetime(x).isoformat()
     return result[0:23] if result.endswith("UTC") else result
 

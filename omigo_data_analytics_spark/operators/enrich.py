@@ -113,7 +113,11 @@ def call_web_service(odf: OmigoDF, url: str, prefix: str,
                     "timeout": timeout_sec,
                 }
                 if query_params:
-                    qs = "&".join(f"{k}={_resolve(v, row)}"
+                    # percent-encode values: a space/&/#/= in a resolved
+                    # placeholder would otherwise break or truncate the
+                    # query string (http.client rejects raw spaces)
+                    from urllib.parse import quote
+                    qs = "&".join(f"{k}={quote(str(_resolve(v, row)))}"
                                   for k, v in query_params.items())
                     req["url"] += ("&" if "?" in req["url"] else "?") + qs
                 if body_params:
@@ -136,13 +140,24 @@ def call_web_service(odf: OmigoDF, url: str, prefix: str,
             yield pdf
 
     if enable_opt_exec and ph_cols:
-        # dedup rewrite: call once per distinct placeholder combination
+        # dedup rewrite: call once per distinct placeholder combination.
+        # The join back is NULL-SAFE: dropDuplicates keeps a NULL key row
+        # and a call is issued for it, but a plain equi-join would never
+        # match it back (NULL != NULL) — those rows would get NULL in all
+        # four response columns instead of the non-dedup path's strings
         distinct = odf.df.select(*ph_cols).dropDuplicates(ph_cols)
         schema = StructType(
             [distinct.schema[c] for c in ph_cols]
             + [StructField(f, StringType()) for f in out_fields])
         enriched = distinct.mapInPandas(_run, schema=schema)
-        return OmigoDF(odf.df.join(enriched, on=ph_cols, how="left"))
+        cond = None
+        for c in ph_cols:
+            eq = odf.df[c].eqNullSafe(enriched[c])
+            cond = eq if cond is None else (cond & eq)
+        joined = odf.df.join(enriched, cond, "left").select(
+            *[odf.df[c] for c in odf.df.columns],
+            *[enriched[f] for f in out_fields])
+        return OmigoDF(joined)
     schema = StructType(
         list(odf.df.schema.fields)
         + [StructField(f, StringType()) for f in out_fields])
@@ -172,4 +187,11 @@ def enrich_with_model(odf: OmigoDF, input_cols, model_fn: Callable,
             yield pdf
 
     enriched = distinct.mapInPandas(_run, schema=schema)
-    return OmigoDF(odf.df.join(enriched, on=in_cols, how="left"))
+    # NULL-safe join back, as in call_web_service's dedup rewrite
+    cond = None
+    for c in in_cols:
+        eq = odf.df[c].eqNullSafe(enriched[c])
+        cond = eq if cond is None else (cond & eq)
+    joined = odf.df.join(enriched, cond, "left").select(
+        *[odf.df[c] for c in odf.df.columns], enriched[out_col])
+    return OmigoDF(joined)

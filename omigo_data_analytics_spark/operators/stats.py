@@ -131,13 +131,28 @@ def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
     n2 = b.count()
     u = a.unionByName(b)
     d = _ks_d_distributed(u, n1, n2) if n1 and n2 else 0.0
-    en = math.sqrt(n1 * n2 / (n1 + n2))
-    lam = (en + 0.12 + 0.11 / en) * d
-    p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * (lam ** 2) * (k ** 2))
-                for k in range(1, 101))
-    p = max(0.0, min(1.0, p))
+    p = _ks_pvalue(d, n1, n2)
     rnd = (lambda x: x) if precision is None else (lambda x: round(x, precision))
     return {"n1": n1, "n2": n2, "d_stat": rnd(d), "p_value": rnd(p)}
+
+
+def _ks_pvalue(d: float, n1: int, n2: int) -> float:
+    """Asymptotic Kolmogorov p-value with the degenerate guards the raw
+    series lacks: an empty side divides by zero in the lam scaling, and
+    at lam -> 0 (identical samples, D = 0) the truncated alternating
+    series returns ~0 — flipping the p-value for INDISTINGUISHABLE
+    distributions from 1 to 0 and making ks_reject fire on identical
+    data. The true survival value for lam below ~0.05 is 1.0 to double
+    precision."""
+    if not (n1 and n2) or d <= 0:
+        return 1.0
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    lam = (en + 0.12 + 0.11 / en) * d
+    if lam < 0.05:
+        return 1.0
+    p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * (lam ** 2) * (k ** 2))
+                for k in range(1, 101))
+    return max(0.0, min(1.0, p))
 
 
 def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
@@ -190,11 +205,7 @@ def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
         t_p = math.erfc(abs(t_stat) / math.sqrt(2.0))
 
     d = _ks_d_distributed(u, n1, n2) if n1 and n2 else 0.0
-    en = math.sqrt(n1 * n2 / (n1 + n2)) if n1 and n2 else 1.0
-    lam = (en + 0.12 + 0.11 / en) * d
-    ks_p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * (lam ** 2) * (k ** 2))
-                   for k in range(1, 101))
-    ks_p = max(0.0, min(1.0, ks_p))
+    ks_p = _ks_pvalue(d, n1, n2)
 
     rnd = (lambda v: v) if precision is None else (lambda v: round(v, precision))
     t = {"n1": n1, "n2": n2, "mean1": rnd(m1), "mean2": rnd(m2),

@@ -16,19 +16,24 @@ from pyspark.sql import SparkSession
 from ..core.dataframe import OmigoDF
 
 
-def _col_selected(columns, gcol: str) -> bool:
-    """Reference effective-columns check (sql_helper.py:27-44): a group-by
-    column counts as selected when any select item equals it, comparing
-    case-insensitively and ignoring an ``... AS alias`` suffix."""
+def _sel_pos(columns, gcol: str) -> int | None:
+    """Reference effective-columns check (sql_helper.py:27-44): the
+    1-based select position whose item equals the group column, comparing
+    case-insensitively and ignoring an ``... AS alias`` suffix; None when
+    not selected."""
     g = gcol.lower()
-    for col in columns:
+    for i, col in enumerate(columns):
         c = str(col).lower()
         idx = c.find(" as ")
         if idx != -1:
             c = c[:idx].strip()
         if c == g:
-            return True
-    return False
+            return i + 1
+    return None
+
+
+def _col_selected(columns, gcol: str) -> bool:
+    return _sel_pos(columns, gcol) is not None
 
 
 def build_query(columns="*", table: str = "", where: str | None = None,
@@ -38,11 +43,16 @@ def build_query(columns="*", table: str = "", where: str | None = None,
                 sort_order: str | None = None) -> str:
     """Assemble the reference's query shape (sql_helper.py:58-87).
 
-    ``group_by`` as a LIST follows the reference exactly: group-by
-    columns not already selected are prepended to the select list
-    (alias-aware, case-insensitive) and the GROUP BY clause is emitted
-    as ordinals over those leading positions. A plain string passes
-    through unchanged (this engine's original convenience form).
+    ``group_by`` as a LIST follows the reference: group-by columns not
+    already selected are prepended to the select list (alias-aware,
+    case-insensitive) and GROUP BY is emitted as ordinals. Deliberate
+    repair over the reference (sql_helper.py:70-72): ordinals point at
+    each group col's ACTUAL select position — the reference's blind
+    1..N ordinals produce INVALID SQL (grouping by an aggregate)
+    whenever an already-selected group col sits after a non-group
+    expression; every shape the reference emitted validly is unchanged.
+    A plain string passes through unchanged (this engine's original
+    convenience form).
     ``order_by`` may be a string or a list; ``sort_order`` ('asc'/'desc')
     appends once after the order list, as the reference does."""
     cols = list(columns) if isinstance(columns, (list, tuple)) else [str(columns)]
@@ -50,7 +60,12 @@ def build_query(columns="*", table: str = "", where: str | None = None,
     if isinstance(group_by, (list, tuple)):
         prepend = [g for g in group_by if not _col_selected(cols, g)]
         cols = prepend + cols
-        group_expr = ", ".join(str(i + 1) for i in range(len(group_by)))
+        # ordinal of each group col's ACTUAL position in the final select
+        # list — blind 1..N ordinals are wrong whenever a group col was
+        # already selected after a non-group expression (e.g.
+        # ['sum(x) AS s', 'a'] with group_by=['a'] must emit GROUP BY 2,
+        # not GROUP BY 1 = the aggregate)
+        group_expr = ", ".join(str(_sel_pos(cols, g)) for g in group_by)
     elif group_by:
         group_expr = str(group_by)
     q = f"SELECT {'DISTINCT ' if distinct else ''}{', '.join(cols)} FROM {table}"

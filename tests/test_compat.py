@@ -242,3 +242,25 @@ def test_write_method(iris, tmp_path):
     # io.write may write a directory (Spark) or file; just assert it exists
     import os
     assert os.path.exists(path)
+
+
+def test_per_class_sampling_null_class_passes_through(spark):
+    """NULL-class rows must land in the default branch, not vanish
+    (bare ~isin evaluates NULL and filters them out)."""
+    df = spark.createDataFrame(
+        [("a", "g", "v1"), ("a", "g", "v2"), (None, "g", "v3"),
+         (None, "g", "v4")], ["cls", "g", "v"])
+    out = OmigoDF(df).sample_group_by_max_uniq_values_per_class(
+        ["g"], "cls", "v", {"a": 1})
+    classes = [r["cls"] for r in out.df.collect()]
+    assert None in classes  # NULL-class rows survived
+    assert sum(1 for c in classes if c == "a") <= 2  # capped to 1 uniq val
+
+
+def test_exists_filters_honor_ignore_if_missing(spark):
+    df = OmigoDF(spark.createDataFrame([(1, "x")], ["id", "v"]))
+    out = df.select_any_cols_with_cond_exists_filter(
+        lambda v: v == "x", ["nope"], ignore_if_missing=True)
+    assert out.num_rows() == 1  # unchanged, no KeyError
+    out2 = df.numerical_sort(["nope"], ignore_if_missing=True)
+    assert out2.num_rows() == 1

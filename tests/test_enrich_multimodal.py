@@ -108,3 +108,39 @@ def test_sample_frames_fake(spark):
     out = MM.sample_frames(m, "payload", every_ms=3, fake=True)
     ts = [r["frame_ts_ms"] for r in out.df.collect()]
     assert ts == [0, 3, 6, 9]
+
+
+def test_ws_enrich_null_keys_and_url_encoding(spark):
+    """NULL placeholder rows must get response columns back through the
+    dedup rewrite (null-safe join), and query-param values must be
+    percent-encoded (spaces would raise InvalidURL per row)."""
+    from omigo_data_analytics_spark.operators import enrich as EN
+
+    calls = []
+
+    def fake(req):
+        calls.append(req["url"])
+        return f"ok:{req['url']}", 200
+
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "John Smith"), (2, None), (3, "a&b")], ["id", "name"]))
+    out = EN.call_web_service(df, "http://svc/api", prefix="p",
+                              query_params={"q": "{name}"},
+                              call_fn=fake).df
+    rows = {r["id"]: (r["p:response:success"], r["p:response"])
+            for r in out.collect()}
+    assert rows[1][0] == "1" and "q=John%20Smith" in rows[1][1]
+    assert rows[2][0] == "1"          # NULL key still joined back
+    assert rows[3][0] == "1" and "q=a%26b" in rows[3][1]
+
+
+def test_model_enrich_null_keys_join_back(spark):
+    from omigo_data_analytics_spark.operators import enrich as EN
+
+    df = OmigoDF(spark.createDataFrame(
+        [(1, "x"), (2, None)], ["id", "txt"]))
+    out = EN.enrich_with_model(df, ["txt"],
+                               lambda recs: [str(r["txt"]) for r in recs],
+                               "m").df
+    rows = {r["id"]: r["m"] for r in out.collect()}
+    assert rows[1] == "x" and rows[2] == "None"

@@ -66,3 +66,38 @@ def test_small_utils_parity(spark):
                      .alias("hx")).collect()
     for r in rows:
         assert r["hx"] == fl.convert_ipv4_to_hex(r["ip"])
+
+
+def test_window_forms_for_merge_and_distinct_aggs(spark):
+    """collapse=False (window) forms for uniq_len / merge_uniq /
+    split_merge_uniq_mkstr / uniq_count / count_distinct /
+    get_time_diffs — previously invalid window expressions."""
+    from omigo_data_analytics_spark import OmigoDF
+
+    df = spark.createDataFrame(
+        [("g1", "a,b", "1690000000"), ("g1", "b,c", "1690000060"),
+         ("g2", "x", "1690000000")],
+        ["g", "v", "ts"])
+    out = OmigoDF(df).aggregate(
+        ["g"], ["v", "v", "v", "v", "ts"],
+        ["uniq_len", "merge_uniq", "split_merge_uniq_mkstr",
+         "count_distinct", "get_time_diffs"],
+        collapse=False).df
+    rows = {(r["g"], r["v"]): r for r in out.collect()}
+    r = rows[("g1", "a,b")]
+    assert r["v:uniq_len"] == 3
+    assert r["v:merge_uniq"] == "a,b,c"
+    assert r["v:count_distinct"] == 2
+    assert r["ts:get_time_diffs"] == "1m"
+
+
+def test_param_agg_accepts_namespaced_order_col(spark):
+    """select_first(<order col>) must accept ':'-namespaced names (the
+    library's own output convention) — previously a KeyError."""
+    from omigo_data_analytics_spark import OmigoDF
+
+    df = spark.createDataFrame(
+        [("g", "a", 3), ("g", "b", 1)], ["g", "v", "o:rank"])
+    out = OmigoDF(df).aggregate(["g"], ["v"], ["select_first(o:rank)"],
+                                collapse=True).df
+    assert out.first()["v:select_first(o:rank)"] == "b"

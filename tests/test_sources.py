@@ -473,3 +473,22 @@ def test_etl_path_rewrite_and_range_alias():
     assert (ETL2.get_file_paths_by_datetime_range(
         "/b", "2024-01-01", "2024-01-03")
         == ETL2.paths_for_range("/b", "2024-01-01", "2024-01-03"))
+
+
+def test_build_query_ordinals_track_positions(spark):
+    """GROUP BY ordinals must point at each group col's actual select
+    position — a group col selected AFTER an aggregate must not emit
+    GROUP BY 1 (the aggregate). Deliberate repair over the reference's
+    blind 1..N (which produced invalid SQL for this shape)."""
+    from omigo_data_analytics_spark.sources import sql as SQX
+
+    q = SQX.build_query(["sum(x) AS s", "a"], "t", group_by=["a"])
+    assert q == "SELECT sum(x) AS s, a FROM t GROUP BY 2"
+    # the reference-valid shapes are unchanged
+    q2 = SQX.build_query(["count(1) AS c"], "t", group_by=["g1", "g2"])
+    assert q2 == "SELECT g1, g2, count(1) AS c FROM t GROUP BY 1, 2"
+    spark.range(10).selectExpr("id AS a", "id * 2 AS x") \
+         .createOrReplaceTempView("t")
+    got = SQX.execute_query(spark, ["sum(x) AS s", "a"], "t",
+                            group_by=["a"]).df
+    assert got.count() == 10

@@ -104,3 +104,24 @@ def test_sql_execute_query_reference_shape(spark):
     got = SQ.execute_query(spark, ["k", "mc"], "t_sql_map", map_col="MC")
     row = got.df.first()
     assert row["mc"] == '{"a":1}'
+
+
+def test_ks_identical_samples_p_is_one(spark, lineitem):
+    """D=0 (identical samples) must give p=1, not 0: the truncated
+    alternating series returns 0 at lam=0, flipping ks_reject for
+    indistinguishable distributions."""
+    from omigo_data_analytics_spark.operators import stats as SS
+
+    a = OmigoDF(lineitem.df.where("l_orderkey % 7 = 0"))
+    r = SS.ks_test(a, a, "l_quantity")
+    assert r["d_stat"] == 0.0 and r["p_value"] == 1.0
+    t = SS.do_ttest(a, a, "l_quantity")
+    assert t["ks_p_value"] == 1.0 and t["ks_reject"] is False
+
+
+def test_ks_empty_side_no_crash(spark, lineitem):
+    from omigo_data_analytics_spark.operators import stats as SS
+
+    empty = OmigoDF(lineitem.df.where("l_orderkey < 0"))
+    r = SS.ks_test(empty, lineitem, "l_quantity")
+    assert r["n1"] == 0 and r["p_value"] == 1.0
