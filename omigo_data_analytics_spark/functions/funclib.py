@@ -192,8 +192,13 @@ def convert_ipv4_to_hex_col(c):
     from pyspark.sql import functions as F
 
     parts = F.split(c, r"\.")
+    # try_element_at: under ANSI (the Spark 4 default) element_at throws
+    # on out-of-bounds, so ONE malformed ip ('10.0.0', '') would fail the
+    # whole job; the scalar twin raises a catchable per-value error, and
+    # here a malformed ip yields NULL (concat propagates it)
     return F.concat(*[
-        F.lower(F.conv(F.element_at(parts, i), 10, 16)) for i in (1, 2, 3, 4)])
+        F.lower(F.conv(F.try_element_at(parts, F.lit(i)), 10, 16))
+        for i in (1, 2, 3, 4)])
 
 
 def get_func_name(f) -> str:

@@ -151,7 +151,10 @@ def dot_lines(vdf: OmigoDF, edf: OmigoDF, vertex_id_col: str,
                   if style_bits else F.lit(style_str))
     vline = F.concat(F.lit('    "'), vid, F.lit('" ["label" = "'), label,
                      F.lit('", '), style_expr, F.lit(" ]"))
+    # a NULL id would make the whole concat NULL and break the final
+    # '\n'.join — filter like the empty-string edge endpoints below
     vrows = (v.select(vid.alias("sort_key"), vline.alias("line"))
+              .where(F.col("sort_key").isNotNull())
               .groupBy("sort_key").agg(F.min("line").alias("line"))
               .select(F.lit(1).alias("section"), "sort_key", "line"))
 

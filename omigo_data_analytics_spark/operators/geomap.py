@@ -97,7 +97,12 @@ def geomap_spec(xdf: OmigoDF, lat_col: str, lon_col: str,
         r = prepared.df.select(
             F.min("mercator_x"), F.max("mercator_x"),
             F.min("mercator_y"), F.max("mercator_y")).collect()[0]
-        min_x, max_x, min_y, max_y = r
+        if r[0] is None:
+            # no plottable points (all null/zero lat-lon): fall back to
+            # the world extent instead of comparing None in the margin math
+            min_x, max_x, min_y, max_y = WORLD_EXTENT
+        else:
+            min_x, max_x, min_y, max_y = r
     # geomap_viz.py:101-105 margin adjustment
     min_x = 0.5 * min_x if min_x >= 0 else 1.5 * min_x
     max_x = 1.5 * max_x if max_x >= 0 else 0.5 * max_x

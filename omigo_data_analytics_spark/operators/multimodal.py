@@ -131,7 +131,8 @@ def sample_frames(odf: OmigoDF, payload_col: str, every_ms: int,
         return OmigoDF(odf.df.mapInPandas(_raise, schema=odf.df.schema))
     dur = F.coalesce(F.col(f"{meta_col}.duration_ms"),
                      F.length(payload_col).cast("int"))
-    return OmigoDF(
-        odf.df.withColumn(
-            out_col,
-            F.explode(F.sequence(F.lit(0), dur - 1, F.lit(every_ms)))))
+    # a zero-length payload / zero duration must yield ZERO frames for
+    # that row — sequence(0, -1, step>0) has illegal bounds under ANSI
+    # and would fail the whole job; explode of a NULL array drops the row
+    seq = F.when(dur > 0, F.sequence(F.lit(0), dur - 1, F.lit(every_ms)))
+    return OmigoDF(odf.df.withColumn(out_col, F.explode(seq)))

@@ -45,7 +45,13 @@ def sankey_links(xdf: OmigoDF, src_col: str, dst_col: str,
     agg = (F.count(F.lit(1)) if value_col is None
            else F.sum(F.col(value_col))).alias("value")
     proj = [src, dst] + ([F.col(value_col)] if value_col else [])
-    links = df.select(*proj).groupBy("src_label", "dst_label").agg(agg)
+    # NULL endpoints are dropped up front: row_number gives a NULL label
+    # index 0, but its links never survive the equi-joins and sankey_data
+    # omits None from the label list — every index would be off by one
+    links = (df.select(*proj)
+             .where(F.col("src_label").isNotNull()
+                    & F.col("dst_label").isNotNull())
+             .groupBy("src_label", "dst_label").agg(agg))
 
     labels = (links.select(F.col("src_label").alias("label"))
               .unionByName(links.select(F.col("dst_label").alias("label")))

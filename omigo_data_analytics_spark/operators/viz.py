@@ -141,14 +141,21 @@ class VisualDF(OmigoDF):
         if ycol is None or class_col is None:
             raise ValueError("linechart_multi_class: ycol and class_col are required")
         hue = _class_guard(self, class_col, max_class_col)
+        # coalesce BEFORE the pivot: _class_guard maps a NULL class to ''
+        # but pivot keys on the raw cast where NULL stays NULL — the NULL
+        # class's rows would vanish and a bogus all-zero '' series plot
         base = self.df.select(
-            F.col(xcol), F.col(class_col).cast("string").alias(class_col),
+            F.col(xcol),
+            F.coalesce(F.col(class_col).cast("string"), F.lit(""))
+            .alias(class_col),
             _numcol(self.df, ycol).alias(ycol))
         # reference aggregates duplicates with sumfloat (graph_ext.py:150-156);
         # pivot's agg does the same in one pass, 0 fill matching default_val="0"
         wide = (base.groupBy(xcol).pivot(class_col, hue).sum(ycol)
                 .na.fill(0.0, hue).orderBy(xcol))
-        pdf = wide.toPandas().head(_MAX_POINTS)
+        # bound in Spark, not pandas: toPandas().head() would materialize
+        # the full frame on the driver first
+        pdf = wide.limit(_MAX_POINTS).toPandas()
         spec = {"kind": "line", "x": xcol, "y": hue, "data": pdf,
                 "ylabel": ylabel or ycol, "title": title or ylabel or ycol,
                 "subplots": subplots, "figsize": (xfigsize, yfigsize),
@@ -235,10 +242,14 @@ class VisualDF(OmigoDF):
         if class_col:
             rows = (df.groupBy(F.col(class_col).cast("string").alias(class_col))
                     .agg(agg).collect())
-            curves = {r[class_col]: {"x": list(r["xs"]), "p": qs} for r in rows}
+            # percentile over an all-NULL group returns NULL — skip the
+            # curve instead of crashing list(None)
+            curves = {r[class_col]: {"x": list(r["xs"]), "p": qs}
+                      for r in rows if r["xs"] is not None}
         else:
             rows = df.select(agg).collect()
-            curves = {None: {"x": list(rows[0]["xs"]), "p": qs}}
+            curves = ({None: {"x": list(rows[0]["xs"]), "p": qs}}
+                      if rows and rows[0]["xs"] is not None else {})
         spec = {"kind": "ecdf", "x": xcol, "hue": class_col,
                 "hue_order": hue or None, "curves": curves, "title": title,
                 "figsize": (xfigsize, yfigsize), "props": props or {}}
@@ -334,6 +345,8 @@ class VisualDF(OmigoDF):
                 .collect())
         stats = []
         for r in rows:
+            if r["q"] is None:
+                continue  # all values null/non-numeric in this group
             q1, med, q3 = r["q"]
             iqr = q3 - q1
             stats.append({

@@ -80,15 +80,25 @@ def flatten_issue(issue: dict, fields_mapping: dict) -> dict:
               if k.startswith("customfield_") and k in fields_mapping else k)
         if field_type == "string":
             s = str(value)
+            # JSON-looking values parse BEST-EFFORT: one malformed field
+            # (e.g. an apostrophe breaking the single-quote transform)
+            # must degrade to the raw string, not raise and convert the
+            # whole page into a single error row (bulk data loss)
             if (s.startswith('{"') and s.endswith("}")) or \
                (s.startswith('[{"') and s.endswith("}]")):
-                mp[f"{k2}:json_encoded"] = json.dumps(json.loads(s))
+                try:
+                    mp[f"{k2}:json_encoded"] = json.dumps(json.loads(s))
+                except ValueError:
+                    mp[k2] = s
             elif (s.startswith("{'") and s.endswith("}")) or \
                  (s.startswith("[{'") and s.endswith("}]")):
                 # best-effort single-quote transform, as the reference
                 # warns (jira_ext.py:123-130)
-                mp[f"{k2}:json_encoded"] = json.dumps(
-                    json.loads(s.replace("'", '"')))
+                try:
+                    mp[f"{k2}:json_encoded"] = json.dumps(
+                        json.loads(s.replace("'", '"')))
+                except ValueError:
+                    mp[k2] = s
             else:
                 mp[k2] = s
         elif field_type in ("date", "datetime", "group", "number"):
@@ -192,5 +202,11 @@ class JiraIssueSource:
             lambda st, et: self._search_url(jql, st, et - st),
             cols, parse=parse, headers=self.headers,
             attempts=self.attempts, timeout=self.timeout)
-        n_slots = max(1, math.ceil(total / max(1, page_size)))
-        return src.read(spark, 0, total, num_slots=n_slots)
+        # exact page chunks, NOT split_time_slots: its last-slot-absorbs-
+        # remainder shape can exceed page_size (e.g. total=10099/page=100
+        # -> last slot 199 wide), and a server capping maxResults at the
+        # page size would silently drop the overflow
+        page = max(1, int(page_size))
+        slots = [(st, min(st + page, total))
+                 for st in range(0, max(total, 1), page)]
+        return src.read(spark, 0, total, slots=slots)

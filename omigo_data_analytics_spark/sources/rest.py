@@ -125,8 +125,14 @@ class PartitionedRestSource:
 
     # --------------------------------------------------------------- read
     def read(self, spark: SparkSession, start_ts: int, end_ts: int,
-             num_slots: int = 10) -> OmigoDF:
-        slots = split_time_slots(start_ts, end_ts, num_slots)
+             num_slots: int = 10,
+             slots: list[tuple[int, int]] | None = None) -> OmigoDF:
+        """``slots`` overrides the default floor-width/last-absorbs split
+        for endpoints where a slot is a PAGE with a hard size cap (JIRA
+        maxResults): the ragged last slot would exceed the cap and the
+        server would silently truncate it."""
+        if slots is None:
+            slots = split_time_slots(start_ts, end_ts, num_slots)
         slot_df = spark.createDataFrame(
             slots, T.StructType([T.StructField("st", T.LongType()),
                                  T.StructField("et", T.LongType())])

@@ -144,3 +144,17 @@ def test_model_enrich_null_keys_join_back(spark):
                                "m").df
     rows = {r["id"]: r["m"] for r in out.collect()}
     assert rows[1] == "x" and rows[2] == "None"
+
+
+def test_sample_frames_zero_duration_yields_no_frames(spark):
+    """A zero-length payload must yield zero frames for that row, not an
+    illegal-sequence-bounds failure for the whole job."""
+    from omigo_data_analytics_spark.operators import multimodal as MM
+
+    df = OmigoDF(spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b""))],
+        "id long, payload binary"))
+    withmeta = MM.attach_media_metadata(df, "payload", "video", "mp4")
+    out = MM.sample_frames(withmeta, "payload", every_ms=2, fake=True).df
+    ids = [r["id"] for r in out.collect()]
+    assert 2 not in ids and ids.count(1) == 3

@@ -101,3 +101,17 @@ def test_param_agg_accepts_namespaced_order_col(spark):
     out = OmigoDF(df).aggregate(["g"], ["v"], ["select_first(o:rank)"],
                                 collapse=True).df
     assert out.first()["v:select_first(o:rank)"] == "b"
+
+
+def test_ipv4_hex_malformed_yields_null(spark):
+    """try_element_at: a malformed ip must NULL out, not fail the job
+    under ANSI."""
+    from pyspark.sql import functions as F
+
+    from omigo_data_analytics_spark.functions import funclib as FL
+
+    df = spark.createDataFrame([("10.0.0.1",), ("10.0.0",), ("",)], ["ip"])
+    got = [r["h"] for r in
+           df.select(FL.convert_ipv4_to_hex_col(F.col("ip")).alias("h"))
+           .collect()]
+    assert got[0] == "a001" and got[1] is None and got[2] is None  # unpadded octets, reference-shape

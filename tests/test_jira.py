@@ -139,3 +139,25 @@ def test_auth_required():
         JiraIssueSource("http://x", ["key"])
     with pytest.raises(ValueError, match="server"):
         JiraIssueSource(None, ["key"], auth_token="t")
+
+
+def test_page_slots_never_exceed_page_size():
+    """Exact page chunks: total=10099/page=100 must give a 99-wide last
+    slot, not split_time_slots' remainder-absorbing 199-wide one that a
+    maxResults-capped server would silently truncate."""
+    page = 100
+    total = 10099
+    slots = [(st, min(st + page, total)) for st in range(0, total, page)]
+    assert all(et - st <= page for st, et in slots)
+    assert slots[-1] == (10000, 10099)
+    assert sum(et - st for st, et in slots) == total
+
+
+def test_flatten_issue_malformed_json_degrades_to_raw(spark):
+    from omigo_data_analytics_spark.sources.jira import flatten_issue
+
+    mapping = {"customfield_1": {"name": "notes", "type": "string"}}
+    issue = {"key": "J-1", "fields": {
+        "customfield_1": "{'name': 'O'Brien'}"}}
+    mp = flatten_issue(issue, mapping)
+    assert mp["notes"] == "{'name': 'O'Brien'}"  # raw, not an exception

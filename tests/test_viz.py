@@ -9,6 +9,7 @@ import math
 
 import pytest
 
+from omigo_data_analytics_spark import OmigoDF
 from omigo_data_analytics_spark.operators.viz import VisualDF, to_visual
 
 
@@ -154,3 +155,27 @@ def test_to_visual_upgrade(spark):
     assert isinstance(v, VisualDF)
     # OmigoDF ops on a VisualDF stay visual (chainable into charts)
     assert isinstance(v.select(["a", "b"]), VisualDF)
+
+
+def test_linechart_multi_class_null_class_and_bounded_driver(spark):
+    """NULL class values must keep their series (coalesced to '' before
+    the pivot) and the pivoted frame is limited in Spark, not pandas."""
+    df = spark.createDataFrame(
+        [(1, None, 2.0), (1, "a", 3.0), (2, None, 4.0), (2, "a", 5.0)],
+        ["x", "cls", "y"])
+    p = to_visual(OmigoDF(df)).linechart_multi_class("x", ycol="y",
+                                                     class_col="cls")
+    pdf = p.spec["data"]
+    assert list(pdf[""]) == [2.0, 4.0]     # NULL-class series survived
+    assert list(pdf["a"]) == [3.0, 5.0]
+
+
+def test_boxplot_and_ecdf_skip_all_null_groups(spark):
+    df = spark.createDataFrame(
+        [("g1", "1.0"), ("g1", "2.0"), ("g2", "junk"), ("g2", "nan?")],
+        ["cat", "v"])
+    p = to_visual(OmigoDF(df)).boxplot("cat", "v")
+    labels = [s["label"] for s in p.spec["stats"]]
+    assert labels == ["g1"]               # all-null group skipped, no crash
+    e = to_visual(OmigoDF(df)).ecdf("v", class_col="cat")
+    assert set(e.spec["curves"]) == {"g1"}

@@ -195,3 +195,35 @@ def test_sankey_links_broadcasts_label_index(spark):
     plan = SK.sankey_links(df, "src", "dst", "v").df._jdf \
         .queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_sankey_null_endpoints_dropped_and_indices_aligned(spark):
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators import sankey as SK
+
+    df = spark.createDataFrame(
+        [(None, "a", 1.0), ("a", "b", 2.0)], ["s", "d", "v"])
+    links = SK.sankey_links(OmigoDF(df), "s", "d", "v").df.collect()
+    assert len(links) == 1
+    r = links[0]
+    assert (r["src_label"], r["dst_label"]) == ("a", "b")
+    assert (r["source"], r["target"]) == (0, 1)  # 0-based over ['a','b']
+
+
+def test_geomap_spec_empty_points_world_extent(spark):
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators import geomap as GM
+
+    df = spark.createDataFrame([(0.0, 0.0)], ["lat", "lon"])  # filtered out
+    spec = GM.geomap_spec(OmigoDF(df), "lat", "lon", use_fixed_layout=False)
+    assert spec["points"] == [] and spec["x_range"][0] < 0
+
+
+def test_dot_lines_null_vertex_id_filtered(spark):
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators import dot as DOT
+
+    v = spark.createDataFrame([("a",), (None,)], ["id"])
+    e = spark.createDataFrame([("a", "a")], ["src", "dst"])
+    doc = DOT.get_graphviz_data(OmigoDF(v), OmigoDF(e), "id", "src", "dst")
+    assert '"a"' in doc and "None" not in doc
