@@ -3522,85 +3522,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
-    # entries) covers what needs (re-)validation most. Round 7:
-    # (a) the four queries NEW this round: mix_sources_weighted
-    #     (token-budget mixing), query_graph_job (the matel
-    #     QueryNode/QueryGraph DSL compiled to one Catalyst plan),
-    #     graph_job_e2e (the executed graph-analysis composition) and
-    #     graph_ancestors_guid (the ancestor closure over a guid-keyed
-    #     graph with encode_vertices=True, the measured 2.4x cut);
-    # (b) every engine path touched in r07: the span-dedup pair (120-bit
-    #     removal keys), mix_sources (resolved source_col), pack_sequences
-    #     (check_unique guard), and the three iterative graph operators
-    #     (vertex-dictionary codec plumbing — default path re-validated);
-    # (c) all 27 queries whose newest driver row was r4 (the full list
-    #     from VERDICT r6 What's-wrong #1), and
-    # (d) the oldest 12 r5-green rows. After this round every registry
-    #     entry has a driver row from r5-r7; the remaining r5 rows lead
-    #     the post-boundary block and take the r8 budget.
+    # entries) covers what needs (re-)validation most. Round 8:
+    # (a) all 38 queries whose newest driver row was r5 (the full list
+    #     from VERDICT r7 What's-wrong #1) — closes the staleness gap
+    #     entirely: after this round every registry entry has a driver
+    #     row from r6-r8;
+    # (b) 12 representatives of the engine paths touched in r8: the
+    #     ensure_min_parallelism probe fix (operators/text.py) feeds ~25
+    #     call sites across dedup.py / text.py / curation.py /
+    #     similarity.py / search.py — one query per touched operator
+    #     family re-rotates even though bare-scan inputs keep the exact
+    #     same plan (the discipline that caught the r4 oracle bugs).
+    #     The search.py / composition representatives (bloom_search,
+    #     dedup_cluster, pipeline_e2e, repetition_metrics, decontaminate,
+    #     minhash_signatures, embedding_near_dup, cosine_topk,
+    #     similarity_ivf, simhash, dedup_exact, fingerprint,
+    #     text_quality_filter) are already inside the 38.
     return {
-        # --- new in r07 ---
-        "query_graph_job": q_query_graph_job,
-        "graph_job_e2e": q_graph_job_e2e,
-        "graph_ancestors_guid": q_graph_ancestors_guid,
-        # --- engine paths touched in r07 ---
-        "remove_dup_spans": q_remove_dup_spans,
-        "duplicate_spans": q_duplicate_spans,
-        "mix_sources": q_mix_sources,
-        "pack_sequences": q_pack_sequences,
-        "graph_bfs": q_graph_bfs,
-        "graph_ancestors": q_graph_ancestors,
-        "graph_time_ancestors": q_graph_time_ancestors,
-        # --- the 27 r4-row queries (the r7 rotation obligation) ---
-        "graph_remove_cycles": q_graph_remove_cycles,
-        "graph_dangling": q_graph_dangling,
-        "text_metrics": q_text_metrics,
-        "typed_filters": q_typed_filters,
-        "inner_join_agg": q_inner_join_agg,
-        "left_join_histogram": q_left_join_histogram,
-        "map_join_broadcast": q_map_join_broadcast,
-        "difference_anti": q_difference_anti,
-        "group_count": q_group_count,
-        "concat_as_cols": q_concat_as_cols,
-        "natural_join": q_natural_join,
-        "outer_join_fill": q_outer_join_fill,
-        "rows_cond_exists": q_rows_cond_exists,
-        "timefuncs_ladder": q_timefuncs_ladder,
-        "stream_window": q_stream_window,
-        "asof_join": q_asof_join,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "inverted_index": q_inverted_index,
-        "hash_split": q_hash_split,
-        "stream_sessions": q_stream_sessions,
-        "redact_pii": q_redact_pii,
-        "rolling_aggregate": q_rolling_aggregate,
-        "asof_nearest": q_asof_nearest,
-        "sample_weighted": q_sample_weighted,
-        "stream_running_counts": q_stream_running_counts,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        # --- oldest r5-green rows ---
-        "seq_num": q_seq_num,
-        "replicate_rows": q_replicate_rows,
-        "split_str": q_split_str,
-        "range_join": q_range_join,
-        "lang_id": q_lang_id,
-        "doc_chunks": q_doc_chunks,
-        "stream_lsh_candidates": q_stream_lsh_candidates,
-        "ttest": q_ttest,
-        "ws_enrich": q_ws_enrich,
-        "model_enrich": q_model_enrich,
-        "sql_pushdown": q_sql_pushdown,
-        "sankey_links": q_sankey_links,
-        "mix_sources_weighted": q_mix_sources_weighted,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
-        # (decontaminate and repetition_metrics slid below as
-        #  query_graph_job and mix_sources_weighted joined the head)
-        # remaining r5-green rows: first in line for the r8 budget
-        # (sessionize/merge_intervals_islands/profile and dedup_cluster/
-        #  pipeline_e2e/normalize slid below as the review-fix-touched
-        #  seq_num/replicate_rows/split_str and lang_id/doc_chunks/
-        #  stream_lsh_candidates took their head slots)
+        # --- the 38 r5-row queries (the r8 rotation obligation) ---
         "jira_search": q_jira_search,
         "stream_dedup": q_stream_dedup,
         "graphviz_dot": q_graphviz_dot,
@@ -3639,8 +3578,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_partitioned": q_rest_partitioned,
         "explode_json": q_explode_json,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        # --- r6-green, unchanged since: stable tail ---
+        # --- r8-touched operator families (ensure_min_parallelism fix) ---
+        "duplicate_spans": q_duplicate_spans,
+        "remove_dup_spans": q_remove_dup_spans,
+        "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
+        "mix_sources": q_mix_sources,
+        "mix_sources_weighted": q_mix_sources_weighted,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "text_metrics": q_text_metrics,
+        "similarity_lsh": q_similarity_lsh,
+        "dedup_embedding": q_dedup_embedding,
+        "token_vocab": q_token_vocab,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # Post-boundary order = r9-budget priority. First the five
+        # r8-touched text.py map queries that did not fit the head (their
+        # inputs are bare scans, so the probe fix leaves their executed
+        # plan byte-identical — lowest residual risk of the touched set);
+        # then the r6-row block (stalest rows after this round); then the
+        # r7-row remainder.
+        "lang_id": q_lang_id,
+        "doc_chunks": q_doc_chunks,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_index": q_inverted_index,
+        "redact_pii": q_redact_pii,
+        # --- r6-green, unchanged since ---
         "trends_job_e2e": q_trends_job_e2e,
         "dict_sequence_stats": q_dict_sequence_stats,
         "stats_sequence_stats": q_stats_sequence_stats,
@@ -3656,9 +3619,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ratio_cap": q_ratio_cap,
         "const_missing_cols": q_const_missing_cols,
         "json_xpath_filter": q_json_xpath_filter,
-        "token_vocab": q_token_vocab,
-        "dedup_embedding": q_dedup_embedding,
-        "similarity_lsh": q_similarity_lsh,
         "explode_json_zip": q_explode_json_zip,
         "explode_json_join": q_explode_json_join,
         "quantiles": q_quantiles,
@@ -3679,6 +3639,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_lambda": q_transform_lambda,
         "multimodal_pipeline": q_multimodal_pipeline,
         "graph_degrees": q_graph_degrees,
+        # --- r7-green, unchanged since: stable tail ---
+        "query_graph_job": q_query_graph_job,
+        "graph_job_e2e": q_graph_job_e2e,
+        "graph_ancestors_guid": q_graph_ancestors_guid,
+        "graph_bfs": q_graph_bfs,
+        "graph_ancestors": q_graph_ancestors,
+        "graph_time_ancestors": q_graph_time_ancestors,
+        "graph_remove_cycles": q_graph_remove_cycles,
+        "graph_dangling": q_graph_dangling,
+        "typed_filters": q_typed_filters,
+        "inner_join_agg": q_inner_join_agg,
+        "left_join_histogram": q_left_join_histogram,
+        "map_join_broadcast": q_map_join_broadcast,
+        "difference_anti": q_difference_anti,
+        "group_count": q_group_count,
+        "concat_as_cols": q_concat_as_cols,
+        "natural_join": q_natural_join,
+        "outer_join_fill": q_outer_join_fill,
+        "rows_cond_exists": q_rows_cond_exists,
+        "timefuncs_ladder": q_timefuncs_ladder,
+        "stream_window": q_stream_window,
+        "asof_join": q_asof_join,
+        "hash_split": q_hash_split,
+        "stream_sessions": q_stream_sessions,
+        "rolling_aggregate": q_rolling_aggregate,
+        "asof_nearest": q_asof_nearest,
+        "sample_weighted": q_sample_weighted,
+        "stream_running_counts": q_stream_running_counts,
+        "seq_num": q_seq_num,
+        "replicate_rows": q_replicate_rows,
+        "split_str": q_split_str,
+        "range_join": q_range_join,
+        "stream_lsh_candidates": q_stream_lsh_candidates,
+        "ttest": q_ttest,
+        "ws_enrich": q_ws_enrich,
+        "model_enrich": q_model_enrich,
+        "sql_pushdown": q_sql_pushdown,
+        "sankey_links": q_sankey_links,
     }
 
 

@@ -55,11 +55,32 @@ def let_duck(val: str, var: str, body: str) -> str:
 
 
 def ensure_min_parallelism(df, min_parts: int | None = None):
-    """Repartition up to the session's default parallelism when the scan
+    """Repartition up to the session's default parallelism when the SCAN
     yielded fewer splits (small/compacted files are single row groups, so
     maxPartitionBytes cannot split them). Expression-heavy map operators
-    call this so one task never serializes the whole corpus."""
+    call this so one task never serializes the whole corpus.
+
+    The physical probe (``df.rdd.getNumPartitions()``) runs ONLY on
+    exchange-free plans (bare scans / map chains), where finalizing the
+    plan is pure driver work. On a derived plan the probe would finalize
+    AQE query stages — eagerly executing every upstream shuffle before
+    the operator's own action — and the repartition it guards would
+    discard AQE's coalesced partitioning. There the plan is returned
+    untouched: any upstream exchange already ran at
+    ``spark.sql.shuffle.partitions`` (sized to cores by get_spark /
+    spark-submit), so parallelism is already guaranteed.
+    """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # executedPlan (NOT sparkPlan: with AQE, EnsureRequirements only
+        # inserts exchanges at the executedPlan stage) — its toString is
+        # pure driver-side planning, verified job-free in the tests.
+        derived = "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        # plan introspection unavailable: fall back to the plain probe
+        derived = False
+    if derived:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -34,3 +34,17 @@ def test_isolated_min_ignores_transient_failures():
     best = {name: (min(ok[name]) if ok.get(name) else -1.0)
             for name in names if name in qs}
     assert best == {"q1": 3.9, "q2": -1.0, "q3": -1.0}
+
+
+def test_select_drifted_threshold_floor_and_cap():
+    """Self-adjudication picks >1.5x drifts in either direction, floors
+    sub-50ms walls (rounding noise is not drift), skips failures, and
+    caps at the worst `cap` ratios."""
+    prev = {"up": 1.0, "down": 3.0, "flat": 2.0, "tiny": 0.001,
+            "prevfail": -1.0, "newq": 1.0, "big": 1.0, "huge": 1.0}
+    cur = {"up": 1.6, "down": 1.9, "flat": 2.4, "tiny": 0.04,
+           "prevfail": 5.0, "curfail": -1.0, "big": 2.0, "huge": 9.0}
+    out = bench._select_drifted(cur, prev)
+    assert set(out) == {"up", "down", "big", "huge"}
+    assert out[0] == "huge"  # worst ratio first
+    assert bench._select_drifted(cur, prev, cap=2) == ["huge", "big"]

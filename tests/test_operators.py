@@ -520,3 +520,35 @@ def test_similarity_builders_launch_no_driver_jobs(spark, embeddings):
         n_jobs = len(sc.statusTracker().getJobIdsForGroup("simbuild"))
         sc.setJobGroup(None, None)
     assert n_jobs == 0, f"plan construction launched {n_jobs} jobs"
+
+
+def test_ensure_min_parallelism_no_eager_job_on_derived(spark, documents):
+    """Regression (r8): probing df.rdd.getNumPartitions() on a DERIVED
+    plan finalizes AQE query stages, eagerly running every upstream
+    shuffle before the operator's own action — and the repartition it
+    guarded discarded AQE's coalesced partitioning. The probe must now
+    run only on exchange-free plans; derived plans pass through as-is."""
+    sc = spark.sparkContext
+    derived = documents.df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    # sanity: the plan really does carry an exchange
+    assert "Exchange" in derived._jdf.queryExecution().executedPlan().toString()
+    sc.setJobGroup("emp_derived", "plan construction only")
+    try:
+        out = TX.ensure_min_parallelism(derived)
+    finally:
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("emp_derived"))
+        sc.setJobGroup(None, None)
+    assert n_jobs == 0, f"derived-plan probe ran {n_jobs} eager job(s)"
+    assert out is derived  # untouched: AQE keeps its runtime coalesce
+
+
+def test_ensure_min_parallelism_still_widens_bare_scan(spark, tmp_path):
+    """The guard's original purpose survives: a single compacted file
+    scans as ONE split (maxPartitionBytes cannot split a row group), and
+    the map fan-out must still be widened there."""
+    p = str(tmp_path / "one_file.parquet")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    assert "Exchange" not in scan._jdf.queryExecution().executedPlan().toString()
+    out = TX.ensure_min_parallelism(scan, min_parts=8)
+    assert out.rdd.getNumPartitions() >= 8
