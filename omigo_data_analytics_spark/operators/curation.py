@@ -303,9 +303,12 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     ``floor`` — Spark's double->long cast truncates where DuckDB's
     rounds, so a bare cast would silently diverge the oracle on
     fractional weights). A shares-listed source whose weight sum is
-    zero or NULL raises at execution (``raise_error`` in the rate
-    plan): T = min(n_s/share_s) = 0 would otherwise silently empty the
-    ENTIRE mixture. The keep decision stays a per-row hash coin, so
+    zero or NULL — or that has NO ROWS in the data at all — raises at
+    execution (``raise_error`` in the rate plan): a zero sum would set
+    T = min(n_s/share_s) = 0 and silently empty the ENTIRE mixture,
+    while a zero-row source would vanish from the per-source counts and
+    silently INFLATE T over the remaining sources (over-keeping every
+    one of them). The keep decision stays a per-row hash coin, so
     realized token shares converge to the target as
     1/sqrt(docs-per-source) — exact-volume packing would need a
     per-source running sum (inherently sequential) for a precision real
@@ -364,7 +367,15 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     else:
         measure = F.count("*")
     counts = odf.df.groupBy(source_col).agg(measure.alias("__n__"))
-    per_src = counts.join(F.broadcast(w), source_col)
+    # LEFT join FROM the shares table: a shares-listed source with ZERO
+    # rows never appears in the groupBy output at all, so the inner join
+    # silently dropped it — worse than dropping, its absence inflated
+    # T = min(n_s/share_s) over the remaining sources and the realized
+    # mixture over-kept every other source (a 50/50 mix with one empty
+    # source returned 100% of the other). The NULL __n__ row now flows
+    # into the rate projection, where the existing degenerate-source
+    # guard raises at execution.
+    per_src = F.broadcast(w).join(counts, source_col, "left")
     t_row = per_src.agg(F.min(F.col("__n__") / F.col("__share__")).alias("__t__"))
     # degenerate-source guard: a listed source with NULL/zero measure
     # would set T=0 (or skip MIN as NULL) and silently empty the WHOLE

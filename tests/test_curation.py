@@ -321,6 +321,26 @@ def test_mix_sources_weighted_fractional_and_degenerate(spark):
                        ["doc_id"], weight_col="wgt").df.count()
 
 
+def test_mix_sources_zero_row_source_raises(spark):
+    """Regression (r8): a shares-listed source with NO rows at all never
+    appeared in the per-source counts, so the inner rate join silently
+    dropped it — and its absence inflated T = min(n_s/share_s) over the
+    remaining sources (a 50/50 mix with one empty source kept 100% of
+    the other). The shares-side left join now routes the missing source
+    through the degenerate-source guard: loud error, not a wrong mix."""
+    df = OmigoDF(spark.createDataFrame(
+        [(i, "a") for i in range(40)], "doc_id long, src string"))
+    with pytest.raises(Exception, match="no positive weight"):
+        CU.mix_sources(df, "src", {"a": 0.5, "ghost": 0.5},
+                       ["doc_id"]).df.count()
+    # same through the weighted path
+    wdf = OmigoDF(spark.createDataFrame(
+        [(i, "a", 2.0) for i in range(40)], "doc_id long, src string, w double"))
+    with pytest.raises(Exception, match="no positive weight"):
+        CU.mix_sources(wdf, "src", {"a": 0.5, "ghost": 0.5},
+                       ["doc_id"], weight_col="w").df.count()
+
+
 def test_mix_sources_ambiguous_pattern_rejected(spark):
     df = OmigoDF(spark.createDataFrame(
         [(1, "a", "x", 5)], "doc_id long, src string, srcx string, w int"))
