@@ -31,6 +31,7 @@ from omigo_data_analytics_spark.operators import dedup as DD  # noqa: E402
 from omigo_data_analytics_spark.operators import enrich as EN  # noqa: E402
 from omigo_data_analytics_spark.operators import graph as GR  # noqa: E402
 from omigo_data_analytics_spark.operators import multimodal as MM  # noqa: E402
+from omigo_data_analytics_spark.operators import search as SR  # noqa: E402
 from omigo_data_analytics_spark.operators import similarity as SIM  # noqa: E402
 from omigo_data_analytics_spark.operators import stats as SS  # noqa: E402
 from omigo_data_analytics_spark.sources import sql as SQX  # noqa: E402
@@ -3158,8 +3159,6 @@ def q_bloom_search(spark, sf_dir):
     text-analysis job's searchable-hash flow): map-side 1024-bit phrase
     signatures, subset-test prefilter, exact contains verification —
     results are exact, so the oracle is a plain LIKE."""
-    from omigo_data_analytics_spark.operators import search as SR
-
     docs = _t(spark, sf_dir, "documents")
     out = SR.bloom_substring_search(docs, "window", col="text")
     return out.df.select("doc_id", "lang", "source")
@@ -3168,6 +3167,17 @@ def q_bloom_search(spark, sf_dir):
 SQL_BLOOM_SEARCH = """
 SELECT doc_id, lang, source FROM documents WHERE contains(text, 'window')
 """
+
+
+def q_bm25_rank(spark, sf_dir):
+    """BM25 relevance ranking (operators/search.bm25_rank — new r8): the
+    retrieval-scoring half of the text-search family (bloom finds exact
+    spans; this ranks by bag-of-words relevance). Lucene-form idf, one
+    matched-pairs-only shuffle, corpus stats broadcast as one scalar row;
+    the oracle replays the identical literal score expression in DuckDB
+    with the same term-sorted fold, so doubles match bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return SR.bm25_rank(docs, "window merge vector").df
 
 
 def q_trend_scores(spark, sf_dir):
@@ -3590,14 +3600,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "similarity_lsh": q_similarity_lsh,
         "dedup_embedding": q_dedup_embedding,
-        "token_vocab": q_token_vocab,
+        # --- new r8 operator: same-round oracle row (brief rule #6) ---
+        "bm25_rank": q_bm25_rank,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = r9-budget priority. First the five
+        # Post-boundary order = r9-budget priority. First the six
         # r8-touched text.py map queries that did not fit the head (their
         # inputs are bare scans, so the probe fix leaves their executed
-        # plan byte-identical — lowest residual risk of the touched set);
+        # plan byte-identical — lowest residual risk of the touched set;
+        # token_vocab ceded its head slot to the new bm25_rank operator,
+        # whose same-round oracle row takes precedence);
         # then the r6-row block (stalest rows after this round); then the
         # r7-row remainder.
+        "token_vocab": q_token_vocab,
         "lang_id": q_lang_id,
         "doc_chunks": q_doc_chunks,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -3746,6 +3760,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster": _sql_dedup_cluster(),
         "tfidf_top_terms": SQL_TFIDF,
         "inverted_index": SQL_INVERTED_INDEX,
+        "bm25_rank": SR.bm25_sql_duck("documents", "window merge vector"),
         "hash_split": _sql_hash_split(),
         "stream_sessions": SQL_STREAM_SESSIONS,
         "pipeline_e2e": _sql_pipeline_e2e(),

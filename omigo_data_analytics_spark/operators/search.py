@@ -137,6 +137,105 @@ def bloom_substring_search(odf: OmigoDF, query: str, col: str = "text",
     return OmigoDF(out)
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_terms(query: str, lowercase: bool) -> list[str]:
+    terms = sorted({t for t in (query.lower() if lowercase else query).split()
+                    if t})
+    if not terms:
+        raise ValueError("bm25_rank: query has no tokens")
+    return terms
+
+
+def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
+              col: str = "text", k1: float = BM25_K1, b: float = BM25_B,
+              lowercase: bool = True) -> OmigoDF:
+    """BM25 relevance of every document matching a bag-of-words query —
+    the ranking half of the text-retrieval pair (bloom_substring_search
+    finds exact spans; this ranks by term relevance). Completes the
+    tf-idf / inverted-index family (operators/text.py) with the scoring
+    a retrieval-based curation pass (e.g. ranked decontamination review,
+    nearest-benchmark inspection) actually runs. Per term t and doc d:
+
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))     (Lucene form,
+                                                            never negative)
+        score    = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with df = docs containing t, dl = doc token count, avgdl the corpus
+    mean. Returns (id_col, n_terms_matched, bm25) for docs matching >= 1
+    query term; the per-doc sum folds over term-SORTED scores so the
+    float order is deterministic and the DuckDB oracle (bm25_sql_duck)
+    reproduces it bit-for-bit.
+
+    Scale shape: the query-term IN-filter lands on the exploded token
+    stream map-side, so the only corpus-sized work is the scan — the
+    (id, term) aggregation carries matched pairs only (a vanishing
+    fraction for real queries), df is |query-terms| rows, and the corpus
+    stats (N, sum dl) are ONE scalar row cross-joined back broadcast.
+    No driver collect anywhere."""
+    odf._resolve([id_col, col])
+    terms = _bm25_terms(query, lowercase)
+    toks = (f"filter(split({'lower' if lowercase else ''}"
+            f"({col}), ' '), x -> x != '')")
+    base = (ensure_min_parallelism(odf.df)
+            .select(F.col(id_col), F.expr(toks).alias("__toks__"),
+                    F.expr(f"size({toks})").alias("dl")))
+    stats = base.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("dl").alias("total_dl"))
+    tf = (base.select(id_col, "dl", F.explode("__toks__").alias("term"))
+          .where(F.col("term").isin(terms))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # identical literal text in both dialects -> identical IEEE op order
+    score = (f"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * ({k1!r} + 1) "
+             f"/ (tf + {k1!r} * (1 - {b!r} + {b!r} * dl "
+             f"/ (CAST(total_dl AS DOUBLE) / n)))")
+    sc = (tf.join(F.broadcast(df_), "term")
+          .crossJoin(F.broadcast(stats))
+          .select(id_col, "term", F.expr(score).alias("score")))
+    out = (sc.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_terms_matched"),
+                F.sort_array(F.collect_list(F.struct("term", "score")))
+                .alias("__ts__"))
+           .select(id_col, "n_terms_matched",
+                   F.round(F.expr(
+                       "aggregate(transform(__ts__, x -> x.score), 0D, "
+                       "(a, x) -> a + x)"), 6).alias("bm25")))
+    return OmigoDF(out)
+
+
+def bm25_sql_duck(table: str, query: str, id_col: str = "doc_id",
+                  col: str = "text", k1: float = BM25_K1, b: float = BM25_B,
+                  lowercase: bool = True) -> str:
+    """DuckDB replay of bm25_rank: same tokens, same literal score text,
+    same term-sorted fold."""
+    terms = _bm25_terms(query, lowercase)
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    lc = "lower" if lowercase else ""
+    score = (f"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * ({k1!r} + 1) "
+             f"/ (tf + {k1!r} * (1 - {b!r} + {b!r} * dl "
+             f"/ (CAST(total_dl AS DOUBLE) / n)))")
+    return f"""
+WITH toks AS (SELECT {id_col},
+                     list_filter(string_split({lc}({col}), ' '),
+                                 x -> x != '') AS t
+              FROM {table}),
+stats AS (SELECT COUNT(*) AS n, SUM(len(t)) AS total_dl FROM toks),
+ex AS (SELECT {id_col}, len(t) AS dl, unnest(t) AS term FROM toks),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl
+       FROM ex WHERE term IN ({in_list}) GROUP BY {id_col}, term),
+d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.{id_col}, tf.term, {score} AS score
+       FROM tf JOIN d USING (term) CROSS JOIN stats)
+SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       round(list_sum(list(score ORDER BY term)), 6) AS bm25
+FROM sc GROUP BY {id_col}
+"""
+
+
 def candidate_count(odf: OmigoDF, query: str, col: str = "text",
                     phrase_len: int = PHRASE_LEN,
                     hash_space: int = HASH_SPACE) -> int:

@@ -71,6 +71,78 @@ def test_search_plan_is_pure_codegen(spark):
     assert "Exchange hashpartitioning" not in p  # map-side only
 
 
+def _bm25_bruteforce(rows, query, k1=SR.BM25_K1, b=SR.BM25_B):
+    """Pure-Python BM25 replay with the operator's exact op order:
+    Lucene idf, term-sorted fold, round(…, 6)."""
+    import math
+
+    terms = sorted({t for t in query.lower().split() if t})
+    toks = {r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
+            for r in rows}
+    n = len(toks)
+    total_dl = sum(len(t) for t in toks.values())
+    df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    out = {}
+    for doc, tk in toks.items():
+        dl = len(tk)
+        s, m = 0.0, 0
+        for t in terms:  # term-sorted fold, matching sort_array
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            m += 1
+            s += (math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)) * tf
+                  * (k1 + 1)
+                  / (tf + k1 * (1 - b + b * dl / (total_dl / n))))
+        if m:
+            out[doc] = (m, round(s, 6))
+    return out
+
+
+def test_bm25_matches_bruteforce(spark):
+    docs = _docs(spark)
+    rows = docs.df.select("doc_id", "text").collect()
+    exp = _bm25_bruteforce(rows, "window merge vector")
+    got = {r["doc_id"]: (r["n_terms_matched"], r["bm25"]) for r in
+           SR.bm25_rank(docs, "window merge vector").df.collect()}
+    assert set(got) == set(exp)
+    for doc, (m, s) in exp.items():
+        assert got[doc][0] == m, doc
+        assert abs(got[doc][1] - s) <= 1e-6, (doc, got[doc][1], s)
+
+
+def test_bm25_duckdb_oracle_hash_parity(spark):
+    # the registry contract: Spark and the DuckDB replay agree bit-for-bit
+    docs = _docs(spark)
+    got = sorted((r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in
+                 SR.bm25_rank(docs, "window merge").df.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{SF}/documents.parquet'")
+    exp = sorted(tuple(r) for r in con.execute(
+        SR.bm25_sql_duck("documents", "window merge")).fetchall())
+    assert got == exp
+
+
+def test_bm25_empty_query_raises(spark):
+    docs = _docs(spark)
+    with pytest.raises(ValueError):
+        SR.bm25_rank(docs, "   ")
+
+
+def test_bm25_plan_has_no_python_and_one_corpus_shuffle(spark):
+    docs = _docs(spark)
+    df = SR.bm25_rank(docs, "window merge").df
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p  # scoring is pure expression algebra
+    # the query-term filter must land between the explode (below it) and
+    # the (doc, term) aggregation (above it), so the shuffled stream
+    # carries matched pairs only — never the corpus. Plan strings print
+    # top-down: parent operators have smaller indexes.
+    f = p.index("Filter")
+    assert p.index("HashAggregate") < f < p.index("Generate")
+
+
 def test_python_and_spark_phrase_hash_agree(spark):
     # the subset test only works if both sides set the same bits
     phrases = ["abcde", "hello", "wörld", "12345"]
