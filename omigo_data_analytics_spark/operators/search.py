@@ -149,6 +149,17 @@ def _bm25_terms(query: str, lowercase: bool) -> list[str]:
     return terms
 
 
+def _bm25_pairs(base, id_col: str, terms: list[str]):
+    """Matched (doc, term) pairs with tf and doc length — the map-side
+    heart of BM25: the IN-filter sits between the explode and the
+    partial aggregation, so the shuffle carries matched pairs only."""
+    return (base.select(id_col, "dl",
+                        F.explode_outer("__toks__").alias("term"))
+            .where(F.col("term").isin(terms))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+
+
 def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
               col: str = "text", k1: float = BM25_K1, b: float = BM25_B,
               lowercase: bool = True) -> OmigoDF:
@@ -172,9 +183,23 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
     Scale shape: the query-term IN-filter lands on the exploded token
     stream map-side, so the only corpus-sized work is the scan — the
     (id, term) aggregation carries matched pairs only (a vanishing
-    fraction for real queries), df is |query-terms| rows, and the corpus
-    stats (N, sum dl) are ONE scalar row cross-joined back broadcast.
-    No driver collect anywhere."""
+    fraction for real queries). The pairs table is lazily
+    localCheckpoint-ed before the df aggregation: BM25 inherently joins
+    the pairs with a per-term stat derived FROM those pairs, and without
+    the lineage break Catalyst expands the self-reference into a second
+    full scan+explode+filter pipeline (measured: 3 corpus subtrees in
+    the naive plan). Checkpointing materializes only the matched pairs
+    (executor-local, distributed), df then aggregates them with map-side
+    combine — skew-free where a count-window over term would collapse a
+    hot-term query into one sorted partition — and broadcasts back.
+    Corpus stats (N, sum dl) are ONE scalar row cross-joined back
+    broadcast; explode_outer (not explode) keeps the tf branch's
+    exchange subtree byte-identical to the stats branch's — a plain
+    explode pushes an implicit non-empty-array filter below the
+    exchange, which defeats ReuseExchange and doubles the corpus
+    shuffle when the min-parallelism repartition is active; the
+    IN-filter drops the outer-null rows anyway. No driver collect
+    anywhere."""
     odf._resolve([id_col, col])
     terms = _bm25_terms(query, lowercase)
     toks = (f"filter(split({'lower' if lowercase else ''}"
@@ -184,10 +209,7 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
                     F.expr(f"size({toks})").alias("dl")))
     stats = base.agg(F.count(F.lit(1)).alias("n"),
                      F.sum("dl").alias("total_dl"))
-    tf = (base.select(id_col, "dl", F.explode("__toks__").alias("term"))
-          .where(F.col("term").isin(terms))
-          .groupBy(id_col, "term")
-          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    tf = _bm25_pairs(base, id_col, terms).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # identical literal text in both dialects -> identical IEEE op order
     score = (f"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * ({k1!r} + 1) "

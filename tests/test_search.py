@@ -135,12 +135,29 @@ def test_bm25_plan_has_no_python_and_one_corpus_shuffle(spark):
     df = SR.bm25_rank(docs, "window merge").df
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in p  # scoring is pure expression algebra
-    # the query-term filter must land between the explode (below it) and
-    # the (doc, term) aggregation (above it), so the shuffled stream
-    # carries matched pairs only — never the corpus. Plan strings print
+    # the pairs table is checkpointed, so the final plan must read it as
+    # an existing RDD exactly once for the join probe side (the df agg
+    # reads the same checkpoint) — never re-derive the corpus pipeline
+    # (the naive self-referencing plan expanded THREE scan+explode
+    # subtrees; only the broadcast-stats branch may touch the corpus)
+    assert p.count("Generate explode") <= 1
+    assert "ExistingRDD" in p
+    # df and corpus stats ride broadcast, never a shuffled join
+    assert "SortMergeJoin" not in p
+    # the map-side term filter in the pairs stage: between the explode
+    # (below) and the partial aggregation (above). Plan strings print
     # top-down: parent operators have smaller indexes.
-    f = p.index("Filter")
-    assert p.index("HashAggregate") < f < p.index("Generate")
+    from omigo_data_analytics_spark.operators.search import (
+        _bm25_pairs, _bm25_terms)
+    from pyspark.sql import functions as SF
+    toks = "filter(split(lower(text), ' '), x -> x != '')"
+    base = docs.df.select(SF.col("doc_id"),
+                          SF.expr(toks).alias("__toks__"),
+                          SF.expr(f"size({toks})").alias("dl"))
+    pp = (_bm25_pairs(base, "doc_id", _bm25_terms("window merge", True))
+          ._jdf.queryExecution().executedPlan().toString())
+    f = pp.index("Filter")
+    assert pp.index("HashAggregate") < f < pp.index("Generate")
 
 
 def test_python_and_spark_phrase_hash_agree(spark):
