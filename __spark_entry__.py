@@ -874,6 +874,62 @@ def q_dedup_embedding(spark, sf_dir):
             .df.select("vec_id", "label"))
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """bit-reproducible spherical k-means (k=8, 2 Lloyd rounds) over the
+    embeddings: trained centroids are checkable because the update step
+    sums BIGINT micro-units (order-independent) instead of floats. The
+    oracle re-derives BOTH training iterations in unrolled SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(e, k=8, iters=2)
+    return (SIM.kmeans_assign(e, cents)
+            .select(["vec_id", "cluster_id", "cluster_cos"]).df)
+
+
+def _sql_kmeans_clusters() -> str:
+    cte, fin = SIM.kmeans_cents_cte_duck(k=8, iters=2)
+    cos = SIM.cosine_sql_duck("e.v", "c.c_vec")
+    return f"""
+WITH {cte},
+fa AS (SELECT e.vid, c.c_id, ROUND({cos}, 6) AS cc,
+       row_number() OVER (PARTITION BY e.vid
+                          ORDER BY ROUND({cos}, 6) DESC, c.c_id) AS rn
+       FROM km_pts e CROSS JOIN {fin} c)
+SELECT vid AS vec_id, c_id AS cluster_id, cc AS cluster_cos FROM fa WHERE rn = 1
+"""
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-bounded semantic near-dup
+    removal — pairwise cosine within clusters only (~n²/k work), greedy
+    keep-lowest-id. Trained end-to-end in-query (the bit-reproducible
+    trainer makes the full pipeline oracle-checkable); threshold 0.4
+    because this data's near-dups sit at cosine ~0.4-0.5."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (DD.semdedup(e, threshold=0.4, num_clusters=8, iters=2)
+            .select(["vec_id", "label", "cluster_id"]).df)
+
+
+def _sql_semdedup() -> str:
+    cte, fin = SIM.kmeans_cents_cte_duck(k=8, iters=2)
+    cos = SIM.cosine_sql_duck("e.v", "c.c_vec")
+    paircos = SIM.cosine_sql_duck("g.v", "f.v")
+    return f"""
+WITH {cte},
+fa AS (SELECT e.vid, e.v, c.c_id,
+       row_number() OVER (PARTITION BY e.vid
+                          ORDER BY ROUND({cos}, 6) DESC, c.c_id) AS rn
+       FROM km_pts e CROSS JOIN {fin} c),
+fin_asg AS (SELECT vid, v, c_id FROM fa WHERE rn = 1),
+dups AS (SELECT DISTINCT f.vid
+         FROM fin_asg f JOIN fin_asg g
+           ON g.c_id = f.c_id AND g.vid < f.vid
+         WHERE ROUND({paircos}, 6) >= 0.4)
+SELECT f.vid AS vec_id, emb.label, f.c_id AS cluster_id
+FROM fin_asg f JOIN embeddings emb ON emb.vec_id = f.vid
+WHERE f.vid NOT IN (SELECT vid FROM dups)
+"""
+
+
 def q_quantiles(spark, sf_dir):
     """exact quantile aggregate (reference udfs.quantile — numpy quantiles
     at arange(0,1,0.25) as a 4-decimal CSV string, udfs.py:227-244)."""
@@ -3588,8 +3644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rest_partitioned": q_rest_partitioned,
         "explode_json": q_explode_json,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        # --- r8-touched operator families (ensure_min_parallelism fix) ---
-        "duplicate_spans": q_duplicate_spans,
+        # --- r8-touched operator families (ensure_min_parallelism fix;
+        #     dedup_embedding also covers the detect_dim removal in
+        #     embedding_dup_pairs) ---
         "remove_dup_spans": q_remove_dup_spans,
         "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
@@ -3597,11 +3654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources_weighted": q_mix_sources_weighted,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ngram_jaccard": q_ngram_jaccard,
-        "text_metrics": q_text_metrics,
         "similarity_lsh": q_similarity_lsh,
         "dedup_embedding": q_dedup_embedding,
-        # --- new r8 operator: same-round oracle row (brief rule #6) ---
+        # --- new r8 operators: same-round oracle rows (brief rule #6).
+        #     duplicate_spans and text_metrics ceded their head slots
+        #     (both r7-green, both bare-scan inputs whose plans the probe
+        #     fix leaves byte-identical; remove_dup_spans still covers
+        #     the span machinery more deeply) ---
         "bm25_rank": q_bm25_rank,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # Post-boundary order = r9-budget priority. First the six
         # r8-touched text.py map queries that did not fit the head (their
@@ -3611,6 +3673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose same-round oracle row takes precedence);
         # then the r6-row block (stalest rows after this round); then the
         # r7-row remainder.
+        "duplicate_spans": q_duplicate_spans,
+        "text_metrics": q_text_metrics,
         "token_vocab": q_token_vocab,
         "lang_id": q_lang_id,
         "doc_chunks": q_doc_chunks,
@@ -3795,6 +3859,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _sql_cosine_topk(),
         "similarity_ivf": _sql_similarity_ivf(),
         "similarity_lsh": _sql_similarity_lsh(),
+        "kmeans_clusters": _sql_kmeans_clusters(),
+        "semdedup": _sql_semdedup(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -530,11 +530,13 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
     for oracle checks and small corpora only (cosine is a pure codegen
     expression; Spark picks broadcast-nested-loop when one side is
     small). Do not use at scale."""
-    from .similarity import _buckets_col, _dot_expr, _norm_expr, detect_dim
+    from .similarity import _buckets_col, _dot_expr, _norm_expr
     # hoist the per-row norm out of the pair loop: O(n) norms instead of
     # O(n^2); hoisting is value-identical so the DuckDB oracle (which
     # computes dot/(norm_a*norm_b) inline) still hash-matches.
-    dim = detect_dim(odf.df, vec_col)
+    # (dim is unused by the dot/norm expressions since the r7 detect_dim
+    # removal; None skips the wasted full-plan driver job it used to pay)
+    dim = None
     base = (ensure_min_parallelism(odf.df)
             .select(F.col(id_col), F.col(vec_col).alias("__v__"),
                     F.expr(_norm_expr(f"`{vec_col}`", dim)).alias("__n__")))
@@ -743,6 +745,60 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
            .withColumn("cluster_id",
                        F.coalesce(F.col("cluster_id"), F.col(id_col))))
     return OmigoDF(out)
+
+
+def semdedup(odf: OmigoDF, threshold: float = 0.9,
+             num_clusters: int = 8, iters: int = 2,
+             centroids: list | None = None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cluster_col: str = "cluster_id",
+             precision: int = 6) -> OmigoDF:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication made tractable by bounding the near-dup search to
+    k-means clusters — pairwise cosine runs WITHIN each cluster only,
+    so total pair work is ~n²/k instead of n² (the paper's point: at
+    corpus scale you raise ``num_clusters`` so clusters stay small;
+    they used 110k clusters on LAION).
+
+    Steps: (1) spherical k-means (``similarity.kmeans_centroids`` —
+    bit-reproducible training, or pass a pre-trained ``centroids``
+    list to skip training); (2) map-side nearest-centroid assignment;
+    (3) within-cluster pair join (both sides shuffle once on the
+    cluster key; the exchange is reused across the two sides);
+    (4) greedy keep-lowest-id: a row is dropped iff some SMALLER-id
+    row in ITS cluster has rounded cosine >= threshold (the same
+    keep-rule as dedup_near/dedup_embedding, deterministic and
+    oracle-expressible as NOT EXISTS).
+
+    Returns the survivors with ``cluster_col`` and ``cluster_cos``
+    attached. Approximate by construction: a near-dup pair split
+    across two clusters is missed — that is SemDeDup's documented
+    trade, not an implementation gap. Skew note: one giant cluster
+    re-creates the n² corner; at scale pick num_clusters so expected
+    cluster size stays ~1e4, and train on a sample
+    (kmeans_centroids(sample_fraction=...))."""
+    from .similarity import _dot_expr, _norm_expr, kmeans_assign, kmeans_centroids
+    cents = centroids if centroids is not None else kmeans_centroids(
+        odf, num_clusters, iters, id_col, vec_col)
+    assigned = kmeans_assign(OmigoDF(ensure_min_parallelism(odf.df)),
+                             cents, vec_col=vec_col, cluster_col=cluster_col)
+    # norms hoisted out of the pair loop (same trick as embedding_dup_pairs)
+    base = (assigned.df
+            .select(F.col(id_col), F.col(cluster_col),
+                    F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__v__"),
+                    F.expr(_norm_expr(f"`{vec_col}`")).alias("__n__"))
+            .localCheckpoint(eager=False))
+    a = base.select(F.col(cluster_col), F.col(id_col),
+                    F.col("__v__").alias("__va__"), F.col("__n__").alias("__na__"))
+    b = base.select(F.col(cluster_col), F.col(id_col).alias("__idb__"),
+                    F.col("__v__").alias("__vb__"), F.col("__n__").alias("__nb__"))
+    cos = F.round(F.expr(_dot_expr("__va__", "__vb__"))
+                  / (F.col("__na__") * F.col("__nb__")), precision)
+    dropped = (a.join(b, on=cluster_col)
+               .where(F.col("__idb__") < F.col(id_col))
+               .where(cos >= threshold)
+               .select(F.col(id_col)).distinct())
+    return OmigoDF(assigned.df.join(dropped, on=id_col, how="left_anti"))
 
 
 def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",

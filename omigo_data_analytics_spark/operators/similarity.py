@@ -342,6 +342,127 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
               .select("query_id", id_col, "rank", "cosine"))
 
 
+# ------------------------------------------------- deterministic k-means
+KMEANS_QUANT = 1_000_000  # micro-unit quantization of centroid updates
+
+
+def kmeans_centroids(corpus: OmigoDF, k: int = 8, iters: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     sample_fraction: float | None = None) -> list:
+    """Spherical k-means (Lloyd with cosine assignment) whose trained
+    model is BIT-REPRODUCIBLE — across partition counts AND across
+    engines, so the trained assignment itself is oracle-checkable (the
+    float-avg IVF trainer is not: float addition is non-associative, so
+    a shuffled partial-agg mean depends on arrival order).
+
+    The update step quantizes each member component to micro-units
+    (``ROUND(x * 1e6) AS BIGINT`` — Spark and DuckDB both round half
+    away from zero) and sums EXACT integers, which commute; the mean
+    divides once in double. Quantization error (≤ 5e-7 per component
+    per round) is noise at clustering granularity and buys exactness
+    everywhere else. BIGINT headroom: |x| ≤ 1e3 supports ~9e9 members
+    per cluster per dimension before overflow.
+
+    Scale shape per iteration: one map-side assignment pass (the k
+    centroid literals ride the plan — no shuffle, no UDF) plus one
+    partial-agg shuffle whose reduce side is k*dim cells regardless of
+    corpus size. Only k centroid vectors are ever driver-resident.
+    Seeds = the k lowest-id corpus vectors (deterministic and
+    oracle-expressible); a cluster that loses every member keeps its
+    previous centroid; centroid ids stay the seed row ids (same
+    conventions as the IVF coarse quantizer). At corpus scale pass
+    ``sample_fraction`` — training the quantizer on a sample is
+    standard practice."""
+    from .text import ensure_min_parallelism
+    df = corpus.df
+    if sample_fraction:
+        df = df.sample(fraction=sample_fraction, seed=7)
+    cents = ivf_centroids(OmigoDF(df), k, id_col, vec_col)
+    base = (ensure_min_parallelism(df)
+            .select(F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__cv__")))
+    q = KMEANS_QUANT
+    for _ in range(iters):
+        assigned = base.withColumn("__c__", F.expr(
+            f"array_sort({_ivf_cands_expr('__cv__', cents)}, {_IVF_SORT})[0].id"))
+        cells = (assigned
+                 .select("__c__", F.posexplode("__cv__").alias("pos", "x"))
+                 .groupBy("__c__", "pos")
+                 .agg(F.expr(f"sum(CAST(round(x * {q}, 0) AS BIGINT))").alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+                 .select("__c__", "pos", F.expr(
+                     f"CAST(s AS DOUBLE) / CAST(n * {q}L AS DOUBLE)").alias("m"))
+                 .groupBy("__c__")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("__c__", F.expr("transform(pm, s -> s.m)").alias("vec"))
+                 .collect())
+        new = [(int(r["__c__"]), [float(x) for x in r["vec"]]) for r in cells]
+        survivors = {cid for cid, _ in new}
+        new += [c for c in cents if c[0] not in survivors]
+        cents = sorted(new)
+    return cents
+
+
+def kmeans_assign(odf: OmigoDF, centroids: list,
+                  vec_col: str = "embedding",
+                  cluster_col: str = "cluster_id",
+                  cos_col: str = "cluster_cos") -> OmigoDF:
+    """Nearest-centroid assignment as ONE map-side expression: the
+    centroid literals ride the plan, so the pass is shuffle-free and
+    UDF-free (whole-stage codegen over the primitive arrays). Ties on
+    the 6-decimal rounded cosine break by centroid id — the same rule
+    as the IVF quantizer, so assignments are deterministic."""
+    from .text import ensure_min_parallelism
+    a = F.expr(f"array_sort({_ivf_cands_expr(vec_col, centroids)}, {_IVF_SORT})[0]")
+    return OmigoDF(ensure_min_parallelism(odf.df).withColumn("__a__", a)
+                   .withColumn(cluster_col, F.col("__a__.id"))
+                   .withColumn(cos_col, F.col("__a__.cos"))
+                   .drop("__a__"))
+
+
+def kmeans_cents_cte_duck(k: int = 8, iters: int = 2,
+                          table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> tuple[str, str]:
+    """DuckDB WITH-clause fragments replicating ``kmeans_centroids``
+    exactly (same seeds, same rounded-cosine argmin with id tiebreak,
+    same BIGINT micro-unit update, same empty-cluster retention).
+    Returns (cte_text, name_of_final_centroid_cte) — callers splice the
+    text into their oracle's WITH list. Exact parity holds because the
+    quantized integer sums commute (order-independent) and every float
+    step (cast, multiply, divide, cosine accumulation order) is the
+    same literal sequence in both dialects."""
+    q = KMEANS_QUANT
+    cos = cosine_sql_duck("e.v", "c.c_vec")
+    parts = [
+        f"km_pts AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v "
+        f"FROM {table})",
+        f"cent0 AS (SELECT vid AS c_id, v AS c_vec FROM km_pts "
+        f"ORDER BY vid LIMIT {k})",
+    ]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        parts += [
+            f"asg{i} AS (SELECT e.vid, e.v, c.c_id, "
+            f"row_number() OVER (PARTITION BY e.vid "
+            f"ORDER BY ROUND({cos}, 6) DESC, c.c_id) AS rn "
+            f"FROM km_pts e CROSS JOIN {prev} c)",
+            f"mem{i} AS (SELECT vid, v, c_id FROM asg{i} WHERE rn = 1)",
+            f"cell{i} AS (SELECT c_id, idx, "
+            f"SUM(CAST(ROUND(val * {q}) AS BIGINT)) AS s, COUNT(*) AS n "
+            f"FROM (SELECT c_id, unnest(v) AS val, "
+            f"generate_subscripts(v, 1) AS idx FROM mem{i}) "
+            f"GROUP BY c_id, idx)",
+            f"mean{i} AS (SELECT c_id, list(CAST(s AS DOUBLE) / "
+            f"CAST(n * {q} AS DOUBLE) ORDER BY idx) AS c_vec "
+            f"FROM cell{i} GROUP BY c_id)",
+            f"cent{i} AS (SELECT c_id, c_vec FROM mean{i} UNION ALL "
+            f"SELECT c_id, c_vec FROM {prev} "
+            f"WHERE c_id NOT IN (SELECT c_id FROM mean{i}))",
+        ]
+        prev = f"cent{i}"
+    return ",\n".join(parts), prev
+
+
 # --------------------------------------------------------------- oracle sql
 def cosine_sql_duck(a: str, b: str) -> str:
     """DuckDB-side cosine with the same left-to-right double accumulation
