@@ -201,37 +201,14 @@ def train_ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
                         iters: int = 3, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         sample_fraction: float | None = None) -> list:
-    """k-means (Lloyd) refinement of the IVF coarse quantizer, fully
-    distributed: each iteration is one map-side assignment pass (the C
-    centroid literals ride the plan — no shuffle) plus one aggregation
-    that averages member vectors per list (posexplode over dimensions →
-    groupBy(list, dim) avg). Only the C centroid vectors are ever
-    driver-resident. At corpus scale pass ``sample_fraction`` — training
-    the quantizer on a sample is standard IVF practice."""
-    df = corpus.df
-    if sample_fraction:
-        df = df.sample(fraction=sample_fraction, seed=7)
-        corpus_s = OmigoDF(df)
-    else:
-        corpus_s = corpus
-    cents = ivf_centroids(corpus_s, num_centroids, id_col, vec_col)
-    base = df.select(F.col(vec_col).alias("__cv__"))
-    for _ in range(iters):
-        assigned = base.withColumn("__list__", F.expr(
-            f"array_sort({_ivf_cands_expr('__cv__', cents)}, {_IVF_SORT})[0].id"))
-        means = (assigned
-                 .select("__list__", F.posexplode("__cv__").alias("pos", "x"))
-                 .groupBy("__list__", "pos").agg(F.avg("x").alias("m"))
-                 .groupBy("__list__")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-                 .select("__list__", F.expr("transform(pm, s -> s.m)").alias("vec"))
-                 .collect())
-        new = [(int(r["__list__"]), [float(x) for x in r["vec"]]) for r in means]
-        survivors = {cid for cid, _ in new}
-        # lists that lost every member keep their previous centroid
-        new += [c for c in cents if c[0] not in survivors]
-        cents = sorted(new)
-    return cents
+    """k-means (Lloyd) refinement of the IVF coarse quantizer — now a
+    thin alias for ``kmeans_centroids`` (r8 unification), which means a
+    trained/persisted IVF index is bit-reproducible at any partition
+    count (the original float-avg update here was order-dependent:
+    rebuilding the same index on the same data could place borderline
+    vectors in different lists run-to-run)."""
+    return kmeans_centroids(corpus, num_centroids, iters, id_col,
+                            vec_col, sample_fraction)
 
 
 def cosine_topk_ivf(corpus: OmigoDF, queries: OmigoDF, k: int,
