@@ -221,8 +221,14 @@ def main():
             # same-SF entries only: a sf0.01 smoke run must not "drift"
             # against the per-round sf0.1 record (everything would)
             prev_sf = e.get("sf")
+            # numeric compare, not f"sf{float}" == dirname: "sf1" would
+            # never equal "sf1.0" for whole-number SFs (r8 review)
+            try:
+                same_sf = float(str(prev_sf)) == float(sf_now.lstrip("sf"))
+            except (TypeError, ValueError):
+                same_sf = f"sf{prev_sf}" == sf_now
             if (e.get("round_guess", 0) < this_round and e.get("queries")
-                    and f"sf{prev_sf}" == sf_now):
+                    and same_sf):
                 prev = e
                 break
         if prev is not None:

@@ -375,7 +375,12 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     # source returned 100% of the other). The NULL __n__ row now flows
     # into the rate projection, where the existing degenerate-source
     # guard raises at execution.
-    per_src = F.broadcast(w).join(counts, source_col, "left")
+    # hint the RIGHT side: for LeftOuter Spark can only build the right,
+    # so a left-side broadcast hint is silently dropped and strategy
+    # falls to size estimation over the statistics-less aggregated
+    # `counts` (r8 review). Both sides are tiny; counts is the buildable
+    # one.
+    per_src = w.join(F.broadcast(counts), source_col, "left")
     t_row = per_src.agg(F.min(F.col("__n__") / F.col("__share__")).alias("__t__"))
     # degenerate-source guard: a listed source with NULL/zero measure
     # would set T=0 (or skip MIN as NULL) and silently empty the WHOLE
@@ -417,7 +422,12 @@ def mix_sources_sql_duck(table: str, source_col: str,
     return f"""
 WITH w({source_col}, share) AS (VALUES {vals}),
 c AS (SELECT {source_col}, {n_expr} AS n FROM {table} GROUP BY {source_col}),
-t AS (SELECT MIN(n / share) AS t FROM c JOIN w USING ({source_col})),
+chk AS (SELECT CASE WHEN COUNT(*) > 0 THEN CAST(error(
+            'mix_sources: source in shares has no positive weight/count')
+        AS DOUBLE) ELSE 0 END AS ok
+        FROM w LEFT JOIN c USING ({source_col}) WHERE n IS NULL OR n <= 0),
+t AS (SELECT MIN(n / share + chk.ok * 0) AS t
+      FROM c JOIN w USING ({source_col}) CROSS JOIN chk),
 r AS (SELECT {source_col},
              CAST(floor(share * t.t / n * {_RATE_SCALE}) AS BIGINT) AS rate_u
       FROM c JOIN w USING ({source_col}) CROSS JOIN t)

@@ -780,8 +780,9 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
     from .similarity import _dot_expr, _norm_expr, kmeans_assign, kmeans_centroids
     cents = centroids if centroids is not None else kmeans_centroids(
         odf, num_clusters, iters, id_col, vec_col)
-    assigned = kmeans_assign(OmigoDF(ensure_min_parallelism(odf.df)),
-                             cents, vec_col=vec_col, cluster_col=cluster_col)
+    # kmeans_assign applies ensure_min_parallelism itself — no outer wrap
+    assigned = kmeans_assign(odf, cents, vec_col=vec_col,
+                             cluster_col=cluster_col)
     # norms hoisted out of the pair loop (same trick as embedding_dup_pairs)
     base = (assigned.df
             .select(F.col(id_col), F.col(cluster_col),

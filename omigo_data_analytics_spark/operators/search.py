@@ -202,8 +202,13 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
     anywhere."""
     odf._resolve([id_col, col])
     terms = _bm25_terms(query, lowercase)
+    # \s+ (not ' '): the query side tokenizes with Python .split() (any
+    # whitespace), so a space-only corpus split would fuse tokens across
+    # newlines/tabs into unmatchable strings — a silent recall hole on
+    # any multi-line corpus (r8 review). Java \s and RE2 \s agree on
+    # [ \t\n\f\r]; neither matches unicode spaces, so parity holds.
     toks = (f"filter(split({'lower' if lowercase else ''}"
-            f"({col}), ' '), x -> x != '')")
+            f"({col}), '\\\\s+'), x -> x != '')")
     base = (ensure_min_parallelism(odf.df)
             .select(F.col(id_col), F.expr(toks).alias("__toks__"),
                     F.expr(f"size({toks})").alias("dl")))
@@ -235,14 +240,16 @@ def bm25_sql_duck(table: str, query: str, id_col: str = "doc_id",
     """DuckDB replay of bm25_rank: same tokens, same literal score text,
     same term-sorted fold."""
     terms = _bm25_terms(query, lowercase)
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    # '' escaping: terms are user input; an apostrophe would otherwise
+    # break the oracle (the Spark side's isin() was never at risk)
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     lc = "lower" if lowercase else ""
     score = (f"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * ({k1!r} + 1) "
              f"/ (tf + {k1!r} * (1 - {b!r} + {b!r} * dl "
              f"/ (CAST(total_dl AS DOUBLE) / n)))")
     return f"""
 WITH toks AS (SELECT {id_col},
-                     list_filter(string_split({lc}({col}), ' '),
+                     list_filter(string_split_regex({lc}({col}), '\\s+'),
                                  x -> x != '') AS t
               FROM {table}),
 stats AS (SELECT COUNT(*) AS n, SUM(len(t)) AS total_dl FROM toks),

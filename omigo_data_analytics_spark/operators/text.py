@@ -12,6 +12,8 @@ expressions over the scan.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -61,21 +63,30 @@ def ensure_min_parallelism(df, min_parts: int | None = None):
     call this so one task never serializes the whole corpus.
 
     The physical probe (``df.rdd.getNumPartitions()``) runs ONLY on
-    exchange-free plans (bare scans / map chains), where finalizing the
-    plan is pure driver work. On a derived plan the probe would finalize
-    AQE query stages — eagerly executing every upstream shuffle before
-    the operator's own action — and the repartition it guards would
-    discard AQE's coalesced partitioning. There the plan is returned
-    untouched: any upstream exchange already ran at
-    ``spark.sql.shuffle.partitions`` (sized to cores by get_spark /
-    spark-submit), so parallelism is already guaranteed.
+    SHUFFLE-free plans (bare scans / map chains / broadcast joins),
+    where finalizing the plan is pure driver work. On a shuffled plan
+    the probe would finalize AQE query stages — eagerly executing every
+    upstream shuffle before the operator's own action — and the
+    repartition it guards would discard AQE's coalesced partitioning.
+    There the plan is returned untouched: the upstream shuffle already
+    ran at ``spark.sql.shuffle.partitions`` (sized to cores by
+    get_spark / spark-submit), so parallelism is already guaranteed.
+    Only shuffle exchanges count: a BroadcastExchange never
+    repartitions the probe side (a corpus scan broadcast-joined to a
+    small dim is still single-task if the scan was one split), so the
+    match is the exact shuffle-partitioning alternation, not the bare
+    'Exchange' substring (which would also false-positive on plan
+    literals containing the word).
     """
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         # executedPlan (NOT sparkPlan: with AQE, EnsureRequirements only
         # inserts exchanges at the executedPlan stage) — its toString is
         # pure driver-side planning, verified job-free in the tests.
-        derived = "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        derived = re.search(
+            r"(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|"
+            r"RoundRobinPartitioning|SinglePartition)", plan) is not None
     except Exception:
         # plan introspection unavailable: fall back to the plain probe
         derived = False

@@ -339,6 +339,19 @@ def test_mix_sources_zero_row_source_raises(spark):
     with pytest.raises(Exception, match="no positive weight"):
         CU.mix_sources(wdf, "src", {"a": 0.5, "ghost": 0.5},
                        ["doc_id"], weight_col="w").df.count()
+    # the DuckDB oracle must fail the same way, not silently return the
+    # inflated mixture the fix was written to kill (r8 review)
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt AS SELECT range AS doc_id, 'a' AS src "
+                "FROM range(40)")
+    osql = CU.mix_sources_sql_duck("tt", "src", {"a": 0.5, "ghost": 0.5},
+                                   ["doc_id"])
+    with pytest.raises(Exception, match="no positive weight"):
+        con.execute(osql).fetchall()
+    # and still runs clean when every listed source has rows
+    ok = CU.mix_sources_sql_duck("tt", "src", {"a": 1.0}, ["doc_id"])
+    assert len(con.execute(ok).fetchall()) > 0
 
 
 def test_mix_sources_ambiguous_pattern_rejected(spark):

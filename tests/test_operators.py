@@ -552,3 +552,21 @@ def test_ensure_min_parallelism_still_widens_bare_scan(spark, tmp_path):
     assert "Exchange" not in scan._jdf.queryExecution().executedPlan().toString()
     out = TX.ensure_min_parallelism(scan, min_parts=8)
     assert out.rdd.getNumPartitions() >= 8
+
+
+def test_ensure_min_parallelism_widens_through_broadcast_join(spark, tmp_path):
+    """Regression (r8 review): a BroadcastExchange never repartitions the
+    probe side — a one-split corpus scan broadcast-joined to a small dim
+    is still single-task. The 'derived' gate must match SHUFFLE
+    exchanges only, or the guard silently dies on every
+    broadcast-enriched input."""
+    p = str(tmp_path / "one_file_bj.parquet")
+    spark.range(1000).selectExpr("id", "CAST(id % 3 AS STRING) AS k") \
+        .coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+    dim = spark.createDataFrame([("0", "a"), ("1", "b")], ["k", "v"])
+    j = scan.join(F.broadcast(dim), "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # sanity: only a broadcast exchange
+    out = TX.ensure_min_parallelism(j, min_parts=8)
+    assert out.rdd.getNumPartitions() >= 8

@@ -150,7 +150,7 @@ def test_bm25_plan_has_no_python_and_one_corpus_shuffle(spark):
     from omigo_data_analytics_spark.operators.search import (
         _bm25_pairs, _bm25_terms)
     from pyspark.sql import functions as SF
-    toks = "filter(split(lower(text), ' '), x -> x != '')"
+    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
     base = docs.df.select(SF.col("doc_id"),
                           SF.expr(toks).alias("__toks__"),
                           SF.expr(f"size({toks})").alias("dl"))
