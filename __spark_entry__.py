@@ -874,6 +874,29 @@ def q_dedup_embedding(spark, sf_dir):
             .df.select("vec_id", "label"))
 
 
+def q_hash_embeddings(spark, sf_dir):
+    """signed feature-hash text embeddings (hashing trick, Weinberger et
+    al. 2009) — the model-free documents→embeddings bridge; exploded to
+    (doc_id, idx, val) scalars for exact hash comparison."""
+    d = _t(spark, sf_dir, "documents")
+    out = SIM.hash_embeddings(d, dim=64)
+    return (out.df
+            .select("doc_id", F.posexplode("embedding").alias("idx", "val"))
+            .select("doc_id", "idx", F.round("val", 6).alias("val")))
+
+
+def _sql_hash_embeddings() -> str:
+    hs = SIM.hash_embed_hs_sql_duck(dim=64)
+    vec = SIM.hash_embed_vec_sql_duck("hs", dim=64)
+    return f"""
+WITH h AS (SELECT doc_id, {hs} AS hs FROM documents),
+v AS (SELECT doc_id, {vec} AS vec FROM h)
+SELECT doc_id, CAST(generate_subscripts(vec, 1) - 1 AS INT) AS idx,
+       ROUND(unnest(vec), 6) AS val
+FROM v
+"""
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """bit-reproducible spherical k-means (k=8, 2 Lloyd rounds) over the
     embeddings: trained centroids are checkable because the update step
@@ -3653,17 +3676,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "mix_sources_weighted": q_mix_sources_weighted,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
         "similarity_lsh": q_similarity_lsh,
         "dedup_embedding": q_dedup_embedding,
         # --- new r8 operators: same-round oracle rows (brief rule #6).
-        #     duplicate_spans and text_metrics ceded their head slots
-        #     (both r7-green, both bare-scan inputs whose plans the probe
-        #     fix leaves byte-identical; remove_dup_spans still covers
-        #     the span machinery more deeply) ---
+        #     duplicate_spans, text_metrics and ngram_jaccard ceded their
+        #     head slots (all r7-green, all bare-scan inputs whose plans
+        #     the probe fix leaves byte-identical; remove_dup_spans /
+        #     dedup_minhash_lsh still cover those machinery families) ---
         "bm25_rank": q_bm25_rank,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
+        "hash_embeddings": q_hash_embeddings,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # Post-boundary order = r9-budget priority. First the six
         # r8-touched text.py map queries that did not fit the head (their
@@ -3675,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7-row remainder.
         "duplicate_spans": q_duplicate_spans,
         "text_metrics": q_text_metrics,
+        "ngram_jaccard": q_ngram_jaccard,
         "token_vocab": q_token_vocab,
         "lang_id": q_lang_id,
         "doc_chunks": q_doc_chunks,
@@ -3861,6 +3885,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_lsh": _sql_similarity_lsh(),
         "kmeans_clusters": _sql_kmeans_clusters(),
         "semdedup": _sql_semdedup(),
+        "hash_embeddings": _sql_hash_embeddings(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

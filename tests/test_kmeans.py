@@ -114,6 +114,51 @@ def test_semdedup_pairs_are_cluster_bounded(embeddings):
     assert out.df.count() == embeddings.df.count()
 
 
+def test_hash_embeddings_shape_norm_and_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta"), (3, "   "),
+         (4, "line one\nline two\ttabbed")],
+        "doc_id long, text string")
+    out = SIM.hash_embeddings(OmigoDF(df), dim=16)
+    rows = {r["doc_id"]: list(r["embedding"]) for r in out.df.collect()}
+    assert all(len(v) == 16 for v in rows.values())
+    # L2 norm 1 for non-empty docs; all-whitespace doc -> zero vector
+    for did, v in rows.items():
+        n = math.sqrt(sum(x * x for x in v))
+        if did == 3:
+            assert v == [0.0] * 16
+        else:
+            assert n == pytest.approx(1.0, abs=1e-9)
+    # newline/tab-separated tokens are real tokens (the \s+ tokenizer):
+    # doc 4 has 5 tokens, so its unnormalized signed counts sum |.| >= 1
+    assert any(x != 0 for x in rows[4])
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # map-side only
+    assert "EvalPython" not in plan
+
+
+def test_hash_embeddings_deterministic_and_token_order_free(spark):
+    a = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "z y x")], "doc_id long, text string")
+    va = SIM.hash_embeddings(OmigoDF(a), dim=8).df.collect()[0]["embedding"]
+    vb = SIM.hash_embeddings(OmigoDF(b), dim=8).df.collect()[0]["embedding"]
+    # bag-of-words: permuting tokens must not change the vector
+    assert list(va) == list(vb)
+
+
+def test_hash_embeddings_feed_kmeans_and_semdedup(documents):
+    from pyspark.sql import functions as SF
+    out = SIM.hash_embeddings(documents, dim=16)
+    emb = OmigoDF(out.df.select(
+        "doc_id", SF.expr("CAST(embedding AS ARRAY<FLOAT>)").alias("embedding")))
+    cents = SIM.kmeans_centroids(emb, k=4, iters=1, id_col="doc_id")
+    assert len(cents) == 4
+    sd = DD.semdedup(emb, threshold=0.999, num_clusters=4, iters=1,
+                     id_col="doc_id")
+    # near-identical-vector threshold keeps nearly everything
+    assert sd.df.count() >= documents.df.count() * 0.5
+
+
 def test_semdedup_pretrained_centroids_skip_training(embeddings):
     cents = SIM.kmeans_centroids(embeddings, k=4, iters=2)
     a = DD.semdedup(embeddings, threshold=0.4, centroids=cents)
