@@ -3154,6 +3154,40 @@ def q_decontaminate(spark, sf_dir):
     return out.df.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """Semantic decontamination (curation.decontaminate_semantic):
+    training docs whose feature-hash embedding is cosine-close (>=0.85)
+    to any held-out doc (doc_id % 20 == 0 plays the benchmark) are
+    dropped. Both sides embed map-side; the cosine screen is a
+    broadcast nested-loop over the benchmark-sized eval set."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = OmigoDF(docs.df.filter("doc_id % 20 = 0"))
+    tr = OmigoDF(docs.df.filter("doc_id % 20 <> 0"))
+    out = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.85)
+    return out.df.select("doc_id", "lang", "source", "n_chars")
+
+
+def _sql_decontaminate_semantic() -> str:
+    hs = SIM.hash_embed_hs_sql_duck(dim=64)
+    vec = SIM.hash_embed_vec_sql_duck("hs", dim=64)
+    cos = SIM.cosine_sql_duck("t.vec", "e.vec")
+    nrm = ("sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+           "list_transform(CAST({v} AS DOUBLE[]), x -> x * x)), "
+           "(acc, v) -> acc + v))")
+    return f"""
+WITH emb AS (SELECT doc_id, {vec} AS vec
+             FROM (SELECT doc_id, {hs} AS hs FROM documents)),
+ev AS (SELECT vec FROM emb WHERE doc_id % 20 = 0
+       AND {nrm.format(v='vec')} > 0),
+tr AS (SELECT doc_id, vec FROM emb WHERE doc_id % 20 <> 0
+       AND {nrm.format(v='vec')} > 0),
+cont AS (SELECT DISTINCT t.doc_id FROM tr t CROSS JOIN ev e
+         WHERE ROUND({cos}, 6) >= 0.85)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+"""
+
+
 def _sql_decontaminate() -> str:
     sh = DD.shingles_expr("duckdb", "text", 5)
     return f"""
@@ -3676,17 +3710,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "mix_sources_weighted": q_mix_sources_weighted,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "similarity_lsh": q_similarity_lsh,
         "dedup_embedding": q_dedup_embedding,
         # --- new r8 operators: same-round oracle rows (brief rule #6).
-        #     duplicate_spans, text_metrics and ngram_jaccard ceded their
-        #     head slots (all r7-green, all bare-scan inputs whose plans
-        #     the probe fix leaves byte-identical; remove_dup_spans /
-        #     dedup_minhash_lsh still cover those machinery families) ---
+        #     duplicate_spans, text_metrics, ngram_jaccard and
+        #     similarity_lsh ceded their head slots (all r7-green, all
+        #     bare-scan inputs whose plans the probe fix leaves
+        #     byte-identical; remove_dup_spans / dedup_minhash_lsh still
+        #     cover those machinery families) ---
         "bm25_rank": q_bm25_rank,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,
         "hash_embeddings": q_hash_embeddings,
+        "decontaminate_semantic": q_decontaminate_semantic,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # Post-boundary order = r9-budget priority. First the six
         # r8-touched text.py map queries that did not fit the head (their
@@ -3699,6 +3734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "text_metrics": q_text_metrics,
         "ngram_jaccard": q_ngram_jaccard,
+        "similarity_lsh": q_similarity_lsh,
         "token_vocab": q_token_vocab,
         "lang_id": q_lang_id,
         "doc_chunks": q_doc_chunks,
@@ -3886,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _sql_kmeans_clusters(),
         "semdedup": _sql_semdedup(),
         "hash_embeddings": _sql_hash_embeddings(),
+        "decontaminate_semantic": _sql_decontaminate_semantic(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -161,6 +161,44 @@ def decontaminate(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
 
 
+def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
+                           col: str = "text", eval_col: str | None = None,
+                           threshold: float = 0.8, dim: int = 64,
+                           precision: int = 6) -> OmigoDF:
+    """Semantic benchmark decontamination: drop training documents whose
+    feature-hash embedding is cosine-close to ANY eval document —
+    catches paraphrased/reworded contamination the n-gram
+    ``decontaminate`` misses (and vice versa; run both).
+
+    Plan shape: both sides embed map-side (``similarity.
+    hash_embeddings`` — no model, no shuffle); the benchmark side is
+    benchmark-sized, so the cosine screen is a BROADCAST nested-loop
+    (corpus × small), norms hoisted per side; the only shuffle carries
+    contaminated ids (a vanishing fraction), and the final anti-join's
+    right side is that same small set, left to AQE to broadcast — the
+    corpus never shuffles. Cost per train row = |eval| dot products of
+    width dim: with a 10k-doc benchmark and dim 64 that is ~640k
+    mul-adds per document, the price of model-free screening; shrink
+    dim or pre-filter eval if the benchmark is unusually large."""
+    from .similarity import _dot_expr, _norm_expr, hash_embeddings
+    train._resolve([id_col, col])
+    ecol = eval_col or col
+    eval_odf._resolve(ecol)
+    tr = (hash_embeddings(train, col=col, dim=dim, out_col="__te__")
+          .df.select(F.col(id_col), F.col("__te__"),
+                     F.expr(_norm_expr("__te__")).alias("__tn__")))
+    ev = (hash_embeddings(eval_odf, col=ecol, dim=dim, out_col="__ee__")
+          .df.select(F.col("__ee__"),
+                     F.expr(_norm_expr("__ee__")).alias("__en__")))
+    cos = F.round(F.expr(_dot_expr("__te__", "__ee__"))
+                  / (F.col("__tn__") * F.col("__en__")), precision)
+    contaminated = (tr.crossJoin(F.broadcast(ev))
+                    .where(F.col("__tn__") > 0).where(F.col("__en__") > 0)
+                    .where(cos >= threshold)
+                    .select(id_col).distinct())
+    return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
+
+
 LM_SMOOTH_K = 0.1
 
 

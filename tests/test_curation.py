@@ -93,6 +93,38 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_decontaminate_semantic_drops_paraphrase_keeps_distinct(spark):
+    tr = OmigoDF(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "spark shuffles partitions across the cluster executors"),
+         (3, "")],  # zero-vector doc: must survive (0-norm guarded)
+        "doc_id long, text string"))
+    ev = OmigoDF(spark.createDataFrame(
+        # scrambled rewording of doc 1 — no shared 5-gram survives the
+        # reordering, but the bag-of-words cosine stays high
+        [(100, "dog lazy the over jumps fox brown quick the")],
+        "doc_id long, text string"))
+    out = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.7).df
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 not in ids          # paraphrase caught
+    assert ids == [2, 3]         # unrelated + empty kept
+    assert out.columns == tr.df.columns
+    # the n-gram pass would MISS this paraphrase (no shared 5-gram)
+    ng = CU.decontaminate(tr, ev, "doc_id", n=5).df
+    assert sorted(r["doc_id"] for r in ng.collect()) == [1, 2, 3]
+
+
+def test_decontaminate_semantic_broadcasts_eval_side(spark):
+    tr, ev = _docs(spark), OmigoDF(_docs(spark).df.filter("doc_id % 7 = 0"))
+    out = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.99)
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    # cosine screen is a broadcast nested-loop (the anti-join's static
+    # plan may show SMJ — AQE converts it at runtime once it sees the
+    # small contaminated-id set, same convention as decontaminate)
+    assert "BroadcastNestedLoopJoin" in p
+    assert "EvalPython" not in p
+
+
 def test_mix_sources_deterministic_and_exact_oracle(spark):
     docs = _docs(spark)
     shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
