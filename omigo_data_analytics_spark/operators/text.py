@@ -78,6 +78,11 @@ def ensure_min_parallelism(df, min_parts: int | None = None):
     'Exchange' substring (which would also false-positive on plan
     literals containing the word).
     """
+    # streaming plans: .rdd is illegal and micro-batch parallelism is the
+    # source's concern — pass through so stateless map operators
+    # (hash_embeddings, text metrics, ...) compose with readStream
+    if df.isStreaming:
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     try:
         # executedPlan (NOT sparkPlan: with AQE, EnsureRequirements only

@@ -316,3 +316,31 @@ def test_stream_near_dup_rejects_non_numeric_ids(spark):
                        "'some text here' AS text"))
     with _pt.raises(ValueError, match="numeric id"):
         ST.stream_near_dup_candidates(src)
+
+
+def test_stateless_map_operators_compose_with_readstream(spark):
+    """hash_embeddings (and every ensure_min_parallelism caller with a
+    stateless plan) must accept a STREAMING input: the parallelism
+    probe passes streaming plans through (.rdd is illegal there and
+    micro-batch parallelism belongs to the source)."""
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators import similarity as SIM
+    d = tempfile.mkdtemp(prefix="omigo_stream_he_")
+    try:
+        schema = "doc_id long, text string"
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "delta epsilon")], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        sdf = spark.readStream.schema(schema).parquet(d)
+        out = SIM.hash_embeddings(OmigoDF(sdf), dim=8)
+        _run_to_memory(out.df, "he_stream", "append")
+        rows = spark.sql("select * from he_stream").collect()
+        assert len(rows) == 2
+        # identical vectors to the batch run over the same rows
+        batch = {r["doc_id"]: list(r["embedding"]) for r in
+                 SIM.hash_embeddings(
+                     OmigoDF(spark.read.parquet(d)), dim=8).df.collect()}
+        for r in rows:
+            assert list(r["embedding"]) == batch[r["doc_id"]]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
