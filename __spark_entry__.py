@@ -3169,18 +3169,14 @@ def q_decontaminate_semantic(spark, sf_dir):
 
 def _sql_decontaminate_semantic() -> str:
     hs = SIM.hash_embed_hs_sql_duck(dim=64)
-    vec = SIM.hash_embed_vec_sql_duck("hs", dim=64)
+    vec = SIM.hash_embed_vec_sql_duck("hs", dim=64, normalize=False)
     cos = SIM.cosine_sql_duck("t.vec", "e.vec")
-    nrm = ("sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-           "list_transform(CAST({v} AS DOUBLE[]), x -> x * x)), "
-           "(acc, v) -> acc + v))")
+    nrm = SIM.norm_sql_duck("CAST(vec AS DOUBLE[])")
     return f"""
 WITH emb AS (SELECT doc_id, {vec} AS vec
              FROM (SELECT doc_id, {hs} AS hs FROM documents)),
-ev AS (SELECT vec FROM emb WHERE doc_id % 20 = 0
-       AND {nrm.format(v='vec')} > 0),
-tr AS (SELECT doc_id, vec FROM emb WHERE doc_id % 20 <> 0
-       AND {nrm.format(v='vec')} > 0),
+ev AS (SELECT vec FROM emb WHERE doc_id % 20 = 0 AND {nrm} > 0),
+tr AS (SELECT doc_id, vec FROM emb WHERE doc_id % 20 <> 0 AND {nrm} > 0),
 cont AS (SELECT DISTINCT t.doc_id FROM tr t CROSS JOIN ev e
          WHERE ROUND({cos}, 6) >= 0.85)
 SELECT doc_id, lang, source, n_chars FROM documents

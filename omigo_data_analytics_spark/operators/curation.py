@@ -184,10 +184,15 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     train._resolve([id_col, col])
     ecol = eval_col or col
     eval_odf._resolve(ecol)
-    tr = (hash_embeddings(train, col=col, dim=dim, out_col="__te__")
+    # normalize=False: cosine divides by the hoisted true norms below —
+    # normalizing AND dividing would pay the per-row L2 pass twice for
+    # norms that are ~1 by construction (r8 review)
+    tr = (hash_embeddings(train, col=col, dim=dim, out_col="__te__",
+                          normalize=False)
           .df.select(F.col(id_col), F.col("__te__"),
                      F.expr(_norm_expr("__te__")).alias("__tn__")))
-    ev = (hash_embeddings(eval_odf, col=ecol, dim=dim, out_col="__ee__")
+    ev = (hash_embeddings(eval_odf, col=ecol, dim=dim, out_col="__ee__",
+                          normalize=False)
           .df.select(F.col("__ee__"),
                      F.expr(_norm_expr("__ee__")).alias("__en__")))
     cos = F.round(F.expr(_dot_expr("__te__", "__ee__"))

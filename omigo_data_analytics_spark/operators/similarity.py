@@ -331,7 +331,9 @@ def hash_embeddings(odf: OmigoDF, col: str = "text",
     text corpus to every embedding operator (semdedup / k-means / ANN)
     without an external model, and deterministically: the md5-based
     portable hash gives the SAME vector in Spark and DuckDB
-    (``hash_embeddings_sql_duck``), on any partition layout.
+    (``hash_embed_hs_sql_duck`` + ``hash_embed_vec_sql_duck`` — hs in a
+    CTE, vec over the column), on any partition layout. NULL text is
+    treated as the empty document (zero vector) in both dialects.
 
     Scale shape: ENTIRELY map-side — one md5 per token, then dim
     integer-compare folds per row; no explode, no shuffle, no UDF, no
@@ -348,7 +350,10 @@ def hash_embeddings(odf: OmigoDF, col: str = "text",
     from .text import ensure_min_parallelism, hash_spark, let_spark
     odf._resolve([col])
     lc = "lower" if lowercase else ""
-    toks = f"filter(split({lc}(`{col}`), '\\\\s+'), x -> x != '')"
+    # coalesce: split(NULL) is NULL and would propagate to a dim-NULL
+    # vector (diverging from the oracle's zero vector)
+    toks = (f"filter(split({lc}(coalesce(`{col}`, '')), '\\\\s+'), "
+            f"x -> x != '')")
     # one struct per token: bucket + sign (md5 computed once per token;
     # the per-bucket fold below then costs only integer compares)
     sign = ("IF(pmod(CAST(conv(substring(md5(t), 16, 1), 16, 10) AS BIGINT),"
@@ -378,13 +383,24 @@ def hash_embed_hs_sql_duck(col: str = "text", dim: int = 64,
     ``hash_embed_vec_sql_duck`` so the hashing isn't re-run per bucket."""
     from .text import hash_duck
     lc = "lower" if lowercase else ""
-    toks = f"list_filter(string_split_regex({lc}({col}), '\\s+'), x -> x != '')"
+    toks = (f"list_filter(string_split_regex({lc}(coalesce({col}, '')), "
+            f"'\\s+'), x -> x != '')")
     sign = ("CASE WHEN CAST(('0x' || substr(md5(t), 16, 1)) AS BIGINT) % 2 "
             "= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END")
     # DuckDB % can be negative only for negative operands; the portable
     # hash is non-negative, so plain % matches Spark's pmod here
     return (f"list_transform({toks}, t -> "
             f"{{'b': {hash_duck('t')} % {dim}, 's': {sign}}})")
+
+
+def norm_sql_duck(v: str) -> str:
+    """DuckDB L2 norm with the engine's exact left-to-right accumulation
+    — the SINGLE source of this fragment (cosine_sql_duck, the hash
+    embed oracles and entry oracles all splice it): textual identity
+    across call sites IS the bit-parity guarantee. Callers pass an
+    already-DOUBLE[] expression or wrap in CAST themselves."""
+    return (f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({v}, x -> x * x)), (acc, v) -> acc + v))")
 
 
 def hash_embed_vec_sql_duck(hs: str, dim: int = 64,
@@ -398,10 +414,8 @@ def hash_embed_vec_sql_duck(hs: str, dim: int = 64,
            f"(a, s) -> a + s))")
     if not normalize:
         return vec
-    nrm = ("sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-           "list_transform(vv, x -> x * x)), (acc, v) -> acc + v))")
     return let_duck(vec, "vv", let_duck(
-        nrm, "nv",
+        norm_sql_duck("vv"), "nv",
         "CASE WHEN nv = 0 THEN vv ELSE list_transform(vv, v -> v / nv) END"))
 
 
@@ -534,8 +548,5 @@ def cosine_sql_duck(a: str, b: str) -> str:
     dot = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
            f"list_transform(range(1, len({ad}) + 1), i -> ({ad})[i] * ({bd})[i])), "
            f"(acc, v) -> acc + v)")
-    na = (f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-          f"list_transform({ad}, x -> x * x)), (acc, v) -> acc + v))")
-    nb = (f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-          f"list_transform({bd}, x -> x * x)), (acc, v) -> acc + v))")
+    na, nb = norm_sql_duck(ad), norm_sql_duck(bd)
     return f"({dot}) / (({na}) * ({nb}))"

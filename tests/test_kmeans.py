@@ -137,6 +137,29 @@ def test_hash_embeddings_shape_norm_and_plan(spark):
     assert "EvalPython" not in plan
 
 
+def test_hash_embeddings_null_text_is_zero_vector_both_engines(spark):
+    """Regression (r8 review): split(NULL) is NULL in Spark and would
+    propagate to a dim-NULL vector while the DuckDB oracle produced the
+    zero vector — both sides now coalesce to the empty document."""
+    import duckdb
+    df = spark.createDataFrame([(1, None), (2, "alpha")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: list(r["embedding"])
+            for r in SIM.hash_embeddings(OmigoDF(df), dim=8).df.collect()}
+    assert rows[1] == [0.0] * 8
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, NULL), (2, 'alpha')")
+    hs = SIM.hash_embed_hs_sql_duck(dim=8)
+    vec = SIM.hash_embed_vec_sql_duck("hs", dim=8)
+    got = dict(con.execute(
+        f"SELECT doc_id, {vec} FROM (SELECT doc_id, {hs} AS hs FROM t)"
+    ).fetchall())
+    assert list(got[1]) == [0.0] * 8
+    assert [round(x, 9) for x in got[2]] == \
+        [round(x, 9) for x in rows[2]]
+
+
 def test_hash_embeddings_deterministic_and_token_order_free(spark):
     a = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     b = spark.createDataFrame([(1, "z y x")], "doc_id long, text string")
