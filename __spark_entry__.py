@@ -3167,6 +3167,20 @@ def q_decontaminate_semantic(spark, sf_dir):
     return out.df.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_search_job_e2e(spark, sf_dir):
+    """executed search composition (search.search_job): bloom prefilter +
+    exact contains -> BM25 over the candidate set -> distributed top-k
+    (TakeOrdered, ties break by id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SR.search_job(docs, must_contain="window",
+                         rank_query="window merge sort", k=25).df
+
+
+def _sql_search_job_e2e() -> str:
+    return SR.search_job_sql_duck("documents", "window",
+                                  "window merge sort", k=25)
+
+
 def _sql_decontaminate_semantic() -> str:
     hs = SIM.hash_embed_hs_sql_duck(dim=64)
     vec = SIM.hash_embed_vec_sql_duck("hs", dim=64, normalize=False)
@@ -3701,7 +3715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     dedup_embedding also covers the detect_dim removal in
         #     embedding_dup_pairs) ---
         "remove_dup_spans": q_remove_dup_spans,
-        "pack_sequences": q_pack_sequences,
         "lm_score": q_lm_score,
         "mix_sources": q_mix_sources,
         "mix_sources_weighted": q_mix_sources_weighted,
@@ -3718,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "hash_embeddings": q_hash_embeddings,
         "decontaminate_semantic": q_decontaminate_semantic,
+        "search_job_e2e": q_search_job_e2e,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # Post-boundary order = r9-budget priority. First the six
         # r8-touched text.py map queries that did not fit the head (their
@@ -3727,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose same-round oracle row takes precedence);
         # then the r6-row block (stalest rows after this round); then the
         # r7-row remainder.
+        "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
         "text_metrics": q_text_metrics,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3919,6 +3934,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _sql_semdedup(),
         "hash_embeddings": _sql_hash_embeddings(),
         "decontaminate_semantic": _sql_decontaminate_semantic(),
+        "search_job_e2e": _sql_search_job_e2e(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -265,6 +265,46 @@ FROM sc GROUP BY {id_col}
 """
 
 
+def search_job(odf: OmigoDF, must_contain: str, rank_query: str,
+               k: int = 10, id_col: str = "doc_id", col: str = "text",
+               sig_col: str | None = None,
+               k1: float = BM25_K1, b: float = BM25_B) -> OmigoDF:
+    """Executed search composition — the full retrieval flow as ONE lazy
+    plan: bloom-bitset prefilter + exact ``must_contain`` verification
+    narrows the corpus to candidates, BM25 ranks the candidates against
+    ``rank_query`` (corpus statistics over the CANDIDATE set — standard
+    filtered-retrieval semantics), global top-k by (bm25 desc, id asc).
+
+    Scale shape: the prefilter is a scan-speed signature test (16 longs
+    per row, persisted when ``sig_col`` names a precomputed column);
+    BM25's shuffle carries matched (candidate, term) pairs only; the
+    top-k is Spark's distributed TakeOrdered (per-partition heads, no
+    single-partition sort). Deterministic: ties at the k boundary break
+    by id."""
+    cands = bloom_substring_search(odf, must_contain, col=col,
+                                   sig_col=sig_col)
+    ranked = bm25_rank(cands, rank_query, id_col=id_col, col=col,
+                       k1=k1, b=b)
+    return OmigoDF(ranked.df
+                   .orderBy(F.desc("bm25"), F.asc(id_col))
+                   .limit(int(k)))
+
+
+def search_job_sql_duck(table: str, must_contain: str, rank_query: str,
+                        k: int = 10, id_col: str = "doc_id",
+                        col: str = "text",
+                        k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB replay: exact-contains candidate subquery feeds the bm25
+    oracle (the prefilter admits only false positives, so plain
+    contains() is the whole candidate semantics), then the same ordered
+    LIMIT."""
+    mc = must_contain.replace("'", "''")
+    cand = f"(SELECT * FROM {table} WHERE contains({col}, '{mc}'))"
+    body = bm25_sql_duck(cand, rank_query, id_col=id_col, col=col,
+                         k1=k1, b=b)
+    return f"{body.rstrip()}\nORDER BY bm25 DESC, {id_col} LIMIT {int(k)}"
+
+
 def candidate_count(odf: OmigoDF, query: str, col: str = "text",
                     phrase_len: int = PHRASE_LEN,
                     hash_space: int = HASH_SPACE) -> int:

@@ -77,8 +77,8 @@ def _bm25_bruteforce(rows, query, k1=SR.BM25_K1, b=SR.BM25_B):
     import math
 
     terms = sorted({t for t in query.lower().split() if t})
-    toks = {r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
-            for r in rows}
+    toks = {r["doc_id"]: [t for t in r["text"].lower().split() if t]
+            for r in rows}  # any-whitespace: mirrors the \s+ tokenizer
     n = len(toks)
     total_dl = sum(len(t) for t in toks.values())
     df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
@@ -168,3 +168,22 @@ def test_python_and_spark_phrase_hash_agree(spark):
     ).collect()
     for r in rows:
         assert r["b"] == SR._py_phrase_bit(r["p"], SR.HASH_SPACE)
+
+
+def test_search_job_composes_and_is_exact(spark):
+    docs = _docs(spark)
+    out = SR.search_job(docs, must_contain="window",
+                        rank_query="window merge", k=5)
+    rows = out.df.collect()
+    assert 0 < len(rows) <= 5
+    # every hit really contains the must phrase
+    texts = {r["doc_id"]: r for r in docs.df.collect()}
+    for r in rows:
+        assert "window" in texts[r["doc_id"]]["text"]
+    # descending score, id tiebreak
+    scores = [(r["bm25"], -r["doc_id"]) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], -t[1]))
+    # one lazy plan: no Python, prefilter below the BM25 machinery
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in p
+    assert "TakeOrderedAndProject" in p  # distributed top-k, no global sort
