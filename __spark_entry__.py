@@ -29,6 +29,7 @@ from omigo_data_analytics_spark import OmigoDF  # noqa: E402
 from omigo_data_analytics_spark.sources.io import load_testdata  # noqa: E402
 from omigo_data_analytics_spark.operators import dedup as DD  # noqa: E402
 from omigo_data_analytics_spark.operators import enrich as EN  # noqa: E402
+from omigo_data_analytics_spark.operators import fuzzy as FZ  # noqa: E402
 from omigo_data_analytics_spark.operators import graph as GR  # noqa: E402
 from omigo_data_analytics_spark.operators import multimodal as MM  # noqa: E402
 from omigo_data_analytics_spark.operators import search as SR  # noqa: E402
@@ -3167,6 +3168,28 @@ def q_decontaminate_semantic(spark, sf_dir):
     return out.df.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """exact edit-distance self-join (ed-join, Gravano et al. 2001
+    q-gram count filtering + levenshtein verify) over part names.
+    Pinned to the first 2000 partkeys: the synthetic name vocabulary is
+    so small that near-dup pairs grow ~n²/10 — the brute-force oracle
+    (a deliberately different derivation) must stay sweep-affordable."""
+    part = _t(spark, sf_dir, "part")
+    sl = OmigoDF(part.df.where("p_partkey <= 2000"))
+    return FZ.fuzzy_pairs(sl, "p_partkey", "p_name", max_dist=1, q=3).df
+
+
+SQL_FUZZY_PAIRS = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND abs(len(a.p_name) - len(b.p_name)) <= 1
+WHERE a.p_partkey <= 2000 AND b.p_partkey <= 2000
+  AND levenshtein(a.p_name, b.p_name) <= 1
+"""
+
+
 def q_search_job_e2e(spark, sf_dir):
     """executed search composition (search.search_job): bloom prefilter +
     exact contains -> BM25 over the candidate set -> distributed top-k
@@ -3714,7 +3737,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8-touched operator families (ensure_min_parallelism fix;
         #     dedup_embedding also covers the detect_dim removal in
         #     embedding_dup_pairs) ---
-        "remove_dup_spans": q_remove_dup_spans,
         "lm_score": q_lm_score,
         "mix_sources": q_mix_sources,
         "mix_sources_weighted": q_mix_sources_weighted,
@@ -3732,6 +3754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embeddings": q_hash_embeddings,
         "decontaminate_semantic": q_decontaminate_semantic,
         "search_job_e2e": q_search_job_e2e,
+        "fuzzy_pairs": q_fuzzy_pairs,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # Post-boundary order = r9-budget priority. First the six
         # r8-touched text.py map queries that did not fit the head (their
@@ -3741,6 +3764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose same-round oracle row takes precedence);
         # then the r6-row block (stalest rows after this round); then the
         # r7-row remainder.
+        "remove_dup_spans": q_remove_dup_spans,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
         "text_metrics": q_text_metrics,
@@ -3935,6 +3959,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_embeddings": _sql_hash_embeddings(),
         "decontaminate_semantic": _sql_decontaminate_semantic(),
         "search_job_e2e": _sql_search_job_e2e(),
+        "fuzzy_pairs": SQL_FUZZY_PAIRS,
         "embedding_near_dup": _sql_embedding_near_dup(),
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

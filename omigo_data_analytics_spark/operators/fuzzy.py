@@ -1,0 +1,153 @@
+"""Exact edit-distance similarity join (ed-join) — entity resolution /
+fuzzy dedup for name-like columns.
+
+Candidates come from POSITIONAL q-gram count filtering (Gravano et al.
+2001, VLDB "Approximate String Joins in a Database (Almost) for Free"):
+strings within edit distance d must share at least
+``max(|a|,|b|) - q + 1 - q*d`` q-grams at positions within d of each
+other — a NECESSARY condition, so filtering candidates by it and then
+verifying with exact ``levenshtein`` keeps the join EXACT. Pairs whose
+longer string is shorter than q*(d+1) can have a vacuous bound; they go
+through a length-bucket fallback instead (|len(a)-len(b)| <= d is
+already necessary for ed <= d).
+
+Scale shape: the q-gram path shuffles (gram, position) explosions
+(~len(s) rows per string) and joins gram-equality with a position-window
+predicate; the count filter then shrinks candidates before the
+levenshtein verify (a codegen JVM expression in Spark). Skew caveat: a
+gram shared by a large fraction of the corpus (common prefixes like
+"Customer#0000...") inflates its bucket quadratically — for such data
+strip the shared prefix into a separate equality key first, or raise q.
+The short-string fallback is bounded by length-bucket sizes (d+1 buckets
+probed per string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..core.dataframe import OmigoDF
+from .text import ensure_min_parallelism
+
+
+def _grams_expr(col: str, q: int) -> str:
+    """Positional q-grams: array of (gram, pos) structs, pos 1-based."""
+    return (f"transform(sequence(1, greatest(length({col}) - {q - 1}, 0)), "
+            f"i -> named_struct('g', substring({col}, i, {q}), 'p', i))")
+
+
+def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
+                max_dist: int = 1, q: int = 3) -> OmigoDF:
+    """All pairs (id_a < id_b) with levenshtein(col_a, col_b) <= max_dist
+    — exact, via q-gram-count candidate filtering + levenshtein verify.
+    Returns (id_a, id_b, dist). NULL values never match (SQL semantics:
+    levenshtein(NULL, x) is NULL, filtered)."""
+    odf._resolve([id_col, col])
+    d, qq = int(max_dist), int(q)
+    base = (ensure_min_parallelism(odf.df)
+            .select(F.col(id_col).alias("__id__"),
+                    F.col(col).cast("string").alias("__s__"),
+                    F.length(F.col(col).cast("string")).alias("__l__"))
+            .where(F.col("__s__").isNotNull())
+            .localCheckpoint(eager=False))
+
+    # path A — q-gram count filter (complete for pairs whose longer
+    # string has length >= q*(d+1))
+    ex = base.select(
+        "__id__", "__l__",
+        F.explode(F.expr(_grams_expr("__s__", qq))).alias("__gp__"))
+    a = ex.select(F.col("__id__").alias("id_a"), F.col("__l__").alias("la"),
+                  F.col("__gp__.g").alias("g"), F.col("__gp__.p").alias("pa"))
+    b = ex.select(F.col("__id__").alias("id_b"), F.col("__l__").alias("lb"),
+                  F.col("__gp__.g").alias("g"), F.col("__gp__.p").alias("pb"))
+    grams = (a.join(b, on=[a["g"] == b["g"],
+                           F.col("id_a") < F.col("id_b"),
+                           F.abs(F.col("pa") - F.col("pb")) <= d,
+                           F.abs(F.col("la") - F.col("lb")) <= d])
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared"),
+                  F.first("la").alias("la"), F.first("lb").alias("lb"))
+             .where(F.col("shared") >=
+                    F.greatest(F.col("la"), F.col("lb")) - (qq - 1) - qq * d)
+             .select("id_a", "id_b"))
+
+    # path B — short strings (longer side < q*(d+1)): length buckets
+    short = base.where(F.col("__l__") < qq * (d + 1))
+    sa = short.select(F.col("__id__").alias("id_a"), F.col("__l__").alias("la"))
+    sb = short.select(F.col("__id__").alias("id_b"), F.col("__l__").alias("lb"))
+    shorts = (sa.join(sb, on=[F.col("id_a") < F.col("id_b"),
+                              F.abs(F.col("la") - F.col("lb")) <= d])
+              .select("id_a", "id_b"))
+
+    cands = grams.union(shorts).distinct()
+    sa2 = base.select(F.col("__id__").alias("id_a"), F.col("__s__").alias("sa"))
+    sb2 = base.select(F.col("__id__").alias("id_b"), F.col("__s__").alias("sb"))
+    verified = (cands.join(sa2, "id_a").join(sb2, "id_b")
+                .withColumn("dist", F.levenshtein("sa", "sb"))
+                .where(F.col("dist") <= d)
+                .select("id_a", "id_b", F.col("dist").cast("long").alias("dist")))
+    return OmigoDF(verified)
+
+
+def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
+               max_dist: int = 1, q: int = 3,
+               lsuffix: str = "_l", rsuffix: str = "_r") -> OmigoDF:
+    """Two-table edit-distance join (every left row paired with every
+    right row within max_dist). Same exact candidate scheme as
+    fuzzy_pairs; all columns carried, name collisions suffixed."""
+    left._resolve(left_col)
+    right._resolve(right_col)
+    d, qq = int(max_dist), int(q)
+
+    def prep(odf, colname, side):
+        return (ensure_min_parallelism(odf.df)
+                .withColumn(f"__s{side}__", F.col(colname).cast("string"))
+                .withColumn(f"__l{side}__", F.length(f"__s{side}__"))
+                .where(F.col(f"__s{side}__").isNotNull())
+                .withColumn(f"__k{side}__",
+                            F.monotonically_increasing_id())
+                .localCheckpoint(eager=False))
+
+    lf, rf = prep(left, left_col, "l"), prep(right, right_col, "r")
+    exl = lf.select("__kl__", "__ll__",
+                    F.explode(F.expr(_grams_expr("__sl__", qq))).alias("gp"))
+    exr = rf.select("__kr__", "__lr__",
+                    F.explode(F.expr(_grams_expr("__sr__", qq))).alias("gp"))
+    grams = (exl.alias("a").join(
+                 exr.alias("b"),
+                 on=[F.col("a.gp.g") == F.col("b.gp.g"),
+                     F.abs(F.col("a.gp.p") - F.col("b.gp.p")) <= d,
+                     F.abs(F.col("__ll__") - F.col("__lr__")) <= d])
+             .groupBy("__kl__", "__kr__")
+             .agg(F.count(F.lit(1)).alias("shared"),
+                  F.first("__ll__").alias("ll"), F.first("__lr__").alias("lr"))
+             .where(F.col("shared") >=
+                    F.greatest(F.col("ll"), F.col("lr")) - (qq - 1) - qq * d)
+             .select("__kl__", "__kr__"))
+    shorts = (lf.where(F.col("__ll__") < qq * (d + 1))
+              .select("__kl__", "__ll__")
+              .join(rf.where(F.col("__lr__") < qq * (d + 1))
+                    .select("__kr__", "__lr__"),
+                    on=[F.abs(F.col("__ll__") - F.col("__lr__")) <= d])
+              .select("__kl__", "__kr__"))
+    cands = grams.union(shorts).distinct()
+    out = (cands.join(lf.alias("L"), "__kl__").join(rf.alias("R"), "__kr__")
+           .withColumn("dist", F.levenshtein(F.col("L.__sl__"),
+                                             F.col("R.__sr__")))
+           .where(F.col("dist") <= d))
+    lcols, rcols = set(left.df.columns), set(right.df.columns)
+    sel = ([F.col(f"L.{c}").alias(c + lsuffix if c in rcols else c)
+            for c in left.df.columns]
+           + [F.col(f"R.{c}").alias(c + rsuffix if c in lcols else c)
+              for c in right.df.columns]
+           + [F.col("dist").cast("long").alias("dist")])
+    return OmigoDF(out.select(*sel))
+
+
+def dedup_fuzzy(odf: OmigoDF, id_col: str, col: str,
+                max_dist: int = 1, q: int = 3) -> OmigoDF:
+    """Drop the higher id of every fuzzy pair (greedy min-representative,
+    the family's shared keep-rule)."""
+    dup = (fuzzy_pairs(odf, id_col, col, max_dist, q)
+           .df.select(F.col("id_b").alias(id_col)).distinct())
+    return OmigoDF(odf.df.join(dup, on=id_col, how="left_anti"))

@@ -1,0 +1,95 @@
+"""Exact edit-distance join family (operators/fuzzy): q-gram count
+filtering must be a NECESSARY condition (no missed pairs vs brute
+force), verification keeps it exact, short strings route through the
+length-bucket fallback."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import fuzzy as FZ
+
+
+def _brute(rows, d):
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        if sa is None or sb is None:
+            continue
+        dd = lev(sa, sb)
+        if dd <= d:
+            a, b = sorted((ia, ib))
+            out.add((a, b, dd))
+    return out
+
+
+CASES = [
+    (1, "mitten"), (2, "mittens"), (3, "kitten"), (4, "sitting"),
+    (5, "bolt"), (6, "bolts"), (7, "colt"), (8, "x"), (9, "xy"),
+    (10, "completely different thing"), (11, "completely different thong"),
+    (12, ""), (13, None), (14, "mitten"),
+]
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_fuzzy_pairs_match_brute_force(spark, d):
+    df = spark.createDataFrame(CASES, "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+           FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=d)
+           .df.collect()}
+    assert got == _brute(CASES, d)
+
+
+def test_fuzzy_pairs_short_string_fallback_complete(spark):
+    # every string shorter than q*(d+1): the gram bound is vacuous, so
+    # correctness rests entirely on the length-bucket path
+    rows = [(1, "ab"), (2, "ac"), (3, "a"), (4, "zz"), (5, "abc")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+           FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=1, q=3)
+           .df.collect()}
+    assert got == _brute(rows, 1)
+
+
+def test_fuzzy_join_two_tables(spark):
+    left = spark.createDataFrame(
+        [(1, "widget"), (2, "gadget")], "lid long, name string")
+    right = spark.createDataFrame(
+        [(10, "widgets"), (11, "midget"), (12, "nothing")],
+        "rid long, name string")
+    out = FZ.fuzzy_join(OmigoDF(left), OmigoDF(right), "name", "name",
+                        max_dist=1).df
+    got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
+    assert got == {(1, 10, 1), (1, 11, 1)}
+    # shared column names suffixed, dist present
+    assert "name_l" in out.columns and "name_r" in out.columns
+
+
+def test_dedup_fuzzy_keeps_min_representative(spark):
+    df = spark.createDataFrame(
+        [(3, "bolt"), (1, "bolts"), (2, "unrelated words here")],
+        "id long, name string")
+    out = FZ.dedup_fuzzy(OmigoDF(df), "id", "name", max_dist=1)
+    # pair (1,3): 3 dropped (higher id); 1 and 2 survive
+    assert sorted(r["id"] for r in out.df.collect()) == [1, 2]
+
+
+def test_fuzzy_plan_no_python_and_verify_is_codegen(spark):
+    df = spark.createDataFrame(CASES, "id long, name string")
+    p = (FZ.fuzzy_pairs(OmigoDF(df), "id", "name").df
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "EvalPython" not in p
+    assert "levenshtein" in p  # JVM expression, not a UDF
