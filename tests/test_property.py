@@ -587,3 +587,68 @@ def test_analysis_job_matches_bruteforce(spark, edges, keep, seeds):
     want = {n: (lvl.get(n), len(anc[n]), ",".join(sorted(anc[n])))
             for n in nodes}
     assert got == want
+
+
+# ---------------------------------------------------------------- r8 family
+_WORDS = st.text(alphabet="abcdxy ", min_size=0, max_size=12)
+_FUZZY_ROWS = st.lists(_WORDS, min_size=2, max_size=14)
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(names=_FUZZY_ROWS, d=st.integers(min_value=1, max_value=2))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzzy_pairs_complete_vs_bruteforce(spark, names, d):
+    """The q-gram count filter must be a NECESSARY condition on any
+    corpus shape — random short/empty/repeated/space-bearing strings
+    are exactly where the bound math would break if wrong."""
+    from omigo_data_analytics_spark.operators import fuzzy as FZ
+    rows = list(enumerate(names))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+           FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=d)
+           .df.collect()}
+    exp = set()
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and _lev(a, b) <= d:
+                exp.add((i, j, _lev(a, b)))
+    assert got == exp
+
+
+@given(texts=st.lists(st.text(alphabet="ab c\nd\t", max_size=20),
+                      min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hash_embeddings_duck_parity_random_text(spark, texts):
+    """Bit parity on adversarial whitespace/unicode-free strings: the
+    tokenizer, sign bit, bucket hash and folds must agree on shapes the
+    fixed corpus never exercises (leading/trailing/multiple spaces,
+    newlines, tabs, empty)."""
+    from omigo_data_analytics_spark.operators import similarity as SIM
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sp = {r["doc_id"]: [round(x, 9) for x in r["embedding"]] for r in
+          SIM.hash_embeddings(OmigoDF(df), dim=8).df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    hs = SIM.hash_embed_hs_sql_duck(dim=8)
+    vec = SIM.hash_embed_vec_sql_duck("hs", dim=8)
+    got = dict(con.execute(
+        f"SELECT doc_id, {vec} FROM (SELECT doc_id, {hs} AS hs FROM t)"
+    ).fetchall())
+    for did, v in sp.items():
+        assert [round(x, 9) for x in got[did]] == v, did
