@@ -3168,6 +3168,34 @@ def q_decontaminate_semantic(spark, sf_dir):
     return out.df.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """leakage-safe train/val/test split (curation.leakage_safe_split):
+    near-dup cluster first, hash-split by CLUSTER id, so a dup pair can
+    never straddle the train/test boundary; checked as per-(lang,
+    split) counts."""
+    d = _t(spark, sf_dir, "documents")
+    out = CU.leakage_safe_split(d)
+    return (out.df.groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _sql_leakage_safe_split() -> str:
+    h = TX.hash_duck("concat_ws(chr(9), CAST(cluster_id AS VARCHAR), '0')")
+    return f"""
+WITH RECURSIVE {_sql_cc_ctes('documents')},
+lab AS (SELECT d.doc_id, d.lang,
+               COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),
+b AS (SELECT lang, ({h}) % 1000000 AS bk FROM lab)
+SELECT lang,
+       CASE WHEN bk < 800000 THEN 'train'
+            WHEN bk < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_fuzzy_pairs(spark, sf_dir):
     """exact edit-distance self-join (ed-join, Gravano et al. 2001
     q-gram count filtering + levenshtein verify) over part names.
@@ -3737,7 +3765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r8-touched operator families (ensure_min_parallelism fix;
         #     dedup_embedding also covers the detect_dim removal in
         #     embedding_dup_pairs) ---
-        "lm_score": q_lm_score,
         "mix_sources": q_mix_sources,
         "mix_sources_weighted": q_mix_sources_weighted,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3760,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_semantic": q_decontaminate_semantic,
         "search_job_e2e": q_search_job_e2e,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "leakage_safe_split": q_leakage_safe_split,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # Post-boundary order = r9-budget priority. First the six
         # r8-touched text.py map queries that did not fit the head (their
@@ -3769,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whose same-round oracle row takes precedence);
         # then the r6-row block (stalest rows after this round); then the
         # r7-row remainder.
+        "lm_score": q_lm_score,
         "remove_dup_spans": q_remove_dup_spans,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
@@ -3965,6 +3994,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_semantic": _sql_decontaminate_semantic(),
         "search_job_e2e": _sql_search_job_e2e(),
         "fuzzy_pairs": SQL_FUZZY_PAIRS,
+        "leakage_safe_split": _sql_leakage_safe_split(),
         "embedding_near_dup": _sql_embedding_near_dup(),
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b

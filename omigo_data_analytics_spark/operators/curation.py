@@ -204,6 +204,35 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
 
 
+def leakage_safe_split(odf: OmigoDF, id_col: str = "doc_id",
+                       col: str = "text", threshold: float = 0.7,
+                       fractions: dict | None = None, seed: int = 0,
+                       cluster_col: str = "cluster_id",
+                       split_col: str = "split",
+                       algorithm: str = "propagation") -> OmigoDF:
+    """Train/val/test split that CANNOT leak near-duplicates across the
+    boundary: documents are first near-dup clustered (LSH candidates →
+    exact-Jaccard verify → connected components — ``dedup.
+    cluster_near_dups``), then the split is assigned by the portable
+    hash of the CLUSTER id, so every member of a near-dup cluster lands
+    in the same split. Splitting by per-document hash instead strands
+    ~2·f·(1-f) of every dup pair across the train/test boundary — the
+    classic eval-contamination bug (a test document whose near-twin was
+    trained on) this composition exists to prevent.
+
+    Returns the input with ``cluster_col`` and ``split_col`` attached.
+    Scale shape = cluster_near_dups (banded LSH, candidate-only
+    shuffles, O(log n)-round components) + one map-side hash label;
+    the split itself adds NO shuffle."""
+    from .dedup import cluster_near_dups
+    cl = cluster_near_dups(odf, id_col=id_col, col=col,
+                           threshold=threshold, algorithm=algorithm)
+    if cluster_col != "cluster_id":
+        cl = OmigoDF(cl.df.withColumnRenamed("cluster_id", cluster_col))
+    return cl.hash_split([cluster_col], fractions=fractions, seed=seed,
+                         split_col=split_col)
+
+
 LM_SMOOTH_K = 0.1
 
 

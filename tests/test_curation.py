@@ -125,6 +125,31 @@ def test_decontaminate_semantic_broadcasts_eval_side(spark):
     assert "EvalPython" not in p
 
 
+def test_leakage_safe_split_no_cluster_straddles_boundary(spark):
+    """The whole point: every member of a near-dup cluster gets the
+    SAME split label, and the labels are deterministic."""
+    docs = _docs(spark)
+    out = CU.leakage_safe_split(docs).df
+    # one distinct split per cluster
+    bad = (out.groupBy("cluster_id")
+           .agg(F.countDistinct("split").alias("k"))
+           .where("k > 1").count())
+    assert bad == 0
+    # deterministic across runs
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["split"]) for r in
+               CU.leakage_safe_split(docs).df.collect())
+    assert a == b
+    # near-dup pairs share a split (spot-check via the pair list)
+    from omigo_data_analytics_spark.operators import dedup as DDx
+    spl = {r["doc_id"]: r["split"] for r in out.collect()}
+    cands = DDx.lsh_candidate_pairs(docs).df.collect()
+    cl = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    for r in cands:
+        if cl[r["id_a"]] == cl[r["id_b"]]:
+            assert spl[r["id_a"]] == spl[r["id_b"]]
+
+
 def test_mix_sources_deterministic_and_exact_oracle(spark):
     docs = _docs(spark)
     shares = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
