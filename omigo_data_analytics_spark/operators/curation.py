@@ -31,7 +31,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..core.dataframe import OmigoDF, colutils
-from .text import ensure_min_parallelism, hash_duck, hash_spark, let_duck, let_spark
+from .text import (HASH_MOD, ensure_min_parallelism, hash_duck, hash_spark,
+                   let_duck, let_spark)
 from .dedup import shingles_expr, _tokens
 
 REPETITION_N = 2
@@ -505,4 +506,206 @@ r AS (SELECT {source_col},
       FROM c JOIN w USING ({source_col}) CROSS JOIN t)
 SELECT {select} FROM {table} d JOIN r USING ({source_col})
 WHERE {hash_duck(key)} % {_RATE_SCALE} < rate_u
+"""
+
+
+# ------------------------------------------------------------ DSIR
+DSIR_BUCKETS = 10000
+DSIR_SMOOTH_K = 0.5
+
+
+def _dsir_feats(dialect: str, col: str, buckets: int = DSIR_BUCKETS) -> str:
+    """Hashed unigram+bigram bag features (DSIR, Xie et al. 2023,
+    arXiv:2302.03169 §2.2): each token and each adjacent token pair
+    hashes into one of ``buckets`` ids via the portable md5 hash, so the
+    bucket distributions — and therefore every per-document weight —
+    reproduce bit-for-bit in the DuckDB oracle. Multiplicity is kept (a
+    bag, not a set); docs with <2 tokens contribute unigrams only."""
+    t = _tokens(dialect, col)
+    if dialect == "spark":
+        uni = hash_spark("w")
+        bi = hash_spark("concat_ws(' ', element_at(t0, i), element_at(t0, i + 1))")
+        body = (f"concat(transform(t0, w -> {uni} % {buckets}L), "
+                f"CASE WHEN size(t0) >= 2 "
+                f"THEN transform(sequence(1, size(t0) - 1), i -> {bi} % {buckets}L) "
+                f"ELSE CAST(array() AS ARRAY<BIGINT>) END)")
+        return let_spark(t, "t0", body)
+    uni = hash_duck("w")
+    bi = hash_duck("concat_ws(' ', t0[i], t0[i + 1])")
+    body = (f"list_concat(list_transform(t0, w -> {uni} % {buckets}), "
+            f"CASE WHEN len(t0) >= 2 "
+            f"THEN list_transform(range(1, len(t0)), i -> {bi} % {buckets}) "
+            f"ELSE [] END)")
+    return let_duck(t, "t0", body)
+
+
+def dsir_weights(target: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
+                 col: str = "text", buckets: int = DSIR_BUCKETS,
+                 k: float = DSIR_SMOOTH_K,
+                 source: OmigoDF | None = None) -> OmigoDF:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score each document by how much
+    more likely its hashed-ngram bag is under a TARGET-corpus model than
+    under the SOURCE (raw-pool) model:
+
+        logweight(d) = sum over features f of [ ln p_t(f) - ln p_s(f) ]
+        p(f)         = (c(f) + k) / (T + k * B)     add-k smoothed bag
+
+    with c(f) counted on the respective corpus, T its total feature
+    count, B = ``buckets``. High logweight = "reads like the target";
+    DSIR resamples the raw pool by these weights to build a
+    target-distribution-matched training set. ``source`` defaults to the
+    score pool itself — the classic DSIR setup where q models the raw
+    distribution.
+
+    Scale shape: both bucket-count tables are B-bounded (B = 10k default
+    → KBs regardless of corpus size; AQE broadcasts them into the
+    score-side joins); T_t/T_s ride the SAME lazy plan as broadcast
+    1-row scalar aggregates over the B-sized tables (the mix_sources
+    pattern — no driver collect, so each corpus is scanned exactly once
+    and a tokenless corpus raises in-plan at execution). The only
+    corpus-sized work is one map-side explode + per-id partial agg — the
+    lm_score shape. No UDFs, no RNG, no driver loops.
+
+    Output: one row per score row — id, n_feats, logweight (6dp).
+    Documents with no tokens get n_feats = 0, NULL logweight.
+
+    Extends the reference's filter/sample surface (omigo_core
+    dataframe.py sampling/filter families) with the published
+    data-selection method; no counterpart exists in the reference.
+    """
+    src = source if source is not None else score
+    feats = _dsir_feats("spark", col, buckets)
+    ct = (ensure_min_parallelism(target.df)
+          .selectExpr(f"explode({feats}) AS f")
+          .groupBy("f").agg(F.count(F.lit(1)).alias("ct")))
+    cs = (ensure_min_parallelism(src.df)
+          .selectExpr(f"explode({feats}) AS f")
+          .groupBy("f").agg(F.count(F.lit(1)).alias("cs")))
+    # Totals as broadcast 1-row scalars over the B-sized count tables; a
+    # tokenless corpus (NULL/0 sum) raises at execution — in-plan, like
+    # mix_sources, and raise-parity with the oracle's error().
+    def _tot(counts, c, what):
+        s = counts.agg(F.sum(c).alias("__t__"))
+        return s.select(F.when(F.col("__t__") > 0, F.col("__t__"))
+                        .otherwise(F.raise_error(F.lit(
+                            f"dsir_weights: {what} corpus has no tokens — "
+                            "the bag models would be undefined")))
+                        .alias(f"__t{c}__"))
+
+    # Every arithmetic term is CAST to DOUBLE: a bare `0.5` literal is
+    # DECIMAL(1,1) in BOTH engines, and Spark's decimal division
+    # truncates at a scale that costs ~1e-5 relative error per feature —
+    # enough to break 6dp oracle parity on 100-feature documents
+    # (measured, not theoretical). T + k*B is exact in float64 (T is an
+    # exact BIGINT), so the oracle's in-SQL (T + k*B) is the identical
+    # double.
+    kd = f"CAST({k} AS DOUBLE)"
+    kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
+    lp = (ensure_min_parallelism(score.df)
+          .selectExpr(id_col, f"explode({feats}) AS f")
+          .join(ct, on="f", how="left")
+          .join(cs, on="f", how="left")
+          .crossJoin(F.broadcast(_tot(ct, "ct", "target")))
+          .crossJoin(F.broadcast(_tot(cs, "cs", "source")))
+          .selectExpr(id_col,
+                      f"ln((COALESCE(ct, 0L) + {kd}) / (CAST(__tct__ AS DOUBLE) + {kb})) - "
+                      f"ln((COALESCE(cs, 0L) + {kd}) / (CAST(__tcs__ AS DOUBLE) + {kb})) AS lp")
+          .groupBy(id_col)
+          .agg(F.count(F.lit(1)).alias("n_feats"),
+               F.round(F.sum("lp"), 6).alias("logweight")))
+    out = (score.df.select(id_col)
+           .join(lp, on=id_col, how="left")
+           .selectExpr(id_col, "COALESCE(n_feats, 0L) AS n_feats",
+                       "logweight"))
+    return OmigoDF(out)
+
+
+def dsir_select(target: OmigoDF, raw: OmigoDF, n: int,
+                id_col: str = "doc_id", col: str = "text",
+                buckets: int = DSIR_BUCKETS, k: float = DSIR_SMOOTH_K,
+                seed: int = 0) -> OmigoDF:
+    """DSIR selection: Gumbel-top-n resampling over the importance
+    weights (arXiv:2302.03169 §2.3 — top-k of logweight + Gumbel noise
+    draws n documents WITHOUT replacement from the softmax of the
+    weights). The Gumbel draw is derived from the portable hash of
+    (id, seed) — u in (0,1), g = -ln(-ln(u)) — so the selected set is
+    identical across runs, partitionings, and engines; no RNG state.
+
+    ORDER BY key DESC LIMIT n compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of n rows — no global sort, no
+    single-partition window at any corpus size). Documents with no
+    tokens carry NULL logweight and are excluded. Ties on the 6dp key
+    break by id.
+
+    Output: id, n_feats, logweight, sample_key for the n selected rows.
+    """
+    w = dsir_weights(target, raw, id_col=id_col, col=col,
+                     buckets=buckets, k=k)
+    key_str = f"concat_ws(chr(9), CAST({id_col} AS STRING), '{seed}')"
+    u = (f"(({hash_spark(key_str)}) + CAST(0.5 AS DOUBLE)) / "
+         f"CAST({float(HASH_MOD)!r} AS DOUBLE)")
+    out = (w.df.where("logweight IS NOT NULL")
+           .selectExpr(id_col, "n_feats", "logweight",
+                       f"ROUND(logweight - ln(-ln({u})), 6) AS sample_key")
+           .orderBy(F.col("sample_key").desc(), F.col(id_col))
+           .limit(n))
+    return OmigoDF(out)
+
+
+def dsir_weights_sql_duck(target_sql: str, score_sql: str,
+                          id_col: str = "doc_id", col: str = "text",
+                          buckets: int = DSIR_BUCKETS,
+                          k: float = DSIR_SMOOTH_K,
+                          source_sql: str | None = None) -> str:
+    """DuckDB oracle for dsir_weights; *_sql args are relational
+    expressions (table names or parenthesized selects)."""
+    feats = _dsir_feats("duckdb", col, buckets)
+    src = source_sql or score_sql
+    return f"""
+WITH tfe AS (SELECT unnest({feats}) AS f FROM {target_sql}),
+ct AS (SELECT f, COUNT(*) AS ct FROM tfe GROUP BY f),
+sfe AS (SELECT unnest({feats}) AS f FROM {src}),
+cs AS (SELECT f, COUNT(*) AS cs FROM sfe GROUP BY f),
+tt AS (SELECT SUM(ct) AS t FROM ct),
+ts AS (SELECT SUM(cs) AS t FROM cs),
+chk AS (SELECT CASE WHEN tt.t IS NULL OR tt.t <= 0 OR ts.t IS NULL
+            OR ts.t <= 0 THEN CAST(error(
+            'dsir_weights: target/source corpus has no tokens') AS DOUBLE)
+        ELSE 0 END AS ok FROM tt CROSS JOIN ts),
+sce AS (SELECT {id_col}, unnest({feats}) AS f FROM {score_sql}),
+lp AS (
+  SELECT s.{id_col},
+         ln((COALESCE(ct.ct, 0) + CAST({k} AS DOUBLE))
+            / (tt.t + CAST({k} AS DOUBLE) * {buckets})) -
+         ln((COALESCE(cs.cs, 0) + CAST({k} AS DOUBLE))
+            / (ts.t + CAST({k} AS DOUBLE) * {buckets})) + chk.ok * 0 AS lp
+  FROM sce s LEFT JOIN ct USING (f) LEFT JOIN cs USING (f)
+  CROSS JOIN tt CROSS JOIN ts CROSS JOIN chk),
+agg AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(SUM(lp), 6) AS logweight
+        FROM lp GROUP BY {id_col})
+SELECT b.{id_col}, COALESCE(a.n_feats, CAST(0 AS BIGINT)) AS n_feats,
+       a.logweight
+FROM {score_sql} b LEFT JOIN agg a USING ({id_col})
+"""
+
+
+def dsir_select_sql_duck(target_sql: str, raw_sql: str, n: int,
+                         id_col: str = "doc_id", col: str = "text",
+                         buckets: int = DSIR_BUCKETS,
+                         k: float = DSIR_SMOOTH_K, seed: int = 0) -> str:
+    """DuckDB oracle for dsir_select: same weights, same hash-derived
+    Gumbel key, same DESC/id ordering and LIMIT."""
+    w = dsir_weights_sql_duck(target_sql, raw_sql, id_col=id_col, col=col,
+                              buckets=buckets, k=k)
+    key_str = f"concat_ws(chr(9), CAST({id_col} AS VARCHAR), '{seed}')"
+    u = (f"(({hash_duck(key_str)}) + CAST(0.5 AS DOUBLE)) / "
+         f"CAST({float(HASH_MOD)!r} AS DOUBLE)")
+    return f"""
+WITH w AS ({w})
+SELECT {id_col}, n_feats, logweight,
+       ROUND(logweight - ln(-ln({u})), 6) AS sample_key
+FROM w WHERE logweight IS NOT NULL
+ORDER BY sample_key DESC, {id_col} LIMIT {n}
 """

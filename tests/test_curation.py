@@ -416,3 +416,97 @@ def test_mix_sources_ambiguous_pattern_rejected(spark):
         [(1, "a", "x", 5)], "doc_id long, src string, srcx string, w int"))
     with pytest.raises(ValueError, match="exactly one"):
         CU.mix_sources(df, "src.*", {"a": 1.0}, ["doc_id"])
+
+
+# ------------------------------------------------------------ DSIR
+def _dsir_corpora(spark):
+    """Target = english-ish prose; pool = a mix of target-like docs and
+    gibberish. DSIR must rank the target-like pool docs above the
+    gibberish."""
+    target = OmigoDF(spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over the lazy dog again")
+         for i in range(5)], "doc_id long, text string"))
+    pool = OmigoDF(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a quick brown fox and the lazy dog"),
+         (3, "zxq vrblat knruu wpof zzkq mrtx"),
+         (4, "qqq www eee rrr ttt yyy uuu"),
+         (5, "")],
+        "doc_id long, text string"))
+    return target, pool
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    t, p = _dsir_corpora(spark)
+    rows = {r["doc_id"]: r for r in CU.dsir_weights(t, p).df.collect()}
+    # target-like docs beat gibberish
+    assert rows[1]["logweight"] > rows[3]["logweight"]
+    assert rows[2]["logweight"] > rows[4]["logweight"]
+    # tokenless doc: no features, NULL weight
+    assert rows[5]["n_feats"] == 0 and rows[5]["logweight"] is None
+
+
+def test_dsir_weights_matches_duckdb(spark):
+    import duckdb
+
+    sp = (CU.dsir_weights(
+        OmigoDF(_docs(spark).df.filter("doc_id % 7 = 0")),
+        OmigoDF(_docs(spark).df.filter("doc_id % 7 <> 0"))).df
+        .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    du = con.execute(CU.dsir_weights_sql_duck(
+        "(SELECT * FROM documents WHERE doc_id % 7 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 0)")
+        + " ORDER BY doc_id").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False)
+    # bit-exact, not approx: the weights must survive the driver's
+    # value-hash gate (the bare `0.5` DECIMAL literal cost exactly this
+    # once — Spark decimal division truncated ~1e-5 per feature)
+    assert (sp["logweight"].fillna(0.0) == du["logweight"].fillna(0.0)).all()
+
+
+def test_dsir_select_deterministic_and_partition_invariant(spark):
+    t, _ = _dsir_corpora(spark)
+    pool = _docs(spark)
+    a = CU.dsir_select(t, pool, 20).df.collect()
+    b = CU.dsir_select(
+        t, OmigoDF(pool.df.repartition(7)), 20).df.collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    assert len(a) == 20
+    # selection is biased toward high-logweight docs: the selected set's
+    # mean logweight beats the pool average
+    w = CU.dsir_weights(t, pool).df.toPandas()
+    sel = {r["doc_id"] for r in a}
+    assert (w[w.doc_id.isin(sel)]["logweight"].mean()
+            > w["logweight"].mean())
+
+
+def test_dsir_weights_empty_corpus_raises(spark):
+    """Tokenless target/source raises IN-PLAN at execution (no driver
+    job in the build path), and the DuckDB oracle error()s identically
+    — the mix_sources raise-parity discipline."""
+    empty = OmigoDF(spark.createDataFrame(
+        [(1, "")], "doc_id long, text string"))
+    t, p = _dsir_corpora(spark)
+    # the guard rides the logweight expression: materializing the
+    # weights raises; a plan that never reads logweight (e.g. a bare
+    # count) prunes it and legitimately never needs the models
+    with pytest.raises(Exception, match="no tokens"):
+        CU.dsir_weights(empty, p).df.collect()
+    with pytest.raises(Exception, match="no tokens"):
+        CU.dsir_weights(t, p, source=empty).df.collect()
+    # an EMPTY score pool is not an error: AQE propagates the empty
+    # relation and the result is simply zero rows (no weights were
+    # asked of the undefined model)
+    assert CU.dsir_weights(
+        t, OmigoDF(p.df.where("doc_id < 0"))).df.collect() == []
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ed (doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO ed VALUES (1, '')")
+    con.execute("CREATE TABLE pd AS SELECT range AS doc_id, "
+                "'the quick brown fox' AS text FROM range(5)")
+    with pytest.raises(Exception, match="no tokens"):
+        con.execute(CU.dsir_weights_sql_duck("ed", "pd")).fetchall()
