@@ -465,3 +465,63 @@ SELECT {select},
             / {budget}) AS BIGINT) AS {bin_col}
 FROM {table} d
 """
+
+
+# --------------------------------------------------- BPE-ish token estimate
+# GPT-2-style pre-tokenizer pieces, lookahead-free so the SAME pattern
+# runs under Java regex (Spark) and RE2 (DuckDB): contractions, a
+# space-prefixed letter run, a space-prefixed digit run, a
+# space-prefixed punctuation run, or a whitespace run.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_estimate_exprs(dialect: str, col: str = "text",
+                         chars_per_subword: int = 4) -> dict[str, str]:
+    """One definition, two dialects (the `_metric_exprs` pattern):
+
+    * ``pretoken_count``  — number of GPT-2-style pre-tokenizer pieces.
+      Whitespace splitting undercounts LLM tokens badly on code and
+      punctuation-dense text ("foo.bar(x)" is 1 whitespace token but 6
+      pre-tokenizer pieces); this is the standard first-order correction.
+    * ``token_estimate``  — estimated BPE token count: each piece
+      contributes max(1, ceil(len/chars_per_subword)) subwords (the
+      ~4-chars-per-token rule of thumb). An ESTIMATE for budgeting and
+      mixture math, not a tokenizer: real BPE merges depend on the
+      trained vocab, which is model-specific.
+
+    Map-side pure SQL either way — at 100 TB the cost is the scan."""
+    cps = f"CAST({chars_per_subword} AS DOUBLE)"
+    if dialect == "spark":
+        pat = BPE_PRETOKEN_RE.replace("\\", "\\\\").replace("'", "\\'")
+        arr = f"regexp_extract_all({col}, '{pat}', 0)"
+        est = (f"aggregate(a0, 0L, (a, x) -> a + greatest(1L, "
+               f"CAST(ceil(length(trim(x)) / {cps}) AS BIGINT)))")
+        return {
+            "pretoken_count": f"CAST(size({arr}) AS BIGINT)",
+            "token_estimate": let_spark(arr, "a0", est),
+        }
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    arr = f"regexp_extract_all({col}, '{pat}')"
+    # list_sum([]) is NULL in DuckDB while Spark's aggregate of an empty
+    # array is the 0 seed — coalesce, but only under a non-NULL input
+    est = (f"CASE WHEN {col} IS NULL THEN NULL ELSE "
+           f"CAST(COALESCE(list_sum(list_transform(a0, x -> greatest(1, "
+           f"CAST(ceil(length(trim(x)) / {cps}) AS BIGINT)))), 0) "
+           f"AS BIGINT) END")
+    return {
+        "pretoken_count": f"CAST(len({arr}) AS BIGINT)",
+        "token_estimate": let_duck(arr, "a0", est),
+    }
+
+
+def token_estimates(odf: OmigoDF, col: str = "text",
+                    chars_per_subword: int = 4) -> OmigoDF:
+    """Append ``pretoken_count`` and ``token_estimate`` (see
+    ``token_estimate_exprs``). Completes the token-counting family:
+    whitespace counts live in ``text_metrics`` (token_count), this is
+    the BPE-ish estimate an LLM-pipeline budget actually needs."""
+    odf._resolve(col)
+    df = ensure_min_parallelism(odf.df)
+    exprs = token_estimate_exprs("spark", col, chars_per_subword)
+    return OmigoDF(df.select(
+        "*", *[F.expr(e).alias(name) for name, e in exprs.items()]))

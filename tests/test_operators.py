@@ -570,3 +570,56 @@ def test_ensure_min_parallelism_widens_through_broadcast_join(spark, tmp_path):
     assert "BroadcastExchange" in plan  # sanity: only a broadcast exchange
     out = TX.ensure_min_parallelism(j, min_parts=8)
     assert out.rdd.getNumPartitions() >= 8
+
+
+def test_token_estimates_known_values(spark):
+    from omigo_data_analytics_spark.operators.text import token_estimates
+
+    d = OmigoDF(spark.createDataFrame(
+        [(1, "foo.bar(x)"),          # foo . bar ( x )  -> 6 pieces
+         (2, "hello world"),          # hello, " world"  -> 2 pieces
+         (3, "internationalization"), # 1 piece, 20 chars -> ceil(20/4)=5
+         (4, "isn't it"),             # isn 't " it"     -> 3 pieces
+         (5, ""), (6, None)],
+        "doc_id long, text string"))
+    rows = {r["doc_id"]: r for r in token_estimates(d).df.collect()}
+    assert rows[1]["pretoken_count"] == 6
+    assert rows[2]["pretoken_count"] == 2
+    assert rows[3]["pretoken_count"] == 1
+    assert rows[3]["token_estimate"] == 5
+    assert rows[4]["pretoken_count"] == 3
+    assert rows[5]["pretoken_count"] == 0 and rows[5]["token_estimate"] == 0
+    assert rows[6]["pretoken_count"] is None and rows[6]["token_estimate"] is None
+    # punctuation-dense text: the BPE-ish count exceeds whitespace count
+    # (text_metrics' ratio columns ANSI-divide by token_count, so feed it
+    # only the non-degenerate row)
+    from omigo_data_analytics_spark.operators.text import text_metrics
+    ws = {r["doc_id"]: r["token_count"] for r in text_metrics(
+        OmigoDF(d.df.where("doc_id = 1"))).df.collect()}
+    assert rows[1]["pretoken_count"] > ws[1]
+
+
+def test_token_estimates_matches_duckdb(documents):
+    import duckdb
+    import pandas as pd
+    from omigo_data_analytics_spark.operators.text import (
+        token_estimate_exprs, token_estimates)
+
+    sp = (token_estimates(documents).df
+          .select("doc_id", "pretoken_count", "token_estimate")
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    ex = token_estimate_exprs("duckdb")
+    du = duckdb.sql(
+        f"SELECT doc_id, {ex['pretoken_count']} AS pretoken_count, "
+        f"{ex['token_estimate']} AS token_estimate "
+        f"FROM '/root/testdata/sf0.001/documents.parquet' "
+        f"ORDER BY doc_id").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False)
+
+
+def test_token_estimates_is_map_side(documents):
+    from omigo_data_analytics_spark.operators.text import token_estimates
+
+    p = (token_estimates(documents).df
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in p
