@@ -652,3 +652,29 @@ def test_hash_embeddings_duck_parity_random_text(spark, texts):
     ).fetchall())
     for did, v in sp.items():
         assert [round(x, 9) for x in got[did]] == v, did
+
+
+# random text incl. unicode letters, digits, punctuation, whitespace
+# runs, contractions — the shapes that would expose Java-regex vs RE2
+# divergence in the BPE-ish pre-tokenizer
+_TEXT = st.text(alphabet="ab zé9'.,()\t\n", min_size=0, max_size=40)
+
+
+@given(texts=st.lists(_TEXT, min_size=1, max_size=20))
+@_SETTINGS
+def test_token_estimates_matches_duck_on_random_text(spark, texts):
+    from omigo_data_analytics_spark.operators.text import (
+        token_estimate_exprs, token_estimates)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    odf = OmigoDF(spark.createDataFrame(rows, "doc_id long, text string"))
+    got = {r["doc_id"]: (r["pretoken_count"], r["token_estimate"])
+           for r in token_estimates(odf).df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    ex = token_estimate_exprs("duckdb")
+    exp = {i: (c, e) for i, c, e in con.execute(
+        f"SELECT doc_id, {ex['pretoken_count']}, {ex['token_estimate']} "
+        f"FROM d").fetchall()}
+    assert got == exp
