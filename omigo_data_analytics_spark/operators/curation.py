@@ -539,49 +539,37 @@ def _dsir_feats(dialect: str, col: str, buckets: int = DSIR_BUCKETS) -> str:
     return let_duck(t, "t0", body)
 
 
-def dsir_weights(target: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
-                 col: str = "text", buckets: int = DSIR_BUCKETS,
-                 k: float = DSIR_SMOOTH_K,
-                 source: OmigoDF | None = None) -> OmigoDF:
-    """DSIR importance weights (Data Selection via Importance Resampling,
-    Xie et al. 2023, arXiv:2302.03169): score each document by how much
-    more likely its hashed-ngram bag is under a TARGET-corpus model than
-    under the SOURCE (raw-pool) model:
+# lp micro-unit scale: per-feature log-ratios round to integer
+# micro-nats and SUM as BIGINT, which commutes — so a document's
+# logweight is bit-identical at any partition count, task order, or
+# engine (the kmeans_centroids micro-unit trick; a double SUM is
+# order-dependent and at billions of documents some doc's sum WILL land
+# on a 6dp rounding boundary and flip across partitionings).
+DSIR_LP_SCALE = 1000000
 
-        logweight(d) = sum over features f of [ ln p_t(f) - ln p_s(f) ]
-        p(f)         = (c(f) + k) / (T + k * B)     add-k smoothed bag
 
-    with c(f) counted on the respective corpus, T its total feature
-    count, B = ``buckets``. High logweight = "reads like the target";
-    DSIR resamples the raw pool by these weights to build a
-    target-distribution-matched training set. ``source`` defaults to the
-    score pool itself — the classic DSIR setup where q models the raw
-    distribution.
-
-    Scale shape: both bucket-count tables are B-bounded (B = 10k default
-    → KBs regardless of corpus size; AQE broadcasts them into the
-    score-side joins); T_t/T_s ride the SAME lazy plan as broadcast
-    1-row scalar aggregates over the B-sized tables (the mix_sources
-    pattern — no driver collect, so each corpus is scanned exactly once
-    and a tokenless corpus raises in-plan at execution). The only
-    corpus-sized work is one map-side explode + per-id partial agg — the
-    lm_score shape. No UDFs, no RNG, no driver loops.
-
-    Output: one row per score row — id, n_feats, logweight (6dp).
-    Documents with no tokens get n_feats = 0, NULL logweight.
-
-    Extends the reference's filter/sample surface (omigo_core
-    dataframe.py sampling/filter families) with the published
-    data-selection method; no counterpart exists in the reference.
-    """
-    src = source if source is not None else score
+def _dsir_lp(target: OmigoDF, score: OmigoDF, id_col: str, col: str,
+             buckets: int, k: float, source: OmigoDF | None):
+    """Per-document (id, n_feats, logweight) aggregate — only documents
+    with >= 1 feature appear. Shared core of dsir_weights/dsir_select."""
     feats = _dsir_feats("spark", col, buckets)
     ct = (ensure_min_parallelism(target.df)
           .selectExpr(f"explode({feats}) AS f")
           .groupBy("f").agg(F.count(F.lit(1)).alias("ct")))
-    cs = (ensure_min_parallelism(src.df)
-          .selectExpr(f"explode({feats}) AS f")
-          .groupBy("f").agg(F.count(F.lit(1)).alias("cs")))
+    sc = (ensure_min_parallelism(score.df)
+          .selectExpr(id_col, f"explode({feats}) AS f"))
+    if source is None:
+        # classic DSIR: q models the raw pool itself — derive the source
+        # counts from the SAME exploded stream that feeds the scoring
+        # join (lazy localCheckpoint, the lm_score shape), so the
+        # tokenize+hash map work runs once, not twice
+        sc = sc.localCheckpoint(eager=False)
+        cs = sc.groupBy("f").agg(F.count(F.lit(1)).alias("cs"))
+    else:
+        cs = (ensure_min_parallelism(source.df)
+              .selectExpr(f"explode({feats}) AS f")
+              .groupBy("f").agg(F.count(F.lit(1)).alias("cs")))
+
     # Totals as broadcast 1-row scalars over the B-sized count tables; a
     # tokenless corpus (NULL/0 sum) raises at execution — in-plan, like
     # mix_sources, and raise-parity with the oracle's error().
@@ -599,21 +587,66 @@ def dsir_weights(target: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
     # enough to break 6dp oracle parity on 100-feature documents
     # (measured, not theoretical). T + k*B is exact in float64 (T is an
     # exact BIGINT), so the oracle's in-SQL (T + k*B) is the identical
-    # double.
+    # double. The per-feature log-ratio is deterministic (pure
+    # expression), so rounding it to BIGINT micro-nats is engine-safe,
+    # and the BIGINT sum commutes (see DSIR_LP_SCALE).
     kd = f"CAST({k} AS DOUBLE)"
     kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
-    lp = (ensure_min_parallelism(score.df)
-          .selectExpr(id_col, f"explode({feats}) AS f")
-          .join(ct, on="f", how="left")
-          .join(cs, on="f", how="left")
-          .crossJoin(F.broadcast(_tot(ct, "ct", "target")))
-          .crossJoin(F.broadcast(_tot(cs, "cs", "source")))
-          .selectExpr(id_col,
-                      f"ln((COALESCE(ct, 0L) + {kd}) / (CAST(__tct__ AS DOUBLE) + {kb})) - "
-                      f"ln((COALESCE(cs, 0L) + {kd}) / (CAST(__tcs__ AS DOUBLE) + {kb})) AS lp")
-          .groupBy(id_col)
-          .agg(F.count(F.lit(1)).alias("n_feats"),
-               F.round(F.sum("lp"), 6).alias("logweight")))
+    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
+    lpu = (f"CAST(ROUND((ln((COALESCE(ct, 0L) + {kd}) / "
+           f"(CAST(__tct__ AS DOUBLE) + {kb})) - "
+           f"ln((COALESCE(cs, 0L) + {kd}) / "
+           f"(CAST(__tcs__ AS DOUBLE) + {kb}))) * {scale}) AS BIGINT)")
+    return (sc.join(ct, on="f", how="left")
+              .join(cs, on="f", how="left")
+              .crossJoin(F.broadcast(_tot(ct, "ct", "target")))
+              .crossJoin(F.broadcast(_tot(cs, "cs", "source")))
+              .selectExpr(id_col, f"{lpu} AS __lpu__")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   F.expr(f"ROUND(CAST(SUM(__lpu__) AS DOUBLE) / {scale}, 6)")
+                    .alias("logweight")))
+
+
+def dsir_weights(target: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
+                 col: str = "text", buckets: int = DSIR_BUCKETS,
+                 k: float = DSIR_SMOOTH_K,
+                 source: OmigoDF | None = None) -> OmigoDF:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score each document by how much
+    more likely its hashed-ngram bag is under a TARGET-corpus model than
+    under the SOURCE (raw-pool) model:
+
+        logweight(d) = sum over features f of [ ln p_t(f) - ln p_s(f) ]
+        p(f)         = (c(f) + k) / (T + k * B)     add-k smoothed bag
+
+    with c(f) counted on the respective corpus, T its total feature
+    count, B = ``buckets``. High logweight = "reads like the target";
+    DSIR resamples the raw pool by these weights to build a
+    target-distribution-matched training set. ``source`` defaults to the
+    score pool itself — the classic DSIR setup where q models the raw
+    distribution, in which case the source counts reuse the score pool's
+    checkpointed exploded stream (the map work runs once).
+
+    Scale shape: both bucket-count tables are B-bounded (B = 10k default
+    → KBs regardless of corpus size; AQE broadcasts them into the
+    score-side joins); T_t/T_s ride the SAME lazy plan as broadcast
+    1-row scalar aggregates over the B-sized tables (the mix_sources
+    pattern — no driver collect; a tokenless corpus raises in-plan at
+    execution). The only corpus-sized work is one map-side explode +
+    per-id partial agg — the lm_score shape. Per-feature log-ratios sum
+    as BIGINT micro-nats, so every weight is bit-identical across
+    partitionings and engines (see DSIR_LP_SCALE). No UDFs, no RNG, no
+    driver loops.
+
+    Output: one row per score row — id, n_feats, logweight (6dp).
+    Documents with no tokens get n_feats = 0, NULL logweight.
+
+    Extends the reference's filter/sample surface (omigo_core
+    dataframe.py sampling/filter families) with the published
+    data-selection method; no counterpart exists in the reference.
+    """
+    lp = _dsir_lp(target, score, id_col, col, buckets, k, source)
     out = (score.df.select(id_col)
            .join(lp, on=id_col, how="left")
            .selectExpr(id_col, "COALESCE(n_feats, 0L) AS n_feats",
@@ -632,38 +665,36 @@ def dsir_select(target: OmigoDF, raw: OmigoDF, n: int,
     (id, seed) — u in (0,1), g = -ln(-ln(u)) — so the selected set is
     identical across runs, partitionings, and engines; no RNG state.
 
+    Works directly on the pre-join per-document aggregate (documents
+    with no tokens never enter it), so selection pays no
+    attach-the-zero-rows join it would immediately filter back out.
     ORDER BY key DESC LIMIT n compiles to TakeOrderedAndProject
     (per-partition heaps + driver merge of n rows — no global sort, no
-    single-partition window at any corpus size). Documents with no
-    tokens carry NULL logweight and are excluded. Ties on the 6dp key
+    single-partition window at any corpus size). Ties on the 6dp key
     break by id.
 
     Output: id, n_feats, logweight, sample_key for the n selected rows.
     """
-    w = dsir_weights(target, raw, id_col=id_col, col=col,
-                     buckets=buckets, k=k)
+    lp = _dsir_lp(target, raw, id_col, col, buckets, k, None)
     key_str = f"concat_ws(chr(9), CAST({id_col} AS STRING), '{seed}')"
     u = (f"(({hash_spark(key_str)}) + CAST(0.5 AS DOUBLE)) / "
          f"CAST({float(HASH_MOD)!r} AS DOUBLE)")
-    out = (w.df.where("logweight IS NOT NULL")
-           .selectExpr(id_col, "n_feats", "logweight",
-                       f"ROUND(logweight - ln(-ln({u})), 6) AS sample_key")
+    out = (lp.selectExpr(id_col, "n_feats", "logweight",
+                         f"ROUND(logweight - ln(-ln({u})), 6) AS sample_key")
            .orderBy(F.col("sample_key").desc(), F.col(id_col))
            .limit(n))
     return OmigoDF(out)
 
 
-def dsir_weights_sql_duck(target_sql: str, score_sql: str,
-                          id_col: str = "doc_id", col: str = "text",
-                          buckets: int = DSIR_BUCKETS,
-                          k: float = DSIR_SMOOTH_K,
-                          source_sql: str | None = None) -> str:
-    """DuckDB oracle for dsir_weights; *_sql args are relational
-    expressions (table names or parenthesized selects)."""
+def _dsir_core_ctes_duck(target_sql: str, score_sql: str, id_col: str,
+                         col: str, buckets: int, k: float,
+                         source_sql: str | None) -> str:
+    """Shared CTE chain ending in ``agg`` = (id, n_feats, logweight) for
+    documents with >= 1 feature — mirrors _dsir_lp including the BIGINT
+    micro-nat sum (order-independent) and the error() raise-parity."""
     feats = _dsir_feats("duckdb", col, buckets)
     src = source_sql or score_sql
-    return f"""
-WITH tfe AS (SELECT unnest({feats}) AS f FROM {target_sql}),
+    return f"""tfe AS (SELECT unnest({feats}) AS f FROM {target_sql}),
 ct AS (SELECT f, COUNT(*) AS ct FROM tfe GROUP BY f),
 sfe AS (SELECT unnest({feats}) AS f FROM {src}),
 cs AS (SELECT f, COUNT(*) AS cs FROM sfe GROUP BY f),
@@ -676,15 +707,30 @@ chk AS (SELECT CASE WHEN tt.t IS NULL OR tt.t <= 0 OR ts.t IS NULL
 sce AS (SELECT {id_col}, unnest({feats}) AS f FROM {score_sql}),
 lp AS (
   SELECT s.{id_col},
-         ln((COALESCE(ct.ct, 0) + CAST({k} AS DOUBLE))
+         CAST(ROUND((ln((COALESCE(ct.ct, 0) + CAST({k} AS DOUBLE))
             / (tt.t + CAST({k} AS DOUBLE) * {buckets})) -
          ln((COALESCE(cs.cs, 0) + CAST({k} AS DOUBLE))
-            / (ts.t + CAST({k} AS DOUBLE) * {buckets})) + chk.ok * 0 AS lp
+            / (ts.t + CAST({k} AS DOUBLE) * {buckets})) + chk.ok * 0)
+            * CAST({DSIR_LP_SCALE} AS DOUBLE)) AS BIGINT) AS lpu
   FROM sce s LEFT JOIN ct USING (f) LEFT JOIN cs USING (f)
   CROSS JOIN tt CROSS JOIN ts CROSS JOIN chk),
 agg AS (SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_feats,
-               ROUND(SUM(lp), 6) AS logweight
-        FROM lp GROUP BY {id_col})
+               ROUND(CAST(SUM(lpu) AS DOUBLE)
+                     / CAST({DSIR_LP_SCALE} AS DOUBLE), 6) AS logweight
+        FROM lp GROUP BY {id_col})"""
+
+
+def dsir_weights_sql_duck(target_sql: str, score_sql: str,
+                          id_col: str = "doc_id", col: str = "text",
+                          buckets: int = DSIR_BUCKETS,
+                          k: float = DSIR_SMOOTH_K,
+                          source_sql: str | None = None) -> str:
+    """DuckDB oracle for dsir_weights; *_sql args are relational
+    expressions (table names or parenthesized selects)."""
+    core = _dsir_core_ctes_duck(target_sql, score_sql, id_col, col,
+                                buckets, k, source_sql)
+    return f"""
+WITH {core}
 SELECT b.{id_col}, COALESCE(a.n_feats, CAST(0 AS BIGINT)) AS n_feats,
        a.logweight
 FROM {score_sql} b LEFT JOIN agg a USING ({id_col})
@@ -695,17 +741,18 @@ def dsir_select_sql_duck(target_sql: str, raw_sql: str, n: int,
                          id_col: str = "doc_id", col: str = "text",
                          buckets: int = DSIR_BUCKETS,
                          k: float = DSIR_SMOOTH_K, seed: int = 0) -> str:
-    """DuckDB oracle for dsir_select: same weights, same hash-derived
-    Gumbel key, same DESC/id ordering and LIMIT."""
-    w = dsir_weights_sql_duck(target_sql, raw_sql, id_col=id_col, col=col,
-                              buckets=buckets, k=k)
+    """DuckDB oracle for dsir_select: same core aggregate (no left-join
+    wrap — tokenless docs never enter it), same hash-derived Gumbel key,
+    same DESC/id ordering and LIMIT."""
+    core = _dsir_core_ctes_duck(target_sql, raw_sql, id_col, col,
+                                buckets, k, None)
     key_str = f"concat_ws(chr(9), CAST({id_col} AS VARCHAR), '{seed}')"
     u = (f"(({hash_duck(key_str)}) + CAST(0.5 AS DOUBLE)) / "
          f"CAST({float(HASH_MOD)!r} AS DOUBLE)")
     return f"""
-WITH w AS ({w})
+WITH {core}
 SELECT {id_col}, n_feats, logweight,
        ROUND(logweight - ln(-ln({u})), 6) AS sample_key
-FROM w WHERE logweight IS NOT NULL
+FROM agg
 ORDER BY sample_key DESC, {id_col} LIMIT {n}
 """

@@ -467,6 +467,20 @@ def test_dsir_weights_matches_duckdb(spark):
     assert (sp["logweight"].fillna(0.0) == du["logweight"].fillna(0.0)).all()
 
 
+def test_dsir_weights_bit_identical_across_partitionings(spark):
+    """The BIGINT micro-nat sum commutes, so logweight is bit-identical
+    at ANY partition count — not merely equal-after-rounding. (A double
+    SUM is order-dependent; at corpus scale some doc's sum lands on a
+    6dp boundary and flips across partitionings.)"""
+    t, _ = _dsir_corpora(spark)
+    pool = _docs(spark)
+    a = {r["doc_id"]: r["logweight"]
+         for r in CU.dsir_weights(t, pool).df.collect()}
+    b = {r["doc_id"]: r["logweight"] for r in CU.dsir_weights(
+        t, OmigoDF(pool.df.repartition(13))).df.collect()}
+    assert a == b  # exact ==, not approx
+
+
 def test_dsir_select_deterministic_and_partition_invariant(spark):
     t, _ = _dsir_corpora(spark)
     pool = _docs(spark)
