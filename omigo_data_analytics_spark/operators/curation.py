@@ -302,14 +302,23 @@ def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
     sc = (ensure_min_parallelism(score.df)
           .selectExpr(id_col, f"posexplode({pairs}) AS (pos, p)")
           .selectExpr(id_col, "p.bk AS bk", "p.uk AS uk"))
+    # per-pair log-probs round to BIGINT micro-nats and SUM as BIGINT
+    # (commutative — the DSIR_LP_SCALE discipline): avg_logprob is
+    # bit-identical at any partition count or engine; AVG over doubles
+    # was order-dependent, with per-doc 6dp-boundary flips invisible at
+    # test scale but near-certain across billions of documents
+    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
     logp = (sc.join(cb, on="bk", how="left")
               .join(cu, on="uk", how="left")
               .selectExpr(id_col,
-                          f"ln((COALESCE(cb, 0L) + {k}) / "
-                          f"(COALESCE(cu, 0L) + {k} * {vocab})) AS lp")
+                          f"CAST(ROUND(ln((COALESCE(cb, 0L) + {k}) / "
+                          f"(COALESCE(cu, 0L) + {k} * {vocab})) * {scale}) "
+                          f"AS BIGINT) AS lpu")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                   F.round(F.avg("lp"), 6).alias("avg_logprob")))
+                   F.expr(f"ROUND(CAST(SUM(lpu) AS DOUBLE) / "
+                          f"CAST(COUNT(*) AS DOUBLE) / {scale}, 6)")
+                    .alias("avg_logprob")))
     out = (score.df.select(id_col)
            .join(logp, on=id_col, how="left")
            .selectExpr(id_col,
@@ -339,14 +348,17 @@ scp0 AS (
 scp AS (SELECT {id_col}, p.bk AS bk, p.uk AS uk FROM scp0),
 lp AS (
   SELECT s.{id_col},
-         ln((COALESCE(cb.cb, 0) + {k}) / (COALESCE(cu.cu, 0) + {k} * v.v)) AS lp
+         CAST(ROUND(ln((COALESCE(cb.cb, 0) + {k})
+                       / (COALESCE(cu.cu, 0) + {k} * v.v))
+                    * CAST({DSIR_LP_SCALE} AS DOUBLE)) AS BIGINT) AS lpu
   FROM scp s
   LEFT JOIN cb USING (bk)
   LEFT JOIN cu USING (uk)
   CROSS JOIN v),
 agg AS (
   SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         ROUND(AVG(lp), 6) AS avg_logprob
+         ROUND(CAST(SUM(lpu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               / CAST({DSIR_LP_SCALE} AS DOUBLE), 6) AS avg_logprob
   FROM lp GROUP BY {id_col})
 SELECT b.{id_col},
        COALESCE(a.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,

@@ -283,9 +283,12 @@ def test_lm_score_matches_bruteforce(spark):
     exp = {}
     for d, t in enumerate(score_texts):
         ws = t.split()
-        lps = [math.log((bg[(a, b)] + k) / (ctx[a] + k * V))
+        # mirror the engine's commutative micro-nat aggregation: each
+        # pair's log-prob rounds to integer micro-nats before the sum
+        lpu = [round(math.log((bg[(a, b)] + k) / (ctx[a] + k * V)) * 1e6)
                for a, b in zip(ws, ws[1:])]
-        exp[d] = (len(lps), round(sum(lps) / len(lps), 6) if lps else None)
+        exp[d] = (len(lpu),
+                  round(sum(lpu) / len(lpu) / 1e6, 6) if lpu else None)
     out = CU.lm_score(_lm_docs(spark, train_texts), _lm_docs(spark, score_texts)).df
     got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in out.collect()}
     assert got == exp
