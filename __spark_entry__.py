@@ -3847,7 +3847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since) — same-round oracle rows for NEW operators take
         # precedence, the rule bm25_rank already applied. The demoted
         # entries lead the post-boundary (r9-budget) block and are green
-        # in this round's 138/138 triple local sweeps.
+        # in this round's 138/138 triple local sweeps (run twice: at
+        # registry freeze and after the late micro-nat review fixes).
         # ---------------- 50-entry budget boundary (driver checks above) ---
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "sort_slice": q_sort_slice,
