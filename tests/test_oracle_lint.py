@@ -46,3 +46,29 @@ def test_oracle_projects_no_hugeint(con, name):
         f"(decimal128 scale 0): DuckDB integer SUMs widen to HUGEINT -> "
         f"pandas float64, while Spark stays int64 -> driver hash "
         f"mismatch. Wrap the projection in CAST(... AS BIGINT).")
+
+
+def test_registry_structure():
+    """Structural invariants the driver gate depends on: the head block
+    (everything above the 50-entry budget boundary comment) holds
+    EXACTLY 50 entries and leads the dict in source order, no registry
+    key is defined twice (a duplicate dict key silently drops the first
+    definition), every query has an oracle, and no oracle is orphaned."""
+    import re
+
+    src = open(os.path.join(os.path.dirname(os.path.abspath(
+        entry.__file__)), "__spark_entry__.py")).read()
+    i = src.index("def queries()")
+    j = src.index("50-entry budget boundary", i)
+    head = re.findall(r'"([a-z0-9_]+)": q_', src[i:j])
+    assert len(head) == 50, f"budget head has {len(head)} entries, not 50"
+    qs = entry.queries()
+    assert list(qs)[:50] == head
+    allsrc = re.findall(r'"([a-z0-9_]+)": q_',
+                        src[i:src.index("def oracle_sql")])
+    dupes = [k for k in set(allsrc) if allsrc.count(k) > 1]
+    assert not dupes, f"duplicate registry keys: {dupes}"
+    assert len(qs) == len(allsrc)
+    oracles = entry.oracle_sql()
+    assert not set(qs) - set(oracles), "query without oracle"
+    assert not set(oracles) - set(qs), "orphaned oracle"
