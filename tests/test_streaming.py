@@ -344,3 +344,28 @@ def test_stateless_map_operators_compose_with_readstream(spark):
             assert list(r["embedding"]) == batch[r["doc_id"]]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_token_estimates_composes_with_readstream(spark):
+    """token_estimates is pure map-side, so it must run unchanged on a
+    STREAMING input (the ensure_min_parallelism streaming passthrough)
+    and produce batch-identical values per row."""
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators.text import token_estimates
+    d = tempfile.mkdtemp(prefix="omigo_stream_te_")
+    try:
+        schema = "doc_id long, text string"
+        spark.createDataFrame(
+            [(1, "foo.bar(x) isn't 42"), (2, "plain words only")], schema) \
+            .coalesce(1).write.mode("overwrite").parquet(d)
+        sdf = spark.readStream.schema(schema).parquet(d)
+        out = token_estimates(OmigoDF(sdf))
+        _run_to_memory(out.df, "te_stream", "append")
+        rows = {r["doc_id"]: (r["pretoken_count"], r["token_estimate"])
+                for r in spark.sql("select * from te_stream").collect()}
+        batch = {r["doc_id"]: (r["pretoken_count"], r["token_estimate"])
+                 for r in token_estimates(
+                     OmigoDF(spark.read.parquet(d))).df.collect()}
+        assert rows == batch and len(rows) == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
