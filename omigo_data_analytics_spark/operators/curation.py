@@ -768,3 +768,147 @@ SELECT {id_col}, n_feats, logweight,
 FROM agg
 ORDER BY sample_key DESC, {id_col} LIMIT {n}
 """
+
+
+# ------------------------------------------------------- naive Bayes filter
+def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
+                id_col: str = "doc_id", col: str = "text",
+                buckets: int = DSIR_BUCKETS,
+                k: float = DSIR_SMOOTH_K) -> OmigoDF:
+    """Hashed multinomial naive-Bayes text classifier — the fastText-style
+    linear bag-of-ngrams model behind the classic model-based corpus
+    filters (CCNet / LLaMA quality classifiers, learned language-ID):
+    train on a LABELED document set, assign each score document the
+    maximum-log-joint label:
+
+        score(d, c) = ln P(c) + sum over features f of ln P(f | c)
+        P(f | c)    = (count(f, c) + k) / (T_c + k * B)
+
+    over the same hashed unigram+bigram bag as DSIR. Training is ONE
+    distributed counting pass (no gradient iterations); the model is a
+    (label, bucket) count table bounded by C x B regardless of corpus
+    size, which rides BroadcastHashJoin into the scoring stream.
+
+    Decomposition that keeps absent (f, c) pairs out of the join (a
+    per-(doc, class) dense sum would be C x corpus-sized):
+
+        sum_f ln(c_fc + k)  =  sum over PRESENT pairs [ln(c_fc+k) - ln(k)]
+                               + n_feats * ln(k)
+
+    so the join carries only matched (id, f, label) rows, and the
+    per-document constants (n_feats, the per-class ln(T_c + kB) and
+    prior) attach via a broadcast cross join of the C-row class table.
+    The matched stream is at worst C x the exploded corpus (a feature
+    present in every class joins C rows) — sized for curation-scale
+    label sets (quality tiers, languages, sources; C in the tens), not
+    for extreme multi-class (C in the thousands), where a per-class
+    top-feature pruning pass would be the next step.
+    Every log term rounds to BIGINT micro-nats before summation (the
+    DSIR_LP_SCALE discipline), so scores, the argmax label, and ties
+    (broken by label, then score) are bit-identical at any partition
+    count or engine.
+
+    Output: one row per score row — id, predicted label, its log-joint
+    (6dp). Documents with no tokens get a NULL label/score (no features
+    to condition on).
+
+    Extends the reference's enrichment/filter surface with the published
+    model-based curation pass; no counterpart exists in the reference.
+    """
+    train._resolve([label_col, col])
+    feats = _dsir_feats("spark", col, buckets)
+    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
+    kd = f"CAST({k} AS DOUBLE)"
+    kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
+    tl = (ensure_min_parallelism(train.df)
+          .selectExpr(f"{label_col} AS __lbl__", f"explode({feats}) AS f")
+          .localCheckpoint(eager=False))
+    cnt = tl.groupBy("__lbl__", "f").agg(F.count(F.lit(1)).alias("cfc"))
+    # C-row class table: per-class feature total, doc count, and the
+    # per-feature/prior constants in micro-nats
+    tc = cnt.groupBy("__lbl__").agg(F.sum("cfc").alias("tc"))
+    dc = (train.df.selectExpr(f"{label_col} AS __lbl__")
+          .groupBy("__lbl__").agg(F.count(F.lit(1)).alias("dcnt")))
+    dtot = dc.agg(F.sum("dcnt").alias("dtot"))
+    cls = (tc.join(dc, on="__lbl__")
+             .crossJoin(F.broadcast(dtot))
+             .selectExpr(
+                 "__lbl__",
+                 # per-feature floor term ln(k) - ln(T_c + kB)
+                 f"CAST(ROUND((ln({kd}) - ln(CAST(tc AS DOUBLE) + {kb}))"
+                 f" * {scale}) AS BIGINT) AS floor_u",
+                 f"CAST(ROUND(ln(CAST(dcnt AS DOUBLE) / CAST(dtot AS DOUBLE))"
+                 f" * {scale}) AS BIGINT) AS prior_u"))
+    sc = (ensure_min_parallelism(score.df)
+          .selectExpr(id_col, f"explode({feats}) AS f")
+          .localCheckpoint(eager=False))
+    nf = sc.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf__"))
+    # matched-pair lift above the floor: ln(c_fc + k) - ln(k), micro-nats
+    lift = (sc.join(cnt, on="f")
+            .selectExpr(id_col, "__lbl__",
+                        f"CAST(ROUND((ln(CAST(cfc AS DOUBLE) + {kd}) - "
+                        f"ln({kd})) * {scale}) AS BIGINT) AS __lift_u__")
+            .groupBy(id_col, "__lbl__")
+            .agg(F.sum("__lift_u__").alias("s1")))
+    dense = (nf.crossJoin(F.broadcast(cls))
+             .join(lift, on=[id_col, "__lbl__"], how="left")
+             .selectExpr(id_col, "__lbl__",
+                         "COALESCE(s1, 0L) + __nf__ * floor_u + prior_u"
+                         " AS score_u"))
+    best = (dense
+            .withColumn("__rk__", F.expr(
+                f"row_number() OVER (PARTITION BY {id_col} "
+                f"ORDER BY score_u DESC, __lbl__ ASC)"))
+            .where("__rk__ = 1")
+            .selectExpr(id_col, "__lbl__ AS label",
+                        f"ROUND(CAST(score_u AS DOUBLE) / {scale}, 6)"
+                        " AS log_joint"))
+    out = (score.df.select(id_col)
+           .join(best, on=id_col, how="left"))
+    return OmigoDF(out)
+
+
+def nb_classify_sql_duck(train_sql: str, score_sql: str, label_col: str,
+                         id_col: str = "doc_id", col: str = "text",
+                         buckets: int = DSIR_BUCKETS,
+                         k: float = DSIR_SMOOTH_K) -> str:
+    """DuckDB oracle for nb_classify: same hashed bag, same micro-nat
+    decomposition, same (score DESC, label ASC) argmax."""
+    feats = _dsir_feats("duckdb", col, buckets)
+    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
+    kd = f"CAST({k} AS DOUBLE)"
+    kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
+    return f"""
+WITH tl AS (SELECT {label_col} AS lbl, unnest({feats}) AS f
+            FROM {train_sql}),
+cnt AS (SELECT lbl, f, COUNT(*) AS cfc FROM tl GROUP BY lbl, f),
+tc AS (SELECT lbl, SUM(cfc) AS tc FROM cnt GROUP BY lbl),
+dc AS (SELECT {label_col} AS lbl, COUNT(*) AS dcnt
+       FROM {train_sql} GROUP BY 1),
+dtot AS (SELECT SUM(dcnt) AS dtot FROM dc),
+cls AS (SELECT lbl,
+               CAST(ROUND((ln({kd}) - ln(CAST(tc AS DOUBLE) + {kb}))
+                    * {scale}) AS BIGINT) AS floor_u,
+               CAST(ROUND(ln(CAST(dcnt AS DOUBLE) / CAST(dtot AS DOUBLE))
+                    * {scale}) AS BIGINT) AS prior_u
+        FROM tc JOIN dc USING (lbl) CROSS JOIN dtot),
+sce AS (SELECT {id_col}, unnest({feats}) AS f FROM {score_sql}),
+nf AS (SELECT {id_col}, COUNT(*) AS nf FROM sce GROUP BY {id_col}),
+lift AS (SELECT s.{id_col}, c.lbl,
+                CAST(SUM(CAST(ROUND((ln(CAST(c.cfc AS DOUBLE) + {kd})
+                     - ln({kd})) * {scale}) AS BIGINT)) AS BIGINT) AS s1
+         FROM sce s JOIN cnt c USING (f) GROUP BY s.{id_col}, c.lbl),
+dense AS (SELECT nf.{id_col}, cls.lbl,
+                 COALESCE(l.s1, 0) + nf.nf * cls.floor_u + cls.prior_u
+                 AS score_u
+          FROM nf CROSS JOIN cls
+          LEFT JOIN lift l ON l.{id_col} = nf.{id_col} AND l.lbl = cls.lbl),
+best AS (SELECT {id_col}, lbl AS label,
+                ROUND(CAST(score_u AS DOUBLE) / {scale}, 6) AS log_joint,
+                row_number() OVER (PARTITION BY {id_col}
+                                   ORDER BY score_u DESC, lbl ASC) AS rk
+         FROM dense)
+SELECT b.{id_col}, a.label, a.log_joint
+FROM {score_sql} b
+LEFT JOIN (SELECT * FROM best WHERE rk = 1) a USING ({id_col})
+"""

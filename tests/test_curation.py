@@ -527,3 +527,56 @@ def test_dsir_weights_empty_corpus_raises(spark):
                 "'the quick brown fox' AS text FROM range(5)")
     with pytest.raises(Exception, match="no tokens"):
         con.execute(CU.dsir_weights_sql_duck("ed", "pd")).fetchall()
+
+
+# ------------------------------------------------------ naive Bayes filter
+def test_nb_classify_learns_separable_vocab(spark):
+    train = OmigoDF(spark.createDataFrame(
+        [(i, "good clean prose text", "keep") for i in range(5)] +
+        [(i + 10, "zxq spam garbage noise", "drop") for i in range(5)],
+        "doc_id long, text string, quality string"))
+    score = OmigoDF(spark.createDataFrame(
+        [(100, "clean prose"), (101, "spam noise zxq"),
+         (102, "")],
+        "doc_id long, text string"))
+    rows = {r["doc_id"]: r for r in
+            CU.nb_classify(train, score, "quality").df.collect()}
+    assert rows[100]["label"] == "keep"
+    assert rows[101]["label"] == "drop"
+    # tokenless doc: nothing to condition on
+    assert rows[102]["label"] is None and rows[102]["log_joint"] is None
+
+
+def test_nb_classify_matches_duckdb_bit_exact(spark):
+    import duckdb
+
+    docs = _docs(spark)
+    sp = (CU.nb_classify(OmigoDF(docs.df.filter("doc_id % 4 = 0")),
+                         OmigoDF(docs.df.filter("doc_id % 4 <> 0")),
+                         "source").df
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    du = con.execute(CU.nb_classify_sql_duck(
+        "(SELECT * FROM documents WHERE doc_id % 4 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 4 <> 0)", "source")
+        + " ORDER BY doc_id").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False)
+    assert (sp["log_joint"].fillna(0.0) == du["log_joint"].fillna(0.0)).all()
+
+
+def test_nb_classify_bit_identical_across_partitionings(spark):
+    """Micro-nat BIGINT sums: the label AND score are exact-equal at any
+    partition count (argmax over order-dependent float sums could flip
+    the label itself, not just a decimal)."""
+    docs = _docs(spark)
+    tr = OmigoDF(docs.df.filter("doc_id % 4 = 0"))
+    sc = OmigoDF(docs.df.filter("doc_id % 4 <> 0"))
+    a = {r["doc_id"]: (r["label"], r["log_joint"])
+         for r in CU.nb_classify(tr, sc, "lang").df.collect()}
+    b = {r["doc_id"]: (r["label"], r["log_joint"])
+         for r in CU.nb_classify(
+             OmigoDF(tr.df.repartition(11)),
+             OmigoDF(sc.df.repartition(7)), "lang").df.collect()}
+    assert a == b
