@@ -820,9 +820,10 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
     scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
     kd = f"CAST({k} AS DOUBLE)"
     kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
+    # no checkpoint on the train stream: cnt is its only consumer, and
+    # cnt's own exchange is what tc / the lift join reuse
     tl = (ensure_min_parallelism(train.df)
-          .selectExpr(f"{label_col} AS __lbl__", f"explode({feats}) AS f")
-          .localCheckpoint(eager=False))
+          .selectExpr(f"{label_col} AS __lbl__", f"explode({feats}) AS f"))
     cnt = tl.groupBy("__lbl__", "f").agg(F.count(F.lit(1)).alias("cfc"))
     # C-row class table: per-class feature total, doc count, and the
     # per-feature/prior constants in micro-nats
