@@ -3842,11 +3842,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     ngram_jaccard and similarity_lsh (all r7-green, all
         #     bare-scan inputs whose plans the probe fix leaves
         #     byte-identical) now lead the post-boundary block as the
-        #     r9-budget head. Residual-risk cover: ALL 134 registry
-        #     queries were re-verified green this round in the local
-        #     dtype-strict sweeps at sf0.01, sf0.1 AND 3-core sf0.001 —
-        #     the driver head formalizes the freshest 50, it is not the
-        #     only verification these queries got. ---
+        #     r9-budget head. Residual-risk cover: the FULL registry
+        #     (139 at close) was re-verified green in the local
+        #     dtype-strict sweeps at sf0.01, sf0.1 AND 3-core, re-run at
+        #     every registry freeze — the driver head formalizes the
+        #     freshest 50, it is not the only verification these
+        #     queries got. ---
         "bm25_rank": q_bm25_rank,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup": q_semdedup,

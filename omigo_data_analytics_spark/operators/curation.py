@@ -307,7 +307,7 @@ def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
     # bit-identical at any partition count or engine; AVG over doubles
     # was order-dependent, with per-doc 6dp-boundary flips invisible at
     # test scale but near-certain across billions of documents
-    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
+    scale = _micro_consts(k, 0)[2]
     logp = (sc.join(cb, on="bk", how="left")
               .join(cu, on="uk", how="left")
               .selectExpr(id_col,
@@ -560,6 +560,20 @@ def _dsir_feats(dialect: str, col: str, buckets: int = DSIR_BUCKETS) -> str:
 DSIR_LP_SCALE = 1000000
 
 
+def _micro_consts(k: float, buckets: int) -> tuple[str, str, str]:
+    """The (kd, kb, scale) SQL fragments shared by every micro-nat
+    operator (DSIR, lm_score, nb_classify) in BOTH dialects. One
+    definition on purpose: every term is forced to DOUBLE because a
+    bare ``0.5`` literal is DECIMAL(1,1) in both engines and Spark's
+    decimal division truncates at a scale costing ~1e-5 relative error
+    per feature (measured; breaks 6dp oracle parity on 100-feature
+    docs), and k*B is pre-folded in Python so the literal is the exact
+    float64 both engines then use."""
+    return (f"CAST({k} AS DOUBLE)",
+            f"CAST({float(k * buckets)!r} AS DOUBLE)",
+            f"CAST({DSIR_LP_SCALE} AS DOUBLE)")
+
+
 def _dsir_lp(target: OmigoDF, score: OmigoDF, id_col: str, col: str,
              buckets: int, k: float, source: OmigoDF | None):
     """Per-document (id, n_feats, logweight) aggregate — only documents
@@ -602,9 +616,7 @@ def _dsir_lp(target: OmigoDF, score: OmigoDF, id_col: str, col: str,
     # double. The per-feature log-ratio is deterministic (pure
     # expression), so rounding it to BIGINT micro-nats is engine-safe,
     # and the BIGINT sum commutes (see DSIR_LP_SCALE).
-    kd = f"CAST({k} AS DOUBLE)"
-    kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
-    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
+    kd, kb, scale = _micro_consts(k, buckets)
     lpu = (f"CAST(ROUND((ln((COALESCE(ct, 0L) + {kd}) / "
            f"(CAST(__tct__ AS DOUBLE) + {kb})) - "
            f"ln((COALESCE(cs, 0L) + {kd}) / "
@@ -804,22 +816,25 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
     for extreme multi-class (C in the thousands), where a per-class
     top-feature pruning pass would be the next step.
     Every log term rounds to BIGINT micro-nats before summation (the
-    DSIR_LP_SCALE discipline), so scores, the argmax label, and ties
-    (broken by label, then score) are bit-identical at any partition
-    count or engine.
+    DSIR_LP_SCALE discipline), so scores and the argmax label — ordered
+    by score DESC with ties broken by label ASC — are bit-identical at
+    any partition count or engine.
 
     Output: one row per score row — id, predicted label, its log-joint
     (6dp). Documents with no tokens get a NULL label/score (no features
-    to condition on).
+    to condition on). The label universe is every class with >= 1
+    training DOCUMENT: a class whose docs all tokenize to empty still
+    participates with T_c = 0 (its smoothed likelihood ln(k/(kB)) is
+    the floor every unseen feature pays — such a class legitimately
+    wins OOV-heavy documents). A train set with ZERO documents raises
+    in-plan.
 
     Extends the reference's enrichment/filter surface with the published
     model-based curation pass; no counterpart exists in the reference.
     """
     train._resolve([label_col, col])
     feats = _dsir_feats("spark", col, buckets)
-    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
-    kd = f"CAST({k} AS DOUBLE)"
-    kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
+    kd, kb, scale = _micro_consts(k, buckets)
     # no checkpoint on the train stream: cnt is its only consumer, and
     # cnt's own exchange is what tc / the lift join reuse
     tl = (ensure_min_parallelism(train.df)
@@ -831,12 +846,16 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
     dc = (train.df.selectExpr(f"{label_col} AS __lbl__")
           .groupBy("__lbl__").agg(F.count(F.lit(1)).alias("dcnt")))
     dtot = dc.agg(F.sum("dcnt").alias("dtot"))
-    cls = (tc.join(dc, on="__lbl__")
+    # dc (classes with >= 1 training DOC) is the label universe; tc
+    # attaches via LEFT join so a class whose docs all tokenize empty
+    # keeps T_c = 0 instead of silently vanishing from the model
+    cls = (dc.join(tc, on="__lbl__", how="left")
              .crossJoin(F.broadcast(dtot))
              .selectExpr(
                  "__lbl__",
                  # per-feature floor term ln(k) - ln(T_c + kB)
-                 f"CAST(ROUND((ln({kd}) - ln(CAST(tc AS DOUBLE) + {kb}))"
+                 f"CAST(ROUND((ln({kd}) - "
+                 f"ln(CAST(COALESCE(tc, 0L) AS DOUBLE) + {kb}))"
                  f" * {scale}) AS BIGINT) AS floor_u",
                  f"CAST(ROUND(ln(CAST(dcnt AS DOUBLE) / CAST(dtot AS DOUBLE))"
                  f" * {scale}) AS BIGINT) AS prior_u"))
@@ -864,8 +883,22 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
             .selectExpr(id_col, "__lbl__ AS label",
                         f"ROUND(CAST(score_u AS DOUBLE) / {scale}, 6)"
                         " AS log_joint"))
+    # empty-train guard on the OUTPUT path: an ungrouped aggregate is
+    # 1-row even over an empty dc, so AQE's empty-relation propagation
+    # cannot prune it the way it prunes a poison inside the (empty) cls
+    # join tree; referencing __c__ in the projection forces evaluation
+    guard = (dc.agg(F.count(F.lit(1)).alias("__c__"))
+             .select(F.when(F.col("__c__") > 0, F.col("__c__"))
+                     .otherwise(F.raise_error(F.lit(
+                         "nb_classify: train set has no documents — "
+                         "no classes to score against")))
+                     .alias("__c__")))
     out = (score.df.select(id_col)
-           .join(best, on=id_col, how="left"))
+           .crossJoin(F.broadcast(guard))
+           .join(best, on=id_col, how="left")
+           .selectExpr(id_col,
+                       "CASE WHEN __c__ > 0 THEN label END AS label",
+                       "CASE WHEN __c__ > 0 THEN log_joint END AS log_joint"))
     return OmigoDF(out)
 
 
@@ -876,9 +909,7 @@ def nb_classify_sql_duck(train_sql: str, score_sql: str, label_col: str,
     """DuckDB oracle for nb_classify: same hashed bag, same micro-nat
     decomposition, same (score DESC, label ASC) argmax."""
     feats = _dsir_feats("duckdb", col, buckets)
-    scale = f"CAST({DSIR_LP_SCALE} AS DOUBLE)"
-    kd = f"CAST({k} AS DOUBLE)"
-    kb = f"CAST({float(k * buckets)!r} AS DOUBLE)"
+    kd, kb, scale = _micro_consts(k, buckets)
     return f"""
 WITH tl AS (SELECT {label_col} AS lbl, unnest({feats}) AS f
             FROM {train_sql}),
@@ -887,12 +918,16 @@ tc AS (SELECT lbl, SUM(cfc) AS tc FROM cnt GROUP BY lbl),
 dc AS (SELECT {label_col} AS lbl, COUNT(*) AS dcnt
        FROM {train_sql} GROUP BY 1),
 dtot AS (SELECT SUM(dcnt) AS dtot FROM dc),
+chk AS (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(error(
+            'nb_classify: train set has no documents') AS BIGINT)
+        ELSE COUNT(*) END AS c FROM dc),
 cls AS (SELECT lbl,
-               CAST(ROUND((ln({kd}) - ln(CAST(tc AS DOUBLE) + {kb}))
+               CAST(ROUND((ln({kd})
+                    - ln(CAST(COALESCE(tc, 0) AS DOUBLE) + {kb}))
                     * {scale}) AS BIGINT) AS floor_u,
                CAST(ROUND(ln(CAST(dcnt AS DOUBLE) / CAST(dtot AS DOUBLE))
                     * {scale}) AS BIGINT) AS prior_u
-        FROM tc JOIN dc USING (lbl) CROSS JOIN dtot),
+        FROM dc LEFT JOIN tc USING (lbl) CROSS JOIN dtot),
 sce AS (SELECT {id_col}, unnest({feats}) AS f FROM {score_sql}),
 nf AS (SELECT {id_col}, COUNT(*) AS nf FROM sce GROUP BY {id_col}),
 lift AS (SELECT s.{id_col}, c.lbl,
@@ -909,7 +944,10 @@ best AS (SELECT {id_col}, lbl AS label,
                 row_number() OVER (PARTITION BY {id_col}
                                    ORDER BY score_u DESC, lbl ASC) AS rk
          FROM dense)
-SELECT b.{id_col}, a.label, a.log_joint
+SELECT b.{id_col},
+       CASE WHEN chk.c > 0 THEN a.label END AS label,
+       CASE WHEN chk.c > 0 THEN a.log_joint END AS log_joint
 FROM {score_sql} b
 LEFT JOIN (SELECT * FROM best WHERE rk = 1) a USING ({id_col})
+CROSS JOIN chk
 """

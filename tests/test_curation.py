@@ -580,3 +580,43 @@ def test_nb_classify_bit_identical_across_partitionings(spark):
              OmigoDF(tr.df.repartition(11)),
              OmigoDF(sc.df.repartition(7)), "lang").df.collect()}
     assert a == b
+
+
+def test_nb_classify_tokenless_class_stays_in_model(spark):
+    """A class whose training docs all tokenize to empty must stay in
+    the label universe with T_c = 0 (review finding: the tc INNER join
+    silently dropped it) — under smoothing it gives every unseen
+    feature the HIGHEST likelihood ln(k/(kB)), so it legitimately wins
+    OOV-heavy documents. And an empty train set raises in-plan."""
+    train = OmigoDF(spark.createDataFrame(
+        [(1, "common words here", "seen"), (2, "common words again", "seen"),
+         (3, "", "blank"), (4, "   ", "blank")],
+        "doc_id long, text string, quality string"))
+    score = OmigoDF(spark.createDataFrame(
+        [(100, "common words"), (101, "zzq totally unseen vrbl")],
+        "doc_id long, text string"))
+    rows = {r["doc_id"]: r["label"] for r in
+            CU.nb_classify(train, score, "quality").df.collect()}
+    assert rows[100] == "seen"    # matched features beat the floor
+    assert rows[101] == "blank"   # OOV doc goes to the tokenless class
+    # the oracle mirrors it
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr (doc_id BIGINT, text VARCHAR, quality VARCHAR)")
+    con.executemany("INSERT INTO tr VALUES (?, ?, ?)",
+                    [(1, "common words here", "seen"),
+                     (2, "common words again", "seen"),
+                     (3, "", "blank"), (4, "   ", "blank")])
+    con.execute("CREATE TABLE sc (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO sc VALUES (?, ?)",
+                    [(100, "common words"), (101, "zzq totally unseen vrbl")])
+    du = {r[0]: r[1] for r in con.execute(
+        CU.nb_classify_sql_duck("tr", "sc", "quality")).fetchall()}
+    assert du == rows
+    # empty train raises, both engines
+    empty = OmigoDF(train.df.where("doc_id < 0"))
+    with pytest.raises(Exception, match="no documents"):
+        CU.nb_classify(empty, score, "quality").df.collect()
+    con.execute("CREATE TABLE tr0 AS SELECT * FROM tr WHERE doc_id < 0")
+    with pytest.raises(Exception, match="no documents"):
+        con.execute(CU.nb_classify_sql_duck("tr0", "sc", "quality")).fetchall()
