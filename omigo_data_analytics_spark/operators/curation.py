@@ -835,15 +835,22 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
     train._resolve([label_col, col])
     feats = _dsir_feats("spark", col, buckets)
     kd, kb, scale = _micro_consts(k, buckets)
+    # NULL labels raise per-row, map-side: they would otherwise flow
+    # through the null-UNSAFE equi-joins as a ghost class with wrong
+    # totals, and Spark's NULLS-FIRST vs DuckDB's NULLS-LAST window
+    # order would diverge on its ties — loud beats subtly wrong
+    lbl = (f"CASE WHEN {label_col} IS NULL THEN CAST(raise_error("
+           f"'nb_classify: NULL label in train set') AS STRING) "
+           f"ELSE CAST({label_col} AS STRING) END")
     # no checkpoint on the train stream: cnt is its only consumer, and
     # cnt's own exchange is what tc / the lift join reuse
     tl = (ensure_min_parallelism(train.df)
-          .selectExpr(f"{label_col} AS __lbl__", f"explode({feats}) AS f"))
+          .selectExpr(f"{lbl} AS __lbl__", f"explode({feats}) AS f"))
     cnt = tl.groupBy("__lbl__", "f").agg(F.count(F.lit(1)).alias("cfc"))
     # C-row class table: per-class feature total, doc count, and the
     # per-feature/prior constants in micro-nats
     tc = cnt.groupBy("__lbl__").agg(F.sum("cfc").alias("tc"))
-    dc = (train.df.selectExpr(f"{label_col} AS __lbl__")
+    dc = (train.df.selectExpr(f"{lbl} AS __lbl__")
           .groupBy("__lbl__").agg(F.count(F.lit(1)).alias("dcnt")))
     dtot = dc.agg(F.sum("dcnt").alias("dtot"))
     # dc (classes with >= 1 training DOC) is the label universe; tc
@@ -910,12 +917,15 @@ def nb_classify_sql_duck(train_sql: str, score_sql: str, label_col: str,
     decomposition, same (score DESC, label ASC) argmax."""
     feats = _dsir_feats("duckdb", col, buckets)
     kd, kb, scale = _micro_consts(k, buckets)
+    lbl = (f"CASE WHEN {label_col} IS NULL THEN CAST(error("
+           f"'nb_classify: NULL label in train set') AS VARCHAR) "
+           f"ELSE CAST({label_col} AS VARCHAR) END")
     return f"""
-WITH tl AS (SELECT {label_col} AS lbl, unnest({feats}) AS f
+WITH tl AS (SELECT {lbl} AS lbl, unnest({feats}) AS f
             FROM {train_sql}),
 cnt AS (SELECT lbl, f, COUNT(*) AS cfc FROM tl GROUP BY lbl, f),
 tc AS (SELECT lbl, SUM(cfc) AS tc FROM cnt GROUP BY lbl),
-dc AS (SELECT {label_col} AS lbl, COUNT(*) AS dcnt
+dc AS (SELECT {lbl} AS lbl, COUNT(*) AS dcnt
        FROM {train_sql} GROUP BY 1),
 dtot AS (SELECT SUM(dcnt) AS dtot FROM dc),
 chk AS (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(error(

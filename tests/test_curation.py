@@ -620,3 +620,21 @@ def test_nb_classify_tokenless_class_stays_in_model(spark):
     con.execute("CREATE TABLE tr0 AS SELECT * FROM tr WHERE doc_id < 0")
     with pytest.raises(Exception, match="no documents"):
         con.execute(CU.nb_classify_sql_duck("tr0", "sc", "quality")).fetchall()
+
+
+def test_nb_classify_null_label_raises_both_engines(spark):
+    train = OmigoDF(spark.createDataFrame(
+        [(1, "some words", "a"), (2, "other words", None)],
+        "doc_id long, text string, quality string"))
+    score = OmigoDF(spark.createDataFrame(
+        [(9, "words")], "doc_id long, text string"))
+    with pytest.raises(Exception, match="NULL label"):
+        CU.nb_classify(train, score, "quality").df.collect()
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE TABLE trn (doc_id BIGINT, text VARCHAR, quality VARCHAR)")
+    con.executemany("INSERT INTO trn VALUES (?, ?, ?)",
+                    [(1, "some words", "a"), (2, "other words", None)])
+    con.execute("CREATE TABLE scn AS SELECT 9 AS doc_id, 'words' AS text")
+    with pytest.raises(Exception, match="NULL label"):
+        con.execute(CU.nb_classify_sql_duck("trn", "scn", "quality")).fetchall()
