@@ -678,3 +678,30 @@ def test_token_estimates_matches_duck_on_random_text(spark, texts):
         f"SELECT doc_id, {ex['pretoken_count']}, {ex['token_estimate']} "
         f"FROM d").fetchall()}
     assert got == exp
+
+
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), _TEXT),
+    min_size=1, max_size=25))
+@_SETTINGS
+def test_nb_classify_matches_duck_on_random_labeled_text(spark, rows):
+    from omigo_data_analytics_spark.operators import curation as CU
+
+    train = [(i, t, lbl) for i, (lbl, t) in enumerate(rows)]
+    # skip wholly tokenless train sets (engine raises by design)
+    if not any(t.strip() for _, t, _ in train):
+        return
+    score = [(100 + i, t) for i, (_, t) in enumerate(rows[:10])]
+    tdf = OmigoDF(spark.createDataFrame(
+        train, "doc_id long, text string, lbl string"))
+    sdf = OmigoDF(spark.createDataFrame(score, "doc_id long, text string"))
+    got = {r["doc_id"]: (r["label"], r["log_joint"]) for r in
+           CU.nb_classify(tdf, sdf, "lbl").df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr (doc_id BIGINT, text VARCHAR, lbl VARCHAR)")
+    con.executemany("INSERT INTO tr VALUES (?, ?, ?)", train)
+    con.execute("CREATE TABLE sc (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO sc VALUES (?, ?)", score)
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(
+        CU.nb_classify_sql_duck("tr", "sc", "lbl")).fetchall()}
+    assert got == exp
