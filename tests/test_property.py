@@ -705,3 +705,31 @@ def test_nb_classify_matches_duck_on_random_labeled_text(spark, rows):
     exp = {r[0]: (r[1], r[2]) for r in con.execute(
         CU.nb_classify_sql_duck("tr", "sc", "lbl")).fetchall()}
     assert got == exp
+
+
+@given(target=st.lists(_TEXT, min_size=1, max_size=10),
+       pool=st.lists(_TEXT, min_size=1, max_size=15))
+@_SETTINGS
+def test_dsir_weights_matches_duck_on_random_text(spark, target, pool):
+    from omigo_data_analytics_spark.operators import curation as CU
+
+    # skip tokenless corpora (engine raises by design)
+    if not any(t.strip() for t in target) or not any(t.strip() for t in pool):
+        return
+    tgt = OmigoDF(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target)], "doc_id long, text string"))
+    pl = OmigoDF(spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(pool)],
+        "doc_id long, text string"))
+    got = {r["doc_id"]: (r["n_feats"], r["logweight"]) for r in
+           CU.dsir_weights(tgt, pl).df.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tg (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tg VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(target)])
+    con.execute("CREATE TABLE pl (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO pl VALUES (?, ?)",
+                    [(100 + i, t) for i, t in enumerate(pool)])
+    exp = {r[0]: (r[1], r[2]) for r in con.execute(
+        CU.dsir_weights_sql_duck("tg", "pl")).fetchall()}
+    assert got == exp
