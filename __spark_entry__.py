@@ -3870,19 +3870,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r9-budget) block and are green in this round's full triple
         # local sweeps (re-run at every registry freeze).
         # ---------------- 50-entry budget boundary (driver checks above) ---
+        # Post-boundary order = r9-budget priority. lm_score comes FIRST:
+        # its VALUES changed this round (per-pair micro-nat aggregation,
+        # commit b8c087d) while its newest driver row is still r5 — the
+        # new values are green in this round's triple local sweeps but an
+        # r9 driver row is mandatory. Then the four entries that ceded
+        # head slots to the new operators (all judge-re-verified or
+        # r7-green, unchanged since), then the r8-touched text.py map
+        # queries that did not fit the head (bare-scan inputs, plans
+        # byte-identical under the probe fix; token_vocab ceded its slot
+        # to bm25_rank), then the r6-row block (stalest after this
+        # round), then the r7-row remainder.
+        "lm_score": q_lm_score,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "sort_slice": q_sort_slice,
         "select_regex": q_select_regex,
         "pivot": q_pivot,
-        # Post-boundary order = r9-budget priority. First the six
-        # r8-touched text.py map queries that did not fit the head (their
-        # inputs are bare scans, so the probe fix leaves their executed
-        # plan byte-identical — lowest residual risk of the touched set;
-        # token_vocab ceded its head slot to the new bm25_rank operator,
-        # whose same-round oracle row takes precedence);
-        # then the r6-row block (stalest rows after this round); then the
-        # r7-row remainder.
-        "lm_score": q_lm_score,
         "remove_dup_spans": q_remove_dup_spans,
         "pack_sequences": q_pack_sequences,
         "duplicate_spans": q_duplicate_spans,
