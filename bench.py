@@ -212,11 +212,16 @@ def main():
     repo = os.path.dirname(os.path.abspath(__file__))
     isolated: dict[str, float] = {}
     prev_round_adjudicated = None
+    # The try covers ONLY the history-load / round-guess heuristics (the
+    # part that reads committed artifacts and may legitimately find
+    # nothing); a failure is printed, never swallowed — a blanket except
+    # around the whole adjudication block silently disabled it and the
+    # committed artifact just omitted the `isolated` key (r8 advice).
+    prev = None
     try:
         import glob as _glob
         this_round = len(_glob.glob(os.path.join(repo, "BENCH_r*.json"))) + 1
         sf_now = os.path.basename(os.path.normpath(sf_dir))
-        prev = None
         for e in reversed(_load_history(os.path.join(repo, "bench_history.json"))):
             # same-SF entries only: a sf0.01 smoke run must not "drift"
             # against the per-round sf0.1 record (everything would)
@@ -231,27 +236,33 @@ def main():
                     and same_sf):
                 prev = e
                 break
-        if prev is not None:
-            prev_round_adjudicated = prev.get("round_guess")
-            # bounded: the worst 12 drifts — enough for any real round,
-            # keeps the driver's wall budget safe on a pathological box
-            drifted = _select_drifted(timings, prev["queries"])
-            qs = entry_mod.queries()
-            runs: dict[str, list[float]] = {}
-            for _ in range(3):
-                for name in drifted:
-                    t0 = time.time()
-                    try:
-                        (qs[name](spark, sf_dir).write.format("noop")
-                         .mode("overwrite").save())
-                        runs.setdefault(name, []).append(
-                            round(time.time() - t0, 3))
-                    except Exception:
-                        pass
-                    gc.collect()
-            isolated = {n: min(v) for n, v in runs.items() if v}
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"# WARNING: bench self-adjudication disabled — history/"
+              f"round heuristics failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        prev = None
+    if prev is not None:
+        prev_round_adjudicated = prev.get("round_guess")
+        # bounded: the worst 12 drifts — enough for any real round,
+        # keeps the driver's wall budget safe on a pathological box
+        drifted = _select_drifted(timings, prev["queries"])
+        qs = entry_mod.queries()
+        runs: dict[str, list[float]] = {}
+        for _ in range(3):
+            for name in drifted:
+                t0 = time.time()
+                try:
+                    (qs[name](spark, sf_dir).write.format("noop")
+                     .mode("overwrite").save())
+                    runs.setdefault(name, []).append(
+                        round(time.time() - t0, 3))
+                except Exception as e:
+                    # per-query: a failing re-measure must not abort the
+                    # other drifters, but it must be visible
+                    print(f"# bench adjudication error {name}: "
+                          f"{type(e).__name__}: {e}", file=sys.stderr)
+                gc.collect()
+        isolated = {n: min(v) for n, v in runs.items() if v}
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     total_cold = round(sum(v for v in cold.values() if v >= 0), 3)
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")

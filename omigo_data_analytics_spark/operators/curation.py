@@ -306,13 +306,18 @@ def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
     # (commutative — the DSIR_LP_SCALE discipline): avg_logprob is
     # bit-identical at any partition count or engine; AVG over doubles
     # was order-dependent, with per-doc 6dp-boundary flips invisible at
-    # test scale but near-certain across billions of documents
-    scale = _micro_consts(k, 0)[2]
+    # test scale but near-certain across billions of documents.
+    # kd (CAST(k AS DOUBLE)) everywhere a bare {k} literal would parse
+    # as DECIMAL — the exact truncation hazard _micro_consts documents
+    # as measured to break 6dp parity for DSIR (r8 advice): parity must
+    # rest on IEEE doubles, not on the engines' decimal semantics
+    # happening to agree at test scale.
+    kd, _, scale = _micro_consts(k, 0)
     logp = (sc.join(cb, on="bk", how="left")
               .join(cu, on="uk", how="left")
               .selectExpr(id_col,
-                          f"CAST(ROUND(ln((COALESCE(cb, 0L) + {k}) / "
-                          f"(COALESCE(cu, 0L) + {k} * {vocab})) * {scale}) "
+                          f"CAST(ROUND(ln((COALESCE(cb, 0L) + {kd}) / "
+                          f"(COALESCE(cu, 0L) + {kd} * {vocab})) * {scale}) "
                           f"AS BIGINT) AS lpu")
               .groupBy(id_col)
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
@@ -334,6 +339,10 @@ def lm_score_sql_duck(train_sql: str, score_sql: str, id_col: str = "doc_id",
     expressions (e.g. table names or parenthesized selects)."""
     pairs = _bigram_pairs("duckdb", col)
     toks = _tokens("duckdb", col)
+    # kd, not a bare {k} literal: decimal-division truncation hazard —
+    # see the engine-side comment (r8 advice). kd * v.v is the same IEEE
+    # DOUBLE*int64 multiply as the engine's kd * <vocab literal>.
+    kd = _micro_consts(k, 0)[0]
     return f"""
 WITH tr AS (
   SELECT unnest({pairs}) AS p FROM {train_sql}),
@@ -348,8 +357,8 @@ scp0 AS (
 scp AS (SELECT {id_col}, p.bk AS bk, p.uk AS uk FROM scp0),
 lp AS (
   SELECT s.{id_col},
-         CAST(ROUND(ln((COALESCE(cb.cb, 0) + {k})
-                       / (COALESCE(cu.cu, 0) + {k} * v.v))
+         CAST(ROUND(ln((COALESCE(cb.cb, 0) + {kd})
+                       / (COALESCE(cu.cu, 0) + {kd} * v.v))
                     * CAST({DSIR_LP_SCALE} AS DOUBLE)) AS BIGINT) AS lpu
   FROM scp s
   LEFT JOIN cb USING (bk)

@@ -33,7 +33,8 @@ import hashlib
 from pyspark.sql import functions as F
 
 from ..core.dataframe import OmigoDF
-from .text import HASH_MOD, ensure_min_parallelism, hash_spark, let_spark
+from .text import (HASH_MOD, WS_RUN_DUCK, WS_RUN_SPARK,
+                   ensure_min_parallelism, hash_spark, let_spark)
 
 PHRASE_LEN = 5
 HASH_SPACE = 1024  # bits -> 16 longs per signature
@@ -202,13 +203,15 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
     anywhere."""
     odf._resolve([id_col, col])
     terms = _bm25_terms(query, lowercase)
-    # \s+ (not ' '): the query side tokenizes with Python .split() (any
-    # whitespace), so a space-only corpus split would fuse tokens across
-    # newlines/tabs into unmatchable strings — a silent recall hole on
-    # any multi-line corpus (r8 review). Java \s and RE2 \s agree on
-    # [ \t\n\f\r]; neither matches unicode spaces, so parity holds.
+    # a whitespace-run split (not ' '): the query side tokenizes with
+    # Python .split() (any whitespace), so a space-only corpus split
+    # would fuse tokens across newlines/tabs into unmatchable strings —
+    # a silent recall hole on any multi-line corpus (r8 review). The
+    # explicit WS_RUN class, not \s: Java's \s includes U+000B where
+    # RE2's (DuckDB) does not, so \s broke parity on vertical-tab text
+    # (r8 advice); neither side matches unicode spaces, as before.
     toks = (f"filter(split({'lower' if lowercase else ''}"
-            f"({col}), '\\\\s+'), x -> x != '')")
+            f"({col}), '{WS_RUN_SPARK}'), x -> x != '')")
     base = (ensure_min_parallelism(odf.df)
             .select(F.col(id_col), F.expr(toks).alias("__toks__"),
                     F.expr(f"size({toks})").alias("dl")))
@@ -249,7 +252,7 @@ def bm25_sql_duck(table: str, query: str, id_col: str = "doc_id",
              f"/ (CAST(total_dl AS DOUBLE) / n)))")
     return f"""
 WITH toks AS (SELECT {id_col},
-                     list_filter(string_split_regex({lc}({col}), '\\s+'),
+                     list_filter(string_split_regex({lc}({col}), '{WS_RUN_DUCK}'),
                                  x -> x != '') AS t
               FROM {table}),
 stats AS (SELECT COUNT(*) AS n, SUM(len(t)) AS total_dl FROM toks),

@@ -347,12 +347,14 @@ def hash_embeddings(odf: OmigoDF, col: str = "text",
     hash expression into all ``dim`` bucket folds — md5 recomputed
     dim× per token (measured 93 s for 270k tokens at sf0.1; let-bound
     ~1 s of executor time)."""
-    from .text import ensure_min_parallelism, hash_spark, let_spark
+    from .text import (WS_RUN_SPARK, ensure_min_parallelism, hash_spark,
+                       let_spark)
     odf._resolve([col])
     lc = "lower" if lowercase else ""
     # coalesce: split(NULL) is NULL and would propagate to a dim-NULL
-    # vector (diverging from the oracle's zero vector)
-    toks = (f"filter(split({lc}(coalesce(`{col}`, '')), '\\\\s+'), "
+    # vector (diverging from the oracle's zero vector). WS_RUN class,
+    # not \s: Java's \s includes U+000B, RE2's does not (r8 advice).
+    toks = (f"filter(split({lc}(coalesce(`{col}`, '')), '{WS_RUN_SPARK}'), "
             f"x -> x != '')")
     # one struct per token: bucket + sign (md5 computed once per token;
     # the per-bucket fold below then costs only integer compares)
@@ -381,10 +383,10 @@ def hash_embed_hs_sql_duck(col: str = "text", dim: int = 64,
     """DuckDB (bucket, sign) token-struct list — md5 once per token.
     Oracles should compute this in a CTE and feed the column name to
     ``hash_embed_vec_sql_duck`` so the hashing isn't re-run per bucket."""
-    from .text import hash_duck
+    from .text import WS_RUN_DUCK, hash_duck
     lc = "lower" if lowercase else ""
     toks = (f"list_filter(string_split_regex({lc}(coalesce({col}, '')), "
-            f"'\\s+'), x -> x != '')")
+            f"'{WS_RUN_DUCK}'), x -> x != '')")
     sign = ("CASE WHEN CAST(('0x' || substr(md5(t), 16, 1)) AS BIGINT) % 2 "
             "= 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END")
     # DuckDB % can be negative only for negative operands; the portable

@@ -24,6 +24,22 @@ from ..core.dataframe import OmigoDF
 _TOKENS_SPARK = "filter(split({col}, ' +'), x -> x != '')"
 _TOKENS_DUCK = "list_filter(string_split_regex({col}, ' +'), x -> x != '')"
 
+# Portable whitespace run for the regex tokenizers/normalizers — ONE
+# definition, two dialects. NOT \s: Java's \s is [ \t\n\x0B\f\r] while
+# RE2's (DuckDB) omits U+000B, so a corpus containing a vertical tab
+# would tokenize differently between the engine and its oracle (verified:
+# DuckDB string_split_regex keeps 'x\x0By' as one token where Spark
+# splits it). The explicit class compiles to the identical automaton in
+# both engines; U+000B consistently counts as a NON-space character on
+# both sides (it joins the punctuation run in the BPE pre-tokenizer).
+# The Spark variant doubles the backslashes because Spark's SQL string
+# parser consumes one escape level (and its unescape knows only a fixed
+# escape set — a single-backslash '\f' would silently become the letter
+# f); DuckDB '...' literals keep backslashes for RE2 to interpret.
+WS_RUN = r"[ \t\n\f\r]+"
+WS_RUN_SPARK = WS_RUN.replace("\\", "\\\\")
+WS_RUN_DUCK = WS_RUN
+
 # Tiny per-language stopword marker sets for the n-gram/stopword language
 # heuristic (public-knowledge common words).
 LANG_MARKERS = {
@@ -54,6 +70,14 @@ def let_spark(val: str, var: str, body: str) -> str:
 
 def let_duck(val: str, var: str, body: str) -> str:
     return f"(list_transform([{val}], {var} -> {body}))[1]"
+
+
+# The exact shuffle-exchange alternation in executedPlan().toString()
+# (module-level so the version-pin test asserts against THE production
+# regex, not a copy). Only shuffle exchanges count — see the docstring.
+_SHUFFLE_EXCHANGE_RE = (
+    r"(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|"
+    r"RoundRobinPartitioning|SinglePartition)")
 
 
 def ensure_min_parallelism(df, min_parts: int | None = None):
@@ -89,12 +113,18 @@ def ensure_min_parallelism(df, min_parts: int | None = None):
         # inserts exchanges at the executedPlan stage) — its toString is
         # pure driver-side planning, verified job-free in the tests.
         plan = df._jdf.queryExecution().executedPlan().toString()
-        derived = re.search(
-            r"(?<![A-Za-z])Exchange (hashpartitioning|rangepartitioning|"
-            r"RoundRobinPartitioning|SinglePartition)", plan) is not None
+        derived = re.search(_SHUFFLE_EXCHANGE_RE, plan) is not None
     except Exception:
-        # plan introspection unavailable: fall back to the plain probe
-        derived = False
+        # plan introspection unavailable: return the plan UNTOUCHED. The
+        # old fallback (run the eager probe anyway) silently reintroduced
+        # the AQE stage-finalizing regression this gate exists to prevent
+        # whenever introspection broke — the probe is an optimization for
+        # tiny-scan corpora, and skipping it is always correct (r8
+        # advice). The plan-string format this regex assumes is pinned by
+        # a version-sensitive test (test_shuffle_exchange_regex_matches_
+        # this_spark_version) so a Spark upgrade that drifts the format
+        # fails loudly instead of silently disabling the widen.
+        return df
     if derived:
         return df
     if df.rdd.getNumPartitions() < target:
@@ -190,7 +220,7 @@ def text_metrics(odf: OmigoDF, col: str = "text", metrics=None) -> OmigoDF:
 def fingerprint(odf: OmigoDF, col: str = "text", new_col: str = "fingerprint") -> OmigoDF:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling/shingle variants live in dedup.py.)"""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    norm = F.lower(F.regexp_replace(F.trim(F.col(col)), WS_RUN, " "))
     return OmigoDF(odf.df.withColumn(new_col, F.md5(norm)))
 
 
@@ -357,7 +387,7 @@ def metric_sql(dialect: str, metric: str, col: str = "text") -> str:
 
 
 def fingerprint_sql_duck(col: str = "text") -> str:
-    return f"md5(lower(regexp_replace(trim({col}), '\\s+', ' ', 'g')))"
+    return f"md5(lower(regexp_replace(trim({col}), '{WS_RUN_DUCK}', ' ', 'g')))"
 
 
 # ------------------------------------------------- training-batch packing
@@ -471,8 +501,12 @@ FROM {table} d
 # GPT-2-style pre-tokenizer pieces, lookahead-free so the SAME pattern
 # runs under Java regex (Spark) and RE2 (DuckDB): contractions, a
 # space-prefixed letter run, a space-prefixed digit run, a
-# space-prefixed punctuation run, or a whitespace run.
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# space-prefixed punctuation run, or a whitespace run. Whitespace is the
+# explicit WS_RUN class, not \s (Java's \s includes U+000B, RE2's does
+# not — see WS_RUN above); U+000B lands in the punctuation-run class on
+# BOTH engines.
+BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
+                   r"| ?[^ \t\n\f\r\p{L}\p{N}]+|" + WS_RUN)
 
 
 def token_estimate_exprs(dialect: str, col: str = "text",

@@ -572,6 +572,74 @@ def test_ensure_min_parallelism_widens_through_broadcast_join(spark, tmp_path):
     assert out.rdd.getNumPartitions() >= 8
 
 
+def test_shuffle_exchange_regex_matches_this_spark_version(spark, documents):
+    """Version pin (r8 advice): the derived-plan gate reads
+    executedPlan().toString(), whose formatting can drift across Spark
+    versions. Assert the PRODUCTION regex recognizes every shuffle
+    partitioning the running Spark actually prints — if an upgrade
+    changes the plan text, this fails loudly instead of the gate
+    silently treating every plan as exchange-free."""
+    import re as _re
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    d = documents.df
+    shuffled = {
+        "hashpartitioning": d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")),
+        "rangepartitioning": d.orderBy("doc_id"),
+        "RoundRobinPartitioning": d.repartition(4),
+        "SinglePartition": d.agg(F.count(F.lit(1)).alias("n")),
+    }
+    for kind, df in shuffled.items():
+        p = plan_of(df)
+        assert kind in p, f"{kind} not in this Spark's plan text:\n{p}"
+        assert _re.search(TX._SHUFFLE_EXCHANGE_RE, p), \
+            f"production regex missed {kind}:\n{p}"
+    # and a broadcast-only plan must NOT match (the r8-review corner)
+    dim = d.sparkSession.createDataFrame([("en", 1)], ["lang", "x"])
+    bj = d.join(F.broadcast(dim), "lang")
+    pb = plan_of(bj)
+    assert "BroadcastExchange" in pb
+    assert not _re.search(TX._SHUFFLE_EXCHANGE_RE, pb)
+
+
+def test_ensure_min_parallelism_introspection_failure_passthrough(spark, tmp_path):
+    """r8 advice: when plan introspection throws, the OLD fallback ran
+    the eager probe — silently reintroducing the AQE stage-finalizing
+    regression exactly when the gate was blind. The safe default is to
+    return the plan untouched (the widen is an optimization; skipping it
+    is always correct)."""
+    p = str(tmp_path / "one_file_fb.parquet")
+    spark.range(100).coalesce(1).write.parquet(p)
+    scan = spark.read.parquet(p)
+
+    class Broken:
+        isStreaming = False
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        @property
+        def sparkSession(self):
+            return self._inner.sparkSession
+
+        @property
+        def _jdf(self):
+            raise RuntimeError("introspection unavailable")
+
+        @property
+        def rdd(self):
+            raise AssertionError(
+                "eager probe must not run when introspection failed")
+
+        def repartition(self, n):
+            raise AssertionError("must not repartition blind")
+
+    b = Broken(scan)
+    assert TX.ensure_min_parallelism(b, min_parts=8) is b
+
+
 def test_token_estimates_known_values(spark):
     from omigo_data_analytics_spark.operators.text import token_estimates
 

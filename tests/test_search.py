@@ -150,7 +150,8 @@ def test_bm25_plan_has_no_python_and_one_corpus_shuffle(spark):
     from omigo_data_analytics_spark.operators.search import (
         _bm25_pairs, _bm25_terms)
     from pyspark.sql import functions as SF
-    toks = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+    from omigo_data_analytics_spark.operators.text import WS_RUN_SPARK
+    toks = f"filter(split(lower(text), '{WS_RUN_SPARK}'), x -> x != '')"
     base = docs.df.select(SF.col("doc_id"),
                           SF.expr(toks).alias("__toks__"),
                           SF.expr(f"size({toks})").alias("dl"))
@@ -187,3 +188,57 @@ def test_search_job_composes_and_is_exact(spark):
     p = out.df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in p
     assert "TakeOrderedAndProject" in p  # distributed top-k, no global sort
+
+
+def test_ws_class_parity_on_vertical_tab(spark, tmp_path):
+    """r8 advice: Java \\s includes U+000B (vertical tab), RE2's (DuckDB)
+    does not — the shared tokenizers now use the explicit WS_RUN class so
+    both engines split identically on vertical-tab text, and U+000B
+    consistently counts as a NON-space character on both sides."""
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators.text import (
+        WS_RUN_DUCK, WS_RUN_SPARK, fingerprint, fingerprint_sql_duck,
+        token_estimate_exprs, token_estimates)
+
+    rows = [(1, "a\x0bb c"), (2, "x\x0b\x0by"), (3, "a \t\n\f\r b"),
+            (4, "plain text"), (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "vt.parquet")
+    df.coalesce(1).write.parquet(p)
+    pg = f"{p}/*.parquet"  # Spark writes a directory; DuckDB needs the glob
+
+    # 1) the raw split fragments agree token-for-token
+    eng = {r["doc_id"]: r["t"] for r in spark.read.parquet(p).selectExpr(
+        "doc_id",
+        f"filter(split(lower(text), '{WS_RUN_SPARK}'), x -> x != '') AS t"
+    ).collect()}
+    ora = {r[0]: r[1] for r in duckdb.sql(
+        f"SELECT doc_id, list_filter(string_split_regex(lower(text), "
+        f"'{WS_RUN_DUCK}'), x -> x != '') FROM '{pg}'").fetchall()}
+    assert eng == ora
+    # U+000B is NOT whitespace on either side now
+    assert eng[1] == ["a\x0bb", "c"]
+
+    # 2) fingerprint + BPE token-estimate parity end-to-end
+    od = OmigoDF(spark.read.parquet(p))
+    fp = {r["doc_id"]: r["fingerprint"] for r in
+          fingerprint(od).df.select("doc_id", "fingerprint").collect()}
+    fpo = {r[0]: r[1] for r in duckdb.sql(
+        f"SELECT doc_id, {fingerprint_sql_duck('text')} FROM '{pg}'"
+    ).fetchall()}
+    assert fp == fpo
+    te = {r["doc_id"]: (r["pretoken_count"], r["token_estimate"])
+          for r in token_estimates(od).df
+          .select("doc_id", "pretoken_count", "token_estimate").collect()}
+    ex = token_estimate_exprs("duckdb")
+    teo = {r[0]: (r[1], r[2]) for r in duckdb.sql(
+        f"SELECT doc_id, {ex['pretoken_count']}, {ex['token_estimate']} "
+        f"FROM '{pg}'").fetchall()}
+    assert te == teo
+
+    # 3) bm25 engine/oracle parity on the vertical-tab corpus
+    got = sorted(tuple(r) for r in SR.bm25_rank(
+        OmigoDF(spark.read.parquet(p)), "c y b").df.collect())
+    exp = sorted(tuple(r) for r in duckdb.sql(
+        SR.bm25_sql_duck(f"'{pg}'", "c y b")).fetchall())
+    assert got == exp and len(got) > 0
