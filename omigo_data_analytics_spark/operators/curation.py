@@ -165,7 +165,9 @@ def decontaminate(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
 def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                            col: str = "text", eval_col: str | None = None,
                            threshold: float = 0.8, dim: int = 64,
-                           precision: int = 6) -> OmigoDF:
+                           precision: int = 6,
+                           num_clusters: int | None = None, iters: int = 2,
+                           eval_id_col: str | None = None) -> OmigoDF:
     """Semantic benchmark decontamination: drop training documents whose
     feature-hash embedding is cosine-close to ANY eval document —
     catches paraphrased/reworded contamination the n-gram
@@ -180,7 +182,24 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     corpus never shuffles. Cost per train row = |eval| dot products of
     width dim: with a 10k-doc benchmark and dim 64 that is ~640k
     mul-adds per document, the price of model-free screening; shrink
-    dim or pre-filter eval if the benchmark is unusually large."""
+    dim — or pass ``num_clusters`` — if the benchmark is unusually
+    large.
+
+    ``num_clusters`` (opt-in, r8-verdict improvement) bounds that
+    arithmetic the SemDeDup way: the deterministic spherical k-means
+    (``similarity.kmeans_centroids``) trains on the EVAL embeddings
+    (eval-sized, cheap), both sides assign map-side (the centroid
+    literals ride the plan — the corpus STILL never shuffles), and the
+    cosine screen joins on the cluster key instead of cross-joining —
+    per-row cost drops from |eval| to num_clusters + |eval|/k̄ dot
+    products (minimized near num_clusters ≈ sqrt(|eval|)). The
+    threshold semantics stay EXACT within a cluster; a contaminated
+    pair whose two sides assign to different clusters is missed — the
+    same documented trade as ``dedup.semdedup``. Zero-norm documents
+    can never score and are excluded before training/assignment on
+    both sides (identically to the dense screen). The eval side needs
+    a deterministic id for the k-means seeds: ``eval_id_col``
+    (defaults to ``id_col``)."""
     from .similarity import _dot_expr, _norm_expr, hash_embeddings
     train._resolve([id_col, col])
     ecol = eval_col or col
@@ -192,12 +211,34 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                           normalize=False)
           .df.select(F.col(id_col), F.col("__te__"),
                      F.expr(_norm_expr("__te__")).alias("__tn__")))
+    cos = F.round(F.expr(_dot_expr("__te__", "__ee__"))
+                  / (F.col("__tn__") * F.col("__en__")), precision)
+    if num_clusters:
+        from .similarity import kmeans_assign, kmeans_centroids
+        eid = eval_id_col or id_col
+        eval_odf._resolve(eid)
+        ev = (hash_embeddings(eval_odf, col=ecol, dim=dim, out_col="__ee__",
+                              normalize=False)
+              .df.select(F.col(eid).alias("__eid__"), F.col("__ee__"),
+                         F.expr(_norm_expr("__ee__")).alias("__en__"))
+              .where(F.col("__en__") > 0))
+        cents = kmeans_centroids(OmigoDF(ev), k=num_clusters, iters=iters,
+                                 id_col="__eid__", vec_col="__ee__")
+        ev_asg = (kmeans_assign(OmigoDF(ev), cents, vec_col="__ee__",
+                                cluster_col="__c__", cos_col="__xc__")
+                  .df.select("__c__", "__ee__", "__en__"))
+        tr_asg = (kmeans_assign(OmigoDF(tr.where(F.col("__tn__") > 0)),
+                                cents, vec_col="__te__",
+                                cluster_col="__c__", cos_col="__xc__")
+                  .df.select(id_col, "__te__", "__tn__", "__c__"))
+        contaminated = (tr_asg.join(F.broadcast(ev_asg), on="__c__")
+                        .where(cos >= threshold)
+                        .select(id_col).distinct())
+        return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
     ev = (hash_embeddings(eval_odf, col=ecol, dim=dim, out_col="__ee__",
                           normalize=False)
           .df.select(F.col("__ee__"),
                      F.expr(_norm_expr("__ee__")).alias("__en__")))
-    cos = F.round(F.expr(_dot_expr("__te__", "__ee__"))
-                  / (F.col("__tn__") * F.col("__en__")), precision)
     contaminated = (tr.crossJoin(F.broadcast(ev))
                     .where(F.col("__tn__") > 0).where(F.col("__en__") > 0)
                     .where(cos >= threshold)

@@ -14,12 +14,26 @@ already necessary for ed <= d).
 Scale shape: the q-gram path shuffles (gram, position) explosions
 (~len(s) rows per string) and joins gram-equality with a position-window
 predicate; the count filter then shrinks candidates before the
-levenshtein verify (a codegen JVM expression in Spark). Skew caveat: a
-gram shared by a large fraction of the corpus (common prefixes like
-"Customer#0000...") inflates its bucket quadratically — for such data
-strip the shared prefix into a separate equality key first, or raise q.
-The short-string fallback is bounded by length-bucket sizes (d+1 buckets
-probed per string).
+levenshtein verify (a codegen JVM expression in Spark).
+
+Hot-gram skew guard (``fuzzy_pairs``, r9): a gram shared by a large
+fraction of the corpus (common prefixes like "Customer#0000...") would
+inflate its join bucket quadratically. The guard makes the mitigation
+mechanical and EXACT: gram frequencies are counted in-plan (one
+vocabulary-sized partial agg), grams above a cap are "hot", and the
+gram join runs on RARE grams only. Completeness argument: at most q*d
+gram occurrences of a string are destroyed by d edits (Gravano), so a
+string with >= q*d + 1 rare occurrences is guaranteed to share a
+surviving rare gram with every true partner — such strings are "safe"
+and pair among themselves through the rare-gram join. Strings below
+that floor are routed through a length-bucketed direct-verify path
+against the whole gram-eligible corpus (an equi-join on the exploded
+target length, never a nested loop) — linear per routed string, and
+only skew-pathological or near-short strings ever route. The count
+filter weakens by least(hot_a, hot_b): in the 1-1 occurrence matching
+the bound counts, hot grams can contribute at most min of the two hot
+occurrence counts, so subtracting it keeps the filter a necessary
+condition over rare-only matches.
 """
 
 from __future__ import annotations
@@ -37,11 +51,20 @@ def _grams_expr(col: str, q: int) -> str:
 
 
 def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
-                max_dist: int = 1, q: int = 3) -> OmigoDF:
+                max_dist: int = 1, q: int = 3,
+                hot_gram_cap: int | None = None) -> OmigoDF:
     """All pairs (id_a < id_b) with levenshtein(col_a, col_b) <= max_dist
     — exact, via q-gram-count candidate filtering + levenshtein verify.
     Returns (id_a, id_b, dist). NULL values never match (SQL semantics:
-    levenshtein(NULL, x) is NULL, filtered)."""
+    levenshtein(NULL, x) is NULL, filtered).
+
+    ``hot_gram_cap``: occurrence count above which a gram is "hot" and
+    excluded from the gram join (see the module docstring's skew-guard
+    proof). None (default) = automatic in-plan cap,
+    max(64, 1% of the gram-path string count) — no-op on unskewed
+    corpora (nothing crosses the cap), mechanical protection on
+    common-prefix shapes. The result set is IDENTICAL for any cap;
+    only the candidate routing changes."""
     odf._resolve([id_col, col])
     d, qq = int(max_dist), int(q)
     base = (ensure_min_parallelism(odf.df)
@@ -51,30 +74,99 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
             .where(F.col("__s__").isNotNull())
             .localCheckpoint(eager=False))
 
-    # path A — q-gram count filter (complete for pairs whose longer
-    # string has length >= q*(d+1)). Strings shorter than q are
-    # excluded up front: Spark's sequence(1, 0) auto-steps BACKWARD to
-    # [1, 0], so without the filter every sub-q string would emit two
-    # junk positional grams — building a redundant O(n²) hot-gram
-    # bucket on exactly the short-string skew path B already covers
-    # (r8 review; exactness unaffected, path B is complete there).
-    ex = base.where(F.col("__l__") >= qq).select(
-        "__id__", "__l__",
-        F.explode(F.expr(_grams_expr("__s__", qq))).alias("__gp__"))
-    a = ex.select(F.col("__id__").alias("id_a"), F.col("__l__").alias("la"),
-                  F.col("__gp__.g").alias("g"), F.col("__gp__.p").alias("pa"))
-    b = ex.select(F.col("__id__").alias("id_b"), F.col("__l__").alias("lb"),
-                  F.col("__gp__.g").alias("g"), F.col("__gp__.p").alias("pb"))
+    # Strings shorter than q are excluded from the gram path up front:
+    # Spark's sequence(1, 0) auto-steps BACKWARD to [1, 0], so without
+    # the filter every sub-q string would emit two junk positional
+    # grams — building a redundant O(n²) hot-gram bucket on exactly
+    # the short-string skew path B already covers (r8 review).
+    eligible = base.where(F.col("__l__") >= qq)
+
+    # --- hot-gram census (r9 skew guard): one vocabulary-sized partial
+    # agg; the hot set (grams above the cap) is tiny and broadcast.
+    gp = (eligible
+          .select("__id__", "__l__",
+                  F.explode(F.expr(_grams_expr("__s__", qq))).alias("__gp__"))
+          .select("__id__", "__l__",
+                  F.col("__gp__.g").alias("__g__")))
+    gfreq = gp.groupBy("__g__").agg(F.count(F.lit(1)).alias("__gc__"))
+    if hot_gram_cap is not None:
+        hot = gfreq.where(F.col("__gc__") > int(hot_gram_cap))
+    else:
+        n_ = eligible.agg(F.count(F.lit(1)).alias("__nstr__"))
+        hot = (gfreq.crossJoin(F.broadcast(n_))
+               .where(F.col("__gc__") > F.greatest(
+                   F.lit(64).cast("long"),
+                   F.expr("CAST(ceil(__nstr__ * 0.01) AS BIGINT)"))))
+    hot = F.broadcast(hot.select("__g__").withColumn("__hot__", F.lit(1)))
+
+    # per-string rare-occurrence count: the gram stream reduces to one
+    # row per string via map-side combine (the shuffle moves per-id
+    # partials, never gram rows); hot count = (l - (q-1)) - r.
+    stats = (gp.join(hot, on="__g__", how="left")
+             .groupBy("__id__")
+             .agg(F.sum(F.when(F.col("__hot__").isNull(), 1).otherwise(0))
+                  .alias("__r__")))
+    floor = qq * d + 1  # rare occurrences that survive any d-edit script
+
+    # path A — rare-gram join among SAFE strings (>= floor rare
+    # occurrences: every true partner shares a surviving rare gram).
+    # The grams re-explode map-side from the stats-enriched strings —
+    # re-running the cheap explode beats shuffling the gram stream by
+    # id to attach __r__.
+    safe = (eligible.join(stats.where(F.col("__r__") >= floor), on="__id__")
+            .localCheckpoint(eager=False))
+    sex = (safe
+           .select("__id__", "__l__", "__r__",
+                   F.explode(F.expr(_grams_expr("__s__", qq))).alias("__gp__"))
+           .select("__id__", "__l__", "__r__",
+                   F.col("__gp__.g").alias("__g__"),
+                   F.col("__gp__.p").alias("__p__"))
+           .join(hot, on="__g__", how="left")
+           .where(F.col("__hot__").isNull()))
+    a = sex.select(F.col("__id__").alias("id_a"), F.col("__l__").alias("la"),
+                   F.col("__r__").alias("ra"),
+                   F.col("__g__").alias("g"), F.col("__p__").alias("pa"))
+    b = sex.select(F.col("__id__").alias("id_b"), F.col("__l__").alias("lb"),
+                   F.col("__r__").alias("rb"),
+                   F.col("__g__").alias("g"), F.col("__p__").alias("pb"))
+    # count filter over rare-only matches: the Gravano bound minus the
+    # most hot grams could have contributed to the 1-1 matching,
+    # least(hot_a, hot_b) where hot = (l - (q-1)) - r. Pruning-only —
+    # exactness never depends on it.
     grams = (a.join(b, on=[a["g"] == b["g"],
                            F.col("id_a") < F.col("id_b"),
                            F.abs(F.col("pa") - F.col("pb")) <= d,
                            F.abs(F.col("la") - F.col("lb")) <= d])
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("shared"),
-                  F.first("la").alias("la"), F.first("lb").alias("lb"))
+                  F.first("la").alias("la"), F.first("lb").alias("lb"),
+                  F.first("ra").alias("ra"), F.first("rb").alias("rb"))
              .where(F.col("shared") >=
-                    F.greatest(F.col("la"), F.col("lb")) - (qq - 1) - qq * d)
+                    F.greatest(F.col("la"), F.col("lb")) - (qq - 1) - qq * d
+                    - F.least(F.col("la") - (qq - 1) - F.col("ra"),
+                              F.col("lb") - (qq - 1) - F.col("rb")))
              .select("id_a", "id_b"))
+
+    # path U — UNSAFE strings (< floor rare occurrences: hot-dominated
+    # or barely longer than q) verify directly against every
+    # gram-eligible string within the length window. Equi-join on the
+    # exploded target length (d+1 buckets probed per string), so the
+    # probe is a hash join, never a nested loop; linear per routed
+    # string and empty on unskewed corpora (where only q <= l <
+    # q*(d+1) strings route, the regime path A's bound never covered).
+    unsafe = (eligible.join(stats.where(F.col("__r__") < floor)
+                            .select("__id__"), on="__id__")
+              .select(F.col("__id__").alias("__ua__"),
+                      F.col("__l__").alias("__ul__")))
+    probe = eligible.select(F.col("__id__").alias("__ub__"),
+                            F.col("__l__").alias("__pl__"))
+    upairs = (unsafe
+              .withColumn("__lb__", F.explode(F.expr(
+                  f"sequence(greatest(__ul__ - {d}, {qq}), __ul__ + {d})")))
+              .join(probe, on=[F.col("__lb__") == F.col("__pl__"),
+                               F.col("__ua__") != F.col("__ub__")])
+              .select(F.least("__ua__", "__ub__").alias("id_a"),
+                      F.greatest("__ua__", "__ub__").alias("id_b")))
 
     # path B — short strings (longer side < q*(d+1)): length buckets
     short = base.where(F.col("__l__") < qq * (d + 1))
@@ -84,7 +176,7 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
                               F.abs(F.col("la") - F.col("lb")) <= d])
               .select("id_a", "id_b"))
 
-    cands = grams.union(shorts).distinct()
+    cands = grams.union(upairs).union(shorts).distinct()
     sa2 = base.select(F.col("__id__").alias("id_a"), F.col("__s__").alias("sa"))
     sb2 = base.select(F.col("__id__").alias("id_b"), F.col("__s__").alias("sb"))
     verified = (cands.join(sa2, "id_a").join(sb2, "id_b")

@@ -125,6 +125,58 @@ def test_decontaminate_semantic_broadcasts_eval_side(spark):
     assert "EvalPython" not in p
 
 
+def test_decontaminate_semantic_clustered_single_cluster_matches_dense(spark):
+    """num_clusters=1 puts every document in one cluster, so the
+    cluster-joined screen sees exactly the dense screen's pair set —
+    the outputs must be identical (threshold semantics are exact within
+    a cluster)."""
+    tr, ev = _docs(spark), OmigoDF(_docs(spark).df.filter("doc_id % 7 = 0"))
+    dense = sorted(r["doc_id"] for r in CU.decontaminate_semantic(
+        tr, ev, "doc_id", threshold=0.6).df.select("doc_id").collect())
+    clus = sorted(r["doc_id"] for r in CU.decontaminate_semantic(
+        tr, ev, "doc_id", threshold=0.6, num_clusters=1).df
+        .select("doc_id").collect())
+    assert clus == dense
+
+
+def test_decontaminate_semantic_clustered_is_superset_of_dense(spark):
+    """With k>1 the clustered screen can only MISS cross-cluster pairs,
+    never invent contamination: its survivor set is a superset of the
+    dense screen's, and the obvious same-cluster paraphrase is still
+    caught."""
+    tr = OmigoDF(spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "spark shuffles partitions across the cluster executors"),
+         (3, "")],
+        "doc_id long, text string"))
+    ev = OmigoDF(spark.createDataFrame(
+        [(100, "dog lazy the over jumps fox brown quick the"),
+         (101, "unrelated benchmark text about graph traversal order")],
+        "doc_id long, text string"))
+    dense = {r["doc_id"] for r in CU.decontaminate_semantic(
+        tr, ev, "doc_id", threshold=0.7).df.select("doc_id").collect()}
+    clus = {r["doc_id"] for r in CU.decontaminate_semantic(
+        tr, ev, "doc_id", threshold=0.7, num_clusters=2).df
+        .select("doc_id").collect()}
+    assert dense <= clus
+    assert 1 not in clus  # the paraphrase sits in its twin's cluster
+    assert 3 in clus      # zero-vector doc still survives
+
+
+def test_decontaminate_semantic_clustered_corpus_never_shuffles(spark):
+    """The scale contract of the opt-in path: corpus assignment is
+    map-side (centroid literals ride the plan), the screen joins the
+    BROADCAST eval side on the cluster key — no nested-loop over the
+    full eval set, no corpus-sized exchange, no Python."""
+    tr, ev = _docs(spark), OmigoDF(_docs(spark).df.filter("doc_id % 7 = 0"))
+    out = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.99,
+                                    num_clusters=4)
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p       # cluster-keyed screen
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
 def test_leakage_safe_split_no_cluster_straddles_boundary(spark):
     """The whole point: every member of a near-dup cluster gets the
     SAME split label, and the labels are deterministic."""

@@ -93,3 +93,78 @@ def test_fuzzy_plan_no_python_and_verify_is_codegen(spark):
          ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in p
     assert "levenshtein" in p  # JVM expression, not a UDF
+
+def _skewed_corpus(n=160, seed=11):
+    """Customer#0000... shapes: a long shared prefix whose grams are all
+    hot, discrimination only in the digit tail, plus deliberate near-dup
+    pairs one edit apart."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        s = f"Customer#{i:09d}"
+        rows.append((2 * i, s))
+        r = rng.random()
+        if r < 0.3:  # substitution twin
+            pos = rng.randrange(9, len(s))
+            c = rng.choice("0123456789x")
+            rows.append((2 * i + 1, s[:pos] + c + s[pos + 1:]))
+        elif r < 0.4:  # deletion twin
+            pos = rng.randrange(9, len(s))
+            rows.append((2 * i + 1, s[:pos] + s[pos + 1:]))
+    return rows
+
+
+@pytest.mark.parametrize("cap", [None, 5, 10**9])
+def test_fuzzy_pairs_skew_guard_exact_on_hot_prefix_corpus(spark, cap):
+    """r8 verdict #3: the hot-gram guard must be EXACT on the classic
+    common-prefix skew shape, for the automatic cap, for a cap low
+    enough to classify most grams hot (max routing through the unsafe
+    path), and for a cap that disables the guard entirely."""
+    rows = _skewed_corpus()
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+           FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=1,
+                          hot_gram_cap=cap).df.collect()}
+    assert got == _brute(rows, 1)
+
+
+def test_fuzzy_pairs_skew_guard_shrinks_hot_bucket(spark):
+    """The guard's point: on the hot-prefix corpus the gram join must
+    not enumerate the prefix bucket. Compare candidate-pair volume via
+    the count filter input — with the guard (auto cap) the rare-gram
+    join plus unsafe routing stays near-linear, while disabling the
+    guard (huge cap) rebuilds the quadratic prefix bucket. We assert
+    the OUTPUT is identical and the guarded plan contains the
+    broadcast hot-set join."""
+    rows = _skewed_corpus()
+    df = spark.createDataFrame(rows, "id long, name string")
+    guarded = FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=1)
+    p = guarded.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p  # hot-set flag join rides broadcast
+    assert "EvalPython" not in p
+    off = FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=1,
+                         hot_gram_cap=10**9)
+    assert (sorted(map(tuple, guarded.df.collect()))
+            == sorted(map(tuple, off.df.collect())))
+
+
+@pytest.mark.parametrize("d", [0, 1, 2])
+def test_fuzzy_pairs_guard_property_random(spark, d):
+    """Property: guard exactness on random corpora across distances,
+    including d=0 (floor=1) and d=2 (floor=7, so most short-ish strings
+    route unsafe)."""
+    import random
+
+    rng = random.Random(101 + d)
+    alpha = "abcde"
+    rows = []
+    for i in range(120):
+        L = rng.randrange(0, 12)
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(L))))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+           FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=d)
+           .df.collect()}
+    assert got == _brute(rows, d)
