@@ -836,7 +836,8 @@ ORDER BY sample_key DESC, {id_col} LIMIT {n}
 def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
                 id_col: str = "doc_id", col: str = "text",
                 buckets: int = DSIR_BUCKETS,
-                k: float = DSIR_SMOOTH_K) -> OmigoDF:
+                k: float = DSIR_SMOOTH_K,
+                top_m: int | None = None) -> OmigoDF:
     """Hashed multinomial naive-Bayes text classifier — the fastText-style
     linear bag-of-ngrams model behind the classic model-based corpus
     filters (CCNet / LLaMA quality classifiers, learned language-ID):
@@ -862,9 +863,17 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
     prior) attach via a broadcast cross join of the C-row class table.
     The matched stream is at worst C x the exploded corpus (a feature
     present in every class joins C rows) — sized for curation-scale
-    label sets (quality tiers, languages, sources; C in the tens), not
-    for extreme multi-class (C in the thousands), where a per-class
-    top-feature pruning pass would be the next step.
+    label sets (quality tiers, languages, sources; C in the tens).
+    For extreme multi-class (C in the thousands) pass ``top_m``: each
+    class's model keeps only its ``top_m`` features by count
+    (deterministic rank: count DESC, bucket ASC), the tail folds into
+    the smoothing floor — a dropped feature scores EXACTLY like an
+    unseen one, and T_c re-sums over the kept counts so the model
+    stays a coherent multinomial. The lift join then carries at most
+    C x top_m distinct features instead of C x B, keeping the matched
+    stream sub-C× on corpora whose feature mass concentrates (Zipf).
+    The pruning is part of the model definition, reproduced exactly by
+    the oracle (same rank, same tiebreak).
     Every log term rounds to BIGINT micro-nats before summation (the
     DSIR_LP_SCALE discipline), so scores and the argmax label — ordered
     by score DESC with ties broken by label ASC — are bit-identical at
@@ -897,6 +906,15 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
     tl = (ensure_min_parallelism(train.df)
           .selectExpr(f"{lbl} AS __lbl__", f"explode({feats}) AS f"))
     cnt = tl.groupBy("__lbl__", "f").agg(F.count(F.lit(1)).alias("cfc"))
+    if top_m is not None:
+        # per-class top-m model pruning: the rank window runs over the
+        # C x B count table (model-sized, never the corpus); dropped
+        # features fall out of BOTH the lift join and T_c below, so
+        # they score exactly as unseen
+        cnt = (cnt.withColumn("__rk__", F.expr(
+                   "row_number() OVER (PARTITION BY __lbl__ "
+                   "ORDER BY cfc DESC, f ASC)"))
+               .where(F.col("__rk__") <= int(top_m)).drop("__rk__"))
     # C-row class table: per-class feature total, doc count, and the
     # per-feature/prior constants in micro-nats
     tc = cnt.groupBy("__lbl__").agg(F.sum("cfc").alias("tc"))
@@ -962,18 +980,27 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
 def nb_classify_sql_duck(train_sql: str, score_sql: str, label_col: str,
                          id_col: str = "doc_id", col: str = "text",
                          buckets: int = DSIR_BUCKETS,
-                         k: float = DSIR_SMOOTH_K) -> str:
+                         k: float = DSIR_SMOOTH_K,
+                         top_m: int | None = None) -> str:
     """DuckDB oracle for nb_classify: same hashed bag, same micro-nat
-    decomposition, same (score DESC, label ASC) argmax."""
+    decomposition, same (score DESC, label ASC) argmax; ``top_m``
+    reproduces the per-class model pruning exactly (count DESC, bucket
+    ASC rank over the count table, T_c re-summed over survivors)."""
     feats = _dsir_feats("duckdb", col, buckets)
     kd, kb, scale = _micro_consts(k, buckets)
     lbl = (f"CASE WHEN {label_col} IS NULL THEN CAST(error("
            f"'nb_classify: NULL label in train set') AS VARCHAR) "
            f"ELSE CAST({label_col} AS VARCHAR) END")
+    cnt_sql = "SELECT lbl, f, COUNT(*) AS cfc FROM tl GROUP BY lbl, f"
+    if top_m is not None:
+        cnt_sql = (f"SELECT lbl, f, cfc FROM ("
+                   f"SELECT lbl, f, cfc, row_number() OVER ("
+                   f"PARTITION BY lbl ORDER BY cfc DESC, f ASC) AS rk "
+                   f"FROM ({cnt_sql})) WHERE rk <= {int(top_m)}")
     return f"""
 WITH tl AS (SELECT {lbl} AS lbl, unnest({feats}) AS f
             FROM {train_sql}),
-cnt AS (SELECT lbl, f, COUNT(*) AS cfc FROM tl GROUP BY lbl, f),
+cnt AS ({cnt_sql}),
 tc AS (SELECT lbl, SUM(cfc) AS tc FROM cnt GROUP BY lbl),
 dc AS (SELECT {lbl} AS lbl, COUNT(*) AS dcnt
        FROM {train_sql} GROUP BY 1),

@@ -634,6 +634,66 @@ def test_nb_classify_bit_identical_across_partitionings(spark):
     assert a == b
 
 
+def test_nb_classify_top_m_huge_cap_equals_full_model(spark):
+    """top_m larger than any class's feature count prunes nothing: the
+    output must be identical to the unpruned model, bit-for-bit."""
+    docs = _docs(spark)
+    tr = OmigoDF(docs.df.filter("doc_id % 4 = 0"))
+    sc = OmigoDF(docs.df.filter("doc_id % 4 <> 0"))
+    full = {r["doc_id"]: (r["label"], r["log_joint"])
+            for r in CU.nb_classify(tr, sc, "lang").df.collect()}
+    capped = {r["doc_id"]: (r["label"], r["log_joint"])
+              for r in CU.nb_classify(tr, sc, "lang",
+                                      top_m=10**6).df.collect()}
+    assert full == capped
+
+
+def test_nb_classify_top_m_dropped_feature_scores_as_unseen(spark):
+    """The fold-into-floor semantics: with top_m=1 each class keeps only
+    its most frequent feature, so a document carrying only a DROPPED
+    feature must score exactly the all-unseen baseline
+    n_feats*floor + prior."""
+    # class A: 'aa' seen 3x, 'bb' 1x -> top_m=1 keeps 'aa' only
+    train = OmigoDF(spark.createDataFrame(
+        [(1, "aa aa aa bb", "A"), (2, "cc cc cc", "B")],
+        "doc_id long, text string, lab string"))
+    score = OmigoDF(spark.createDataFrame(
+        [(10, "bb"), (11, "zz")],  # bb = dropped for A; zz = never seen
+        "doc_id long, text string"))
+    out = {r["doc_id"]: r for r in
+           CU.nb_classify(train, score, "lab", top_m=1).df.collect()}
+    # both docs carry one feature unseen by the pruned model
+    # (bucketed bag emits the same feature count for single tokens), so
+    # their per-class scores — and hence labels and log_joints — agree
+    assert out[10]["label"] == out[11]["label"]
+    assert out[10]["log_joint"] == out[11]["log_joint"]
+
+
+def test_nb_classify_top_m_matches_duckdb_bit_exact(spark):
+    import duckdb
+
+    docs = _docs(spark)
+    sp = (CU.nb_classify(OmigoDF(docs.df.filter("doc_id % 4 = 0")),
+                         OmigoDF(docs.df.filter("doc_id % 4 <> 0")),
+                         "lang", top_m=64).df
+          .toPandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * "
+                f"FROM '{SF}/documents.parquet'")
+    du = con.execute(CU.nb_classify_sql_duck(
+        "(SELECT * FROM documents WHERE doc_id % 4 = 0)",
+        "(SELECT * FROM documents WHERE doc_id % 4 <> 0)", "lang",
+        top_m=64) + " ORDER BY doc_id").df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(sp, du, check_dtype=False)
+    # and the pruning is ACTIVE at this cap (labels differ somewhere
+    # vs the full model, or at least some score moved)
+    full = (CU.nb_classify(OmigoDF(docs.df.filter("doc_id % 4 = 0")),
+                           OmigoDF(docs.df.filter("doc_id % 4 <> 0")),
+                           "lang").df.toPandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert not sp["log_joint"].equals(full["log_joint"])
+
+
 def test_nb_classify_tokenless_class_stays_in_model(spark):
     """A class whose training docs all tokenize to empty must stay in
     the label universe with T_c = 0 (review finding: the tc INNER join
