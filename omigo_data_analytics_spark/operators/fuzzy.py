@@ -97,7 +97,15 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
                .where(F.col("__gc__") > F.greatest(
                    F.lit(64).cast("long"),
                    F.expr("CAST(ceil(__nstr__ * 0.01) AS BIGINT)"))))
-    hot = F.broadcast(hot.select("__g__").withColumn("__hot__", F.lit(1)))
+    # hot and stats both feed MULTIPLE branches (stats build + rare
+    # filter; safe + unsafe routing) — lazily checkpoint them so the
+    # census agg runs ONCE instead of once per consumer subtree
+    # (measured: 3 gfreq aggregations / 7 explodes in the un-
+    # checkpointed plan — the bm25 self-reference trap). Both are
+    # small: hot is the over-cap gram set, stats one narrow row per
+    # string.
+    hot = F.broadcast(hot.select("__g__").withColumn("__hot__", F.lit(1))
+                      .localCheckpoint(eager=False))
 
     # per-string rare-occurrence count: the gram stream reduces to one
     # row per string via map-side combine (the shuffle moves per-id
@@ -105,7 +113,8 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
     stats = (gp.join(hot, on="__g__", how="left")
              .groupBy("__id__")
              .agg(F.sum(F.when(F.col("__hot__").isNull(), 1).otherwise(0))
-                  .alias("__r__")))
+                  .alias("__r__"))
+             .localCheckpoint(eager=False))
     floor = qq * d + 1  # rare occurrences that survive any d-edit script
 
     # path A — rare-gram join among SAFE strings (>= floor rare
