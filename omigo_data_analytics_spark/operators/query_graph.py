@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..core.dataframe import OmigoDF
+from .text import WS_RUN
 
 log = logging.getLogger(__name__)
 
@@ -237,13 +238,13 @@ class QueryNode:
             df = df.where(cond)
         for col, words in self.filter_word_all.items():
             df = self._sig_prefilter(df, col, [" ".join(sorted(words))])
-            toks = F.split(F.col(col), r"\s+")
+            toks = F.split(F.col(col), WS_RUN)
             for w in sorted(words):
                 df = df.where(F.array_contains(toks, w))
         for col, values in self.filter_word_any.items():
             df = self._sig_prefilter(df, col, sorted(values))
             cond = None
-            toks = F.split(F.col(col), r"\s+")
+            toks = F.split(F.col(col), WS_RUN)
             for v in sorted(values):
                 c = None
                 for w in v.split():
