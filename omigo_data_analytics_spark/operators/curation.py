@@ -217,17 +217,27 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
         from .similarity import kmeans_assign, kmeans_centroids
         eid = eval_id_col or id_col
         eval_odf._resolve(eid)
+        # Both embed sides are CHECKPOINTED before assignment: __te__ /
+        # __ee__ are computed projections, and the nearest-centroid
+        # expression references them once per centroid candidate —
+        # CollapseProject would re-inline the whole md5-token fold into
+        # every cosine (measured 22.6 s vs ~3 s at sf0.1, the exact
+        # re-inlining trap hash_embeddings documents). The checkpoint
+        # also stops the k-means training jobs (seeds + one per Lloyd
+        # round) from re-deriving the eval embeddings per job.
         ev = (hash_embeddings(eval_odf, col=ecol, dim=dim, out_col="__ee__",
                               normalize=False)
               .df.select(F.col(eid).alias("__eid__"), F.col("__ee__"),
                          F.expr(_norm_expr("__ee__")).alias("__en__"))
-              .where(F.col("__en__") > 0))
+              .where(F.col("__en__") > 0)
+              .localCheckpoint(eager=False))
         cents = kmeans_centroids(OmigoDF(ev), k=num_clusters, iters=iters,
                                  id_col="__eid__", vec_col="__ee__")
         ev_asg = (kmeans_assign(OmigoDF(ev), cents, vec_col="__ee__",
                                 cluster_col="__c__", cos_col="__xc__")
                   .df.select("__c__", "__ee__", "__en__"))
-        tr_asg = (kmeans_assign(OmigoDF(tr.where(F.col("__tn__") > 0)),
+        tr_pos = tr.where(F.col("__tn__") > 0).localCheckpoint(eager=False)
+        tr_asg = (kmeans_assign(OmigoDF(tr_pos),
                                 cents, vec_col="__te__",
                                 cluster_col="__c__", cos_col="__xc__")
                   .df.select(id_col, "__te__", "__tn__", "__c__"))
