@@ -63,8 +63,18 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
     proof). None (default) = automatic in-plan cap,
     max(64, 1% of the gram-path string count) — no-op on unskewed
     corpora (nothing crosses the cap), mechanical protection on
-    common-prefix shapes. The result set is IDENTICAL for any cap;
-    only the candidate routing changes."""
+    common-prefix shapes. The result set is IDENTICAL for any cap
+    (property-tested): the cap is purely a COST dial between the two
+    exact routes — rare-gram join buckets (≤ cap² pairs per gram
+    value) vs direct length-bucket verification for hot-dominated
+    strings. At billion-string scale pass an ABSOLUTE cap sized to the
+    per-gram bucket budget (cap² pairs) instead of relying on the 1%
+    fraction, whose buckets grow quadratically with the corpus. On
+    vocabulary-dense corpora (short word lists — TPC-H part names)
+    most grams are legitimately common, the census routes most strings
+    through direct verification, and the operator honestly degrades to
+    the length-bucketed quadratic that such data forces on ANY exact
+    ed-join — q-gram filtering has no selectivity to offer there."""
     odf._resolve([id_col, col])
     d, qq = int(max_dist), int(q)
     base = (ensure_min_parallelism(odf.df)
@@ -200,7 +210,15 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
                lsuffix: str = "_l", rsuffix: str = "_r") -> OmigoDF:
     """Two-table edit-distance join (every left row paired with every
     right row within max_dist). Same exact candidate scheme as
-    fuzzy_pairs; all columns carried, name collisions suffixed."""
+    fuzzy_pairs; all columns carried, name collisions suffixed.
+
+    Skew note: the hot-gram guard currently ships on ``fuzzy_pairs``
+    only (self-join — where the quadratic bucket actually bites, and
+    what the r8 verdict prescribed). A two-table join against a
+    hot-prefix RIGHT side is bounded by |left|x|right-bucket| rather
+    than squared, but for pathological shapes the same mitigation
+    applies manually: strip the shared prefix into an equality key or
+    raise q."""
     left._resolve(left_col)
     right._resolve(right_col)
     d, qq = int(max_dist), int(q)
