@@ -219,10 +219,7 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
                      F.sum("dl").alias("total_dl"))
     tf = _bm25_pairs(base, id_col, terms).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # identical literal text in both dialects -> identical IEEE op order
-    score = (f"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * ({k1!r} + 1) "
-             f"/ (tf + {k1!r} * (1 - {b!r} + {b!r} * dl "
-             f"/ (CAST(total_dl AS DOUBLE) / n)))")
+    score = _bm25_score_sql(k1, b)
     sc = (tf.join(F.broadcast(df_), "term")
           .crossJoin(F.broadcast(stats))
           .select(id_col, "term", F.expr(score).alias("score")))
@@ -237,6 +234,23 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
     return OmigoDF(out)
 
 
+def _bm25_score_sql(k1: float, b: float) -> str:
+    """The literal score text shared by BOTH dialects — one definition,
+    spliced verbatim into the engine's selectExpr and the DuckDB oracle:
+    textual identity IS the bit-parity guarantee (identical IEEE op
+    order). Every constant is DOUBLE-cast: a bare ``0.5``/``k1`` literal
+    parses as DECIMAL in both engines, making the Lucene idf ratio a
+    DECIMAL-DECIMAL division whose truncation behavior the engines need
+    not share — the exact hazard `_micro_consts` documents for DSIR and
+    the r8 advisor caught in lm_score (r9 audit closed it here too)."""
+    half = "CAST(0.5 AS DOUBLE)"
+    kd = f"CAST({k1!r} AS DOUBLE)"
+    bd = f"CAST({b!r} AS DOUBLE)"
+    return (f"ln(1 + (n - df + {half}) / (df + {half})) * tf * ({kd} + 1) "
+            f"/ (tf + {kd} * (1 - {bd} + {bd} * dl "
+            f"/ (CAST(total_dl AS DOUBLE) / n)))")
+
+
 def bm25_sql_duck(table: str, query: str, id_col: str = "doc_id",
                   col: str = "text", k1: float = BM25_K1, b: float = BM25_B,
                   lowercase: bool = True) -> str:
@@ -247,9 +261,7 @@ def bm25_sql_duck(table: str, query: str, id_col: str = "doc_id",
     # break the oracle (the Spark side's isin() was never at risk)
     in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     lc = "lower" if lowercase else ""
-    score = (f"ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * ({k1!r} + 1) "
-             f"/ (tf + {k1!r} * (1 - {b!r} + {b!r} * dl "
-             f"/ (CAST(total_dl AS DOUBLE) / n)))")
+    score = _bm25_score_sql(k1, b)
     return f"""
 WITH toks AS (SELECT {id_col},
                      list_filter(string_split_regex({lc}({col}), '{WS_RUN_DUCK}'),
