@@ -504,7 +504,11 @@ FROM {table} d
 # space-prefixed punctuation run, or a whitespace run. Whitespace is the
 # explicit WS_RUN class, not \s (Java's \s includes U+000B, RE2's does
 # not — see WS_RUN above); U+000B lands in the punctuation-run class on
-# BOTH engines.
+# BOTH engines. Residual cross-engine assumption: \p{L}/\p{N} read each
+# engine's Unicode property tables, which agree on every assigned
+# codepoint of the scripts real corpora use but can differ for
+# codepoints added between the JVM's and RE2's Unicode versions — a
+# documented edge, not worth forfeiting Unicode-aware letter runs over.
 BPE_PRETOKEN_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+"
                    r"| ?[^ \t\n\f\r\p{L}\p{N}]+|" + WS_RUN)
 
