@@ -733,3 +733,46 @@ def test_dsir_weights_matches_duck_on_random_text(spark, target, pool):
     exp = {r[0]: (r[1], r[2]) for r in con.execute(
         CU.dsir_weights_sql_duck("tg", "pl")).fetchall()}
     assert got == exp
+
+
+# whitespace-control-char text: the exact regime where Java \s and RE2 \s
+# disagreed (r8 advice) — every tokenizer-parity-critical fragment must
+# agree token-for-token on arbitrary mixes of spaces, tabs, newlines,
+# form feeds, carriage returns, VERTICAL TABS, and word characters
+_WS_TEXT = st.text(
+    alphabet=" \t\n\f\r\x0b" + "abz09.',#é",
+    min_size=0, max_size=40)
+
+
+@given(texts=st.lists(_WS_TEXT, min_size=1, max_size=20))
+@_SETTINGS
+def test_ws_tokenizer_fragments_match_duck(spark, texts):
+    from omigo_data_analytics_spark.operators.text import (
+        WS_RUN_DUCK, WS_RUN_SPARK, fingerprint_sql_duck,
+        token_estimate_exprs)
+    from pyspark.sql import functions as F
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = token_estimate_exprs("spark")
+    got = {r["doc_id"]: (r["t"], r["fp"], r["pc"], r["te"])
+           for r in df.withColumn("fp", F.md5(F.lower(F.regexp_replace(
+               F.trim(F.col("text")), r"[ \t\n\f\r]+", " ")))).selectExpr(
+        "doc_id",
+        f"filter(split(lower(text), '{WS_RUN_SPARK}'), x -> x != '') AS t",
+        "fp",
+        f"{ex['pretoken_count']} AS pc",
+        f"{ex['token_estimate']} AS te",
+    ).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    exd = token_estimate_exprs("duckdb")
+    exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(
+        f"SELECT doc_id, "
+        f"list_filter(string_split_regex(lower(text), '{WS_RUN_DUCK}'), "
+        f"x -> x != ''), {fingerprint_sql_duck('text')}, "
+        f"{exd['pretoken_count']}, {exd['token_estimate']} FROM d"
+    ).fetchall()}
+    assert got == exp
