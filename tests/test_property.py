@@ -776,3 +776,59 @@ def test_ws_tokenizer_fragments_match_duck(spark, texts):
         f"{exd['pretoken_count']}, {exd['token_estimate']} FROM d"
     ).fetchall()}
     assert got == exp
+
+
+@given(train=st.lists(_TEXT, min_size=1, max_size=10),
+       score=st.lists(_TEXT, min_size=1, max_size=10))
+@_SETTINGS
+def test_lm_score_matches_duck_on_random_text(spark, train, score):
+    """Pins the r9 DOUBLE-cast smoothing operands (r8 advice): the
+    bigram-LM average log-prob and perplexity must be bit-identical to
+    the DuckDB replay on arbitrary text, including docs with <2 tokens
+    (NULL score) and smoothing-floor-only documents."""
+    from omigo_data_analytics_spark.operators import curation as CU
+
+    # engine raises by design on a tokenless train corpus (V = 0)
+    if not any(t.split() for t in train):
+        return
+    tr = OmigoDF(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id long, text string"))
+    sc = OmigoDF(spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(score)],
+        "doc_id long, text string"))
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+           for r in CU.lm_score(tr, sc).df.collect()}
+    con = duckdb.connect()
+    # table names must dodge the oracle's internal CTE names (tr, scp, ...)
+    con.execute("CREATE TABLE trn (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO trn VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(train)])
+    con.execute("CREATE TABLE scr (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO scr VALUES (?, ?)",
+                    [(100 + i, t) for i, t in enumerate(score)])
+    exp = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        CU.lm_score_sql_duck("trn", "scr")).fetchall()}
+    assert got == exp
+
+
+@given(texts=st.lists(_WS_TEXT, min_size=1, max_size=12),
+       qwords=st.lists(st.text(alphabet="abz09.'", min_size=1, max_size=6),
+                       min_size=1, max_size=4))
+@_SETTINGS
+def test_bm25_matches_duck_on_random_text(spark, texts, qwords):
+    """Pins the r9 DOUBLE-cast score constants AND the WS_RUN tokenizer
+    (control-char corpora) through the full bm25 engine/oracle pair."""
+    from omigo_data_analytics_spark.operators import search as SR
+
+    query = " ".join(qwords)
+    docs = OmigoDF(spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"))
+    got = sorted(tuple(r) for r in SR.bm25_rank(docs, query).df.collect())
+    con = duckdb.connect()
+    # dodge the oracle's internal CTE names (toks, stats, ex, tf, d, sc)
+    con.execute("CREATE TABLE corpus (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)",
+                    [(i, t) for i, t in enumerate(texts)])
+    exp = sorted(tuple(r) for r in con.execute(
+        SR.bm25_sql_duck("corpus", query)).fetchall())
+    assert got == exp
