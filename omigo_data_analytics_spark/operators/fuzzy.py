@@ -22,18 +22,19 @@ inflate its join bucket quadratically. The guard makes the mitigation
 mechanical and EXACT: gram frequencies are counted in-plan (one
 vocabulary-sized partial agg), grams above a cap are "hot", and the
 gram join runs on RARE grams only. Completeness argument: at most q*d
-gram occurrences of a string are destroyed by d edits (Gravano), so a
-string with >= q*d + 1 rare occurrences is guaranteed to share a
-surviving rare gram with every true partner — such strings are "safe"
-and pair among themselves through the rare-gram join. Strings below
-that floor are routed through a length-bucketed direct-verify path
-against the whole gram-eligible corpus (an equi-join on the exploded
-target length, never a nested loop) — linear per routed string, and
-only skew-pathological or near-short strings ever route. The count
-filter weakens by least(hot_a, hot_b): in the 1-1 occurrence matching
-the bound counts, hot grams can contribute at most min of the two hot
-occurrence counts, so subtracting it keeps the filter a necessary
-condition over rare-only matches.
+gram occurrences of a string are destroyed by d edits (Gravano), so if
+EITHER endpoint has >= q*d + 1 rare occurrences ("safe"), one of its
+rare grams survives the edit script into the partner — and since
+rarity is a property of the gram, the partner's occurrence is in the
+rare join too. Only the unsafe x unsafe corner needs the fallback: a
+length-bucketed direct-verify join (equi-join on the exploded target
+length, never a nested loop) bounded by the unsafe set squared per
+length bucket — empty on unskewed corpora, and on vocabulary-dense
+data exactly the quadratic such data forces on any exact ed-join. The
+count filter weakens by least(hot_a, hot_b): in the 1-1 occurrence
+matching the bound counts, hot grams can contribute at most min of
+the two hot occurrence counts, so subtracting it keeps the filter a
+necessary condition over rare-only matches.
 """
 
 from __future__ import annotations
@@ -127,14 +128,18 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
              .localCheckpoint(eager=False))
     floor = qq * d + 1  # rare occurrences that survive any d-edit script
 
-    # path A — rare-gram join among SAFE strings (>= floor rare
-    # occurrences: every true partner shares a surviving rare gram).
-    # The grams re-explode map-side from the stats-enriched strings —
-    # re-running the cheap explode beats shuffling the gram stream by
-    # id to attach __r__.
-    safe = (eligible.join(stats.where(F.col("__r__") >= floor), on="__id__")
-            .localCheckpoint(eager=False))
-    sex = (safe
+    # path A — rare-gram join over ALL eligible strings. Completeness
+    # needs only ONE safe endpoint: if x has >= floor rare occurrences,
+    # some rare gram of x survives any d-edit script into y, and y's
+    # occurrence of that gram is present here too (rarity is a property
+    # of the gram, not the string) — so every true pair except
+    # unsafe x unsafe appears in this join, and path U below only has
+    # to cover the unsafe x unsafe corner. The grams re-explode
+    # map-side from the stats-enriched strings — re-running the cheap
+    # explode beats shuffling the gram stream by id to attach __r__.
+    enriched = (eligible.join(stats, on="__id__")
+                .localCheckpoint(eager=False))
+    sex = (enriched
            .select("__id__", "__l__", "__r__",
                    F.explode(F.expr(_grams_expr("__s__", qq))).alias("__gp__"))
            .select("__id__", "__l__", "__r__",
@@ -166,20 +171,23 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
                               F.col("lb") - (qq - 1) - F.col("rb")))
              .select("id_a", "id_b"))
 
-    # path U — UNSAFE strings (< floor rare occurrences: hot-dominated
-    # or barely longer than q) verify directly against every
-    # gram-eligible string within the length window. Equi-join on the
-    # exploded target length (d+1 buckets probed per string), so the
-    # probe is a hash join, never a nested loop; linear per routed
-    # string and empty on unskewed corpora (where only q <= l <
-    # q*(d+1) strings route, the regime path A's bound never covered).
+    # path U — the UNSAFE x UNSAFE corner (both sides < floor rare
+    # occurrences: hot-dominated or barely longer than q; any pair
+    # with a safe endpoint is already complete in path A above).
+    # Equi-join on the exploded target length (d+1 buckets probed per
+    # string), so the probe is a hash join, never a nested loop;
+    # bounded by the unsafe set squared per length bucket, and empty
+    # on unskewed corpora (where only q <= l < q*(d+1) strings route,
+    # the regime path A's bound never covered).
     unsafe = (eligible.join(stats.where(F.col("__r__") < floor)
                             .select("__id__"), on="__id__")
-              .select(F.col("__id__").alias("__ua__"),
-                      F.col("__l__").alias("__ul__")))
-    probe = eligible.select(F.col("__id__").alias("__ub__"),
-                            F.col("__l__").alias("__pl__"))
+              .select("__id__", "__l__")
+              .localCheckpoint(eager=False))
+    probe = unsafe.select(F.col("__id__").alias("__ub__"),
+                          F.col("__l__").alias("__pl__"))
     upairs = (unsafe
+              .select(F.col("__id__").alias("__ua__"),
+                      F.col("__l__").alias("__ul__"))
               .withColumn("__lb__", F.explode(F.expr(
                   f"sequence(greatest(__ul__ - {d}, {qq}), __ul__ + {d})")))
               .join(probe, on=[F.col("__lb__") == F.col("__pl__"),
