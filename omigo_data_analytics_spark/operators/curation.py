@@ -167,7 +167,8 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                            threshold: float = 0.8, dim: int = 64,
                            precision: int = 6,
                            num_clusters: int | None = None, iters: int = 2,
-                           eval_id_col: str | None = None) -> OmigoDF:
+                           eval_id_col: str | None = None,
+                           centroids: list | None = None) -> OmigoDF:
     """Semantic benchmark decontamination: drop training documents whose
     feature-hash embedding is cosine-close to ANY eval document —
     catches paraphrased/reworded contamination the n-gram
@@ -199,7 +200,11 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     can never score and are excluded before training/assignment on
     both sides (identically to the dense screen). The eval side needs
     a deterministic id for the k-means seeds: ``eval_id_col``
-    (defaults to ``id_col``)."""
+    (defaults to ``id_col``). Pass a pre-trained ``centroids`` list
+    (the ``kmeans_centroids`` format, same convention as ``semdedup``)
+    to skip training entirely — recurring decontamination against a
+    stable benchmark suite pays the training jobs once, not per
+    run."""
     from .similarity import _dot_expr, _norm_expr, hash_embeddings
     train._resolve([id_col, col])
     ecol = eval_col or col
@@ -231,8 +236,9 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                          F.expr(_norm_expr("__ee__")).alias("__en__"))
               .where(F.col("__en__") > 0)
               .localCheckpoint(eager=False))
-        cents = kmeans_centroids(OmigoDF(ev), k=num_clusters, iters=iters,
-                                 id_col="__eid__", vec_col="__ee__")
+        cents = centroids if centroids is not None else kmeans_centroids(
+            OmigoDF(ev), k=num_clusters, iters=iters,
+            id_col="__eid__", vec_col="__ee__")
         ev_asg = (kmeans_assign(OmigoDF(ev), cents, vec_col="__ee__",
                                 cluster_col="__c__", cos_col="__xc__")
                   .df.select("__c__", "__ee__", "__en__"))

@@ -750,3 +750,44 @@ def test_nb_classify_null_label_raises_both_engines(spark):
     con.execute("CREATE TABLE scn AS SELECT 9 AS doc_id, 'words' AS text")
     with pytest.raises(Exception, match="NULL label"):
         con.execute(CU.nb_classify_sql_duck("trn", "scn", "quality")).fetchall()
+
+
+def test_decontaminate_semantic_clustered_pretrained_centroids(spark):
+    """The centroids passthrough (semdedup convention): a pre-trained
+    quantizer must reproduce the in-query-trained result exactly and
+    skip the training jobs."""
+    from omigo_data_analytics_spark.operators.similarity import (
+        hash_embeddings, kmeans_centroids, _norm_expr)
+
+    tr, ev = _docs(spark), OmigoDF(_docs(spark).df.filter("doc_id % 7 = 0"))
+    trained = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6,
+                                        num_clusters=3)
+    # train the same quantizer externally (same embed + norm filter)
+    emb = (hash_embeddings(ev, col="text", dim=64, out_col="__ee__",
+                           normalize=False)
+           .df.selectExpr("doc_id AS __eid__", "__ee__",
+                          f"{_norm_expr('__ee__')} AS __en__")
+           .where("__en__ > 0"))
+    cents = kmeans_centroids(OmigoDF(emb), k=3, iters=2,
+                             id_col="__eid__", vec_col="__ee__")
+    sc = spark.sparkContext
+
+    def jobs_during(group, fn):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            n = len(sc.statusTracker().getJobIdsForGroup(group))
+            sc.setJobGroup(None, None)
+        return out, n
+
+    # construction inherently materializes the two lazy checkpoints'
+    # upstream widen stages under AQE (2 jobs either way); pretrained
+    # must skip the TRAINING jobs on top (seeds + Lloyd collects)
+    t2, n_trained = jobs_during("decon_trained", lambda: CU.decontaminate_semantic(
+        tr, ev, "doc_id", threshold=0.6, num_clusters=3))
+    pre, n_pre = jobs_during("decon_pretrained", lambda: CU.decontaminate_semantic(
+        tr, ev, "doc_id", threshold=0.6, num_clusters=3, centroids=cents))
+    assert n_pre < n_trained, (n_pre, n_trained)
+    assert (sorted(r["doc_id"] for r in pre.df.select("doc_id").collect())
+            == sorted(r["doc_id"] for r in trained.df.select("doc_id").collect()))
