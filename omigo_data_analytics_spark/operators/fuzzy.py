@@ -16,8 +16,8 @@ Scale shape: the q-gram path shuffles (gram, position) explosions
 predicate; the count filter then shrinks candidates before the
 levenshtein verify (a codegen JVM expression in Spark).
 
-Hot-gram skew guard (``fuzzy_pairs``, r9): a gram shared by a large
-fraction of the corpus (common prefixes like "Customer#0000...") would
+Hot-gram skew guard (``fuzzy_pairs`` and ``fuzzy_join``, r9): a gram
+shared by a large fraction of the corpus (common prefixes like "Customer#0000...") would
 inflate its join bucket quadratically. The guard makes the mitigation
 mechanical and EXACT: gram frequencies are counted in-plan (one
 vocabulary-sized partial agg), grams above a cap are "hot", and the
@@ -215,21 +215,26 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
 
 def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
                max_dist: int = 1, q: int = 3,
-               lsuffix: str = "_l", rsuffix: str = "_r") -> OmigoDF:
+               lsuffix: str = "_l", rsuffix: str = "_r",
+               hot_gram_cap: int | None = None) -> OmigoDF:
     """Two-table edit-distance join (every left row paired with every
     right row within max_dist). Same exact candidate scheme as
     fuzzy_pairs; all columns carried, name collisions suffixed.
 
-    Skew note: the hot-gram guard currently ships on ``fuzzy_pairs``
-    only (self-join — where the quadratic bucket actually bites, and
-    what the r8 verdict prescribed). A two-table join against a
-    hot-prefix RIGHT side is bounded by |left|x|right-bucket| rather
-    than squared, but for pathological shapes the same mitigation
-    applies manually: strip the shared prefix into an equality key or
-    raise q."""
+    Carries the same hot-gram skew guard as ``fuzzy_pairs`` (r9):
+    grams are classified hot by their COMBINED left+right occurrence
+    count (a bucket's join volume is freq_l x freq_r, and any global
+    classification keeps rarity a property of the gram — the
+    completeness argument needs exactly that); the gram join runs on
+    rare grams only, which is complete whenever EITHER endpoint has
+    >= q*d + 1 rare occurrences, and the unsafe_left x unsafe_right
+    corner routes through the length-bucket equi-join fallback.
+    ``hot_gram_cap`` None = max(64, 1% of the combined gram-path
+    string count); the result is identical for any cap."""
     left._resolve(left_col)
     right._resolve(right_col)
     d, qq = int(max_dist), int(q)
+    floor = qq * d + 1
 
     def prep(odf, colname, side):
         return (ensure_min_parallelism(odf.df)
@@ -242,12 +247,52 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
 
     lf, rf = prep(left, left_col, "l"), prep(right, right_col, "r")
     # len >= q filters: see fuzzy_pairs — sequence(1,0) emits junk grams
-    exl = (lf.where(F.col("__ll__") >= qq)
-           .select("__kl__", "__ll__",
-                   F.explode(F.expr(_grams_expr("__sl__", qq))).alias("gp")))
-    exr = (rf.where(F.col("__lr__") >= qq)
-           .select("__kr__", "__lr__",
-                   F.explode(F.expr(_grams_expr("__sr__", qq))).alias("gp")))
+    ell, elr = lf.where(F.col("__ll__") >= qq), rf.where(F.col("__lr__") >= qq)
+
+    # combined-census hot set (see docstring); same checkpoint-once
+    # discipline as fuzzy_pairs — hot and the per-string stats feed
+    # multiple branches
+    gp = (ell.select(F.col("__kl__").alias("__k__"),
+                     F.explode(F.expr(_grams_expr("__sl__", qq))).alias("__gp__"))
+          .select("__k__", F.col("__gp__.g").alias("__g__"),
+                  F.lit("l").alias("__side__"))
+          .unionByName(
+              elr.select(F.col("__kr__").alias("__k__"),
+                         F.explode(F.expr(_grams_expr("__sr__", qq))).alias("__gp__"))
+              .select("__k__", F.col("__gp__.g").alias("__g__"),
+                      F.lit("r").alias("__side__"))))
+    gfreq = gp.groupBy("__g__").agg(F.count(F.lit(1)).alias("__gc__"))
+    if hot_gram_cap is not None:
+        hot = gfreq.where(F.col("__gc__") > int(hot_gram_cap))
+    else:
+        n_ = gp.select("__side__", "__k__").distinct().agg(
+            F.count(F.lit(1)).alias("__nstr__"))
+        hot = (gfreq.crossJoin(F.broadcast(n_))
+               .where(F.col("__gc__") > F.greatest(
+                   F.lit(64).cast("long"),
+                   F.expr("CAST(ceil(__nstr__ * 0.01) AS BIGINT)"))))
+    hot = F.broadcast(hot.select("__g__").withColumn("__hot__", F.lit(1))
+                      .localCheckpoint(eager=False))
+    stats = (gp.join(hot, on="__g__", how="left")
+             .groupBy("__side__", "__k__")
+             .agg(F.sum(F.when(F.col("__hot__").isNull(), 1).otherwise(0))
+                  .alias("__r__"))
+             .localCheckpoint(eager=False))
+    stats_l = (stats.where("__side__ = 'l'")
+               .select(F.col("__k__").alias("__kl__"), "__r__"))
+    stats_r = (stats.where("__side__ = 'r'")
+               .select(F.col("__k__").alias("__kr__"), "__r__"))
+
+    def rare_ex(side_df, k, l, s, st):
+        return (side_df.join(st, on=k)
+                .select(k, l, F.col("__r__"),
+                        F.explode(F.expr(_grams_expr(s, qq))).alias("gp"))
+                .join(hot, on=[F.col("gp.g") == F.col("__g__")], how="left")
+                .where(F.col("__hot__").isNull())
+                .drop("__g__", "__hot__"))
+
+    exl = rare_ex(ell, "__kl__", "__ll__", "__sl__", stats_l)
+    exr = rare_ex(elr, "__kr__", "__lr__", "__sr__", stats_r)
     grams = (exl.alias("a").join(
                  exr.alias("b"),
                  on=[F.col("a.gp.g") == F.col("b.gp.g"),
@@ -255,17 +300,33 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
                      F.abs(F.col("__ll__") - F.col("__lr__")) <= d])
              .groupBy("__kl__", "__kr__")
              .agg(F.count(F.lit(1)).alias("shared"),
-                  F.first("__ll__").alias("ll"), F.first("__lr__").alias("lr"))
+                  F.first("__ll__").alias("ll"), F.first("__lr__").alias("lr"),
+                  F.first("a.__r__").alias("rl"), F.first("b.__r__").alias("rr"))
              .where(F.col("shared") >=
-                    F.greatest(F.col("ll"), F.col("lr")) - (qq - 1) - qq * d)
+                    F.greatest(F.col("ll"), F.col("lr")) - (qq - 1) - qq * d
+                    - F.least(F.col("ll") - (qq - 1) - F.col("rl"),
+                              F.col("lr") - (qq - 1) - F.col("rr")))
              .select("__kl__", "__kr__"))
+    # unsafe_left x unsafe_right corner: length-bucket equi join (the
+    # one-safe-endpoint argument covers every other pair in the rare
+    # join above)
+    ul = (ell.join(stats_l.where(F.col("__r__") < floor).select("__kl__"),
+                   on="__kl__")
+          .select("__kl__", "__ll__"))
+    ur = (elr.join(stats_r.where(F.col("__r__") < floor).select("__kr__"),
+                   on="__kr__")
+          .select("__kr__", "__lr__"))
+    upairs = (ul.withColumn("__lb__", F.explode(F.expr(
+                  f"sequence(greatest(__ll__ - {d}, {qq}), __ll__ + {d})")))
+              .join(ur, on=[F.col("__lb__") == F.col("__lr__")])
+              .select("__kl__", "__kr__"))
     shorts = (lf.where(F.col("__ll__") < qq * (d + 1))
               .select("__kl__", "__ll__")
               .join(rf.where(F.col("__lr__") < qq * (d + 1))
                     .select("__kr__", "__lr__"),
                     on=[F.abs(F.col("__ll__") - F.col("__lr__")) <= d])
               .select("__kl__", "__kr__"))
-    cands = grams.union(shorts).distinct()
+    cands = grams.union(upairs).union(shorts).distinct()
     # computed under an internal name: withColumn("dist", ...) would be
     # ambiguous if an input table already carries a 'dist' column
     out = (cands.join(lf.alias("L"), "__kl__").join(rf.alias("R"), "__kr__")

@@ -168,3 +168,55 @@ def test_fuzzy_pairs_guard_property_random(spark, d):
            FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=d)
            .df.collect()}
     assert got == _brute(rows, d)
+
+
+def _brute_join(lrows, rrows, d):
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for lid, ls in lrows:
+        for rid, rs in rrows:
+            if ls is None or rs is None:
+                continue
+            dd = lev(ls, rs)
+            if dd <= d:
+                out.add((lid, rid, dd))
+    return out
+
+
+@pytest.mark.parametrize("cap", [None, 5, 10**9])
+def test_fuzzy_join_skew_guard_exact_two_table(spark, cap):
+    """The r9 guard extends to the two-table join: exact vs brute force
+    on hot-prefix corpora for the auto cap, an aggressive cap (max
+    unsafe routing), and a disabled cap."""
+    import random
+
+    rng = random.Random(23)
+    lrows = [(i, f"Customer#{i:07d}") for i in range(120)]
+    rrows = []
+    for i in range(120):
+        s = f"Customer#{i:07d}"
+        r = rng.random()
+        if r < 0.4:
+            pos = rng.randrange(9, len(s))
+            s = s[:pos] + rng.choice("0123456789x") + s[pos + 1:]
+        elif r < 0.5:
+            pos = rng.randrange(9, len(s))
+            s = s[:pos] + s[pos + 1:]
+        rrows.append((1000 + i, s))
+    ldf = spark.createDataFrame(lrows, "lid long, name string")
+    rdf = spark.createDataFrame(rrows, "rid long, name string")
+    out = FZ.fuzzy_join(OmigoDF(ldf), OmigoDF(rdf), "name", "name",
+                        max_dist=1, hot_gram_cap=cap).df
+    got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
+    assert got == _brute_join(lrows, rrows, 1)
