@@ -195,12 +195,21 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
               .select(F.least("__ua__", "__ub__").alias("id_a"),
                       F.greatest("__ua__", "__ub__").alias("id_b")))
 
-    # path B — short strings (longer side < q*(d+1)): length buckets
-    short = base.where(F.col("__l__") < qq * (d + 1))
-    sa = short.select(F.col("__id__").alias("id_a"), F.col("__l__").alias("la"))
+    # path B — short strings (longer side < q*(d+1)): length buckets.
+    # Same explode-the-target-length equi join as path U (r9): a bare
+    # |la-lb| <= d condition has no equi key and planned as a nested
+    # loop over shorts² — fine when shorts are few, quadratic scan cost
+    # on short-string corpora where B is the MAIN path. With the equi
+    # key every candidate path in the operator is a hash join.
+    short = (base.where(F.col("__l__") < qq * (d + 1))
+             .localCheckpoint(eager=False))
     sb = short.select(F.col("__id__").alias("id_b"), F.col("__l__").alias("lb"))
-    shorts = (sa.join(sb, on=[F.col("id_a") < F.col("id_b"),
-                              F.abs(F.col("la") - F.col("lb")) <= d])
+    shorts = (short
+              .select(F.col("__id__").alias("id_a"), F.col("__l__").alias("la"))
+              .withColumn("__lb__", F.explode(F.expr(
+                  f"sequence(greatest(la - {d}, 0), la + {d})")))
+              .join(sb, on=[F.col("__lb__") == F.col("lb"),
+                            F.col("id_a") < F.col("id_b")])
               .select("id_a", "id_b"))
 
     cands = grams.union(upairs).union(shorts).distinct()
@@ -320,11 +329,14 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
                   f"sequence(greatest(__ll__ - {d}, {qq}), __ll__ + {d})")))
               .join(ur, on=[F.col("__lb__") == F.col("__lr__")])
               .select("__kl__", "__kr__"))
+    # same explode-the-target-length equi join as fuzzy_pairs' path B
     shorts = (lf.where(F.col("__ll__") < qq * (d + 1))
               .select("__kl__", "__ll__")
+              .withColumn("__lb2__", F.explode(F.expr(
+                  f"sequence(greatest(__ll__ - {d}, 0), __ll__ + {d})")))
               .join(rf.where(F.col("__lr__") < qq * (d + 1))
                     .select("__kr__", "__lr__"),
-                    on=[F.abs(F.col("__ll__") - F.col("__lr__")) <= d])
+                    on=[F.col("__lb2__") == F.col("__lr__")])
               .select("__kl__", "__kr__"))
     cands = grams.union(upairs).union(shorts).distinct()
     # computed under an internal name: withColumn("dist", ...) would be

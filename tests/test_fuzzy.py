@@ -93,6 +93,10 @@ def test_fuzzy_plan_no_python_and_verify_is_codegen(spark):
          ._jdf.queryExecution().executedPlan().toString())
     assert "EvalPython" not in p
     assert "levenshtein" in p  # JVM expression, not a UDF
+    # r9: every candidate path is an EQUI join (the short/unsafe length
+    # windows explode target lengths instead of a |la-lb|<=d nested loop)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
 
 def _skewed_corpus(n=160, seed=11):
     """Customer#0000... shapes: a long shared prefix whose grams are all
