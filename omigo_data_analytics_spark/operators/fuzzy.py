@@ -360,9 +360,11 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
 
 
 def dedup_fuzzy(odf: OmigoDF, id_col: str, col: str,
-                max_dist: int = 1, q: int = 3) -> OmigoDF:
+                max_dist: int = 1, q: int = 3,
+                hot_gram_cap: int | None = None) -> OmigoDF:
     """Drop the higher id of every fuzzy pair (greedy min-representative,
-    the family's shared keep-rule)."""
-    dup = (fuzzy_pairs(odf, id_col, col, max_dist, q)
+    the family's shared keep-rule). ``hot_gram_cap`` passes through to
+    the skew guard (see fuzzy_pairs)."""
+    dup = (fuzzy_pairs(odf, id_col, col, max_dist, q, hot_gram_cap)
            .df.select(F.col("id_b").alias(id_col)).distinct())
     return OmigoDF(odf.df.join(dup, on=id_col, how="left_anti"))
