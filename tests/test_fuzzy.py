@@ -224,3 +224,26 @@ def test_fuzzy_join_skew_guard_exact_two_table(spark, cap):
                         max_dist=1, hot_gram_cap=cap).df
     got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
     assert got == _brute_join(lrows, rrows, 1)
+
+
+@pytest.mark.parametrize("d", [0, 1, 2])
+def test_fuzzy_join_guard_property_random(spark, d):
+    """Random two-table corpora across distances — the two-table guard's
+    routing (one-safe-endpoint rare join + unsafe_l x unsafe_r fallback)
+    must stay exact under the same regimes as the self-join."""
+    import random
+
+    rng = random.Random(37 + d)
+    alpha = "abcde"
+    lrows = [(i, "".join(rng.choice(alpha)
+                         for _ in range(rng.randrange(0, 11))))
+             for i in range(70)]
+    rrows = [(1000 + i, "".join(rng.choice(alpha)
+                                for _ in range(rng.randrange(0, 11))))
+             for i in range(70)]
+    ldf = spark.createDataFrame(lrows, "lid long, name string")
+    rdf = spark.createDataFrame(rrows, "rid long, name string")
+    out = FZ.fuzzy_join(OmigoDF(ldf), OmigoDF(rdf), "name", "name",
+                        max_dist=d).df
+    got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
+    assert got == _brute_join(lrows, rrows, d)
