@@ -120,7 +120,7 @@ def _skewed_corpus(n=160, seed=11):
     return rows
 
 
-@pytest.mark.parametrize("cap", [None, 5, 10**9])
+@pytest.mark.parametrize("cap", [None, 0, 5, 10**9])
 def test_fuzzy_pairs_skew_guard_exact_on_hot_prefix_corpus(spark, cap):
     """r8 verdict #3: the hot-gram guard must be EXACT on the classic
     common-prefix skew shape, for the automatic cap, for a cap low
@@ -198,7 +198,7 @@ def _brute_join(lrows, rrows, d):
     return out
 
 
-@pytest.mark.parametrize("cap", [None, 5, 10**9])
+@pytest.mark.parametrize("cap", [None, 0, 5, 10**9])
 def test_fuzzy_join_skew_guard_exact_two_table(spark, cap):
     """The r9 guard extends to the two-table join: exact vs brute force
     on hot-prefix corpora for the auto cap, an aggressive cap (max
@@ -247,3 +247,79 @@ def test_fuzzy_join_guard_property_random(spark, d):
                         max_dist=d).df
     got = {(r["lid"], r["rid"], r["dist"]) for r in out.collect()}
     assert got == _brute_join(lrows, rrows, d)
+
+
+def test_fuzzy_pairs_guard_off_skips_census(spark):
+    """hot_gram_cap=0 = guard OFF (r10): the plan must carry no census
+    machinery at all — no __hot__ flag column, no per-string stats —
+    while any guarded cap does. (Result identity across caps is the
+    parametrized brute-force tests' job.)"""
+    rows = _skewed_corpus(n=60)
+    df = spark.createDataFrame(rows, "id long, name string")
+    off = FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=1,
+                         hot_gram_cap=0)
+    p_off = off.df._jdf.queryExecution().executedPlan().toString()
+    assert "__hot__" not in p_off
+    guarded = FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=1)
+    p_on = guarded.df._jdf.queryExecution().executedPlan().toString()
+    assert "__hot__" in p_on
+
+
+def test_fuzzy_join_guard_off_skips_census(spark):
+    rows = [(i, f"Customer#{i:05d}") for i in range(40)]
+    ldf = spark.createDataFrame(rows, "lid long, name string")
+    rdf = spark.createDataFrame(rows, "rid long, name string")
+    off = FZ.fuzzy_join(OmigoDF(ldf), OmigoDF(rdf), "name", "name",
+                        max_dist=1, hot_gram_cap=0)
+    assert "__hot__" not in (off.df._jdf.queryExecution()
+                             .executedPlan().toString())
+
+
+def test_fuzzy_warn_unsafe_frac(spark):
+    """warn_unsafe_frac (r9 advice): on the hot-prefix corpus the unsafe
+    fraction is large -> UserWarning with the remedy; on a diverse
+    corpus nothing fires; default (None) never warns. Results must be
+    unchanged by the opt-in."""
+    import warnings as W
+
+    rows = _skewed_corpus(n=120)
+    df = spark.createDataFrame(rows, "id long, name string")
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        got = FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=1,
+                             warn_unsafe_frac=0.25).df.collect()
+    msgs = [str(w.message) for w in rec if issubclass(w.category, UserWarning)]
+    assert any("unsafe-fraction" in m and "hot_gram_cap" in m for m in msgs)
+    assert {(r["id_a"], r["id_b"], r["dist"]) for r in got} == _brute(rows, 1)
+
+    # diverse corpus: every string has plenty of rare grams -> no warning
+    import random
+    rng = random.Random(5)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    div = [(i, "".join(rng.choice(alpha) for _ in range(20)))
+           for i in range(80)]
+    ddf = spark.createDataFrame(div, "id long, name string")
+    with W.catch_warnings(record=True) as rec2:
+        W.simplefilter("always")
+        FZ.fuzzy_pairs(OmigoDF(ddf), "id", "name", max_dist=1,
+                       warn_unsafe_frac=0.25).df.collect()
+    assert not [w for w in rec2 if issubclass(w.category, UserWarning)
+                and "unsafe-fraction" in str(w.message)]
+
+
+def test_fuzzy_join_warn_unsafe_frac(spark):
+    import warnings as W
+
+    lrows = [(i, f"Customer#{i:06d}") for i in range(100)]
+    rrows = [(1000 + i, f"Customer#{i:06d}") for i in range(100)]
+    ldf = spark.createDataFrame(lrows, "lid long, name string")
+    rdf = spark.createDataFrame(rrows, "rid long, name string")
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        got = FZ.fuzzy_join(OmigoDF(ldf), OmigoDF(rdf), "name", "name",
+                            max_dist=1,
+                            warn_unsafe_frac=0.25).df.collect()
+    msgs = [str(w.message) for w in rec if issubclass(w.category, UserWarning)]
+    assert any("fuzzy_join" in m and "unsafe-fraction" in m for m in msgs)
+    assert ({(r["lid"], r["rid"], r["dist"]) for r in got}
+            == _brute_join(lrows, rrows, 1))
