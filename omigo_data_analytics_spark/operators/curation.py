@@ -168,7 +168,8 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                            precision: int = 6,
                            num_clusters: int | None = None, iters: int = 2,
                            eval_id_col: str | None = None,
-                           centroids: list | None = None) -> OmigoDF:
+                           centroids: list | None = None,
+                           nprobe: int = 1) -> OmigoDF:
     """Semantic benchmark decontamination: drop training documents whose
     feature-hash embedding is cosine-close to ANY eval document —
     catches paraphrased/reworded contamination the n-gram
@@ -204,7 +205,20 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     (the ``kmeans_centroids`` format, same convention as ``semdedup``)
     to skip training entirely — recurring decontamination against a
     stable benchmark suite pays the training jobs once, not per
-    run."""
+    run.
+
+    ``nprobe`` (r9 advice, clustered path only): the recall knob for
+    the cross-cluster false negatives. Each TRAIN row probes its
+    ``nprobe`` nearest eval centroids (IVF-style, the same
+    explode-the-slice pattern as ``similarity.ivf_topk``) instead of
+    only the single nearest, at ~nprobe x the screen cost — still
+    << the dense |eval| dot products. nprobe=1 (default) is the exact
+    r9 single-assignment plan; nprobe=num_clusters degenerates to the
+    dense screen (every pair checked — bit-identical, tested). For a
+    recall-sensitive decontamination screen pick
+    num_clusters ≈ sqrt(|eval|) and nprobe 2-4: contaminated pairs
+    land in different clusters only when the pair straddles a cluster
+    boundary, exactly the case a 2-4 probe recovers."""
     from .similarity import _dot_expr, _norm_expr, hash_embeddings
     train._resolve([id_col, col])
     ecol = eval_col or col
@@ -243,10 +257,25 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                                 cluster_col="__c__", cos_col="__xc__")
                   .df.select("__c__", "__ee__", "__en__"))
         tr_pos = tr.where(F.col("__tn__") > 0).localCheckpoint(eager=False)
-        tr_asg = (kmeans_assign(OmigoDF(tr_pos),
-                                cents, vec_col="__te__",
-                                cluster_col="__c__", cos_col="__xc__")
-                  .df.select(id_col, "__te__", "__tn__", "__c__"))
+        if int(nprobe) > 1:
+            # multi-probe: explode the nprobe nearest centroids per
+            # train row (slice of the same sorted candidate array the
+            # single-assignment uses, so nprobe=1 would be identical);
+            # the screen join below then checks every eval doc resident
+            # in ANY probed cluster — the IVF recall dial.
+            from .similarity import _IVF_SORT, _ivf_cands_expr
+            tr_asg = (tr_pos
+                      .withColumn("__cand__", F.explode(F.expr(
+                          f"slice(array_sort("
+                          f"{_ivf_cands_expr('__te__', cents)}, "
+                          f"{_IVF_SORT}), 1, {int(nprobe)})")))
+                      .select(id_col, "__te__", "__tn__",
+                              F.col("__cand__.id").alias("__c__")))
+        else:
+            tr_asg = (kmeans_assign(OmigoDF(tr_pos),
+                                    cents, vec_col="__te__",
+                                    cluster_col="__c__", cos_col="__xc__")
+                      .df.select(id_col, "__te__", "__tn__", "__c__"))
         contaminated = (tr_asg.join(F.broadcast(ev_asg), on="__c__")
                         .where(cos >= threshold)
                         .select(id_col).distinct())

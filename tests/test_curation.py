@@ -770,24 +770,56 @@ def test_decontaminate_semantic_clustered_pretrained_centroids(spark):
            .where("__en__ > 0"))
     cents = kmeans_centroids(OmigoDF(emb), k=3, iters=2,
                              id_col="__eid__", vec_col="__ee__")
-    sc = spark.sparkContext
 
-    def jobs_during(group, fn):
-        sc.setJobGroup(group, group)
-        try:
-            out = fn()
-        finally:
-            n = len(sc.statusTracker().getJobIdsForGroup(group))
-            sc.setJobGroup(None, None)
-        return out, n
+    # "skips training" asserted via a spy on kmeans_centroids at its
+    # defining module (the operator imports it at call time) — the r9
+    # advice replacement for the old Spark job-count inequality, which
+    # was hostage to AQE job accounting across Spark versions.
+    import omigo_data_analytics_spark.operators.similarity as SIM_mod
+    calls = []
+    real = SIM_mod.kmeans_centroids
 
-    # construction inherently materializes the two lazy checkpoints'
-    # upstream widen stages under AQE (2 jobs either way); pretrained
-    # must skip the TRAINING jobs on top (seeds + Lloyd collects)
-    t2, n_trained = jobs_during("decon_trained", lambda: CU.decontaminate_semantic(
-        tr, ev, "doc_id", threshold=0.6, num_clusters=3))
-    pre, n_pre = jobs_during("decon_pretrained", lambda: CU.decontaminate_semantic(
-        tr, ev, "doc_id", threshold=0.6, num_clusters=3, centroids=cents))
-    assert n_pre < n_trained, (n_pre, n_trained)
-    assert (sorted(r["doc_id"] for r in pre.df.select("doc_id").collect())
-            == sorted(r["doc_id"] for r in trained.df.select("doc_id").collect()))
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    SIM_mod.kmeans_centroids = spy
+    try:
+        pre = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6,
+                                        num_clusters=3, centroids=cents)
+        pre_ids = sorted(r["doc_id"]
+                         for r in pre.df.select("doc_id").collect())
+        assert not calls, "pretrained centroids must not retrain"
+        CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6,
+                                  num_clusters=3).df.count()
+        assert calls, "spy must observe the in-query training control"
+    finally:
+        SIM_mod.kmeans_centroids = real
+    assert pre_ids == sorted(r["doc_id"]
+                             for r in trained.df.select("doc_id").collect())
+
+
+def test_decontaminate_semantic_nprobe(spark):
+    """nprobe (r9 advice recall knob, clustered path): nprobe=1 must be
+    the single-assignment clustered screen bit-for-bit; survivors
+    shrink monotonically with nprobe (multi-probe can only catch MORE
+    contaminated pairs); and nprobe=num_clusters probes every cluster,
+    degenerating to the dense screen exactly."""
+    tr = _docs(spark)
+    ev = OmigoDF(_docs(spark).df.filter("doc_id % 7 = 0"))
+
+    def ids(odf):
+        return sorted(r["doc_id"] for r in odf.df.select("doc_id").collect())
+
+    base = ids(CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6,
+                                         num_clusters=3))
+    p1 = ids(CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6,
+                                       num_clusters=3, nprobe=1))
+    assert p1 == base  # default param is the identical code path
+    p2 = ids(CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6,
+                                       num_clusters=3, nprobe=2))
+    assert set(p2) <= set(p1)  # more probes -> never fewer catches
+    dense = ids(CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6))
+    pall = ids(CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.6,
+                                         num_clusters=3, nprobe=3))
+    assert pall == dense  # probe-everything == the dense screen
