@@ -189,8 +189,8 @@ def main():
                 print(f"# bench error {name}: {type(e).__name__}: {e}", file=sys.stderr)
             # outside the timed region: release py4j DataFrame/checkpoint
             # refs so the ContextCleaner can drop their blocks — otherwise
-            # 77 queries x 2 passes of accumulated state turns into GC
-            # pauses attributed to whatever query runs next
+            # the whole registry x 2 passes of accumulated state turns into
+            # GC pauses attributed to whatever query runs next
             del df
             gc.collect()
             if qi % 10 == 9:
