@@ -177,6 +177,20 @@ def test_decontaminate_semantic_clustered_corpus_never_shuffles(spark):
     assert "EvalPython" not in p
 
 
+def test_decontaminate_semantic_nprobe_keeps_plan_shape(spark):
+    """Multi-probe keeps the clustered path's scale contract: the probe
+    explode is map-side on the checkpointed corpus embeds and the
+    screen stays a BROADCAST hash join on the cluster key — nprobe
+    must never reintroduce the dense nested-loop or Python."""
+    tr, ev = _docs(spark), OmigoDF(_docs(spark).df.filter("doc_id % 7 = 0"))
+    out = CU.decontaminate_semantic(tr, ev, "doc_id", threshold=0.99,
+                                    num_clusters=4, nprobe=2)
+    p = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EvalPython" not in p
+
+
 def test_leakage_safe_split_no_cluster_straddles_boundary(spark):
     """The whole point: every member of a near-dup cluster gets the
     SAME split label, and the labels are deterministic."""
