@@ -178,6 +178,33 @@ def write_orc(xdf: OmigoDF, path: str, mode: str = "overwrite",
     w.orc(path)
 
 
+def read_xml(spark: SparkSession, path_or_paths, row_tag: str = "row",
+             schema=None) -> OmigoDF:
+    """XML scan via Spark 4's built-in xml source (one DataFrame row per
+    ``row_tag`` element; schema inferred unless given). XML is a
+    row-oriented text format — files split per file, not per block, so
+    at scale land many medium files rather than one giant document.
+    Beyond the reference's format list (hydra reads delimited text
+    only); included so feeds that arrive as XML don't need a
+    pre-conversion hop."""
+    paths = _as_paths(path_or_paths)
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return OmigoDF(r.load(*paths))
+
+
+def write_xml(xdf: OmigoDF, path: str, row_tag: str = "row",
+              root_tag: str = "rows", mode: str = "overwrite",
+              single_file: bool = False) -> None:
+    """XML write (Spark 4 built-in). ``single_file`` coalesces to one
+    part for small exports, matching the tsv writer's convention."""
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    writer = df.coalesce(1).write if single_file else df.write
+    (writer.mode(mode).format("xml")
+     .option("rowTag", row_tag).option("rootTag", root_tag).save(path))
+
+
 def write_bucketed(xdf: OmigoDF, table_name: str, bucket_cols,
                    num_buckets: int = 64, sort_cols=None,
                    mode: str = "overwrite", fmt: str = "parquet") -> None:

@@ -242,6 +242,28 @@ def test_orc_roundtrip_with_pushdown(spark, nation, tmpdir):
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
 
 
+def test_xml_roundtrip(spark, nation, tmpdir):
+    """Spark 4 built-in xml source: values survive the roundtrip (XML
+    carries no types — read back with the original schema) and custom
+    row/root tags are honored on disk."""
+    from omigo_data_analytics_spark.sources import io
+
+    path = f"{tmpdir}/nation_xml"
+    io.write_xml(nation, path, row_tag="nation", root_tag="nations",
+                 single_file=True)
+    back = io.read_xml(spark, path, row_tag="nation",
+                       schema=nation.df.schema)
+    assert back.num_rows() == nation.num_rows()
+    assert sorted(back.columns) == sorted(nation.columns)
+    cols = nation.columns
+    assert (sorted(map(tuple, back.df.select(*cols).collect()))
+            == sorted(map(tuple, nation.df.select(*cols).collect())))
+    part = [p for p in os.listdir(path) if p.startswith("part-")][0]
+    with open(os.path.join(path, part)) as fh:
+        head = fh.read(200)
+    assert "<nations>" in head and "<nation>" in head
+
+
 # ---------------------------------------------------------------- dfutils
 def test_split_headers_in_common_and_diff(spark):
     from omigo_data_analytics_spark.sources import io
