@@ -178,6 +178,29 @@ def write_orc(xdf: OmigoDF, path: str, mode: str = "overwrite",
     w.orc(path)
 
 
+def read_text(spark: SparkSession, path_or_paths, whole_file: bool = False,
+              path_col: str = "path", text_col: str = "text") -> OmigoDF:
+    """Raw text ingestion for document corpora: one row per LINE
+    (default) or one row per FILE (``whole_file=True`` — the shape an
+    LLM training-data pipeline wants for .txt/.md corpora: each file
+    becomes one document, its source path attached for provenance /
+    dedup keys). Returns (path_col, text_col).
+
+    Scale shape: line mode splits files per block like any text scan;
+    whole-file mode is one task per file and buffers each file in one
+    row — right for many small-to-medium documents, wrong for a
+    100 GB single file (chunk those upstream, or use line mode +
+    ``operators.text.chunk_documents``). Compressed inputs (.gz)
+    decode per file in both modes."""
+    paths = _as_paths(path_or_paths)
+    # wholetext must go as the reader-method parameter: a
+    # .option("wholetext", ...) on the DataFrameReader is silently
+    # ignored by .text() (verified against pyspark 4.1)
+    df = spark.read.text(paths, wholetext=bool(whole_file))
+    return OmigoDF(df.select(F.input_file_name().alias(path_col),
+                             F.col("value").alias(text_col)))
+
+
 def read_xml(spark: SparkSession, path_or_paths, row_tag: str = "row",
              schema=None) -> OmigoDF:
     """XML scan via Spark 4's built-in xml source (one DataFrame row per

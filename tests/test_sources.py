@@ -242,6 +242,32 @@ def test_orc_roundtrip_with_pushdown(spark, nation, tmpdir):
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
 
 
+def test_read_text_lines_and_whole_file(spark, tmpdir):
+    """read_text: line mode = one row per line across files; whole-file
+    mode = one row per file with the full contents (newlines kept) —
+    the raw-corpus ingestion shape; both attach the source path."""
+    from omigo_data_analytics_spark.sources import io
+
+    d = f"{tmpdir}/txt"
+    os.makedirs(d)
+    with open(f"{d}/a.txt", "w") as fh:
+        fh.write("first line\nsecond line\n")
+    with open(f"{d}/b.txt", "w") as fh:
+        fh.write("only line b\n")
+    lines = io.read_text(spark, f"{d}/*.txt")
+    assert lines.columns == ["path", "text"]
+    got = sorted((os.path.basename(r["path"].replace("file://", "")),
+                  r["text"]) for r in lines.df.collect())
+    assert got == [("a.txt", "first line"), ("a.txt", "second line"),
+                   ("b.txt", "only line b")]
+    docs = io.read_text(spark, f"{d}/*.txt", whole_file=True,
+                        path_col="doc_path", text_col="body")
+    by_file = {os.path.basename(r["doc_path"].replace("file://", "")):
+               r["body"] for r in docs.df.collect()}
+    assert by_file == {"a.txt": "first line\nsecond line\n",
+                       "b.txt": "only line b\n"}
+
+
 def test_xml_roundtrip(spark, nation, tmpdir):
     """Spark 4 built-in xml source: values survive the roundtrip (XML
     carries no types — read back with the original schema) and custom
