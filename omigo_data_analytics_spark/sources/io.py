@@ -201,6 +201,31 @@ def read_text(spark: SparkSession, path_or_paths, whole_file: bool = False,
                              F.col("value").alias(text_col)))
 
 
+def read_binary(spark: SparkSession, path_or_paths,
+                path_glob_filter: str | None = None,
+                recursive: bool = False) -> OmigoDF:
+    """Binary-file ingestion (Spark's built-in ``binaryFile`` source):
+    one row per file with (path, modificationTime, length, content) —
+    ``content`` is the opaque ``binary`` column the multimodal
+    operators (``operators.multimodal``: attach_media_metadata,
+    decode_image, sample_frames) take as input, so
+    read_binary → attach_media_metadata → decode is the end-to-end
+    media ingestion path. ``path_glob_filter`` selects by extension
+    (e.g. ``"*.png"``), ``recursive`` walks nested dirs.
+
+    Scale shape: one task per file, the whole payload in one row —
+    sized for image/audio-clip corpora (KB-MB files). The source
+    refuses files over spark.sql.sources.binaryFile.maxLength (2 GB
+    hard cap); giant media belongs in chunked/container formats."""
+    paths = _as_paths(path_or_paths)
+    r = spark.read.format("binaryFile")
+    if path_glob_filter:
+        r = r.option("pathGlobFilter", path_glob_filter)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return OmigoDF(r.load(paths))
+
+
 def read_xml(spark: SparkSession, path_or_paths, row_tag: str = "row",
              schema=None) -> OmigoDF:
     """XML scan via Spark 4's built-in xml source (one DataFrame row per

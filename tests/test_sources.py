@@ -268,6 +268,34 @@ def test_read_text_lines_and_whole_file(spark, tmpdir):
                        "b.txt": "only line b\n"}
 
 
+def test_read_binary_files_feed_multimodal(spark, tmpdir):
+    """read_binary: one row per file, exact payload bytes in `content`,
+    glob filtering — and the content column composes directly with the
+    multimodal decode path (binary in, pixel vector out)."""
+    from omigo_data_analytics_spark.operators import multimodal as MM
+    from omigo_data_analytics_spark.sources import io
+
+    d = f"{tmpdir}/media"
+    os.makedirs(d)
+    payloads = {"x.png": b"\x89PNG fake payload \x00\x01",
+                "y.png": b"\x89PNG other \xff\xfe", "skip.txt": b"nope"}
+    for name, blob in payloads.items():
+        with open(f"{d}/{name}", "wb") as fh:
+            fh.write(blob)
+    odf = io.read_binary(spark, d, path_glob_filter="*.png")
+    rows = {os.path.basename(r["path"].replace("file:", "")):
+            bytes(r["content"]) for r in odf.df.collect()}
+    assert rows == {k: v for k, v in payloads.items() if k.endswith(".png")}
+    assert {f.name for f in odf.df.schema.fields} >= {
+        "path", "length", "content"}
+    # composes with the multimodal pipeline's deterministic decode fake
+    dec = MM.decode_image(OmigoDF(odf.df.select("path", "content")),
+                          "content", out_col="pixels", width=2, height=4,
+                          fake=True)
+    got = dec.df.select("pixels").collect()
+    assert len(got) == 2 and all(len(r["pixels"]) == 8 for r in got)
+
+
 def test_xml_roundtrip(spark, nation, tmpdir):
     """Spark 4 built-in xml source: values survive the roundtrip (XML
     carries no types — read back with the original schema) and custom
