@@ -163,6 +163,21 @@ def write_parquet(xdf: OmigoDF, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_json(xdf: OmigoDF, path: str, mode: str = "overwrite",
+               partition_by: list[str] | None = None,
+               compression: str | None = None) -> None:
+    """JSON-lines write (symmetry with read_json; one object per line,
+    splittable unless compressed with gzip — pass compression only for
+    export artifacts, not for data meant to be re-scanned at scale)."""
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def read_orc(spark: SparkSession, path_or_paths) -> OmigoDF:
     """ORC scan (columnar alternate to parquet; same pushdown/pruning)."""
     paths = _as_paths(path_or_paths)

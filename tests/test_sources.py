@@ -242,6 +242,17 @@ def test_orc_roundtrip_with_pushdown(spark, nation, tmpdir):
     assert "PushedFilters: [" in plan and "n_regionkey" in plan
 
 
+def test_json_roundtrip(spark, nation, tmpdir):
+    from omigo_data_analytics_spark.sources import io
+
+    path = f"{tmpdir}/nation_json"
+    io.write_json(nation, path)
+    back = io.read_json(spark, path, schema=nation.df.schema)
+    cols = nation.columns
+    assert (sorted(map(tuple, back.df.select(*cols).collect()))
+            == sorted(map(tuple, nation.df.select(*cols).collect())))
+
+
 def test_read_text_lines_and_whole_file(spark, tmpdir):
     """read_text: line mode = one row per line across files; whole-file
     mode = one row per file with the full contents (newlines kept) —
