@@ -323,3 +323,25 @@ def test_fuzzy_join_warn_unsafe_frac(spark):
     assert any("fuzzy_join" in m and "unsafe-fraction" in m for m in msgs)
     assert ({(r["lid"], r["rid"], r["dist"]) for r in got}
             == _brute_join(lrows, rrows, 1))
+
+
+def test_fuzzy_pairs_unicode_codepoints(spark):
+    """Unicode hardening: Spark's substring/length/levenshtein operate on
+    CODEPOINTS, and the brute force here does too (Python str) — CJK,
+    accents, and astral-plane emoji must agree end-to-end, including
+    grams that mix scripts."""
+    rows = [
+        (1, "café du monde"), (2, "cafe du monde"),   # accent = 1 edit
+        (3, "café du monde!"),                         # append = 1 edit
+        (4, "東京タワーにのぼる"), (5, "東京タワーにのぼった"),
+        (6, "東京タワー"),
+        (7, "🦜🦜🦜 parrot song"), (8, "🦜🦜🦜 parrot songs"),
+        (9, "ñandú überholt"), (10, "nandu uberholt"),
+        (11, "αβγδε ζηθ"), (12, "αβγδε ζηθι"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for d in (1, 2):
+        got = {(r["id_a"], r["id_b"], r["dist"]) for r in
+               FZ.fuzzy_pairs(OmigoDF(df), "id", "name", max_dist=d)
+               .df.collect()}
+        assert got == _brute(rows, d), f"unicode mismatch at d={d}"
