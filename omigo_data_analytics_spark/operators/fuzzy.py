@@ -47,8 +47,19 @@ from ..core.dataframe import OmigoDF
 from .text import ensure_min_parallelism
 
 
+def _skew_counts(stats, floor: int) -> tuple[int, int]:
+    """(n_unsafe, n_total) in ONE job over the checkpointed per-string
+    stats (one narrow row per gram-path string) — never a rescan of
+    the input; the materialized checkpoint is reused by the main
+    action."""
+    row = stats.agg(
+        F.count(F.when(F.col("__r__") < floor, 1)).alias("__u__"),
+        F.count(F.lit(1)).alias("__n__")).collect()[0]
+    return int(row["__u__"]), int(row["__n__"])
+
+
 def _warn_if_skewed(n_unsafe: int, n_total: int, frac: float,
-                    source: str) -> None:
+                    source: str, stacklevel: int = 3) -> None:
     """Opt-in skew telemetry (r9 advice): on vocabulary-dense corpora
     the census routes most strings through the quadratic direct-verify
     fallback — exact but expensive, and previously visible only in the
@@ -66,7 +77,7 @@ def _warn_if_skewed(n_unsafe: int, n_total: int, frac: float,
             "per-gram bucket budget (cap^2 candidate pairs per gram), "
             "or hot_gram_cap=0 to disable the skew guard entirely if "
             "the corpus is known to be unskewed.",
-            stacklevel=3)
+            stacklevel=stacklevel)
 
 
 def _grams_expr(col: str, q: int) -> str:
@@ -78,7 +89,8 @@ def _grams_expr(col: str, q: int) -> str:
 def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
                 max_dist: int = 1, q: int = 3,
                 hot_gram_cap: int | None = None,
-                warn_unsafe_frac: float | None = None) -> OmigoDF:
+                warn_unsafe_frac: float | None = None,
+                _stacklevel: int = 3) -> OmigoDF:
     """All pairs (id_a < id_b) with levenshtein(col_a, col_b) <= max_dist
     — exact, via q-gram-count candidate filtering + levenshtein verify.
     Returns (id_a, id_b, dist). NULL values never match (SQL semantics:
@@ -252,8 +264,9 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
                   .select("__id__", "__l__")
                   .localCheckpoint(eager=False))
         if warn_unsafe_frac is not None:
-            _warn_if_skewed(unsafe.count(), eligible.count(),
-                            float(warn_unsafe_frac), "fuzzy_pairs")
+            _warn_if_skewed(*_skew_counts(stats, floor),
+                            float(warn_unsafe_frac), "fuzzy_pairs",
+                            stacklevel=_stacklevel)
         probe = unsafe.select(F.col("__id__").alias("__ub__"),
                               F.col("__l__").alias("__pl__"))
         upairs = (unsafe
@@ -423,13 +436,11 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
                        .select("__kr__"), on="__kr__")
               .select("__kr__", "__lr__"))
         if warn_unsafe_frac is not None:
-            # checkpoint only on the opt-in path: the count job
-            # materializes ul/ur once and upairs below reuses them —
-            # the default plan is untouched
-            ul = ul.localCheckpoint(eager=False)
-            ur = ur.localCheckpoint(eager=False)
-            _warn_if_skewed(ul.count() + ur.count(),
-                            ell.count() + elr.count(),
+            # one small job over the checkpointed combined stats (one
+            # narrow row per string, both sides) — no input rescan,
+            # and the materialized checkpoint is reused by the main
+            # action
+            _warn_if_skewed(*_skew_counts(stats, floor),
                             float(warn_unsafe_frac), "fuzzy_join")
         upairs = (ul.withColumn("__lb__", F.explode(F.expr(
                       f"sequence(greatest(__ll__ - {d}, {qq}), "
@@ -476,6 +487,6 @@ def dedup_fuzzy(odf: OmigoDF, id_col: str, col: str,
     ``warn_unsafe_frac`` pass through to the skew guard (see
     fuzzy_pairs)."""
     dup = (fuzzy_pairs(odf, id_col, col, max_dist, q, hot_gram_cap,
-                       warn_unsafe_frac)
+                       warn_unsafe_frac, _stacklevel=4)
            .df.select(F.col("id_b").alias(id_col)).distinct())
     return OmigoDF(odf.df.join(dup, on=id_col, how="left_anti"))

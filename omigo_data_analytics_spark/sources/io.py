@@ -254,7 +254,10 @@ def read_xml(spark: SparkSession, path_or_paths, row_tag: str = "row",
     r = spark.read.format("xml").option("rowTag", row_tag)
     if schema is not None:
         r = r.schema(schema)
-    return OmigoDF(r.load(*paths))
+    # load(paths) with the LIST, never load(*paths): load's second
+    # positional parameter is `format`, so unpacking a two-path list
+    # would silently override format="xml" with the second path
+    return OmigoDF(r.load(paths))
 
 
 def write_xml(xdf: OmigoDF, path: str, row_tag: str = "row",

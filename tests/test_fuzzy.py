@@ -292,6 +292,14 @@ def test_fuzzy_warn_unsafe_frac(spark):
     assert any("unsafe-fraction" in m and "hot_gram_cap" in m for m in msgs)
     assert {(r["id_a"], r["id_b"], r["dist"]) for r in got} == _brute(rows, 1)
 
+    # dedup_fuzzy passes the dial through (one extra stack frame)
+    with W.catch_warnings(record=True) as rec_d:
+        W.simplefilter("always")
+        FZ.dedup_fuzzy(OmigoDF(df), "id", "name", max_dist=1,
+                       warn_unsafe_frac=0.25).df.collect()
+    assert any("unsafe-fraction" in str(w.message) for w in rec_d
+               if issubclass(w.category, UserWarning))
+
     # diverse corpus: every string has plenty of rare grams -> no warning
     import random
     rng = random.Random(5)

@@ -327,6 +327,14 @@ def test_xml_roundtrip(spark, nation, tmpdir):
     with open(os.path.join(path, part)) as fh:
         head = fh.read(200)
     assert "<nations>" in head and "<nation>" in head
+    # multi-path read (regression: load(*paths) would feed the second
+    # path into load's `format` parameter and fail to find the source)
+    path2 = f"{tmpdir}/nation_xml2"
+    io.write_xml(nation, path2, row_tag="nation", root_tag="nations",
+                 single_file=True)
+    both = io.read_xml(spark, [path, path2], row_tag="nation",
+                       schema=nation.df.schema)
+    assert both.num_rows() == 2 * nation.num_rows()
 
 
 # ---------------------------------------------------------------- dfutils
