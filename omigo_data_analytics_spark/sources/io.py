@@ -216,6 +216,26 @@ def read_text(spark: SparkSession, path_or_paths, whole_file: bool = False,
                              F.col("value").alias(text_col)))
 
 
+def write_text(xdf: OmigoDF, path: str, text_col: str = "text",
+               mode: str = "overwrite", compression: str | None = None,
+               single_file: bool = False) -> None:
+    """Raw text export (read_text symmetry): writes ``text_col`` one
+    row per line, no header/quoting — the corpus hand-off shape for
+    external tokenizers/trainers that eat plain .txt. The column must
+    be the only thing exported (Spark's text sink is single-column by
+    design); project first if you need provenance kept elsewhere.
+    Line-oriented, so a value with EMBEDDED newlines splits into
+    multiple rows on re-read — export documents that keep newlines as
+    json/parquet instead, or normalize whitespace first."""
+    df = xdf.df if isinstance(xdf, OmigoDF) else xdf
+    out = df.select(F.col(text_col).cast("string").alias("value"))
+    writer = out.coalesce(1).write if single_file else out.write
+    w = writer.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
 def read_binary(spark: SparkSession, path_or_paths,
                 path_glob_filter: str | None = None,
                 recursive: bool = False) -> OmigoDF:
