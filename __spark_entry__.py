@@ -214,10 +214,11 @@ def q_arg_max_topk(spark, sf_dir):
 
 SQL_ARG_MAX = """
 WITH ranked AS (
-  SELECT l_returnflag, CAST(l_orderkey AS VARCHAR) AS a, l_extendedprice AS v,
+  SELECT l_returnflag, coalesce(CAST(l_orderkey AS VARCHAR), '') AS a,
+         l_extendedprice AS v,
          row_number() OVER (PARTITION BY l_returnflag
                             ORDER BY l_extendedprice DESC,
-                                     CAST(l_orderkey AS VARCHAR) DESC) AS rn
+                                     coalesce(CAST(l_orderkey AS VARCHAR), '') DESC) AS rn
   FROM lineitem)
 SELECT l_returnflag,
        string_agg(CASE WHEN rn <= 3 THEN a END, ',' ORDER BY rn)
@@ -235,10 +236,11 @@ def q_arg_min_topk(spark, sf_dir):
 
 SQL_ARG_MIN = """
 WITH ranked AS (
-  SELECT l_linestatus, CAST(l_suppkey AS VARCHAR) AS a, l_extendedprice AS v,
+  SELECT l_linestatus, coalesce(CAST(l_suppkey AS VARCHAR), '') AS a,
+         l_extendedprice AS v,
          row_number() OVER (PARTITION BY l_linestatus
                             ORDER BY l_extendedprice ASC,
-                                     CAST(l_suppkey AS VARCHAR) ASC) AS rn
+                                     coalesce(CAST(l_suppkey AS VARCHAR), '') ASC) AS rn
   FROM lineitem)
 SELECT l_linestatus,
        string_agg(CASE WHEN rn <= 2 THEN a END, ',' ORDER BY rn)
@@ -530,7 +532,7 @@ def q_sample_group_by_key(spark, sf_dir):
 
 
 def _sql_sample_group_by_key() -> str:
-    h = TX.hash_duck("concat_ws(chr(9), CAST(o_custkey AS VARCHAR), '42')")
+    h = TX.hash_duck("concat_ws(chr(9), coalesce(CAST(o_custkey AS VARCHAR), ''), '42')")
     return f"SELECT * FROM orders WHERE ({h}) % 1000000 < 500000"
 
 
@@ -540,7 +542,12 @@ def q_generate_key_hash(spark, sf_dir):
 
 
 def _sql_generate_key_hash() -> str:
-    h = TX.hash_duck("concat_ws(chr(9), trim(CAST(text AS VARCHAR)))")
+    # lockstep with the engine (r10): reference-style whitespace
+    # normalization (tab/newline/vtab/CR -> space) + NULL -> '' slot,
+    # replacing the old trim()
+    norm = ("coalesce(translate(CAST(text AS VARCHAR), "
+            "chr(9) || chr(10) || chr(11) || chr(13), '    '), '')")
+    h = TX.hash_duck(f"concat_ws(chr(9), {norm})")
     return f"SELECT doc_id, {h} AS key_hash FROM documents"
 
 
@@ -1818,8 +1825,8 @@ def q_pipeline_e2e(spark, sf_dir):
 
 
 def _sql_pipeline_e2e() -> str:
-    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), "
-                     "CAST(chunk_idx AS VARCHAR), '0')")
+    h = TX.hash_duck("concat_ws(chr(9), coalesce(CAST(doc_id AS VARCHAR), ''), "
+                     "coalesce(CAST(chunk_idx AS VARCHAR), ''), '0')")
     return f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, text, lang FROM documents
@@ -1925,7 +1932,7 @@ def q_sample_weighted(spark, sf_dir):
 
 
 def _sql_sample_weighted() -> str:
-    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), '11')")
+    h = TX.hash_duck("concat_ws(chr(9), coalesce(CAST(doc_id AS VARCHAR), ''), '11')")
     qs = TX.metric_sql("duck", "quality_score")
     return f"""
 WITH m AS (SELECT doc_id, lang, {qs} AS quality_score FROM documents)
@@ -2102,7 +2109,7 @@ def q_hash_split(spark, sf_dir):
 
 
 def _sql_hash_split() -> str:
-    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), '0')")
+    h = TX.hash_duck("concat_ws(chr(9), coalesce(CAST(doc_id AS VARCHAR), ''), '0')")
     return f"""
 WITH b AS (SELECT lang, ({h}) % 1000000 AS bk FROM documents)
 SELECT lang,
@@ -3500,11 +3507,11 @@ def q_sample_n_per_group(spark, sf_dir):
 
 
 def _sql_sample_n_per_group() -> str:
-    h = TX.hash_duck("concat_ws(chr(9), CAST(doc_id AS VARCHAR), '4')")
+    h = TX.hash_duck("concat_ws(chr(9), coalesce(CAST(doc_id AS VARCHAR), ''), '4')")
     return f"""
 WITH r AS (SELECT doc_id, lang, source,
                   row_number() OVER (PARTITION BY lang
-                      ORDER BY ({h}) ASC, CAST(doc_id AS VARCHAR) ASC) AS rn
+                      ORDER BY ({h}) ASC, coalesce(CAST(doc_id AS VARCHAR), '') ASC) AS rn
            FROM documents)
 SELECT doc_id, lang, source FROM r WHERE rn <= 3
 """

@@ -195,9 +195,14 @@ class OmigoDF(CompatMixin):
             raise ValueError(f"rename: target column already exists: {new_col}")
         return self._wrap(self._df.withColumnRenamed(col, new_col))
 
-    def reorder(self, cols, use_existing_order: bool = True) -> "OmigoDF":
-        """Move cols to the front (reference dataframe.py:2087-2152)."""
-        front = self._resolve(cols)
+    def reorder(self, cols, use_existing_order: bool = False) -> "OmigoDF":
+        """Move cols to the front (reference dataframe.py:2087-2152).
+        Default (False, the reference's default) keeps the matched cols
+        in ARGUMENT order; ``use_existing_order=True`` moves them to the
+        front in HEADER order instead (r10 fix: the flag was previously
+        accepted but ignored, and the default claimed the behavior that
+        was never implemented)."""
+        front = self._resolve(cols, sort_by_header=use_existing_order)
         rest = [c for c in self._df.columns if c not in set(front)]
         return self._wrap(self._df.select(*[self._df[c] for c in front + rest]))
 
@@ -293,10 +298,14 @@ class OmigoDF(CompatMixin):
 
     # ------------------------------------------------------------- numerics
     def to_int(self, cols) -> "OmigoDF":
-        """(reference dataframe.py:1698-1700): int(float(x))."""
+        """(reference dataframe.py:1698-1700): int(float(x)). Both casts
+        are try_cast: under Spark 4's default ANSI mode a plain
+        double->long cast THROWS on NaN/±Inf/overflow ('1e300'), killing
+        the whole job — unparseable-to-int becomes NULL instead, the
+        module's missing-value convention."""
         out = self._df
         for c in self._resolve(cols):
-            out = out.withColumn(c, out[c].try_cast("double").cast("long"))
+            out = out.withColumn(c, out[c].try_cast("double").try_cast("long"))
         return self._wrap(out)
 
     def to_numeric(self, cols, precision: int = 6) -> "OmigoDF":
@@ -470,8 +479,9 @@ class OmigoDF(CompatMixin):
             return self
         c = self._df[resolved[0]]
         if cast == "int":
-            # reference semantics: int(float(x)) — dataframe.py:283
-            c = c.try_cast("double").cast("long")
+            # reference semantics: int(float(x)) — dataframe.py:283;
+            # second cast is try_cast too or ANSI throws on NaN/overflow
+            c = c.try_cast("double").try_cast("long")
             value = int(float(value))
         elif cast == "float":
             c = c.try_cast("double")
@@ -735,13 +745,22 @@ class OmigoDF(CompatMixin):
                           portable: bool = True) -> "OmigoDF":
         """Deterministic hash of tab-joined values (reference
         dataframe.py:4056-4089, mmh3.hash64 via utils.py:374 — a hash that
-        is stable across processes/engines). Default is the engine's
-        portable md5-polynomial (reproducible in any engine, including the
-        DuckDB oracle); ``portable=False`` switches to xxhash64 — ~3x
-        cheaper per row, but Spark-specific."""
+        is stable across processes/engines). Values are whitespace-
+        normalized the reference's way (utils.py:565-571: tab/newline/
+        vtab/CR each become ONE space — not trimmed), and NULL occupies
+        its tab slot as '' via coalesce: concat_ws SKIPS NULLs, so
+        without it ('x', NULL) and (NULL, 'x') — two different rows —
+        would collide to the same key_hash and silently corrupt any
+        dedup/partitioning built on it (r10 review). Default is the
+        engine's portable md5-polynomial (reproducible in any engine,
+        including the DuckDB oracle); ``portable=False`` switches to
+        xxhash64 — ~3x cheaper per row, but Spark-specific."""
         from ..operators.text import hash_spark
         resolved = self._resolve(cols)
-        joined = F.concat_ws("\t", *[F.trim(self._df[c].cast("string")) for c in resolved])
+        joined = F.concat_ws("\t", *[
+            F.coalesce(F.translate(self._df[c].cast("string"),
+                                   "\t\n\x0b\r", "    "), F.lit(""))
+            for c in resolved])
         if not portable:
             return self._wrap(self._df.withColumn(new_col, F.abs(F.xxhash64(joined))))
         out = (self._df.withColumn("__gkh__", joined)
@@ -943,8 +962,14 @@ class OmigoDF(CompatMixin):
                          F.max(x).alias(f"__mx_{c}__")]
         stats = self._df.groupBy(*[self._df[g] for g in gcols]).agg(*aggs)
         if gcols:
-            joined = self._df.join(F.broadcast(stats), on=gcols, how="left")
+            # no forced broadcast: stats is one row per GROUP, which at
+            # high group cardinality (per-user stats over tens of
+            # millions of users) would OOM the driver — AQE broadcasts
+            # it automatically when it is actually small, the same call
+            # window_aggregate makes (r10 review)
+            joined = self._df.join(stats, on=gcols, how="left")
         else:
+            # global stats: literally one row — broadcast is always right
             joined = self._df.crossJoin(F.broadcast(stats))
         out = joined
         for c in use:
@@ -996,7 +1021,11 @@ class OmigoDF(CompatMixin):
                 return e.cast("double")
         else:
             def _cast(c):
-                return c.try_cast("long" if as_int else "double")
+                # as_int follows to_int's int(float(x)) two-step: a bare
+                # try_cast('long') on '3.5' yields NULL and silently
+                # drops the row's contribution from the running sum
+                return (c.try_cast("double").try_cast("long") if as_int
+                        else c.try_cast("double"))
 
             def _post(e):
                 return e
@@ -1023,10 +1052,13 @@ class OmigoDF(CompatMixin):
                .localCheckpoint())
         w = (Window.partitionBy(pid).orderBy(mid)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        within = F.sum(_cast(F.col(col))).over(w)
+        # quoted: names may contain '.' (the _exists_pred convention) —
+        # a bare F.col would parse them as struct access
+        vcol = F.col(colutils.quote(col))
+        within = F.sum(_cast(vcol)).over(w)
         totals = {r["p"]: r["t"] for r in
                   df2.groupBy(F.col(pid).alias("p"))
-                     .agg(F.sum(_cast(F.col(col))).alias("t")).collect()
+                     .agg(F.sum(_cast(vcol)).alias("t")).collect()
                   if r["t"] is not None}
         prefix: dict[int, object] = {}
         acc = None
@@ -1162,7 +1194,8 @@ class OmigoDF(CompatMixin):
         base = self._df.select(*base_cols,
                                *[self._df[v].try_cast("double").alias(f"__v_{vi}__")
                                  for vi, v in enumerate(vcols)],
-                               *[self._df[a].cast("string").alias(f"__a_{ai}__")
+                               *[F.coalesce(self._df[a].cast("string"),
+                                            F.lit("")).alias(f"__a_{ai}__")
                                  for ai, a in enumerate(acols)])
         sel = ["*"]
         # Nulls (try_cast failures) order LAST in every rank: the rn==1 row
@@ -1230,7 +1263,12 @@ class OmigoDF(CompatMixin):
             def _apply(pdf):
                 import pandas as pd
 
-                rows = pdf[acols].astype(str).to_dict("records")
+                # NULL cells reach agg_func as '' (the module's missing
+                # marker), never the literal strings 'None'/'nan' that a
+                # bare astype(str) would produce (r10 review)
+                block = pdf[acols].astype(object)
+                rows = (block.where(block.notna(), "").astype(str)
+                        .to_dict("records"))
                 res = agg_func(rows)
                 data = {g: [pdf[g].iloc[0]] for g in gcols}
                 for k, n in zip(out_keys, out_names):
@@ -1247,7 +1285,9 @@ class OmigoDF(CompatMixin):
             + [T.StructField(n, T.StringType()) for n in out_names])
 
         def _apply_keep(pdf):
-            rows = pdf[acols].astype(str).to_dict("records")
+            block = pdf[acols].astype(object)
+            rows = (block.where(block.notna(), "").astype(str)
+                    .to_dict("records"))
             res = agg_func(rows)
             out = pdf.copy()
             for k, n in zip(out_keys, out_names):
@@ -1499,8 +1539,9 @@ class OmigoDF(CompatMixin):
         reference's seeded mmh3); ``portable=False`` uses xxhash64."""
         from ..operators.text import hash_spark
         gcols = self._resolve(grouping_cols)
-        key = F.concat_ws("\t", *[self._df[c].cast("string") for c in gcols],
-                          F.lit(str(seed)))
+        key = F.concat_ws("\t", *[
+            F.coalesce(self._df[c].cast("string"), F.lit(""))
+            for c in gcols], F.lit(str(seed)))
         if portable:
             bucket = F.pmod(F.expr(hash_spark("__sgbk__")), F.lit(1000000))
             out = (self._df.withColumn("__sgbk__", key)
@@ -1551,21 +1592,31 @@ class OmigoDF(CompatMixin):
         """Split into N DataFrames (reference dataframe.py:3929-4053): by
         hash of cols (co-partitioned split) or uniformly when cols is None.
 
-        Each batch filters the source lazily — consuming all N re-scans the
-        upstream N times. ``materialize=True`` localCheckpoints the tagged
-        frame so the upstream runs once (costs one materialization); for
-        the write-to-storage use case prefer
-        ``write_parquet(partition_by=[bucket])`` which is one pass total."""
+        Each keyed batch filters the source lazily — consuming all N
+        re-scans the upstream N times. ``materialize=True``
+        localCheckpoints the tagged frame so the upstream runs once
+        (costs one materialization); for the write-to-storage use case
+        prefer ``write_parquet(partition_by=[bucket])`` which is one
+        pass total. The cols=None path checkpoints UNCONDITIONALLY:
+        its buckets come from monotonically_increasing_id, which is
+        re-assigned independently on every execution of the plan — N
+        lazy filters would each see different ids, putting a row in
+        zero or two batches (the add_seq_num hazard; r10 review). A
+        keyed split is re-execution-stable as long as the upstream is
+        deterministic, the same assumption every hash-keyed operator
+        here makes."""
         if cols is not None:
             gcols = self._resolve(cols)
-            key = F.concat_ws("\t", *[self._df[c].cast("string") for c in gcols])
+            key = F.concat_ws("\t", *[
+                F.coalesce(self._df[c].cast("string"), F.lit(""))
+                for c in gcols])
             bucket = F.pmod(F.abs(F.xxhash64(key, F.lit(seed))), F.lit(num_batches))
         else:
             bucket = F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))),
                             F.lit(num_batches))
         tmp = "__omigo_bucket__"
         tagged = self._df.withColumn(tmp, bucket)
-        if materialize:
+        if materialize or cols is None:
             tagged = tagged.localCheckpoint()
         return [OmigoDF(tagged.filter(F.col(tmp) == i).drop(tmp)) for i in range(num_batches)]
 
@@ -1581,7 +1632,8 @@ class OmigoDF(CompatMixin):
         gcols = self._resolve(key_cols)
         self._resolve(weight_col)
         key = "concat_ws('\\t', " + ", ".join(
-            f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+            f"coalesce(CAST({colutils.quote(c)} AS STRING), '')"
+            for c in gcols) + f", '{seed}')"
         u = F.pmod(F.expr(hash_spark(key)), F.lit(1000000)) / F.lit(1000000.0)
         w = F.least(F.greatest(self._df[weight_col].try_cast("double"),
                                F.lit(0.0)), F.lit(1.0))
@@ -1680,13 +1732,15 @@ class OmigoDF(CompatMixin):
         kcols = (self._resolve(key_cols) if key_cols is not None
                  else list(self._df.columns))
         key = "concat_ws('\\t', " + ", ".join(
-            f"CAST({colutils.quote(c)} AS STRING)" for c in kcols) + f", '{seed}')"
+            f"coalesce(CAST({colutils.quote(c)} AS STRING), '')"
+            for c in kcols) + f", '{seed}')"
         if check_unique and key_cols is not None:
             stats = self._df.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(
-                    F.concat_ws("\t", *[self._df[c].cast("string")
-                                        for c in kcols])).alias("d")).first()
+                    F.concat_ws("\t", *[
+                        F.coalesce(self._df[c].cast("string"), F.lit(""))
+                        for c in kcols])).alias("d")).first()
             if stats["n"] != stats["d"]:
                 import warnings
                 warnings.warn(
@@ -1695,7 +1749,9 @@ class OmigoDF(CompatMixin):
                     "keys) — which duplicate-key row survives the cutoff is "
                     "partition-order-dependent", UserWarning, stacklevel=2)
         u = F.expr(hash_spark(key))
-        tie = F.concat_ws("\t", *[self._df[c].cast("string") for c in kcols])
+        tie = F.concat_ws("\t", *[
+            F.coalesce(self._df[c].cast("string"), F.lit(""))
+            for c in kcols])
         w = Window.partitionBy(*gcols).orderBy(u.asc(), tie.asc())
         return self._wrap(self._df
                           .withColumn("__rn__", F.row_number().over(w))
@@ -1721,7 +1777,8 @@ class OmigoDF(CompatMixin):
         if not 0.999 <= total <= 1.001:
             raise ValueError(f"hash_split: fractions sum to {total}, want 1")
         key = "concat_ws('\\t', " + ", ".join(
-            f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+            f"coalesce(CAST({colutils.quote(c)} AS STRING), '')"
+            for c in gcols) + f", '{seed}')"
         bucket = F.pmod(F.expr(hash_spark(key)), F.lit(1000000))
         expr = F.lit(fracs[-1][0])
         acc = 0.0
@@ -1736,13 +1793,12 @@ class OmigoDF(CompatMixin):
     def sample_group_by_col_value(self, grouping_cols, col: str, col_value: str,
                                   sampling_ratio: float, seed: int = 0) -> "OmigoDF":
         """Within every group, downsample rows carrying ``col_value``; other
-        rows pass through (reference dataframe.py:3023-3079). Row-local
-        seeded filter — no shuffle."""
+        rows pass through (reference dataframe.py:3023-3079). The row-local
+        seeded filter is group-independent, so this delegates to
+        sample_class after validating grouping_cols exist (the reference
+        keeps both entry points; the sampling math is identical)."""
         self._resolve(grouping_cols)
-        self._resolve(col)
-        c = self._df[col].cast("string")
-        keep = (c != col_value) | c.isNull() | (F.rand(seed) <= sampling_ratio)
-        return self._wrap(self._df.filter(keep))
+        return self.sample_class(col, col_value, sampling_ratio, seed)
 
     def sample_group_by_max_uniq_values_exact(self, grouping_cols, col: str,
                                               max_uniq_values: int, seed: int = 0,
@@ -1996,7 +2052,8 @@ class OmigoDF(CompatMixin):
                        max_repl: int = 0) -> "OmigoDF":
         """Repeat each row int(col) times (reference dataframe.py:4131-4162)."""
         self._resolve(col)
-        cnt = self._df[col].try_cast("double").cast("long")
+        # second try_cast: ANSI mode throws on NaN/overflow double->long
+        cnt = self._df[col].try_cast("double").try_cast("long")
         if max_repl > 0:
             cnt = F.least(cnt, F.lit(max_repl))
         # count <= 0 must DROP the row (reference: `for i in range(int(v))`);
@@ -2260,9 +2317,11 @@ class OmigoDF(CompatMixin):
         kc = self._resolve(key_cols)
         vc = self._resolve(value_cols)
         out = {}
+        # NULL renders as '' (the missing marker), matching col_as_array —
+        # not the literal string 'None' (r10 review)
         for r in self._df.select(*(kc + vc)).collect():
-            k = tuple(str(r[c]) for c in kc)
-            v = tuple(str(r[c]) for c in vc)
+            k = tuple("" if r[c] is None else str(r[c]) for c in kc)
+            v = tuple("" if r[c] is None else str(r[c]) for c in vc)
             out[k[0] if len(k) == 1 else k] = v[0] if len(v) == 1 else v
         return out
 
@@ -2278,8 +2337,6 @@ class OmigoDF(CompatMixin):
     def resolve_template_col(self, template_col: str, new_col: str) -> "OmigoDF":
         """Interpolate '{col}' placeholders from other columns (reference
         dataframe.py:5321-5381). Native: chained replace()."""
-        import re as _re
-
         self._resolve(template_col)
         # discover placeholders driver-side from one sample? No — resolve
         # against the header: any column name may appear as a placeholder.

@@ -433,13 +433,15 @@ def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
     if budget <= 0:
         raise ValueError("pack_sequences: budget must be positive")
     key = "concat_ws('\\t', " + ", ".join(
-        f"CAST({colutils.quote(c)} AS STRING)" for c in gcols) + f", '{seed}')"
+        f"coalesce(CAST({colutils.quote(c)} AS STRING), '')"
+        for c in gcols) + f", '{seed}')"
     if check_unique:
         stats = odf.df.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(
-                F.concat_ws("\t", *[odf.df[c].cast("string")
-                                    for c in gcols])).alias("d")).first()
+                F.concat_ws("\t", *[
+                    F.coalesce(odf.df[c].cast("string"), F.lit(""))
+                    for c in gcols])).alias("d")).first()
         if stats["n"] != stats["d"]:
             import warnings
             warnings.warn(
@@ -452,7 +454,8 @@ def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
     d = (odf.df
          .withColumn("__h__", h)
          .withColumn("__bkt__", F.pmod(F.col("__h__"), F.lit(n_buckets))))
-    tie = F.concat_ws("\t", *[d[c].cast("string") for c in gcols])
+    tie = F.concat_ws("\t", *[
+        F.coalesce(d[c].cast("string"), F.lit("")) for c in gcols])
     per_bucket = (d.groupBy("__bkt__")
                   .agg(F.sum(F.col(tks).cast("long")).alias("__btot__")))
     woff = (Window.orderBy("__bkt__")
@@ -483,10 +486,12 @@ def pack_sequences_sql_duck(table: str, token_col: str, budget: int,
     """DuckDB replay: one global exclusive cumsum in (bucket, hash, key)
     order — semantically identical to the two-level distributed form."""
     key = "concat_ws(chr(9), " + ", ".join(
-        f"CAST({c} AS VARCHAR)" for c in key_cols) + f", '{seed}')"
+        f"coalesce(CAST({c} AS VARCHAR), '')"
+        for c in key_cols) + f", '{seed}')"
     h = hash_duck(key)
     tie = "concat_ws(chr(9), " + ", ".join(
-        f"CAST({c} AS VARCHAR)" for c in key_cols) + ")"
+        f"coalesce(CAST({c} AS VARCHAR), '')"
+        for c in key_cols) + ")"
     return f"""
 SELECT {select},
        CAST(FLOOR(COALESCE(SUM(CAST({token_col} AS BIGINT)) OVER (
