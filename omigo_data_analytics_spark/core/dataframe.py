@@ -1663,9 +1663,15 @@ class OmigoDF(CompatMixin):
         (column, value) pairs to aggregate) while the approx path still
         emits one row per column from its global aggregate."""
         use = self._resolve(cols) if cols is not None else list(self._df.columns)
+
+        def _slit(name: str) -> str:
+            # column name as a safe SQL string LITERAL (r10 review: a
+            # name containing a quote broke the stack/named_struct text)
+            return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
         if exact:
             stack_args = ", ".join(
-                f"'{c}', CAST({colutils.quote(c)} AS STRING)" for c in use)
+                f"{_slit(c)}, CAST({colutils.quote(c)} AS STRING)" for c in use)
             pairs = self._df.selectExpr(
                 f"stack({len(use)}, {stack_args}) AS (column, value)")
             cnt = (pairs.groupBy("column", "value")
@@ -1685,7 +1691,9 @@ class OmigoDF(CompatMixin):
             return self._wrap(out)
         aggs = []
         for c in use:
-            col = self._df[c]
+            # F.col(quote(...)), not self._df[c]: the bracket accessor
+            # PARSES the name, so a stray backtick in it is a syntax error
+            col = F.col(colutils.quote(c))
             s = col.cast("string")
             aggs += [F.count(F.lit(1)).alias(f"__n_{c}__"),
                      F.count(F.when(col.isNull(), 1)).alias(f"__nn_{c}__"),
@@ -1696,10 +1704,12 @@ class OmigoDF(CompatMixin):
         parts = []
         for c in use:
             parts.append(
-                f"named_struct('column', '{c}', "
-                f"'n_rows', `__n_{c}__`, 'n_null', `__nn_{c}__`, "
-                f"'n_distinct', `__nd_{c}__`, "
-                f"'min_str', `__mn_{c}__`, 'max_str', `__mx_{c}__`)")
+                f"named_struct('column', {_slit(c)}, "
+                f"'n_rows', {colutils.quote(f'__n_{c}__')}, "
+                f"'n_null', {colutils.quote(f'__nn_{c}__')}, "
+                f"'n_distinct', {colutils.quote(f'__nd_{c}__')}, "
+                f"'min_str', {colutils.quote(f'__mn_{c}__')}, "
+                f"'max_str', {colutils.quote(f'__mx_{c}__')})")
         out = row.select(F.expr(
             "inline(array(" + ", ".join(parts) + "))"))
         return self._wrap(out)
@@ -2110,8 +2120,22 @@ class OmigoDF(CompatMixin):
         if schema is None:
             strings = base._df.select(base._df[col].cast("string").alias("j")) \
                               .where(F.col("j").isNotNull() & (F.col("j") != ""))
-            schema = self.spark.read.json(strings.rdd.map(lambda r: r[0])).schema
+            try:
+                schema = self.spark.read.json(strings.rdd.map(lambda r: r[0])).schema
+            except Exception as e:  # older Sparks throw on an empty RDD
+                raise ValueError(
+                    f"explode_json: could not infer a schema from column "
+                    f"'{col}' (no non-empty JSON values?) — pass an explicit "
+                    f"schema= to explode an empty or all-NULL column"
+                ) from e
             schema = T.StructType([f for f in schema.fields if f.name != "_corrupt_record"])
+            if not schema.fields:
+                # Spark 4 infers an EMPTY struct from an all-NULL column
+                # instead of throwing — same remedy either way
+                raise ValueError(
+                    f"explode_json: could not infer a schema from column "
+                    f"'{col}' (no non-empty JSON values?) — pass an explicit "
+                    f"schema= to explode an empty or all-NULL column")
         tmp = "__omigo_json__"
         out = base._df.withColumn(tmp, F.from_json(base._df[col].cast("string"), schema))
         if drop_col:

@@ -148,3 +148,22 @@ def test_sample_group_by_col_value_delegates(spark):
     out = OmigoDF(df).sample_group_by_col_value(
         ["g"], "v", "spam", 0.0, seed=1)
     assert [r["v"] for r in out.df.collect()] == ["ham"]
+
+
+def test_profile_handles_hostile_column_names(spark):
+    """Names with quotes/backticks must survive profile's generated SQL
+    (stack literals, named_struct refs) in both exact and approx paths."""
+    df = (spark.createDataFrame([(1, "x")], ["id", "v"])
+          .withColumnRenamed("v", "we`ird'name"))
+    for exact in (False, True):
+        rows = {r["column"]: r for r in
+                OmigoDF(df).profile(exact=exact).df.collect()}
+        assert set(rows) == {"id", "we`ird'name"}
+        assert rows["we`ird'name"]["n_rows"] == 1
+
+
+def test_explode_json_all_null_clear_error(spark):
+    df = spark.createDataFrame([(1, None), (2, "")], "id long, j string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="explode_json.*schema"):
+        OmigoDF(df).explode_json("j")
