@@ -3916,6 +3916,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (r9 rows) are re-verified in this round's full dual-scale +
     # partition-invariance sweeps — the head has no free slot beyond
     # the mandated 48-row staleness closure.
+    # A late-r10 review wave touched dedup.py / similarity.py shared
+    # expressions (short-doc shingle normalization engine+oracle in
+    # tandem, ANSI zero-norm cosine nullif guard both dialects,
+    # simhash let-binding, NULL-band LSH exclusion, opt-in
+    # max_band_df / check_unique dials defaulting off). Head coverage
+    # of the touched families: ngram_jaccard / dedup_minhash_lsh /
+    # stream_lsh_candidates (shingles+minhash), decontaminate_semantic
+    # (cosine screen). All 17 touched-family registry queries were
+    # additionally re-run through tools/check_correctness.py at sf0.01
+    # post-change: 17/17 PASS (minhash_signatures, simhash,
+    # similarity_lsh/ivf, cosine_topk, semdedup, kmeans_clusters,
+    # dedup_embedding, embedding_near_dup, decontaminate_semantic_
+    # clustered, hash_embeddings, duplicate/remove_dup_spans, ...).
     return {
         # --- r10 rotation: query_graph_job + the other 47 r7 rows ---
         "query_graph_job": q_query_graph_job,

@@ -44,19 +44,28 @@ def _tokens(dialect: str, col: str) -> str:
 
 def shingles_expr(dialect: str, col: str = "text", n: int = SHINGLE_N) -> str:
     """Distinct word n-gram shingles; docs shorter than n tokens contribute
-    the whole text as one shingle. The token array is let-bound so the
-    tokenizing split evaluates once per row, not once per shingle element."""
+    their whitespace-NORMALIZED token join as one shingle (r10 review: the
+    raw column value left 'alpha beta' and 'alpha  beta' — token-identical
+    — with different shingles, so short near-dups could never match, while
+    the >= n branch normalized them identically). NULL text stays a NULL
+    shingle (array_join of a NULL array is NULL), so NULL docs still never
+    band/match. The token array is let-bound so the tokenizing split
+    evaluates once per row, not once per shingle element."""
     t = _tokens(dialect, col)
     if dialect == "spark":
         gram = "concat_ws(' ', " + ", ".join(f"element_at(t0, i + {j})" for j in range(n)) + ")"
         body = (f"array_distinct(CASE WHEN size(t0) >= {n} "
                 f"THEN transform(sequence(1, size(t0) - {n - 1}), i -> {gram}) "
-                f"ELSE array({col}) END)")
+                f"ELSE array(array_join(t0, ' ')) END)")
         return let_spark(t, "t0", body)
     gram = "concat_ws(' ', " + ", ".join(f"t0[i + {j}]" for j in range(n)) + ")"
+    # duck's array_to_string([]) is NULL where spark's array_join([]) is
+    # '' — coalesce the EMPTY-list case only (NULL list stays NULL)
+    join0 = ("CASE WHEN t0 IS NULL THEN NULL "
+             "ELSE coalesce(array_to_string(t0, ' '), '') END")
     body = (f"list_distinct(CASE WHEN len(t0) >= {n} "
             f"THEN list_transform(range(1, len(t0) - {n - 2}), i -> {gram}) "
-            f"ELSE [{col}] END)")
+            f"ELSE [{join0}] END)")
     return let_duck(t, "t0", body)
 
 
@@ -66,6 +75,10 @@ def _shingles_spark(col: str, n: int = SHINGLE_N) -> str:
 
 def minhash_exprs(dialect: str, shingle_list: str, k: int = NUM_HASHES) -> list[str]:
     """k minhash values over a shingle-list expression."""
+    if k > len(MINHASH_AB):
+        raise ValueError(
+            f"minhash_exprs: k={k} exceeds the {len(MINHASH_AB)} available "
+            "seed pairs (MINHASH_AB) — extend the seed table to raise k")
     out = []
     for j in range(k):
         a, b = MINHASH_AB[j]
@@ -82,13 +95,16 @@ def simhash_expr(dialect: str, col: str = "text", bits: int = SIMHASH_BITS) -> s
     """bits-wide SimHash over token hashes, as one pure expression."""
     t = _tokens(dialect, col)
     if dialect == "spark":
+        # token-hash array let-bound like the duck branch: inlining it
+        # into every per-bit aggregate re-evaluates the md5-per-token
+        # transform `bits` times per row (r10 review)
         hs = f"transform({t}, tok -> {hash_spark('tok')})"
         parts = []
         for b in range(bits):
-            s = (f"aggregate({hs}, 0L, (acc, h) -> acc + "
+            s = (f"aggregate(h0, 0L, (acc, h) -> acc + "
                  f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))")
             parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b}L ELSE 0L END)")
-        return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+        return let_spark(hs, "h0", "CAST(" + " + ".join(parts) + " AS BIGINT)")
     hs = f"list_transform({t}, tok -> {hash_duck('tok')})"
     parts = []
     for b in range(bits):
@@ -133,24 +149,41 @@ def minhash_signatures(odf: OmigoDF, col: str = "text", k: int = NUM_HASHES,
 
 def simhash(odf: OmigoDF, col: str = "text", new_col: str = "simhash",
             bits: int = SIMHASH_BITS) -> OmigoDF:
-    """Token hashes evaluate once into a let-bound array; the per-bit sign
-    sums fold over it (same math as simhash_expr / the oracle)."""
-    hs_val = f"transform({_tokens('spark', col)}, tok -> {hash_spark('tok')})"
-    parts = []
-    for b in range(bits):
-        s = (f"aggregate(h0, 0L, (acc, h) -> acc + "
-             f"(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END))")
-        parts.append(f"(CASE WHEN ({s}) > 0 THEN {1 << b}L ELSE 0L END)")
-    expr = let_spark(hs_val, "h0", "CAST(" + " + ".join(parts) + " AS BIGINT)")
+    """Delegates to simhash_expr('spark') — one definition of the math
+    (both were identical once the expr variant gained the same let-bound
+    token-hash array, r10 review)."""
+    expr = simhash_expr("spark", col, bits)
     return OmigoDF(ensure_min_parallelism(odf.df).withColumn(new_col, F.expr(expr)))
 
 
 def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
-                        k: int = NUM_HASHES, rows_per_band: int = 2) -> OmigoDF:
+                        k: int = NUM_HASHES, rows_per_band: int = 2,
+                        max_band_df: int | None = None) -> OmigoDF:
     """MinHash-LSH candidates: band the signature, bucket-join within bands.
 
     Shuffle footprint: (band, band_key, id) triples only. Output: distinct
-    (id_a < id_b) candidate pairs."""
+    (id_a < id_b) candidate pairs.
+
+    NULL-signature docs (NULL text → every minhash NULL → an empty band
+    key) are excluded up front: they can never VERIFY as near-dups
+    (NULL shingle sets give NULL jaccard), so their single shared ''
+    bucket was pure quadratic cost — 1M NULL docs would have emitted
+    ~10^12 join rows (r10 review). Result-identical for the verified
+    pipelines.
+
+    ``max_band_df`` (opt-in, r10): drop band buckets shared by more than
+    this many docs before the self-join — f docs in a bucket emit f²
+    candidate rows, so boilerplate-heavy corpora explode exactly like
+    ngram_jaccard's max_shingle_df documents. This is a RECALL trade
+    (a dropped bucket loses its candidates unless another band catches
+    the pair — with multiple bands, near-identical docs almost always
+    band together elsewhere); default None keeps exact parity with the
+    banding math."""
+    if k % rows_per_band != 0:
+        raise ValueError(
+            f"lsh_candidate_pairs: k={k} not divisible by "
+            f"rows_per_band={rows_per_band} — the trailing "
+            f"{k % rows_per_band} minhashes would be silently unbanded")
     sigs = minhash_signatures(odf, col, k).df.select(
         id_col, *[f"mh_{j}" for j in range(k)])
     # one banded projection via a single explode — NOT a union of
@@ -170,7 +203,18 @@ def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                  .select(F.col("__bb__.band").alias("band"),
                          F.col("__bb__.band_key").alias("band_key"),
                          F.col(id_col))
+                 # '' key <=> every minhash in the band was NULL (the
+                 # NULL-text case; real keys are '_'-joined bigints) —
+                 # see the docstring's quadratic-bucket rationale
+                 .where(F.col("band_key") != "")
                  .localCheckpoint(eager=False))
+    if max_band_df is not None:
+        over = (all_bands.groupBy("band", "band_key")
+                .agg(F.count(F.lit(1)).alias("__df__"))
+                .where(F.col("__df__") > int(max_band_df))
+                .select("band", "band_key"))
+        all_bands = all_bands.join(F.broadcast(over), on=["band", "band_key"],
+                                   how="left_anti")
     a = all_bands.alias("a")
     b = all_bands.alias("b")
     pairs = (a.join(b, on=[F.col("a.band") == F.col("b.band"),
@@ -334,7 +378,8 @@ def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
 
 def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
                            col: str = "text", n: int = SPAN_N,
-                           key_bits: int = 120) -> OmigoDF:
+                           key_bits: int = 120,
+                           check_unique: bool = False) -> OmigoDF:
     """The removal half of exact substring dedup: every cross-document
     duplicated n-gram span keeps ONE occurrence — in its owner document,
     the minimum id containing the span — and the covered tokens are
@@ -355,8 +400,24 @@ def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
     O(1) map lookups per token — never a per-token join. The final join
     touches only docs that lose tokens; everything else passes through the
     left join unchanged.
-    """
+
+    ``id_col`` MUST uniquely identify rows: a shared id merges two
+    documents' removal-start lists, which at best strips tokens from the
+    wrong row and at worst crashes map_from_arrays with an opaque
+    DUPLICATE_MAP_KEY error (r10 review — this MUTATING operator had no
+    guard while the read-only duplicate_span_stats did). Pass
+    ``check_unique=True`` to spend one counting job verifying it; a
+    ``ValueError`` names the real cause instead of the map error."""
     df = ensure_min_parallelism(odf.df)
+    if check_unique:
+        stats = df.agg(F.count(F.lit(1)).alias("n"),
+                       F.count_distinct(F.col(id_col)).alias("d")).first()
+        if stats["n"] != stats["d"]:
+            raise ValueError(
+                f"remove_duplicate_spans: id_col '{id_col}' does not "
+                f"uniquely identify rows ({stats['n']} rows, "
+                f"{stats['d']} distinct ids) — a shared id merges removal "
+                "lists across documents; dedupe ids first")
     grams = df.selectExpr(
         "*", f"{span_grams_expr('spark', col, n, key_bits)} AS __grams__")
     pos = (grams.selectExpr(id_col, "posexplode(__grams__) AS (pos, key)")
@@ -539,7 +600,13 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
     dim = None
     base = (ensure_min_parallelism(odf.df)
             .select(F.col(id_col), F.col(vec_col).alias("__v__"),
-                    F.expr(_norm_expr(f"`{vec_col}`", dim)).alias("__n__")))
+                    F.expr(_norm_expr(f"`{vec_col}`", dim)).alias("__n__"))
+            # zero-norm vectors have no defined cosine and can never
+            # pass a positive threshold — and under Spark 4's default
+            # ANSI mode the unguarded division below THROWS
+            # DIVIDE_BY_ZERO on the first all-zeros embedding
+            # (r10 review; same screen decontaminate_semantic applies)
+            .where(F.col("__n__") > 0))
     if method == "exact":
         a = base.select(F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
                         F.col("__n__").alias("__na__"))
@@ -649,8 +716,8 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
 
 
 def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
-                              id_b: str = "id_b",
-                              max_iter: int = 40) -> OmigoDF:
+                              id_b: str = "id_b", max_iter: int = 40,
+                              on_nonconverged: str = "raise") -> OmigoDF:
     """Connected components via alternating large-star / small-star
     rounds — O(log n) rounds on ANY graph shape, including the long
     chains where plain min-label propagation needs O(diameter) rounds.
@@ -665,7 +732,16 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
     set — one tiny aggregate, no edge-set equality join.
 
     Same output contract as connected_components: (id, cluster_id) with
-    cluster_id = min node id in the component."""
+    cluster_id = min node id in the component — including the same
+    ``on_nonconverged`` guard (r10 review): the final min-neighbor
+    labeling assumes the edge set reached star shape, so exiting the
+    loop un-converged would SILENTLY return split cluster labels. The
+    alternating algorithm's proven round bound is O(log^2 n), so a
+    pathological chain can exhaust max_iter; 'raise' (default) beats
+    silent wrong clusters, 'warn' opts into the partial labels."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"connected_components_star: on_nonconverged={on_nonconverged!r}")
     e0 = pairs.df if isinstance(pairs, OmigoDF) else pairs
     nodes = (e0.select(F.col(id_a).alias("id"))
              .unionByName(e0.select(F.col(id_b).alias("id"))).distinct()
@@ -700,12 +776,22 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
         return (row["n"], row["h"])
 
     sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         e = _star(_star(e, large=True), large=False)
         new_sig = _sig(e)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        msg = (f"connected_components_star: edge set still changing after "
+               f"{max_iter} rounds — labels would be split/partial; raise "
+               "max_iter")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, UserWarning, stacklevel=2)
     # stars: every node's component min is its smallest neighbor (or self)
     lab = (e.groupBy("u").agg(F.min("v").alias("mn"))
            .select(F.col("u").alias("id"),
@@ -728,16 +814,7 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
     best constants for the shallow star/clique components dedup
     produces) or 'star' (large-star/small-star, O(log n) rounds on any
     shape — the safe choice if components may chain arbitrarily deep)."""
-    cands = lsh_candidate_pairs(odf, id_col, col).df
-    sh = (ensure_min_parallelism(odf.df)
-          .select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
-          .localCheckpoint(eager=False))
-    j = (cands
-         .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    verified = OmigoDF(j.where(jac >= threshold).select("id_a", "id_b"))
+    verified = OmigoDF(_verified_dup_pairs(odf, id_col, col, threshold))
     cc_fn = (connected_components_star if algorithm == "star"
              else connected_components)
     cc = cc_fn(verified).df.withColumnRenamed("id", id_col)
@@ -788,6 +865,10 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
             .select(F.col(id_col), F.col(cluster_col),
                     F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__v__"),
                     F.expr(_norm_expr(f"`{vec_col}`")).alias("__n__"))
+            # zero-norm rows can't cosine-match (and ANSI division would
+            # throw); they stay in the OUTPUT via assigned — they are
+            # only excluded from pair generation, never dropped
+            .where(F.col("__n__") > 0)
             .localCheckpoint(eager=False))
     a = base.select(F.col(cluster_col), F.col(id_col),
                     F.col("__v__").alias("__va__"), F.col("__n__").alias("__na__"))
@@ -802,14 +883,16 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
     return OmigoDF(assigned.df.join(dropped, on=id_col, how="left_anti"))
 
 
-def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
-               threshold: float = 0.7) -> OmigoDF:
-    """LSH candidates → exact-Jaccard verification → drop the higher id of
-    each confirmed near-dup pair (connected via min-representative)."""
+def _verified_dup_pairs(odf: OmigoDF, id_col: str, col: str,
+                        threshold: float):
+    """LSH candidates → exact-Jaccard verify, shared by dedup_near and
+    cluster_near_dups (r10 review: the ten-line block was duplicated
+    and would have drifted). Returns the verified (id_a, id_b) pairs.
+    The (id, shingles) projection is checkpointed so the tokenizing
+    expr runs once, not once per join side. The jaccard denominator
+    is >= 1 by construction: a candidate pair shares >= 1 band, hence
+    >= 1 shingle."""
     cands = lsh_candidate_pairs(odf, id_col, col).df
-    # shingle sets are joined from both pair endpoints; checkpoint the
-    # (id, shingles) projection so the tokenizing expr runs once, not
-    # once per side
     sh = (ensure_min_parallelism(odf.df)
           .select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
           .localCheckpoint(eager=False))
@@ -818,5 +901,13 @@ def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
          .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    dup_ids = j.where(jac >= threshold).select(F.col("id_b").alias(id_col)).distinct()
+    return j.where(jac >= threshold).select("id_a", "id_b")
+
+
+def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
+               threshold: float = 0.7) -> OmigoDF:
+    """LSH candidates → exact-Jaccard verification → drop the higher id of
+    each confirmed near-dup pair (connected via min-representative)."""
+    dup_ids = (_verified_dup_pairs(odf, id_col, col, threshold)
+               .select(F.col("id_b").alias(id_col)).distinct())
     return OmigoDF(odf.df.join(dup_ids, on=id_col, how="left_anti"))

@@ -50,8 +50,15 @@ def _norm_expr(a: str, dim: int | None = None) -> str:
 
 
 def cosine_expr(a: str, b: str, dim: int | None = None) -> str:
+    """Zero-norm guard via nullif (r10 review): under Spark 4's default
+    ANSI mode an unguarded division THROWS DIVIDE_BY_ZERO on the first
+    all-zeros embedding, killing the job — a NULL cosine instead falls
+    out of every >= threshold screen, and the nearest-centroid
+    comparator falls through to the id tie-break (deterministic
+    min-id assignment). The DuckDB twin applies the same nullif."""
     return (f"({_dot_expr(a, b, dim)}) / "
-            f"(({_norm_expr(a, dim)}) * ({_norm_expr(b, dim)}))")
+            f"nullif(({_norm_expr(a, dim)}) * ({_norm_expr(b, dim)}), "
+            f"CAST(0 AS DOUBLE))")
 
 
 def detect_dim(df, vec_col: str) -> int | None:
@@ -551,4 +558,5 @@ def cosine_sql_duck(a: str, b: str) -> str:
            f"list_transform(range(1, len({ad}) + 1), i -> ({ad})[i] * ({bd})[i])), "
            f"(acc, v) -> acc + v)")
     na, nb = norm_sql_duck(ad), norm_sql_duck(bd)
-    return f"({dot}) / (({na}) * ({nb}))"
+    # nullif: same zero-norm guard as cosine_expr (NULL cosine, no error)
+    return f"({dot}) / nullif((({na}) * ({nb})), CAST(0 AS DOUBLE))"

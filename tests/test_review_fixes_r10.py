@@ -167,3 +167,146 @@ def test_explode_json_all_null_clear_error(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="explode_json.*schema"):
         OmigoDF(df).explode_json("j")
+
+
+# ---------------------------------------------------------------- dedup.py
+def test_embedding_dedup_zero_norm_no_ansi_crash(spark):
+    """An all-zeros embedding must not crash the cosine screen (ANSI
+    DIVIDE_BY_ZERO) — and must never be dropped as a 'dup'."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    pairs = DD.embedding_dup_pairs(OmigoDF(df), threshold=0.9,
+                                   method="exact").df.collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    kept = DD.dedup_embedding(OmigoDF(df), threshold=0.9, method="exact")
+    assert sorted(r["vec_id"] for r in kept.df.collect()) == [1, 3]
+
+
+def test_semdedup_zero_norm_kept(spark):
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 0.0]),
+         (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = DD.semdedup(OmigoDF(df), num_clusters=2, threshold=0.99)
+    ids = sorted(r["vec_id"] for r in out.df.collect())
+    assert 3 in ids          # zero vector survives
+    assert 2 not in ids      # true dup dropped
+
+
+def test_remove_duplicate_spans_check_unique_raises(spark):
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (1, "k l m n o p q r s t")],
+        "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="uniquely identify"):
+        DD.remove_duplicate_spans(OmigoDF(df), check_unique=True)
+
+
+def test_connected_components_star_nonconvergence_guard(spark):
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    pairs = OmigoDF(spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"))
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="still changing"):
+        DD.connected_components_star(pairs, max_iter=0)
+    import warnings as W
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        DD.connected_components_star(pairs, max_iter=0,
+                                     on_nonconverged="warn").df.collect()
+    assert any("still changing" in str(w.message) for w in rec)
+    # and a normal run still converges to one component
+    out = DD.connected_components_star(pairs).df.collect()
+    assert {r["cluster_id"] for r in out} == {1}
+
+
+def test_short_doc_shingles_whitespace_normalized(spark):
+    """Token-identical short docs (< n tokens) must now match: the old
+    fallback shingled the RAW text, so 'alpha beta' vs 'alpha  beta'
+    never deduped. Engine and DuckDB oracles stay in lockstep."""
+    import duckdb
+
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha  beta"), (3, "unrelated thing")],
+        "doc_id long, text string")
+    kept = DD.dedup_near(OmigoDF(df), threshold=0.99)
+    assert sorted(r["doc_id"] for r in kept.df.collect()) == [1, 3]
+    # dialect parity on the shingle expression itself, incl. edge shapes
+    rows = [(1, "alpha beta"), (2, "alpha  beta"), (3, "   "), (4, ""),
+            (5, None), (6, "one two three four")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got_s = {r["doc_id"]: r["sh"] for r in
+             sdf.selectExpr("doc_id",
+                            f"{DD.shingles_expr('spark')} AS sh").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got_d = {r[0]: r[1] for r in con.execute(
+        f"SELECT doc_id, {DD.shingles_expr('duckdb')} FROM t").fetchall()}
+    for k in got_s:
+        if k == 5:
+            # NULL text: duck's list_distinct strips NULLs ([] vs
+            # spark's [NULL]) — benign, both minhash to NULL (pinned
+            # below); every non-NULL doc must agree exactly
+            continue
+        # set compare: duck's list_distinct reorders; minhash is
+        # order-independent so only the SET must agree
+        assert set(got_s[k]) == set(got_d[k]), (k, got_s[k], got_d[k])
+    assert got_s[1] == got_s[2] == ["alpha beta"]
+    assert got_s[3] == got_s[4] == [""]
+    assert got_s[5] == [None] and got_d[5] == []
+    mh_s = DD.minhash_exprs("spark", DD.shingles_expr("spark"))[0]
+    mh_d = DD.minhash_exprs("duckdb", DD.shingles_expr("duckdb"))[0]
+    s5 = sdf.where("doc_id = 5").selectExpr(f"{mh_s} AS m").collect()[0]["m"]
+    d5 = con.execute(f"SELECT {mh_d} FROM t WHERE doc_id = 5").fetchone()[0]
+    assert s5 is None and d5 is None
+
+
+def test_lsh_null_text_no_candidate_explosion(spark):
+    """NULL-text docs must produce NO candidate pairs (they can never
+    verify) instead of all landing in one quadratic '' bucket."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    rows = [(i, None) for i in range(50)] + [
+        (100, "the quick brown fox jumps"), (101, "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = DD.lsh_candidate_pairs(OmigoDF(df)).df.collect()
+    assert {(r["id_a"], r["id_b"]) for r in cands} == {(100, 101)}
+    # NULL docs survive dedup untouched
+    kept = DD.dedup_near(OmigoDF(df), threshold=0.9)
+    assert kept.df.count() == 51
+
+
+def test_lsh_param_validation(spark):
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not divisible"):
+        DD.lsh_candidate_pairs(OmigoDF(df), k=8, rows_per_band=3)
+    with _pt.raises(ValueError, match="seed pairs"):
+        DD.minhash_exprs("spark", "sh", k=16)
+
+
+def test_lsh_max_band_df_cap(spark):
+    """Opt-in bucket cap drops over-cap buckets; default None keeps the
+    full candidate set."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    rows = [(i, "identical boilerplate text here") for i in range(10)] + [
+        (100, "the quick brown fox jumps"), (101, "the quick brown fox jumps")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = DD.lsh_candidate_pairs(OmigoDF(df)).df.count()
+    assert full == 45 + 1  # 10 choose 2 boilerplate + the fox pair
+    capped = DD.lsh_candidate_pairs(OmigoDF(df), max_band_df=5).df.collect()
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
