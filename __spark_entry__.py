@@ -3929,6 +3929,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # similarity_lsh/ivf, cosine_topk, semdedup, kmeans_clusters,
     # dedup_embedding, embedding_near_dup, decontaminate_semantic_
     # clustered, hash_embeddings, duplicate/remove_dup_spans, ...).
+    # The same wave then covered text.py: ratio denominators gained an
+    # empty-doc nullif guard (ANSI DIVIDE_BY_ZERO — ratios now NULL,
+    # matching what the DuckDB oracle already returned) and
+    # inverted_index truncates postings BEFORE collection (bounded agg
+    # buffer, one hash exchange, output identical, measured faster).
+    # Head coverage: text_metrics / lang_id / inverted_index /
+    # tfidf_top_terms are all in the rotation above; the 7
+    # metric-family registry queries re-passed check_correctness.py at
+    # sf0.01 post-change (incl. pipeline_e2e / token_vocab /
+    # text_quality_filter outside the head).
     return {
         # --- r10 rotation: query_graph_job + the other 47 r7 rows ---
         "query_graph_job": q_query_graph_job,

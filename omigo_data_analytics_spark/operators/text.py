@@ -167,20 +167,28 @@ def _metric_exprs(dialect: str, col: str = "text",
             return f"len(list_filter({toks}, x -> x in {_in_list(words)}))"
 
     n = f"{size}({toks})"
+    # Ratio denominator: empty/whitespace-only documents have n = 0, and
+    # under Spark 4's default ANSI mode an unguarded division THROWS
+    # DIVIDE_BY_ZERO — one empty doc in the corpus kills the whole job
+    # (r10 review; real corpora always contain empty docs). nullif makes
+    # every ratio NULL for token-less docs, which is exactly what DuckDB
+    # already returned naturally (x/0 → NULL), so the oracle parity is
+    # unchanged; applied in both dialects for one-definition symmetry.
+    nz = f"nullif({n}, 0)"
     uniq = f"{size}({distinct}({toks}))"
     stop = count_in(STOPWORDS)
     exprs = {
         "token_count": f"CAST({n} AS BIGINT)",
         "uniq_token_count": f"CAST({uniq} AS BIGINT)",
-        "type_token_ratio": f"round(CAST({uniq} AS DOUBLE) / {n}, 6)",
-        "avg_token_len": f"round(CAST({sumlen} AS DOUBLE) / {n}, 6)",
-        "stopword_ratio": f"round(CAST({stop} AS DOUBLE) / {n}, 6)",
+        "type_token_ratio": f"round(CAST({uniq} AS DOUBLE) / {nz}, 6)",
+        "avg_token_len": f"round(CAST({sumlen} AS DOUBLE) / {nz}, 6)",
+        "stopword_ratio": f"round(CAST({stop} AS DOUBLE) / {nz}, 6)",
     }
     # quality: length credit + lexical diversity − stopword dominance
     exprs["quality_score"] = (
         f"round(0.3 * least(CAST({n} AS DOUBLE) / 100.0, 1.0)"
-        f" + 0.4 * (CAST({uniq} AS DOUBLE) / {n})"
-        f" + 0.3 * (1.0 - CAST({stop} AS DOUBLE) / {n}), 6)")
+        f" + 0.4 * (CAST({uniq} AS DOUBLE) / {nz})"
+        f" + 0.3 * (1.0 - CAST({stop} AS DOUBLE) / {nz}), 6)")
     # language-ID: argmax of marker-set hit counts, deterministic tie
     # order. The zero-signal guard comes FIRST: without it the argmax
     # CASE always matches some language (every score ties at 0 and the
@@ -322,20 +330,36 @@ def inverted_index(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                    max_postings: int = 100, lowercase: bool = True) -> OmigoDF:
     """Token → postings index: (term, doc_freq, postings) where postings
     is the comma-joined ascending doc-id list, truncated to the first
-    ``max_postings`` ids (doc_freq keeps the full count). One explode +
-    one (term) aggregation; the posting-list sort happens inside the agg
-    buffer (array_sort over collected ids), never as a global sort."""
+    ``max_postings`` ids (doc_freq keeps the full count).
+
+    Plan (r10 review rewrite): the old shape collected EVERY posting
+    into one aggregation buffer and truncated afterwards — a stopword
+    term appearing in a billion documents materializes a billion-id
+    array in a single executor's memory before the slice. Now the
+    truncation happens BEFORE collection: one shuffle hash-partitioned
+    by term, a row_number + count window pair over the same
+    partitioning (no second exchange — the groupBy reuses the window's
+    hash partitioning), keep ranks <= max_postings, then collect the
+    bounded list. The agg buffer is capped at max_postings ids for ANY
+    term frequency; output is identical."""
     toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
     ex = (ensure_min_parallelism(odf.df)
           .select(F.explode(F.array_distinct(toks)).alias("term"),
                   F.col(id_col))
           .where(F.col("term") != ""))
-    out = (ex.groupBy("term")
-           .agg(F.count(F.lit(1)).alias("doc_freq"),
-                F.array_sort(F.collect_list(id_col)).alias("__ids__"))
+    w_rank = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    w_all = Window.partitionBy("term")
+    ranked = (ex.withColumn("__rk__", F.row_number().over(w_rank))
+              .withColumn("__df__", F.count(F.lit(1)).over(w_all))
+              .where(F.col("__rk__") <= max_postings))
+    out = (ranked.groupBy("term")
+           .agg(F.max("__df__").alias("doc_freq"),
+                F.array_sort(F.collect_list(F.struct("__rk__", id_col)))
+                .alias("__rows__"))
            .select("term", "doc_freq",
-                   F.concat_ws(",", F.slice(F.col("__ids__").cast("array<string>"),
-                                            1, max_postings)).alias("postings")))
+                   F.concat_ws(",", F.expr(
+                       f"transform(__rows__, r -> CAST(r.{id_col} AS STRING))"))
+                   .alias("postings")))
     return OmigoDF(out)
 
 

@@ -310,3 +310,52 @@ def test_lsh_max_band_df_cap(spark):
     assert full == 45 + 1  # 10 choose 2 boilerplate + the fox pair
     capped = DD.lsh_candidate_pairs(OmigoDF(df), max_band_df=5).df.collect()
     assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+
+
+# ----------------------------------------------------------------- text.py
+def test_text_metrics_empty_doc_no_ansi_crash(spark):
+    """Empty / whitespace-only documents must not crash text_metrics
+    under ANSI (DIVIDE_BY_ZERO on the ratio denominators) — ratios go
+    NULL, matching what the DuckDB oracle already returned."""
+    import duckdb
+
+    from omigo_data_analytics_spark.operators import text as T
+
+    rows = [(1, "the quick fox"), (2, ""), (3, "   "), (4, None), (5, "\t\n")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (T.text_metrics(OmigoDF(df)).df.toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["token_count"].fillna(-1)) == [3, 0, 0, -1, 1]
+    assert out["quality_score"].isna().tolist() == [False, True, True,
+                                                    True, False]
+    assert list(out["lang_guess"]) == ["en", "und", "und", "und", "und"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    cols = ", ".join(f"{T.metric_sql('duckdb', m)} AS {m}" for m in T.METRICS)
+    duck = con.execute(
+        f"SELECT doc_id, {cols} FROM t ORDER BY doc_id").df()
+    for m in T.METRICS:
+        a = out[m].reset_index(drop=True)
+        b = duck[m].reset_index(drop=True)
+        assert ((a.isna() & b.isna()) | (a == b)).all(), (m, list(a), list(b))
+
+
+def test_inverted_index_bounded_buffer(spark):
+    """max_postings truncation happens BEFORE collection (a frequent
+    term must never materialize its full posting list in one agg
+    buffer), with one hash exchange total and output identical to the
+    collect-then-slice semantics: full doc_freq, first-k ascending."""
+    import re as _re
+
+    from omigo_data_analytics_spark.operators import text as T
+
+    rows = [(i, "common filler") for i in range(200)] + [(500, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    inv = T.inverted_index(OmigoDF(df), max_postings=3).df
+    plan = inv._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    got = {r["term"]: (r["doc_freq"], r["postings"]) for r in inv.collect()}
+    assert got["common"] == (200, "0,1,2")
+    assert got["filler"] == (200, "0,1,2")
+    assert got["rare"] == (1, "500")
