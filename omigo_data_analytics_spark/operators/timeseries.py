@@ -92,8 +92,14 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     for c in r_payload:
         l_tagged = l_tagged.withColumn(
             f"__r_{c}__", F.lit(None).cast(rdf.schema[c].dataType))
+    # NULL-time right rows sort FIRST under the window's ascending order
+    # (NULLs first), so their payload would be carried into every left
+    # row with no earlier real match — a phantom match whose __match_t__
+    # is NULL (r10 review, confirmed both directions). They can never be
+    # a legitimate as-of match; drop them before the union.
     r_tagged = (rdf
                 .withColumn("__t__", sign * _epoch_sec(rdf, rt))
+                .where(F.col("__t__").isNotNull())
                 .withColumn("__side__", F.lit(0)))
     for c in r_payload:
         r_tagged = r_tagged.withColumn(f"__r_{c}__", F.col(c))
@@ -144,7 +150,11 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     for c in r_payload:
         l_tagged = l_tagged.withColumn(
             f"__r_{c}__", F.lit(None).cast(rdf.schema[c].dataType))
+    # same NULL-time right-row screen as asof_join (there the leak was
+    # a phantom match; here the pick logic already masked it, but the
+    # rows still rode the shuffle for nothing)
     r_tagged = (rdf.withColumn("__t__", _epoch_sec(rdf, rt))
+                .where(F.col("__t__").isNotNull())
                 .withColumn("__side__", F.lit(0)))
     for c in r_payload:
         r_tagged = r_tagged.withColumn(f"__r_{c}__", F.col(c))
@@ -274,7 +284,8 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
 
 def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
                       agg_cols, agg_funcs, window_rows: int = 5,
-                      precision: int = 6) -> OmigoDF:
+                      precision: int = 6,
+                      tiebreak_cols: list[str] | None = None) -> OmigoDF:
     """Per-key rolling-window features over the trailing ``window_rows``
     rows (current row inclusive) in ``order_col`` order — the moving
     mean/min/max/sum shape of time-series feature engineering.
@@ -282,10 +293,19 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
     One shuffle on the key; every requested aggregate shares the same
     window frame, so Catalyst plans a single Exchange+Sort+Window.
     Output columns: ``<col>:rolling_<func>``. Sums/means go through
-    DECIMAL so results are add-order deterministic."""
+    DECIMAL so results are add-order deterministic.
+
+    A ROW-based frame over a non-total order is partition-order
+    dependent: rows sharing an ``order_col`` value can enter the frame
+    in either order, so their rolling values may differ between runs
+    (r10 review). Pass ``tiebreak_cols`` — columns completing a total
+    order per key — when ``(key, order_col)`` can repeat; with the
+    default None the caller asserts the order is already total."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
-    w = (Window.partitionBy(*keys).orderBy(_epoch_sec(d, order_col))
+    order = [_epoch_sec(d, order_col)] + [
+        F.col(c) for c in (tiebreak_cols or [])]
+    w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(-(window_rows - 1), Window.currentRow))
     out = d
     for c, fn in zip(list(agg_cols), list(agg_funcs)):

@@ -359,3 +359,51 @@ def test_inverted_index_bounded_buffer(spark):
     assert got["common"] == (200, "0,1,2")
     assert got["filler"] == (200, "0,1,2")
     assert got["rare"] == (1, "500")
+
+
+# ----------------------------------------------------------- timeseries.py
+def test_asof_join_null_time_right_rows_never_match(spark):
+    """A right row with NULL time sorted first in the carry window and
+    leaked its payload into every left row with no earlier real match
+    (while r:rt stayed NULL) — it must never match, both directions."""
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    left = spark.createDataFrame([("k", 10.0), ("k", 100.0)],
+                                 "k string, t double")
+    right = spark.createDataFrame(
+        [("k", None, "PHANTOM"), ("k", 50.0, "real")],
+        "k string, rt double, v string")
+    back = {r["t"]: (r["r:rt"], r["r:v"]) for r in
+            TS.asof_join(left, right, on="k", left_time="t",
+                         right_time="rt").df.collect()}
+    assert back[10.0] == (None, None)
+    assert back[100.0] == (50.0, "real")
+    fwd = {r["t"]: (r["r:rt"], r["r:v"]) for r in
+           TS.asof_join(left, right, on="k", left_time="t", right_time="rt",
+                        direction="forward").df.collect()}
+    assert fwd[10.0] == (50.0, "real")
+    assert fwd[100.0] == (None, None)
+    near = {r["t"]: (r["r:rt"], r["r:v"]) for r in
+            TS.asof_join(left, right, on="k", left_time="t", right_time="rt",
+                         direction="nearest").df.collect()}
+    assert near[10.0] == (50.0, "real") and near[100.0] == (50.0, "real")
+    # NULL-time LEFT rows keep left-join semantics: present, no match
+    left2 = spark.createDataFrame([("k", None)], "k string, t double")
+    out2 = TS.asof_join(left2, right, on="k", left_time="t",
+                        right_time="rt").df.collect()
+    assert len(out2) == 1 and out2[0]["r:v"] is None
+
+
+def test_rolling_aggregate_tiebreak_cols(spark):
+    """With duplicate (key, order) rows, tiebreak_cols makes the frame
+    contents deterministic across partitionings."""
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    rows = [("k", 1.0, i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t double, id long, x double")
+    for parts in (1, 4):
+        out = TS.rolling_aggregate(
+            OmigoDF(df.repartition(parts)), "k", "t", ["x"], ["sum"],
+            window_rows=2, tiebreak_cols=["id"]).df
+        got = {r["id"]: r["x:rolling_sum"] for r in out.collect()}
+        assert got == {0: 0.0, 1: 1.0, 2: 3.0, 3: 5.0, 4: 7.0, 5: 9.0}, got
