@@ -242,7 +242,14 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
              .select(F.col("__bb__.band").alias("band"),
                      F.col("__bb__.band_key").alias("band_key"),
                      F.col("doc_id"),
-                     *(["__ts__"] if ts_col else [])))
+                     *(["__ts__"] if ts_col else []))
+             # same screen as batch lsh_candidate_pairs (r10 review):
+             # NULL-text docs minhash to all-NULL, concat_ws to the ''
+             # key — one hot state bucket per band collecting every
+             # NULL doc and emitting phantom candidates that can never
+             # verify. NULL ids would also crash the stateful UDF's
+             # int() coercion.
+             .where((F.col("band_key") != "") & F.col("doc_id").isNotNull()))
 
     out_schema = T.StructType([
         T.StructField("band", T.IntegerType()),

@@ -407,3 +407,29 @@ def test_rolling_aggregate_tiebreak_cols(spark):
             window_rows=2, tiebreak_cols=["id"]).df
         got = {r["id"]: r["x:rolling_sum"] for r in out.collect()}
         assert got == {0: 0.0, 1: 1.0, 2: 3.0, 3: 5.0, 4: 7.0, 5: 9.0}, got
+
+
+# ------------------------------------------------------------- streaming
+def test_stream_lsh_null_text_no_phantom_candidates(spark, tmp_path):
+    """NULL-text docs minhash to the '' band key — they must produce no
+    candidates and no hot state bucket (mirror of the batch LSH fix)."""
+    import pandas as pd
+
+    from omigo_data_analytics_spark.streaming import stream as ST
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the quick brown fox jumps",
+                 "the quick brown fox jumps", None, None],
+    }).to_parquet(src / "b0.parquet")
+    schema = "doc_id bigint, text string"
+    sdf = ST.file_source(spark, str(src), schema)
+    cands = ST.stream_near_dup_candidates(sdf)
+    q = (cands.writeStream.format("memory").queryName("r10_null_lsh")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT DISTINCT doc_id, first_id "
+                     "FROM r10_null_lsh").collect()
+    assert {(r["doc_id"], r["first_id"]) for r in rows} == {(2, 1)}
