@@ -91,9 +91,11 @@ def decode_image(odf: OmigoDF, payload_col: str, out_col: str = "pixels",
 def image_features(odf: OmigoDF, pixels_col: str = "pixels",
                    prefix: str = "img") -> OmigoDF:
     """Basic features over a decoded pixel array — pure SQL expressions
-    (mean/std/min/max), no Python: runs at scan throughput."""
+    (mean/min/max), no Python: runs at scan throughput. An empty pixel
+    array yields NULL features (nullif guard — an unguarded division
+    would throw ANSI DIVIDE_BY_ZERO and kill the job, r10 review)."""
     p = pixels_col
-    mean = f"aggregate({p}, 0D, (a, x) -> a + x) / size({p})"
+    mean = f"aggregate({p}, 0D, (a, x) -> a + x) / nullif(size({p}), 0)"
     return OmigoDF(
         odf.df
         .withColumn(f"{prefix}:mean", F.round(F.expr(mean), 6))

@@ -433,3 +433,16 @@ def test_stream_lsh_null_text_no_phantom_candidates(spark, tmp_path):
     rows = spark.sql("SELECT DISTINCT doc_id, first_id "
                      "FROM r10_null_lsh").collect()
     assert {(r["doc_id"], r["first_id"]) for r in rows} == {(2, 1)}
+
+
+# ----------------------------------------------------------- multimodal.py
+def test_image_features_empty_array_no_ansi_crash(spark):
+    from omigo_data_analytics_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, [0.2, 0.4]), (2, []), (3, None)],
+        "id long, pixels array<double>")
+    out = {r["id"]: r["img:mean"] for r in
+           MM.image_features(OmigoDF(df)).df.collect()}
+    assert abs(out[1] - 0.3) < 1e-9
+    assert out[2] is None and out[3] is None
