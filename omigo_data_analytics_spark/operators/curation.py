@@ -90,6 +90,15 @@ def repetition_exprs(dialect: str, col: str = "text", n: int = REPETITION_N,
             return f"len(list_filter(g0, y -> y = {x}))"
 
     total = f"{size}(g0)"
+    # Ratio denominator: an empty/whitespace-only document tokenizes to
+    # zero grams, and under Spark 4's default ANSI mode an unguarded
+    # division THROWS DIVIDE_BY_ZERO — one empty doc kills the whole
+    # job (same class as the r10 text.py fix). nullif makes both
+    # fractions NULL for gram-less docs, which is what the DuckDB
+    # oracle already returned naturally; applied in both dialects for
+    # one-definition symmetry. (filter_repetitive then DROPS such docs:
+    # NULL never passes a filter — the standing convention.)
+    total_nz = f"nullif({total}, 0)"
     uniq = f"{size}({distinct}(g0))"
     if dialect == "spark":
         top = f"{amax}(transform({distinct}(g0), x -> {count_of('x')}))"
@@ -98,9 +107,9 @@ def repetition_exprs(dialect: str, col: str = "text", n: int = REPETITION_N,
     exprs = {
         "ngram_count": f"CAST({total} AS BIGINT)",
         "dup_ngram_frac":
-            f"round(1.0 - CAST({uniq} AS DOUBLE) / {total}, 6)",
+            f"round(1.0 - CAST({uniq} AS DOUBLE) / {total_nz}, 6)",
         "top_ngram_frac":
-            f"round(CAST({top} AS DOUBLE) / {total}, 6)",
+            f"round(CAST({top} AS DOUBLE) / {total_nz}, 6)",
     }
     let = let_spark if dialect == "spark" else let_duck
     return {name: let(g, "g0", body) for name, body in exprs.items()}

@@ -400,7 +400,14 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     psig rather than a groupBy + join-back: the join form evaluates the
     whole leaves->parents subtree twice (once per side) unless the
     optimizer happens to reuse the exchange, and costs an extra join —
-    the window is one psig shuffle over a leaf-count-sized frame."""
+    the window is one psig shuffle over a leaf-count-sized frame.
+
+    psig is the sorted parent ARRAY itself, not a ','-joined string:
+    a delimiter join makes parent sets {"a,b"} and {"a","b"} collide
+    and wrongly merge unrelated leaves (the generate_key_hash NULL-skip
+    collision class, r10 review); Spark hash-partitions and compares
+    array<string> natively, so the window needs no serialized key at
+    all."""
     from pyspark.sql import Window
     # the edge table is referenced four times (source probe, leaf
     # detection, parent signatures, final remap) with different
@@ -412,8 +419,8 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
               .select(F.col(dst_col).alias("leaf")).distinct())
     parents = (e.join(leaves, e[dst_col] == F.col("leaf"))
                .groupBy("leaf")
-               .agg(F.concat_ws(",", F.array_sort(
-                   F.collect_set(F.col(src_col).cast("string")))).alias("psig")))
+               .agg(F.array_sort(
+                   F.collect_set(F.col(src_col).cast("string"))).alias("psig")))
     remap = parents.select(
         "leaf", F.min("leaf").over(Window.partitionBy("psig")).alias("rep"))
     out = (e.join(remap, e[dst_col] == F.col("leaf"), "left")

@@ -46,7 +46,11 @@ def welch_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str,
     (add/mul/div/sqrt are IEEE correctly rounded on identical inputs)."""
     n1, m1, v1 = _moments(odf1, col)
     n2, m2, v2 = _moments(odf2, col)
-    se2 = (v1 / n1 if n1 else 0.0) + (v2 / n2 if n2 else 0.0)
+    # both sides must be non-empty: with one side empty the old
+    # per-side guard left se2 = v/n of the OTHER side, silently turning
+    # the two-sample test into a bogus test against mean 0 (and
+    # diverging from do_ttest's fused path, which already returned 0)
+    se2 = v1 / n1 + v2 / n2 if n1 and n2 else 0.0
     t = (m1 - m2) / math.sqrt(se2) if se2 > 0 else 0.0
     # explicit multiplication (not **): keeps the op sequence mirrorable
     # in SQL for bit-exact oracle comparison. A side with n<=1 has v=0 and

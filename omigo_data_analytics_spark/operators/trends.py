@@ -82,10 +82,16 @@ def distribution_drift(odf: OmigoDF, key_cols, bucket_col: str,
     from each bucket's Σc·log2c, via Σ_all (p/2)log2(p/2) =
     hterm/(2T) - (1+log2 T)/2, minus the matched share. Adjacency is
     over the buckets PRESENT for that key, in order (the reference
-    iterates the sorted agg_key_value list the same way)."""
+    iterates the sorted agg_key_value list the same way).
+
+    NULL buckets are excluded (both dialects): a NULL time window has
+    no adjacency position — and Spark orders NULLS FIRST where DuckDB
+    orders NULLS LAST, so keeping them would silently pair different
+    neighbors in the engine and the oracle (r10 review)."""
     keys = odf._resolve(key_cols)
     odf._resolve([bucket_col, value_col])
-    counts = (odf.df.groupBy(*keys, bucket_col, value_col)
+    counts = (odf.df.where(F.col(bucket_col).isNotNull())
+              .groupBy(*keys, bucket_col, value_col)
               .agg(F.count(F.lit(1)).alias("cnt")))
     norms = (counts.groupBy(*keys, bucket_col)
              .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
@@ -161,7 +167,8 @@ def distribution_drift_sql_duck(table: str, key_cols, bucket_col: str,
     return f"""
 WITH c AS (SELECT {keys}, {bucket_col} AS bkt, {value_col} AS v,
                   COUNT(*) AS cnt
-           FROM {table} GROUP BY {keys}, {bucket_col}, {value_col}),
+           FROM {table} WHERE {bucket_col} IS NOT NULL
+           GROUP BY {keys}, {bucket_col}, {value_col}),
 n AS (SELECT {keys}, bkt, SUM(cnt * cnt) AS sq, COUNT(*) AS nvals,
              SUM(cnt) AS tot, SUM(cnt * log2(cnt)) AS hterm
       FROM c GROUP BY {keys}, bkt),
@@ -254,10 +261,17 @@ def trend_scores(odf: OmigoDF, key_cols, bucket_col: str,
     key's full (bucket, count) list in one groupByKey closure — a hot
     key OOMs; here the trailing window is a bounded collect_list window
     frame (≤ learning_window doubles per row), so state is constant per
-    row and the shuffle is the counts table, not the corpus."""
+    row and the shuffle is the counts table, not the corpus.
+
+    NULL buckets are excluded (both dialects): a NULL time bucket has
+    no position in the trailing-window order, and Spark's NULLS FIRST
+    vs DuckDB's NULLS LAST would put it in DIFFERENT learning windows
+    in the engine and the oracle (r10 review, same as
+    distribution_drift)."""
     keys = odf._resolve(key_cols)
     odf._resolve(bucket_col)
-    counts = (odf.df.groupBy(*keys, bucket_col)
+    counts = (odf.df.where(F.col(bucket_col).isNotNull())
+              .groupBy(*keys, bucket_col)
               .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
     w = (Window.partitionBy(*keys).orderBy(bucket_col)
          .rowsBetween(-learning_window, -1))
@@ -300,7 +314,8 @@ def trend_scores_sql_duck(table: str, key_cols, bucket_col: str,
     return f"""
 WITH c AS (SELECT {keys}, {bucket_col},
                   CAST(COUNT(*) AS DOUBLE) AS cnt
-           FROM {table} GROUP BY {keys}, {bucket_col}),
+           FROM {table} WHERE {bucket_col} IS NOT NULL
+           GROUP BY {keys}, {bucket_col}),
 a AS (SELECT {keys}, {bucket_col}, cnt,
              list_sort(COALESCE(list(cnt) OVER (PARTITION BY {keys}
                  ORDER BY {bucket_col}

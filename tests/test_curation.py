@@ -296,6 +296,39 @@ def test_curation_ops_on_empty_input(spark):
     assert CU.repetition_metrics(blank).df.count() == 2
 
 
+def test_repetition_empty_doc_null_metrics_not_ansi_crash(spark):
+    """An empty/whitespace-only doc has ZERO grams; the ratio division
+    must yield NULL (the DuckDB behavior), not throw ANSI
+    DIVIDE_BY_ZERO — a .count() never evaluates the metric columns
+    (column pruning), which is how the crash hid from the empty-input
+    test above (r10 review, same class as the text.py metrics fix)."""
+    d = OmigoDF(spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, "   "), (4, None), (5, "x")],
+        "doc_id long, text string"))
+    rows = {r["doc_id"]: r for r in CU.repetition_metrics(d).df.collect()}
+    assert rows[1]["ngram_count"] == 3
+    for i in (2, 3):
+        assert rows[i]["ngram_count"] == 0
+        assert rows[i]["dup_ngram_frac"] is None
+        assert rows[i]["top_ngram_frac"] is None
+    assert rows[4]["ngram_count"] is None  # NULL text stays NULL
+    # DuckDB oracle agrees cell-for-cell on the same rows
+    ex = CU.repetition_exprs("duckdb")
+    con = duckdb.connect()
+    du = con.execute(
+        "SELECT doc_id, " + ", ".join(f"{e} AS {k}" for k, e in ex.items())
+        + " FROM (VALUES (1, 'a b a b'), (2, ''), (3, '   '), "
+          "(4, NULL), (5, 'x')) t(doc_id, text) ORDER BY doc_id").df()
+    for _, r in du.iterrows():
+        sp = rows[r["doc_id"]]
+        for c in ("dup_ngram_frac", "top_ngram_frac"):
+            dv, sv = r[c], sp[c]
+            assert (pd.isna(dv) and sv is None) or dv == sv
+    # NULL metrics never pass the repetition filter: blanks are dropped
+    kept = CU.filter_repetitive(d, max_dup_frac=0.9, max_top_frac=1.0).df
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+
+
 def test_mix_sources_partition_invariant(spark):
     """The mixture is a pure function of (key, seed, per-source counts) —
     shuffle layout must not change it."""

@@ -117,6 +117,16 @@ def test_merge_similar_nodes(spark):
     assert out == {("a", "l1"), ("b", "l1"), ("a", "l3")}
 
 
+def test_merge_similar_nodes_no_delimiter_collision(spark):
+    # parent sets {"a,b"} and {"a","b"} serialize identically under a
+    # ','-joined signature — the leaves must NOT merge (r10 review: the
+    # signature is now the sorted parent array itself)
+    rows = [("a,b", "l1"), ("a", "l2"), ("b", "l2")]
+    e = OmigoDF(spark.createDataFrame(rows, ["src", "dst"]))
+    out = {(r["src"], r["dst"]) for r in G.merge_similar_nodes(e).df.collect()}
+    assert out == {("a,b", "l1"), ("a", "l2"), ("b", "l2")}
+
+
 def test_get_bfs_levels_bidirectional(spark):
     # a -> b -> c ; z -> a. Seed {a}: forward reaches b,c; reverse reaches z.
     e = _edges(spark, [("a", "b"), ("b", "c"), ("z", "a")])

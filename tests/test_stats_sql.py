@@ -125,3 +125,16 @@ def test_ks_empty_side_no_crash(spark, lineitem):
     empty = OmigoDF(lineitem.df.where("l_orderkey < 0"))
     r = SS.ks_test(empty, lineitem, "l_quantity")
     assert r["n1"] == 0 and r["p_value"] == 1.0
+
+
+def test_welch_ttest_empty_side_matches_do_ttest(spark):
+    # one EMPTY side: the two-sample statistic is undefined; both paths
+    # must agree on the degenerate (t=0) report instead of welch_ttest
+    # silently testing the non-empty side against mean 0 (r10 review)
+    a = spark.createDataFrame([(float(i),) for i in range(10)], ["x"])
+    b = spark.createDataFrame([], "x double")
+    w = SS.welch_ttest(OmigoDF(a), OmigoDF(b), "x")
+    rep = SS.do_ttest(OmigoDF(a), OmigoDF(b), "x")
+    assert w["t_stat"] == 0.0 == rep["ttest_t_stat"]
+    assert w["n2"] == 0 == rep["ttest_n2"]
+    assert rep["ks_d_stat"] == 0.0

@@ -249,3 +249,34 @@ def test_sequence_stats_single_shuffle_plan(spark):
     out = TR.sequence_stats(d, ["k"], "b", ["cnt"], inference_col="cnt")
     p = out.df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_null_bucket_excluded_engine_and_oracle_agree(spark):
+    """A NULL bucket has no adjacency/window position — and Spark orders
+    NULLS FIRST where DuckDB orders NULLS LAST, so keeping NULL buckets
+    would pair DIFFERENT neighbors in the engine and the oracle (r10
+    review). Both dialects now exclude them; with NULLs present the two
+    sides must still agree cell-for-cell."""
+    rows = [("a", "w1", 1), ("a", "w1", 2), ("a", "w2", 1),
+            ("a", None, 9), ("a", None, 1),
+            ("b", "w1", 3), ("b", None, 3), ("b", "w2", 3), ("b", "w3", 4)]
+    ev = OmigoDF(spark.createDataFrame(rows, "grp string, wk string, uv int"))
+    sp_drift = (TR.distribution_drift(ev, ["grp"], "wk", "uv").df
+                .toPandas().sort_values(["grp", "wk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (grp VARCHAR, wk VARCHAR, uv INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    du_drift = con.execute(
+        "SELECT * FROM (" + TR.distribution_drift_sql_duck("t", ["grp"], "wk", "uv")
+        + ") ORDER BY 1, 2").df()
+    pd.testing.assert_frame_equal(sp_drift, du_drift, check_dtype=False)
+    assert not sp_drift["wk"].isna().any()
+    assert "None" not in set(sp_drift["bucket_next"])
+
+    sp_tr = (TR.trend_scores(ev, ["grp"], "wk", learning_window=2).df
+             .toPandas().sort_values(["grp", "wk"]).reset_index(drop=True))
+    du_tr = con.execute(
+        "SELECT * FROM (" + TR.trend_scores_sql_duck("t", ["grp"], "wk", 2)
+        + ") ORDER BY 1, 2").df()
+    pd.testing.assert_frame_equal(sp_tr, du_tr, check_dtype=False)
+    assert not sp_tr["wk"].isna().any()
