@@ -67,7 +67,8 @@ class CompatMixin:
         if num_batches <= 1:
             return func(self, *args, **kwargs)
         tmp = "__omigo_batch__"
-        bucket = F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id(), F.lit(0))),
+        from .dataframe import abs64
+        bucket = F.pmod(abs64(F.xxhash64(F.monotonically_increasing_id(), F.lit(0))),
                         F.lit(num_batches))
         tagged = self._df.withColumn(tmp, bucket).localCheckpoint()
         # one job to find non-empty buckets (reference skips empty batches)

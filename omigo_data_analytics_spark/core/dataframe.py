@@ -42,6 +42,18 @@ def from_spark(df: DataFrame) -> "OmigoDF":
     return OmigoDF(df)
 
 
+def abs64(c: Column) -> Column:
+    """Saturating abs for 64-bit hash values: under ANSI mode a plain
+    ``F.abs`` THROWS ARITHMETIC_OVERFLOW on Long.MinValue — a 2^-64
+    per-row chance for xxhash64, i.e. a real (if rare) job-killer on a
+    trillion-row corpus (r10 review). MinValue saturates to MaxValue;
+    every other value is unchanged, so existing hash-bucket/sort
+    outputs are identical."""
+    return (F.when(c == F.lit(-(1 << 63)).cast("long"),
+                   F.lit((1 << 63) - 1).cast("long"))
+            .otherwise(F.abs(c)))
+
+
 def _is_numeric_type(dt: T.DataType) -> bool:
     return isinstance(dt, T.NumericType)
 
@@ -762,7 +774,7 @@ class OmigoDF(CompatMixin):
                                    "\t\n\x0b\r", "    "), F.lit(""))
             for c in resolved])
         if not portable:
-            return self._wrap(self._df.withColumn(new_col, F.abs(F.xxhash64(joined))))
+            return self._wrap(self._df.withColumn(new_col, abs64(F.xxhash64(joined))))
         out = (self._df.withColumn("__gkh__", joined)
                .withColumn(new_col, F.expr(hash_spark("__gkh__"))).drop("__gkh__"))
         return self._wrap(out)
@@ -1547,7 +1559,7 @@ class OmigoDF(CompatMixin):
             out = (self._df.withColumn("__sgbk__", key)
                    .filter(bucket < int(sampling_ratio * 1000000)).drop("__sgbk__"))
             return self._wrap(out)
-        bucket = F.pmod(F.abs(F.xxhash64(key)), F.lit(1000000))
+        bucket = F.pmod(abs64(F.xxhash64(key)), F.lit(1000000))
         return self._wrap(self._df.filter(bucket < int(sampling_ratio * 1000000)))
 
     def sample_class_by_max_values(self, col: str, max_rows: int, seed: int = 0) -> "OmigoDF":
@@ -1610,9 +1622,9 @@ class OmigoDF(CompatMixin):
             key = F.concat_ws("\t", *[
                 F.coalesce(self._df[c].cast("string"), F.lit(""))
                 for c in gcols])
-            bucket = F.pmod(F.abs(F.xxhash64(key, F.lit(seed))), F.lit(num_batches))
+            bucket = F.pmod(abs64(F.xxhash64(key, F.lit(seed))), F.lit(num_batches))
         else:
-            bucket = F.pmod(F.abs(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))),
+            bucket = F.pmod(abs64(F.xxhash64(F.monotonically_increasing_id(), F.lit(seed))),
                             F.lit(num_batches))
         tmp = "__omigo_bucket__"
         tagged = self._df.withColumn(tmp, bucket)
@@ -1828,7 +1840,7 @@ class OmigoDF(CompatMixin):
                 f"concat_ws('\\t', CAST({colutils.quote(col)} AS STRING), '{seed}')")))
             order = F.col("__omigo_h__")
         else:
-            order = F.abs(F.xxhash64(F.col(col).cast("string"), F.lit(seed)))
+            order = abs64(F.xxhash64(F.col(col).cast("string"), F.lit(seed)))
         w = Window.partitionBy(*gcols).orderBy(order, F.col(col))
         keep = (pairs.withColumn("__omigo_rk__", F.row_number().over(w))
                 .filter(F.col("__omigo_rk__") <= max_uniq_values)
@@ -1847,7 +1859,7 @@ class OmigoDF(CompatMixin):
         ratios = (self._df.groupBy(*gcols)
                   .agg(F.countDistinct(col).alias("__omigo_nu__")))
         joined = self._df.join(ratios, on=gcols, how="left")
-        bucket = F.pmod(F.abs(F.xxhash64(self._df[col].cast("string"),
+        bucket = F.pmod(abs64(F.xxhash64(self._df[col].cast("string"),
                                          F.lit(seed))), F.lit(1000000))
         keep = bucket < (F.lit(max_uniq_values * 1000000) / F.col("__omigo_nu__"))
         return self._wrap(joined.filter(F.col("__omigo_nu__").isNull() | keep)
@@ -1863,7 +1875,7 @@ class OmigoDF(CompatMixin):
         vals = self._df.select(col).distinct()
         # distributed top-K (TakeOrderedAndProject: K per partition, merged),
         # not a global row_number window over all distinct values
-        keep = vals.orderBy(F.abs(F.xxhash64(F.col(col).cast("string"),
+        keep = vals.orderBy(abs64(F.xxhash64(F.col(col).cast("string"),
                                              F.lit(seed))),
                             F.col(colutils.quote(col))).limit(max_uniq_values)
         return self._wrap(self._df.join(keep, on=[col], how="left_semi"))

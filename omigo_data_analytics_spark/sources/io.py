@@ -325,11 +325,14 @@ def zorder_key(df: DataFrame, cols, bits: int = 8):
     literals — the IVF-centroid pattern; nothing corpus-sized touches
     the driver. Bucketing is size(filter(boundaries, b -> b <= x)) —
     O(2^bits) codegen comparisons per row, no shuffle."""
+    from ..core import colutils
     cols = [cols] if isinstance(cols, str) else list(cols)
     n = 1 << bits
     qs = [i / n for i in range(1, n)]
+    # backtick-quote inside expressions: this library's column names
+    # routinely contain ':' which the SQL parser would otherwise eat
     row = df.agg(*[
-        F.expr(f"approx_percentile(CAST({c} AS DOUBLE), "
+        F.expr(f"approx_percentile(CAST({colutils.quote(c)} AS DOUBLE), "
                f"array({', '.join(str(q) for q in qs)}), 10000)").alias(c)
         for c in cols]).first()
     parts = []
@@ -340,7 +343,7 @@ def zorder_key(df: DataFrame, cols, bits: int = 8):
             continue
         blit = "array(" + ", ".join(repr(float(b)) for b in bounds) + ")"
         bucket = (f"size(filter({blit}, "
-                  f"b -> b <= CAST({c} AS DOUBLE)))")
+                  f"b -> b <= CAST({colutils.quote(c)} AS DOUBLE)))")
         # interleave: bit i of this column lands at position i*n_cols+ci
         shifted = " + ".join(
             f"(shiftleft(CAST(shiftright({bucket}, {i}) & 1 AS BIGINT), "

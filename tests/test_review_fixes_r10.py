@@ -446,3 +446,17 @@ def test_image_features_empty_array_no_ansi_crash(spark):
            MM.image_features(OmigoDF(df)).df.collect()}
     assert abs(out[1] - 0.3) < 1e-9
     assert out[2] is None and out[3] is None
+
+
+def test_abs64_min_value_saturates_not_ansi_overflow(spark):
+    """F.abs(Long.MinValue) throws ARITHMETIC_OVERFLOW under ANSI — a
+    2^-64 per-row hazard for every xxhash64 bucket/sort site. abs64
+    saturates MinValue to MaxValue and is identity-abs elsewhere."""
+    from pyspark.sql import functions as F
+
+    from omigo_data_analytics_spark.core.dataframe import abs64
+
+    df = spark.createDataFrame(
+        [(-(1 << 63),), (-7,), (0,), (7,), ((1 << 63) - 1,)], "h long")
+    got = [r["a"] for r in df.select(abs64(F.col("h")).alias("a")).collect()]
+    assert got == [(1 << 63) - 1, 7, 0, 7, (1 << 63) - 1]

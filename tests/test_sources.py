@@ -620,3 +620,14 @@ def test_build_query_ordinals_track_positions(spark):
     got = SQX.execute_query(spark, ["sum(x) AS s", "a"], "t",
                             group_by=["a"]).df
     assert got.count() == 10
+
+
+def test_zorder_key_quotes_hostile_column_names(spark):
+    from omigo_data_analytics_spark.sources.io import zorder_key
+
+    df = spark.createDataFrame(
+        [(float(i), float(100 - i)) for i in range(50)],
+        ["m:x", "dotted.name"])
+    out = df.withColumn("zk", zorder_key(df, ["m:x", "dotted.name"], bits=4))
+    vals = [r["zk"] for r in out.collect()]
+    assert len(vals) == 50 and len(set(vals)) > 1
