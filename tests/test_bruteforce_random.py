@@ -1,0 +1,132 @@
+"""Randomized brute-force oracles for the iterative/window operators the
+SQL-oracle gate can't easily replay: merge_intervals vs an O(n^2) sweep,
+connected_components (both algorithms) vs union-find, and
+time_ordered_ancestors vs exhaustive temporal-path search. Fixed seeds —
+deterministic failures, adversarial shapes (chains, cliques, ties,
+touching intervals, repeated timestamps)."""
+
+import random
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import dedup as DD
+from omigo_data_analytics_spark.operators import graph as GR
+from omigo_data_analytics_spark.operators import timeseries as TS
+
+
+def _brute_islands(intervals):
+    """Max-disjoint islands of [s, e] per the operator's contract:
+    ordered by (s, e), an island breaks where s > max(previous ends)."""
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+            out[-1][2] += 1
+        else:
+            out.append([s, e, 1])
+    return {(s, e, n) for s, e, n in out}
+
+
+def test_merge_intervals_matches_bruteforce(spark):
+    rng = random.Random(42)
+    rows = []
+    for case in range(6):
+        key = f"k{case}"
+        for _ in range(rng.randint(1, 25)):
+            s = rng.randint(0, 40)
+            rows.append((key, float(s), float(s + rng.randint(0, 8))))
+    # adversarial: touching endpoints (s == prev e joins the island)
+    rows += [("touch", 0.0, 5.0), ("touch", 5.0, 9.0), ("touch", 10.0, 11.0)]
+    odf = OmigoDF(spark.createDataFrame(rows, ["k", "s", "e"]))
+    got = {}
+    for r in TS.merge_intervals(odf, "k", "s", "e").df.collect():
+        got.setdefault(r["k"], set()).add(
+            (r["island_start"], r["island_end"], r["n_intervals"]))
+    by_key = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    for k, ivs in by_key.items():
+        assert got[k] == _brute_islands(ivs), k
+
+
+def _union_find_clusters(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def test_connected_components_both_algorithms_match_union_find(spark):
+    rng = random.Random(7)
+    edges = set()
+    # random sparse graph + a long chain (the propagation worst case)
+    for _ in range(60):
+        edges.add((rng.randint(0, 40), rng.randint(0, 40)))
+    chain_base = 100
+    for i in range(15):
+        edges.add((chain_base + i, chain_base + i + 1))
+    # a clique (the LSH-bucket shape)
+    for a in range(200, 205):
+        for b in range(a + 1, 205):
+            edges.add((a, b))
+    edges = sorted(edges)
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    want = _union_find_clusters(nodes, edges)
+    e = OmigoDF(spark.createDataFrame(edges, ["id_a", "id_b"]))
+    for fn in (DD.connected_components, DD.connected_components_star):
+        got = {r["id"]: r["cluster_id"] for r in fn(e, max_iter=40).df.collect()}
+        assert got == want, fn.__name__
+
+
+def _brute_time_ancestors(edges):
+    """(node, ancestor) pairs reachable along non-decreasing-ts paths,
+    with the MIN arrival ts — exhaustive relaxation to fixpoint."""
+    best = {}
+    for s, d, t in edges:
+        if t is None:
+            continue
+        k = (d, s)
+        if k not in best or t < best[k]:
+            best[k] = t
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in edges:
+            if t is None:
+                continue
+            for (node, anc), arr in list(best.items()):
+                if node == s and t >= arr:
+                    k = (d, anc)
+                    if k not in best or t < best[k]:
+                        best[k] = t
+                        changed = True
+    return best
+
+
+def test_time_ordered_ancestors_matches_bruteforce(spark):
+    rng = random.Random(11)
+    nodes = [f"n{i}" for i in range(8)]
+    edges = []
+    for _ in range(25):
+        s, d = rng.sample(nodes, 2)
+        edges.append((s, d, rng.randint(0, 10)))
+    # repeated timestamps on one pair (the multiplicity path) and a
+    # deliberate time-ordered chain
+    edges += [("n0", "n1", 3), ("n0", "n1", 3), ("n1", "n2", 3),
+              ("n2", "n3", 2)]  # n0->..->n3 blocked by the 3 > 2 step
+    e = OmigoDF(spark.createDataFrame(edges, ["src", "dst", "ts"]))
+    got = {(r["node_id"], r["ancestor"]): r["arr_ts"]
+           for r in GR.time_ordered_ancestors(e, "ts").df.collect()}
+    want = _brute_time_ancestors(edges)
+    assert got == want
