@@ -54,7 +54,8 @@ def _epoch_sec(df: DataFrame, col: str, ref: Column | None = None) -> Column:
 def asof_join(left, right, on: list[str] | str, left_time: str,
               right_time: str | None = None, suffix: str = "r",
               tolerance_sec: float | None = None,
-              direction: str = "backward") -> OmigoDF:
+              direction: str = "backward",
+              tiebreak_cols: list[str] | None = None) -> OmigoDF:
     """For each left row, attach the latest right row whose time is <= the
     left row's time (``direction='backward'``, inclusive — the default) or
     the earliest right row whose time is >= it (``'forward'``), matching
@@ -70,18 +71,27 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
 
     Right payload columns come back as ``{suffix}:{col}``; rows with no
     match keep nulls (left join semantics).
+
+    Two RIGHT rows sharing (on, right_time) leave the carried payload
+    partition-order dependent — the carry window's order is not total
+    there (same hazard rolling_aggregate documents, r10 review). Pass
+    ``tiebreak_cols`` (right-side payload columns completing a total
+    order; the MAX tiebreak tuple wins among equal-time rows, in every
+    direction) when right (on, time) can repeat; the default None means
+    the caller asserts it is unique.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction: {direction}")
     if direction == "nearest":
         return _asof_nearest(left, right, on, left_time, right_time,
-                             suffix, tolerance_sec)
+                             suffix, tolerance_sec, tiebreak_cols)
     ldf, rdf = _df(left), _df(right)
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
 
     r_payload = [c for c in rdf.columns if c not in keys]
     out_names = {c: f"{suffix}:{c}" for c in r_payload}
+    tb = _asof_tiebreak(tiebreak_cols, r_payload)
 
     # align schemas: one unioned relation with a side tag; forward as-of
     # is backward as-of on negated time
@@ -112,7 +122,11 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
         + [f"__r_{c}__" for c in r_payload]
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
-    w = (Window.partitionBy(*keys).orderBy("__t__", "__side__")
+    # tiebreak cols order AFTER (__t__, __side__): they only order right
+    # rows among themselves (left rows carry NULL payload and sort as a
+    # block behind the side tag), so the inclusive same-time semantics
+    # are untouched; last() then deterministically picks the max tuple
+    w = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         "*",
@@ -134,8 +148,22 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     return OmigoDF(out)
 
 
+def _asof_tiebreak(tiebreak_cols, r_payload):
+    """Validated window-order suffix for duplicate right (on, time) rows:
+    the __r_ copies of the caller's tiebreak columns (they exist on both
+    union sides — NULL on left rows, which the side tag already orders)."""
+    if not tiebreak_cols:
+        return []
+    missing = [c for c in tiebreak_cols if c not in r_payload]
+    if missing:
+        raise ValueError(
+            f"asof_join: tiebreak_cols {missing} are not right-side "
+            f"payload columns (have {r_payload})")
+    return [F.col(f"__r_{c}__") for c in tiebreak_cols]
+
+
 def _asof_nearest(left, right, on, left_time, right_time, suffix,
-                  tolerance_sec) -> OmigoDF:
+                  tolerance_sec, tiebreak_cols=None) -> OmigoDF:
     """Nearest-match as-of: both directional carries over ONE union —
     the backward and forward windows share the hash partitioning (one
     Exchange, two Sorts) — then a map-side pick of the closer match
@@ -144,6 +172,7 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
     r_payload = [c for c in rdf.columns if c not in keys]
+    tb = _asof_tiebreak(tiebreak_cols, r_payload)
 
     l_tagged = (ldf.withColumn("__t__", _epoch_sec(ldf, left_time))
                 .withColumn("__side__", F.lit(1)))
@@ -168,10 +197,14 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
     frame = (Window.unboundedPreceding, Window.currentRow)
-    wb = (Window.partitionBy(*keys).orderBy("__t__", "__side__")
+    # tiebreak ASC in BOTH windows: among equal-time right rows, last()
+    # picks the max tiebreak tuple in each direction, so the backward
+    # and forward carries agree on the winner of a tie
+    wb = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
           .rowsBetween(*frame))
     wf = (Window.partitionBy(*keys)
-          .orderBy(F.col("__t__").desc(), "__side__").rowsBetween(*frame))
+          .orderBy(F.col("__t__").desc(), "__side__", *tb)
+          .rowsBetween(*frame))
     sel = ["*"]
     for c in r_payload:
         sel.append(F.last(f"__r_{c}__", ignorenulls=True).over(wb)

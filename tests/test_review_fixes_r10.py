@@ -460,3 +460,28 @@ def test_abs64_min_value_saturates_not_ansi_overflow(spark):
         [(-(1 << 63),), (-7,), (0,), (7,), ((1 << 63) - 1,)], "h long")
     got = [r["a"] for r in df.select(abs64(F.col("h")).alias("a")).collect()]
     assert got == [(1 << 63) - 1, 7, 0, 7, (1 << 63) - 1]
+
+
+def test_asof_join_tiebreak_cols_deterministic(spark):
+    """Duplicate right (key, time) rows made the as-of carry partition-
+    order dependent (the rolling_aggregate hazard class); tiebreak_cols
+    totalizes the window order — max tiebreak tuple wins in EVERY
+    direction, stable across partitionings."""
+    from omigo_data_analytics_spark.operators.timeseries import asof_join
+
+    left = OmigoDF(spark.createDataFrame(
+        [("k", 10.0), ("k", 4.0)], "k string, t double"))
+    rows = [("k", 5.0, f"p{i}") for i in range(3)] + [("k", 2.0, "old")]
+    right = spark.createDataFrame(rows, "k string, t double, v string")
+    want = {"backward": ("old", "p2"), "forward": ("p2", None),
+            "nearest": ("p2", "p2")}
+    for d, expect in want.items():
+        for npart in (1, 3, 7):
+            out = asof_join(left, OmigoDF(right.repartition(npart)),
+                            "k", "t", direction=d,
+                            tiebreak_cols=["v"]).df.orderBy("t").collect()
+            assert tuple(r["r:v"] for r in out) == expect, (d, npart)
+    import pytest
+
+    with pytest.raises(ValueError, match="tiebreak_cols"):
+        asof_join(left, OmigoDF(right), "k", "t", tiebreak_cols=["zz"])
