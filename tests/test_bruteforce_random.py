@@ -130,3 +130,50 @@ def test_time_ordered_ancestors_matches_bruteforce(spark):
            for r in GR.time_ordered_ancestors(e, "ts").df.collect()}
     want = _brute_time_ancestors(edges)
     assert got == want
+
+
+def _brute_asof(left, right, direction, tol=None):
+    """Reference for asof over unique right times: (k, t) -> payload."""
+    out = {}
+    for k, t in left:
+        cands = [(rt, v) for (rk, rt, v) in right if rk == k]
+        back = [(rt, v) for rt, v in cands if rt <= t]
+        fwd = [(rt, v) for rt, v in cands if rt >= t]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if tol is not None:
+            if b and t - b[0] > tol:
+                b = None
+            if f and f[0] - t > tol:
+                f = None
+        if direction == "backward":
+            pick = b
+        elif direction == "forward":
+            pick = f
+        else:  # nearest: closer wins, tie -> backward
+            if b and f:
+                pick = b if (t - b[0]) <= (f[0] - t) else f
+            else:
+                pick = b or f
+        out[(k, t)] = pick[1] if pick else None
+    return out
+
+
+def test_asof_all_directions_match_bruteforce(spark):
+    rng = random.Random(5)
+    left, right = [], []
+    for k in ("a", "b", "c"):
+        left += [(k, float(rng.randint(0, 100))) for _ in range(15)]
+        # unique right times per key (the documented default contract)
+        ts = rng.sample(range(0, 100), 12)
+        right += [(k, float(t), f"{k}{t}") for t in ts]
+    left = sorted(set(left))
+    ldf = OmigoDF(spark.createDataFrame(left, "k string, t double"))
+    rdf = OmigoDF(spark.createDataFrame(right, "k string, t double, v string"))
+    for d in ("backward", "forward", "nearest"):
+        for tol in (None, 7.0):
+            got = {(r["k"], r["t"]): r["r:v"]
+                   for r in TS.asof_join(ldf, rdf, "k", "t", direction=d,
+                                         tolerance_sec=tol).df.collect()}
+            want = _brute_asof(left, right, d, tol)
+            assert got == want, (d, tol)
