@@ -177,3 +177,50 @@ def test_asof_all_directions_match_bruteforce(spark):
                                          tolerance_sec=tol).df.collect()}
             want = _brute_asof(left, right, d, tol)
             assert got == want, (d, tol)
+
+
+def test_query_graph_chain_matches_bruteforce(spark):
+    """Full QueryGraph compile path (Table1 -> Hierarchy with time
+    window + min_group_size) on RANDOM pillar data vs a plain-Python
+    replay of the documented join semantics — randomized-data coverage
+    for the DSL beyond the fixed driver chain."""
+    from omigo_data_analytics_spark.operators import query_graph as QG
+
+    rng = random.Random(19)
+    t1_rows, h_rows = [], []
+    for _ in range(40):
+        id1 = f"h{rng.randint(0, 3)}"
+        nid = f"n{rng.randint(0, 5)}"
+        t1_rows.append((id1, "d", f"u{rng.randint(0, 9)}", nid,
+                        f"ev{rng.randint(0, 2)}", rng.randint(0, 100_000)))
+    for i in range(80):
+        id1 = f"h{rng.randint(0, 3)}"
+        parent = f"n{rng.randint(0, 5)}"
+        h_rows.append((id1, "d", f"c{i}", parent,
+                       f"ev{rng.randint(0, 2)}", rng.randint(0, 200_000)))
+    t1 = spark.createDataFrame(
+        t1_rows, ["id1", "id2", "uuid", "node_id", "event_id", "ts"])
+    hier = spark.createDataFrame(
+        h_rows, ["id1", "id2", "node_id", "parent_id", "event_id", "ts"])
+    window_min, min_group = 1, 2
+    nodes = [QG.Table1().as_("T"),
+             QG.Hierarchy().as_("C").time_window(window_min)
+             .min_group_size(min_group)]
+    gi = QG.QueryGraphInput({"table1": t1, "hierarchy": hier})
+    got = {(r["T_uuid"], r["C_node_id"])
+           for r in QG.QueryGraph("t", nodes, gi).execute().df.collect()}
+
+    # brute force: C joins (id1, id2, parent_id=node_id) to T with
+    # C.ts <= T.ts + window; then group-size floor over C's
+    # (id1, id2, parent_id) join-key tuple
+    limit_ms = window_min * 60 * 1000
+    pairs = []
+    for (tid1, tid2, uuid, tnid, tev, tts) in t1_rows:
+        for (hid1, hid2, hnid, hpar, hev, hts) in h_rows:
+            if (hid1, hid2) == (tid1, tid2) and hpar == tnid \
+                    and hts <= tts + limit_ms:
+                pairs.append(((hid1, hid2, hpar), uuid, hnid))
+    from collections import Counter
+    sizes = Counter(k for k, _, _ in pairs)
+    want = {(u, c) for k, u, c in pairs if sizes[k] >= min_group}
+    assert got == want and len(want) > 0
