@@ -3337,6 +3337,28 @@ WHERE a.p_partkey <= 2000 AND b.p_partkey <= 2000
 """
 
 
+def q_dedup_fuzzy(spark, sf_dir):
+    """fuzzy near-dup REMOVAL (fuzzy.dedup_fuzzy): keep only rows with
+    no smaller-id neighbor within edit distance 1 — the mutation-side
+    consumer of the fuzzy_pairs machinery (greedy min-representative
+    keep rule). Same pinned part slice as fuzzy_pairs so the
+    brute-force NOT EXISTS oracle stays sweep-affordable."""
+    part = _t(spark, sf_dir, "part")
+    sl = OmigoDF(part.df.where("p_partkey <= 2000")
+                 .select("p_partkey", "p_name"))
+    return FZ.dedup_fuzzy(sl, "p_partkey", "p_name", max_dist=1, q=3).df
+
+
+SQL_DEDUP_FUZZY = """
+SELECT p_partkey, p_name FROM part p
+WHERE p_partkey <= 2000 AND NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_partkey < p.p_partkey AND q.p_partkey <= 2000
+    AND abs(len(q.p_name) - len(p.p_name)) <= 1
+    AND levenshtein(q.p_name, p.p_name) <= 1)
+"""
+
+
 def q_fuzzy_join(spark, sf_dir):
     """two-table exact edit-distance join (fuzzy.fuzzy_join): customer
     names vs a deterministically mutated sample (position-10 'X'
@@ -3993,11 +4015,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "decontaminate_semantic": q_decontaminate_semantic,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = r11-budget priority: after this round the
-        # r8-row block below is the stalest (43 entries), then the r9-row
-        # block (49). Every entry below is green in this round's full
-        # dual-scale + partition-invariance sweeps, re-run at every
-        # registry freeze.
+        # Post-boundary order = r11-budget priority: dedup_fuzzy FIRST —
+        # added late-r10 (the one fuzzy-family member that had no
+        # registry entry; existing r8 operator, brute-force NOT-EXISTS
+        # oracle, verified locally at sf0.01 + sf0.1 this round) — its
+        # driver row lands in r11. Then the r8-row block (stalest, 43
+        # entries), then the r9/r10 blocks. Every entry below is green
+        # in this round's full dual-scale + partition-invariance sweeps,
+        # re-run at every registry freeze.
+        "dedup_fuzzy": q_dedup_fuzzy,
         # --- r8-green, unchanged since: stalest tail ---
         "pipeline_e2e": q_pipeline_e2e,
         "tpch_q1_aggregate": q_tpch_q1_aggregate,
@@ -4208,6 +4234,7 @@ def oracle_sql() -> dict[str, str]:
         "search_job_e2e": _sql_search_job_e2e(),
         "fuzzy_pairs": SQL_FUZZY_PAIRS,
         "fuzzy_join": SQL_FUZZY_JOIN,
+        "dedup_fuzzy": SQL_DEDUP_FUZZY,
         "leakage_safe_split": _sql_leakage_safe_split(),
         "dsir_weights": _sql_dsir_weights(),
         "dsir_select": _sql_dsir_select(),
