@@ -536,7 +536,8 @@ FROM grams b LEFT JOIN cov c USING ({id_col})
 def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                         n: int = SHINGLE_N, min_shared: int = 1,
                         threshold: float = 0.0,
-                        max_shingle_df: int | None = 10000) -> OmigoDF:
+                        max_shingle_df: int | None = 10000,
+                        warn_candidate_pairs: int | None = None) -> OmigoDF:
     """Exact n-gram Jaccard similarity for every pair sharing ≥ min_shared
     shingles. explode→self-join on shingle→count; the join key is the
     shingle so co-occurring docs co-locate in one shuffle.
@@ -546,7 +547,18 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     goes quadratic. Shingles with document frequency above the cap are
     dropped from candidate generation (standard DF-capping; the Jaccard
     denominator keeps the full shingle counts, so reported similarity is
-    conservative for affected pairs). None disables the cap."""
+    conservative for affected pairs). None disables the cap.
+
+    The cap cannot save a GENUINELY self-similar corpus: the measured
+    40× scale-up (SCALE.md §Measured 20-40× scale-up) hit 2.2 BILLION
+    candidate pairs with every shingle df under the cap — the
+    quadratic was the workload, and the LSH path handled the same
+    input ~20× faster. ``warn_candidate_pairs`` (opt-in, the fuzzy
+    family's warn_unsafe_frac pattern) runs one shingle-df census —
+    an aggregate over the already-checkpointed exploded stream, post
+    DF-cap — and warns with the estimated pair count and the LSH
+    remedy when Σ df·(df-1)/2 exceeds the given count; default None
+    adds zero jobs and leaves the plan untouched."""
     base = ensure_min_parallelism(odf.df).select(
         F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
     base = base.withColumn("sh_n", F.size("sh"))
@@ -559,6 +571,19 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
         hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
                .where(F.col("__df__") > max_shingle_df).select("s"))
         ex = ex.join(hot, on="s", how="left_anti")
+    if warn_candidate_pairs is not None:
+        est = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
+               .agg(F.sum(F.expr("__df__ * (__df__ - 1) / 2")).alias("p"))
+               .first()["p"]) or 0
+        if est > warn_candidate_pairs:
+            import warnings
+            warnings.warn(
+                f"ngram_jaccard_pairs: ~{int(est):,} candidate pairs "
+                f"(> {warn_candidate_pairs:,}) — the corpus is "
+                "self-similar enough that exact all-pairs Jaccard goes "
+                "quadratic even under max_shingle_df; use the LSH path "
+                "(lsh_candidate_pairs / dedup_near) at this scale",
+                UserWarning, stacklevel=2)
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (a.join(b, on=[F.col("a.s") == F.col("b.s"),

@@ -485,3 +485,26 @@ def test_asof_join_tiebreak_cols_deterministic(spark):
 
     with pytest.raises(ValueError, match="tiebreak_cols"):
         asof_join(left, OmigoDF(right), "k", "t", tiebreak_cols=["zz"])
+
+
+def test_ngram_jaccard_candidate_pair_warning(spark):
+    """Opt-in census warns when the post-cap candidate-pair estimate
+    exceeds the threshold (self-similar corpora go quadratic even under
+    the DF cap — measured at the 40x scale-up); default None adds no
+    warning and no extra job."""
+    import warnings
+
+    from omigo_data_analytics_spark.operators import dedup as DD
+
+    d = OmigoDF(spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(12)],
+        "doc_id long, text string"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out1 = DD.ngram_jaccard_pairs(d, warn_candidate_pairs=10).df.count()
+        assert any("candidate pairs" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out2 = DD.ngram_jaccard_pairs(d).df.count()
+        assert not any("candidate pairs" in str(x.message) for x in w)
+    assert out1 == out2  # the census never changes results
