@@ -224,3 +224,66 @@ def test_query_graph_chain_matches_bruteforce(spark):
     sizes = Counter(k for k, _, _ in pairs)
     want = {(u, c) for k, u, c in pairs if sizes[k] >= min_group}
     assert got == want and len(want) > 0
+
+
+def test_graph_family_matches_bruteforce(spark):
+    """bfs_levels vs Python BFS, remove_dangling_edges vs the fixpoint
+    rule, remove_cycles vs its direct definition, and ancestors with
+    encode_vertices on/off equality — one random graph, fixed seed."""
+    from collections import deque
+
+    rng = random.Random(23)
+    edges = sorted({(f"n{rng.randint(0, 25)}", f"n{rng.randint(0, 25)}",
+                     rng.randint(0, 50)) for _ in range(80)})
+    plain = [(s, d) for s, d, _ in edges]
+    e = OmigoDF(spark.createDataFrame(edges, ["src", "dst", "ts"]))
+
+    # --- bfs_levels: min level from seeds, python BFS reference
+    seeds = ["n0", "n1"]
+    adj = {}
+    for s, d in plain:
+        adj.setdefault(s, []).append(d)
+    want_lv = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, []):
+            if v not in want_lv:
+                want_lv[v] = want_lv[u] + 1
+                dq.append(v)
+    got_lv = {r["node_id"]: r["level"]
+              for r in GR.bfs_levels(e, seeds).df.collect()}
+    assert got_lv == want_lv
+
+    # --- ancestors: dictionary-encoded run must equal the plain run
+    a_plain = {(r["node_id"], r["ancestor"])
+               for r in GR.ancestors(e).df.collect()}
+    a_enc = {(r["node_id"], r["ancestor"])
+             for r in GR.ancestors(e, encode_vertices=True).df.collect()}
+    assert a_plain == a_enc and len(a_plain) > 0
+
+    # --- remove_dangling_edges: python fixpoint of the same rule
+    keep = {"n3"}
+    cur = set(plain)
+    while True:
+        srcs = {s for s, _ in cur}
+        nxt = {(s, d) for s, d in cur if d in srcs or d in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    got_d = {(r["src"], r["dst"])
+             for r in GR.remove_dangling_edges(
+                 OmigoDF(spark.createDataFrame(plain, ["src", "dst"])),
+                 ["n3"], max_iter=50).df.collect()}
+    assert got_d == cur
+
+    # --- remove_cycles: edge survives iff ts >= min arrival ts at src
+    # (sources never appearing as dst always emit)
+    first = {}
+    for s, d, t in edges:
+        first[d] = min(first.get(d, t), t)
+    want_c = {(s, d, t) for s, d, t in edges
+              if s not in first or t >= first[s]}
+    got_c = {(r["src"], r["dst"], r["ts"])
+             for r in GR.remove_cycles(e, "ts").df.collect()}
+    assert got_c == want_c
