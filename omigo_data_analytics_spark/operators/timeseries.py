@@ -79,6 +79,12 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     order; the MAX tiebreak tuple wins among equal-time rows, in every
     direction) when right (on, time) can repeat; the default None means
     the caller asserts it is unique.
+
+    The winning right row is carried ATOMICALLY: all payload columns
+    ride one struct through a single ``last(ignorenulls=True)``, so a
+    NULL cell in the winning row stays NULL in the output (r11 advice
+    fix — per-column carries used to backfill such a cell from an
+    EARLIER right row, tearing the result across two source rows).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction: {direction}")
@@ -93,15 +99,22 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     out_names = {c: f"{suffix}:{c}" for c in r_payload}
     tb = _asof_tiebreak(tiebreak_cols, r_payload)
 
+    # degenerate: right has no payload beyond the keys — nothing to carry
+    if not r_payload:
+        return OmigoDF(ldf)
+
     # align schemas: one unioned relation with a side tag; forward as-of
-    # is backward as-of on negated time
+    # is backward as-of on negated time. The WHOLE right payload rides
+    # one struct column so the carry below picks a single right row
+    # atomically — a non-NULL struct with NULL fields is still non-NULL,
+    # so last(ignorenulls) never mixes cells from different right rows.
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in r_payload])
     sign = F.lit(1.0) if direction == "backward" else F.lit(-1.0)
+    r_typed = rdf.select(pay_struct.alias("__r__")).schema["__r__"].dataType
     l_tagged = (ldf
                 .withColumn("__t__", sign * _epoch_sec(ldf, left_time))
-                .withColumn("__side__", F.lit(1)))
-    for c in r_payload:
-        l_tagged = l_tagged.withColumn(
-            f"__r_{c}__", F.lit(None).cast(rdf.schema[c].dataType))
+                .withColumn("__side__", F.lit(1))
+                .withColumn("__r__", F.lit(None).cast(r_typed)))
     # NULL-time right rows sort FIRST under the window's ascending order
     # (NULLs first), so their payload would be carried into every left
     # row with no earlier real match — a phantom match whose __match_t__
@@ -110,16 +123,14 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     r_tagged = (rdf
                 .withColumn("__t__", sign * _epoch_sec(rdf, rt))
                 .where(F.col("__t__").isNotNull())
-                .withColumn("__side__", F.lit(0)))
-    for c in r_payload:
-        r_tagged = r_tagged.withColumn(f"__r_{c}__", F.col(c))
+                .withColumn("__side__", F.lit(0))
+                .withColumn("__r__", pay_struct))
     for c in ldf.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(
                 c, F.lit(None).cast(ldf.schema[c].dataType))
-    cols = keys + ["__t__", "__side__"] \
-        + [c for c in ldf.columns if c not in keys] \
-        + [f"__r_{c}__" for c in r_payload]
+    cols = keys + ["__t__", "__side__", "__r__"] \
+        + [c for c in ldf.columns if c not in keys]
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
     # tiebreak cols order AFTER (__t__, __side__): they only order right
@@ -130,28 +141,26 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u.select(
         "*",
-        *[F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__")
-          for c in r_payload],
+        F.last("__r__", ignorenulls=True).over(w).alias("__c__"),
         F.last(F.when(F.col("__side__") == 0, F.col("__t__")),
                ignorenulls=True).over(w).alias("__match_t__"))
 
     out = carried.where(F.col("__side__") == 1)
     if tolerance_sec is not None:
         keep = F.col("__match_t__") >= F.col("__t__") - F.lit(tolerance_sec)
-        for c in r_payload:
-            out = out.withColumn(
-                f"__c_{c}__", F.when(keep, F.col(f"__c_{c}__")))
+        out = out.withColumn("__c__", F.when(keep, F.col("__c__")))
     proj = keys + [c for c in ldf.columns if c not in keys]
     out = out.select(
         *proj,
-        *[F.col(f"__c_{c}__").alias(out_names[c]) for c in r_payload])
+        *[F.col("__c__").getField(c).alias(out_names[c]) for c in r_payload])
     return OmigoDF(out)
 
 
 def _asof_tiebreak(tiebreak_cols, r_payload):
     """Validated window-order suffix for duplicate right (on, time) rows:
-    the __r_ copies of the caller's tiebreak columns (they exist on both
-    union sides — NULL on left rows, which the side tag already orders)."""
+    the caller's tiebreak columns read out of the unioned __r__ payload
+    struct (present on both sides — a NULL struct on left rows yields
+    NULL fields, which the side tag already orders)."""
     if not tiebreak_cols:
         return []
     missing = [c for c in tiebreak_cols if c not in r_payload]
@@ -159,7 +168,7 @@ def _asof_tiebreak(tiebreak_cols, r_payload):
         raise ValueError(
             f"asof_join: tiebreak_cols {missing} are not right-side "
             f"payload columns (have {r_payload})")
-    return [F.col(f"__r_{c}__") for c in tiebreak_cols]
+    return [F.col("__r__").getField(c) for c in tiebreak_cols]
 
 
 def _asof_nearest(left, right, on, left_time, right_time, suffix,
@@ -172,28 +181,32 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
     r_payload = [c for c in rdf.columns if c not in keys]
+    if not r_payload:
+        return OmigoDF(ldf)
     tb = _asof_tiebreak(tiebreak_cols, r_payload)
 
+    # same atomic struct carry as asof_join (r11 advice fix): one
+    # last(ignorenulls) per DIRECTION picks a whole right row, so NULL
+    # payload cells in the winning row are never backfilled from an
+    # earlier right row
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in r_payload])
+    r_typed = rdf.select(pay_struct.alias("__r__")).schema["__r__"].dataType
     l_tagged = (ldf.withColumn("__t__", _epoch_sec(ldf, left_time))
-                .withColumn("__side__", F.lit(1)))
-    for c in r_payload:
-        l_tagged = l_tagged.withColumn(
-            f"__r_{c}__", F.lit(None).cast(rdf.schema[c].dataType))
+                .withColumn("__side__", F.lit(1))
+                .withColumn("__r__", F.lit(None).cast(r_typed)))
     # same NULL-time right-row screen as asof_join (there the leak was
     # a phantom match; here the pick logic already masked it, but the
     # rows still rode the shuffle for nothing)
     r_tagged = (rdf.withColumn("__t__", _epoch_sec(rdf, rt))
                 .where(F.col("__t__").isNotNull())
-                .withColumn("__side__", F.lit(0)))
-    for c in r_payload:
-        r_tagged = r_tagged.withColumn(f"__r_{c}__", F.col(c))
+                .withColumn("__side__", F.lit(0))
+                .withColumn("__r__", pay_struct))
     for c in ldf.columns:
         if c not in r_tagged.columns:
             r_tagged = r_tagged.withColumn(
                 c, F.lit(None).cast(ldf.schema[c].dataType))
-    cols = keys + ["__t__", "__side__"] \
-        + [c for c in ldf.columns if c not in keys] \
-        + [f"__r_{c}__" for c in r_payload]
+    cols = keys + ["__t__", "__side__", "__r__"] \
+        + [c for c in ldf.columns if c not in keys]
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
     frame = (Window.unboundedPreceding, Window.currentRow)
@@ -205,12 +218,9 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     wf = (Window.partitionBy(*keys)
           .orderBy(F.col("__t__").desc(), "__side__", *tb)
           .rowsBetween(*frame))
-    sel = ["*"]
-    for c in r_payload:
-        sel.append(F.last(f"__r_{c}__", ignorenulls=True).over(wb)
-                   .alias(f"__b_{c}__"))
-        sel.append(F.last(f"__r_{c}__", ignorenulls=True).over(wf)
-                   .alias(f"__f_{c}__"))
+    sel = ["*",
+           F.last("__r__", ignorenulls=True).over(wb).alias("__b__"),
+           F.last("__r__", ignorenulls=True).over(wf).alias("__f__")]
     rt_col = F.when(F.col("__side__") == 0, F.col("__t__"))
     sel.append(F.last(rt_col, ignorenulls=True).over(wb).alias("__bt__"))
     sel.append(F.last(rt_col, ignorenulls=True).over(wf).alias("__ft__"))
@@ -226,11 +236,10 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
         f_ok = F.col("__ft__").isNotNull()
     use_b = b_ok & (~f_ok | (bd <= fd))   # tie -> backward
     proj = keys + [c for c in ldf.columns if c not in keys]
+    pick = F.when(use_b, F.col("__b__")).when(f_ok, F.col("__f__"))
     out = carried.select(
         *proj,
-        *[F.when(use_b, F.col(f"__b_{c}__"))
-          .when(f_ok, F.col(f"__f_{c}__"))
-          .alias(f"{suffix}:{c}") for c in r_payload])
+        *[pick.getField(c).alias(f"{suffix}:{c}") for c in r_payload])
     return OmigoDF(out)
 
 

@@ -1,0 +1,178 @@
+"""Round-11 review fixes.
+
+1. asof_join atomic payload carry (r10 ADVICE): when the winning right
+   row has a NULL payload cell, that cell must come back NULL — the old
+   per-column last(ignorenulls) carries backfilled it from an EARLIER
+   right row, producing a torn row mixing payloads of two source rows.
+2. semdedup auto-scaled num_clusters default (r10 verdict #2).
+3. decontaminate_semantic num_clusters="auto" (r10 verdict #3).
+4. ngram_jaccard_pairs candidate-pair census warning default-on
+   (r10 verdict #4).
+"""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import timeseries as TS
+
+
+def _mk(spark, rows, schema):
+    return OmigoDF(spark.createDataFrame(rows, schema))
+
+
+def test_asof_null_payload_cell_not_backfilled(spark):
+    """Winning right row carries a NULL cell -> output keeps it NULL
+    (torn-row advice fix). Earlier right row has a non-NULL value in
+    that column; the old per-column carry leaked it through."""
+    left = _mk(spark, [("k", 10.0)], "k string, t double")
+    right = _mk(spark, [("k", 1.0, "old_a", "old_b"),
+                        ("k", 5.0, None, "new_b")],
+                "k string, t double, a string, b string")
+    out = TS.asof_join(left, right, on="k", left_time="t",
+                       suffix="q").df.collect()[0]
+    assert out["q:b"] == "new_b"     # winning row's non-NULL cell
+    assert out["q:a"] is None        # winning row's NULL cell stays NULL
+    assert out["q:t"] == 5.0
+
+
+def test_asof_null_payload_atomic_under_tiebreak(spark):
+    """Same torn-row hazard at EQUAL times with tiebreak_cols: the
+    max-tiebreak row wins as a whole row, NULL cells included."""
+    left = _mk(spark, [("k", 10.0)], "k string, t double")
+    right = _mk(spark, [("k", 5.0, 1, "lo"),
+                        ("k", 5.0, 2, None)],
+                "k string, t double, seq int, v string")
+    out = TS.asof_join(left, right, on="k", left_time="t",
+                       suffix="q", tiebreak_cols=["seq"]).df.collect()[0]
+    assert out["q:seq"] == 2
+    assert out["q:v"] is None        # the winner's NULL, not 'lo'
+
+
+def test_asof_nearest_null_payload_atomic(spark):
+    """direction='nearest' picks one whole row per direction too."""
+    left = _mk(spark, [("k", 10.0)], "k string, t double")
+    # forward match (t=11) is nearer than backward (t=1); its NULL cell
+    # must survive, not fall back to the backward row's value
+    right = _mk(spark, [("k", 1.0, "b_val", "x"),
+                        ("k", 11.0, None, "y")],
+                "k string, t double, a string, b string")
+    out = TS.asof_join(left, right, on="k", left_time="t",
+                       direction="nearest", suffix="q").df.collect()[0]
+    assert out["q:b"] == "y"
+    assert out["q:a"] is None
+
+
+def test_asof_empty_right_payload_returns_left(spark):
+    """Right side with only the key column: nothing to carry, left
+    comes back unchanged (degenerate guard on the struct carry)."""
+    left = _mk(spark, [("k", 1.0), ("z", 2.0)], "k string, t double")
+    right = _mk(spark, [("k",)], "k string")
+    out = TS.asof_join(left, right, on="k", left_time="t").df
+    assert sorted(out.columns) == ["k", "t"]
+    assert out.count() == 2
+
+
+def test_semdedup_auto_k_valid_and_bounded(spark, embeddings):
+    """num_clusters=None derives k from a corpus count (clamped n/1000);
+    any k is a valid SemDeDup, so the auto default must still produce a
+    subset of the input with survivors unique by id."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    e = OmigoDF(embeddings.df.limit(500))
+    out = DD.semdedup(e, threshold=0.4).df   # default num_clusters=None
+    n_in = e.df.count()
+    n_out = out.count()
+    assert 0 < n_out <= n_in
+    assert out.select("vec_id").distinct().count() == n_out
+    # survivors are a subset of the input ids
+    extra = out.select("vec_id").join(e.df.select("vec_id"),
+                                      "vec_id", "left_anti").count()
+    assert extra == 0
+
+
+def test_semdedup_auto_k_clamp():
+    from omigo_data_analytics_spark.operators.dedup import _auto_num_clusters
+    assert _auto_num_clusters(0) == 8
+    assert _auto_num_clusters(500) == 8          # floor clamp
+    assert _auto_num_clusters(80_000) == 80      # n/1000
+    assert _auto_num_clusters(10_000_000) == 4096  # ceiling clamp
+
+
+def test_semdedup_pinned_k_unchanged(spark, embeddings):
+    """Explicit num_clusters still pins k exactly (the registry/oracle
+    contract): pinned-k result is reproducible."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    e = OmigoDF(embeddings.df.limit(300))
+    a = DD.semdedup(e, threshold=0.4, num_clusters=8, iters=2).df
+    b = DD.semdedup(e, threshold=0.4, num_clusters=8, iters=2).df
+    assert sorted(r["vec_id"] for r in a.select("vec_id").collect()) == \
+           sorted(r["vec_id"] for r in b.select("vec_id").collect())
+
+
+def test_decontaminate_semantic_auto_k(spark, documents):
+    """num_clusters='auto' derives k ~ sqrt(|eval|) per the docstring;
+    the screen still returns a subset of train and never drops rows the
+    dense screen keeps... (auto is a recall<=dense screen by design)."""
+    from omigo_data_analytics_spark.operators import curation as CU
+    docs = OmigoDF(documents.df.limit(400))
+    ev = OmigoDF(documents.df.orderBy("doc_id").limit(25))
+    out = CU.decontaminate_semantic(docs, ev, "doc_id",
+                                    threshold=0.6, dim=16,
+                                    num_clusters="auto").df
+    n_train = docs.df.count()
+    assert 0 < out.count() <= n_train
+    # clustered screen can only MISS contamination vs dense: every row
+    # dense keeps, auto keeps
+    dense = CU.decontaminate_semantic(docs, ev, "doc_id",
+                                      threshold=0.6, dim=16).df
+    missing = dense.select("doc_id").join(out.select("doc_id"),
+                                          "doc_id", "left_anti").count()
+    assert missing == 0
+
+
+def test_decontaminate_auto_k_value():
+    from omigo_data_analytics_spark.operators.curation import _auto_eval_k
+    assert _auto_eval_k(0) == 2
+    assert _auto_eval_k(4) == 2
+    assert _auto_eval_k(100) == 10
+    assert _auto_eval_k(10_000) == 100
+    assert _auto_eval_k(100_000_000) == 4096
+
+
+def test_ngram_jaccard_census_warns_by_default(spark):
+    """Default warn_candidate_pairs is now ON (~10M): a dense corpus
+    (every doc shares every shingle) must warn when the estimate
+    crosses the caller-set threshold; explicit None opts out."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(40)]
+    docs = OmigoDF(spark.createDataFrame(rows, "doc_id int, text string"))
+    # ~40 docs x identical shingles -> est pairs ~ s * 40*39/2 >> 100
+    with pytest.warns(UserWarning, match="candidate pairs"):
+        DD.ngram_jaccard_pairs(docs, warn_candidate_pairs=100).df.count()
+    # opt-out: no census job, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DD.ngram_jaccard_pairs(docs, warn_candidate_pairs=None).df.count()
+
+
+def test_ngram_jaccard_default_threshold_silent_on_small(spark, documents):
+    """The 10M default must NOT warn on an ordinary small corpus."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    docs = OmigoDF(documents.df.limit(200))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DD.ngram_jaccard_pairs(docs).df.count()
+
+
+def test_train_ivf_centroids_auto_k(spark, embeddings):
+    """num_centroids=None derives k from a corpus count (sqrt rule,
+    clamped); explicit k still pins exactly."""
+    from omigo_data_analytics_spark.operators import similarity as SM
+    e = OmigoDF(embeddings.df.limit(400))
+    cents = SM.train_ivf_centroids(e, num_centroids=None)
+    assert 2 <= len(cents) <= 4096
+    pinned = SM.train_ivf_centroids(e, num_centroids=5)
+    assert len(pinned) == 5
