@@ -537,7 +537,7 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                         n: int = SHINGLE_N, min_shared: int = 1,
                         threshold: float = 0.0,
                         max_shingle_df: int | None = 10000,
-                        warn_candidate_pairs: int | None = None) -> OmigoDF:
+                        warn_candidate_pairs: int | None = 10_000_000) -> OmigoDF:
     """Exact n-gram Jaccard similarity for every pair sharing ≥ min_shared
     shingles. explode→self-join on shingle→count; the join key is the
     shingle so co-occurring docs co-locate in one shuffle.
@@ -553,12 +553,14 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     40× scale-up (SCALE.md §Measured 20-40× scale-up) hit 2.2 BILLION
     candidate pairs with every shingle df under the cap — the
     quadratic was the workload, and the LSH path handled the same
-    input ~20× faster. ``warn_candidate_pairs`` (opt-in, the fuzzy
-    family's warn_unsafe_frac pattern) runs one shingle-df census —
-    an aggregate over the already-checkpointed exploded stream, post
-    DF-cap — and warns with the estimated pair count and the LSH
-    remedy when Σ df·(df-1)/2 exceeds the given count; default None
-    adds zero jobs and leaves the plan untouched."""
+    input ~20× faster. ``warn_candidate_pairs`` runs one shingle-df
+    census — an aggregate over the already-checkpointed exploded
+    stream, post DF-cap — and warns with the estimated pair count and
+    the LSH remedy when Σ df·(df-1)/2 exceeds the given count.
+    Default-ON at 10M since r11 (r10 verdict: the one operator with a
+    measured 208× quadratic cliff should not be silent) — the census
+    job costs one partial agg over data the self-join reads anyway;
+    pass None to opt out and leave the plan untouched."""
     base = ensure_min_parallelism(odf.df).select(
         F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
     base = base.withColumn("sh_n", F.size("sh"))
@@ -849,8 +851,17 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
     return OmigoDF(out)
 
 
+def _auto_num_clusters(n: int, floor: int = 8, ceil: int = 4096) -> int:
+    """SemDeDup auto-k: k = clamp(n/1000, floor, ceil) — the docstring's
+    own prescription (expected cluster size ~1e3 keeps the within-cluster
+    pair work (n/k)^2 bounded). Measured at the 40x scale rig (SCALE.md):
+    the old fixed k=8 default degenerated 2.5 s -> 804 s while k=n/1000
+    ran 62 s on the same input."""
+    return min(max(int(n) // 1000, floor), ceil)
+
+
 def semdedup(odf: OmigoDF, threshold: float = 0.9,
-             num_clusters: int = 8, iters: int = 2,
+             num_clusters: int | None = None, iters: int = 2,
              centroids: list | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              cluster_col: str = "cluster_id",
@@ -878,8 +889,17 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
     trade, not an implementation gap. Skew note: one giant cluster
     re-creates the n² corner; at scale pick num_clusters so expected
     cluster size stays ~1e4, and train on a sample
-    (kmeans_centroids(sample_fraction=...))."""
+    (kmeans_centroids(sample_fraction=...)).
+
+    ``num_clusters=None`` (the default since r11) derives
+    k = clamp(n/1000, 8, 4096) from one cheap corpus count, so the
+    within-cluster pair work stays ~n·1000 instead of n²/8 — the fixed
+    k=8 default was a measured scale-killer (804 s vs 62 s at the 40×
+    rig, SCALE.md). Pass an explicit k (or ``centroids``) to pin the
+    clustering exactly — the oracle-checked registry query does."""
     from .similarity import _dot_expr, _norm_expr, kmeans_assign, kmeans_centroids
+    if centroids is None and num_clusters is None:
+        num_clusters = _auto_num_clusters(odf.df.count())
     cents = centroids if centroids is not None else kmeans_centroids(
         odf, num_clusters, iters, id_col, vec_col)
     # kmeans_assign applies ensure_min_parallelism itself — no outer wrap

@@ -204,7 +204,8 @@ def ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
     return [(r[0], list(r[1])) for r in rows]
 
 
-def train_ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
+def train_ivf_centroids(corpus: OmigoDF,
+                        num_centroids: int | None = IVF_CENTROIDS,
                         iters: int = 3, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         sample_fraction: float | None = None) -> list:
@@ -213,7 +214,17 @@ def train_ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
     trained/persisted IVF index is bit-reproducible at any partition
     count (the original float-avg update here was order-dependent:
     rebuilding the same index on the same data could place borderline
-    vectors in different lists run-to-run)."""
+    vectors in different lists run-to-run).
+
+    ``num_centroids=None`` derives k = clamp(√n, 2, 4096) from one
+    corpus count — the standard IVF sizing rule (per-query probe cost
+    k + nprobe·n/k minimizes near √n), same auto-k affordance as
+    ``dedup.semdedup`` / ``curation.decontaminate_semantic`` (r11).
+    The int default stays ``IVF_CENTROIDS`` because an index build is
+    an explicit, documented-k API; None is the opt-in."""
+    if num_centroids is None:
+        from .curation import _auto_eval_k
+        num_centroids = _auto_eval_k(corpus.df.count())
     return kmeans_centroids(corpus, num_centroids, iters, id_col,
                             vec_col, sample_fraction)
 
