@@ -287,3 +287,54 @@ def test_graph_family_matches_bruteforce(spark):
     got_c = {(r["src"], r["dst"], r["ts"])
              for r in GR.remove_cycles(e, "ts").df.collect()}
     assert got_c == want_c
+
+
+def test_asof_atomic_row_pick_with_random_nulls(spark):
+    """r11 advice fix, randomized: right payloads with random NULL cells
+    and duplicate (k, t) rows. The winning row (max (t, seq) tuple at-or-
+    before / min-then-max for forward) must come back WHOLE — both cells
+    from the same source row, NULLs preserved — across all directions."""
+    import random as _r
+    rng = _r.Random(23)
+    left, right = [], []
+    for k in ("a", "b"):
+        left += [(k, float(rng.randint(0, 60))) for _ in range(12)]
+        for _ in range(18):
+            t = float(rng.randint(0, 60))
+            seq = rng.randint(0, 999)
+            a = None if rng.random() < 0.4 else f"A{seq}"
+            b = None if rng.random() < 0.4 else f"B{seq}"
+            right.append((k, t, seq, a, b))
+    left = sorted(set(left))
+    ldf = OmigoDF(spark.createDataFrame(left, "k string, t double"))
+    rdf = OmigoDF(spark.createDataFrame(
+        right, "k string, t double, seq int, a string, b string"))
+
+    def brute(direction):
+        out = {}
+        for k, t in left:
+            cands = [r for r in right if r[0] == k]
+            back = [r for r in cands if r[1] <= t]
+            fwd = [r for r in cands if r[1] >= t]
+            # max (t, seq) wins backward; forward = min t, then max seq
+            bpick = max(back, key=lambda r: (r[1], r[2])) if back else None
+            fpick = (max([r for r in fwd
+                          if r[1] == min(x[1] for x in fwd)],
+                         key=lambda r: r[2]) if fwd else None)
+            if direction == "backward":
+                p = bpick
+            elif direction == "forward":
+                p = fpick
+            else:
+                if bpick and fpick:
+                    p = bpick if (t - bpick[1]) <= (fpick[1] - t) else fpick
+                else:
+                    p = bpick or fpick
+            out[(k, t)] = (p[3], p[4]) if p else (None, None)
+        return out
+
+    for d in ("backward", "forward", "nearest"):
+        got = {(r["k"], r["t"]): (r["r:a"], r["r:b"])
+               for r in TS.asof_join(ldf, rdf, "k", "t", direction=d,
+                                     tiebreak_cols=["seq"]).df.collect()}
+        assert got == brute(d), d
