@@ -176,3 +176,29 @@ def test_train_ivf_centroids_auto_k(spark, embeddings):
     assert 2 <= len(cents) <= 4096
     pinned = SM.train_ivf_centroids(e, num_centroids=5)
     assert len(pinned) == 5
+
+
+def test_semdedup_auto_equals_pinned_when_k_matches(spark, embeddings):
+    """For corpora under the floor clamp (n < 8000 -> auto k=8), the
+    None default must produce BIT-IDENTICAL survivors to an explicit
+    k=8 — auto-k changes parameter derivation, never semantics."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    e = OmigoDF(embeddings.df.limit(400))
+    auto = DD.semdedup(e, threshold=0.4).df
+    pinned = DD.semdedup(e, threshold=0.4, num_clusters=8).df
+    ids = lambda df: sorted(r["vec_id"] for r in df.select("vec_id").collect())
+    assert ids(auto) == ids(pinned)
+
+
+def test_decontaminate_auto_equals_pinned_when_k_matches(spark, documents):
+    """Same equivalence for the clustered decontamination: eval of 25
+    docs -> auto k = int(sqrt(25)) = 5 must equal explicit k=5."""
+    from omigo_data_analytics_spark.operators import curation as CU
+    docs = OmigoDF(documents.df.limit(300))
+    ev = OmigoDF(documents.df.orderBy("doc_id").limit(25))
+    auto = CU.decontaminate_semantic(docs, ev, "doc_id", threshold=0.6,
+                                     dim=16, num_clusters="auto").df
+    pinned = CU.decontaminate_semantic(docs, ev, "doc_id", threshold=0.6,
+                                       dim=16, num_clusters=5).df
+    ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
+    assert ids(auto) == ids(pinned)
