@@ -1670,10 +1670,12 @@ class OmigoDF(CompatMixin):
         (column, value) after map-side combine, the second is
         column-count-sized. Same N× map fan-out the Expand would do,
         none of its multi-group machinery — measured ~4x faster at
-        sf0.1 and strictly partial-aggregated at 100 TB. One semantic
-        delta: on an EMPTY table the exact path returns zero rows (no
-        (column, value) pairs to aggregate) while the approx path still
-        emits one row per column from its global aggregate."""
+        sf0.1 and strictly partial-aggregated at 100 TB. Both paths are
+        TOTAL on the column list: an empty table still emits one row per
+        column (n_rows=0, min/max NULL) — the exact path left-joins its
+        pair aggregate against the static column list (a k-row literal
+        frame, broadcast; zero cost on the data side) so the row set
+        never depends on the data (r11 empty-input sweep)."""
         use = self._resolve(cols) if cols is not None else list(self._df.columns)
 
         def _slit(name: str) -> str:
@@ -1688,18 +1690,25 @@ class OmigoDF(CompatMixin):
                 f"stack({len(use)}, {stack_args}) AS (column, value)")
             cnt = (pairs.groupBy("column", "value")
                    .agg(F.count(F.lit(1)).alias("__cnt__")))
-            out = (cnt.groupBy("column")
+            agg = (cnt.groupBy("column")
                    .agg(F.sum("__cnt__").alias("n_rows"),
                         F.sum(F.when(F.col("value").isNull(), F.col("__cnt__"))
                               .otherwise(0)).alias("n_null"),
                         F.count(F.when(F.col("value").isNotNull(), 1))
                         .alias("n_distinct"),
                         F.min("value").alias("min_str"),
-                        F.max("value").alias("max_str"))
+                        F.max("value").alias("max_str")))
+            cols_df = self._df.sparkSession.createDataFrame(
+                [(c,) for c in use], "column string")
+            out = (cols_df.join(agg, "column", "left")
                    .select("column",
-                           F.col("n_rows").cast("long").alias("n_rows"),
-                           F.col("n_null").cast("long").alias("n_null"),
-                           "n_distinct", "min_str", "max_str"))
+                           F.coalesce(F.col("n_rows"), F.lit(0))
+                           .cast("long").alias("n_rows"),
+                           F.coalesce(F.col("n_null"), F.lit(0))
+                           .cast("long").alias("n_null"),
+                           F.coalesce(F.col("n_distinct"), F.lit(0))
+                           .cast("long").alias("n_distinct"),
+                           "min_str", "max_str"))
             return self._wrap(out)
         aggs = []
         for c in use:
@@ -2057,17 +2066,30 @@ class OmigoDF(CompatMixin):
             new_col, F.explode(F.split(self._df[col].cast("string"),
                                        re.escape(sep)))))
 
-    def split_str(self, col: str, prefix: str | None = None, sep: str = ",") -> "OmigoDF":
+    def split_str(self, col: str, prefix: str | None = None, sep: str = ",",
+                  width: int | None = None) -> "OmigoDF":
         """Split a cell into indexed columns <prefix>:N (reference
-        dataframe.py:5257-5299). Width = max parts (one cheap agg).
+        dataframe.py:5257-5299). Width = max parts (one cheap agg) when
+        ``width`` is None — which means the SCHEMA depends on the data
+        (an empty input yields no part columns at all). Pass ``width``
+        to pin the column count upfront: the schema becomes
+        data-independent (stable under filters/empty partitions) and
+        the width-discovery job is skipped entirely (r11).
         ``sep`` is literal, as in the reference's str.split."""
         self._resolve(col)
         prefix = prefix or col
         parts = F.split(self._df[col].cast("string"), re.escape(sep))
-        width = self._df.agg(F.max(F.size(parts))).first()[0] or 0
+        width = int(width) if width is not None else \
+            (self._df.agg(F.max(F.size(parts))).first()[0] or 0)
         out = self._df
         for i in range(width):
-            out = out.withColumn(f"{prefix}{COL_SEP}{i + 1}", F.coalesce(parts[i], F.lit("")))
+            # F.get, not parts[i]: GetArrayItem THROWS on out-of-range
+            # under ANSI, so any row with fewer parts than the widest
+            # row (or than a pinned width) would kill the job — latent
+            # until r11's ragged-width test because the derived width
+            # equals every row's width on uniform data
+            out = out.withColumn(f"{prefix}{COL_SEP}{i + 1}",
+                                 F.coalesce(F.get(parts, i), F.lit("")))
         return self._wrap(out)
 
     def replicate_rows(self, col: str, new_col: str | None = None,
@@ -2282,17 +2304,27 @@ class OmigoDF(CompatMixin):
             [tuple(d[c] for c in cols) for d in data],
             T.StructType([T.StructField(c, T.StringType()) for c in cols])))
 
-    def reverse_transpose(self, grouping_cols, transpose_key: str, transpose_cols) -> "OmigoDF":
+    def reverse_transpose(self, grouping_cols, transpose_key: str, transpose_cols,
+                          key_values: list | None = None) -> "OmigoDF":
         """Pivot (reference dataframe.py:4791-4818 does one join per distinct
         key value, flagged 'not implemented efficiently' — groupBy().pivot()
         is the single-shuffle Spark shape). Output named
-        ``<col>:<key>:<value>`` per the reference convention."""
+        ``<col>:<key>:<value>`` per the reference convention.
+
+        ``key_values`` (r11) pins the pivot values explicitly. Two wins
+        at scale: Spark skips the eager distinct-values JOB it otherwise
+        runs over the whole input just to learn the columns (a full
+        extra scan at 100 TB), and the output schema stops depending on
+        the data — an empty or filtered-down input still produces every
+        pinned column, so downstream selects never break. Default None
+        keeps the discover-from-data reference behavior."""
         gcols = self._resolve(grouping_cols)
         self._resolve(transpose_key)
         tcols = self._resolve(transpose_cols)
         aggs = [F.first(self._df[c]).alias(c) for c in tcols]
-        p = self._df.groupBy(*[self._df[g] for g in gcols]) \
-                    .pivot(transpose_key).agg(*aggs)
+        gb = self._df.groupBy(*[self._df[g] for g in gcols])
+        p = (gb.pivot(transpose_key, key_values) if key_values is not None
+             else gb.pivot(transpose_key)).agg(*aggs)
         renames = {}
         # multi-agg pivot columns are '{pivotValue}_{aggAlias}'; the pivot
         # VALUE may itself contain '_', so match the KNOWN agg alias as a

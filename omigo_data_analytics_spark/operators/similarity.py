@@ -179,6 +179,12 @@ def _ivf_cands_expr(vec_col: str, centroids: list, dim: int | None = None) -> st
     ONE inlined expression: the coarse quantizer is driver-resident (like
     any real IVF index) and ships to executors as literals inside the plan,
     so list assignment is a map-only pass — no shuffle, no UDF."""
+    if not centroids:
+        # empty array() literal types as VOID and every field access on it
+        # is an AnalysisException far from the caller — fail loud here
+        raise ValueError(
+            "centroid list is empty — train centroids on a non-empty "
+            "corpus (ivf_centroids/kmeans_centroids) before assignment")
     elems = []
     for cid, vec in centroids:
         arr = "CAST(array(" + ", ".join(repr(float(x)) for x in vec) + ") AS ARRAY<DOUBLE>)"
@@ -201,6 +207,17 @@ def ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
     driver-resident, never the corpus."""
     rows = (corpus.df.select(F.col(id_col), F.col(vec_col))
             .orderBy(F.col(id_col)).limit(num_centroids).collect())
+    if not rows:
+        # without this, downstream centroid-literal expressions build an
+        # empty array() typed VOID and every consumer (kmeans_assign,
+        # semdedup, IVF probes, clustered decontamination) dies with an
+        # inscrutable INVALID_EXTRACT_BASE_FIELD_TYPE AnalysisException —
+        # the r11 empty-input sweep's finding. An accidentally-empty
+        # corpus (over-pruned scan, bad filter) should say so plainly.
+        raise ValueError(
+            "ivf_centroids: corpus has no rows — cannot seed centroids "
+            "(check upstream filters/pruning; an empty corpus cannot be "
+            "clustered)")
     return [(r[0], list(r[1])) for r in rows]
 
 

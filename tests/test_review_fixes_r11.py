@@ -202,3 +202,73 @@ def test_decontaminate_auto_equals_pinned_when_k_matches(spark, documents):
                                        dim=16, num_clusters=5).df
     ids = lambda df: sorted(r["doc_id"] for r in df.select("doc_id").collect())
     assert ids(auto) == ids(pinned)
+
+
+# ---------------------------------------------------------------- r11
+# empty-input sweep fixes: the full registry was driven against 0-row
+# copies of every table (real schemas); these pin the fixes that came
+# out of the 22 findings (the rest are documented contract raises).
+
+def test_ivf_centroids_empty_corpus_clear_error(spark):
+    """Empty corpus -> plain ValueError, not the VOID-array
+    INVALID_EXTRACT_BASE_FIELD_TYPE AnalysisException four operators
+    (kmeans/semdedup/IVF/clustered-decon) used to die with."""
+    from omigo_data_analytics_spark.operators import similarity as SM
+    e = OmigoDF(spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"))
+    with pytest.raises(ValueError, match="no rows"):
+        SM.ivf_centroids(e, 4)
+    with pytest.raises(ValueError, match="no rows"):
+        SM.kmeans_centroids(e, 4)
+    with pytest.raises(ValueError, match="empty"):
+        SM.kmeans_assign(OmigoDF(spark.createDataFrame(
+            [(1, [0.1, 0.2])], "vec_id long, embedding array<double>")), [])
+
+
+def test_profile_exact_total_on_empty(spark):
+    """profile(exact=True) on an empty table still emits one row per
+    column with zero counts (schema-independent row set)."""
+    e = OmigoDF(spark.createDataFrame([], "a string, b long"))
+    rows = {r["column"]: r for r in e.profile(exact=True).df.collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_rows"] == 0 and rows["a"]["n_distinct"] == 0
+    assert rows["b"]["min_str"] is None
+    # non-empty parity with the approx path's row set
+    d = OmigoDF(spark.createDataFrame([("x", 1), (None, 2)], "a string, b long"))
+    got = {r["column"]: r for r in d.profile(exact=True).df.collect()}
+    assert got["a"]["n_rows"] == 2 and got["a"]["n_null"] == 1
+    assert got["a"]["n_distinct"] == 1 and got["b"]["n_distinct"] == 2
+
+
+def test_split_str_pinned_width(spark):
+    """width= pins the part-column schema independent of the data (and
+    skips the width-discovery job); empty input keeps the columns."""
+    d = OmigoDF(spark.createDataFrame([("a,b",), ("c",)], "v string"))
+    out = d.split_str("v", prefix="p", width=3).df
+    assert [c for c in out.columns if c.startswith("p:")] == \
+        ["p:1", "p:2", "p:3"]
+    got = {tuple(r) for r in out.select("p:1", "p:2", "p:3").collect()}
+    assert got == {("a", "b", ""), ("c", "", "")}
+    e = OmigoDF(spark.createDataFrame([], "v string"))
+    assert "p:2" in e.split_str("v", prefix="p", width=2).df.columns
+
+
+def test_reverse_transpose_pinned_values(spark):
+    """key_values= pins pivot columns: no distinct-discovery job, stable
+    schema on empty/filtered input, absent keys come back NULL."""
+    d = OmigoDF(spark.createDataFrame(
+        [("g1", "en", 5), ("g1", "fr", 7)], "g string, k string, n long"))
+    out = d.reverse_transpose(["g"], "k", ["n"], key_values=["en", "fr", "zh"]).df
+    assert sorted(out.columns) == ["g", "n:k:en", "n:k:fr", "n:k:zh"]
+    r = out.collect()[0]
+    assert r["n:k:en"] == 5 and r["n:k:zh"] is None
+    e = OmigoDF(spark.createDataFrame([], "g string, k string, n long"))
+    oute = e.reverse_transpose(["g"], "k", ["n"], key_values=["en"]).df
+    assert sorted(oute.columns) == ["g", "n:k:en"] and oute.count() == 0
+    # and the pinned plan really skips the distinct-values job: the
+    # unpinned path must run >= 1 extra job to discover columns
+    sc = spark.sparkContext
+    t0 = sc.statusTracker().getJobIdsForGroup(None)
+    _ = d.reverse_transpose(["g"], "k", ["n"], key_values=["en", "fr"]).df.schema
+    jobs_pinned = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []) - len(t0 or [])
+    assert jobs_pinned == 0  # schema known without touching the data
