@@ -220,8 +220,9 @@ def test_profile_empty_table(spark):
     d = OmigoDF(spark.createDataFrame([], "id long, s string"))
     # approx path: single global agg still emits one row per column
     assert d.profile().df.count() == 2
-    # exact path aggregates (column, value) pairs: empty in -> empty out
-    assert d.profile(exact=True).df.count() == 0
+    # exact path is total too since r11: the pair aggregate left-joins
+    # against the static column list, so empty in -> one row per column
+    assert d.profile(exact=True).df.count() == 2
 
 
 def test_profile_exact_plan_has_no_expand(spark):
