@@ -227,7 +227,18 @@ def text_metrics(odf: OmigoDF, col: str = "text", metrics=None) -> OmigoDF:
 
 def fingerprint(odf: OmigoDF, col: str = "text", new_col: str = "fingerprint") -> OmigoDF:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
-    (The rolling/shingle variants live in dedup.py.)"""
+    (The rolling/shingle variants live in dedup.py.)
+
+    Known cross-engine Unicode boundary (r11 probe): ``lower`` follows
+    each engine's Unicode library, and the two disagree ONLY on
+    SpecialCasing one-to-many mappings — the JVM lowers U+0130 'İ' to
+    'i'+U+0307 (combining dot) where DuckDB/utf8proc yields plain 'i';
+    ditto upper('ß')→'SS' vs 'ẞ' and ligature expansion. Both are valid
+    Unicode; fingerprints are self-consistent within the engine (what
+    dedup needs), but a fingerprint computed here won't byte-match one
+    computed by a utf8proc-based tool for text containing those few
+    codepoints. Same boundary applies to every lowercasing tokenizer
+    (token_counts/tfidf/inverted_index)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(col)), WS_RUN, " "))
     return OmigoDF(odf.df.withColumn(new_col, F.md5(norm)))
 

@@ -272,3 +272,25 @@ def test_reverse_transpose_pinned_values(spark):
     _ = d.reverse_transpose(["g"], "k", ["n"], key_values=["en", "fr"]).df.schema
     jobs_pinned = len(spark.sparkContext.statusTracker().getJobIdsForGroup(None) or []) - len(t0 or [])
     assert jobs_pinned == 0  # schema known without touching the data
+
+
+def test_unicode_case_fold_cross_engine_boundary(spark):
+    """r11 unicode probe: a 60-doc multilingual hostile corpus (CJK,
+    Cyrillic, Arabic, Hebrew, emoji, astral plane, combining marks,
+    fullwidth, ligatures, Turkish) ran through all 22 text-family
+    registry oracles: 18/22 hash-exact. The 4 misses all reduce to ONE
+    token ('İstanbul') hitting Unicode SpecialCasing, where the JVM and
+    utf8proc legitimately differ. This test pins the divergence class
+    so a future change that WIDENS it (or an engine upgrade that closes
+    it) is noticed."""
+    from pyspark.sql import functions as F
+    import duckdb
+    s = "İ ß ﬁ Привет 日本語 ĞI"
+    r = spark.range(1).select(F.lower(F.lit(s)).alias("lo")).collect()[0]["lo"]
+    d = duckdb.sql("SELECT lower('İ ß ﬁ Привет 日本語 ĞI') ").fetchone()[0]
+    # agreement everywhere except the SpecialCasing dot: stripping the
+    # combining dot (U+0307) reconciles the two engines exactly
+    assert r.replace("̇", "") == d.replace("̇", "")
+    # the only divergent codepoint in the probe corpus is U+0130's map
+    assert r.startswith("i̇"), "JVM SpecialCasing changed — re-probe"
+    assert d.startswith("i "), "duckdb casing changed — re-probe"
