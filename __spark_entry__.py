@@ -819,7 +819,8 @@ def _sql_similarity_lsh() -> str:
     flips = ", ".join(f"xor(b0, {1 << p})" for p in range(NP))
     cos = SIM.cosine_sql_duck("ce.embedding", "qe.embedding")
     return f"""
-WITH vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            WHERE embedding IS NOT NULL),
 bk AS (SELECT vec_id, {buckets} AS bs FROM vb),
 cb AS (SELECT vec_id, unnest(bs) AS b FROM bk WHERE vec_id >= 3),
 qb AS (SELECT vec_id AS query_id, unnest(bs) AS b0 FROM bk WHERE vec_id < 3),
@@ -851,7 +852,8 @@ def _sql_similarity_ivf() -> str:
     return f"""
 WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
 q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
-cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM corp ORDER BY vec_id LIMIT {C}),
+cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM corp
+         WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {C}),
 ca AS (SELECT e.vec_id, e.embedding, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                                  ORDER BY ROUND({cos_ec}, 6) DESC, c.c_id) AS rn
@@ -1951,15 +1953,18 @@ WITH s AS (
          MAX(CAST(l_extendedprice AS DOUBLE)) AS mxp
   FROM lineitem GROUP BY l_returnflag)
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-       round(CASE WHEN s.n > 1
+       round(CASE WHEN l.l_quantity IS NULL OR s.n IS NULL THEN NULL
+             WHEN s.n > 1
                    AND (s.sq2 - s.n * (s.sq/s.n) * (s.sq/s.n)) / (s.n - 1) > 0
              THEN (CAST(l.l_quantity AS DOUBLE) - s.sq/s.n)
                   / sqrt((s.sq2 - s.n * (s.sq/s.n) * (s.sq/s.n)) / (s.n - 1))
              ELSE 0.0 END, 6) AS qty_z,
-       round(CASE WHEN s.mxp - s.mnp > 0
+       round(CASE WHEN l.l_extendedprice IS NULL
+                    OR s.mxp - s.mnp IS NULL THEN NULL
+             WHEN s.mxp - s.mnp > 0
              THEN (CAST(l.l_extendedprice AS DOUBLE) - s.mnp) / (s.mxp - s.mnp)
              ELSE 0.5 END, 6) AS price_mm
-FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+FROM lineitem l LEFT JOIN s ON l.l_returnflag = s.l_returnflag
 WHERE l.l_orderkey % 50 = 0
 """
 
@@ -2107,7 +2112,11 @@ def _sql_stream_lsh() -> str:
         f"SELECT {b} AS band, concat(" +
         ", '_', ".join(f"CAST(mh_{b * rpb + r} AS VARCHAR)"
                        for r in range(rpb)) +
-        ") AS band_key, doc_id FROM sigs"
+        # engine parity: NULL/shingle-less docs have NULL signatures and
+        # are excluded from banding (the r10 NULL-band exclusion); duckdb
+        # concat() SKIPS NULLs instead of propagating, so without the
+        # screen every such doc lands in one giant '' band bucket
+        ") AS band_key, doc_id FROM sigs WHERE mh_0 IS NOT NULL"
         for b in range(DD.NUM_HASHES // rpb))
     return f"""
 WITH sigs AS (SELECT doc_id, {sig_cols} FROM documents),
@@ -2209,7 +2218,7 @@ def q_ws_enrich(spark, sf_dir):
 
 SQL_WS_ENRICH = """
 SELECT n_nationkey,
-       'R:http://svc/' || n_name || '?q=' || CAST(n_nationkey AS VARCHAR)
+       'R:http://svc/' || COALESCE(n_name, '') || '?q=' || CAST(n_nationkey AS VARCHAR)
          AS "ws:response",
        '200' AS "ws:response:status_code",
        '1' AS "ws:response:success"

@@ -1001,17 +1001,27 @@ class OmigoDF(CompatMixin):
                     | F.col(f"__s2_{c}__").isNull()
                     | (F.col(f"__nc_{c}__") < F.col(f"__n_{c}__"))
                     | (F.col(f"__n2_{c}__") < F.col(f"__n_{c}__")))
+                # x IS NULL (missing value or junk string through
+                # try_cast) or the row's group has no stats row (NULL
+                # group key never equi-joins) must yield a NULL score —
+                # without the guard both fell through the WHEN to the
+                # constant-group 0.0 fallback, a silently fabricated
+                # z-score (r11 NULL sweep). Same on min-max below.
                 z = F.when(overflow, F.raise_error(F.lit(
                         f"normalize: decimal sum overflow on column '{c}' "
                         f"(|x| or group size too large for DECIMAL(38,8) "
                         f"moments) — pre-scale the column"))
                         .cast("double")) \
+                     .when(x.isNull() | F.col(f"__n_{c}__").isNull(),
+                           F.lit(None).cast("double")) \
                      .when((F.col(f"__n_{c}__") > 1) & (var > 0),
                            (x - mean) / F.sqrt(var)).otherwise(0.0)
                 out = out.withColumn(f"{c}:{suffix}", F.round(z, precision))
             else:
                 rng = F.col(f"__mx_{c}__") - F.col(f"__mn_{c}__")
-                mm = F.when(rng > 0, (x - F.col(f"__mn_{c}__")) / rng) \
+                mm = F.when(x.isNull() | rng.isNull(),
+                            F.lit(None).cast("double")) \
+                      .when(rng > 0, (x - F.col(f"__mn_{c}__")) / rng) \
                       .otherwise(0.5)
                 out = out.withColumn(f"{c}:{suffix}", F.round(mm, precision))
         drop = [f.name for f in stats.schema.fields if f.name.startswith("__")]

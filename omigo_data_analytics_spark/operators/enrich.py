@@ -53,7 +53,13 @@ def _find_placeholders(*templates) -> list[str]:
 
 
 def _resolve(template: str, row: dict) -> str:
-    return _PLACEHOLDER.sub(lambda m: str(row.get(m.group(1), "")), str(template))
+    # NULL cells substitute as '' (the reference's TSV string model —
+    # tsv.py cells are never None), NOT as Python's str(None): the r11
+    # NULL sweep caught literal "None" leaking into request URLs
+    def _sub(m):
+        v = row.get(m.group(1), "")
+        return "" if v is None else str(v)
+    return _PLACEHOLDER.sub(_sub, str(template))
 
 
 def _default_http_call(req: dict) -> tuple[str, int]:

@@ -115,7 +115,15 @@ def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
 
     @pandas_udf(ArrayType(IntegerType()))
     def _buckets(v: pd.Series) -> pd.Series:
-        V = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        # NULL vectors can't bucket: np.stack over a batch containing
+        # None raised ValueError (r11 NULL sweep). Mask them out and
+        # emit NULL bucket arrays — downstream explode() then drops the
+        # rows from candidate generation, mirroring the norm>0 screens
+        # on the exact paths.
+        mask = v.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(v), dtype=object)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
         Pt = P[:, :V.shape[1]]
         # dim-sequential accumulation, NOT a BLAS matmul: pairwise/SIMD
         # summation reorders float adds, while this loop is the exact
@@ -128,7 +136,11 @@ def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
             acc += V[:, i:i + 1] * Pt[:, i][None, :]
         S = acc >= 0                                 # (n, T*P) sign bits
         B = (S.reshape(len(V), num_tables, num_planes) @ weights) + offsets
-        return pd.Series(list(B.astype(np.int32)))
+        vals = iter(list(B.astype(np.int32)))
+        # positional rebuild, not boolean-mask setitem: pandas putmask
+        # rejects ragged array-valued assignment
+        return pd.Series([next(vals) if m else None for m in mask],
+                         dtype=object)
 
     return _buckets(F.col(vec_col))
 
@@ -206,6 +218,7 @@ def ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
     A k-means-refined list plugs in here unchanged; only this list is
     driver-resident, never the corpus."""
     rows = (corpus.df.select(F.col(id_col), F.col(vec_col))
+            .where(F.col(vec_col).isNotNull())
             .orderBy(F.col(id_col)).limit(num_centroids).collect())
     if not rows:
         # without this, downstream centroid-literal expressions build an
@@ -550,8 +563,11 @@ def kmeans_cents_cte_duck(k: int = 8, iters: int = 2,
     parts = [
         f"km_pts AS (SELECT {id_col} AS vid, CAST({vec_col} AS DOUBLE[]) AS v "
         f"FROM {table})",
+        # seeds skip NULL vectors (engine parity: ivf_centroids screens
+        # them since r11 — a NULL embedding cannot seed a centroid);
+        # the Lloyd update needs no screen, unnest(NULL) emits nothing
         f"cent0 AS (SELECT vid AS c_id, v AS c_vec FROM km_pts "
-        f"ORDER BY vid LIMIT {k})",
+        f"WHERE v IS NOT NULL ORDER BY vid LIMIT {k})",
     ]
     prev = "cent0"
     for i in range(1, iters + 1):

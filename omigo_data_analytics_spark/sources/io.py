@@ -226,7 +226,10 @@ def write_text(xdf: OmigoDF, path: str, text_col: str = "text",
     design); project first if you need provenance kept elsewhere.
     Line-oriented, so a value with EMBEDDED newlines splits into
     multiple rows on re-read — export documents that keep newlines as
-    json/parquet instead, or normalize whitespace first."""
+    json/parquet instead, or normalize whitespace first. NULL values
+    export as EMPTY LINES (text files cannot represent NULL; '' and
+    NULL merge on re-read) — filter ``text_col IS NOT NULL`` first if
+    the distinction matters downstream (r11 NULL sweep)."""
     df = xdf.df if isinstance(xdf, OmigoDF) else xdf
     out = df.select(F.col(text_col).cast("string").alias("value"))
     writer = out.coalesce(1).write if single_file else out.write

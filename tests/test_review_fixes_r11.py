@@ -294,3 +294,65 @@ def test_unicode_case_fold_cross_engine_boundary(spark):
     # the only divergent codepoint in the probe corpus is U+0130's map
     assert r.startswith("i̇"), "JVM SpecialCasing changed — re-probe"
     assert d.startswith("i "), "duckdb casing changed — re-probe"
+
+
+# ---------------------------------------------------------------- r11
+# NULL-heavy sweep fixes (full registry against a 20%-NULL-payload copy
+# of every table; keys kept intact).
+
+def test_normalize_null_values_score_null(spark):
+    """NULL x (or junk via try_cast) must yield a NULL score, not the
+    constant-group 0.0/0.5 fallback; NULL group keys (no stats match
+    via the left join) likewise."""
+    rows = [("A", "10"), ("A", "20"), ("A", None), ("A", "junk"),
+            (None, "30")]
+    d = OmigoDF(spark.createDataFrame(rows, "g string, v string"))
+    z = {(r["g"], r["v"]): r["v:norm"] for r in
+         d.normalize(["v"], method="zscore", group_cols=["g"]).df.collect()}
+    assert z[("A", None)] is None and z[("A", "junk")] is None
+    assert z[(None, "30")] is None          # NULL group: no stats row
+    assert z[("A", "10")] is not None
+    mm = {(r["g"], r["v"]): r["v:norm"] for r in
+          d.normalize(["v"], method="minmax", group_cols=["g"]).df.collect()}
+    assert mm[("A", None)] is None and mm[(None, "30")] is None
+    assert mm[("A", "10")] == 0.0 and mm[("A", "20")] == 1.0
+    # row preservation: no row is dropped
+    assert d.normalize(["v"], group_cols=["g"]).df.count() == 5
+
+
+def test_lsh_buckets_null_vectors_dropped(spark):
+    """NULL embeddings can't bucket: the vectorized bucket UDF used to
+    die on np.stack of a None-bearing Arrow batch; now those rows get
+    NULL bucket arrays and fall out of candidate generation."""
+    from omigo_data_analytics_spark.operators import similarity as SM
+    rows = [(1, [1.0] * 8), (2, None), (3, [0.9] * 8), (4, None)]
+    e = OmigoDF(spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"))
+    q = OmigoDF(spark.createDataFrame(
+        [(10, [1.0] * 8), (11, None)], "vec_id long, embedding array<double>"))
+    out = SM.cosine_topk_lsh(e, q, k=2).df.collect()
+    qids = {r["query_id"] for r in out}
+    cands = {r["vec_id"] for r in out}
+    assert 11 not in qids           # NULL query: no candidates
+    assert cands <= {1, 3}          # NULL corpus rows never bucket
+    # all-NULL batch corner
+    allnull = OmigoDF(spark.createDataFrame(
+        [(9, None)], "vec_id long, embedding array<double>"))
+    assert SM.cosine_topk_lsh(allnull, q, k=2).df.count() == 0
+
+
+def test_ws_placeholder_null_substitutes_empty(spark):
+    """NULL cells substitute as '' in templates (reference TSV model) —
+    literal 'None' must never leak into a request URL."""
+    from omigo_data_analytics_spark.operators.enrich import _resolve
+    assert _resolve("http://svc/{a}?q={b}", {"a": None, "b": 7}) == \
+        "http://svc/?q=7"
+
+
+def test_ivf_seeds_skip_null_vectors(spark):
+    from omigo_data_analytics_spark.operators import similarity as SM
+    rows = [(1, None), (2, [1.0, 0.0]), (3, None), (4, [0.0, 1.0])]
+    e = OmigoDF(spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"))
+    cents = SM.ivf_centroids(e, 3)
+    assert [c for c, _ in cents] == [2, 4]   # NULLs skipped, order kept
