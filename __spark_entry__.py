@@ -4070,12 +4070,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "read_text_roundtrip": q_read_text_roundtrip,
         "read_xml_roundtrip": q_read_xml_roundtrip,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = staleness priority for r12: the r9-row
-        # block (stalest after this round), then the r10-row block.
+        # Post-boundary order = r12 priority. FIRST: the five entries
+        # whose code the late-r11 hostile-input waves touched after the
+        # head was frozen at the 50-entry staleness-closure mandate
+        # (r10 precedent: no free slot beyond the mandated closure).
+        # Each is hash-green in the post-change local sf0.01 gate
+        # (145/145 re-run) and its changed machinery is covered by
+        # head rows: pivot (key_values param, default path identical),
+        # similarity_lsh + stream_lsh_candidates (bucket-UDF NULL mask
+        # — same _buckets as head rows dedup_embedding /
+        # embedding_near_dup), split_str (ANSI F.get fix), ws_enrich
+        # (NULL->'' placeholder). Then the r9-row block (stalest
+        # after this round), then the r10-row block.
+        "pivot": q_pivot,
+        "similarity_lsh": q_similarity_lsh,
+        "split_str": q_split_str,
+        "ws_enrich": q_ws_enrich,
+        "stream_lsh_candidates": q_stream_lsh_candidates,
         "lm_score": q_lm_score,
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
-        "pivot": q_pivot,
         "arg_max_topk": q_arg_max_topk,
         "arg_min_topk": q_arg_min_topk,
         "ratio_cap": q_ratio_cap,
@@ -4083,7 +4097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_cols": q_distinct_cols,
         "window_sliding": q_window_sliding,
         "sample_group_by_key": q_sample_group_by_key,
-        "similarity_lsh": q_similarity_lsh,
         "quantiles": q_quantiles,
         "quantile_grid": q_quantile_grid,
         "failsafe_aggs": q_failsafe_aggs,
@@ -4132,7 +4145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outer_join_fill": q_outer_join_fill,
         "rows_cond_exists": q_rows_cond_exists,
         "seq_num": q_seq_num,
-        "split_str": q_split_str,
         "replicate_rows": q_replicate_rows,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
@@ -4141,7 +4153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_pushdown": q_sql_pushdown,
         "ttest": q_ttest,
         "stream_window": q_stream_window,
-        "ws_enrich": q_ws_enrich,
         "model_enrich": q_model_enrich,
         "graph_bfs": q_graph_bfs,
         "graph_ancestors": q_graph_ancestors,
@@ -4159,7 +4170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "stream_running_counts": q_stream_running_counts,
         "sankey_links": q_sankey_links,
-        "stream_lsh_candidates": q_stream_lsh_candidates,
         "duplicate_spans": q_duplicate_spans,
         "remove_dup_spans": q_remove_dup_spans,
         "pack_sequences": q_pack_sequences,
