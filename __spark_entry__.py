@@ -820,7 +820,9 @@ def _sql_similarity_lsh() -> str:
     cos = SIM.cosine_sql_duck("ce.embedding", "qe.embedding")
     return f"""
 WITH vb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            WHERE embedding IS NOT NULL),
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                                  x -> (x - x) != 0 OR x IS NULL)) = 0),
 bk AS (SELECT vec_id, {buckets} AS bs FROM vb),
 cb AS (SELECT vec_id, unnest(bs) AS b FROM bk WHERE vec_id >= 3),
 qb AS (SELECT vec_id AS query_id, unnest(bs) AS b0 FROM bk WHERE vec_id < 3),
@@ -853,7 +855,10 @@ def _sql_similarity_ivf() -> str:
 WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
 q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
 cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM corp
-         WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {C}),
+         WHERE embedding IS NOT NULL
+           AND len(list_filter(CAST(embedding AS DOUBLE[]),
+                               x -> (x - x) != 0 OR x IS NULL)) = 0
+         ORDER BY vec_id LIMIT {C}),
 ca AS (SELECT e.vec_id, e.embedding, c.c_id,
               row_number() OVER (PARTITION BY e.vec_id
                                  ORDER BY ROUND({cos_ec}, 6) DESC, c.c_id) AS rn
@@ -885,7 +890,8 @@ def _sql_embedding_near_dup() -> str:
     return f"""
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cosine
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+SELECT id_a, id_b, cosine FROM p
+WHERE cosine >= 0.4 AND (cosine - cosine) = 0  -- NaN cosine (corrupt side) never pairs
 """
 
 
@@ -972,7 +978,8 @@ fin_asg AS (SELECT vid, v, c_id FROM fa WHERE rn = 1),
 dups AS (SELECT DISTINCT f.vid
          FROM fin_asg f JOIN fin_asg g
            ON g.c_id = f.c_id AND g.vid < f.vid
-         WHERE ROUND({paircos}, 6) >= 0.4)
+         WHERE ROUND({paircos}, 6) >= 0.4
+           AND ({paircos} - ({paircos})) = 0)
 SELECT f.vid AS vec_id, emb.label, f.c_id AS cluster_id
 FROM fin_asg f JOIN embeddings emb ON emb.vec_id = f.vid
 WHERE f.vid NOT IN (SELECT vid FROM dups)
@@ -1350,9 +1357,10 @@ def q_minmax_range(spark, sf_dir):
 
 SQL_MINMAX_RANGE = """
 SELECT l_linestatus,
-       CAST(floor(MIN(l_quantity)) AS BIGINT) AS qmin,
-       CAST(floor(MAX(l_quantity)) AS BIGINT) AS qmax,
-       CAST(floor(MAX(l_quantity)) - floor(MIN(l_quantity)) AS BIGINT) AS qrange,
+       MIN(TRY_CAST(trunc(l_quantity) AS BIGINT)) AS qmin,
+       MAX(TRY_CAST(trunc(l_quantity) AS BIGINT)) AS qmax,
+       MAX(TRY_CAST(trunc(l_quantity) AS BIGINT))
+         - MIN(TRY_CAST(trunc(l_quantity) AS BIGINT)) AS qrange,
        MIN(l_extendedprice) AS pmin,
        MAX(l_extendedprice) AS pmax
 FROM lineitem GROUP BY l_linestatus
@@ -4301,7 +4309,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": """
 WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           WHERE ROUND(""" + SIM.cosine_sql_duck("a.embedding", "b.embedding") + """, 6) >= 0.4)
+           WHERE ROUND(""" + SIM.cosine_sql_duck("a.embedding", "b.embedding") + """, 6) >= 0.4
+             AND (""" + SIM.cosine_sql_duck("a.embedding", "b.embedding")
+                + """ - (""" + SIM.cosine_sql_duck("a.embedding", "b.embedding") + """)) = 0)
 SELECT vec_id, label FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM p)
 """,
         "quantiles": SQL_QUANTILES,

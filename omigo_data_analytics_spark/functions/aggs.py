@@ -38,8 +38,12 @@ def _int(c: Column) -> Column:
     # Reference int aggregates compute int(float(x)) (udfs.py:195-199):
     # '3.7' -> 3. A direct try_cast('long') on a string would NULL out
     # float-formatted text, so go through double first (same two-step as
-    # dataframe.to_int). double->long truncates toward zero like Python int().
-    return c.try_cast("double").cast("long")
+    # dataframe.to_int). double->long truncates toward zero like Python
+    # int(). The second step is try_cast too: a NaN/±Inf/overflowing
+    # double is an ANSI CAST_OVERFLOW that would kill the whole job for
+    # one corrupt cell (r11 extreme-values sweep) — it NULLs out and the
+    # min/max skips it, same convention as replicate_rows/to_int.
+    return c.try_cast("double").try_cast("long")
 
 
 def _nonempty(c: Column) -> Column:

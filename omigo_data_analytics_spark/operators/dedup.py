@@ -632,8 +632,15 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
             # pass a positive threshold — and under Spark 4's default
             # ANSI mode the unguarded division below THROWS
             # DIVIDE_BY_ZERO on the first all-zeros embedding
-            # (r10 review; same screen decontaminate_semantic applies)
-            .where(F.col("__n__") > 0))
+            # (r10 review; same screen decontaminate_semantic applies).
+            # The (n - n = 0) finiteness term (r11 extreme-values sweep)
+            # additionally drops NaN/Inf-corrupted vectors from PAIR
+            # GENERATION: NaN compares greater-than in both Spark and
+            # DuckDB, so an unscreened NaN cosine passes >= threshold
+            # and one corrupt embedding would "near-dup" every vector
+            # it meets. Corrupt rows still ride through the OUTPUT.
+            .where((F.col("__n__") > 0)
+                   & (F.col("__n__") - F.col("__n__") == 0)))
     if method == "exact":
         a = base.select(F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
                         F.col("__n__").alias("__na__"))
@@ -912,8 +919,13 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
                     F.expr(_norm_expr(f"`{vec_col}`")).alias("__n__"))
             # zero-norm rows can't cosine-match (and ANSI division would
             # throw); they stay in the OUTPUT via assigned — they are
-            # only excluded from pair generation, never dropped
-            .where(F.col("__n__") > 0)
+            # only excluded from pair generation, never dropped. The
+            # finiteness term keeps NaN/Inf-corrupted vectors out of the
+            # pair join too (NaN cosine passes >= threshold in BOTH
+            # engines — one corrupt embedding would mark its whole
+            # cluster duplicate; r11 extreme-values sweep)
+            .where((F.col("__n__") > 0)
+                   & (F.col("__n__") - F.col("__n__") == 0))
             .localCheckpoint(eager=False))
     a = base.select(F.col(cluster_col), F.col(id_col),
                     F.col("__v__").alias("__va__"), F.col("__n__").alias("__na__"))

@@ -120,7 +120,15 @@ def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
         # emit NULL bucket arrays — downstream explode() then drops the
         # rows from candidate generation, mirroring the norm>0 screens
         # on the exact paths.
-        mask = v.notna().to_numpy()
+        # non-finite vectors can't bucket either (r11 extreme sweep):
+        # numpy's NaN >= 0 is False while SQL's NaN-is-greatest makes it
+        # True, so a NaN component would hash to DIFFERENT buckets in
+        # engine and oracle — and a corrupt vector has no meaningful
+        # sign pattern anyway. Same exclusion as the exact paths'
+        # finite-norm screens.
+        mask = np.array([x is not None and np.isfinite(
+            np.asarray(x, dtype=np.float64)).all() for x in v],
+            dtype=bool)
         if not mask.any():
             return pd.Series([None] * len(v), dtype=object)
         V = np.stack([np.asarray(x, dtype=np.float64) for x in v[mask]])
@@ -219,6 +227,11 @@ def ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
     driver-resident, never the corpus."""
     rows = (corpus.df.select(F.col(id_col), F.col(vec_col))
             .where(F.col(vec_col).isNotNull())
+            # finite components only (x - x = 0 fails for NaN and ±Inf):
+            # a NaN seed renders as the bare token `nan` in the centroid
+            # literal (unparseable SQL) and would poison every cosine
+            # (r11 extreme-values sweep)
+            .where(F.expr(f"forall(`{vec_col}`, x -> x - x = 0.0D)"))
             .orderBy(F.col(id_col)).limit(num_centroids).collect())
     if not rows:
         # without this, downstream centroid-literal expressions build an
@@ -506,7 +519,13 @@ def kmeans_centroids(corpus: OmigoDF, k: int = 8, iters: int = 2,
         df = df.sample(fraction=sample_fraction, seed=7)
     cents = ivf_centroids(OmigoDF(df), k, id_col, vec_col)
     base = (ensure_min_parallelism(df)
-            .select(F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__cv__")))
+            .select(F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__cv__"))
+            # non-finite vectors are excluded from the model fit: the
+            # micro-unit quantization CAST(ROUND(x*1e6) AS BIGINT) is an
+            # ANSI overflow on NaN/Inf (both engines), and a corrupt
+            # member would poison its centroid anyway. Assignment still
+            # covers every row (kmeans_assign does not screen).
+            .where(F.expr("forall(__cv__, x -> x - x = 0.0D)")))
     q = KMEANS_QUANT
     for _ in range(iters):
         assigned = base.withColumn("__c__", F.expr(
@@ -566,8 +585,14 @@ def kmeans_cents_cte_duck(k: int = 8, iters: int = 2,
         # seeds skip NULL vectors (engine parity: ivf_centroids screens
         # them since r11 — a NULL embedding cannot seed a centroid);
         # the Lloyd update needs no screen, unnest(NULL) emits nothing
-        f"cent0 AS (SELECT vid AS c_id, v AS c_vec FROM km_pts "
-        f"WHERE v IS NOT NULL ORDER BY vid LIMIT {k})",
+        # finite screen mirrors the engine (r11): NULL or NaN/Inf-
+        # bearing vectors neither seed nor train; x - x <> 0 (or NULL
+        # component) marks non-finite in duckdb exactly as the engine's
+        # forall(x - x = 0) does in spark
+        f"km_fin AS (SELECT vid, v FROM km_pts WHERE v IS NOT NULL AND "
+        f"len(list_filter(v, x -> (x - x) != 0 OR x IS NULL)) = 0)",
+        f"cent0 AS (SELECT vid AS c_id, v AS c_vec FROM km_fin "
+        f"ORDER BY vid LIMIT {k})",
     ]
     prev = "cent0"
     for i in range(1, iters + 1):
@@ -575,7 +600,7 @@ def kmeans_cents_cte_duck(k: int = 8, iters: int = 2,
             f"asg{i} AS (SELECT e.vid, e.v, c.c_id, "
             f"row_number() OVER (PARTITION BY e.vid "
             f"ORDER BY ROUND({cos}, 6) DESC, c.c_id) AS rn "
-            f"FROM km_pts e CROSS JOIN {prev} c)",
+            f"FROM km_fin e CROSS JOIN {prev} c)",
             f"mem{i} AS (SELECT vid, v, c_id FROM asg{i} WHERE rn = 1)",
             f"cell{i} AS (SELECT c_id, idx, "
             f"SUM(CAST(ROUND(val * {q}) AS BIGINT)) AS s, COUNT(*) AS n "

@@ -356,3 +356,81 @@ def test_ivf_seeds_skip_null_vectors(spark):
         rows, "vec_id long, embedding array<double>"))
     cents = SM.ivf_centroids(e, 3)
     assert [c for c, _ in cents] == [2, 4]   # NULLs skipped, order kept
+
+
+# ---------------------------------------------------------------- r11
+# extreme-values sweep fixes (NaN/±Inf/1e308/-0.0 planted in numeric
+# payloads and inside embedding vectors).
+
+def _mk_corrupt_embeddings(spark):
+    rows = [(1, [1.0, 0.0]), (2, [float("nan"), 1.0]),
+            (3, [0.9, 0.1]), (4, [float("inf"), 0.0]),
+            (5, [0.8, 0.2]), (6, None)]
+    return OmigoDF(spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"))
+
+
+def test_centroid_training_screens_nonfinite(spark):
+    """NaN seeds used to render as the bare token `nan` in the centroid
+    literal (unparseable SQL); NaN members used to blow up the BIGINT
+    micro-unit quantization under ANSI. Both screened now; training and
+    seeding use finite vectors only."""
+    from omigo_data_analytics_spark.operators import similarity as SM
+    e = _mk_corrupt_embeddings(spark)
+    cents = SM.ivf_centroids(e, 4)
+    assert [c for c, _ in cents] == [1, 3, 5]
+    trained = SM.kmeans_centroids(e, k=2, iters=2)
+    assert all(all(x == x and abs(x) != float("inf") for x in v)
+               for _, v in trained)
+    # assignment still covers EVERY row, corrupt ones included
+    assert SM.kmeans_assign(e, trained).df.count() == 6
+
+
+def test_semdedup_corrupt_vectors_never_pair(spark):
+    """NaN cosine compares >= threshold TRUE in both engines — without
+    the finite-norm screen one corrupt embedding marks its whole
+    cluster duplicate. Corrupt rows survive (never dropped), and no
+    clean row is dropped on their account."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    e = _mk_corrupt_embeddings(spark)
+    out = DD.semdedup(e, threshold=0.99, num_clusters=2).df
+    ids = {r["vec_id"] for r in out.collect()}
+    assert {2, 4, 6} <= ids            # corrupt/NULL rows all survive
+    # the only genuine near-dup pair is (3,5): cos = 0.991 >= 0.99 —
+    # the greedy keep-lowest-id drops 5, keeps 3; 1 is dissimilar.
+    # Crucially, NOT every clean row vanished (pre-fix, the NaN row
+    # "matched" everything in its cluster).
+    assert 1 in ids and 3 in ids and 5 not in ids
+
+
+def test_embedding_dup_pairs_screen_nonfinite(spark):
+    from omigo_data_analytics_spark.operators import dedup as DD
+    e = _mk_corrupt_embeddings(spark)
+    pairs = DD.embedding_dup_pairs(e, threshold=0.4, method="exact").df
+    bad = pairs.where("id_a IN (2,4,6) OR id_b IN (2,4,6)").count()
+    assert bad == 0
+    assert pairs.count() > 0           # clean near-dups still found
+
+
+def test_lsh_buckets_nonfinite_excluded(spark):
+    """numpy NaN>=0 is False but SQL NaN-is-greatest is True — a NaN
+    component would bucket DIFFERENTLY in engine and oracle. Non-finite
+    vectors now get NULL buckets like NULL vectors."""
+    from omigo_data_analytics_spark.operators import similarity as SM
+    e = _mk_corrupt_embeddings(spark)
+    q = OmigoDF(spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<double>"))
+    out = SM.cosine_topk_lsh(e, q, k=5).df
+    assert {r["vec_id"] for r in out.collect()} <= {1, 3, 5}
+
+
+def test_minmax_int_aggs_nonfinite_null_not_crash(spark):
+    """minint/maxint on NaN/Inf/1e308: the second cast step is try_cast
+    now — one corrupt cell must not kill the whole aggregation job."""
+    rows = [("g", "1.5"), ("g", "nan"), ("g", "inf"), ("g", "1e308"),
+            ("g", "7.2")]
+    d = OmigoDF(spark.createDataFrame(rows, "k string, v string"))
+    r = d.aggregate(["k"], ["v", "v", "v"],
+                    ["minint", "maxint", "get_range_int"]).df.collect()[0]
+    assert r["v:minint"] == 1 and r["v:maxint"] == 7
+    assert r["v:get_range_int"] == 6
