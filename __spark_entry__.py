@@ -4090,6 +4090,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding_near_dup), split_str (ANSI F.get fix), ws_enrich
         # (NULL->'' placeholder). Then the r9-row block (stalest
         # after this round), then the r10-row block.
+        # minmax_range joined this block late-r11 too: the int-agg
+        # helper gained try_cast (extreme-values sweep) and its oracle
+        # moved to per-element TRY_CAST(trunc(x)) in lockstep; re-
+        # verified hash-green at sf0.01 and on the extreme rig.
+        "minmax_range": q_minmax_range,
         "pivot": q_pivot,
         "similarity_lsh": q_similarity_lsh,
         "split_str": q_split_str,
@@ -4117,7 +4122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_aggs": q_string_aggs,
         "merge_intersect": q_merge_intersect,
         "resolve_template": q_resolve_template,
-        "minmax_range": q_minmax_range,
         "group_by_key": q_group_by_key,
         "explode_udtf": q_explode_udtf,
         "flatmap": q_flatmap,
