@@ -1710,7 +1710,11 @@ class OmigoDF(CompatMixin):
                         F.max("value").alias("max_str")))
             cols_df = self._df.sparkSession.createDataFrame(
                 [(c,) for c in use], "column string")
-            out = (cols_df.join(agg, "column", "left")
+            # broadcast the k-row aggregate: without the hint Spark has
+            # no stats for either tiny side and sort-merge joins them —
+            # two extra exchanges+sorts, measured ~+0.8 s at sf0.1 (r11
+            # bench adjudication)
+            out = (cols_df.join(F.broadcast(agg), "column", "left")
                    .select("column",
                            F.coalesce(F.col("n_rows"), F.lit(0))
                            .cast("long").alias("n_rows"),
