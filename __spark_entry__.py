@@ -4095,6 +4095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved to per-element TRY_CAST(trunc(x)) in lockstep; re-
         # verified hash-green at sf0.01 and on the extreme rig.
         "minmax_range": q_minmax_range,
+        # dedup_minhash_lsh rides the r11 exact-collapse pre-pass in
+        # dedup_near (bit-identical by construction, equivalence
+        # property-tested + re-verified hash-green at sf0.01).
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pivot": q_pivot,
         "similarity_lsh": q_similarity_lsh,
         "split_str": q_split_str,
@@ -4160,7 +4164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replicate_rows": q_replicate_rows,
         "text_metrics": q_text_metrics,
         "lang_id": q_lang_id,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "timefuncs_ladder": q_timefuncs_ladder,
         "sql_pushdown": q_sql_pushdown,
         "ttest": q_ttest,
