@@ -838,7 +838,7 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
 def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
                       col: str = "text", threshold: float = 0.7,
                       algorithm: str = "propagation",
-                      collapse_exact: bool = True) -> OmigoDF:
+                      collapse_exact: bool | str = "auto") -> OmigoDF:
     """Full near-dup clustering: LSH candidates → exact-Jaccard verify →
     connected components → every doc labeled with its cluster's min doc
     id (singletons label themselves). Unlike dedup_near's greedy
@@ -850,15 +850,18 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
     produces) or 'star' (large-star/small-star, O(log n) rounds on any
     shape — the safe choice if components may chain arbitrarily deep).
 
-    ``collapse_exact`` (default ON, r11 — same optimization and same
-    exactness argument as ``dedup_near``): byte-identical docs collapse
-    to their min-id representative before LSH; components run over
+    ``collapse_exact`` (r11 — same tri-state, census, and exactness
+    argument as ``dedup_near``): byte-identical docs collapse to their
+    min-id representative before LSH; components run over
     representatives only; members inherit their representative's
     cluster (representatives are group MINIMA, so the component min —
     the cluster id — is unchanged). The pathological probe (5,000
-    identical docs) measured 70.6 s → ~3 s, with identical labels."""
-    if collapse_exact and threshold <= 1.0:
-        mapping = _exact_rep_mapping(odf.df, id_col, col)
+    identical docs) measured 70.6 s → ~3 s with identical labels;
+    ``"auto"`` (default) collapses only when the cheap duplicate
+    census says it pays."""
+    if _should_collapse(odf.df, col, collapse_exact, threshold):
+        mapping = _exact_rep_mapping(odf.df, id_col, col) \
+            .localCheckpoint(eager=False)
         rep_rows = OmigoDF(odf.df.join(
             mapping.where(F.col(id_col) == F.col("__rep__"))
                    .select(id_col), id_col, "left_semi"))
@@ -991,32 +994,70 @@ def _verified_dup_pairs(odf: OmigoDF, id_col: str, col: str,
 def _exact_rep_mapping(df, id_col: str, col: str):
     """(id, __rep__) for every non-NULL-text row: __rep__ = the min id
     among rows with byte-identical text (md5-keyed, so the shuffle
-    carries 16-byte hashes, never the text). NULL-text rows are left
-    out: they can never band/match (NULL shingles) and must survive
-    near-dedup untouched, exactly as without the collapse."""
-    keyed = (df.select(F.col(id_col), F.md5(F.col(col)).alias("__fp__"))
-             .where(F.col("__fp__").isNotNull()))
-    m = keyed.groupBy("__fp__").agg(F.min(id_col).alias("__rep__"))
-    return keyed.join(m, "__fp__").select(id_col, "__rep__")
+    carries 16-byte hashes, never the text). One window over one
+    exchange — a groupBy+join-back shape costs a second shuffle for
+    the same answer. NULL-text rows are left out: they can never
+    band/match (NULL shingles) and must survive near-dedup untouched,
+    exactly as without the collapse."""
+    w = Window.partitionBy("__fp__")
+    return (df.select(F.col(id_col), F.md5(F.col(col)).alias("__fp__"))
+            .where(F.col("__fp__").isNotNull())
+            .withColumn("__rep__", F.min(id_col).over(w))
+            .select(id_col, "__rep__"))
+
+
+COLLAPSE_MIN_DUP_FRAC = 0.05
+_COLLAPSE_CENSUS_FRACTION = 0.1
+
+
+def _should_collapse(df, col: str, collapse_exact, threshold) -> bool:
+    """Resolve the collapse_exact tri-state. 'auto' runs one SAMPLED
+    duplicate census (md5 over ~10% of rows, one tiny agg) and collapses
+    iff the sampled exact-duplicate fraction crosses
+    COLLAPSE_MIN_DUP_FRAC. Corpus shape has to pick the path — measured:
+    collapsing is 5-17× FASTER on a 5k-identical probe but 3× SLOWER on
+    200k near-unique docs (the representative semi-join re-shuffles the
+    full text for nothing). A sample suffices because only LARGE
+    identical groups cause the g² candidate cliff the collapse exists
+    for, and large groups are exactly what a 10% sample cannot miss;
+    scattered small-group duplication it underestimates is also the
+    duplication the collapse barely helps."""
+    if threshold > 1.0 or collapse_exact is False:
+        return False
+    if collapse_exact is True:
+        return True
+    s = (df.select(F.md5(F.col(col)).alias("__fp__"))
+         .where(F.col("__fp__").isNotNull())
+         .sample(fraction=_COLLAPSE_CENSUS_FRACTION, seed=20260816))
+    stats = s.agg(F.count(F.lit(1)).alias("n"),
+                  F.count_distinct("__fp__").alias("u")).first()
+    n, u = stats["n"] or 0, stats["u"] or 0
+    return n > 0 and (n - u) / n >= COLLAPSE_MIN_DUP_FRAC
 
 
 def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
-               threshold: float = 0.7, collapse_exact: bool = True) -> OmigoDF:
+               threshold: float = 0.7,
+               collapse_exact: bool | str = "auto") -> OmigoDF:
     """LSH candidates → exact-Jaccard verification → drop the higher id of
     each confirmed near-dup pair (connected via min-representative).
 
-    ``collapse_exact`` (default ON, r11): byte-identical documents are
-    first collapsed to their min-id representative and only the
-    representatives enter LSH. Identical docs share every band and
-    verify at Jaccard 1.0, so the result is EXACTLY the no-collapse
-    result — but the candidate-pair work drops from O(Σ gᵢ²) over
-    identical groups to O(distinct²-ish). Web-crawl corpora run 30-50%
-    exact duplicates; the pathological probe (5,000 identical docs)
-    measured 40.6 s → ~2 s. Disabled automatically for threshold > 1
-    (nothing can verify there, so the collapse would over-drop)."""
+    ``collapse_exact`` (r11): byte-identical documents can be collapsed
+    to their min-id representative first, with only representatives
+    entering LSH. Identical docs share every band and verify at Jaccard
+    1.0, so the result is EXACTLY the no-collapse result — but the
+    candidate-pair work drops from O(Σ gᵢ²) over identical groups to
+    O(distinct²-ish). The trade is corpus-shaped: 5-17× faster on a
+    duplicate-heavy probe (5,000 identical docs: 40.6 s → ~4 s), but 3×
+    SLOWER on a 200k near-unique corpus (the representative semi-join
+    re-shuffles the full text for nothing). Default ``"auto"`` decides
+    with one cheap census over an (id, md5) projection — the mapping it
+    builds is reused when it collapses; True / False pin either path.
+    threshold > 1 always takes the no-collapse path (nothing verifies
+    there, so collapsing would over-drop)."""
     df = odf.df
-    if collapse_exact and threshold <= 1.0:
-        mapping = _exact_rep_mapping(df, id_col, col)
+    if _should_collapse(df, col, collapse_exact, threshold):
+        mapping = _exact_rep_mapping(df, id_col, col) \
+            .localCheckpoint(eager=False)
         reps = mapping.where(F.col(id_col) == F.col("__rep__")) \
                       .select(id_col)
         rep_rows = OmigoDF(df.join(reps, id_col, "left_semi"))

@@ -437,27 +437,28 @@ def test_minmax_int_aggs_nonfinite_null_not_crash(spark):
 
 
 def test_collapse_exact_equivalence_and_null_survival(spark):
-    """dedup_near/cluster_near_dups collapse byte-identical docs to a
-    representative before LSH (r11 duplicate-heavy probe: 5,000
-    identical docs = 12.5M candidate pairs = 40-70s; collapsed: seconds).
-    The result must be BIT-IDENTICAL to the no-collapse path, and
-    NULL-text docs (outside the mapping) must survive untouched."""
+    """dedup_near/cluster_near_dups can collapse byte-identical docs to
+    a representative before LSH (r11 duplicate-heavy probe: 5,000
+    identical docs = 12.5M candidate pairs = 40-70s; collapsed:
+    seconds). All three collapse_exact modes must agree bit-for-bit
+    ('auto' picks by a sampled duplicate census — this corpus is 75%
+    duplicated, so it collapses), and NULL-text docs (outside the
+    mapping) must survive untouched."""
     from omigo_data_analytics_spark.operators import dedup as DD
     rows = ([(i, "same same text for everyone here ok") for i in range(40)]
             + [(100 + i, f"distinct doc {i} tokens {i * 3}") for i in range(10)]
             + [(900, None), (901, None), (902, "")])
     d = OmigoDF(spark.createDataFrame(rows, "doc_id long, text string"))
-    a = sorted(r[0] for r in DD.dedup_near(d).df.select("doc_id").collect())
-    b = sorted(r[0] for r in DD.dedup_near(d, collapse_exact=False)
-               .df.select("doc_id").collect())
-    assert a == b
-    assert 900 in a and 901 in a      # NULL texts always survive
-    ca = sorted(tuple(r) for r in DD.cluster_near_dups(d)
-                .df.select("doc_id", "cluster_id").collect())
-    cb = sorted(tuple(r) for r in
-                DD.cluster_near_dups(d, collapse_exact=False)
-                .df.select("doc_id", "cluster_id").collect())
-    assert ca == cb
+    outs = [sorted(r[0] for r in DD.dedup_near(d, collapse_exact=m)
+                   .df.select("doc_id").collect())
+            for m in ("auto", True, False)]
+    assert outs[0] == outs[1] == outs[2]
+    assert 900 in outs[0] and 901 in outs[0]   # NULL texts always survive
+    cls = [sorted(tuple(r) for r in
+                  DD.cluster_near_dups(d, collapse_exact=m)
+                  .df.select("doc_id", "cluster_id").collect())
+           for m in ("auto", True, False)]
+    assert cls[0] == cls[1] == cls[2]
     # the identical block collapsed to one cluster rooted at its min id
-    labels = dict(ca)
+    labels = dict(cls[0])
     assert all(labels[i] == 0 for i in range(40))
