@@ -1687,6 +1687,17 @@ class OmigoDF(CompatMixin):
         frame, broadcast; zero cost on the data side) so the row set
         never depends on the data (r11 empty-input sweep)."""
         use = self._resolve(cols) if cols is not None else list(self._df.columns)
+        # dedupe + empty short-circuit (r12 advice): duplicate names in
+        # `cols` duplicated output rows on the exact path (the literal
+        # cols_df join fans out) and made the approx path's per-column
+        # aliases ambiguous; an empty list built an invalid stack(0,...)
+        # / agg() with no exprs. Order-preserving dedupe keeps the
+        # caller's column order; empty -> the typed empty profile.
+        use = list(dict.fromkeys(use))
+        if not use:
+            return self._wrap(self._df.sparkSession.createDataFrame(
+                [], "column string, n_rows long, n_null long, "
+                    "n_distinct long, min_str string, max_str string"))
 
         def _slit(name: str) -> str:
             # column name as a safe SQL string LITERAL (r10 review: a

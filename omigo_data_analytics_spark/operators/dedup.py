@@ -993,14 +993,26 @@ def _verified_dup_pairs(odf: OmigoDF, id_col: str, col: str,
 
 def _exact_rep_mapping(df, id_col: str, col: str):
     """(id, __rep__) for every non-NULL-text row: __rep__ = the min id
-    among rows with byte-identical text (md5-keyed, so the shuffle
-    carries 16-byte hashes, never the text). One window over one
-    exchange — a groupBy+join-back shape costs a second shuffle for
+    among rows with byte-identical text (hash-keyed, so the shuffle
+    carries fixed-width fingerprints, never the text). One window over
+    one exchange — a groupBy+join-back shape costs a second shuffle for
     the same answer. NULL-text rows are left out: they can never
     band/match (NULL shingles) and must survive near-dedup untouched,
-    exactly as without the collapse."""
+    exactly as without the collapse.
+
+    The fingerprint is md5 ++ xxhash64 ++ length, not md5 alone (r12
+    advice): the collapse contract is 'EXACTLY the no-collapse result',
+    and md5 collisions are adversarially constructible — a crafted
+    colliding pair under md5 alone would silently merge two distinct
+    documents. A pair colliding under md5 AND the structurally
+    unrelated xxhash64 simultaneously has no known construction.
+    F.concat (not concat_ws) so a NULL text NULL-propagates through
+    the fingerprint and the isNotNull screen still excludes it."""
+    fp = F.concat(F.md5(F.col(col)), F.lit("|"),
+                  F.xxhash64(F.col(col)).cast("string"), F.lit("|"),
+                  F.length(F.col(col)).cast("string"))
     w = Window.partitionBy("__fp__")
-    return (df.select(F.col(id_col), F.md5(F.col(col)).alias("__fp__"))
+    return (df.select(F.col(id_col), fp.alias("__fp__"))
             .where(F.col("__fp__").isNotNull())
             .withColumn("__rep__", F.min(id_col).over(w))
             .select(id_col, "__rep__"))
@@ -1021,8 +1033,26 @@ def _should_collapse(df, col: str, collapse_exact, threshold) -> bool:
     identical groups cause the g² candidate cliff the collapse exists
     for, and large groups are exactly what a 10% sample cannot miss;
     scattered small-group duplication it underestimates is also the
-    duplication the collapse barely helps."""
-    if threshold > 1.0 or collapse_exact is False:
+    duplication the collapse barely helps.
+
+    Tri-state is ENFORCED (r12 advice): any value other than
+    True/False/'auto' raises — previously 'always'/'yes'/1.5 fell
+    through to the census silently — and an explicit True overridden
+    by the threshold>1.0 guard warns instead of being ignored."""
+    if collapse_exact is not True and collapse_exact is not False \
+            and collapse_exact != "auto":
+        raise ValueError(
+            f"collapse_exact must be True, False or 'auto', got "
+            f"{collapse_exact!r}")
+    if threshold > 1.0:
+        if collapse_exact is True:
+            import warnings
+            warnings.warn(
+                "collapse_exact=True ignored: threshold > 1.0 means no "
+                "pair can verify, so collapsing would over-drop; taking "
+                "the no-collapse path", UserWarning, stacklevel=3)
+        return False
+    if collapse_exact is False:
         return False
     if collapse_exact is True:
         return True

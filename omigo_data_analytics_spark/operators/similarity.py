@@ -126,7 +126,12 @@ def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
         # engine and oracle — and a corrupt vector has no meaningful
         # sign pattern anyway. Same exclusion as the exact paths'
         # finite-norm screens.
-        mask = np.array([x is not None and np.isfinite(
+        # zero-LENGTH vectors too (r12 advice): isfinite([]).all() is
+        # vacuously True, so an empty array passed the r11 mask and
+        # np.stack then raised on the mixed dims — the same batch-kill
+        # the mask exists to prevent. An empty embedding has no sign
+        # pattern (it is the zero-norm case of the exact paths).
+        mask = np.array([x is not None and len(x) > 0 and np.isfinite(
             np.asarray(x, dtype=np.float64)).all() for x in v],
             dtype=bool)
         if not mask.any():

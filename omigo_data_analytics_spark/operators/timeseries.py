@@ -181,9 +181,13 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
     r_payload = [c for c in rdf.columns if c not in keys]
+    # validate tiebreak_cols BEFORE the empty-payload early return (r12
+    # advice): asof_join's backward/forward path raises ValueError on
+    # invalid tiebreak_cols even when there is nothing to carry, and
+    # nearest must not silently accept the same bad input
+    tb = _asof_tiebreak(tiebreak_cols, r_payload)
     if not r_payload:
         return OmigoDF(ldf)
-    tb = _asof_tiebreak(tiebreak_cols, r_payload)
 
     # same atomic struct carry as asof_join (r11 advice fix): one
     # last(ignorenulls) per DIRECTION picks a whole right row, so NULL

@@ -1,0 +1,149 @@
+"""Round-12 review fixes (the five r11 ADVICE items).
+
+1. similarity._buckets: zero-length embeddings pass a vacuous
+   isfinite().all() and then kill the whole Arrow batch in np.stack —
+   mask them out like NULL/non-finite vectors.
+2. dedup._should_collapse: enforce the True/False/'auto' tri-state
+   (unknown values used to fall through to the census silently) and
+   warn when an explicit True is overridden by the threshold>1.0 guard.
+3. dedup._exact_rep_mapping: fingerprint = md5 ++ xxhash64 ++ length,
+   not md5 alone — the collapse contract is byte-identity and md5
+   collisions are adversarially constructible.
+4. timeseries._asof_nearest: validate tiebreak_cols BEFORE the empty-
+   payload early return, matching asof_join's directional paths.
+5. OmigoDF.profile: dedupe the column list (duplicates doubled exact-
+   path rows / made approx-path aliases ambiguous) and short-circuit an
+   empty list to the typed empty profile.
+"""
+
+import warnings
+
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark import OmigoDF
+from omigo_data_analytics_spark.operators import dedup as DD
+from omigo_data_analytics_spark.operators import similarity as SM
+from omigo_data_analytics_spark.operators import timeseries as TS
+
+
+def _mk(spark, rows, schema):
+    return OmigoDF(spark.createDataFrame(rows, schema))
+
+
+# 1. zero-length embedding screen -------------------------------------
+
+def test_lsh_buckets_empty_vectors_dropped(spark):
+    """An empty array embedding must be screened like NULL — the r11
+    mask let it through (isfinite of an empty array is vacuously True)
+    and np.stack then raised ValueError on the mixed dims, killing
+    every row in the batch."""
+    e = _mk(spark, [(1, [1.0] * 8), (2, []), (3, [0.9] * 8)],
+            "vec_id long, embedding array<double>")
+    q = _mk(spark, [(10, [1.0] * 8), (11, [])],
+            "vec_id long, embedding array<double>")
+    out = SM.cosine_topk_lsh(e, q, k=2).df.collect()
+    assert {r["query_id"] for r in out} == {10}     # empty query: none
+    assert {r["vec_id"] for r in out} <= {1, 3}     # empty corpus row out
+    # all-empty batch corner: no rows, no crash
+    allempty = _mk(spark, [(9, [])], "vec_id long, embedding array<double>")
+    assert SM.cosine_topk_lsh(allempty, q, k=2).df.count() == 0
+
+
+# 2. collapse_exact tri-state enforcement ------------------------------
+
+def test_collapse_exact_unknown_value_raises(spark):
+    d = _mk(spark, [(1, "aa"), (2, "aa")], "doc_id long, text string")
+    for bad in ("always", "yes", 1.5, None):
+        with pytest.raises(ValueError, match="collapse_exact"):
+            DD.dedup_near(d, collapse_exact=bad).df.count()
+
+
+def test_collapse_exact_true_overridden_warns(spark):
+    d = _mk(spark, [(1, "aa"), (2, "aa"), (3, "bb")],
+            "doc_id long, text string")
+    with pytest.warns(UserWarning, match="threshold > 1.0"):
+        out = DD.dedup_near(d, threshold=1.5, collapse_exact=True)
+    # nothing verifies above 1.0: every row survives
+    assert out.df.count() == 3
+    # and the guard stays silent when the caller didn't force True
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert DD.dedup_near(d, threshold=1.5,
+                             collapse_exact="auto").df.count() == 3
+
+
+# 3. collision-resistant exact fingerprint -----------------------------
+
+def test_exact_rep_mapping_grouping_and_null_exclusion(spark):
+    """Identical texts share a rep (min id); distinct same-length texts
+    do not; NULL-text rows are absent from the mapping entirely."""
+    d = spark.createDataFrame(
+        [(1, "abc"), (2, "abc"), (3, "abd"), (4, None)],
+        "doc_id long, text string")
+    m = {r["doc_id"]: r["__rep__"]
+         for r in DD._exact_rep_mapping(d, "doc_id", "text").collect()}
+    assert m == {1: 1, 2: 1, 3: 3}
+
+
+def test_exact_fingerprint_uses_more_than_md5(spark):
+    """The r12 fingerprint concatenates md5, xxhash64 and length, so an
+    md5-only collision can no longer merge two distinct documents.
+    Checked structurally: the mapping plan's fingerprint expression
+    contains all three primitives."""
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = DD._exact_rep_mapping(d, "doc_id", "text") \
+        ._jdf.queryExecution().analyzed().toString().lower()
+    for prim in ("md5", "xxhash64", "length"):
+        assert prim in plan, f"fingerprint lost {prim}"
+
+
+def test_dedup_near_collapse_still_bit_identical(spark):
+    """Equivalence property survives the fingerprint change: all three
+    collapse modes agree on a mixed exact/near/unique corpus."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(6)] \
+        + [(10, "the quick brown fox jumps over the lazy cat"),
+           (11, "completely different text about spark engines"),
+           (12, None)]
+    d = _mk(spark, rows, "doc_id long, text string")
+    outs = [sorted(r["doc_id"] for r in
+                   DD.dedup_near(d, collapse_exact=m).df.collect())
+            for m in (True, False, "auto")]
+    assert outs[0] == outs[1] == outs[2]
+    assert 12 in outs[0]                      # NULL text always survives
+
+
+# 4. asof_nearest tiebreak validation ----------------------------------
+
+def test_asof_nearest_invalid_tiebreak_raises_on_empty_payload(spark):
+    """A right side with no payload columns used to early-return before
+    tiebreak validation in the nearest direction, while backward/forward
+    raised ValueError for the same input."""
+    left = _mk(spark, [("k", 10.0)], "k string, t double")
+    right = _mk(spark, [("k",)], "k string")     # keys only, no payload
+    for direction in ("backward", "forward", "nearest"):
+        with pytest.raises(ValueError, match="tiebreak_cols"):
+            TS.asof_join(left, right, on="k", left_time="t",
+                         right_time="t" if direction != "nearest" else None,
+                         direction=direction, tiebreak_cols=["nope"])
+
+
+# 5. profile dedupe + empty short-circuit ------------------------------
+
+def test_profile_duplicate_cols_deduped(spark):
+    d = _mk(spark, [(1, "a"), (2, None)], "x long, s string")
+    for exact in (False, True):
+        out = d.profile(["s", "s", "x", "s"], exact=exact).df.collect()
+        assert [r["column"] for r in out] == ["s", "x"]
+        by = {r["column"]: r for r in out}
+        assert by["s"]["n_rows"] == 2 and by["s"]["n_null"] == 1
+        assert by["x"]["n_distinct"] == 2
+
+
+def test_profile_empty_col_list_typed_empty(spark):
+    d = _mk(spark, [(1,)], "x long")
+    for exact in (False, True):
+        out = d.profile([], exact=exact).df
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == \
+            ["column", "n_rows", "n_null", "n_distinct", "min_str", "max_str"]
