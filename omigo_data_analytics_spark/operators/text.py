@@ -225,7 +225,12 @@ def text_metrics(odf: OmigoDF, col: str = "text", metrics=None) -> OmigoDF:
     return OmigoDF(out)
 
 
-def fingerprint(odf: OmigoDF, col: str = "text", new_col: str = "fingerprint") -> OmigoDF:
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def fingerprint(odf: OmigoDF, col: str = "text", new_col: str = "fingerprint",
+                case_fold: str = "full") -> OmigoDF:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.
     (The rolling/shingle variants live in dedup.py.)
 
@@ -238,8 +243,23 @@ def fingerprint(odf: OmigoDF, col: str = "text", new_col: str = "fingerprint") -
     dedup needs), but a fingerprint computed here won't byte-match one
     computed by a utf8proc-based tool for text containing those few
     codepoints. Same boundary applies to every lowercasing tokenizer
-    (token_counts/tfidf/inverted_index)."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(col)), WS_RUN, " "))
+    (token_counts/tfidf/inverted_index).
+
+    ``case_fold`` (r12, the r11 verdict's optional knob):
+    - ``"full"`` (default, unchanged) — the engine's Unicode lower.
+    - ``"ascii"`` — fold ONLY A-Z via translate. ASCII casing has no
+      SpecialCasing, so the fingerprint is byte-stable across JVM,
+      utf8proc/DuckDB and any other tool — the portable choice when
+      fingerprints are exchanged between engines. Non-ASCII case
+      variants of the same word then fingerprint differently; that is
+      the documented trade."""
+    if case_fold not in ("full", "ascii"):
+        raise ValueError(
+            f"fingerprint: case_fold must be 'full' or 'ascii', got "
+            f"{case_fold!r}")
+    base = F.regexp_replace(F.trim(F.col(col)), WS_RUN, " ")
+    norm = F.lower(base) if case_fold == "full" else \
+        F.translate(base, _ASCII_UP, _ASCII_LO)
     return OmigoDF(odf.df.withColumn(new_col, F.md5(norm)))
 
 
@@ -421,8 +441,11 @@ def metric_sql(dialect: str, metric: str, col: str = "text") -> str:
     return _metric_exprs(dialect, col)[metric]
 
 
-def fingerprint_sql_duck(col: str = "text") -> str:
-    return f"md5(lower(regexp_replace(trim({col}), '{WS_RUN_DUCK}', ' ', 'g')))"
+def fingerprint_sql_duck(col: str = "text", case_fold: str = "full") -> str:
+    base = f"regexp_replace(trim({col}), '{WS_RUN_DUCK}', ' ', 'g')"
+    low = f"lower({base})" if case_fold == "full" else \
+        f"translate({base}, '{_ASCII_UP}', '{_ASCII_LO}')"
+    return f"md5({low})"
 
 
 # ------------------------------------------------- training-batch packing

@@ -147,3 +147,32 @@ def test_profile_empty_col_list_typed_empty(spark):
         assert out.count() == 0
         assert [f.name for f in out.schema.fields] == \
             ["column", "n_rows", "n_null", "n_distinct", "min_str", "max_str"]
+
+
+# 6. fingerprint case_fold knob (r11 verdict optional #7) --------------
+
+def test_fingerprint_ascii_fold_cross_engine_stable(spark):
+    """case_fold='ascii' eliminates the SpecialCasing divergence: the
+    Spark fingerprint byte-matches DuckDB's on the exact codepoints the
+    r11 Unicode probe pinned as divergent under full folding."""
+    import duckdb
+    from omigo_data_analytics_spark.operators import text as TX
+    hostile = ["İstanbul  ANKARA", "STRASSE ß gross", "ǅungla Mix",
+               "ﬁle FLAG", "plain ASCII Text"]
+    d = _mk(spark, [(i, t) for i, t in enumerate(hostile)],
+            "doc_id long, text string")
+    got = {r["doc_id"]: r["fingerprint"] for r in
+           TX.fingerprint(d, case_fold="ascii").df.collect()}
+    con = duckdb.connect()
+    expr = TX.fingerprint_sql_duck("text", case_fold="ascii")
+    for i, t in enumerate(hostile):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS text)", [t]).fetchone()[0]
+        assert got[i] == want, f"ascii fold diverges on {t!r}"
+    # default stays the engine's full Unicode lower (unchanged behavior)
+    full = {r["doc_id"]: r["fingerprint"] for r in
+            TX.fingerprint(d).df.collect()}
+    assert full[4] == got[4]            # pure-ASCII text: modes agree
+    assert full[0] != got[0]            # 'İ' folds differently by design
+    with pytest.raises(ValueError, match="case_fold"):
+        TX.fingerprint(d, case_fold="turkic")
