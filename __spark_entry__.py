@@ -4234,7 +4234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9-row entries (their rows turn 3 rounds old at r12 close —
         # the same accepted trade as r11's post-boundary block; all are
         # hash-green in this round's full local battery at sf0.01 AND
-        # sf0.1). Then the r10-row block, then the r11-row block.
+        # sf0.1). Then the r10-row block — led by the six §2.5 join
+        # entries because the late-r12 wide-schema hardening rewrote
+        # _prep_join_side (suffix renames as one aliased select; r11
+        # precedent: post-freeze-touched entries lead post-boundary,
+        # verified by the full local battery re-run after the change).
+        # Then the r11-row block.
         "lm_score": q_lm_score,
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -4246,10 +4251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_diffs": q_time_diffs,
         "read_tsv_intersect": q_read_tsv_intersect,
         "etl_date_scan": q_etl_date_scan,
-        # r10-row block
+        # r10-row block (join entries first — _prep_join_side touched
+        # by the late-r12 wide-schema rewrite)
+        "inner_join_agg": q_inner_join_agg,
+        "left_join_histogram": q_left_join_histogram,
+        "map_join_broadcast": q_map_join_broadcast,
+        "natural_join": q_natural_join,
+        "outer_join_fill": q_outer_join_fill,
+        "difference_anti": q_difference_anti,
         "concat_as_cols": q_concat_as_cols,
         "decontaminate_semantic": q_decontaminate_semantic,
-        "difference_anti": q_difference_anti,
         "doc_chunks": q_doc_chunks,
         "duplicate_spans": q_duplicate_spans,
         "fuzzy_join": q_fuzzy_join,
@@ -4262,14 +4273,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_time_ancestors": q_graph_time_ancestors,
         "group_count": q_group_count,
         "hash_split": q_hash_split,
-        "inner_join_agg": q_inner_join_agg,
         "inverted_index": q_inverted_index,
         "lang_id": q_lang_id,
-        "left_join_histogram": q_left_join_histogram,
-        "map_join_broadcast": q_map_join_broadcast,
         "model_enrich": q_model_enrich,
-        "natural_join": q_natural_join,
-        "outer_join_fill": q_outer_join_fill,
         "pack_sequences": q_pack_sequences,
         "query_graph_job": q_query_graph_job,
         "range_join": q_range_join,

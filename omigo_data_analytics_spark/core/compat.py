@@ -348,21 +348,27 @@ class CompatMixin:
         the marker (reference dataframe.py:2268-2292; naming convention
         utils.py:894-905). JVM-side: split → transform(url_decode) →
         array_join, no Python UDF."""
-        out = self._df
-        renames = []
-        for c in list(out.columns):
+        # single aliased select: the withColumn+withColumnRenamed loop
+        # pair stacked two Projects per matched column (O(cols²)
+        # analysis, CollapseProject stack overflow at ~1,000 columns —
+        # r12 wide-schema probe)
+        df = self._df
+        exprs = []
+        for c in df.columns:
+            matched = None
             for agg_suffix in ("mkstr", "uniq_mkstr"):
                 marker = f"{DEFAULT_COL_PREFIX}url_encoded{DEFAULT_COL_PREFIX}{agg_suffix}"
                 if c.endswith(marker):
-                    decoded = F.array_join(
-                        F.transform(F.split(out[c].cast("string"), ","),
-                                    lambda x: F.url_decode(x)), ",")
-                    out = out.withColumn(c, decoded)
-                    renames.append(
-                        (c, c[: -len(marker)] + f"{DEFAULT_COL_PREFIX}{agg_suffix}"))
-        for old, new in renames:
-            out = out.withColumnRenamed(old, new)
-        return self._wrap(out)
+                    matched = c[: -len(marker)] + f"{DEFAULT_COL_PREFIX}{agg_suffix}"
+                    break
+            if matched is None:
+                exprs.append(df[c])
+            else:
+                decoded = F.array_join(
+                    F.transform(F.split(df[c].cast("string"), ","),
+                                lambda x: F.url_decode(x)), ",")
+                exprs.append(decoded.alias(matched))
+        return self._wrap(df.select(*exprs))
 
     def resolve_all_url_encoded_cols(self):
         """(reference dataframe.py:2284-2292)"""

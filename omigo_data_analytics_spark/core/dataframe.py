@@ -79,6 +79,20 @@ class OmigoDF(CompatMixin):
     def _wrap(self, df: DataFrame) -> "OmigoDF":
         return OmigoDF(df)
 
+    def _select_inplace(self, repl: dict) -> "OmigoDF":
+        """Project every column once, substituting ``repl[c]`` (aliased
+        back to c) where present — ONE Project node no matter how many
+        columns change. The chained-withColumn alternative builds one
+        nested Project per column: analysis/optimization cost O(cols²),
+        and at ~1,000 columns Catalyst's CollapseProject recursion
+        overflows the JVM stack outright (r12 wide-schema probe — the
+        reference's design target is '100s or 1000s of columns')."""
+        if not repl:
+            return self
+        exprs = [repl[c].alias(c) if c in repl else self._df[c]
+                 for c in self._df.columns]
+        return self._wrap(self._df.select(*exprs))
+
     def get_header_fields(self) -> list[str]:
         return list(self._df.columns)
 
@@ -167,41 +181,88 @@ class OmigoDF(CompatMixin):
         return self._wrap(self._df.select(*exprs))
 
     def add_empty_cols_if_missing(self, cols) -> "OmigoDF":
-        """(reference dataframe.py:2436)"""
-        out = self._df
-        for c in as_list(cols):
-            if c not in out.columns:
-                out = out.withColumn(c, F.lit(""))
-        return self._wrap(out)
+        """(reference dataframe.py:2436). One Project for all additions
+        (chained withColumn is O(new_cols × width) analysis)."""
+        have = set(self._df.columns)
+        new = list(dict.fromkeys(
+            c for c in as_list(cols) if c not in have))
+        if not new:
+            return self
+        return self._wrap(self._df.select(
+            "*", *[F.lit("").alias(c) for c in new]))
 
     def drop_empty_cols(self) -> "OmigoDF":
         """Drop columns whose every value is NULL/'' (reference dataframe.py:553-583).
 
         One aggregate job over all columns at once (single pass), then a
-        driver-side projection.
+        driver-side projection. Wide frames (>200 cols) route through a
+        stack-to-pairs groupBy instead of one agg with a buffer per
+        column — the per-column-buffer codegen took 31 s at 1,000
+        columns (r12 wide-schema probe; same blowup class that OOMed
+        profile). Both shapes are one pass, partial-aggregated.
         """
         df = self._df
-        flags = df.agg(*[
-            F.max(F.when(F.col(colutils.quote(c)).isNotNull()
-                         & (F.col(colutils.quote(c)).cast("string") != ""), 1).otherwise(0)).alias(c)
-            for c in df.columns
-        ]).first()
-        keep = [c for c in df.columns if (flags[c] or 0) == 1]
+        if len(df.columns) > 200:
+            def _slit(name: str) -> str:
+                return ("'" + name.replace("\\", "\\\\")
+                        .replace("'", "\\'") + "'")
+            stack_args = ", ".join(
+                f"{_slit(c)}, CAST({colutils.quote(c)} AS STRING)"
+                for c in df.columns)
+            nonempty = (df.selectExpr(
+                f"stack({len(df.columns)}, {stack_args}) AS (column, value)")
+                .where(F.col("value").isNotNull() & (F.col("value") != ""))
+                .select("column").distinct().collect())
+            found = {r["column"] for r in nonempty}
+            keep = [c for c in df.columns if c in found]
+        else:
+            flags = df.agg(*[
+                F.max(F.when(F.col(colutils.quote(c)).isNotNull()
+                             & (F.col(colutils.quote(c)).cast("string") != ""), 1).otherwise(0)).alias(c)
+                for c in df.columns
+            ]).first()
+            keep = [c for c in df.columns if (flags[c] or 0) == 1]
         if not keep:
             keep = df.columns[:1]
         return self._wrap(df.select(*[df[c] for c in keep]))
 
     def drop_empty_rows(self) -> "OmigoDF":
-        """Drop rows where every value is NULL/'' (reference dataframe.py:585-635)."""
-        df = self._df
-        cond = None
-        for c in df.columns:
-            piece = df[c].isNotNull() & (df[c].cast("string") != "")
-            cond = piece if cond is None else (cond | piece)
-        return self._wrap(df.filter(cond)) if cond is not None else self
+        """Drop rows where every value is NULL/'' (reference dataframe.py:585-635).
 
-    def rename(self, col: str, new_col: str) -> "OmigoDF":
-        """(reference dataframe.py:1555-1572)"""
+        One FLAT predicate, not an OR-chain: concat_ws skips NULLs, so
+        the concatenation of every column's string form is '' exactly
+        when all values are NULL/'' — a single expression node with N
+        children instead of a depth-N boolean tree (which risks the
+        same recursion blowups as chained Projects at 1,000+ columns)."""
+        df = self._df
+        if not df.columns:
+            return self
+        cond = F.concat_ws(
+            "", *[df[c].cast("string") for c in df.columns]) != ""
+        return self._wrap(df.filter(cond))
+
+    def rename(self, col, new_col: str | None = None) -> "OmigoDF":
+        """(reference dataframe.py:1555-1572). Also accepts a dict for a
+        BULK rename in one Project — chaining 1-col renames stacks one
+        Project per call and overflows Catalyst's CollapseProject
+        recursion near 1,000 chained calls (r12 wide-schema probe), so
+        wide-frame users should pass the mapping in one call."""
+        if isinstance(col, dict):
+            if new_col is not None:
+                raise ValueError("rename: new_col must be None when "
+                                 "passing a mapping dict")
+            mapping = col
+            existing = set(self._df.columns)
+            for old in mapping:
+                self._resolve(old)
+            clash = [n for o, n in mapping.items()
+                     if n in existing - set(mapping)]
+            if clash:
+                raise ValueError(
+                    f"rename: target columns already exist: {clash}")
+            if len(set(mapping.values())) != len(mapping):
+                raise ValueError("rename: duplicate target names in mapping")
+            return self._bulk_rename(lambda c: mapping.get(c))
         self._resolve(col)
         if new_col in self._df.columns:
             raise ValueError(f"rename: target column already exists: {new_col}")
@@ -231,6 +292,9 @@ class OmigoDF(CompatMixin):
 
     # ':'-namespace management (reference dataframe.py:2588-2830) -----------
     def _bulk_rename(self, mapper: Callable[[str], str | None]) -> "OmigoDF":
+        # one select with aliases, not N withColumnRenamed: the chained
+        # form stacked one Project per column and overflowed Catalyst's
+        # CollapseProject at ~1,000 columns (r12 wide-schema probe)
         mapping = {}
         for c in self._df.columns:
             nc = mapper(c)
@@ -238,10 +302,8 @@ class OmigoDF(CompatMixin):
                 mapping[c] = nc
         if not mapping:
             return self
-        out = self._df
-        for old, new in mapping.items():
-            out = out.withColumnRenamed(old, new)
-        return self._wrap(out)
+        return self._wrap(self._df.select(
+            *[self._df[c].alias(mapping.get(c, c)) for c in self._df.columns]))
 
     def add_prefix(self, prefix: str, cols=None) -> "OmigoDF":
         targets = set(self._resolve(cols)) if cols is not None else set(self._df.columns)
@@ -315,17 +377,15 @@ class OmigoDF(CompatMixin):
         double->long cast THROWS on NaN/±Inf/overflow ('1e300'), killing
         the whole job — unparseable-to-int becomes NULL instead, the
         module's missing-value convention."""
-        out = self._df
-        for c in self._resolve(cols):
-            out = out.withColumn(c, out[c].try_cast("double").try_cast("long"))
-        return self._wrap(out)
+        return self._select_inplace(
+            {c: self._df[c].try_cast("double").try_cast("long")
+             for c in self._resolve(cols)})
 
     def to_numeric(self, cols, precision: int = 6) -> "OmigoDF":
         """(reference dataframe.py:1702-1705)"""
-        out = self._df
-        for c in self._resolve(cols):
-            out = out.withColumn(c, F.round(out[c].try_cast("double"), precision))
-        return self._wrap(out)
+        return self._select_inplace(
+            {c: F.round(self._df[c].try_cast("double"), precision)
+             for c in self._resolve(cols)})
 
     def apply_precision(self, cols, precision: int = 6) -> "OmigoDF":
         return self.to_numeric(cols, precision)
@@ -372,19 +432,18 @@ class OmigoDF(CompatMixin):
 
     def replace_str_inline(self, cols, old_str: str, new_str: str = "") -> "OmigoDF":
         """(reference dataframe.py:410-412)"""
-        out = self._df
-        for c in self._resolve(cols):
-            out = out.withColumn(c, F.replace(out[c].cast("string"), F.lit(old_str), F.lit(new_str)))
-        return self._wrap(out)
+        return self._select_inplace(
+            {c: F.replace(self._df[c].cast("string"),
+                          F.lit(old_str), F.lit(new_str))
+             for c in self._resolve(cols)})
 
     def set_missing_values(self, cols, default_val: str) -> "OmigoDF":
         """''/NULL → default (reference dataframe.py:4910-4912)."""
-        out = self._df
-        for c in self._resolve(cols):
-            v = out[c]
-            out = out.withColumn(
-                c, F.when(v.isNull() | (v.cast("string") == ""), F.lit(default_val)).otherwise(v))
-        return self._wrap(out)
+        def _fill(v):
+            return F.when(v.isNull() | (v.cast("string") == ""),
+                          F.lit(default_val)).otherwise(v)
+        return self._select_inplace(
+            {c: _fill(self._df[c]) for c in self._resolve(cols)})
 
     # -------------------------------------------------------------- codecs
     def url_encode(self, col: str, new_col: str) -> "OmigoDF":
@@ -717,10 +776,8 @@ class OmigoDF(CompatMixin):
             out = func("" if v is None else v)
             return "" if out is None else str(out)
 
-        out = self._df
-        for c in resolved:
-            out = out.withColumn(c, _f(out[c].cast("string")))
-        return self._wrap(out)
+        return self._select_inplace(
+            {c: _f(self._df[c].cast("string")) for c in resolved})
 
     def with_column(self, new_col: str, expr) -> "OmigoDF":
         """Native fast path: add a column from a Column expression / SQL string."""
@@ -729,10 +786,9 @@ class OmigoDF(CompatMixin):
         return self._wrap(self._df.withColumn(new_col, expr))
 
     def _inline_math(self, cols, fn) -> "OmigoDF":
-        out = self._df
-        for c in self._resolve(cols):
-            out = out.withColumn(c, fn(out[c].try_cast("double")))
-        return self._wrap(out)
+        return self._select_inplace(
+            {c: fn(self._df[c].try_cast("double"))
+             for c in self._resolve(cols)})
 
     def transform_inline_log(self, cols):
         """(reference dataframe.py:1517-1552)"""
@@ -1322,9 +1378,12 @@ class OmigoDF(CompatMixin):
     # ---------------------------------------------------------------- joins
     def _prep_join_side(self, df: DataFrame, keys: list[str], suffix: str | None) -> DataFrame:
         if suffix:
-            for c in df.columns:
-                if c not in keys:
-                    df = df.withColumnRenamed(c, f"{c}{COL_SEP}{suffix}")
+            # one aliased select, not N withColumnRenamed (wide-schema
+            # probe: the chained form is O(cols²) and stack-overflows
+            # Catalyst at ~1,000 columns)
+            df = df.select(*[
+                df[c] if c in keys else df[c].alias(f"{c}{COL_SEP}{suffix}")
+                for c in df.columns])
         return df
 
     def __join(self, that: "OmigoDF", lkeys, rkeys=None, how: str = "inner",
@@ -1685,7 +1744,17 @@ class OmigoDF(CompatMixin):
         column (n_rows=0, min/max NULL) — the exact path left-joins its
         pair aggregate against the static column list (a k-row literal
         frame, broadcast; zero cost on the data side) so the row set
-        never depends on the data (r11 empty-input sweep)."""
+        never depends on the data (r11 empty-input sweep).
+
+        Wide frames (>200 profiled columns) route the APPROX path
+        through the same stack-to-pairs shape with
+        ``approx_count_distinct`` per column group (r12 wide-schema
+        probe): the 1-row wide aggregate plans 5 aggregate buffers PER
+        COLUMN in one operator, and at 1,000 columns the generated code
+        (106 MiB task binary) OOMs the JVM. The pairs shape is one flat
+        stack expression plus a partial-aggregated per-column HLL —
+        identical results (HLL merge is order-independent), bounded
+        codegen."""
         use = self._resolve(cols) if cols is not None else list(self._df.columns)
         # dedupe + empty short-circuit (r12 advice): duplicate names in
         # `cols` duplicated output rows on the exact path (the literal
@@ -1704,21 +1773,36 @@ class OmigoDF(CompatMixin):
             # name containing a quote broke the stack/named_struct text)
             return "'" + name.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-        if exact:
+        if exact or len(use) > 200:
             stack_args = ", ".join(
                 f"{_slit(c)}, CAST({colutils.quote(c)} AS STRING)" for c in use)
             pairs = self._df.selectExpr(
                 f"stack({len(use)}, {stack_args}) AS (column, value)")
-            cnt = (pairs.groupBy("column", "value")
-                   .agg(F.count(F.lit(1)).alias("__cnt__")))
-            agg = (cnt.groupBy("column")
-                   .agg(F.sum("__cnt__").alias("n_rows"),
-                        F.sum(F.when(F.col("value").isNull(), F.col("__cnt__"))
-                              .otherwise(0)).alias("n_null"),
-                        F.count(F.when(F.col("value").isNotNull(), 1))
-                        .alias("n_distinct"),
-                        F.min("value").alias("min_str"),
-                        F.max("value").alias("max_str")))
+            if exact:
+                cnt = (pairs.groupBy("column", "value")
+                       .agg(F.count(F.lit(1)).alias("__cnt__")))
+                agg = (cnt.groupBy("column")
+                       .agg(F.sum("__cnt__").alias("n_rows"),
+                            F.sum(F.when(F.col("value").isNull(),
+                                         F.col("__cnt__"))
+                                  .otherwise(0)).alias("n_null"),
+                            F.count(F.when(F.col("value").isNotNull(), 1))
+                            .alias("n_distinct"),
+                            F.min("value").alias("min_str"),
+                            F.max("value").alias("max_str")))
+            else:
+                # wide approx: per-column HLL over the pairs — one flat
+                # stack + ONE partial-aggregated groupBy, instead of
+                # 5×cols aggregate buffers in a single operator whose
+                # generated code OOMs at ~1,000 columns
+                agg = (pairs.groupBy("column")
+                       .agg(F.count(F.lit(1)).alias("n_rows"),
+                            F.count(F.when(F.col("value").isNull(), 1))
+                            .alias("n_null"),
+                            F.approx_count_distinct("value", rsd=0.02)
+                            .alias("n_distinct"),
+                            F.min("value").alias("min_str"),
+                            F.max("value").alias("max_str")))
             cols_df = self._df.sparkSession.createDataFrame(
                 [(c,) for c in use], "column string")
             # broadcast the k-row aggregate: without the hint Spark has

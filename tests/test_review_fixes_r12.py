@@ -176,3 +176,105 @@ def test_fingerprint_ascii_fold_cross_engine_stable(spark):
     assert full[0] != got[0]            # 'İ' folds differently by design
     with pytest.raises(ValueError, match="case_fold"):
         TX.fingerprint(d, case_fold="turkic")
+
+
+# 7. wide-schema (1,000-column) hardening ------------------------------
+# The r12 probe found chained withColumn/withColumnRenamed loops that
+# cost O(cols²) analysis and overflow Catalyst's CollapseProject
+# recursion (JVM StackOverflowError) at ~1,000 columns — the
+# reference's own design target is "100s or 1000s of columns". Every
+# bulk column op is now ONE aliased select.
+
+def _wide(spark, n_cols=1000, n_rows=5):
+    exprs = ["id AS row_id"] + [
+        f"CAST((id * {i}) % 97 AS STRING) AS c{i:04d}"
+        for i in range(1, n_cols)]
+    return OmigoDF(spark.range(n_rows).selectExpr(*exprs))
+
+
+def test_wide_bulk_ops_survive_1000_cols(spark):
+    """add_prefix over 1,000 columns crashed with a JVM StackOverflow
+    before the single-Project rewrite; now the whole §2.2 bulk family
+    runs. Values spot-checked to prove the rewrite is behavior-neutral."""
+    d = _wide(spark)
+    p = d.add_prefix("p")
+    assert p.columns[:2] == ["p:row_id", "p:c0001"]
+    rp = p.remove_prefix("p")
+    assert rp.columns == d.columns
+    cols = [f"c{i:04d}" for i in range(1, 1000)]
+    num = rp.to_numeric(cols[:500])
+    row = num.df.where("row_id = 2").collect()[0]
+    assert row["c0001"] == 2.0 and row["c0003"] == 6.0
+    filled = rp.set_missing_values(cols, "NA")
+    assert filled.df.count() == 5
+    ren = rp.rename({c: f"r_{c}" for c in cols[:500]})
+    assert "r_c0001" in ren.columns and "c0501" in ren.columns
+    added = rp.add_empty_cols_if_missing(["x1", "x2", "x1"])
+    assert added.columns.count("x1") == 1
+    assert added.df.select("x1").first()[0] == ""
+
+
+def test_wide_join_suffix_single_project(spark):
+    """join suffixing over a wide right side goes through one aliased
+    select now (was a per-column withColumnRenamed loop)."""
+    d = _wide(spark, n_cols=300)
+    j = d.inner_join(d, lkeys=["row_id"], lsuffix="l", rsuffix="r")
+    assert "c0001:l" in j.columns and "c0001:r" in j.columns
+    assert j.df.count() == 5
+
+
+def test_rename_dict_validation(spark):
+    d = _mk(spark, [(1, 2)], "a int, b int")
+    assert d.rename({"a": "x", "b": "y"}).columns == ["x", "y"]
+    # swap through the bulk form is simultaneous, not sequential
+    assert d.rename({"a": "b", "b": "a"}).columns == ["b", "a"]
+    with pytest.raises(ValueError, match="already exist"):
+        d.rename({"a": "b"})
+    with pytest.raises(ValueError, match="duplicate target"):
+        d.rename({"a": "z", "b": "z"})
+    with pytest.raises(KeyError):
+        d.rename({"nope": "x"})
+    with pytest.raises(ValueError, match="new_col"):
+        d.rename({"a": "x"}, "y")
+
+
+def test_drop_empty_rows_flat_predicate(spark):
+    d = _mk(spark, [("", None, ""), ("a", None, ""), (None, "b", "c")],
+            "x string, y string, z string")
+    out = d.drop_empty_rows().df.collect()
+    assert sorted((r["x"] or "", r["y"] or "") for r in out) == \
+        [("", "b"), ("a", "")]
+    # wide frame: flat concat_ws predicate, no depth-1000 boolean tree
+    w = _wide(spark)
+    assert w.drop_empty_rows().df.count() == 5
+
+
+def test_resolve_url_encoded_list_cols_single_project(spark):
+    d = _mk(spark, [("a%20b,c%3Dd", "x")],
+            "`v:url_encoded:mkstr` string, plain string")
+    out = d.resolve_url_encoded_list_cols()
+    assert out.columns == ["v:mkstr", "plain"]
+    assert out.df.first()[0] == "a b,c=d"
+
+
+def test_wide_profile_and_drop_empty_cols(spark):
+    """profile() OOMed the JVM at 1,000 columns (5 aggregate buffers per
+    column in one operator -> 106 MiB of generated code); wide frames
+    now take the stack-to-pairs shape. Values must match the narrow
+    path exactly on the overlap."""
+    d = _wide(spark, n_cols=250, n_rows=20)
+    prof = {r["column"]: r for r in d.profile().df.collect()}
+    assert len(prof) == 250
+    assert prof["c0001"]["n_rows"] == 20 and prof["c0001"]["n_null"] == 0
+    # overlap check: same 3 columns through the narrow (1-row agg) path
+    narrow = {r["column"]: r for r in
+              d.profile(["row_id", "c0001", "c0002"]).df.collect()}
+    for c in narrow:
+        for f in ("n_rows", "n_null", "n_distinct", "min_str", "max_str"):
+            assert narrow[c][f] == prof[c][f], (c, f)
+    # drop_empty_cols wide path: plant two all-empty columns
+    d2 = OmigoDF(d.df.selectExpr(
+        "*", "CAST(NULL AS STRING) AS all_null", "'' AS all_empty"))
+    kept = d2.drop_empty_cols().columns
+    assert "all_null" not in kept and "all_empty" not in kept
+    assert len(kept) == 250

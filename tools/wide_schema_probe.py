@@ -76,7 +76,10 @@ def main():
     timed("add_prefix ALL", lambda: d.add_prefix("p"), results)
     timed("remove_prefix ALL",
           lambda: d.add_prefix("p").remove_prefix("p"), results)
-    timed("rename 500 cols", lambda: _rename_half(d, int_cols), results)
+    timed("rename 500 cols (bulk dict)",
+          lambda: d.rename({c: f"r_{c}" for c in int_cols}), results)
+    timed("rename x100 (chained 1-col calls)",
+          lambda: _rename_half(d, int_cols[:100]), results)
     timed("reorder (reverse)",
           lambda: d.reorder(list(reversed(d.df.columns))), results)
     timed("to_numeric 500", lambda: d.to_numeric(int_cols), results)
