@@ -369,3 +369,118 @@ def test_token_estimates_composes_with_readstream(spark):
         assert rows == batch and len(rows) == 2
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# r12 hostile-input coverage (verdict optional #8): the empty/NULL rigs
+# that fixed stream_lsh_candidates in r11, run against the other four
+# streaming entries' harnesses. Pins the NULL contracts so a phantom-
+# state regression (rows materializing under NULL keys/times that the
+# batch counterpart would not produce) fails loudly.
+
+@pytest.fixture(scope="module")
+def hostile_event_dir(spark):
+    import tempfile as _tf
+    d = _tf.mkdtemp(prefix="omigo_stream_hostile_")
+    rows = []
+    for i in range(60):
+        ts = None if i % 5 == 0 else f"2024-01-01 00:{i % 60:02d}:00"
+        user = None if i % 7 == 0 else f"u{i % 3}"
+        val = None if i % 11 == 0 else float(i)
+        rows.append((i, ts, user, val))
+    df = spark.createDataFrame(rows, ["event_id", "ts_str", "user", "value"]) \
+        .withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    df.coalesce(2).write.mode("overwrite").parquet(d)
+    yield d, df
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_windowed_aggregate_null_ts_rows_excluded(spark, hostile_event_dir):
+    """NULL event times cannot window (watermark semantics drop them) —
+    the output must contain NO NULL-window group, and the non-NULL rows
+    must aggregate exactly like the batch counterpart filtered to
+    ts IS NOT NULL."""
+    d, df = hostile_event_dir
+    sdf = ST.file_source(spark, d, df.schema)
+    agg = ST.windowed_aggregate(sdf, "ts", "30 minutes",
+                                ["value"], ["sumfloat"])
+    _run_to_memory(agg, "h_win_null", "update")
+    got = {(str(r["window_start"]), r["value:sumfloat"])
+           for r in spark.table("h_win_null").collect()}
+    assert all(s != "None" for s, _ in got)
+    want = {(str(r["ws"]), r["s"]) for r in
+            df.where("ts IS NOT NULL")
+              .groupBy(F.window("ts", "30 minutes").alias("w"))
+              .agg(F.round(F.sum("value"), 6).alias("s"))
+              .select(F.col("w.start").alias("ws"), "s").collect()}
+    assert got == want
+
+
+def test_sessionize_null_keys_and_null_ts(spark, hostile_event_dir):
+    """NULL keys form their own sessions (groupBy semantics — a failed
+    user-id extraction still counts events); NULL timestamps drop.
+    Append mode only emits sessions the FINAL watermark (max event time
+    - 10 min) has closed — parity is against exactly that batch set."""
+    d, df = hostile_event_dir
+    sdf = ST.file_source(spark, d, df.schema)
+    ses = ST.sessionize(sdf, "user", "ts", gap="5 minutes")
+    _run_to_memory(ses, "h_ses_null", "append")
+    got = {(r["user"], str(r["session_start"]), r["n_events"])
+           for r in spark.table("h_ses_null").collect()}
+    max_ts = df.agg(F.max("ts")).first()[0]
+    batch = (df.where("ts IS NOT NULL")
+             .groupBy(F.session_window("ts", "5 minutes").alias("w"), "user")
+             .agg(F.count(F.lit(1)).alias("n")))
+    want = {(r["user"], str(r["w"]["start"]), r["n"])
+            for r in batch.collect()
+            if (max_ts - r["w"]["end"]).total_seconds() >= 600}
+    assert got == want
+    assert any(u is None for u, _, _ in got)     # NULL-key sessions exist
+
+
+def test_stream_dedup_null_key_and_ts(spark, hostile_event_dir):
+    """NULL keys dedupe to ONE representative (NULL is a key value, not
+    a wildcard); the op survives NULL event times without phantom or
+    dropped keys."""
+    d, df = hostile_event_dir
+    sdf = ST.file_source(spark, d, df.schema)
+    dd = ST.stream_dedup(sdf, ["user"], ts_col="ts")
+    _run_to_memory(dd, "h_dd_null", "append")
+    out = spark.table("h_dd_null").collect()
+    keys = [r["user"] for r in out]
+    assert len(keys) == len(set(keys)) == 4          # u0 u1 u2 NULL
+    assert None in keys
+
+
+def test_running_counts_null_key(spark, hostile_event_dir):
+    d, df = hostile_event_dir
+    sdf = ST.file_source(spark, d, df.schema)
+    rc = ST.running_counts(sdf, "user")
+    _run_to_memory(rc, "h_rc_null", "update")
+    got = {r["key"]: r["total"] for r in spark.table("h_rc_null").collect()}
+    want = {r["user"]: r["count"] for r in
+            df.groupBy("user").count().collect()}
+    assert got == want and None in got
+
+
+def test_streaming_ops_empty_input(spark):
+    """0-row source: every op yields 0 rows, no crash, no phantom state."""
+    import tempfile as _tf
+    d = _tf.mkdtemp(prefix="omigo_stream_empty_")
+    try:
+        schema = "event_id long, ts timestamp, user string, value double"
+        spark.createDataFrame([], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(d)
+        sdf = ST.file_source(spark, d, schema)
+        for i, (name, out) in enumerate([
+            ("e_win", ST.windowed_aggregate(sdf, "ts", "30 minutes",
+                                            ["value"], ["sumfloat"])),
+            ("e_ses", ST.sessionize(sdf, "user", "ts", gap="5 minutes")),
+            ("e_dd", ST.stream_dedup(sdf, ["user"], ts_col="ts")),
+            ("e_rc", ST.running_counts(sdf, "user")),
+        ]):
+            mode = "update" if name in ("e_win", "e_rc") else "append"
+            _run_to_memory(out, name, mode)
+            assert spark.table(name).count() == 0, name
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
