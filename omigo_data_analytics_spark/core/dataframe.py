@@ -89,7 +89,11 @@ class OmigoDF(CompatMixin):
         reference's design target is '100s or 1000s of columns')."""
         if not repl:
             return self
-        exprs = [repl[c].alias(c) if c in repl else self._df[c]
+        # F.col(quote(...)), not self._df[c]: the bracket accessor
+        # PARSES the name, so a stray backtick in it is a syntax error
+        # (withColumnRenamed took names literally; this path must too)
+        exprs = [repl[c].alias(c) if c in repl
+                 else F.col(colutils.quote(c))
                  for c in self._df.columns]
         return self._wrap(self._df.select(*exprs))
 
@@ -303,7 +307,8 @@ class OmigoDF(CompatMixin):
         if not mapping:
             return self
         return self._wrap(self._df.select(
-            *[self._df[c].alias(mapping.get(c, c)) for c in self._df.columns]))
+            *[F.col(colutils.quote(c)).alias(mapping.get(c, c))
+              for c in self._df.columns]))
 
     def add_prefix(self, prefix: str, cols=None) -> "OmigoDF":
         targets = set(self._resolve(cols)) if cols is not None else set(self._df.columns)
@@ -1380,9 +1385,11 @@ class OmigoDF(CompatMixin):
         if suffix:
             # one aliased select, not N withColumnRenamed (wide-schema
             # probe: the chained form is O(cols²) and stack-overflows
-            # Catalyst at ~1,000 columns)
+            # Catalyst at ~1,000 columns); quoted F.col so hostile
+            # names (backticks/dots) stay literal like withColumnRenamed
             df = df.select(*[
-                df[c] if c in keys else df[c].alias(f"{c}{COL_SEP}{suffix}")
+                F.col(colutils.quote(c)).alias(
+                    c if c in keys else f"{c}{COL_SEP}{suffix}")
                 for c in df.columns])
         return df
 
@@ -1404,8 +1411,18 @@ class OmigoDF(CompatMixin):
         if len(lk) != len(rk):
             raise ValueError("join: lkeys/rkeys length mismatch")
 
-        left = self._prep_join_side(self._df, lk, lsuffix)
-        right = that._prep_join_side(that._df, rk, rsuffix)
+        # side aliases + quoted qualified refs, not left[c]/right[c]:
+        # the bracket accessor PARSES names, so a key like 'a.b' (or a
+        # backtick anywhere) failed to resolve (r12 hostile-name fix —
+        # the reference's TSV model allows any header text)
+        left = self._prep_join_side(self._df, lk, lsuffix).alias("__jl__")
+        right = that._prep_join_side(that._df, rk, rsuffix).alias("__jr__")
+
+        def _l(c):
+            return F.col("__jl__." + colutils.quote(c))
+
+        def _r(c):
+            return F.col("__jr__." + colutils.quote(c))
 
         lnon = [c for c in left.columns if c not in lk]
         rnon = [c for c in right.columns if c not in rk]
@@ -1415,7 +1432,7 @@ class OmigoDF(CompatMixin):
                 f"join: duplicate non-key columns {sorted(dup)}; pass lsuffix/rsuffix")
 
         # rename right keys to left names when they coincide post-join
-        cond = [left[a].eqNullSafe(right[b]) for a, b in zip(lk, rk)]
+        cond = [_l(a).eqNullSafe(_r(b)) for a, b in zip(lk, rk)]
         r = F.broadcast(right) if broadcast_right else right
         joined = left.join(r, on=cond, how=how)
 
@@ -1424,13 +1441,13 @@ class OmigoDF(CompatMixin):
         out_cols = []
         for a, b in zip(lk, rk):
             if how in ("right", "right_outer", "full", "outer", "full_outer"):
-                out_cols.append(F.coalesce(left[a], right[b]).alias(a))
+                out_cols.append(F.coalesce(_l(a), _r(b)).alias(a))
             else:
-                out_cols.append(left[a])
-        out_cols += [left[c] for c in lnon]
+                out_cols.append(_l(a).alias(a))
+        out_cols += [_l(c).alias(c) for c in lnon]
         if rkeys is not None and any(a != b for a, b in zip(lk, rk)):
-            out_cols += [right[b].alias(b) for a, b in zip(lk, rk) if a != b]
-        out_cols += [right[c] for c in rnon]
+            out_cols += [_r(b).alias(b) for a, b in zip(lk, rk) if a != b]
+        out_cols += [_r(c).alias(c) for c in rnon]
         joined = joined.select(*out_cols)
 
         # outer fill (reference default_val='' / per-col def_val_map)
@@ -1440,13 +1457,14 @@ class OmigoDF(CompatMixin):
             for c in joined.columns:
                 v = fill.get(c, default_val)
                 if v is None:
-                    exprs.append(joined[c])
+                    exprs.append(F.col(colutils.quote(c)))
                 else:
                     dt = joined.schema[c].dataType
                     lit = F.lit(v)
                     if not isinstance(dt, T.StringType):
                         lit = lit.try_cast(dt)
-                    exprs.append(F.coalesce(joined[c], lit).alias(c))
+                    exprs.append(
+                        F.coalesce(F.col(colutils.quote(c)), lit).alias(c))
             joined = joined.select(*exprs)
         return self._wrap(joined)
 

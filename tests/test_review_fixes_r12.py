@@ -278,3 +278,22 @@ def test_wide_profile_and_drop_empty_cols(spark):
     kept = d2.drop_empty_cols().columns
     assert "all_null" not in kept and "all_empty" not in kept
     assert len(kept) == 250
+
+
+def test_join_hostile_column_names(spark):
+    """Joins resolve keys/columns literally (side-aliased quoted refs):
+    dotted keys and backtick-bearing names used to fail in the bracket
+    accessor's name parser — pre-existing, caught by the r12 wide/
+    hostile-name sweep."""
+    d = _mk(spark, [(1, 2)], "`a.b` int, `c:d` int")
+    out = d.inner_join(d, lkeys=["a.b"], rsuffix="r")
+    assert out.columns == ["a.b", "c:d", "c:d:r"]
+    assert out.df.collect() == [(1, 2, 2)]
+    d2 = _mk(spark, [(1, 2)], "k int, `x``y` int")
+    assert d2.inner_join(d2, lkeys=["x`y"], rsuffix="r").columns == \
+        ["x`y", "k", "k:r"]
+    # outer fill still types correctly through the quoted path
+    l = _mk(spark, [(1, "a")], "k int, v string")
+    r = _mk(spark, [(2, "b")], "k2 int, w string")
+    rows = l.outer_join(r, lkeys=["k"], rkeys=["k2"]).df.collect()
+    assert sorted((x["v"], x["w"]) for x in rows) == [("", "b"), ("a", "")]

@@ -84,6 +84,13 @@ def main():
     from omigo_data_analytics_spark import get_spark
 
     spark = get_spark("correctness", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    # robustness sweeps (r12): SPARK_GRAFT_CONF="k=v;k=v" overrides
+    # runtime confs so the same battery can run AQE-off / odd
+    # shuffle-partition postures without a separate harness
+    for kv in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            spark.conf.set(k.strip(), v.strip())
 
     con = duckdb.connect()
     for t in TABLES:
