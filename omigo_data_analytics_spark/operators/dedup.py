@@ -1080,8 +1080,9 @@ def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     duplicate-heavy probe (5,000 identical docs: 40.6 s → ~4 s), but 3×
     SLOWER on a 200k near-unique corpus (the representative semi-join
     re-shuffles the full text for nothing). Default ``"auto"`` decides
-    with one cheap census over an (id, md5) projection — the mapping it
-    builds is reused when it collapses; True / False pin either path.
+    with one cheap sampled census over an md5 projection (stats only —
+    the collapse mapping itself keys on md5 ++ xxhash64 ++ length,
+    collision-resistant); True / False pin either path.
     threshold > 1 always takes the no-collapse path (nothing verifies
     there, so collapsing would over-drop)."""
     df = odf.df
