@@ -1764,6 +1764,52 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_sessionize_bucketed(spark, sf_dir):
+    """Hot-key scale path of sessionize (r12): time-bucketed two-phase
+    plan, hot_key_rows=1 so EVERY key routes through it — the window
+    runs inside (key, day-bucket) partitions and a per-bucket summary
+    merges boundary sessions (timeseries.py sessionize/_hot_key_split).
+    Must equal the single-window answer exactly."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.sessionize(ev, "user_id", "ts", gap_sec=1800.0,
+                        time_buckets_sec=86400.0, hot_key_rows=1)
+    return (out.df.where("event_id % 23 = 0")
+            .select("event_id", "user_id", "session_id"))
+
+
+SQL_SESSIONIZE_BUCKETED = """
+WITH t AS (SELECT event_id, user_id, epoch(ts) AS sec FROM events),
+m AS (SELECT event_id, user_id, sec,
+             CASE WHEN sec - lag(sec) OVER
+                  (PARTITION BY user_id ORDER BY sec) > 1800.0
+                  THEN 1 ELSE 0 END AS brk
+      FROM t),
+s AS (SELECT event_id, user_id,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                 ROWS UNBOUNDED PRECEDING) + 1
+                  AS BIGINT) AS session_id
+      FROM m)
+SELECT event_id, user_id, session_id FROM s WHERE event_id % 23 = 0
+"""
+
+
+def q_rolling_bucketed(spark, sf_dir):
+    """Hot-key scale path of rolling_aggregate (r12): halo two-phase
+    plan, hot_key_rows=1 so every key routes through it — each bucket's
+    last window_rows-1 rows replicate into the key's successor bucket
+    so boundary frames stay complete (timeseries.py _rolling_bucketed).
+    Same oracle as the single-window plan."""
+    ev = _t(spark, sf_dir, "events")
+    out = TS.rolling_aggregate(ev, "user_id", "ts", ["value", "value"],
+                               ["mean", "max"], window_rows=5,
+                               time_buckets_sec=1_000_000.0,
+                               hot_key_rows=1)
+    return (out.df.where("event_id % 37 = 0")
+            .select("event_id", "user_id",
+                    F.col("`value:rolling_mean`").alias("roll_mean"),
+                    F.col("`value:rolling_max`").alias("roll_max")))
+
+
 def q_rolling_aggregate(spark, sf_dir):
     """Trailing-5-row rolling mean/max of event value per user, ordered
     by event time (tie-free: event ids make ts unique per user in this
@@ -4173,15 +4219,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     asof_nearest (tiebreak validation order), profile
         #     (dedupe/empty guard), dedup_embedding / embedding_near_dup
         #     (_buckets zero-length screen);
-        # (d) 34 of the 45 remaining r9-row entries (stalest block).
-        # 3 + 7 + 6 + 34 = 50 exactly. The 11 r9 rows that do not fit
-        # (45 - 34) are the LOWEST-RISK spill — simple column/agg ops
-        # whose files are untouched since r8 — and lead the post-
-        # boundary order as r13's head priority, each re-verified in
-        # this round's full local 148/148 sf0.01+sf0.1 battery.
+        # (d) 2 NEW hot-key scale-path entries (late-r12 skew work):
+        #     sessionize_bucketed / rolling_bucketed — the two-phase
+        #     plans measured 2.5-2.8x on the 16M/50%-hot skew probe,
+        #     driver-gated against the SAME oracles as the plain plans
+        #     (results are bit-identical by construction);
+        # (e) 32 of the 45 remaining r9-row entries (stalest block).
+        # 5 + 7 + 6 + 32 = 50 exactly. The 13 r9 rows that do not fit
+        # are the LOWEST-RISK spill — simple column/agg ops whose
+        # files are untouched since r8 — and lead the post-boundary
+        # order as r13's head priority, each re-verified in this
+        # round's full local 150/150 sf0.01+sf0.1 battery.
         "normalize_nulls": q_normalize_nulls,
         "semdedup_corrupt": q_semdedup_corrupt,
         "dedup_near_dupheavy": q_dedup_near_dupheavy,
+        "sessionize_bucketed": q_sessionize_bucketed,
+        "rolling_bucketed": q_rolling_bucketed,
         "minmax_range": q_minmax_range,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pivot": q_pivot,
@@ -4215,7 +4268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "nb_classify_pruned": q_nb_classify_pruned,
         "parent_hierarchy": q_parent_hierarchy,
-        "quantile_grid": q_quantile_grid,
         "quantiles": q_quantiles,
         "resolve_template": q_resolve_template,
         "sample_group_by_key": q_sample_group_by_key,
@@ -4225,14 +4277,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_sequence_stats": q_stats_sequence_stats,
         "token_estimate": q_token_estimate,
         "token_vocab": q_token_vocab,
-        "transform_lambda": q_transform_lambda,
         "trends_dataset": q_trends_dataset,
         "trends_job_e2e": q_trends_job_e2e,
         "window_sliding": q_window_sliding,
         # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = r13 priority. FIRST: the 11 spilled
-        # r9-row entries (their rows turn 3 rounds old at r12 close —
-        # the same accepted trade as r11's post-boundary block; all are
+        # Post-boundary order = r13 priority. FIRST: sessionize /
+        # rolling_aggregate (code-touched by the late-r12 skew work —
+        # new scale-path params, default path byte-unchanged; the NEW
+        # head entries sessionize_bucketed / rolling_bucketed gate the
+        # same functions end-to-end) and quantile_grid /
+        # transform_lambda (the 2 extra r9 spills that made room for
+        # those head entries). Then the 11 originally-spilled r9-row
+        # entries (rows turn 3 rounds old at r12 close — the same
+        # accepted trade as r11's post-boundary block; all are
         # hash-green in this round's full local battery at sf0.01 AND
         # sf0.1). Then the r10-row block — led by the six §2.5 join
         # entries because the late-r12 wide-schema hardening rewrote
@@ -4240,6 +4297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # precedent: post-freeze-touched entries lead post-boundary,
         # verified by the full local battery re-run after the change).
         # Then the r11-row block.
+        "sessionize": q_sessionize,
+        "rolling_aggregate": q_rolling_aggregate,
+        "quantile_grid": q_quantile_grid,
+        "transform_lambda": q_transform_lambda,
         "lm_score": q_lm_score,
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -4282,7 +4343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "remove_dup_spans": q_remove_dup_spans,
         "replicate_rows": q_replicate_rows,
-        "rolling_aggregate": q_rolling_aggregate,
         "rows_cond_exists": q_rows_cond_exists,
         "sample_weighted": q_sample_weighted,
         "sankey_links": q_sankey_links,
@@ -4317,7 +4377,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "select_first": q_select_first,
         "rest_partitioned": q_rest_partitioned,
-        "sessionize": q_sessionize,
         "normalize": q_normalize,
         "merge_intervals_islands": q_merge_intervals,
         "jira_search": q_jira_search,
@@ -4420,6 +4479,8 @@ def oracle_sql() -> dict[str, str]:
         "normalize": SQL_NORMALIZE,
         "redact_pii": _sql_redact_pii(),
         "rolling_aggregate": SQL_ROLLING,
+        "rolling_bucketed": SQL_ROLLING,
+        "sessionize_bucketed": SQL_SESSIONIZE_BUCKETED,
         "merge_intervals_islands": SQL_MERGE_INTERVALS,
         "jira_search": SQL_JIRA_SEARCH,
         "stream_dedup": SQL_STREAM_DEDUP,

@@ -306,32 +306,140 @@ def range_join(points, intervals, point_col: str, start_col: str,
     return OmigoDF(out.drop("__bin__"))
 
 
+AUTO_HOT_KEY_ROWS = 262_144
+
+
+def _hot_key_split(d, keys, threshold: int):
+    """(hot_rows, cold_rows): rows whose key holds >= threshold rows vs
+    the rest. One partial-aggregated census + a broadcast null-safe
+    semi/anti join (NULL keys are real groups and can be hot — plain
+    `on=` equality would silently misroute them to cold)."""
+    from ..core import colutils
+    hot_keys = (d.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kc__"))
+                .where(F.col("__kc__") >= F.lit(int(threshold)))
+                .select(*keys))
+    dl = d.alias("__dd__")
+    hk = F.broadcast(hot_keys.alias("__hk__"))
+    cond = [F.col("__dd__." + colutils.quote(c)).eqNullSafe(
+        F.col("__hk__." + colutils.quote(c))) for c in keys]
+    return dl.join(hk, on=cond, how="left_semi"), \
+        dl.join(hk, on=cond, how="left_anti")
+
+
 def sessionize(odf, key_cols: list[str] | str, time_col: str,
                gap_sec: float = 1800.0,
-               session_col: str = "session_id") -> OmigoDF:
+               session_col: str = "session_id",
+               time_buckets_sec: float | None = None,
+               hot_key_rows: int | str | None = "auto") -> OmigoDF:
     """Assign gap-based session numbers per key: a new session starts
     whenever the time since the previous event exceeds ``gap_sec``.
     Adds ``{session_col}`` (1-based per key) — one shuffle on the key,
     both window functions share the same sort order.
-    """
+
+    ``time_buckets_sec`` (r12, the hot-key scale path): a window
+    partitioned by a SKEWED key puts the whole hot group in ONE task —
+    the one shuffle-skew class AQE cannot split (measured 2.1× at 30%
+    skew on the r12 skew probe; at 100 TB the hot key is a straggler
+    that never finishes). Passing a bucket span switches to an exact
+    two-phase plan: (1) sessionize WITHIN (key, time-bucket) windows —
+    parallelism = buckets per key, so the hot key spreads over
+    span/bucket tasks; (2) a per-(key, bucket) summary (first/last
+    event time, local session count) merges sessions across bucket
+    boundaries on a bucket-counted frame orders of magnitude smaller
+    than the data; (3) one join back on (key, bucket) — which reuses
+    the phase-1 exchange, so the big side never reshuffles. The result
+    is IDENTICAL to the single-window plan (property-tested, including
+    NULL times and boundary-straddling sessions); pick a span well
+    above ``gap_sec`` so most sessions close within one bucket.
+
+    ``hot_key_rows`` routes ONLY hot keys through the bucketed plan
+    (default ``"auto"`` = 262,144 rows): a one-pass key census splits
+    the input, cold keys take the plain single-window plan (their
+    partitions are small — bucketing them is pure overhead and, for
+    rolling, trips the density guard), hot keys take the two-phase
+    plan, results union. ``None`` buckets every key; an int pins the
+    threshold. Has effect only when ``time_buckets_sec`` is set."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
     t: Column = _epoch_sec(d, time_col)
-    w = Window.partitionBy(*keys).orderBy(t)
-    is_break = (t - F.lag(t).over(w) > F.lit(gap_sec)).cast("bigint")
-    out = (d.withColumn("__brk__", F.coalesce(is_break, F.lit(0)))
-           .withColumn(session_col,
-                       (F.sum("__brk__").over(
-                           w.rowsBetween(Window.unboundedPreceding,
-                                         Window.currentRow)) + 1))
-           .drop("__brk__"))
+    if time_buckets_sec is None:
+        w = Window.partitionBy(*keys).orderBy(t)
+        is_break = (t - F.lag(t).over(w) > F.lit(gap_sec)).cast("bigint")
+        out = (d.withColumn("__brk__", F.coalesce(is_break, F.lit(0)))
+               .withColumn(session_col,
+                           (F.sum("__brk__").over(
+                               w.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)) + 1))
+               .drop("__brk__"))
+        return OmigoDF(out)
+    if time_buckets_sec <= 0:
+        raise ValueError("sessionize: time_buckets_sec must be positive")
+    if hot_key_rows is not None:
+        thr = AUTO_HOT_KEY_ROWS if hot_key_rows == "auto" else int(hot_key_rows)
+        hot, cold = _hot_key_split(d, keys, thr)
+        hot_out = sessionize(OmigoDF(hot), keys, time_col, gap_sec,
+                             session_col, time_buckets_sec,
+                             hot_key_rows=None)
+        cold_out = sessionize(OmigoDF(cold), keys, time_col, gap_sec,
+                              session_col, time_buckets_sec=None)
+        return OmigoDF(hot_out.df.unionByName(cold_out.df))
+    cols = list(d.columns)
+    # NULL times bucket to NULL, which sorts FIRST over the bucket
+    # order exactly as NULL t sorts first in the single-window plan;
+    # their NULL boundary gaps read as "continue" in both plans.
+    d2 = (d.withColumn("__t__", t)
+          .withColumn("__b__", F.floor(
+              F.col("__t__") / F.lit(float(time_buckets_sec)))))
+    wl = Window.partitionBy(*keys, "__b__").orderBy("__t__")
+    brk = (F.col("__t__") - F.lag("__t__").over(wl)
+           > F.lit(gap_sec)).cast("bigint")
+    local = (d2.withColumn("__brk__", F.coalesce(brk, F.lit(0)))
+             .withColumn("__lid__", F.sum("__brk__").over(
+                 wl.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow)) + 1))
+    summ = (local.groupBy(*keys, "__b__")
+            .agg(F.min("__t__").alias("__ft__"),
+                 F.max("__t__").alias("__lt__"),
+                 F.max("__lid__").alias("__ns__")))
+    ws = Window.partitionBy(*keys).orderBy(F.col("__b__").asc_nulls_first())
+    has_prev = F.lag(F.lit(1)).over(ws).isNotNull()
+    # boundary gap NULL (either side's time NULL) = continue, matching
+    # the single-window plan's NULL-gap-is-not-a-break rule
+    gap_break = F.col("__ft__") - F.lag("__lt__").over(ws) > F.lit(gap_sec)
+    merge = F.when(has_prev & ~F.coalesce(gap_break, F.lit(False)),
+                   F.lit(1)).otherwise(F.lit(0))
+    summ = (summ.withColumn("__mrg__", merge)
+            .withColumn("__P__", F.coalesce(
+                F.sum(F.col("__ns__") - F.col("__mrg__")).over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0))))
+    # null-safe aliased join back: plain `on=` equality would DROP the
+    # NULL-key / NULL-bucket groups the single-window plan keeps, and
+    # summ derives from local so bare column refs would be ambiguous
+    from ..core import colutils
+    lhs = local.alias("__sl__")
+    rhs = summ.select(*keys, "__b__", "__mrg__", "__P__").alias("__sr__")
+
+    def _q(side, c):
+        return F.col(side + "." + colutils.quote(c))
+
+    cond = [_q("__sl__", c).eqNullSafe(_q("__sr__", c))
+            for c in keys + ["__b__"]]
+    joined = lhs.join(rhs, on=cond, how="inner")
+    out = joined.withColumn(
+        session_col,
+        _q("__sr__", "__P__") + _q("__sl__", "__lid__")
+        - _q("__sr__", "__mrg__")) \
+        .select(*[_q("__sl__", c).alias(c) for c in cols], session_col)
     return OmigoDF(out)
 
 
 def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
                       agg_cols, agg_funcs, window_rows: int = 5,
                       precision: int = 6,
-                      tiebreak_cols: list[str] | None = None) -> OmigoDF:
+                      tiebreak_cols: list[str] | None = None,
+                      time_buckets_sec: float | None = None,
+                      hot_key_rows: int | str | None = "auto") -> OmigoDF:
     """Per-key rolling-window features over the trailing ``window_rows``
     rows (current row inclusive) in ``order_col`` order — the moving
     mean/min/max/sum shape of time-series feature engineering.
@@ -346,14 +454,66 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
     in either order, so their rolling values may differ between runs
     (r10 review). Pass ``tiebreak_cols`` — columns completing a total
     order per key — when ``(key, order_col)`` can repeat; with the
-    default None the caller asserts the order is already total."""
+    default None the caller asserts the order is already total.
+
+    ``time_buckets_sec`` (r12, the hot-key scale path — same hazard as
+    sessionize: a window partitioned by a skewed key is ONE task, the
+    shuffle-skew class AQE cannot split; measured 2.4× at 30% skew on
+    the r12 skew probe). Passing a bucket span runs the window inside
+    (key, time-bucket) partitions with a HALO: the last
+    ``window_rows - 1`` rows of each bucket are replicated into the
+    key's NEXT non-empty bucket (successor by per-key bucket order, so
+    empty buckets cannot break the chain), the frame is computed over
+    local+halo rows, and halo outputs are dropped. Exact — identical
+    to the single-window plan (property-tested) — PROVIDED every
+    interior bucket holds at least ``window_rows - 1`` rows, which one
+    cheap summary check enforces (raises with the pick-a-bigger-span
+    remedy otherwise; a boundary row would silently miss predecessors
+    two buckets back). Ties never straddle buckets (equal times share
+    a bucket), so the tiebreak contract is unchanged.
+
+    ``hot_key_rows`` (default ``"auto"`` = 262,144 rows) routes only
+    hot keys through the halo plan via a one-pass key census — cold
+    keys' partitions are small (no straggler to fix) and their sparse
+    buckets would trip the density guard; they keep the single-window
+    plan, and the two results union. ``None`` buckets every key."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
+    if time_buckets_sec is not None:
+        if time_buckets_sec <= 0:
+            raise ValueError("rolling_aggregate: time_buckets_sec must "
+                             "be positive")
+        if hot_key_rows is not None:
+            thr = (AUTO_HOT_KEY_ROWS if hot_key_rows == "auto"
+                   else int(hot_key_rows))
+            hot, cold = _hot_key_split(d, keys, thr)
+            hot_out = rolling_aggregate(
+                OmigoDF(hot), keys, order_col, agg_cols, agg_funcs,
+                window_rows, precision, tiebreak_cols,
+                time_buckets_sec, hot_key_rows=None)
+            cold_out = rolling_aggregate(
+                OmigoDF(cold), keys, order_col, agg_cols, agg_funcs,
+                window_rows, precision, tiebreak_cols,
+                time_buckets_sec=None)
+            return OmigoDF(hot_out.df.unionByName(cold_out.df))
+        return _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
+                                 window_rows, precision, tiebreak_cols,
+                                 float(time_buckets_sec))
     order = [_epoch_sec(d, order_col)] + [
         F.col(c) for c in (tiebreak_cols or [])]
     w = (Window.partitionBy(*keys).orderBy(*order)
          .rowsBetween(-(window_rows - 1), Window.currentRow))
     out = d
+    for name, expr in _rolling_exprs(w, agg_cols, agg_funcs, precision):
+        out = out.withColumn(name, expr)
+    return OmigoDF(out)
+
+
+def _rolling_exprs(w, agg_cols, agg_funcs, precision):
+    """(name, expr) pairs for the rolling aggregates over window ``w``
+    — shared by the single-window and bucketed plans so both compute
+    the literally identical expressions."""
+    res = []
     for c, fn in zip(list(agg_cols), list(agg_funcs)):
         x = F.col(c).try_cast("double")
         xd = F.col(c).try_cast("decimal(28,8)")
@@ -383,7 +543,75 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
             expr = F.count(x).over(w)
         else:
             raise ValueError(f"rolling_aggregate: unknown func: {fn}")
-        out = out.withColumn(f"{c}:rolling_{fn}", expr)
+        res.append((f"{c}:rolling_{fn}", expr))
+    return res
+
+
+def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
+                      window_rows, precision, tiebreak_cols,
+                      span: float) -> OmigoDF:
+    """Halo two-phase rolling (see rolling_aggregate docstring): local
+    windows inside (key, time-bucket) partitions, with each bucket's
+    last ``window_rows - 1`` rows replicated into the key's successor
+    bucket so boundary frames are complete; halo outputs dropped."""
+    from ..core import colutils
+    if span <= 0:
+        raise ValueError("rolling_aggregate: time_buckets_sec must be "
+                         "positive")
+    cols = list(d.columns)
+    d2 = (d.withColumn("__t__", _epoch_sec(d, order_col))
+          .withColumn("__b__", F.floor(F.col("__t__") / F.lit(span))))
+    summ = d2.groupBy(*keys, "__b__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    ws = Window.partitionBy(*keys).orderBy(F.col("__b__").asc_nulls_first())
+    summ = (summ.withColumn("__nxt__", F.lead("__b__").over(ws))
+            .withColumn("__haspred__",
+                        F.lag(F.lit(1)).over(ws).isNotNull()))
+    if window_rows > 1:
+        # exactness guard: a boundary frame reaches at most one bucket
+        # back through the halo, so every INTERIOR bucket (one with
+        # both a predecessor and a successor) must hold >= W-1 rows —
+        # otherwise the first rows of its successor would silently
+        # miss predecessors from two buckets back
+        bad = (summ.where(F.col("__haspred__")
+                          & F.col("__nxt__").isNotNull()
+                          & (F.col("__cnt__") < F.lit(window_rows - 1)))
+               .limit(1).count())
+        if bad:
+            raise ValueError(
+                "rolling_aggregate: time_buckets_sec too small — an "
+                "interior (key, bucket) holds fewer than window_rows-1="
+                f"{window_rows - 1} rows, so a bucket-boundary frame "
+                "would be silently incomplete; increase time_buckets_sec")
+    order_local = [F.col("__t__")] + [F.col(c)
+                                      for c in (tiebreak_cols or [])]
+    wdesc = Window.partitionBy(*keys, "__b__").orderBy(
+        *[o.desc() for o in order_local])
+    halo_src = (d2.withColumn("__rdesc__", F.row_number().over(wdesc))
+                .where(F.col("__rdesc__") <= F.lit(window_rows - 1))
+                .drop("__rdesc__"))
+
+    def _q(side, c):
+        return F.col(side + "." + colutils.quote(c))
+
+    lhs = halo_src.alias("__hl__")
+    rhs = summ.select(*keys, "__b__", "__nxt__").alias("__hr__")
+    cond = [_q("__hl__", c).eqNullSafe(_q("__hr__", c))
+            for c in keys + ["__b__"]]
+    halo = (lhs.join(rhs, on=cond, how="inner")
+            .where(_q("__hr__", "__nxt__").isNotNull())
+            .select(*[_q("__hl__", c).alias(c) for c in cols + ["__t__"]],
+                    _q("__hr__", "__nxt__").alias("__b__"))
+            .withColumn("__halo__", F.lit(1)))
+    ucols = cols + ["__t__", "__b__", "__halo__"]
+    u = (d2.withColumn("__halo__", F.lit(0)).select(*ucols)
+         .unionByName(halo.select(*ucols)))
+    wu = (Window.partitionBy(*keys, "__b__").orderBy(*order_local)
+          .rowsBetween(-(window_rows - 1), Window.currentRow))
+    out = u
+    for name, expr in _rolling_exprs(wu, agg_cols, agg_funcs, precision):
+        out = out.withColumn(name, expr)
+    out = (out.where(F.col("__halo__") == 0)
+           .drop("__t__", "__b__", "__halo__"))
     return OmigoDF(out)
 
 

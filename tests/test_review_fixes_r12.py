@@ -297,3 +297,103 @@ def test_join_hostile_column_names(spark):
     r = _mk(spark, [(2, "b")], "k2 int, w string")
     rows = l.outer_join(r, lkeys=["k"], rkeys=["k2"]).df.collect()
     assert sorted((x["v"], x["w"]) for x in rows) == [("", "b"), ("a", "")]
+
+
+# 8. skew-safe two-phase sessionize ------------------------------------
+
+def test_sessionize_bucketed_equals_plain(spark):
+    """The time-bucketed scale path must be bit-identical to the
+    single-window plan: random corpus with a hot key, NULL times,
+    boundary-straddling sessions, NULL keys; several bucket spans
+    including ones that slice sessions across many buckets."""
+    import random
+    rnd = random.Random(20260816)
+    rows = []
+    for i in range(3000):
+        k = "hot" if rnd.random() < 0.4 else f"u{rnd.randrange(40)}"
+        if rnd.random() < 0.05:
+            k = None
+        t = None if rnd.random() < 0.05 else float(rnd.randrange(0, 50_000))
+        rows.append((i, k, t))
+    d = _mk(spark, rows, "event_id long, k string, t double")
+    plain = {(r["event_id"]): r["session_id"] for r in
+             TS.sessionize(d, key_cols=["k"], time_col="t",
+                           gap_sec=600.0).df.collect()}
+    for span in (250.0, 1000.0, 7919.0, 1e9):
+        got = {(r["event_id"]): r["session_id"] for r in
+               TS.sessionize(d, key_cols=["k"], time_col="t", gap_sec=600.0,
+                             time_buckets_sec=span,
+                             hot_key_rows=None).df.collect()}
+        assert got == plain, f"bucketed(span={span}) diverges from plain"
+    # hybrid routing: only the hot key (and any NULL-key group above
+    # the threshold) takes the bucketed plan, the rest stay plain —
+    # result still identical
+    got = {(r["event_id"]): r["session_id"] for r in
+           TS.sessionize(d, key_cols=["k"], time_col="t", gap_sec=600.0,
+                         time_buckets_sec=1000.0,
+                         hot_key_rows=500).df.collect()}
+    assert got == plain, "hybrid hot-key routing diverges from plain"
+    with pytest.raises(ValueError, match="time_buckets_sec"):
+        TS.sessionize(d, key_cols=["k"], time_col="t", time_buckets_sec=0)
+
+
+def test_sessionize_bucketed_column_contract(spark):
+    d = _mk(spark, [(1, "a", 10.0), (2, "a", 5000.0)],
+            "event_id long, k string, t double")
+    out = TS.sessionize(d, key_cols="k", time_col="t", gap_sec=60.0,
+                        time_buckets_sec=100.0)
+    assert out.columns == ["event_id", "k", "t", "session_id"]
+    got = {r["event_id"]: r["session_id"] for r in out.df.collect()}
+    assert got == {1: 1, 2: 2}
+
+
+# 9. skew-safe halo two-phase rolling_aggregate ------------------------
+
+def test_rolling_bucketed_equals_plain(spark):
+    """Halo path bit-identical to the single-window plan on random
+    data with a hot key, ties (tiebreak_cols given), and several spans;
+    spans too small for the interior-bucket guard must raise."""
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(6000):
+        k = "hot" if rnd.random() < 0.4 else f"u{rnd.randrange(4)}"
+        t = float(rnd.randrange(0, 40_000))
+        rows.append((i, k, t, float(rnd.randrange(-50, 50))))
+    d = _mk(spark, rows, "event_id long, k string, t double, v double")
+    kw = dict(key_cols=["k"], order_col="t", agg_cols=["v", "v"],
+              agg_funcs=["mean", "count"], window_rows=5,
+              tiebreak_cols=["event_id"])
+    plain = {r["event_id"]: (r["v:rolling_mean"], r["v:rolling_count"])
+             for r in TS.rolling_aggregate(d, **kw).df.collect()}
+    for span in (4000.0, 9973.0, 1e9):
+        got = {r["event_id"]: (r["v:rolling_mean"], r["v:rolling_count"])
+               for r in TS.rolling_aggregate(
+                   d, time_buckets_sec=span, hot_key_rows=None,
+                   **kw).df.collect()}
+        assert got == plain, f"halo(span={span}) diverges"
+    # hybrid routing: hot key only through the halo plan
+    got = {r["event_id"]: (r["v:rolling_mean"], r["v:rolling_count"])
+           for r in TS.rolling_aggregate(
+               d, time_buckets_sec=4000.0, hot_key_rows=1000,
+               **kw).df.collect()}
+    assert got == plain, "hybrid hot-key routing diverges"
+    # a span so small that interior buckets hold < W-1 rows must raise,
+    # not silently truncate boundary frames
+    with pytest.raises(ValueError, match="time_buckets_sec too small"):
+        TS.rolling_aggregate(d, time_buckets_sec=1.0, hot_key_rows=None,
+                             **kw).df.count()
+    with pytest.raises(ValueError, match="positive"):
+        TS.rolling_aggregate(d, time_buckets_sec=0.0, hot_key_rows=None,
+                             **kw)
+
+
+def test_rolling_bucketed_window_rows_1(spark):
+    """W=1 needs no halo at all; both paths are a frame of self."""
+    d = _mk(spark, [(1, "a", 1.0, 3.0), (2, "a", 2.0, 5.0)],
+            "e long, k string, t double, v double")
+    out = TS.rolling_aggregate(d, key_cols="k", order_col="t",
+                               agg_cols=["v"], agg_funcs=["sum"],
+                               window_rows=1, time_buckets_sec=0.5)
+    assert {r["e"]: r["v:rolling_sum"] for r in out.df.collect()} == \
+        {1: 3.0, 2: 5.0}
