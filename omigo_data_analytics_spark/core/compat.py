@@ -20,6 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import colutils
+
 logger = logging.getLogger("omigo_data_analytics_spark")
 
 _WARNED: set[str] = set()
@@ -111,7 +113,7 @@ class CompatMixin:
         resolved = self._resolve([col], ignore_if_missing=ignore_if_missing)
         if not resolved:
             return self
-        c = self._df[resolved[0]].cast("string")
+        c = F.col(colutils.quote(resolved[0])).cast("string")
         return self._wrap(self._df.filter(c != F.lit(str(value))))
 
     def numerical_sort(self, cols, reorder: bool = False,
@@ -177,7 +179,7 @@ class CompatMixin:
         if fix_json_arr:
             from pyspark.sql import functions as F
 
-            v = src._df[col].cast("string")
+            v = F.col(colutils.quote(col)).cast("string")
             broken = (v.startswith("{'") | v.startswith("\"{'")
                       | v.startswith("[{'") | v.startswith("\"[{'"))
             fixed = F.translate(F.translate(v, '"', ""), "'", '"')
@@ -206,18 +208,18 @@ class CompatMixin:
             return x if x.startswith("$") else "$." + x
 
         if isinstance(xpath_filter, str):
-            cond = F.get_json_object(self._df[col].cast("string"),
+            cond = F.get_json_object(F.col(colutils.quote(col)).cast("string"),
                                      _p(xpath_filter)).isNotNull()
         elif isinstance(xpath_filter, dict):
             cond = F.lit(True)
             for xp, val in xpath_filter.items():
                 cond = cond & (F.get_json_object(
-                    self._df[col].cast("string"), _p(xp)) == F.lit(str(val)))
+                    F.col(colutils.quote(col)).cast("string"), _p(xp)) == F.lit(str(val)))
         elif (isinstance(xpath_filter, (tuple, list)) and len(xpath_filter) == 2
               and callable(xpath_filter[1])):
             xp, fn = xpath_filter
             f = F.udf(lambda s: bool(fn(s)), "boolean")
-            cond = f(F.get_json_object(self._df[col].cast("string"), _p(xp)))
+            cond = f(F.get_json_object(F.col(colutils.quote(col)).cast("string"), _p(xp)))
         else:
             raise ValueError(f"unsupported xpath_filter: {xpath_filter!r}")
         return self._wrap(self._df.where(~cond if exclude else cond))
@@ -423,7 +425,7 @@ class CompatMixin:
         classes in the map get their own cap, others get the default (or
         pass through). Union of per-class capped subsets — class count is
         small, data stays distributed."""
-        cls = self._df[class_col].cast("string")
+        cls = F.col(colutils.quote(class_col)).cast("string")
         mapped = [str(k) for k in max_uniq_values_map]
         parts = []
         for k, cap in max_uniq_values_map.items():
@@ -483,7 +485,7 @@ class CompatMixin:
         """All rows as lists of strings — ACTION, driver-side (the
         reference's native representation; here for parity/tests only)."""
         self._warn_big_collect("get_data_fields")
-        cols = [F.coalesce(self._df[c].cast("string"), F.lit(""))
+        cols = [F.coalesce(F.col(colutils.quote(c)).cast("string"), F.lit(""))
                 for c in self._df.columns]
         return [list(r) for r in self._df.select(*cols).collect()]
 
@@ -492,7 +494,7 @@ class CompatMixin:
         xxhash64 plus header hash (reference dataframe.py get_hash used
         mmh3 over serialized rows — same role, engine hash differs;
         documented delta). ACTION: one aggregate job, nothing collected."""
-        row_hash = F.xxhash64(*[F.coalesce(self._df[c].cast("string"), F.lit(""))
+        row_hash = F.xxhash64(*[F.coalesce(F.col(colutils.quote(c)).cast("string"), F.lit(""))
                                 for c in self._df.columns])
         # DECIMAL accumulator: sum of longs overflows under ANSI mode
         total = self._df.select(
@@ -509,7 +511,7 @@ class CompatMixin:
     def size_in_bytes(self) -> int:
         """Sum of cell string lengths (reference dataframe.py size_in_bytes).
         ACTION: one aggregate, distributed."""
-        cell = sum((F.coalesce(F.length(self._df[c].cast("string")), F.lit(0))
+        cell = sum((F.coalesce(F.length(F.col(colutils.quote(c)).cast("string")), F.lit(0))
                     for c in self._df.columns), F.lit(0))
         total = self._df.select(F.sum(cell).alias("b")).first()["b"] or 0
         return int(total) + sum(len(c) for c in self._df.columns)
@@ -523,7 +525,7 @@ class CompatMixin:
     def get_max_size_cols_stats(self) -> dict:
         """Per-column max string length (reference dataframe.py
         get_max_size_cols_stats). ACTION: one aggregate."""
-        aggs = [F.max(F.length(self._df[c].cast("string"))).alias(c)
+        aggs = [F.max(F.length(F.col(colutils.quote(c)).cast("string"))).alias(c)
                 for c in self._df.columns]
         row = self._df.select(*aggs).first()
         return {c: (row[c] or 0) for c in self._df.columns}

@@ -89,7 +89,7 @@ class OmigoDF(CompatMixin):
         reference's design target is '100s or 1000s of columns')."""
         if not repl:
             return self
-        # F.col(quote(...)), not self._df[c]: the bracket accessor
+        # F.col(quote(...)), not F.col(colutils.quote(c)): the bracket accessor
         # PARSES the name, so a stray backtick in it is a syntax error
         # (withColumnRenamed took names literally; this path must too)
         exprs = [repl[c].alias(c) if c in repl
@@ -120,7 +120,7 @@ class OmigoDF(CompatMixin):
         return self
 
     def col(self, name: str) -> Column:
-        return self._df[name]
+        return F.col(colutils.quote(name))
 
     def _resolve(self, cols, ignore_if_missing: bool = False, sort_by_header: bool = False) -> list[str]:
         return resolve_cols(
@@ -145,7 +145,7 @@ class OmigoDF(CompatMixin):
         resolved = self._missing_ok(cols, ignore_if_missing, "select")
         if resolved is None:
             return self
-        return self._wrap(self._df.select(*[self._df[c] for c in resolved]))
+        return self._wrap(self._df.select(*[F.col(colutils.quote(c)) for c in resolved]))
 
     def not_select(self, cols, ignore_if_missing: bool = False) -> "OmigoDF":
         """Inverse projection (reference dataframe.py:181-182)."""
@@ -156,7 +156,7 @@ class OmigoDF(CompatMixin):
         if resolved is None:
             return self
         keep = [c for c in self._df.columns if c not in set(resolved)]
-        return self._wrap(self._df.select(*[self._df[c] for c in keep]))
+        return self._wrap(self._df.select(*[F.col(colutils.quote(c)) for c in keep]))
 
     def drop_cols_if_exists(self, cols) -> "OmigoDF":
         return self.drop_cols(cols, ignore_if_missing=True)
@@ -177,9 +177,9 @@ class OmigoDF(CompatMixin):
         existing = set(self._df.columns)
         for c in as_list(cols):
             if c in existing:
-                exprs.append(self._df[c])
+                exprs.append(F.col(colutils.quote(c)))
             elif colutils.is_pattern(c):
-                exprs.extend(self._df[m] for m in self._resolve(c))
+                exprs.extend(F.col(colutils.quote(m)) for m in self._resolve(c))
             else:
                 exprs.append(F.lit("").alias(c))
         return self._wrap(self._df.select(*exprs))
@@ -228,7 +228,7 @@ class OmigoDF(CompatMixin):
             keep = [c for c in df.columns if (flags[c] or 0) == 1]
         if not keep:
             keep = df.columns[:1]
-        return self._wrap(df.select(*[df[c] for c in keep]))
+        return self._wrap(df.select(*[F.col(colutils.quote(c)) for c in keep]))
 
     def drop_empty_rows(self) -> "OmigoDF":
         """Drop rows where every value is NULL/'' (reference dataframe.py:585-635).
@@ -242,7 +242,7 @@ class OmigoDF(CompatMixin):
         if not df.columns:
             return self
         cond = F.concat_ws(
-            "", *[df[c].cast("string") for c in df.columns]) != ""
+            "", *[F.col(colutils.quote(c)).cast("string") for c in df.columns]) != ""
         return self._wrap(df.filter(cond))
 
     def rename(self, col, new_col: str | None = None) -> "OmigoDF":
@@ -281,18 +281,18 @@ class OmigoDF(CompatMixin):
         was never implemented)."""
         front = self._resolve(cols, sort_by_header=use_existing_order)
         rest = [c for c in self._df.columns if c not in set(front)]
-        return self._wrap(self._df.select(*[self._df[c] for c in front + rest]))
+        return self._wrap(self._df.select(*[F.col(colutils.quote(c)) for c in front + rest]))
 
     def reverse_reorder(self, cols) -> "OmigoDF":
         """Move cols to the back (reference dataframe.py:2154-2158)."""
         back = self._resolve(cols)
         rest = [c for c in self._df.columns if c not in set(back)]
-        return self._wrap(self._df.select(*[self._df[c] for c in rest + back]))
+        return self._wrap(self._df.select(*[F.col(colutils.quote(c)) for c in rest + back]))
 
     def copy(self, col: str, new_col: str) -> "OmigoDF":
         """(reference dataframe.py:2978-2980)"""
         self._resolve(col)
-        return self._wrap(self._df.withColumn(new_col, self._df[col]))
+        return self._wrap(self._df.withColumn(new_col, F.col(colutils.quote(col))))
 
     # ':'-namespace management (reference dataframe.py:2588-2830) -----------
     def _bulk_rename(self, mapper: Callable[[str], str | None]) -> "OmigoDF":
@@ -383,13 +383,13 @@ class OmigoDF(CompatMixin):
         the whole job — unparseable-to-int becomes NULL instead, the
         module's missing-value convention."""
         return self._select_inplace(
-            {c: self._df[c].try_cast("double").try_cast("long")
+            {c: F.col(colutils.quote(c)).try_cast("double").try_cast("long")
              for c in self._resolve(cols)})
 
     def to_numeric(self, cols, precision: int = 6) -> "OmigoDF":
         """(reference dataframe.py:1702-1705)"""
         return self._select_inplace(
-            {c: F.round(self._df[c].try_cast("double"), precision)
+            {c: F.round(F.col(colutils.quote(c)).try_cast("double"), precision)
              for c in self._resolve(cols)})
 
     def apply_precision(self, cols, precision: int = 6) -> "OmigoDF":
@@ -399,8 +399,8 @@ class OmigoDF(CompatMixin):
               precision: int = 6) -> "OmigoDF":
         """Safe division (reference dataframe.py:440-448)."""
         self._resolve([col1, col2])
-        n = self._df[col1].try_cast("double")
-        d = self._df[col2].try_cast("double")
+        n = F.col(colutils.quote(col1)).try_cast("double")
+        d = F.col(colutils.quote(col2)).try_cast("double")
         expr = F.when(d.isNotNull() & (d != 0) & n.isNotNull(), F.round(n / d, precision)) \
                 .otherwise(F.lit(float(default)))
         return self._wrap(self._df.withColumn(new_col, expr))
@@ -411,34 +411,34 @@ class OmigoDF(CompatMixin):
         d = float(denom)
         if d == 0:
             return self.add_const(new_col, 0.0)
-        expr = F.round(self._df[col].try_cast("double") / F.lit(d), precision)
+        expr = F.round(F.col(colutils.quote(col)).try_cast("double") / F.lit(d), precision)
         return self._wrap(self._df.withColumn(new_col, expr))
 
     def cap_min_inline(self, col: str, value) -> "OmigoDF":
         """(reference dataframe.py:2962-2976)"""
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            col, F.greatest(self._df[col].try_cast("double"), F.lit(float(value)))))
+            col, F.greatest(F.col(colutils.quote(col)).try_cast("double"), F.lit(float(value)))))
 
     def cap_max_inline(self, col: str, value) -> "OmigoDF":
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            col, F.least(self._df[col].try_cast("double"), F.lit(float(value)))))
+            col, F.least(F.col(colutils.quote(col)).try_cast("double"), F.lit(float(value)))))
 
     def cap_min(self, col: str, value, new_col: str) -> "OmigoDF":
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            new_col, F.greatest(self._df[col].try_cast("double"), F.lit(float(value)))))
+            new_col, F.greatest(F.col(colutils.quote(col)).try_cast("double"), F.lit(float(value)))))
 
     def cap_max(self, col: str, value, new_col: str) -> "OmigoDF":
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            new_col, F.least(self._df[col].try_cast("double"), F.lit(float(value)))))
+            new_col, F.least(F.col(colutils.quote(col)).try_cast("double"), F.lit(float(value)))))
 
     def replace_str_inline(self, cols, old_str: str, new_str: str = "") -> "OmigoDF":
         """(reference dataframe.py:410-412)"""
         return self._select_inplace(
-            {c: F.replace(self._df[c].cast("string"),
+            {c: F.replace(F.col(colutils.quote(c)).cast("string"),
                           F.lit(old_str), F.lit(new_str))
              for c in self._resolve(cols)})
 
@@ -448,7 +448,7 @@ class OmigoDF(CompatMixin):
             return F.when(v.isNull() | (v.cast("string") == ""),
                           F.lit(default_val)).otherwise(v)
         return self._select_inplace(
-            {c: _fill(self._df[c]) for c in self._resolve(cols)})
+            {c: _fill(F.col(colutils.quote(c))) for c in self._resolve(cols)})
 
     # -------------------------------------------------------------- codecs
     def url_encode(self, col: str, new_col: str) -> "OmigoDF":
@@ -463,7 +463,7 @@ class OmigoDF(CompatMixin):
             return quote_plus(s) if s is not None else ""
 
         self._resolve(col)
-        return self._wrap(self._df.withColumn(new_col, _enc(self._df[col].cast("string"))))
+        return self._wrap(self._df.withColumn(new_col, _enc(F.col(colutils.quote(col)).cast("string"))))
 
     def url_decode(self, col: str, new_col: str) -> "OmigoDF":
         """(reference dataframe.py:2258): unquote_plus."""
@@ -474,7 +474,7 @@ class OmigoDF(CompatMixin):
             return unquote_plus(s) if s is not None else ""
 
         self._resolve(col)
-        return self._wrap(self._df.withColumn(new_col, _dec(self._df[col].cast("string"))))
+        return self._wrap(self._df.withColumn(new_col, _dec(F.col(colutils.quote(col)).cast("string"))))
 
     def url_encode_inline(self, col: str) -> "OmigoDF":
         return self.url_encode(col, col)
@@ -498,12 +498,12 @@ class OmigoDF(CompatMixin):
         """(reference dataframe.py:2300-2320) — JVM builtin."""
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            new_col, F.base64(self._df[col].cast("string").cast("binary"))))
+            new_col, F.base64(F.col(colutils.quote(col)).cast("string").cast("binary"))))
 
     def base64_decode(self, col: str, new_col: str) -> "OmigoDF":
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            new_col, F.unbase64(self._df[col].cast("string")).cast("string")))
+            new_col, F.unbase64(F.col(colutils.quote(col)).cast("string")).cast("string")))
 
     def base64_encode_inline(self, col: str) -> "OmigoDF":
         return self.base64_encode(col, col)
@@ -535,7 +535,7 @@ class OmigoDF(CompatMixin):
             def _call(*vals):
                 return bool(func(*[("" if v is None else v) for v in vals]))
 
-        pred = F.udf(_call, T.BooleanType())(*[self._df[c].cast("string") for c in resolved])
+        pred = F.udf(_call, T.BooleanType())(*[F.col(colutils.quote(c)).cast("string") for c in resolved])
         if not include_cond:
             pred = ~F.coalesce(pred, F.lit(False))
         return self._wrap(self._df.filter(pred))
@@ -553,7 +553,7 @@ class OmigoDF(CompatMixin):
         resolved = self._missing_ok(col, ignore_if_missing, op)
         if resolved is None:
             return self
-        c = self._df[resolved[0]]
+        c = F.col(colutils.quote(resolved[0]))
         if cast == "int":
             # reference semantics: int(float(x)) — dataframe.py:283;
             # second cast is try_cast too or ANSI throws on NaN/overflow
@@ -656,40 +656,40 @@ class OmigoDF(CompatMixin):
         resolved = self._missing_ok(col, ignore_if_missing, "startswith")
         if resolved is None:
             return self
-        return self._wrap(self._df.filter(self._df[resolved[0]].cast("string").startswith(prefix)))
+        return self._wrap(self._df.filter(F.col(colutils.quote(resolved[0])).cast("string").startswith(prefix)))
 
     def not_startswith(self, col: str, prefix: str, ignore_if_missing=False) -> "OmigoDF":
         resolved = self._missing_ok(col, ignore_if_missing, "not_startswith")
         if resolved is None:
             return self
-        c = self._df[resolved[0]].cast("string")
+        c = F.col(colutils.quote(resolved[0])).cast("string")
         return self._wrap(self._df.filter(~F.coalesce(c.startswith(prefix), F.lit(False))))
 
     def endswith(self, col: str, suffix: str, ignore_if_missing=False) -> "OmigoDF":
         resolved = self._missing_ok(col, ignore_if_missing, "endswith")
         if resolved is None:
             return self
-        return self._wrap(self._df.filter(self._df[resolved[0]].cast("string").endswith(suffix)))
+        return self._wrap(self._df.filter(F.col(colutils.quote(resolved[0])).cast("string").endswith(suffix)))
 
     def not_endswith(self, col: str, suffix: str, ignore_if_missing=False) -> "OmigoDF":
         resolved = self._missing_ok(col, ignore_if_missing, "not_endswith")
         if resolved is None:
             return self
-        c = self._df[resolved[0]].cast("string")
+        c = F.col(colutils.quote(resolved[0])).cast("string")
         return self._wrap(self._df.filter(~F.coalesce(c.endswith(suffix), F.lit(False))))
 
     def is_empty_str(self, col: str, ignore_if_missing=False) -> "OmigoDF":
         resolved = self._missing_ok(col, ignore_if_missing, "is_empty_str")
         if resolved is None:
             return self
-        c = self._df[resolved[0]]
+        c = F.col(colutils.quote(resolved[0]))
         return self._wrap(self._df.filter(c.isNull() | (c.cast("string") == "")))
 
     def is_nonempty_str(self, col: str, ignore_if_missing=False) -> "OmigoDF":
         resolved = self._missing_ok(col, ignore_if_missing, "is_nonempty_str")
         if resolved is None:
             return self
-        c = self._df[resolved[0]]
+        c = F.col(colutils.quote(resolved[0]))
         return self._wrap(self._df.filter(c.isNotNull() & (c.cast("string") != "")))
 
     def regex_match(self, col: str, pattern: str, condition: bool = True,
@@ -700,7 +700,7 @@ class OmigoDF(CompatMixin):
         if resolved is None:
             return self
         pat = pattern if pattern.startswith("^") else "^(?:" + pattern + ")"
-        pred = self._df[resolved[0]].cast("string").rlike(pat)
+        pred = F.col(colutils.quote(resolved[0])).cast("string").rlike(pat)
         if not condition:
             pred = ~F.coalesce(pred, F.lit(False))
         return self._wrap(self._df.filter(pred))
@@ -714,13 +714,13 @@ class OmigoDF(CompatMixin):
         if resolved is None:
             return self
         return self._wrap(self._df.filter(
-            self._df[resolved[0]].cast("string").isin([str(v) for v in values])))
+            F.col(colutils.quote(resolved[0])).cast("string").isin([str(v) for v in values])))
 
     def values_not_in(self, col: str, values: Iterable, ignore_if_missing=False) -> "OmigoDF":
         resolved = self._missing_ok(col, ignore_if_missing, "values_not_in")
         if resolved is None:
             return self
-        c = self._df[resolved[0]].cast("string")
+        c = F.col(colutils.quote(resolved[0])).cast("string")
         return self._wrap(self._df.filter(~F.coalesce(c.isin([str(v) for v in values]), F.lit(False))))
 
     # --------------------------------------------------------- transform(s)
@@ -743,7 +743,7 @@ class OmigoDF(CompatMixin):
             def _call(*vals):
                 return func(*[("" if v is None else v) for v in vals])
 
-        in_cols = [self._df[c].cast("string") for c in resolved]
+        in_cols = [F.col(colutils.quote(c)).cast("string") for c in resolved]
         if n_out == 1:
             @F.udf(T.StringType())
             def _f1(*vals):
@@ -782,7 +782,7 @@ class OmigoDF(CompatMixin):
             return "" if out is None else str(out)
 
         return self._select_inplace(
-            {c: _f(self._df[c].cast("string")) for c in resolved})
+            {c: _f(F.col(colutils.quote(c)).cast("string")) for c in resolved})
 
     def with_column(self, new_col: str, expr) -> "OmigoDF":
         """Native fast path: add a column from a Column expression / SQL string."""
@@ -792,7 +792,7 @@ class OmigoDF(CompatMixin):
 
     def _inline_math(self, cols, fn) -> "OmigoDF":
         return self._select_inplace(
-            {c: fn(self._df[c].try_cast("double"))
+            {c: fn(F.col(colutils.quote(c)).try_cast("double"))
              for c in self._resolve(cols)})
 
     def transform_inline_log(self, cols):
@@ -831,7 +831,7 @@ class OmigoDF(CompatMixin):
         from ..operators.text import hash_spark
         resolved = self._resolve(cols)
         joined = F.concat_ws("\t", *[
-            F.coalesce(F.translate(self._df[c].cast("string"),
+            F.coalesce(F.translate(F.col(colutils.quote(c)).cast("string"),
                                    "\t\n\x0b\r", "    "), F.lit(""))
             for c in resolved])
         if not portable:
@@ -859,7 +859,7 @@ class OmigoDF(CompatMixin):
             return True
         if not isinstance(dt, T.StringType):
             return False
-        c = self._df[col]
+        c = F.col(colutils.quote(col))
         bad = self._df.agg(
             F.max(F.when(c.isNotNull() & (c != "") & c.try_cast("double").isNull(), 1).otherwise(0))
         ).first()[0]
@@ -875,14 +875,14 @@ class OmigoDF(CompatMixin):
             str_cols = [c for c in resolved
                         if isinstance(self._df.schema[c].dataType, T.StringType)]
             if str_cols:
-                aggs = [F.max(F.when(self._df[c].isNotNull() & (self._df[c] != "")
-                                     & self._df[c].try_cast("double").isNull(), 1)
+                aggs = [F.max(F.when(F.col(colutils.quote(c)).isNotNull() & (F.col(colutils.quote(c)) != "")
+                                     & F.col(colutils.quote(c)).try_cast("double").isNull(), 1)
                               .otherwise(0)).alias(c) for c in str_cols]
                 row = self._df.agg(*aggs).first()
                 sniffed = {c: (row[c] or 0) == 0 for c in str_cols}
         exprs = []
         for c in resolved:
-            col = self._df[c]
+            col = F.col(colutils.quote(c))
             dt = self._df.schema[c].dataType
             if all_numeric is not None:
                 numeric = all_numeric
@@ -1014,14 +1014,14 @@ class OmigoDF(CompatMixin):
             raise ValueError(f"normalize: unknown method: {method}")
         aggs = []
         for c in use:
-            x = self._df[c].try_cast("double")
+            x = F.col(colutils.quote(c)).try_cast("double")
             if method == "zscore":
                 # exact decimal moments -> bit-deterministic mean/std.
                 # try_cast/try_multiply/try_sum make every overflow a NULL
                 # regardless of spark.sql.ansi.enabled; the counts then
                 # detect rows silently dropped from a partial sum, and the
                 # overflow guard below is the single, loud failure point.
-                dec = self._df[c].try_cast("decimal(28,8)")
+                dec = F.col(colutils.quote(c)).try_cast("decimal(28,8)")
                 sq = F.try_multiply(dec, dec).try_cast("decimal(38,8)")
                 aggs += [
                     F.try_sum(dec).alias(f"__s_{c}__"),
@@ -1033,7 +1033,7 @@ class OmigoDF(CompatMixin):
             else:
                 aggs += [F.min(x).alias(f"__mn_{c}__"),
                          F.max(x).alias(f"__mx_{c}__")]
-        stats = self._df.groupBy(*[self._df[g] for g in gcols]).agg(*aggs)
+        stats = self._df.groupBy(*[F.col(colutils.quote(g)) for g in gcols]).agg(*aggs)
         if gcols:
             # no forced broadcast: stats is one row per GROUP, which at
             # high group cardinality (per-user stats over tens of
@@ -1193,13 +1193,13 @@ class OmigoDF(CompatMixin):
             return F.round(e, precision) if precision is not None else e
 
         if collapse:
-            exprs = [_round(agg_expr(f, self._df[c])).alias(_out_name(c, f))
+            exprs = [_round(agg_expr(f, F.col(colutils.quote(c)))).alias(_out_name(c, f))
                      for c, f in zip(acols, funcs)]
-            return self._wrap(self._df.groupBy(*[self._df[g] for g in gcols]).agg(*exprs))
-        w = Window.partitionBy(*[self._df[g] for g in gcols])
+            return self._wrap(self._df.groupBy(*[F.col(colutils.quote(g)) for g in gcols]).agg(*exprs))
+        w = Window.partitionBy(*[F.col(colutils.quote(g)) for g in gcols])
         out = self._df
         for c, f in zip(acols, funcs):
-            out = out.withColumn(_out_name(c, f), _round(window_agg_expr(f, self._df[c], w)))
+            out = out.withColumn(_out_name(c, f), _round(window_agg_expr(f, F.col(colutils.quote(c)), w)))
         return self._wrap(out)
 
     def group_count(self, cols, prefix: str = "group", collapse: bool = True,
@@ -1212,7 +1212,7 @@ class OmigoDF(CompatMixin):
         ratio = f"{prefix}{COL_SEP}ratio"
         tot_col = "__omigo_total__"
         if collapse:
-            g = self._df.groupBy(*[self._df[c] for c in gcols]).agg(F.count(F.lit(1)).alias(cnt))
+            g = self._df.groupBy(*[F.col(colutils.quote(c)) for c in gcols]).agg(F.count(F.lit(1)).alias(cnt))
             # scalar total via 1-row broadcast cross join — an unpartitioned
             # Window.partitionBy() would shuffle every group row to one task.
             # The group-by Exchange is reused for the total (ReusedExchange).
@@ -1221,7 +1221,7 @@ class OmigoDF(CompatMixin):
                  .withColumn(ratio, F.round(F.col(cnt) / F.col(tot_col), precision))
                  .drop(tot_col))
             return self._wrap(g.orderBy(F.col(cnt).desc(), *[F.col(colutils.quote(c)) for c in gcols]))
-        w = Window.partitionBy(*[self._df[c] for c in gcols])
+        w = Window.partitionBy(*[F.col(colutils.quote(c)) for c in gcols])
         tot = self._df.agg(F.count(F.lit(1)).cast("double").alias(tot_col))
         out = (self._df
                .withColumn(cnt, F.count(F.lit(1)).over(w))
@@ -1267,17 +1267,17 @@ class OmigoDF(CompatMixin):
         if not acols:  # degenerate: plain per-group extremum, one agg
             ex = F.min if use_min else F.max
             return self._wrap(self._df.groupBy(*gcols).agg(
-                *[ex(self._df[v].try_cast("double")).alias(
+                *[ex(F.col(colutils.quote(v)).try_cast("double")).alias(
                     f"{v}{COL_SEP}{'min' if use_min else 'max'}")
                   for v in vcols]))
-        base_cols = [self._df[g] for g in gcols]
+        base_cols = [F.col(colutils.quote(g)) for g in gcols]
         rn_names, combos = [], []
         # project once, then attach one row_number per (v, a) combo; ties
         # break on the arg string, matching sort_array's struct order
         base = self._df.select(*base_cols,
-                               *[self._df[v].try_cast("double").alias(f"__v_{vi}__")
+                               *[F.col(colutils.quote(v)).try_cast("double").alias(f"__v_{vi}__")
                                  for vi, v in enumerate(vcols)],
-                               *[F.coalesce(self._df[a].cast("string"),
+                               *[F.coalesce(F.col(colutils.quote(a)).cast("string"),
                                             F.lit("")).alias(f"__a_{ai}__")
                                  for ai, a in enumerate(acols)])
         sel = ["*"]
@@ -1360,7 +1360,7 @@ class OmigoDF(CompatMixin):
                 return pd.DataFrame(data)
 
             return self._wrap(
-                self._df.select(*[self._df[c] for c in set(gcols + acols)])
+                self._df.select(*[F.col(colutils.quote(c)) for c in set(gcols + acols)])
                         .groupBy(*gcols).applyInPandas(_apply, schema=schema))
 
         schema = T.StructType(
@@ -1538,8 +1538,14 @@ class OmigoDF(CompatMixin):
         (reference dataframe.py:2367-2402 hashes with mmh3 and warns about
         collisions; a left-anti join is exact and shuffle-optimal)."""
         use = self._resolve(cols) if cols is not None else list(self._df.columns)
-        cond = [self._df[c].eqNullSafe(that.df[c]) for c in use]
-        return self._wrap(self._df.join(that.df, on=cond, how="left_anti"))
+        # alias-qualified quoted refs on BOTH sides: an unbound F.col is
+        # ambiguous when both frames carry the column (always true here),
+        # and a bound bracket accessor chokes on hostile names
+        l = self._df.alias("__dl__")
+        r = that.df.alias("__dr__")
+        cond = [F.col("__dl__." + colutils.quote(c)).eqNullSafe(
+            F.col("__dr__." + colutils.quote(c))) for c in use]
+        return self._wrap(l.join(r, on=cond, how="left_anti"))
 
     # ------------------------------------------------------------- set ops
     def union(self, others) -> "OmigoDF":
@@ -1575,7 +1581,7 @@ class OmigoDF(CompatMixin):
             lit = F.lit(v)
             if not isinstance(dt, T.StringType):
                 lit = lit.try_cast(dt)
-            exprs.append(F.coalesce(out[c], lit).alias(c))
+            exprs.append(F.coalesce(F.col(colutils.quote(c)), lit).alias(c))
         return self._wrap(out.select(*exprs))
 
     def merge_intersect(self, others) -> "OmigoDF":
@@ -1625,7 +1631,7 @@ class OmigoDF(CompatMixin):
         """Downsample one class value, keep the rest (reference
         dataframe.py:2984-3021) → stratified sampleBy."""
         self._resolve(col)
-        c = self._df[col].cast("string")
+        c = F.col(colutils.quote(col)).cast("string")
         keep = (c != col_value) | c.isNull() | (F.rand(seed) <= sampling_ratio)
         return self._wrap(self._df.filter(keep))
 
@@ -1639,7 +1645,7 @@ class OmigoDF(CompatMixin):
         from ..operators.text import hash_spark
         gcols = self._resolve(grouping_cols)
         key = F.concat_ws("\t", *[
-            F.coalesce(self._df[c].cast("string"), F.lit(""))
+            F.coalesce(F.col(colutils.quote(c)).cast("string"), F.lit(""))
             for c in gcols], F.lit(str(seed)))
         if portable:
             bucket = F.pmod(F.expr(hash_spark("__sgbk__")), F.lit(1000000))
@@ -1652,7 +1658,7 @@ class OmigoDF(CompatMixin):
     def sample_class_by_max_values(self, col: str, max_rows: int, seed: int = 0) -> "OmigoDF":
         """Cap rows per class (reference dataframe.py:3314-3325)."""
         self._resolve(col)
-        w = Window.partitionBy(self._df[col]).orderBy(F.rand(seed))
+        w = Window.partitionBy(F.col(colutils.quote(col))).orderBy(F.rand(seed))
         tmp = "__omigo_rn__"
         return self._wrap(
             self._df.withColumn(tmp, F.row_number().over(w)).filter(F.col(tmp) <= max_rows).drop(tmp))
@@ -1674,14 +1680,14 @@ class OmigoDF(CompatMixin):
         tie_break_cols (ascending) make the result deterministic under ties."""
         gcols = self._resolve(grouping_cols)
         self._resolve(sort_col)
-        s = self._df[sort_col]
+        s = F.col(colutils.quote(sort_col))
         numeric = all_numeric if all_numeric is not None else self._has_all_numeric_values(sort_col)
         if numeric and isinstance(self._df.schema[sort_col].dataType, T.StringType):
             s = s.try_cast("double")
         order = [s.desc() if reverse else s.asc()]
         if tie_break_cols:
-            order += [self._df[c].asc() for c in self._resolve(tie_break_cols)]
-        w = Window.partitionBy(*[self._df[g] for g in gcols]).orderBy(*order)
+            order += [F.col(colutils.quote(c)).asc() for c in self._resolve(tie_break_cols)]
+        w = Window.partitionBy(*[F.col(colutils.quote(g)) for g in gcols]).orderBy(*order)
         tmp = "__omigo_rn__"
         return self._wrap(
             self._df.withColumn(tmp, F.row_number().over(w)).filter(F.col(tmp) <= k).drop(tmp))
@@ -1707,7 +1713,7 @@ class OmigoDF(CompatMixin):
         if cols is not None:
             gcols = self._resolve(cols)
             key = F.concat_ws("\t", *[
-                F.coalesce(self._df[c].cast("string"), F.lit(""))
+                F.coalesce(F.col(colutils.quote(c)).cast("string"), F.lit(""))
                 for c in gcols])
             bucket = F.pmod(abs64(F.xxhash64(key, F.lit(seed))), F.lit(num_batches))
         else:
@@ -1734,7 +1740,7 @@ class OmigoDF(CompatMixin):
             f"coalesce(CAST({colutils.quote(c)} AS STRING), '')"
             for c in gcols) + f", '{seed}')"
         u = F.pmod(F.expr(hash_spark(key)), F.lit(1000000)) / F.lit(1000000.0)
-        w = F.least(F.greatest(self._df[weight_col].try_cast("double"),
+        w = F.least(F.greatest(F.col(colutils.quote(weight_col)).try_cast("double"),
                                F.lit(0.0)), F.lit(1.0))
         return self._wrap(self._df.filter(u < w))
 
@@ -1839,7 +1845,7 @@ class OmigoDF(CompatMixin):
             return self._wrap(out)
         aggs = []
         for c in use:
-            # F.col(quote(...)), not self._df[c]: the bracket accessor
+            # F.col(quote(...)), not F.col(colutils.quote(c)): the bracket accessor
             # PARSES the name, so a stray backtick in it is a syntax error
             col = F.col(colutils.quote(c))
             s = col.cast("string")
@@ -1897,7 +1903,7 @@ class OmigoDF(CompatMixin):
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct(
                     F.concat_ws("\t", *[
-                        F.coalesce(self._df[c].cast("string"), F.lit(""))
+                        F.coalesce(F.col(colutils.quote(c)).cast("string"), F.lit(""))
                         for c in kcols])).alias("d")).first()
             if stats["n"] != stats["d"]:
                 import warnings
@@ -1908,7 +1914,7 @@ class OmigoDF(CompatMixin):
                     "partition-order-dependent", UserWarning, stacklevel=2)
         u = F.expr(hash_spark(key))
         tie = F.concat_ws("\t", *[
-            F.coalesce(self._df[c].cast("string"), F.lit(""))
+            F.coalesce(F.col(colutils.quote(c)).cast("string"), F.lit(""))
             for c in kcols])
         w = Window.partitionBy(*gcols).orderBy(u.asc(), tie.asc())
         return self._wrap(self._df
@@ -1970,7 +1976,7 @@ class OmigoDF(CompatMixin):
         from ..operators.text import hash_spark
         gcols = self._resolve(grouping_cols)
         self._resolve(col)
-        pairs = self._df.select(*[self._df[g] for g in gcols], self._df[col]).distinct()
+        pairs = self._df.select(*[F.col(colutils.quote(g)) for g in gcols], F.col(colutils.quote(col))).distinct()
         if portable:
             pairs = pairs.withColumn("__omigo_h__", F.expr(hash_spark(
                 f"concat_ws('\\t', CAST({colutils.quote(col)} AS STRING), '{seed}')")))
@@ -1995,7 +2001,7 @@ class OmigoDF(CompatMixin):
         ratios = (self._df.groupBy(*gcols)
                   .agg(F.countDistinct(col).alias("__omigo_nu__")))
         joined = self._df.join(ratios, on=gcols, how="left")
-        bucket = F.pmod(abs64(F.xxhash64(self._df[col].cast("string"),
+        bucket = F.pmod(abs64(F.xxhash64(F.col(colutils.quote(col)).cast("string"),
                                          F.lit(seed))), F.lit(1000000))
         keep = bucket < (F.lit(max_uniq_values * 1000000) / F.col("__omigo_nu__"))
         return self._wrap(joined.filter(F.col("__omigo_nu__").isNull() | keep)
@@ -2054,7 +2060,7 @@ class OmigoDF(CompatMixin):
             return bool(func("" if v is None else v))
         udf = F.udf(_call, T.BooleanType())
         flags = self._df.agg(*[
-            F.max(F.when(F.coalesce(udf(self._df[c].cast("string")), F.lit(False)), 1)
+            F.max(F.when(F.coalesce(udf(F.col(colutils.quote(c)).cast("string")), F.lit(False)), 1)
                   .otherwise(0)).alias(c) for c in resolved]).first()
         keep = [c for c in resolved if flags[c] == 1]
         return self.select(keep) if keep else self._wrap(
@@ -2084,7 +2090,7 @@ class OmigoDF(CompatMixin):
         partition-parallel, no driver materialization."""
         resolved = self._resolve(cols)
         if out_keys is None:
-            sample = self._df.select(*[self._df[c].cast("string") for c in resolved]) \
+            sample = self._df.select(*[F.col(colutils.quote(c)).cast("string") for c in resolved]) \
                 .limit(sample_rows).collect()
             seen: list[str] = []
             for r in sample:
@@ -2141,7 +2147,7 @@ class OmigoDF(CompatMixin):
         funcs = list(agg_funcs)
         scols = self._resolve(select_cols) if select_cols else []
 
-        vals = self._df.select(self._df[win_col].alias("__v__")).distinct()
+        vals = self._df.select(F.col(colutils.quote(win_col)).alias("__v__")).distinct()
         # two-phase global numbering of the distinct values — the canonical
         # win_col is time-like (distinct count ~ row count at scale), so a
         # global Window.orderBy here would be a single-task bottleneck
@@ -2165,10 +2171,10 @@ class OmigoDF(CompatMixin):
         # no forced broadcast: mapping ~ distinct win_col values, which can be
         # large at scale — AQE broadcasts it automatically when it is small
         joined = self._df.join(mapping,
-                               self._df[win_col].eqNullSafe(mapping["__v__"])).drop("__v__")
-        exprs = [agg_expr(f, joined[c]).alias(f"{c}{COL_SEP}{func_name(f)}")
+                               F.col(colutils.quote(win_col)).eqNullSafe(mapping["__v__"])).drop("__v__")
+        exprs = [agg_expr(f, F.col(colutils.quote(c))).alias(f"{c}{COL_SEP}{func_name(f)}")
                  for c, f in zip(acols, funcs)]
-        gb = [F.col(colutils.quote(label_col))] + [joined[c] for c in scols]
+        gb = [F.col(colutils.quote(label_col))] + [F.col(colutils.quote(c)) for c in scols]
         return self._wrap(joined.groupBy(*gb).agg(*exprs))
 
     def flatmap(self, col: str, func: Callable, new_col: str) -> "OmigoDF":
@@ -2181,7 +2187,7 @@ class OmigoDF(CompatMixin):
             out = func("" if v is None else v)
             return [("" if x is None else str(x)) for x in (out or [])]
 
-        return self._wrap(self._df.withColumn(new_col, F.explode(_f(self._df[col].cast("string")))))
+        return self._wrap(self._df.withColumn(new_col, F.explode(_f(F.col(colutils.quote(col)).cast("string")))))
 
     def explode_list_col(self, col: str, new_col: str, sep: str = ",") -> "OmigoDF":
         """Native path for the cell-level ','-array convention (SURVEY §1.3).
@@ -2190,7 +2196,7 @@ class OmigoDF(CompatMixin):
         sep='|' or '.' would split between every character."""
         self._resolve(col)
         return self._wrap(self._df.withColumn(
-            new_col, F.explode(F.split(self._df[col].cast("string"),
+            new_col, F.explode(F.split(F.col(colutils.quote(col)).cast("string"),
                                        re.escape(sep)))))
 
     def split_str(self, col: str, prefix: str | None = None, sep: str = ",",
@@ -2205,7 +2211,7 @@ class OmigoDF(CompatMixin):
         ``sep`` is literal, as in the reference's str.split."""
         self._resolve(col)
         prefix = prefix or col
-        parts = F.split(self._df[col].cast("string"), re.escape(sep))
+        parts = F.split(F.col(colutils.quote(col)).cast("string"), re.escape(sep))
         width = int(width) if width is not None else \
             (self._df.agg(F.max(F.size(parts))).first()[0] or 0)
         out = self._df
@@ -2224,7 +2230,7 @@ class OmigoDF(CompatMixin):
         """Repeat each row int(col) times (reference dataframe.py:4131-4162)."""
         self._resolve(col)
         # second try_cast: ANSI mode throws on NaN/overflow double->long
-        cnt = self._df[col].try_cast("double").try_cast("long")
+        cnt = F.col(colutils.quote(col)).try_cast("double").try_cast("long")
         if max_repl > 0:
             cnt = F.least(cnt, F.lit(max_repl))
         # count <= 0 must DROP the row (reference: `for i in range(int(v))`);
@@ -2279,7 +2285,7 @@ class OmigoDF(CompatMixin):
         if add_json_index:
             base = self.add_seq_num(f"{prefix}{COL_SEP}__json_index__")
         if schema is None:
-            strings = base._df.select(base._df[col].cast("string").alias("j")) \
+            strings = base._df.select(F.col(colutils.quote(col)).cast("string").alias("j")) \
                               .where(F.col("j").isNotNull() & (F.col("j") != ""))
             try:
                 schema = self.spark.read.json(strings.rdd.map(lambda r: r[0])).schema
@@ -2298,7 +2304,7 @@ class OmigoDF(CompatMixin):
                     f"'{col}' (no non-empty JSON values?) — pass an explicit "
                     f"schema= to explode an empty or all-NULL column")
         tmp = "__omigo_json__"
-        out = base._df.withColumn(tmp, F.from_json(base._df[col].cast("string"), schema))
+        out = base._df.withColumn(tmp, F.from_json(F.col(colutils.quote(col)).cast("string"), schema))
         if drop_col:
             out = out.drop(col)
         nested_cols = set(nested_cols or [])
@@ -2340,7 +2346,7 @@ class OmigoDF(CompatMixin):
             multi = len(arrays) > 1
             for a, p, kind in arrays:
                 e = f"{a}__e"
-                df = df.select("*", F.posexplode_outer(df[a]).alias(pos, e)).drop(a)
+                df = df.select("*", F.posexplode_outer(F.col(colutils.quote(a))).alias(pos, e)).drop(a)
                 df = _emit_elem(df, df[e], p, kind).drop(e)
                 if with_index:
                     # join (cartesian) mode explodes each array in sequence;
@@ -2448,8 +2454,8 @@ class OmigoDF(CompatMixin):
         gcols = self._resolve(grouping_cols)
         self._resolve(transpose_key)
         tcols = self._resolve(transpose_cols)
-        aggs = [F.first(self._df[c]).alias(c) for c in tcols]
-        gb = self._df.groupBy(*[self._df[g] for g in gcols])
+        aggs = [F.first(F.col(colutils.quote(c))).alias(c) for c in tcols]
+        gb = self._df.groupBy(*[F.col(colutils.quote(g)) for g in gcols])
         p = (gb.pivot(transpose_key, key_values) if key_values is not None
              else gb.pivot(transpose_key)).agg(*aggs)
         renames = {}
@@ -2535,12 +2541,12 @@ class OmigoDF(CompatMixin):
         self._resolve(template_col)
         # discover placeholders driver-side from one sample? No — resolve
         # against the header: any column name may appear as a placeholder.
-        expr = self._df[template_col].cast("string")
+        expr = F.col(colutils.quote(template_col)).cast("string")
         for c in self._df.columns:
             if c == template_col:
                 continue
             expr = F.replace(expr, F.lit("{" + c + "}"),
-                             F.coalesce(self._df[c].cast("string"), F.lit("")))
+                             F.coalesce(F.col(colutils.quote(c)).cast("string"), F.lit("")))
         return self._wrap(self._df.withColumn(new_col, expr))
 
     # ----------------------------------------------------------- display

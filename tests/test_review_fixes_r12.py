@@ -397,3 +397,28 @@ def test_rolling_bucketed_window_rows_1(spark):
                                window_rows=1, time_buckets_sec=0.5)
     assert {r["e"]: r["v:rolling_sum"] for r in out.df.collect()} == \
         {1: 3.0, 2: 5.0}
+
+
+# 10. hostile column names across the core surface ---------------------
+# The r12 wide/hostile-name sweep replaced every bracket accessor
+# (df[c] PARSES the name: a dotted name fails to resolve and a stray
+# backtick anywhere in the schema poisons every access) with quoted
+# F.col — names behave literally, like the reference's TSV headers.
+
+def test_hostile_names_across_core_surface(spark):
+    d = _mk(spark, [(1, "x", 2.5), (2, "", None)],
+            "k long, `a.b` string, `x``y` double")
+    assert d.select(["a.b"]).columns == ["a.b"]
+    assert d.drop_cols(["x`y"]).columns == ["k", "a.b"]
+    assert d.eq_str("a.b", "x").df.count() == 1
+    assert d.copy("x`y", "z").df.where("z = 2.5").count() == 1
+    agg = d.aggregate(["a.b"], ["x`y"], ["sumfloat"]).df.collect()
+    assert {(r[0], r[1]) for r in agg} == {("x", 2.5), ("", None)}
+    assert d.reorder(["x`y"]).columns[0] == "x`y"
+    assert d.to_numeric(["x`y"]).df.count() == 2
+    assert [r["column"] for r in d.profile(["x`y"], exact=True)
+            .df.collect()] == ["x`y"]
+    assert d.drop_empty_cols().columns == ["k", "a.b", "x`y"]
+    assert d.drop_empty_rows().df.count() == 2
+    assert d.sort(["x`y"]).df.count() == 2
+    assert d.group_count(["a.b"]).df.count() == 2
