@@ -1605,6 +1605,24 @@ FROM events GROUP BY 1, 2
 # Time-series joins & sessions (operators/timeseries.py, new r04)
 # =====================================================================
 
+def q_asof_bucketed(spark, sf_dir):
+    """Hot-key scale path of the backward as-of carry (r12): time-
+    bucketed local carry + per-bucket running carry-in, hot_key_rows=1
+    so every key routes through it (timeseries.py _asof_carry_bucketed).
+    Same query and oracle as asof_join — the plans must agree exactly."""
+    ev = _t(spark, sf_dir, "events").df
+    left = OmigoDF(ev.where("event_type = 'purchase'")
+                   .select("user_id", "event_id", "ts"))
+    right = OmigoDF(ev.where("event_type = 'view'")
+                    .groupBy("user_id", "ts")
+                    .agg(F.max("event_id").alias("view_id")))
+    out = TS.asof_join(left, right, on="user_id", left_time="ts",
+                       suffix="v", time_buckets_sec=86400.0,
+                       hot_key_rows=1)
+    return out.df.select("user_id", "event_id",
+                         F.col("v:view_id").alias("view_id"))
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join: each purchase event gets the latest preceding
     view event of the same user (union + one window pass — not an
@@ -4219,13 +4237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     asof_nearest (tiebreak validation order), profile
         #     (dedupe/empty guard), dedup_embedding / embedding_near_dup
         #     (_buckets zero-length screen);
-        # (d) 2 NEW hot-key scale-path entries (late-r12 skew work):
-        #     sessionize_bucketed / rolling_bucketed — the two-phase
-        #     plans measured 2.5-2.8x on the 16M/50%-hot skew probe,
-        #     driver-gated against the SAME oracles as the plain plans
-        #     (results are bit-identical by construction);
-        # (e) 32 of the 45 remaining r9-row entries (stalest block).
-        # 5 + 7 + 6 + 32 = 50 exactly. The 13 r9 rows that do not fit
+        # (d) 3 NEW hot-key scale-path entries (late-r12 skew work):
+        #     sessionize_bucketed / rolling_bucketed / asof_bucketed —
+        #     the two-phase plans measured 2.5-2.8x on the 16M/50%-hot
+        #     skew probe, driver-gated against the SAME oracles as the
+        #     plain plans (results are bit-identical by construction);
+        # (e) 31 of the 45 remaining r9-row entries (stalest block).
+        # 6 + 7 + 6 + 31 = 50 exactly. The 14 r9 rows that do not fit
         # are the LOWEST-RISK spill — simple column/agg ops whose
         # files are untouched since r8 — and lead the post-boundary
         # order as r13's head priority, each re-verified in this
@@ -4235,6 +4253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_dupheavy": q_dedup_near_dupheavy,
         "sessionize_bucketed": q_sessionize_bucketed,
         "rolling_bucketed": q_rolling_bucketed,
+        "asof_bucketed": q_asof_bucketed,
         "minmax_range": q_minmax_range,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pivot": q_pivot,
@@ -4275,7 +4294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_uniq_cap": q_sample_uniq_cap,
         "search_job_e2e": q_search_job_e2e,
         "stats_sequence_stats": q_stats_sequence_stats,
-        "token_estimate": q_token_estimate,
         "token_vocab": q_token_vocab,
         "trends_dataset": q_trends_dataset,
         "trends_job_e2e": q_trends_job_e2e,
@@ -4299,8 +4317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Then the r11-row block.
         "sessionize": q_sessionize,
         "rolling_aggregate": q_rolling_aggregate,
+        "asof_join": q_asof_join,
         "quantile_grid": q_quantile_grid,
         "transform_lambda": q_transform_lambda,
+        "token_estimate": q_token_estimate,
         "lm_score": q_lm_score,
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
@@ -4397,7 +4417,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
         "ngram_jaccard": q_ngram_jaccard,
-        "asof_join": q_asof_join,
         "read_text_roundtrip": q_read_text_roundtrip,
         "read_xml_roundtrip": q_read_xml_roundtrip,
     }
@@ -4467,6 +4486,7 @@ def oracle_sql() -> dict[str, str]:
             inner=DD.remove_duplicate_spans_sql_duck(n=8)),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "asof_join": SQL_ASOF_JOIN,
+        "asof_bucketed": SQL_ASOF_JOIN,
         "range_join": SQL_RANGE_JOIN,
         "sessionize": SQL_SESSIONIZE,
         "dedup_cluster": _sql_dedup_cluster(),

@@ -55,7 +55,9 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
               right_time: str | None = None, suffix: str = "r",
               tolerance_sec: float | None = None,
               direction: str = "backward",
-              tiebreak_cols: list[str] | None = None) -> OmigoDF:
+              tiebreak_cols: list[str] | None = None,
+              time_buckets_sec: float | None = None,
+              hot_key_rows: int | str | None = "auto") -> OmigoDF:
     """For each left row, attach the latest right row whose time is <= the
     left row's time (``direction='backward'``, inclusive — the default) or
     the earliest right row whose time is >= it (``'forward'``), matching
@@ -85,15 +87,54 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     NULL cell in the winning row stays NULL in the output (r11 advice
     fix — per-column carries used to backfill such a cell from an
     EARLIER right row, tearing the result across two source rows).
-    """
+
+    ``time_buckets_sec`` (r12, hot-key scale path — same straggler as
+    sessionize/rolling: the carry window partitioned by a skewed key
+    is ONE task, the shuffle-skew class AQE cannot split): the carry
+    runs inside (key, time-bucket) partitions; each bucket's LAST
+    right row (struct + match time, max (t, tiebreaks) — the same
+    winner the window would pick) aggregates into a per-bucket
+    summary, a tiny per-key running carry propagates it across bucket
+    boundaries, and one null-safe join feeds it back as the carry-in
+    for rows with no in-bucket match. Exact — identical to the
+    single-window plan (equal times share a bucket, so tie semantics
+    are untouched; property-tested). ``hot_key_rows`` (default
+    ``"auto"`` = 262,144) routes only hot keys through it, censusing
+    the COMBINED left+right rows per key so an as-of pair never splits
+    across plans. Backward/forward only — 'nearest' raises (its
+    two-directional pick has no bucketed form yet)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction: {direction}")
     if direction == "nearest":
+        if time_buckets_sec is not None:
+            raise ValueError(
+                "asof_join: time_buckets_sec is not supported for "
+                "direction='nearest' (use backward/forward, or the "
+                "single-window plan)")
         return _asof_nearest(left, right, on, left_time, right_time,
                              suffix, tolerance_sec, tiebreak_cols)
     ldf, rdf = _df(left), _df(right)
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
+
+    if time_buckets_sec is not None and time_buckets_sec <= 0:
+        raise ValueError("asof_join: time_buckets_sec must be positive")
+    if time_buckets_sec is not None and hot_key_rows is not None:
+        thr = (AUTO_HOT_KEY_ROWS if hot_key_rows == "auto"
+               else int(hot_key_rows))
+        combined = ldf.select(*keys).unionByName(rdf.select(*keys))
+        hk = _hot_keys_census(combined, keys, thr)
+        l_hot, l_cold = _hot_key_split(ldf, keys, thr, hot_keys=hk)
+        r_hot, r_cold = _hot_key_split(rdf, keys, thr, hot_keys=hk)
+        hot_out = asof_join(OmigoDF(l_hot), OmigoDF(r_hot), on, left_time,
+                            right_time, suffix, tolerance_sec, direction,
+                            tiebreak_cols, time_buckets_sec,
+                            hot_key_rows=None)
+        cold_out = asof_join(OmigoDF(l_cold), OmigoDF(r_cold), on,
+                             left_time, right_time, suffix, tolerance_sec,
+                             direction, tiebreak_cols,
+                             time_buckets_sec=None)
+        return OmigoDF(hot_out.df.unionByName(cold_out.df))
 
     r_payload = [c for c in rdf.columns if c not in keys]
     out_names = {c: f"{suffix}:{c}" for c in r_payload}
@@ -137,13 +178,17 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     # rows among themselves (left rows carry NULL payload and sort as a
     # block behind the side tag), so the inclusive same-time semantics
     # are untouched; last() then deterministically picks the max tuple
-    w = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = u.select(
-        "*",
-        F.last("__r__", ignorenulls=True).over(w).alias("__c__"),
-        F.last(F.when(F.col("__side__") == 0, F.col("__t__")),
-               ignorenulls=True).over(w).alias("__match_t__"))
+    if time_buckets_sec is not None:
+        carried = _asof_carry_bucketed(u, keys, tb,
+                                       float(time_buckets_sec))
+    else:
+        w = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = u.select(
+            "*",
+            F.last("__r__", ignorenulls=True).over(w).alias("__c__"),
+            F.last(F.when(F.col("__side__") == 0, F.col("__t__")),
+                   ignorenulls=True).over(w).alias("__match_t__"))
 
     out = carried.where(F.col("__side__") == 1)
     if tolerance_sec is not None:
@@ -154,6 +199,71 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
         *proj,
         *[F.col("__c__").getField(c).alias(out_names[c]) for c in r_payload])
     return OmigoDF(out)
+
+
+def _asof_carry_bucketed(u, keys, tb, span: float):
+    """Bucketed directional as-of carry over the tagged union ``u``
+    (see asof_join): local carry inside (key, time-bucket) windows; a
+    per-bucket aggregate picks each bucket's LAST right row — max
+    (__t__, tiebreaks) among side=0 rows, exactly the window's winner —
+    and a per-key running carry over the (tiny) bucket frame feeds
+    rows with no in-bucket match. Buckets partition the (signed) time
+    order and equal times share a bucket, so local-order = global-order
+    restricted to the bucket and the result is identical to the
+    single-window carry. NULL-time left rows land in the NULL bucket,
+    which sorts FIRST (no carry-in) — the same nothing-precedes-them
+    the NULLS-FIRST window gives."""
+    from ..core import colutils
+
+    u2 = u.withColumn("__b__", F.floor(F.col("__t__") / F.lit(span)))
+    wl = (Window.partitionBy(*keys, "__b__")
+          .orderBy("__t__", "__side__", *tb)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = u2.select(
+        "*",
+        F.last("__r__", ignorenulls=True).over(wl).alias("__lc__"),
+        F.last(F.when(F.col("__side__") == 0, F.col("__t__")),
+               ignorenulls=True).over(wl).alias("__lmt__"))
+    # per-bucket final right row: max (t, tiebreaks) among right rows —
+    # max_by over a lexicographic struct = the window's last() pick
+    summ = (u2.where(F.col("__side__") == 0)
+            .groupBy(*keys, "__b__")
+            .agg(F.max_by(F.col("__r__"),
+                          F.struct(F.col("__t__"), *tb)).alias("__lr__"),
+                 F.max("__t__").alias("__lt__")))
+    buckets = u2.select(*keys, "__b__").distinct()
+
+    def _q(side, c):
+        return F.col(side + "." + colutils.quote(c))
+
+    bl = buckets.alias("__bl__")
+    br = summ.alias("__br__")
+    cond = [_q("__bl__", c).eqNullSafe(_q("__br__", c))
+            for c in keys + ["__b__"]]
+    bf = bl.join(br, on=cond, how="left").select(
+        *[_q("__bl__", c).alias(c) for c in keys + ["__b__"]],
+        _q("__br__", "__lr__").alias("__lr__"),
+        _q("__br__", "__lt__").alias("__lt__"))
+    wb = (Window.partitionBy(*keys)
+          .orderBy(F.col("__b__").asc_nulls_first())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = bf.select(
+        *keys, "__b__",
+        F.last("__lr__", ignorenulls=True).over(wb).alias("__cin__"),
+        F.last("__lt__", ignorenulls=True).over(wb).alias("__cint__"))
+    ll = local.alias("__cl__")
+    cr = carry.alias("__cr__")
+    cond2 = [_q("__cl__", c).eqNullSafe(_q("__cr__", c))
+             for c in keys + ["__b__"]]
+    keep = [c for c in local.columns if c not in ("__lc__", "__lmt__")]
+    return (ll.join(cr, on=cond2, how="inner")
+            .select(*[_q("__cl__", c).alias(c) for c in keep],
+                    F.coalesce(_q("__cl__", "__lc__"),
+                               _q("__cr__", "__cin__")).alias("__c__"),
+                    F.coalesce(_q("__cl__", "__lmt__"),
+                               _q("__cr__", "__cint__"))
+                    .alias("__match_t__"))
+            .drop("__b__"))
 
 
 def _asof_tiebreak(tiebreak_cols, r_payload):
@@ -309,21 +419,28 @@ def range_join(points, intervals, point_col: str, start_col: str,
 AUTO_HOT_KEY_ROWS = 262_144
 
 
-def _hot_key_split(d, keys, threshold: int):
+def _hot_key_split(d, keys, threshold: int, hot_keys=None):
     """(hot_rows, cold_rows): rows whose key holds >= threshold rows vs
     the rest. One partial-aggregated census + a broadcast null-safe
     semi/anti join (NULL keys are real groups and can be hot — plain
-    `on=` equality would silently misroute them to cold)."""
+    `on=` equality would silently misroute them to cold). Pass a
+    precomputed ``hot_keys`` frame to split several inputs by the SAME
+    key set (asof splits left and right by the combined census)."""
     from ..core import colutils
-    hot_keys = (d.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kc__"))
-                .where(F.col("__kc__") >= F.lit(int(threshold)))
-                .select(*keys))
+    if hot_keys is None:
+        hot_keys = _hot_keys_census(d, keys, threshold)
     dl = d.alias("__dd__")
     hk = F.broadcast(hot_keys.alias("__hk__"))
     cond = [F.col("__dd__." + colutils.quote(c)).eqNullSafe(
         F.col("__hk__." + colutils.quote(c))) for c in keys]
     return dl.join(hk, on=cond, how="left_semi"), \
         dl.join(hk, on=cond, how="left_anti")
+
+
+def _hot_keys_census(d, keys, threshold: int):
+    return (d.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kc__"))
+            .where(F.col("__kc__") >= F.lit(int(threshold)))
+            .select(*keys))
 
 
 def sessionize(odf, key_cols: list[str] | str, time_col: str,

@@ -422,3 +422,58 @@ def test_hostile_names_across_core_surface(spark):
     assert d.drop_empty_rows().df.count() == 2
     assert d.sort(["x`y"]).df.count() == 2
     assert d.group_count(["a.b"]).df.count() == 2
+
+
+# 11. skew-safe bucketed asof carry ------------------------------------
+
+def test_asof_bucketed_equals_plain(spark):
+    """Bucketed directional carry bit-identical to the single-window
+    plan: random hot-key corpus, NULL left times, NULL payload cells
+    (atomic struct carry must survive bucketing), duplicate right
+    (key, t) rows under tiebreak_cols, tolerance, both directions,
+    several spans, plus hybrid hot-key routing."""
+    import random
+    rnd = random.Random(11)
+    lrows, rrows = [], []
+    for i in range(2000):
+        k = "hot" if rnd.random() < 0.5 else f"u{rnd.randrange(6)}"
+        t = None if rnd.random() < 0.04 else float(rnd.randrange(0, 30_000))
+        lrows.append((i, k, t))
+    for j in range(1500):
+        k = "hot" if rnd.random() < 0.5 else f"u{rnd.randrange(6)}"
+        t = float(rnd.randrange(0, 30_000) - (rnd.randrange(0, 2)))
+        v = None if rnd.random() < 0.2 else f"v{j}"
+        rrows.append((k, t, j, v))
+    left = _mk(spark, lrows, "event_id long, k string, t double")
+    right = _mk(spark, rrows, "k string, t double, seq long, v string")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 500.0):
+            kw = dict(on="k", left_time="t", suffix="q",
+                      direction=direction, tolerance_sec=tol,
+                      tiebreak_cols=["seq"])
+            plain = {r["event_id"]: (r["q:seq"], r["q:v"], r["q:t"])
+                     for r in TS.asof_join(left, right, **kw).df.collect()}
+            for span in (1000.0, 7919.0, 1e9):
+                got = {r["event_id"]: (r["q:seq"], r["q:v"], r["q:t"])
+                       for r in TS.asof_join(
+                           left, right, time_buckets_sec=span,
+                           hot_key_rows=None, **kw).df.collect()}
+                assert got == plain, \
+                    f"bucketed asof diverges ({direction}, tol={tol}, span={span})"
+            hyb = {r["event_id"]: (r["q:seq"], r["q:v"], r["q:t"])
+                   for r in TS.asof_join(
+                       left, right, time_buckets_sec=2000.0,
+                       hot_key_rows=400, **kw).df.collect()}
+            assert hyb == plain, f"hybrid asof diverges ({direction}, {tol})"
+
+
+def test_asof_bucketed_validation(spark):
+    left = _mk(spark, [("k", 1.0)], "k string, t double")
+    right = _mk(spark, [("k", 1.0, "x")], "k string, t double, v string")
+    with pytest.raises(ValueError, match="positive"):
+        TS.asof_join(left, right, on="k", left_time="t",
+                     time_buckets_sec=-1.0)
+    with pytest.raises(ValueError, match="nearest"):
+        TS.asof_join(left, right, on="k", left_time="t",
+                     direction="nearest", time_buckets_sec=100.0)

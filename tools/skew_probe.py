@@ -125,6 +125,12 @@ def main():
         timed(tag + "sessionize bucketed (two-phase)",
               lambda: int(_sessions(d, span=3600.0).df.agg(
                   F.sum("session_id")).first()[0]))
+        timed(tag + "asof_join backward (ordered carry)",
+              lambda: int(_asof(d).df.agg(
+                  F.count("`q:v2`")).first()[0]))
+        timed(tag + "asof bucketed (two-phase)",
+              lambda: int(_asof(d, span=3600.0).df.agg(
+                  F.count("`q:v2`")).first()[0]))
 
     # plan markers on the hot corpus
     d = build(spark, True)
@@ -147,6 +153,17 @@ def _sessions(d, span=None):
     from omigo_data_analytics_spark.operators import timeseries as TS
     return TS.sessionize(d, key_cols=["k"], time_col="t", gap_sec=60,
                          time_buckets_sec=span)
+
+
+def _asof(d, span=None):
+    from omigo_data_analytics_spark import OmigoDF
+    from omigo_data_analytics_spark.operators import timeseries as TS
+    left = OmigoDF(d.df.where("event_id % 7 < 3"))
+    right = OmigoDF(d.df.where("event_id % 7 >= 3")
+                    .select("k", "t", F.col("v").alias("v2"),
+                            F.col("event_id").alias("rseq")))
+    return TS.asof_join(left, right, on="k", left_time="t", suffix="q",
+                        tiebreak_cols=["rseq"], time_buckets_sec=span)
 
 
 if __name__ == "__main__":
