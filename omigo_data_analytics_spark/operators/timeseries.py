@@ -101,18 +101,10 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     are untouched; property-tested). ``hot_key_rows`` (default
     ``"auto"`` = 262,144) routes only hot keys through it, censusing
     the COMBINED left+right rows per key so an as-of pair never splits
-    across plans. Backward/forward only — 'nearest' raises (its
-    two-directional pick has no bucketed form yet)."""
+    across plans. 'nearest' runs the same bucketed carry in both
+    directions before its pick."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction: {direction}")
-    if direction == "nearest":
-        if time_buckets_sec is not None:
-            raise ValueError(
-                "asof_join: time_buckets_sec is not supported for "
-                "direction='nearest' (use backward/forward, or the "
-                "single-window plan)")
-        return _asof_nearest(left, right, on, left_time, right_time,
-                             suffix, tolerance_sec, tiebreak_cols)
     ldf, rdf = _df(left), _df(right)
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
@@ -135,6 +127,10 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
                              direction, tiebreak_cols,
                              time_buckets_sec=None)
         return OmigoDF(hot_out.df.unionByName(cold_out.df))
+    if direction == "nearest":
+        return _asof_nearest(left, right, on, left_time, right_time,
+                             suffix, tolerance_sec, tiebreak_cols,
+                             time_buckets_sec)
 
     r_payload = [c for c in rdf.columns if c not in keys]
     out_names = {c: f"{suffix}:{c}" for c in r_payload}
@@ -201,7 +197,9 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     return OmigoDF(out)
 
 
-def _asof_carry_bucketed(u, keys, tb, span: float):
+def _asof_carry_bucketed(u, keys, tb, span: float,
+                         out_c: str = "__c__",
+                         out_mt: str = "__match_t__"):
     """Bucketed directional as-of carry over the tagged union ``u``
     (see asof_join): local carry inside (key, time-bucket) windows; a
     per-bucket aggregate picks each bucket's LAST right row — max
@@ -259,10 +257,10 @@ def _asof_carry_bucketed(u, keys, tb, span: float):
     return (ll.join(cr, on=cond2, how="inner")
             .select(*[_q("__cl__", c).alias(c) for c in keep],
                     F.coalesce(_q("__cl__", "__lc__"),
-                               _q("__cr__", "__cin__")).alias("__c__"),
+                               _q("__cr__", "__cin__")).alias(out_c),
                     F.coalesce(_q("__cl__", "__lmt__"),
                                _q("__cr__", "__cint__"))
-                    .alias("__match_t__"))
+                    .alias(out_mt))
             .drop("__b__"))
 
 
@@ -282,11 +280,19 @@ def _asof_tiebreak(tiebreak_cols, r_payload):
 
 
 def _asof_nearest(left, right, on, left_time, right_time, suffix,
-                  tolerance_sec, tiebreak_cols=None) -> OmigoDF:
+                  tolerance_sec, tiebreak_cols=None,
+                  time_buckets_sec=None) -> OmigoDF:
     """Nearest-match as-of: both directional carries over ONE union —
     the backward and forward windows share the hash partitioning (one
     Exchange, two Sorts) — then a map-side pick of the closer match
-    (ties prefer the backward/earlier row, pandas merge_asof style)."""
+    (ties prefer the backward/earlier row, pandas merge_asof style).
+
+    With ``time_buckets_sec`` the two carries each run through the
+    bucketed plan (_asof_carry_bucketed): the forward carry is the
+    backward carry on NEGATED time — (-t asc, side, tb) is exactly the
+    (t desc, side, tb) window order, and max_by over the negated
+    struct picks the same winner — so one helper serves both; the pick
+    logic is unchanged."""
     ldf, rdf = _df(left), _df(right)
     keys = [on] if isinstance(on, str) else list(on)
     rt = right_time or left_time
@@ -323,31 +329,54 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
         + [c for c in ldf.columns if c not in keys]
     u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
 
-    frame = (Window.unboundedPreceding, Window.currentRow)
-    # tiebreak ASC in BOTH windows: among equal-time right rows, last()
-    # picks the max tiebreak tuple in each direction, so the backward
-    # and forward carries agree on the winner of a tie
-    wb = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
-          .rowsBetween(*frame))
-    wf = (Window.partitionBy(*keys)
-          .orderBy(F.col("__t__").desc(), "__side__", *tb)
-          .rowsBetween(*frame))
-    sel = ["*",
-           F.last("__r__", ignorenulls=True).over(wb).alias("__b__"),
-           F.last("__r__", ignorenulls=True).over(wf).alias("__f__")]
-    rt_col = F.when(F.col("__side__") == 0, F.col("__t__"))
-    sel.append(F.last(rt_col, ignorenulls=True).over(wb).alias("__bt__"))
-    sel.append(F.last(rt_col, ignorenulls=True).over(wf).alias("__ft__"))
-    carried = u.select(*sel).where(F.col("__side__") == 1)
+    if time_buckets_sec is not None:
+        span = float(time_buckets_sec)
+        c1 = _asof_carry_bucketed(u, keys, tb, span,
+                                  out_c="__bk__", out_mt="__bkt__")
+        c1n = c1.withColumn("__t__", -F.col("__t__"))
+        c2 = _asof_carry_bucketed(c1n, keys, tb, span,
+                                  out_c="__fk__", out_mt="__fkt__")
+        carried = (c2.withColumn("__t__", -F.col("__t__"))
+                   .select("*",
+                           F.col("__bk__").alias("__b__"),
+                           F.col("__fk__").alias("__f__"),
+                           F.col("__bkt__").alias("__bt__"),
+                           (-F.col("__fkt__")).alias("__ft__"))
+                   .drop("__bk__", "__fk__", "__bkt__", "__fkt__")
+                   .where(F.col("__side__") == 1))
+    else:
+        frame = (Window.unboundedPreceding, Window.currentRow)
+        # tiebreak ASC in BOTH windows: among equal-time right rows,
+        # last() picks the max tiebreak tuple in each direction, so the
+        # backward and forward carries agree on the winner of a tie
+        wb = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
+              .rowsBetween(*frame))
+        wf = (Window.partitionBy(*keys)
+              .orderBy(F.col("__t__").desc(), "__side__", *tb)
+              .rowsBetween(*frame))
+        sel = ["*",
+               F.last("__r__", ignorenulls=True).over(wb).alias("__b__"),
+               F.last("__r__", ignorenulls=True).over(wf).alias("__f__")]
+        rt_col = F.when(F.col("__side__") == 0, F.col("__t__"))
+        sel.append(F.last(rt_col, ignorenulls=True).over(wb).alias("__bt__"))
+        sel.append(F.last(rt_col, ignorenulls=True).over(wf).alias("__ft__"))
+        carried = u.select(*sel).where(F.col("__side__") == 1)
 
     bd = F.col("__t__") - F.col("__bt__")
     fd = F.col("__ft__") - F.col("__t__")
+    # a NULL-TIME left row can be "near" nothing: without this screen
+    # it sorts LAST in the forward (desc) window, sees every right row,
+    # and phantom-matches the EARLIEST one in the no-tolerance case —
+    # the same silent-wrong class as the r10 NULL-time-right fix
+    # (surfaced r12 when the bucketed carry, whose NULL bucket sorts
+    # first in both directions, correctly produced no match)
+    t_ok = F.col("__t__").isNotNull()
     if tolerance_sec is not None:
-        b_ok = F.col("__bt__").isNotNull() & (bd <= F.lit(tolerance_sec))
-        f_ok = F.col("__ft__").isNotNull() & (fd <= F.lit(tolerance_sec))
+        b_ok = t_ok & F.col("__bt__").isNotNull() & (bd <= F.lit(tolerance_sec))
+        f_ok = t_ok & F.col("__ft__").isNotNull() & (fd <= F.lit(tolerance_sec))
     else:
-        b_ok = F.col("__bt__").isNotNull()
-        f_ok = F.col("__ft__").isNotNull()
+        b_ok = t_ok & F.col("__bt__").isNotNull()
+        f_ok = t_ok & F.col("__ft__").isNotNull()
     use_b = b_ok & (~f_ok | (bd <= fd))   # tie -> backward
     proj = keys + [c for c in ldf.columns if c not in keys]
     pick = F.when(use_b, F.col("__b__")).when(f_ok, F.col("__f__"))

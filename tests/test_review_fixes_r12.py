@@ -447,7 +447,7 @@ def test_asof_bucketed_equals_plain(spark):
     left = _mk(spark, lrows, "event_id long, k string, t double")
     right = _mk(spark, rrows, "k string, t double, seq long, v string")
 
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for tol in (None, 500.0):
             kw = dict(on="k", left_time="t", suffix="q",
                       direction=direction, tolerance_sec=tol,
@@ -474,6 +474,24 @@ def test_asof_bucketed_validation(spark):
     with pytest.raises(ValueError, match="positive"):
         TS.asof_join(left, right, on="k", left_time="t",
                      time_buckets_sec=-1.0)
-    with pytest.raises(ValueError, match="nearest"):
-        TS.asof_join(left, right, on="k", left_time="t",
-                     direction="nearest", time_buckets_sec=100.0)
+    # nearest runs the bucketed carry in both directions (no raise)
+    out = TS.asof_join(left, right, on="k", left_time="t",
+                       direction="nearest", time_buckets_sec=100.0,
+                       hot_key_rows=None)
+    assert out.df.collect()[0]["r:v"] == "x"
+
+
+def test_asof_nearest_null_left_time_never_matches(spark):
+    """A NULL-time left row can be near nothing: the plain forward
+    window's NULLS-LAST desc order used to phantom-match it to the
+    EARLIEST right row (no-tolerance case) — surfaced by the bucketed
+    carry, which correctly produced no match."""
+    left = _mk(spark, [(1, "k", None), (2, "k", 10.0)],
+               "event_id long, k string, t double")
+    right = _mk(spark, [("k", 1.0, "early"), ("k", 9.0, "near")],
+                "k string, t double, v string")
+    for kw in ({}, {"time_buckets_sec": 100.0, "hot_key_rows": None}):
+        got = {r["event_id"]: r["q:v"] for r in TS.asof_join(
+            left, right, on="k", left_time="t", suffix="q",
+            direction="nearest", **kw).df.collect()}
+        assert got == {1: None, 2: "near"}, kw
