@@ -33,7 +33,7 @@ from . import colutils
 from .colutils import COL_SEP, as_list, resolve_cols
 from .compat import CompatMixin
 from ..functions import aggs as aggs_mod
-from ..functions.aggs import agg_expr, func_name, window_agg_expr
+from ..functions.aggs import agg_expr, func_name
 
 log = logging.getLogger("omigo_spark")
 
@@ -89,7 +89,7 @@ class OmigoDF(CompatMixin):
         reference's design target is '100s or 1000s of columns')."""
         if not repl:
             return self
-        # F.col(quote(...)), not F.col(colutils.quote(c)): the bracket accessor
+        # F.col(quote(...)), not self._df[c]: the bracket accessor
         # PARSES the name, so a stray backtick in it is a syntax error
         # (withColumnRenamed took names literally; this path must too)
         exprs = [repl[c].alias(c) if c in repl
@@ -1167,7 +1167,9 @@ class OmigoDF(CompatMixin):
         agg_cols[i] is aggregated with agg_funcs[i]; output columns are named
         ``<col>:<funcname>`` (dataframe.py:1024). collapse=True → one row per
         group (groupBy); collapse=False → analytic semantics, every input row
-        keeps its group's aggregates (window functions, dataframe.py:1080-1123).
+        keeps its group's aggregates (reference dataframe.py:1080-1123) —
+        computed as a partial-aggregated groupBy joined back on the group
+        key, not a window (see the inline comment: hot-key skew).
         Registry names compile to native JVM aggregates (map-side combine);
         Python callables fall back to collect_list+UDF.
         """
@@ -1196,11 +1198,37 @@ class OmigoDF(CompatMixin):
             exprs = [_round(agg_expr(f, F.col(colutils.quote(c)))).alias(_out_name(c, f))
                      for c, f in zip(acols, funcs)]
             return self._wrap(self._df.groupBy(*[F.col(colutils.quote(g)) for g in gcols]).agg(*exprs))
-        w = Window.partitionBy(*[F.col(colutils.quote(g)) for g in gcols])
-        out = self._df
+        # analytic (collapse=False): per-row group aggregates. NOT
+        # Window.partitionBy(group): a window partition cannot be split, so
+        # a hot key lands its whole group in ONE task — the shuffle-skew
+        # class AQE cannot fix (r12 skew probe: 22-37 s stragglers on this
+        # shape at 16M/50%-hot). No ordering is needed here, so the exact
+        # fix is partial-aggregated groupBy (map-side combine shrinks the
+        # hot key before the shuffle) + one null-safe join back on the
+        # group key: AQE can broadcast the <= #groups aggregate side or
+        # split a skewed probe partition — neither exists for WindowExec.
+        # Bonus parity: quantiles and Python callables (invalid as window
+        # expressions) now work in analytic form like the reference's.
+        pairs: dict[str, tuple] = {}
         for c, f in zip(acols, funcs):
-            out = out.withColumn(_out_name(c, f), _round(window_agg_expr(f, F.col(colutils.quote(c)), w)))
-        return self._wrap(out)
+            pairs[_out_name(c, f)] = (c, f)  # same-name last-wins, like withColumn
+        agg_exprs = [_round(agg_expr(f, F.col(colutils.quote(c)))).alias(n)
+                     for n, (c, f) in pairs.items()]
+        left = self._df.alias("__agl__")
+        if gcols:
+            agg = (self._df.groupBy(*[F.col(colutils.quote(g)) for g in gcols])
+                   .agg(*agg_exprs).alias("__agr__"))
+            cond = [F.col("__agl__." + colutils.quote(g)).eqNullSafe(
+                F.col("__agr__." + colutils.quote(g))) for g in gcols]
+            joined = left.join(agg, on=cond, how="inner")
+        else:  # degenerate whole-frame aggregate: 1-row broadcast
+            agg = self._df.agg(*agg_exprs).alias("__agr__")
+            joined = left.crossJoin(F.broadcast(agg))
+        sel = [F.col(("__agr__." if c in pairs else "__agl__.")
+                     + colutils.quote(c)).alias(c) for c in self._df.columns]
+        sel += [F.col("__agr__." + colutils.quote(n)).alias(n)
+                for n in pairs if n not in self._df.columns]
+        return self._wrap(joined.select(*sel))
 
     def group_count(self, cols, prefix: str = "group", collapse: bool = True,
                     precision: int = 6) -> "OmigoDF":
@@ -1221,14 +1249,26 @@ class OmigoDF(CompatMixin):
                  .withColumn(ratio, F.round(F.col(cnt) / F.col(tot_col), precision))
                  .drop(tot_col))
             return self._wrap(g.orderBy(F.col(cnt).desc(), *[F.col(colutils.quote(c)) for c in gcols]))
-        w = Window.partitionBy(*[F.col(colutils.quote(c)) for c in gcols])
-        tot = self._df.agg(F.count(F.lit(1)).cast("double").alias(tot_col))
-        out = (self._df
-               .withColumn(cnt, F.count(F.lit(1)).over(w))
-               .crossJoin(F.broadcast(tot))
-               .withColumn(ratio, F.round(F.col(cnt) / F.col(tot_col), precision))
-               .drop(tot_col))
-        return self._wrap(out)
+        # analytic form: same de-skew as aggregate(collapse=False) — a
+        # groupBy census + null-safe join-back, not a window over raw rows
+        # (a hot key's window partition is ONE unsplittable task; the
+        # groupBy census is partial-aggregated and the join-back is
+        # AQE-splittable/broadcastable).
+        g = (self._df.groupBy(*[F.col(colutils.quote(c)) for c in gcols])
+             .agg(F.count(F.lit(1)).alias(cnt)))
+        tot = g.agg(F.sum(F.col(cnt)).cast("double").alias(tot_col))
+        g2 = (g.crossJoin(F.broadcast(tot))
+              .withColumn(ratio, F.round(F.col(cnt) / F.col(tot_col), precision))
+              .drop(tot_col).alias("__gcr__"))
+        left = self._df.alias("__gcl__")
+        cond = [F.col("__gcl__." + colutils.quote(c)).eqNullSafe(
+            F.col("__gcr__." + colutils.quote(c))) for c in gcols]
+        new = {cnt, ratio}
+        sel = [F.col(("__gcr__." if c in new else "__gcl__.")
+                     + colutils.quote(c)).alias(c) for c in self._df.columns]
+        sel += [F.col("__gcr__." + colutils.quote(n)).alias(n)
+                for n in (cnt, ratio) if n not in self._df.columns]
+        return self._wrap(left.join(g2, on=cond, how="inner").select(*sel))
 
     def distinct(self) -> "OmigoDF":
         """(reference dataframe.py:479-500)"""
@@ -1845,7 +1885,7 @@ class OmigoDF(CompatMixin):
             return self._wrap(out)
         aggs = []
         for c in use:
-            # F.col(quote(...)), not F.col(colutils.quote(c)): the bracket accessor
+            # F.col(quote(...)), not self._df[c]: the bracket accessor
             # PARSES the name, so a stray backtick in it is a syntax error
             col = F.col(colutils.quote(c))
             s = col.cast("string")

@@ -448,18 +448,33 @@ def range_join(points, intervals, point_col: str, start_col: str,
 AUTO_HOT_KEY_ROWS = 262_144
 
 
+# Below this row threshold the census is NOT provably small (threshold=1
+# makes it every distinct key), so the explicit broadcast hint — which
+# bypasses AQE's size check and can OOM the driver — is withheld and AQE
+# decides from the materialized size (r12 advice).
+BROADCAST_HINT_MIN_THRESHOLD = 1024
+
+
 def _hot_key_split(d, keys, threshold: int, hot_keys=None):
     """(hot_rows, cold_rows): rows whose key holds >= threshold rows vs
-    the rest. One partial-aggregated census + a broadcast null-safe
-    semi/anti join (NULL keys are real groups and can be hot — plain
-    `on=` equality would silently misroute them to cold). Pass a
-    precomputed ``hot_keys`` frame to split several inputs by the SAME
-    key set (asof splits left and right by the combined census)."""
+    the rest. One partial-aggregated census + a null-safe semi/anti
+    join (NULL keys are real groups and can be hot — plain `on=`
+    equality would silently misroute them to cold). The broadcast hint
+    applies only when ``threshold`` bounds the census to <= n/1024 keys;
+    below that AQE picks the strategy from the census's real size. Pass
+    a precomputed ``hot_keys`` frame to split several inputs by the SAME
+    key set (asof splits left and right by the combined census). The
+    probe side ``d`` is still scanned once by each of the two joins —
+    callers with an expensive upstream plan (not a plain scan) should
+    persist/localCheckpoint it before routing; the census itself is
+    localCheckpointed so its aggregation runs exactly once."""
     from ..core import colutils
     if hot_keys is None:
         hot_keys = _hot_keys_census(d, keys, threshold)
     dl = d.alias("__dd__")
-    hk = F.broadcast(hot_keys.alias("__hk__"))
+    hk = hot_keys.alias("__hk__")
+    if threshold >= BROADCAST_HINT_MIN_THRESHOLD:
+        hk = F.broadcast(hk)
     cond = [F.col("__dd__." + colutils.quote(c)).eqNullSafe(
         F.col("__hk__." + colutils.quote(c))) for c in keys]
     return dl.join(hk, on=cond, how="left_semi"), \
@@ -467,9 +482,14 @@ def _hot_key_split(d, keys, threshold: int, hot_keys=None):
 
 
 def _hot_keys_census(d, keys, threshold: int):
+    # localCheckpoint: the census feeds 2-4 semi/anti joins (4 for asof's
+    # shared left+right split) — without it each join re-evaluates the
+    # full input lineage through the aggregation (r12 advice). Bounded
+    # output (<= n/threshold keys), so materializing is cheap.
     return (d.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kc__"))
             .where(F.col("__kc__") >= F.lit(int(threshold)))
-            .select(*keys))
+            .select(*keys)
+            .localCheckpoint())
 
 
 def sessionize(odf, key_cols: list[str] | str, time_col: str,
