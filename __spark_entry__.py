@@ -1667,6 +1667,26 @@ def q_asof_nearest(spark, sf_dir):
                          F.col("v:view_id").alias("view_id"))
 
 
+def q_asof_nearest_bucketed(spark, sf_dir):
+    """Hot-key scale path of the NEAREST as-of (r12 addendum-2 code,
+    driver-gated r13): the forward carry is the backward bucketed helper
+    on NEGATED time, then the closer-side pick — the subtlest reuse in
+    the family, so it gets its own driver row. hot_key_rows=1 routes
+    every key through the bucketed plan. Same query and oracle as
+    asof_nearest — the plans must agree exactly."""
+    ev = _t(spark, sf_dir, "events").df
+    left = OmigoDF(ev.where("event_type = 'purchase'")
+                   .select("user_id", "event_id", "ts"))
+    right = OmigoDF(ev.where("event_type = 'view'")
+                    .groupBy("user_id", "ts")
+                    .agg(F.max("event_id").alias("view_id")))
+    out = TS.asof_join(left, right, on="user_id", left_time="ts",
+                       suffix="v", direction="nearest",
+                       time_buckets_sec=86400.0, hot_key_rows=1)
+    return out.df.select("user_id", "event_id",
+                         F.col("v:view_id").alias("view_id"))
+
+
 SQL_ASOF_NEAREST = """
 WITH p AS (SELECT user_id, event_id, epoch(ts) AS t FROM events
            WHERE event_type = 'purchase'),
@@ -1864,6 +1884,24 @@ def q_merge_intervals(spark, sf_dir):
                  .select("user_id", sec.alias("lo"),
                          (sec + 3600.0).alias("hi")))
     out = TS.merge_intervals(iv, "user_id", "lo", "hi")
+    return out.df.select("user_id", "island_id", "island_start",
+                         "island_end", "n_intervals")
+
+
+def q_merge_intervals_bucketed(spark, sf_dir):
+    """Hot-key scale path of merge_intervals (r13): the running max-end
+    carry is associative, so it decomposes into per-(key, time-bucket)
+    local windows + a tiny per-bucket (max-end, break-count) summary
+    frame — the last ordered-carry op to join the two-phase family.
+    hot_key_rows=1 routes every key through it. Same query and oracle
+    as merge_intervals_islands — the plans must agree exactly."""
+    ev = _t(spark, sf_dir, "events").df
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    iv = OmigoDF(ev.where("event_id % 5 = 0")
+                 .select("user_id", sec.alias("lo"),
+                         (sec + 3600.0).alias("hi")))
+    out = TS.merge_intervals(iv, "user_id", "lo", "hi",
+                             time_buckets_sec=86400.0, hot_key_rows=1)
     return out.df.select("user_id", "island_id", "island_start",
                          "island_end", "n_intervals")
 
@@ -4222,38 +4260,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry whose code was touched this round sits in the head (same-
     # round-row rule); a NEW entry enters the head the round it lands.
     return {
-        # --- r12 rotation head (50-entry driver budget) ---
-        # (a) 3 NEW hostile-input fixtures (r11 verdict #2): the
-        #     silent-wrong defect class the r11 NULL/NaN/dup-heavy rigs
-        #     caught gets a permanent driver gate — NULL-payload
-        #     normalize, NaN/Inf-corrupt semdedup, duplicate-heavy
-        #     collapse-path dedup_near;
-        # (b) the 7 late-r11-touched entries the r11 verdict mandates
-        #     FIRST (judge re-ran all locally 7/7, but the driver row is
-        #     the hard signal);
-        # (c) the 6 entries whose code r12 touches (same-round-row
-        #     rule): pipeline_e2e / dedup_cluster (collapse tri-state
-        #     enforcement + md5++xxhash64++length fingerprint),
-        #     asof_nearest (tiebreak validation order), profile
-        #     (dedupe/empty guard), dedup_embedding / embedding_near_dup
-        #     (_buckets zero-length screen);
-        # (d) 3 NEW hot-key scale-path entries (late-r12 skew work):
-        #     sessionize_bucketed / rolling_bucketed / asof_bucketed —
-        #     the two-phase plans measured 2.5-2.8x on the 16M/50%-hot
-        #     skew probe, driver-gated against the SAME oracles as the
-        #     plain plans (results are bit-identical by construction);
-        # (e) 31 of the 45 remaining r9-row entries (stalest block).
-        # 6 + 7 + 6 + 31 = 50 exactly. The 14 r9 rows that do not fit
-        # are the LOWEST-RISK spill — simple column/agg ops whose
-        # files are untouched since r8 — and lead the post-boundary
-        # order as r13's head priority, each re-verified in this
-        # round's full local 150/150 sf0.01+sf0.1 battery.
-        "normalize_nulls": q_normalize_nulls,
-        "semdedup_corrupt": q_semdedup_corrupt,
-        "dedup_near_dupheavy": q_dedup_near_dupheavy,
+        # --- r13 rotation head (50-entry driver budget) ---
+        # (a) 2 NEW scale-path entries: merge_intervals_bucketed (the
+        #     last ordered-carry op joins the two-phase family) and
+        #     asof_nearest_bucketed (the r12 addendum-2 negated-time
+        #     carry reuse, property-tested but never driver-rowed) —
+        #     both hot_key_rows=1 against the plain plans' oracles;
+        # (b) 7 entries whose code r13 touches (same-round-row rule):
+        #     aggregate_analytic + group_count (collapse=False de-skew:
+        #     groupBy + null-safe join-back replaces the unordered
+        #     Window.partitionBy — the r12 verdict's one weak shape),
+        #     merge_intervals_islands (signature + routing added),
+        #     group_by_key (hot-group census guard), and the three
+        #     bucketed entries sessionize_bucketed / rolling_bucketed /
+        #     asof_bucketed (their shared census router gained the
+        #     broadcast-hint guard + localCheckpoint);
+        # (c) the 14 r9-row entries the r12 verdict mandates FIRST
+        #     (three rounds stale — the r12 brief's accepted spill);
+        # (d) the 10 r12-code-touched entries still on pre-r12 rows:
+        #     the six §2.5 join entries (late-r12 _prep_join_side
+        #     rewrite) + sessionize / rolling_aggregate / asof_join /
+        #     range_join (judge re-ran all at sf0.1: PASS, but the
+        #     driver row is the hard signal);
+        # (e) 17 of the 34 remaining r10-row entries (stalest block).
+        # 2 + 7 + 14 + 10 + 17 = 50 exactly. The 17 r10 rows that do
+        # not fit (query_graph_job .. typed_filters, below the
+        # boundary) are the lowest-risk spill — files untouched since
+        # r10 — and lead r14's head priority, each re-verified in this
+        # round's full local battery at sf0.01 AND sf0.1.
+        "merge_intervals_bucketed": q_merge_intervals_bucketed,
+        "asof_nearest_bucketed": q_asof_nearest_bucketed,
+        "aggregate_analytic": q_aggregate_analytic,
+        "group_count": q_group_count,
+        "merge_intervals_islands": q_merge_intervals,
+        "group_by_key": q_group_by_key,
         "sessionize_bucketed": q_sessionize_bucketed,
         "rolling_bucketed": q_rolling_bucketed,
         "asof_bucketed": q_asof_bucketed,
+        "quantile_grid": q_quantile_grid,
+        "transform_lambda": q_transform_lambda,
+        "token_estimate": q_token_estimate,
+        "lm_score": q_lm_score,
+        "select_regex": q_select_regex,
+        "sort_slice": q_sort_slice,
+        "const_missing_cols": q_const_missing_cols,
+        "ratio_cap": q_ratio_cap,
+        "distinct_cols": q_distinct_cols,
+        "string_aggs": q_string_aggs,
+        "uniq_mkstr": q_uniq_mkstr,
+        "time_diffs": q_time_diffs,
+        "read_tsv_intersect": q_read_tsv_intersect,
+        "etl_date_scan": q_etl_date_scan,
+        "inner_join_agg": q_inner_join_agg,
+        "left_join_histogram": q_left_join_histogram,
+        "map_join_broadcast": q_map_join_broadcast,
+        "natural_join": q_natural_join,
+        "outer_join_fill": q_outer_join_fill,
+        "difference_anti": q_difference_anti,
+        "sessionize": q_sessionize,
+        "rolling_aggregate": q_rolling_aggregate,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "concat_as_cols": q_concat_as_cols,
+        "decontaminate_semantic": q_decontaminate_semantic,
+        "doc_chunks": q_doc_chunks,
+        "duplicate_spans": q_duplicate_spans,
+        "fuzzy_join": q_fuzzy_join,
+        "graph_ancestors": q_graph_ancestors,
+        "graph_ancestors_guid": q_graph_ancestors_guid,
+        "graph_bfs": q_graph_bfs,
+        "graph_dangling": q_graph_dangling,
+        "graph_job_e2e": q_graph_job_e2e,
+        "graph_remove_cycles": q_graph_remove_cycles,
+        "graph_time_ancestors": q_graph_time_ancestors,
+        "hash_split": q_hash_split,
+        "inverted_index": q_inverted_index,
+        "lang_id": q_lang_id,
+        "model_enrich": q_model_enrich,
+        "pack_sequences": q_pack_sequences,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # Post-boundary order = r14 priority: FIRST the 17 r10-row
+        # entries that did not fit this round's head (the accepted
+        # spill named in the head comment), then the r11-row block,
+        # then the r12-row block (freshest).
+        "query_graph_job": q_query_graph_job,
+        "redact_pii": q_redact_pii,
+        "remove_dup_spans": q_remove_dup_spans,
+        "replicate_rows": q_replicate_rows,
+        "rows_cond_exists": q_rows_cond_exists,
+        "sample_weighted": q_sample_weighted,
+        "sankey_links": q_sankey_links,
+        "seq_num": q_seq_num,
+        "sql_pushdown": q_sql_pushdown,
+        "stream_running_counts": q_stream_running_counts,
+        "stream_sessions": q_stream_sessions,
+        "stream_window": q_stream_window,
+        "text_metrics": q_text_metrics,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "timefuncs_ladder": q_timefuncs_ladder,
+        "ttest": q_ttest,
+        "typed_filters": q_typed_filters,
+        # r11-row block
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "generate_key_hash": q_generate_key_hash,
+        "explode_json": q_explode_json,
+        "cosine_topk": q_cosine_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "tpch_q1_aggregate": q_tpch_q1_aggregate,
+        "codec_base64": q_codec_base64,
+        "window_tumbling": q_window_tumbling,
+        "topk_per_group": q_topk_per_group,
+        "cumulative_sum": q_cumulative_sum,
+        "merge_union": q_merge_union,
+        "text_quality_filter": q_text_quality_filter,
+        "dedup_exact": q_dedup_exact,
+        "similarity_ivf": q_similarity_ivf,
+        "select_first": q_select_first,
+        "rest_partitioned": q_rest_partitioned,
+        "normalize": q_normalize,
+        "jira_search": q_jira_search,
+        "stream_dedup": q_stream_dedup,
+        "graphviz_dot": q_graphviz_dot,
+        "geomap_mercator": q_geomap_mercator,
+        "repetition_metrics": q_repetition_metrics,
+        "decontaminate": q_decontaminate,
+        "mix_sources": q_mix_sources,
+        "distribution_stats": q_distribution_stats,
+        "distribution_drift": q_distribution_drift,
+        "bloom_search": q_bloom_search,
+        "trend_scores": q_trend_scores,
+        "mix_sources_weighted": q_mix_sources_weighted,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "nb_classify": q_nb_classify,
+        "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
+        "ngram_jaccard": q_ngram_jaccard,
+        "read_text_roundtrip": q_read_text_roundtrip,
+        "read_xml_roundtrip": q_read_xml_roundtrip,
+        # r12-row block (freshest — the r12 driver head)
+        "normalize_nulls": q_normalize_nulls,
+        "semdedup_corrupt": q_semdedup_corrupt,
+        "dedup_near_dupheavy": q_dedup_near_dupheavy,
         "minmax_range": q_minmax_range,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pivot": q_pivot,
@@ -4280,7 +4431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "graph_degrees": q_graph_degrees,
         "graph_merge_nodes": q_graph_merge_nodes,
-        "group_by_key": q_group_by_key,
         "hash_embeddings": q_hash_embeddings,
         "json_xpath_filter": q_json_xpath_filter,
         "merge_intersect": q_merge_intersect,
@@ -4298,127 +4448,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trends_dataset": q_trends_dataset,
         "trends_job_e2e": q_trends_job_e2e,
         "window_sliding": q_window_sliding,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = r13 priority. FIRST: sessionize /
-        # rolling_aggregate (code-touched by the late-r12 skew work —
-        # new scale-path params, default path byte-unchanged; the NEW
-        # head entries sessionize_bucketed / rolling_bucketed gate the
-        # same functions end-to-end) and quantile_grid /
-        # transform_lambda (the 2 extra r9 spills that made room for
-        # those head entries). Then the 11 originally-spilled r9-row
-        # entries (rows turn 3 rounds old at r12 close — the same
-        # accepted trade as r11's post-boundary block; all are
-        # hash-green in this round's full local battery at sf0.01 AND
-        # sf0.1). Then the r10-row block — led by the six §2.5 join
-        # entries because the late-r12 wide-schema hardening rewrote
-        # _prep_join_side (suffix renames as one aliased select; r11
-        # precedent: post-freeze-touched entries lead post-boundary,
-        # verified by the full local battery re-run after the change).
-        # Then the r11-row block.
-        "sessionize": q_sessionize,
-        "rolling_aggregate": q_rolling_aggregate,
-        "asof_join": q_asof_join,
-        "quantile_grid": q_quantile_grid,
-        "transform_lambda": q_transform_lambda,
-        "token_estimate": q_token_estimate,
-        "lm_score": q_lm_score,
-        "select_regex": q_select_regex,
-        "sort_slice": q_sort_slice,
-        "const_missing_cols": q_const_missing_cols,
-        "ratio_cap": q_ratio_cap,
-        "distinct_cols": q_distinct_cols,
-        "string_aggs": q_string_aggs,
-        "uniq_mkstr": q_uniq_mkstr,
-        "time_diffs": q_time_diffs,
-        "read_tsv_intersect": q_read_tsv_intersect,
-        "etl_date_scan": q_etl_date_scan,
-        # r10-row block (join entries first — _prep_join_side touched
-        # by the late-r12 wide-schema rewrite)
-        "inner_join_agg": q_inner_join_agg,
-        "left_join_histogram": q_left_join_histogram,
-        "map_join_broadcast": q_map_join_broadcast,
-        "natural_join": q_natural_join,
-        "outer_join_fill": q_outer_join_fill,
-        "difference_anti": q_difference_anti,
-        "concat_as_cols": q_concat_as_cols,
-        "decontaminate_semantic": q_decontaminate_semantic,
-        "doc_chunks": q_doc_chunks,
-        "duplicate_spans": q_duplicate_spans,
-        "fuzzy_join": q_fuzzy_join,
-        "graph_ancestors": q_graph_ancestors,
-        "graph_ancestors_guid": q_graph_ancestors_guid,
-        "graph_bfs": q_graph_bfs,
-        "graph_dangling": q_graph_dangling,
-        "graph_job_e2e": q_graph_job_e2e,
-        "graph_remove_cycles": q_graph_remove_cycles,
-        "graph_time_ancestors": q_graph_time_ancestors,
-        "group_count": q_group_count,
-        "hash_split": q_hash_split,
-        "inverted_index": q_inverted_index,
-        "lang_id": q_lang_id,
-        "model_enrich": q_model_enrich,
-        "pack_sequences": q_pack_sequences,
-        "query_graph_job": q_query_graph_job,
-        "range_join": q_range_join,
-        "redact_pii": q_redact_pii,
-        "remove_dup_spans": q_remove_dup_spans,
-        "replicate_rows": q_replicate_rows,
-        "rows_cond_exists": q_rows_cond_exists,
-        "sample_weighted": q_sample_weighted,
-        "sankey_links": q_sankey_links,
-        "seq_num": q_seq_num,
-        "sql_pushdown": q_sql_pushdown,
-        "stream_running_counts": q_stream_running_counts,
-        "stream_sessions": q_stream_sessions,
-        "stream_window": q_stream_window,
-        "text_metrics": q_text_metrics,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "timefuncs_ladder": q_timefuncs_ladder,
-        "ttest": q_ttest,
-        "typed_filters": q_typed_filters,
-        # r11-row block (freshest)
-        "dedup_fuzzy": q_dedup_fuzzy,
-        "generate_key_hash": q_generate_key_hash,
-        "explode_json": q_explode_json,
-        "cosine_topk": q_cosine_topk,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        "codec_base64": q_codec_base64,
-        "window_tumbling": q_window_tumbling,
-        "topk_per_group": q_topk_per_group,
-        "aggregate_analytic": q_aggregate_analytic,
-        "cumulative_sum": q_cumulative_sum,
-        "merge_union": q_merge_union,
-        "text_quality_filter": q_text_quality_filter,
-        "dedup_exact": q_dedup_exact,
-        "similarity_ivf": q_similarity_ivf,
-        "select_first": q_select_first,
-        "rest_partitioned": q_rest_partitioned,
-        "normalize": q_normalize,
-        "merge_intervals_islands": q_merge_intervals,
-        "jira_search": q_jira_search,
-        "stream_dedup": q_stream_dedup,
-        "graphviz_dot": q_graphviz_dot,
-        "geomap_mercator": q_geomap_mercator,
-        "repetition_metrics": q_repetition_metrics,
-        "decontaminate": q_decontaminate,
-        "mix_sources": q_mix_sources,
-        "distribution_stats": q_distribution_stats,
-        "distribution_drift": q_distribution_drift,
-        "bloom_search": q_bloom_search,
-        "trend_scores": q_trend_scores,
-        "mix_sources_weighted": q_mix_sources_weighted,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "nb_classify": q_nb_classify,
-        "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
-        "ngram_jaccard": q_ngram_jaccard,
-        "read_text_roundtrip": q_read_text_roundtrip,
-        "read_xml_roundtrip": q_read_xml_roundtrip,
     }
 
 
@@ -4502,6 +4531,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_bucketed": SQL_ROLLING,
         "sessionize_bucketed": SQL_SESSIONIZE_BUCKETED,
         "merge_intervals_islands": SQL_MERGE_INTERVALS,
+        "merge_intervals_bucketed": SQL_MERGE_INTERVALS,
         "jira_search": SQL_JIRA_SEARCH,
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_lsh_candidates": _sql_stream_lsh(),
@@ -4520,6 +4550,7 @@ def oracle_sql() -> dict[str, str]:
         "geomap_mercator": SQL_GEOMAP_MERCATOR,
         "sankey_links": SQL_SANKEY_LINKS,
         "asof_nearest": SQL_ASOF_NEAREST,
+        "asof_nearest_bucketed": SQL_ASOF_NEAREST,
         "sample_weighted": _sql_sample_weighted(),
         "profile": _sql_profile(),
         "stream_running_counts": SQL_STREAM_RUNNING_COUNTS,

@@ -1363,14 +1363,39 @@ class OmigoDF(CompatMixin):
         return self._wrap(ranked.groupBy(*gcols).agg(*aggs))
 
     def group_by_key(self, grouping_cols, agg_cols, agg_func: Callable,
-                     suffix: str = "", collapse: bool = True) -> "OmigoDF":
+                     suffix: str = "", collapse: bool = True,
+                     warn_group_rows: int | None = 1_000_000) -> "OmigoDF":
         """Generalized UDAF (reference dataframe.py:732-872): ``agg_func``
         receives the group's rows as list[dict] (agg_cols only, string
         values) and returns a dict of output values. → applyInPandas
         grouped-map; output schema discovered by probing agg_func([]) the way
-        the reference does (dataframe.py:805-809)."""
+        the reference does (dataframe.py:805-809).
+
+        applyInPandas materializes EACH GROUP as one pandas frame on one
+        executor — inherent to the list-of-dicts contract, so a hot key at
+        scale is an executor OOM with no warning. ``warn_group_rows``
+        (default 1M) runs one cheap partial-aggregated key census and
+        warns with the hottest group's size and the remedy (registry-name
+        ``aggregate()`` funcs stream through JVM combiners and never
+        materialize a group) when any group exceeds it; None opts out and
+        leaves the plan untouched (r12 verdict #4)."""
         gcols = self._resolve(grouping_cols)
         acols = self._resolve(agg_cols)
+        if warn_group_rows is not None:
+            top = (self._df
+                   .groupBy(*[F.col(colutils.quote(g)) for g in gcols])
+                   .agg(F.count(F.lit(1)).alias("__n__"))
+                   .agg(F.max("__n__").alias("m")).first()["m"]) or 0
+            if top > warn_group_rows:
+                import warnings
+                warnings.warn(
+                    f"group_by_key: hottest group holds {int(top):,} rows "
+                    f"(> {warn_group_rows:,}); applyInPandas materializes "
+                    "the whole group as one pandas frame on one executor "
+                    "— prefer aggregate() with registry agg funcs (JVM "
+                    "partial aggregation, no per-group materialization), "
+                    "or pass warn_group_rows=None to opt out",
+                    UserWarning, stacklevel=2)
         probe = agg_func([])
         if not isinstance(probe, dict):
             raise ValueError("group_by_key: agg_func([]) must return a dict (defines output cols)")

@@ -782,7 +782,9 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
 
 
 def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
-                    end_col: str) -> OmigoDF:
+                    end_col: str,
+                    time_buckets_sec: float | None = None,
+                    hot_key_rows: int | str | None = "auto") -> OmigoDF:
     """Union overlapping/touching [start, end] intervals per key into
     maximal disjoint islands (gaps-and-islands): one output row per
     island with its bounds and member count.
@@ -790,11 +792,49 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
     Window plan: order intervals by (start, end), carry the running max
     end; an island starts where start > max(previous ends); the island
     number is the running sum of those breaks. Both windows and the
-    final collapse share one hash partitioning on the key."""
+    final collapse share one hash partitioning on the key.
+
+    ``time_buckets_sec`` (r13, the hot-key scale path — same straggler
+    as sessionize/rolling/asof: a window partitioned by a skewed key is
+    ONE task, the shuffle-skew class AQE cannot split): buckets rows by
+    ``floor(start / span)`` and runs the carry in two exact phases. The
+    running max-end is ASSOCIATIVE, so a per-(key, bucket) summary
+    (max end) rolls up into a per-key running carry-in over the tiny
+    bucket frame; joined back on (key, bucket) — reusing the phase-1
+    exchange — it recomputes every break against
+    ``greatest(local_prev_max_end, carry_in)``, which equals the
+    single window's full-prefix max exactly. Island numbers come from
+    the sessionize-style prefix sum: per-bucket break counts prefix-
+    summed over the bucket frame + the in-bucket running break count.
+    Exact for ANY bucket span (no density requirement — an interval
+    spanning many buckets is covered by the running max); equal starts
+    share a bucket, so tie order is untouched. Property-tested
+    bit-identical to the single-window plan.
+
+    ``hot_key_rows`` (default ``"auto"`` = 262,144 rows) routes only
+    hot keys through the bucketed plan via the shared key census; cold
+    keys keep the plain plan and the outputs union. ``None`` buckets
+    every key. Has effect only when ``time_buckets_sec`` is set."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
     s = F.col(start_col).cast("double")
     e = F.col(end_col).cast("double")
+    if time_buckets_sec is not None:
+        if time_buckets_sec <= 0:
+            raise ValueError("merge_intervals: time_buckets_sec must be "
+                             "positive")
+        if hot_key_rows is not None:
+            thr = (AUTO_HOT_KEY_ROWS if hot_key_rows == "auto"
+                   else int(hot_key_rows))
+            hot, cold = _hot_key_split(d, keys, thr)
+            hot_out = merge_intervals(OmigoDF(hot), keys, start_col,
+                                      end_col, time_buckets_sec,
+                                      hot_key_rows=None)
+            cold_out = merge_intervals(OmigoDF(cold), keys, start_col,
+                                       end_col, time_buckets_sec=None)
+            return OmigoDF(hot_out.df.unionByName(cold_out.df))
+        return _merge_intervals_bucketed(d, keys, s, e,
+                                         float(time_buckets_sec))
     w = Window.partitionBy(*keys).orderBy(s, e)
     prev_max_end = F.max(e).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
@@ -810,6 +850,67 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
         tagged.groupBy(*keys, "__island__")
         .agg(F.min(s).alias("island_start"),
              F.max(e).alias("island_end"),
+             F.count(F.lit(1)).alias("n_intervals"))
+        .withColumnRenamed("__island__", "island_id"))
+
+
+def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
+    """Exact two-phase gaps-and-islands (see merge_intervals): local
+    windows only ever partition by (key, time-bucket); cross-bucket
+    state is a per-bucket (max end, break count) summary frame orders
+    of magnitude smaller than the data. NULL starts land in the NULL
+    bucket, which sorts first — the same place the single window's
+    NULLS-FIRST order puts them."""
+    from ..core import colutils
+
+    def _q(side, c):
+        return F.col(side + "." + colutils.quote(c))
+
+    # phase 1: local prefix-max of ends inside (key, bucket)
+    d2 = (d.withColumn("__s__", s).withColumn("__e__", e)
+          .withColumn("__b__", F.floor(F.col("__s__") / F.lit(span))))
+    wl = Window.partitionBy(*keys, "__b__").orderBy("__s__", "__e__")
+    local = d2.withColumn(
+        "__pme__", F.max("__e__").over(
+            wl.rowsBetween(Window.unboundedPreceding, -1)))
+    # carry-in: running max of bucket max-ends over the bucket frame
+    summ = local.groupBy(*keys, "__b__").agg(F.max("__e__").alias("__me__"))
+    ws = Window.partitionBy(*keys).orderBy(F.col("__b__").asc_nulls_first())
+    summ = summ.withColumn(
+        "__cin__", F.max("__me__").over(
+            ws.rowsBetween(Window.unboundedPreceding, -1)))
+    cond = [_q("__ml__", c).eqNullSafe(_q("__mr__", c))
+            for c in keys + ["__b__"]]
+    lhs = local.alias("__ml__")
+    rhs = summ.select(*keys, "__b__", "__cin__").alias("__mr__")
+    # greatest() skips NULLs: full-prefix max = max(local prefix, carry-in)
+    gprev = F.greatest(_q("__ml__", "__pme__"), _q("__mr__", "__cin__"))
+    brk = F.when(gprev.isNull() | (F.col("__s__") > gprev), 1).otherwise(0)
+    tagged = (lhs.join(rhs, on=cond, how="inner")
+              .select(*[_q("__ml__", c) for c in local.columns],
+                      brk.alias("__brk__"))
+              .withColumn("__lid__", F.sum("__brk__").over(
+                  wl.rowsBetween(Window.unboundedPreceding,
+                                 Window.currentRow))))
+    # island id = per-key break-count prefix over earlier buckets + the
+    # in-bucket running break count (sessionize's numbering scheme)
+    summ2 = (tagged.groupBy(*keys, "__b__")
+             .agg(F.sum("__brk__").alias("__nb__")))
+    summ2 = summ2.withColumn(
+        "__P__", F.coalesce(F.sum("__nb__").over(
+            ws.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
+    cond2 = [_q("__il__", c).eqNullSafe(_q("__ir__", c))
+             for c in keys + ["__b__"]]
+    ilhs = tagged.alias("__il__")
+    irhs = summ2.select(*keys, "__b__", "__P__").alias("__ir__")
+    numbered = (ilhs.join(irhs, on=cond2, how="inner")
+                .withColumn("__island__",
+                            _q("__ir__", "__P__") + _q("__il__", "__lid__")))
+    return OmigoDF(
+        numbered.groupBy(*[_q("__il__", k).alias(k) for k in keys],
+                         "__island__")
+        .agg(F.min(_q("__il__", "__s__")).alias("island_start"),
+             F.max(_q("__il__", "__e__")).alias("island_end"),
              F.count(F.lit(1)).alias("n_intervals"))
         .withColumnRenamed("__island__", "island_id"))
 

@@ -131,6 +131,22 @@ def main():
         timed(tag + "asof bucketed (two-phase)",
               lambda: int(_asof(d, span=3600.0).df.agg(
                   F.count("`q:v2`")).first()[0]))
+        # r13: analytic aggregate — the OLD unordered-window shape
+        # (reconstructed inline; removed from the engine) vs the
+        # de-skewed groupBy+join-back the engine now plans
+        timed(tag + "analytic agg OLD Window.partitionBy shape",
+              lambda: int(_analytic_window(d).agg(
+                  F.count("s")).first()[0]))
+        timed(tag + "aggregate(collapse=False) de-skewed (r13)",
+              lambda: int(d.aggregate(["k"], ["v"], ["sumfloat"],
+                                      collapse=False).df.agg(
+                  F.count("`v:sumfloat`")).first()[0]))
+        # r13: merge_intervals joins the two-phase family (the count
+        # cannot prune the carry window: islands ARE the grouping key)
+        timed(tag + "merge_intervals (ordered carry)",
+              lambda: _intervals(d).df.count())
+        timed(tag + "merge_intervals bucketed (two-phase)",
+              lambda: _intervals(d, span=3600.0).df.count())
 
     # plan markers on the hot corpus
     d = build(spark, True)
@@ -153,6 +169,18 @@ def _sessions(d, span=None):
     from omigo_data_analytics_spark.operators import timeseries as TS
     return TS.sessionize(d, key_cols=["k"], time_col="t", gap_sec=60,
                          time_buckets_sec=span)
+
+
+def _analytic_window(d):
+    from pyspark.sql import Window
+    return d.df.withColumn("s", F.sum("v").over(Window.partitionBy("k")))
+
+
+def _intervals(d, span=None):
+    from omigo_data_analytics_spark.operators import timeseries as TS
+    iv = OmigoDF(d.df.select("k", F.col("t").alias("s"),
+                             (F.col("t") + 30.0).alias("e")))
+    return TS.merge_intervals(iv, "k", "s", "e", time_buckets_sec=span)
 
 
 def _asof(d, span=None):
