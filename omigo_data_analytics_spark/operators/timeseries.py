@@ -916,12 +916,19 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
 
 
 def session_stats(odf, key_cols: list[str] | str, time_col: str,
-                  gap_sec: float = 1800.0) -> OmigoDF:
+                  gap_sec: float = 1800.0,
+                  time_buckets_sec: float | None = None,
+                  hot_key_rows: int | str | None = "auto") -> OmigoDF:
     """Sessionize then collapse: one row per (key, session) with start,
     end, duration and event count. The groupBy re-uses the sessionize
-    shuffle keys, so AQE keeps the second exchange local."""
+    shuffle keys, so AQE keeps the second exchange local.
+    ``time_buckets_sec`` / ``hot_key_rows`` pass through to sessionize's
+    hot-key scale path (r13 — the collapse itself is partial-aggregated
+    and skew-free; only the sessionize carry needed the two-phase plan)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-    s = sessionize(odf, keys, time_col, gap_sec).df
+    s = sessionize(odf, keys, time_col, gap_sec,
+                   time_buckets_sec=time_buckets_sec,
+                   hot_key_rows=hot_key_rows).df
     t = _epoch_sec(s, time_col)
     return OmigoDF(
         s.groupBy(*keys, "session_id")

@@ -191,3 +191,18 @@ def test_group_by_key_hot_group_census_warns(spark):
         warnings.simplefilter("error")
         hot.group_by_key(["k"], ["v"], f, warn_group_rows=1000).df.collect()
         hot.group_by_key(["k"], ["v"], f, warn_group_rows=None).df.collect()
+
+
+def test_session_stats_bucketed_passthrough(spark):
+    """session_stats forwards the sessionize scale-path params and the
+    collapsed stats stay bit-identical."""
+    from omigo_data_analytics_spark.operators.timeseries import session_stats
+
+    rows = [("u", float(t)) for t in [0, 10, 20, 5000, 5030, 99999]] + \
+           [("w", float(t)) for t in [100, 90000]]
+    df = spark.createDataFrame(rows, "k string, t double")
+    plain = session_stats(OmigoDF(df), "k", "t", gap_sec=60.0).df
+    buck = session_stats(OmigoDF(df), "k", "t", gap_sec=60.0,
+                         time_buckets_sec=3600.0, hot_key_rows=1).df
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, buck.collect()))
