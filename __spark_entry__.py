@@ -4266,7 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     asof_nearest_bucketed (the r12 addendum-2 negated-time
         #     carry reuse, property-tested but never driver-rowed) —
         #     both hot_key_rows=1 against the plain plans' oracles;
-        # (b) 7 entries whose code r13 touches (same-round-row rule):
+        # (b) 8 entries whose code r13 touches (same-round-row rule):
         #     aggregate_analytic + group_count (collapse=False de-skew:
         #     groupBy + null-safe join-back replaces the unordered
         #     Window.partitionBy — the r12 verdict's one weak shape),
@@ -4274,7 +4274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     group_by_key (hot-group census guard), and the three
         #     bucketed entries sessionize_bucketed / rolling_bucketed /
         #     asof_bucketed (their shared census router gained the
-        #     broadcast-hint guard + localCheckpoint);
+        #     broadcast-hint guard + localCheckpoint), plus
+#     graph_merge_nodes (window-audit de-skew: groupBy(psig)
+#     min + join-back; inverted_index, also audit-de-skewed,
+#     was already a head filler);
         # (c) the 14 r9-row entries the r12 verdict mandates FIRST
         #     (three rounds stale — the r12 brief's accepted spill);
         # (d) the 10 r12-code-touched entries still on pre-r12 rows:
@@ -4282,9 +4285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     rewrite) + sessionize / rolling_aggregate / asof_join /
         #     range_join (judge re-ran all at sf0.1: PASS, but the
         #     driver row is the hard signal);
-        # (e) 17 of the 34 remaining r10-row entries (stalest block).
-        # 2 + 7 + 14 + 10 + 17 = 50 exactly. The 17 r10 rows that do
-        # not fit (query_graph_job .. typed_filters, below the
+        # (e) 16 of the 34 remaining r10-row entries (stalest block).
+        # 2 + 8 + 14 + 10 + 16 = 50 exactly. The 18 r10 rows that do
+        # not fit (pack_sequences .. typed_filters, below the
         # boundary) are the lowest-risk spill — files untouched since
         # r10 — and lead r14's head priority, each re-verified in this
         # round's full local battery at sf0.01 AND sf0.1.
@@ -4337,12 +4340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "lang_id": q_lang_id,
         "model_enrich": q_model_enrich,
-        "pack_sequences": q_pack_sequences,
+        "graph_merge_nodes": q_graph_merge_nodes,
         # ---------------- 50-entry budget boundary (driver checks above) ---
         # Post-boundary order = r14 priority: FIRST the 17 r10-row
         # entries that did not fit this round's head (the accepted
         # spill named in the head comment), then the r11-row block,
         # then the r12-row block (freshest).
+        "pack_sequences": q_pack_sequences,
         "query_graph_job": q_query_graph_job,
         "redact_pii": q_redact_pii,
         "remove_dup_spans": q_remove_dup_spans,
@@ -4430,7 +4434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatmap": q_flatmap,
         "fuzzy_pairs": q_fuzzy_pairs,
         "graph_degrees": q_graph_degrees,
-        "graph_merge_nodes": q_graph_merge_nodes,
         "hash_embeddings": q_hash_embeddings,
         "json_xpath_filter": q_json_xpath_filter,
         "merge_intersect": q_merge_intersect,

@@ -396,19 +396,22 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     (graph_traversal.py:344-444, whose own impl has undefined vars).
     Returns the edge table with merged leaf destinations, deduped.
 
-    The representative per parent-signature comes from a window min over
-    psig rather than a groupBy + join-back: the join form evaluates the
-    whole leaves->parents subtree twice (once per side) unless the
-    optimizer happens to reuse the exchange, and costs an extra join —
-    the window is one psig shuffle over a leaf-count-sized frame.
+    The representative per parent-signature comes from a
+    partial-aggregated groupBy(psig) min joined back on psig (r13 —
+    previously a window min over psig: a window partition cannot be
+    split, so a hot signature, e.g. a botnet-style fan-out of a million
+    identical-sibling leaves, landed its whole group in ONE task; the
+    groupBy census is map-side combined and the join-back is
+    AQE-splittable/broadcastable). The per-leaf frame is
+    localCheckpointed so the join's two sides read materialized blocks
+    instead of re-evaluating the leaves->parents subtree.
 
     psig is the sorted parent ARRAY itself, not a ','-joined string:
     a delimiter join makes parent sets {"a,b"} and {"a","b"} collide
     and wrongly merge unrelated leaves (the generate_key_hash NULL-skip
     collision class, r10 review); Spark hash-partitions and compares
-    array<string> natively, so the window needs no serialized key at
+    array<string> natively, so the grouping needs no serialized key at
     all."""
-    from pyspark.sql import Window
     # the edge table is referenced four times (source probe, leaf
     # detection, parent signatures, final remap) with different
     # projections — no exchange reuse is possible, so without a barrier
@@ -420,9 +423,10 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     parents = (e.join(leaves, e[dst_col] == F.col("leaf"))
                .groupBy("leaf")
                .agg(F.array_sort(
-                   F.collect_set(F.col(src_col).cast("string"))).alias("psig")))
-    remap = parents.select(
-        "leaf", F.min("leaf").over(Window.partitionBy("psig")).alias("rep"))
+                   F.collect_set(F.col(src_col).cast("string"))).alias("psig"))
+               .localCheckpoint())
+    reps = parents.groupBy("psig").agg(F.min("leaf").alias("rep"))
+    remap = parents.join(reps, on="psig").select("leaf", "rep")
     out = (e.join(remap, e[dst_col] == F.col("leaf"), "left")
            .withColumn(dst_col, F.coalesce(F.col("rep"), e[dst_col]))
            .drop("leaf", "rep")

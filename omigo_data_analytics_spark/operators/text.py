@@ -363,30 +363,33 @@ def inverted_index(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     is the comma-joined ascending doc-id list, truncated to the first
     ``max_postings`` ids (doc_freq keeps the full count).
 
-    Plan (r10 review rewrite): the old shape collected EVERY posting
-    into one aggregation buffer and truncated afterwards — a stopword
-    term appearing in a billion documents materializes a billion-id
-    array in a single executor's memory before the slice. Now the
-    truncation happens BEFORE collection: one shuffle hash-partitioned
-    by term, a row_number + count window pair over the same
-    partitioning (no second exchange — the groupBy reuses the window's
-    hash partitioning), keep ranks <= max_postings, then collect the
-    bounded list. The agg buffer is capped at max_postings ids for ANY
-    term frequency; output is identical."""
+    Plan (r10 rewrite, r13 de-skew): the r10 shape capped the agg
+    BUFFER (truncate before collect) but computed doc_freq as an
+    unordered count window over the same term partition — and that
+    full-partition count DEFEATS WindowGroupLimit (the map-side
+    pre-limit would break the count), so a stopword term still landed
+    its entire posting list in ONE window task (r13 window audit:
+    wgl=False). Now doc_freq comes from a partial-aggregated
+    groupBy(term) count joined back on term (structurally skew-free),
+    and the rank window carries ONLY the row_number + filter —
+    WindowGroupLimit engages, so every map task emits at most
+    max_postings rows per term BEFORE the exchange: the stopword's
+    billion rows never cross the wire. Costs one extra corpus scan for
+    the count (map-parallel, cheap at scale) — the straggler and the
+    unbounded shuffle are gone. Output identical."""
     toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
     ex = (ensure_min_parallelism(odf.df)
           .select(F.explode(F.array_distinct(toks)).alias("term"),
                   F.col(id_col))
           .where(F.col("term") != ""))
     w_rank = Window.partitionBy("term").orderBy(F.col(id_col).asc())
-    w_all = Window.partitionBy("term")
     ranked = (ex.withColumn("__rk__", F.row_number().over(w_rank))
-              .withColumn("__df__", F.count(F.lit(1)).over(w_all))
               .where(F.col("__rk__") <= max_postings))
-    out = (ranked.groupBy("term")
-           .agg(F.max("__df__").alias("doc_freq"),
-                F.array_sort(F.collect_list(F.struct("__rk__", id_col)))
-                .alias("__rows__"))
+    dfreq = ex.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    posts = (ranked.groupBy("term")
+             .agg(F.array_sort(F.collect_list(F.struct("__rk__", id_col)))
+                  .alias("__rows__")))
+    out = (posts.join(dfreq, on="term")
            .select("term", "doc_freq",
                    F.concat_ws(",", F.expr(
                        f"transform(__rows__, r -> CAST(r.{id_col} AS STRING))"))

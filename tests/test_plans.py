@@ -162,10 +162,17 @@ def test_tfidf_aggregates_partial_then_final(spark):
     assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}Window", p)
 
 
-def test_inverted_index_single_term_shuffle(spark):
+def test_inverted_index_bounded_term_shuffles(spark):
+    """r13 de-skew: the rank path (WindowGroupLimit pre-limits every map
+    task to max_postings rows per term) and the doc_freq path (partial
+    agg) each shuffle once; the join reuses term partitioning. The old
+    single-exchange shape computed doc_freq as a full-partition count
+    window in the rank partition — which defeated WindowGroupLimit and
+    landed a stopword's entire posting list in one task."""
     p = _plan(spark, "inverted_index")
-    assert p.count("Exchange hashpartitioning") == 1
-    assert "partial_" in p  # objectagg partial before the exchange
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "partial_" in p  # partial aggregation before the exchanges
+    assert "WindowGroupLimit" in p
 
 
 def test_pipeline_e2e_no_cartesian_partial_aggs(spark):

@@ -206,3 +206,21 @@ def test_session_stats_bucketed_passthrough(spark):
                          time_buckets_sec=3600.0, hot_key_rows=1).df
     assert sorted(map(tuple, plain.collect())) == \
         sorted(map(tuple, buck.collect()))
+
+
+def test_inverted_index_windowgrouplimit_engages(spark):
+    """r13 window audit: the old unordered doc_freq count-window in the
+    rank partition DEFEATED WindowGroupLimit (a stopword term landed
+    every posting in one task). With doc_freq as a groupBy join-back,
+    the rank window carries only row_number + filter and the map-side
+    pre-limit engages."""
+    p = _plan(spark, "inverted_index")
+    assert "WindowGroupLimit" in p
+
+
+def test_merge_similar_nodes_has_no_window(spark):
+    """r13: the per-signature representative is a partial-aggregated
+    groupBy min + join-back, not a window over psig (a hot signature's
+    window partition cannot be split)."""
+    p = _plan(spark, "graph_merge_nodes")
+    assert "Window" not in p

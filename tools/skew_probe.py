@@ -22,7 +22,8 @@ Shuffle-key skew splits into three structural classes on Spark:
    QUANTIFIES their hot-key cost so the boundary is documented, not
    discovered in production.
 
-Usage: python tools/skew_probe.py [n_rows] [hot_frac]
+Usage: python tools/skew_probe.py [n_rows] [hot_frac] [label_filter]
+label_filter: only run ops whose label contains the substring
 Prints per-op wall seconds on a hot-key corpus vs a uniform control
 with identical row count and schema, plus plan-marker checks.
 """
@@ -41,6 +42,7 @@ from omigo_data_analytics_spark import OmigoDF, get_spark  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
 HOT_FRAC = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
+ONLY = sys.argv[3] if len(sys.argv) > 3 else ""
 N_KEYS = 100_000
 
 
@@ -66,6 +68,8 @@ def build(spark, hot: bool):
 
 
 def timed(label, fn):
+    if ONLY and ONLY not in label:
+        return None
     t0 = time.time()
     n = fn()
     dt = time.time() - t0
@@ -147,6 +151,17 @@ def main():
               lambda: _intervals(d).df.count())
         timed(tag + "merge_intervals bucketed (two-phase)",
               lambda: _intervals(d, span=3600.0).df.count())
+        # r13 window audit finds: inverted_index's old count-window
+        # defeated WindowGroupLimit; merge_similar_nodes' psig window
+        # (old shapes reconstructed inline — removed from the engine)
+        timed(tag + "inverted_index OLD count-window shape",
+              lambda: _invidx_old(d).count())
+        timed(tag + "inverted_index WGL+partial-df (r13)",
+              lambda: _invidx_new(d).count())
+        timed(tag + "merge_nodes OLD psig-window shape",
+              lambda: _merge_nodes_old(d).count())
+        timed(tag + "merge_similar_nodes de-skewed (r13)",
+              lambda: _merge_nodes_new(d).count())
 
     # plan markers on the hot corpus
     d = build(spark, True)
@@ -169,6 +184,62 @@ def _sessions(d, span=None):
     from omigo_data_analytics_spark.operators import timeseries as TS
     return TS.sessionize(d, key_cols=["k"], time_col="t", gap_sec=60,
                          time_buckets_sec=span)
+
+
+def _term_pairs(d):
+    # one term per doc, drawn from the (hot-or-uniform) key column:
+    # the hot corpus gives one stopword-like term 50% of the postings
+    return d.df.select(F.col("event_id").alias("doc_id"),
+                       F.concat(F.lit("w"), F.col("k")).alias("term"))
+
+
+def _invidx_old(d, max_postings=100):
+    from pyspark.sql import Window
+    ex = _term_pairs(d)
+    w_rank = Window.partitionBy("term").orderBy(F.col("doc_id").asc())
+    w_all = Window.partitionBy("term")
+    ranked = (ex.withColumn("__rk__", F.row_number().over(w_rank))
+              .withColumn("__df__", F.count(F.lit(1)).over(w_all))
+              .where(F.col("__rk__") <= max_postings))
+    return (ranked.groupBy("term")
+            .agg(F.max("__df__").alias("doc_freq"),
+                 F.count(F.lit(1)).alias("np")))
+
+
+def _invidx_new(d):
+    from omigo_data_analytics_spark.operators import text as TX
+    docs = d.df.select(F.col("event_id").alias("doc_id"),
+                       F.concat(F.lit("w"), F.col("k")).alias("text"))
+    return TX.inverted_index(OmigoDF(docs), "doc_id", "text").df
+
+
+def _leaf_edges(d):
+    # every row a leaf edge parent->leaf; hot corpus: one parent owns
+    # 50% of the leaves -> its psig group is hot
+    return d.df.select(F.concat(F.lit("p"), F.col("k")).alias("src"),
+                       F.concat(F.lit("L"), F.col("event_id")).alias("dst"))
+
+
+def _merge_nodes_old(d):
+    from pyspark.sql import Window
+    e = _leaf_edges(d).localCheckpoint()
+    srcs = e.select(F.col("src").alias("n")).distinct()
+    leaves = (e.join(srcs, e["dst"] == F.col("n"), "left_anti")
+              .select(F.col("dst").alias("leaf")).distinct())
+    parents = (e.join(leaves, e["dst"] == F.col("leaf"))
+               .groupBy("leaf")
+               .agg(F.array_sort(
+                   F.collect_set(F.col("src").cast("string"))).alias("psig")))
+    remap = parents.select(
+        "leaf", F.min("leaf").over(Window.partitionBy("psig")).alias("rep"))
+    return (e.join(remap, e["dst"] == F.col("leaf"), "left")
+            .withColumn("dst", F.coalesce(F.col("rep"), e["dst"]))
+            .drop("leaf", "rep").select(*e.columns).distinct())
+
+
+def _merge_nodes_new(d):
+    from omigo_data_analytics_spark.operators import graph as G
+    return G.merge_similar_nodes(OmigoDF(_leaf_edges(d))).df
 
 
 def _analytic_window(d):
