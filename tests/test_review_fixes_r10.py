@@ -344,8 +344,12 @@ def test_text_metrics_empty_doc_no_ansi_crash(spark):
 def test_inverted_index_bounded_buffer(spark):
     """max_postings truncation happens BEFORE collection (a frequent
     term must never materialize its full posting list in one agg
-    buffer), with one hash exchange total and output identical to the
-    collect-then-slice semantics: full doc_freq, first-k ascending."""
+    buffer), with output identical to the collect-then-slice
+    semantics: full doc_freq, first-k ascending. r13 update: the plan
+    is now two bounded term exchanges (rank path WindowGroupLimit-
+    pre-limited + partial-agg doc_freq) — the r10 single-exchange
+    shape's in-partition count window defeated WindowGroupLimit and
+    landed a stopword's whole posting list in one task."""
     import re as _re
 
     from omigo_data_analytics_spark.operators import text as T
@@ -354,7 +358,8 @@ def test_inverted_index_bounded_buffer(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     inv = T.inverted_index(OmigoDF(df), max_postings=3).df
     plan = inv._jdf.queryExecution().executedPlan().toString()
-    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "WindowGroupLimit" in plan
     got = {r["term"]: (r["doc_freq"], r["postings"]) for r in inv.collect()}
     assert got["common"] == (200, "0,1,2")
     assert got["filler"] == (200, "0,1,2")
