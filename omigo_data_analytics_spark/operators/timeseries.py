@@ -51,6 +51,22 @@ def _epoch_sec(df: DataFrame, col: str, ref: Column | None = None) -> Column:
     return c.cast("double")
 
 
+_MAX_BUCKET = (1 << 63) - 1
+
+
+def _time_bucket(t, span: float):
+    """floor(t/span) with NaN pinned to the LAST bucket. Spark's
+    floor(NaN/span) is 0, but NaN sorts GREATER than every double in
+    the plain windows' order — bucket 0 would silently misplace NaN
+    rows relative to the single-window plan (r13 extreme-values sweep
+    caught this on merge_intervals; sessionize/rolling/asof share the
+    bucket expression). ±Inf already floors to Long.MAX/MIN, which
+    sort consistently; +Inf sharing the MAX bucket with NaN is fine —
+    the in-bucket (t, ...) order stays exact."""
+    return F.when(F.isnan(t), F.lit(_MAX_BUCKET)).otherwise(
+        F.floor(t / F.lit(float(span))))
+
+
 def asof_join(left, right, on: list[str] | str, left_time: str,
               right_time: str | None = None, suffix: str = "r",
               tolerance_sec: float | None = None,
@@ -213,7 +229,7 @@ def _asof_carry_bucketed(u, keys, tb, span: float,
     the NULLS-FIRST window gives."""
     from ..core import colutils
 
-    u2 = u.withColumn("__b__", F.floor(F.col("__t__") / F.lit(span)))
+    u2 = u.withColumn("__b__", _time_bucket(F.col("__t__"), span))
     wl = (Window.partitionBy(*keys, "__b__")
           .orderBy("__t__", "__side__", *tb)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -554,8 +570,8 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
     # order exactly as NULL t sorts first in the single-window plan;
     # their NULL boundary gaps read as "continue" in both plans.
     d2 = (d.withColumn("__t__", t)
-          .withColumn("__b__", F.floor(
-              F.col("__t__") / F.lit(float(time_buckets_sec)))))
+          .withColumn("__b__", _time_bucket(F.col("__t__"),
+                                           float(time_buckets_sec))))
     wl = Window.partitionBy(*keys, "__b__").orderBy("__t__")
     brk = (F.col("__t__") - F.lag("__t__").over(wl)
            > F.lit(gap_sec)).cast("bigint")
@@ -726,7 +742,7 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
                          "positive")
     cols = list(d.columns)
     d2 = (d.withColumn("__t__", _epoch_sec(d, order_col))
-          .withColumn("__b__", F.floor(F.col("__t__") / F.lit(span))))
+          .withColumn("__b__", _time_bucket(F.col("__t__"), span)))
     summ = d2.groupBy(*keys, "__b__").agg(F.count(F.lit(1)).alias("__cnt__"))
     ws = Window.partitionBy(*keys).orderBy(F.col("__b__").asc_nulls_first())
     summ = (summ.withColumn("__nxt__", F.lead("__b__").over(ws))
@@ -868,7 +884,7 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
 
     # phase 1: local prefix-max of ends inside (key, bucket)
     d2 = (d.withColumn("__s__", s).withColumn("__e__", e)
-          .withColumn("__b__", F.floor(F.col("__s__") / F.lit(span))))
+          .withColumn("__b__", _time_bucket(F.col("__s__"), span)))
     wl = Window.partitionBy(*keys, "__b__").orderBy("__s__", "__e__")
     local = d2.withColumn(
         "__pme__", F.max("__e__").over(

@@ -224,3 +224,55 @@ def test_merge_similar_nodes_has_no_window(spark):
     window partition cannot be split)."""
     p = _plan(spark, "graph_merge_nodes")
     assert "Window" not in p
+
+
+def test_bucketed_ops_nan_time_parity(spark):
+    """r13 extreme-values sweep: Spark's floor(NaN/span) is 0, but NaN
+    sorts GREATER than every double in the plain windows — bucket 0
+    silently misplaced NaN rows. _time_bucket pins NaN to the LAST
+    bucket; all four bucketed ops must stay bit-identical to their
+    plain plans on a NaN/Inf-laced corpus."""
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    nan, inf = float("nan"), float("inf")
+    ts = [1.0, 2.0, 100.0, 5000.0, nan, nan, inf, -inf, None, 7.0]
+    rows = [("k", float(i), t) for i, t in enumerate(ts)] + \
+           [("j", 99.0, nan), ("j", 98.0, 3.0)]
+    df = spark.createDataFrame(rows, "k string, v double, t double")
+    odf = OmigoDF(df)
+
+    def canon(frame):
+        return sorted(tuple(str(x) for x in r) for r in
+                      map(tuple, frame.collect()))
+
+    # sessionize
+    a = TS.sessionize(odf, "k", "t", gap_sec=10.0).df
+    b = TS.sessionize(odf, "k", "t", gap_sec=10.0,
+                      time_buckets_sec=60.0, hot_key_rows=1).df
+    assert canon(a) == canon(b), "sessionize NaN divergence"
+    # rolling (needs dense buckets -> huge span keeps one bucket + NaN bucket)
+    a = TS.rolling_aggregate(odf, "k", "t", ["v"], ["mean"], window_rows=2,
+                             tiebreak_cols=["v"]).df
+    b = TS.rolling_aggregate(odf, "k", "t", ["v"], ["mean"], window_rows=2,
+                             tiebreak_cols=["v"], time_buckets_sec=1e9,
+                             hot_key_rows=1).df
+    assert canon(a) == canon(b), "rolling NaN divergence"
+    # asof backward + nearest
+    left = OmigoDF(df.select("k", F.col("v").alias("lv"),
+                             F.col("t").alias("lt")))
+    right = OmigoDF(df.select("k", F.col("v").alias("rv"),
+                              F.col("t").alias("rt")))
+    for direction in ("backward", "nearest"):
+        a = TS.asof_join(left, right, "k", "lt", "rt", suffix="q",
+                         direction=direction, tiebreak_cols=["rv"]).df
+        b = TS.asof_join(left, right, "k", "lt", "rt", suffix="q",
+                         direction=direction, tiebreak_cols=["rv"],
+                         time_buckets_sec=60.0, hot_key_rows=1).df
+        assert canon(a) == canon(b), f"asof {direction} NaN divergence"
+    # merge_intervals (the op that caught it)
+    iv = OmigoDF(df.select("k", F.col("t").alias("s"),
+                           (F.col("t") + 5.0).alias("e")))
+    a = TS.merge_intervals(iv, "k", "s", "e").df
+    b = TS.merge_intervals(iv, "k", "s", "e",
+                           time_buckets_sec=60.0, hot_key_rows=1).df
+    assert canon(a) == canon(b), "merge_intervals NaN divergence"
