@@ -1403,7 +1403,16 @@ class OmigoDF(CompatMixin):
                      for k in sorted(probe.keys())]
         out_keys = sorted(probe.keys())
 
+        # pyspark's GroupedData.applyInPandas resolves every INPUT column
+        # via the PARSING bracket accessor (df[col]) internally, so a dot
+        # or backtick in any involved name is a syntax error no matter how
+        # we quote — the input side runs under sanitized placeholder names
+        # and the OUTPUT schema carries the original names (StructField
+        # names are literal). r13 hostile-name sweep.
         if collapse:
+            need = list(dict.fromkeys(gcols + acols))
+            smap = {c: f"__gbk_{i}__" for i, c in enumerate(need)}
+            sg, sa = [smap[g] for g in gcols], [smap[a] for a in acols]
             schema = T.StructType(
                 [self._df.schema[g] for g in gcols]
                 + [T.StructField(n, T.StringType()) for n in out_names])
@@ -1414,36 +1423,47 @@ class OmigoDF(CompatMixin):
                 # NULL cells reach agg_func as '' (the module's missing
                 # marker), never the literal strings 'None'/'nan' that a
                 # bare astype(str) would produce (r10 review)
-                block = pdf[acols].astype(object)
+                block = pdf[sa].astype(object)
+                block.columns = acols
                 rows = (block.where(block.notna(), "").astype(str)
                         .to_dict("records"))
                 res = agg_func(rows)
-                data = {g: [pdf[g].iloc[0]] for g in gcols}
+                data = {g: [pdf[smap[g]].iloc[0]] for g in gcols}
                 for k, n in zip(out_keys, out_names):
                     v = res.get(k)
                     data[n] = ["" if v is None else str(v)]
                 return pd.DataFrame(data)
 
+            base = self._df.select(
+                *[F.col(colutils.quote(c)).alias(smap[c]) for c in need])
             return self._wrap(
-                self._df.select(*[F.col(colutils.quote(c)) for c in set(gcols + acols)])
-                        .groupBy(*gcols).applyInPandas(_apply, schema=schema))
+                base.groupBy(*sg).applyInPandas(_apply, schema=schema))
 
+        allc = list(self._df.columns)
+        smap = {c: f"__gbk_{i}__" for i, c in enumerate(allc)}
+        sg, sa = [smap[g] for g in gcols], [smap[a] for a in acols]
+        inv = {v: k for k, v in smap.items()}
         schema = T.StructType(
             list(self._df.schema.fields)
             + [T.StructField(n, T.StringType()) for n in out_names])
 
         def _apply_keep(pdf):
-            block = pdf[acols].astype(object)
+            block = pdf[sa].astype(object)
+            block.columns = acols
             rows = (block.where(block.notna(), "").astype(str)
                     .to_dict("records"))
             res = agg_func(rows)
             out = pdf.copy()
+            out.columns = [inv[c] for c in out.columns]
             for k, n in zip(out_keys, out_names):
                 v = res.get(k)
                 out[n] = "" if v is None else str(v)
             return out
 
-        return self._wrap(self._df.groupBy(*gcols).applyInPandas(_apply_keep, schema=schema))
+        base = self._df.select(
+            *[F.col(colutils.quote(c)).alias(smap[c]) for c in allc])
+        return self._wrap(
+            base.groupBy(*sg).applyInPandas(_apply_keep, schema=schema))
 
     # ---------------------------------------------------------------- joins
     def _prep_join_side(self, df: DataFrame, keys: list[str], suffix: str | None) -> DataFrame:

@@ -45,10 +45,24 @@ def _epoch_sec(df: DataFrame, col: str, ref: Column | None = None) -> Column:
     strings cast directly. ``ref`` supplies a dataframe-QUALIFIED column
     for join conditions where a bare F.col(name) would be ambiguous."""
     dt = df.schema[col].dataType.typeName()
-    c = ref if ref is not None else F.col(col)
+    c = ref if ref is not None else _qc(col)
     if dt.startswith("timestamp"):
         return (F.unix_micros(c.cast("timestamp")) / F.lit(1e6))
     return c.cast("double")
+
+
+def _qc(name: str) -> Column:
+    """F.col with the name QUOTED: F.col/partitionBy/groupBy/select all
+    PARSE bare strings, so a dot or backtick in a user column name is a
+    struct access or a syntax error (r13 hostile-name sweep — the r12
+    hardening covered core/dataframe.py; this extends it to the
+    time-series family)."""
+    from ..core import colutils
+    return F.col(colutils.quote(name))
+
+
+def _qcs(names) -> list:
+    return [_qc(n) for n in names]
 
 
 _MAX_BUCKET = (1 << 63) - 1
@@ -130,7 +144,7 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     if time_buckets_sec is not None and hot_key_rows is not None:
         thr = (AUTO_HOT_KEY_ROWS if hot_key_rows == "auto"
                else int(hot_key_rows))
-        combined = ldf.select(*keys).unionByName(rdf.select(*keys))
+        combined = ldf.select(*_qcs(keys)).unionByName(rdf.select(*_qcs(keys)))
         hk = _hot_keys_census(combined, keys, thr)
         l_hot, l_cold = _hot_key_split(ldf, keys, thr, hot_keys=hk)
         r_hot, r_cold = _hot_key_split(rdf, keys, thr, hot_keys=hk)
@@ -161,7 +175,7 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     # one struct column so the carry below picks a single right row
     # atomically — a non-NULL struct with NULL fields is still non-NULL,
     # so last(ignorenulls) never mixes cells from different right rows.
-    pay_struct = F.struct(*[F.col(c).alias(c) for c in r_payload])
+    pay_struct = F.struct(*[_qc(c).alias(c) for c in r_payload])
     sign = F.lit(1.0) if direction == "backward" else F.lit(-1.0)
     r_typed = rdf.select(pay_struct.alias("__r__")).schema["__r__"].dataType
     l_tagged = (ldf
@@ -184,7 +198,8 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
                 c, F.lit(None).cast(ldf.schema[c].dataType))
     cols = keys + ["__t__", "__side__", "__r__"] \
         + [c for c in ldf.columns if c not in keys]
-    u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+    u = (l_tagged.select(*[_qc(c) for c in cols])
+         .unionByName(r_tagged.select(*[_qc(c) for c in cols])))
 
     # tiebreak cols order AFTER (__t__, __side__): they only order right
     # rows among themselves (left rows carry NULL payload and sort as a
@@ -194,7 +209,7 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
         carried = _asof_carry_bucketed(u, keys, tb,
                                        float(time_buckets_sec))
     else:
-        w = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
+        w = (Window.partitionBy(*_qcs(keys)).orderBy("__t__", "__side__", *tb)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         carried = u.select(
             "*",
@@ -208,7 +223,7 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
         out = out.withColumn("__c__", F.when(keep, F.col("__c__")))
     proj = keys + [c for c in ldf.columns if c not in keys]
     out = out.select(
-        *proj,
+        *[_qc(c) for c in proj],
         *[F.col("__c__").getField(c).alias(out_names[c]) for c in r_payload])
     return OmigoDF(out)
 
@@ -230,7 +245,7 @@ def _asof_carry_bucketed(u, keys, tb, span: float,
     from ..core import colutils
 
     u2 = u.withColumn("__b__", _time_bucket(F.col("__t__"), span))
-    wl = (Window.partitionBy(*keys, "__b__")
+    wl = (Window.partitionBy(*_qcs(keys), "__b__")
           .orderBy("__t__", "__side__", *tb)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = u2.select(
@@ -241,11 +256,11 @@ def _asof_carry_bucketed(u, keys, tb, span: float,
     # per-bucket final right row: max (t, tiebreaks) among right rows —
     # max_by over a lexicographic struct = the window's last() pick
     summ = (u2.where(F.col("__side__") == 0)
-            .groupBy(*keys, "__b__")
+            .groupBy(*_qcs(keys), "__b__")
             .agg(F.max_by(F.col("__r__"),
                           F.struct(F.col("__t__"), *tb)).alias("__lr__"),
                  F.max("__t__").alias("__lt__")))
-    buckets = u2.select(*keys, "__b__").distinct()
+    buckets = u2.select(*_qcs(keys), "__b__").distinct()
 
     def _q(side, c):
         return F.col(side + "." + colutils.quote(c))
@@ -258,11 +273,11 @@ def _asof_carry_bucketed(u, keys, tb, span: float,
         *[_q("__bl__", c).alias(c) for c in keys + ["__b__"]],
         _q("__br__", "__lr__").alias("__lr__"),
         _q("__br__", "__lt__").alias("__lt__"))
-    wb = (Window.partitionBy(*keys)
+    wb = (Window.partitionBy(*_qcs(keys))
           .orderBy(F.col("__b__").asc_nulls_first())
           .rowsBetween(Window.unboundedPreceding, -1))
     carry = bf.select(
-        *keys, "__b__",
+        *_qcs(keys), "__b__",
         F.last("__lr__", ignorenulls=True).over(wb).alias("__cin__"),
         F.last("__lt__", ignorenulls=True).over(wb).alias("__cint__"))
     ll = local.alias("__cl__")
@@ -325,7 +340,7 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     # last(ignorenulls) per DIRECTION picks a whole right row, so NULL
     # payload cells in the winning row are never backfilled from an
     # earlier right row
-    pay_struct = F.struct(*[F.col(c).alias(c) for c in r_payload])
+    pay_struct = F.struct(*[_qc(c).alias(c) for c in r_payload])
     r_typed = rdf.select(pay_struct.alias("__r__")).schema["__r__"].dataType
     l_tagged = (ldf.withColumn("__t__", _epoch_sec(ldf, left_time))
                 .withColumn("__side__", F.lit(1))
@@ -343,7 +358,8 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
                 c, F.lit(None).cast(ldf.schema[c].dataType))
     cols = keys + ["__t__", "__side__", "__r__"] \
         + [c for c in ldf.columns if c not in keys]
-    u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+    u = (l_tagged.select(*[_qc(c) for c in cols])
+         .unionByName(r_tagged.select(*[_qc(c) for c in cols])))
 
     if time_buckets_sec is not None:
         span = float(time_buckets_sec)
@@ -365,9 +381,10 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
         # tiebreak ASC in BOTH windows: among equal-time right rows,
         # last() picks the max tiebreak tuple in each direction, so the
         # backward and forward carries agree on the winner of a tie
-        wb = (Window.partitionBy(*keys).orderBy("__t__", "__side__", *tb)
+        wb = (Window.partitionBy(*_qcs(keys))
+              .orderBy("__t__", "__side__", *tb)
               .rowsBetween(*frame))
-        wf = (Window.partitionBy(*keys)
+        wf = (Window.partitionBy(*_qcs(keys))
               .orderBy(F.col("__t__").desc(), "__side__", *tb)
               .rowsBetween(*frame))
         sel = ["*",
@@ -397,7 +414,7 @@ def _asof_nearest(left, right, on, left_time, right_time, suffix,
     proj = keys + [c for c in ldf.columns if c not in keys]
     pick = F.when(use_b, F.col("__b__")).when(f_ok, F.col("__f__"))
     out = carried.select(
-        *proj,
+        *[_qc(c) for c in proj],
         *[pick.getField(c).alias(f"{suffix}:{c}") for c in r_payload])
     return OmigoDF(out)
 
@@ -438,27 +455,36 @@ def range_join(points, intervals, point_col: str, start_col: str,
             f"range_join: columns {dup_names} exist on both sides — only "
             "the equi-keys `on` may be shared; rename one side first")
 
+    # alias-qualified QUOTED refs, not the bracket accessor (p[k] PARSES
+    # the name — a dot or backtick in a user column breaks; r13
+    # hostile-name sweep)
+    from ..core import colutils
+
+    def _q(side, c):
+        return F.col(side + "." + colutils.quote(c))
+
     p = pdf.withColumn(
-        "__bin__", F.floor(_epoch_sec(pdf, point_col) / bin_width))
+        "__bin__", F.floor(_epoch_sec(pdf, point_col) / bin_width)) \
+        .alias("__rp__")
     i = idf.withColumn(
         "__bin__",
         F.explode(F.sequence(
             F.floor(_epoch_sec(idf, start_col) / bin_width),
-            F.floor(_epoch_sec(idf, end_col) / bin_width))))
+            F.floor(_epoch_sec(idf, end_col) / bin_width)))) \
+        .alias("__ri__")
 
-    cond = [p["__bin__"] == i["__bin__"]]
+    cond = [_q("__rp__", "__bin__") == _q("__ri__", "__bin__")]
     for k in keys:
-        cond.append(p[k] == i[k])
-    # dataframe-qualified refs: the equi-keys exist on both join sides
-    pt = _epoch_sec(pdf, point_col, p[point_col])
-    cond.append(pt >= _epoch_sec(idf, start_col, i[start_col]))
-    cond.append(pt <= _epoch_sec(idf, end_col, i[end_col]))
+        cond.append(_q("__rp__", k) == _q("__ri__", k))
+    pt = _epoch_sec(pdf, point_col, _q("__rp__", point_col))
+    cond.append(pt >= _epoch_sec(idf, start_col, _q("__ri__", start_col)))
+    cond.append(pt <= _epoch_sec(idf, end_col, _q("__ri__", end_col)))
     joined = p.join(i, cond, how)
     dup = set(keys) | {"__bin__"}
     out = joined.select(
-        *[p[c] for c in pdf.columns],
-        *[i[c] for c in idf.columns if c not in dup])
-    return OmigoDF(out.drop("__bin__"))
+        *[_q("__rp__", c).alias(c) for c in pdf.columns],
+        *[_q("__ri__", c).alias(c) for c in idf.columns if c not in dup])
+    return OmigoDF(out)
 
 
 AUTO_HOT_KEY_ROWS = 262_144
@@ -502,9 +528,9 @@ def _hot_keys_census(d, keys, threshold: int):
     # shared left+right split) — without it each join re-evaluates the
     # full input lineage through the aggregation (r12 advice). Bounded
     # output (<= n/threshold keys), so materializing is cheap.
-    return (d.groupBy(*keys).agg(F.count(F.lit(1)).alias("__kc__"))
+    return (d.groupBy(*_qcs(keys)).agg(F.count(F.lit(1)).alias("__kc__"))
             .where(F.col("__kc__") >= F.lit(int(threshold)))
-            .select(*keys)
+            .select(*_qcs(keys))
             .localCheckpoint())
 
 
@@ -545,7 +571,7 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
     d = _df(odf)
     t: Column = _epoch_sec(d, time_col)
     if time_buckets_sec is None:
-        w = Window.partitionBy(*keys).orderBy(t)
+        w = Window.partitionBy(*_qcs(keys)).orderBy(t)
         is_break = (t - F.lag(t).over(w) > F.lit(gap_sec)).cast("bigint")
         out = (d.withColumn("__brk__", F.coalesce(is_break, F.lit(0)))
                .withColumn(session_col,
@@ -572,18 +598,18 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
     d2 = (d.withColumn("__t__", t)
           .withColumn("__b__", _time_bucket(F.col("__t__"),
                                            float(time_buckets_sec))))
-    wl = Window.partitionBy(*keys, "__b__").orderBy("__t__")
+    wl = Window.partitionBy(*_qcs(keys), "__b__").orderBy("__t__")
     brk = (F.col("__t__") - F.lag("__t__").over(wl)
            > F.lit(gap_sec)).cast("bigint")
     local = (d2.withColumn("__brk__", F.coalesce(brk, F.lit(0)))
              .withColumn("__lid__", F.sum("__brk__").over(
                  wl.rowsBetween(Window.unboundedPreceding,
                                 Window.currentRow)) + 1))
-    summ = (local.groupBy(*keys, "__b__")
+    summ = (local.groupBy(*_qcs(keys), "__b__")
             .agg(F.min("__t__").alias("__ft__"),
                  F.max("__t__").alias("__lt__"),
                  F.max("__lid__").alias("__ns__")))
-    ws = Window.partitionBy(*keys).orderBy(F.col("__b__").asc_nulls_first())
+    ws = Window.partitionBy(*_qcs(keys)).orderBy(F.col("__b__").asc_nulls_first())
     has_prev = F.lag(F.lit(1)).over(ws).isNotNull()
     # boundary gap NULL (either side's time NULL) = continue, matching
     # the single-window plan's NULL-gap-is-not-a-break rule
@@ -600,7 +626,7 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
     # summ derives from local so bare column refs would be ambiguous
     from ..core import colutils
     lhs = local.alias("__sl__")
-    rhs = summ.select(*keys, "__b__", "__mrg__", "__P__").alias("__sr__")
+    rhs = summ.select(*_qcs(keys), "__b__", "__mrg__", "__P__").alias("__sr__")
 
     def _q(side, c):
         return F.col(side + "." + colutils.quote(c))
@@ -612,7 +638,7 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
         session_col,
         _q("__sr__", "__P__") + _q("__sl__", "__lid__")
         - _q("__sr__", "__mrg__")) \
-        .select(*[_q("__sl__", c).alias(c) for c in cols], session_col)
+        .select(*[_q("__sl__", c).alias(c) for c in cols], _qc(session_col))
     return OmigoDF(out)
 
 
@@ -682,8 +708,8 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
                                  window_rows, precision, tiebreak_cols,
                                  float(time_buckets_sec))
     order = [_epoch_sec(d, order_col)] + [
-        F.col(c) for c in (tiebreak_cols or [])]
-    w = (Window.partitionBy(*keys).orderBy(*order)
+        _qc(c) for c in (tiebreak_cols or [])]
+    w = (Window.partitionBy(*_qcs(keys)).orderBy(*order)
          .rowsBetween(-(window_rows - 1), Window.currentRow))
     out = d
     for name, expr in _rolling_exprs(w, agg_cols, agg_funcs, precision):
@@ -697,8 +723,8 @@ def _rolling_exprs(w, agg_cols, agg_funcs, precision):
     the literally identical expressions."""
     res = []
     for c, fn in zip(list(agg_cols), list(agg_funcs)):
-        x = F.col(c).try_cast("double")
-        xd = F.col(c).try_cast("decimal(28,8)")
+        x = _qc(c).try_cast("double")
+        xd = _qc(c).try_cast("decimal(28,8)")
         # overflow guard (the normalize() rule): a value that parses as
         # double but overflows DECIMAL(28,8) NULLs out of the window sum
         # while count(x) still includes it — the sum/mean would be
@@ -743,8 +769,8 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
     cols = list(d.columns)
     d2 = (d.withColumn("__t__", _epoch_sec(d, order_col))
           .withColumn("__b__", _time_bucket(F.col("__t__"), span)))
-    summ = d2.groupBy(*keys, "__b__").agg(F.count(F.lit(1)).alias("__cnt__"))
-    ws = Window.partitionBy(*keys).orderBy(F.col("__b__").asc_nulls_first())
+    summ = d2.groupBy(*_qcs(keys), "__b__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    ws = Window.partitionBy(*_qcs(keys)).orderBy(F.col("__b__").asc_nulls_first())
     summ = (summ.withColumn("__nxt__", F.lead("__b__").over(ws))
             .withColumn("__haspred__",
                         F.lag(F.lit(1)).over(ws).isNotNull()))
@@ -764,9 +790,9 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
                 "interior (key, bucket) holds fewer than window_rows-1="
                 f"{window_rows - 1} rows, so a bucket-boundary frame "
                 "would be silently incomplete; increase time_buckets_sec")
-    order_local = [F.col("__t__")] + [F.col(c)
+    order_local = [F.col("__t__")] + [_qc(c)
                                       for c in (tiebreak_cols or [])]
-    wdesc = Window.partitionBy(*keys, "__b__").orderBy(
+    wdesc = Window.partitionBy(*_qcs(keys), "__b__").orderBy(
         *[o.desc() for o in order_local])
     halo_src = (d2.withColumn("__rdesc__", F.row_number().over(wdesc))
                 .where(F.col("__rdesc__") <= F.lit(window_rows - 1))
@@ -776,7 +802,7 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
         return F.col(side + "." + colutils.quote(c))
 
     lhs = halo_src.alias("__hl__")
-    rhs = summ.select(*keys, "__b__", "__nxt__").alias("__hr__")
+    rhs = summ.select(*_qcs(keys), "__b__", "__nxt__").alias("__hr__")
     cond = [_q("__hl__", c).eqNullSafe(_q("__hr__", c))
             for c in keys + ["__b__"]]
     halo = (lhs.join(rhs, on=cond, how="inner")
@@ -785,9 +811,9 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
                     _q("__hr__", "__nxt__").alias("__b__"))
             .withColumn("__halo__", F.lit(1)))
     ucols = cols + ["__t__", "__b__", "__halo__"]
-    u = (d2.withColumn("__halo__", F.lit(0)).select(*ucols)
-         .unionByName(halo.select(*ucols)))
-    wu = (Window.partitionBy(*keys, "__b__").orderBy(*order_local)
+    u = (d2.withColumn("__halo__", F.lit(0)).select(*[_qc(c) for c in ucols])
+         .unionByName(halo.select(*[_qc(c) for c in ucols])))
+    wu = (Window.partitionBy(*_qcs(keys), "__b__").orderBy(*order_local)
           .rowsBetween(-(window_rows - 1), Window.currentRow))
     out = u
     for name, expr in _rolling_exprs(wu, agg_cols, agg_funcs, precision):
@@ -833,8 +859,8 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
     every key. Has effect only when ``time_buckets_sec`` is set."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
-    s = F.col(start_col).cast("double")
-    e = F.col(end_col).cast("double")
+    s = _qc(start_col).cast("double")
+    e = _qc(end_col).cast("double")
     if time_buckets_sec is not None:
         if time_buckets_sec <= 0:
             raise ValueError("merge_intervals: time_buckets_sec must be "
@@ -851,7 +877,7 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
             return OmigoDF(hot_out.df.unionByName(cold_out.df))
         return _merge_intervals_bucketed(d, keys, s, e,
                                          float(time_buckets_sec))
-    w = Window.partitionBy(*keys).orderBy(s, e)
+    w = Window.partitionBy(*_qcs(keys)).orderBy(s, e)
     prev_max_end = F.max(e).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
     brk = (F.when(prev_max_end.isNull() | (s > prev_max_end), 1)
@@ -863,7 +889,7 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
                                             Window.currentRow)))
               .drop("__brk__"))
     return OmigoDF(
-        tagged.groupBy(*keys, "__island__")
+        tagged.groupBy(*_qcs(keys), "__island__")
         .agg(F.min(s).alias("island_start"),
              F.max(e).alias("island_end"),
              F.count(F.lit(1)).alias("n_intervals"))
@@ -885,20 +911,20 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
     # phase 1: local prefix-max of ends inside (key, bucket)
     d2 = (d.withColumn("__s__", s).withColumn("__e__", e)
           .withColumn("__b__", _time_bucket(F.col("__s__"), span)))
-    wl = Window.partitionBy(*keys, "__b__").orderBy("__s__", "__e__")
+    wl = Window.partitionBy(*_qcs(keys), "__b__").orderBy("__s__", "__e__")
     local = d2.withColumn(
         "__pme__", F.max("__e__").over(
             wl.rowsBetween(Window.unboundedPreceding, -1)))
     # carry-in: running max of bucket max-ends over the bucket frame
-    summ = local.groupBy(*keys, "__b__").agg(F.max("__e__").alias("__me__"))
-    ws = Window.partitionBy(*keys).orderBy(F.col("__b__").asc_nulls_first())
+    summ = local.groupBy(*_qcs(keys), "__b__").agg(F.max("__e__").alias("__me__"))
+    ws = Window.partitionBy(*_qcs(keys)).orderBy(F.col("__b__").asc_nulls_first())
     summ = summ.withColumn(
         "__cin__", F.max("__me__").over(
             ws.rowsBetween(Window.unboundedPreceding, -1)))
     cond = [_q("__ml__", c).eqNullSafe(_q("__mr__", c))
             for c in keys + ["__b__"]]
     lhs = local.alias("__ml__")
-    rhs = summ.select(*keys, "__b__", "__cin__").alias("__mr__")
+    rhs = summ.select(*_qcs(keys), "__b__", "__cin__").alias("__mr__")
     # greatest() skips NULLs: full-prefix max = max(local prefix, carry-in)
     gprev = F.greatest(_q("__ml__", "__pme__"), _q("__mr__", "__cin__"))
     brk = F.when(gprev.isNull() | (F.col("__s__") > gprev), 1).otherwise(0)
@@ -910,7 +936,7 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
                                  Window.currentRow))))
     # island id = per-key break-count prefix over earlier buckets + the
     # in-bucket running break count (sessionize's numbering scheme)
-    summ2 = (tagged.groupBy(*keys, "__b__")
+    summ2 = (tagged.groupBy(*_qcs(keys), "__b__")
              .agg(F.sum("__brk__").alias("__nb__")))
     summ2 = summ2.withColumn(
         "__P__", F.coalesce(F.sum("__nb__").over(
@@ -918,7 +944,7 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
     cond2 = [_q("__il__", c).eqNullSafe(_q("__ir__", c))
              for c in keys + ["__b__"]]
     ilhs = tagged.alias("__il__")
-    irhs = summ2.select(*keys, "__b__", "__P__").alias("__ir__")
+    irhs = summ2.select(*_qcs(keys), "__b__", "__P__").alias("__ir__")
     numbered = (ilhs.join(irhs, on=cond2, how="inner")
                 .withColumn("__island__",
                             _q("__ir__", "__P__") + _q("__il__", "__lid__")))
@@ -947,7 +973,7 @@ def session_stats(odf, key_cols: list[str] | str, time_col: str,
                    hot_key_rows=hot_key_rows).df
     t = _epoch_sec(s, time_col)
     return OmigoDF(
-        s.groupBy(*keys, "session_id")
+        s.groupBy(*_qcs(keys), "session_id")
          .agg(F.min(t).alias("session_start"),
               F.max(t).alias("session_end"),
               (F.max(t) - F.min(t)).alias("duration_sec"),

@@ -276,3 +276,73 @@ def test_bucketed_ops_nan_time_parity(spark):
     b = TS.merge_intervals(iv, "k", "s", "e",
                            time_buckets_sec=60.0, hot_key_rows=1).df
     assert canon(a) == canon(b), "merge_intervals NaN divergence"
+
+
+def test_timeseries_hostile_column_names(spark):
+    """r13 hostile-name sweep extension to the time-series family:
+    F.col/partitionBy/groupBy/select PARSE bare strings, so dots and
+    backticks in user column names were struct accesses / syntax
+    errors. All name entry points now quote."""
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    wk, ws_, we = "k`ey.one", "s`t.art", "e`n.d"
+    iv = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("a", 1.5, 9.0), (None, 4.0, 5.0)]) \
+        .toDF(wk, ws_, we)
+    a = TS.merge_intervals(OmigoDF(iv), wk, ws_, we).df
+    b = TS.merge_intervals(OmigoDF(iv), wk, ws_, we,
+                           time_buckets_sec=10.0, hot_key_rows=1).df
+    canon = lambda f: sorted(tuple(str(x) for x in r)
+                             for r in map(tuple, f.collect()))
+    assert canon(a) == canon(b) and a.count() == 2
+
+    ev = spark.createDataFrame(
+        [("u", 1.0, 10.0), ("u", 2.0, 20.0), ("u", 500.0, 30.0)]) \
+        .toDF(wk, "t`s.x", "v.a`l")
+    s = TS.sessionize(OmigoDF(ev), wk, "t`s.x", gap_sec=60.0,
+                      time_buckets_sec=120.0, hot_key_rows=1).df
+    assert sorted(r["session_id"] for r in s.collect()) == [1, 1, 2]
+    r = TS.rolling_aggregate(OmigoDF(ev), wk, "t`s.x", ["v.a`l"], ["sum"],
+                             window_rows=2, tiebreak_cols=["v.a`l"]).df
+    assert {x["v.a`l:rolling_sum"] for x in r.collect()} == {10.0, 30.0, 50.0}
+    left = OmigoDF(ev.select(F.col("`k``ey.one`"), F.col("`t``s.x`")))
+    right = OmigoDF(ev)
+    aj = TS.asof_join(left, right, wk, "t`s.x", suffix="q",
+                      tiebreak_cols=["v.a`l"],
+                      time_buckets_sec=60.0, hot_key_rows=1).df
+    assert aj.count() == 3 and "q:v.a`l" in aj.columns
+
+
+def test_group_by_key_hostile_column_names(spark):
+    """pyspark's applyInPandas resolves input columns via the PARSING
+    bracket accessor — the input now runs under sanitized placeholder
+    names, the output schema keeps the originals (both collapse modes)."""
+    wk, wv = "k`ey.one", "v:al.ue`x"
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), (None, 5.0)]) \
+        .toDF(wk, wv)
+
+    def f(rows):
+        return {"n": len(rows)}
+
+    out = OmigoDF(df).group_by_key([wk], [wv], f, warn_group_rows=None)
+    got = {r[wk]: r["n:f"] for r in out.df.collect()}
+    assert got == {"a": "2", None: "1"}
+    keep = OmigoDF(df).group_by_key([wk], [wv], f, collapse=False,
+                                    warn_group_rows=None)
+    assert keep.columns == [wk, wv, "n:f"]
+    assert keep.df.count() == 3
+
+
+def test_range_join_hostile_column_names(spark):
+    """range_join used the PARSING bracket accessor (p[k]); now
+    alias-qualified quoted refs."""
+    from omigo_data_analytics_spark.operators import timeseries as TS
+
+    pts = spark.createDataFrame([("a", 5.0), ("a", 50.0)]) \
+        .toDF("k`ey.one", "p`t.x")
+    ivs = spark.createDataFrame([("a", 0.0, 10.0)]) \
+        .toDF("k`ey.one", "l`o.x", "h`i.x")
+    out = TS.range_join(OmigoDF(pts), OmigoDF(ivs), "p`t.x", "l`o.x",
+                        "h`i.x", on=["k`ey.one"], bin_width=10.0).df
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["p`t.x"] == 5.0
