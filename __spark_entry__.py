@@ -4291,6 +4291,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boundary) are the lowest-risk spill — files untouched since
         # r10 — and lead r14's head priority, each re-verified in this
         # round's full local battery at sf0.01 AND sf0.1.
+        # LATE-r13 note (r12 precedent: post-freeze touches verified by
+        # full-battery re-runs): after the head froze, a PACKAGE-WIDE
+        # hostile-name sweep quoted every user-column entry point
+        # (F.col/select/groupBy/partitionBy/bracket-accessor/expr-string
+        # embeds) across operators/* and streaming/stream.py, and
+        # _time_bucket pinned NaN times to the LAST bucket (floor(NaN)
+        # is 0 — silent misplacement vs the plain windows). Both
+        # changes re-verified by full 153/153 batteries at sf0.01 AND
+        # sf0.1 plus the family AQE-off sweep; the touched tail
+        # entries follow the spill in r14's head priority.
         "merge_intervals_bucketed": q_merge_intervals_bucketed,
         "asof_nearest_bucketed": q_asof_nearest_bucketed,
         "aggregate_analytic": q_aggregate_analytic,

@@ -99,3 +99,15 @@ def split_suffix(name: str) -> tuple[str, str]:
         rest, tail = name.rsplit(COL_SEP, 1)
         return rest, tail
     return name, ""
+
+
+def qcol(name: str):
+    """F.col with the name QUOTED. Every bare-string entry point in Spark
+    (F.col, select, groupBy, partitionBy, orderBy, the bracket accessor)
+    PARSES the name, so ':' / '.' / '`' in a real column name — common in
+    JSON-flattened telemetry — resolves as a struct access or dies as a
+    syntax error. Route every user-supplied column name through this
+    (r13 hostile-name sweep of the operator family)."""
+    from pyspark.sql import functions as F
+
+    return F.col(quote(name))

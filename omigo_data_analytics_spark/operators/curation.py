@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF, colutils
 from .text import (HASH_MOD, ensure_min_parallelism, hash_duck, hash_spark,
                    let_duck, let_spark)
@@ -163,11 +165,11 @@ def decontaminate(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                   .alias("__shingle__"))
           .distinct())
     tr_sh = (ensure_min_parallelism(train.df)
-             .select(F.col(id_col),
+             .select(qcol(id_col),
                      F.explode(F.expr(shingles_expr("spark", col, n)))
                      .alias("__shingle__")))
     contaminated = (tr_sh.join(F.broadcast(ev), "__shingle__")
-                    .select(id_col).distinct())
+                    .select(qcol(id_col)).distinct())
     return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
 
 
@@ -249,7 +251,7 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     # norms that are ~1 by construction (r8 review)
     tr = (hash_embeddings(train, col=col, dim=dim, out_col="__te__",
                           normalize=False)
-          .df.select(F.col(id_col), F.col("__te__"),
+          .df.select(qcol(id_col), F.col("__te__"),
                      F.expr(_norm_expr("__te__")).alias("__tn__")))
     cos = F.round(F.expr(_dot_expr("__te__", "__ee__"))
                   / (F.col("__tn__") * F.col("__en__")), precision)
@@ -267,7 +269,7 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
         # round) from re-deriving the eval embeddings per job.
         ev = (hash_embeddings(eval_odf, col=ecol, dim=dim, out_col="__ee__",
                               normalize=False)
-              .df.select(F.col(eid).alias("__eid__"), F.col("__ee__"),
+              .df.select(qcol(eid).alias("__eid__"), F.col("__ee__"),
                          F.expr(_norm_expr("__ee__")).alias("__en__"))
               .where(F.col("__en__") > 0)
               .localCheckpoint(eager=False))
@@ -295,16 +297,16 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
                           f"slice(array_sort("
                           f"{_ivf_cands_expr('__te__', cents)}, "
                           f"{_IVF_SORT}), 1, {int(nprobe)})")))
-                      .select(id_col, "__te__", "__tn__",
+                      .select(qcol(id_col), "__te__", "__tn__",
                               F.col("__cand__.id").alias("__c__")))
         else:
             tr_asg = (kmeans_assign(OmigoDF(tr_pos),
                                     cents, vec_col="__te__",
                                     cluster_col="__c__", cos_col="__xc__")
-                      .df.select(id_col, "__te__", "__tn__", "__c__"))
+                      .df.select(qcol(id_col), "__te__", "__tn__", "__c__"))
         contaminated = (tr_asg.join(F.broadcast(ev_asg), on="__c__")
                         .where(cos >= threshold)
-                        .select(id_col).distinct())
+                        .select(qcol(id_col)).distinct())
         return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
     # Dense path: checkpoint the corpus embed side too (r9 verdict #3,
     # the builder's own residual (b)) — `cos` references __te__ (dot)
@@ -321,7 +323,7 @@ def decontaminate_semantic(train: OmigoDF, eval_odf: OmigoDF, id_col: str,
     contaminated = (tr.crossJoin(F.broadcast(ev))
                     .where(F.col("__tn__") > 0).where(F.col("__en__") > 0)
                     .where(cos >= threshold)
-                    .select(id_col).distinct())
+                    .select(qcol(id_col)).distinct())
     return OmigoDF(train.df.join(contaminated, id_col, "left_anti"))
 
 
@@ -439,12 +441,12 @@ def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
                           f"CAST(ROUND(ln((COALESCE(cb, 0L) + {kd}) / "
                           f"(COALESCE(cu, 0L) + {kd} * {vocab})) * {scale}) "
                           f"AS BIGINT) AS lpu")
-              .groupBy(id_col)
+              .groupBy(qcol(id_col))
               .agg(F.count(F.lit(1)).alias("n_bigrams"),
                    F.expr(f"ROUND(CAST(SUM(lpu) AS DOUBLE) / "
                           f"CAST(COUNT(*) AS DOUBLE) / {scale}, 6)")
                     .alias("avg_logprob")))
-    out = (score.df.select(id_col)
+    out = (score.df.select(qcol(id_col))
            .join(logp, on=id_col, how="left")
            .selectExpr(id_col,
                        "COALESCE(n_bigrams, 0L) AS n_bigrams",
@@ -570,17 +572,19 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
                          "(the string values of source_col)")
     gcols = odf._resolve(key_cols)
     spark = odf.df.sparkSession
-    w = spark.createDataFrame(list(shares.items()), f"{source_col} string, __share__ double")
+    w = spark.createDataFrame(
+        [(str(k), float(v)) for k, v in shares.items()],
+        schema=[source_col, "__share__"])
     if weight_col is not None:
         # explicit per-row floor, then BIGINT sum: FP addition is
         # partition-order-dependent (a last-ulp wobble could flip the
         # floor'd rate), and Spark's double->long CAST truncates where
         # DuckDB's rounds — floor is the one shared exact semantic
         wc = _resolve_one(weight_col, "weight_col")
-        measure = F.sum(F.floor(F.col(wc)).cast("long"))
+        measure = F.sum(F.floor(qcol(wc)).cast("long"))
     else:
         measure = F.count("*")
-    counts = odf.df.groupBy(source_col).agg(measure.alias("__n__"))
+    counts = odf.df.groupBy(qcol(source_col)).agg(measure.alias("__n__"))
     # LEFT join FROM the shares table: a shares-listed source with ZERO
     # rows never appears in the groupBy output at all, so the inner join
     # silently dropped it — worse than dropping, its absence inflated
@@ -604,9 +608,9 @@ def mix_sources(odf: OmigoDF, source_col: str, shares: dict[str, float],
     rate = F.floor(F.col("__share__") * F.col("__t__")
                    / F.col("__n__") * _RATE_SCALE)
     rates = (per_src.crossJoin(F.broadcast(t_row))
-             .select(source_col,
+             .select(qcol(source_col),
                      F.when(n_ok, rate).otherwise(F.raise_error(F.concat(
-                         F.lit("mix_sources: source '"), F.col(source_col),
+                         F.lit("mix_sources: source '"), qcol(source_col),
                          F.lit("' has no positive weight/count — its share "
                                "is unsatisfiable and would empty the whole "
                                "mixture; drop it from shares or fix the "
@@ -755,7 +759,7 @@ def _dsir_lp(target: OmigoDF, score: OmigoDF, id_col: str, col: str,
               .crossJoin(F.broadcast(_tot(ct, "ct", "target")))
               .crossJoin(F.broadcast(_tot(cs, "cs", "source")))
               .selectExpr(id_col, f"{lpu} AS __lpu__")
-              .groupBy(id_col)
+              .groupBy(qcol(id_col))
               .agg(F.count(F.lit(1)).alias("n_feats"),
                    F.expr(f"ROUND(CAST(SUM(__lpu__) AS DOUBLE) / {scale}, 6)")
                     .alias("logweight")))
@@ -800,7 +804,7 @@ def dsir_weights(target: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
     data-selection method; no counterpart exists in the reference.
     """
     lp = _dsir_lp(target, score, id_col, col, buckets, k, source)
-    out = (score.df.select(id_col)
+    out = (score.df.select(qcol(id_col))
            .join(lp, on=id_col, how="left")
            .selectExpr(id_col, "COALESCE(n_feats, 0L) AS n_feats",
                        "logweight"))
@@ -834,7 +838,7 @@ def dsir_select(target: OmigoDF, raw: OmigoDF, n: int,
          f"CAST({float(HASH_MOD)!r} AS DOUBLE)")
     out = (lp.selectExpr(id_col, "n_feats", "logweight",
                          f"ROUND(logweight - ln(-ln({u})), 6) AS sample_key")
-           .orderBy(F.col("sample_key").desc(), F.col(id_col))
+           .orderBy(F.col("sample_key").desc(), qcol(id_col))
            .limit(n))
     return OmigoDF(out)
 
@@ -1016,13 +1020,13 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
     sc = (ensure_min_parallelism(score.df)
           .selectExpr(id_col, f"explode({feats}) AS f")
           .localCheckpoint(eager=False))
-    nf = sc.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nf__"))
+    nf = sc.groupBy(qcol(id_col)).agg(F.count(F.lit(1)).alias("__nf__"))
     # matched-pair lift above the floor: ln(c_fc + k) - ln(k), micro-nats
     lift = (sc.join(cnt, on="f")
             .selectExpr(id_col, "__lbl__",
                         f"CAST(ROUND((ln(CAST(cfc AS DOUBLE) + {kd}) - "
                         f"ln({kd})) * {scale}) AS BIGINT) AS __lift_u__")
-            .groupBy(id_col, "__lbl__")
+            .groupBy(qcol(id_col), "__lbl__")
             .agg(F.sum("__lift_u__").alias("s1")))
     dense = (nf.crossJoin(F.broadcast(cls))
              .join(lift, on=[id_col, "__lbl__"], how="left")
@@ -1047,7 +1051,7 @@ def nb_classify(train: OmigoDF, score: OmigoDF, label_col: str,
                          "nb_classify: train set has no documents — "
                          "no classes to score against")))
                      .alias("__c__")))
-    out = (score.df.select(id_col)
+    out = (score.df.select(qcol(id_col))
            .crossJoin(F.broadcast(guard))
            .join(best, on=id_col, how="left")
            .selectExpr(id_col,

@@ -22,6 +22,8 @@ import random
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 from .text import (HASH_MOD, ensure_min_parallelism, hash_duck, hash_spark,
                    let_duck, let_spark)
@@ -37,8 +39,12 @@ SHINGLE_N = 3
 
 # ------------------------------------------------------------ expressions
 def _tokens(dialect: str, col: str) -> str:
+    # spark side QUOTES the name (this expr receives real user column
+    # names; dots/backticks would parse — r13 hostile-name sweep). The
+    # duck side serves the fixed-name oracle views.
     if dialect == "spark":
-        return f"filter(split({col}, ' +'), x -> x != '')"
+        from ..core.colutils import quote
+        return f"filter(split({quote(col)}, ' +'), x -> x != '')"
     return f"list_filter(string_split_regex({col}, ' +'), x -> x != '')"
 
 
@@ -119,9 +125,11 @@ def dedup_exact(odf: OmigoDF, cols, keep_col: str = "doc_id") -> OmigoDF:
     """Exact dedup: one row per distinct `cols` tuple, keeping the minimum
     keep_col (deterministic winner). Single hash-aggregate shuffle."""
     use = odf._resolve(cols)
+    # qcol, not the bracket accessor: df[c] PARSES the name (r13)
     return OmigoDF(
-        odf.df.groupBy(*[odf.df[c] for c in use])
-              .agg(F.min(keep_col).alias(keep_col), F.count(F.lit(1)).alias("dup_count")))
+        odf.df.groupBy(*[qcol(c) for c in use])
+              .agg(F.min(qcol(keep_col)).alias(keep_col),
+                   F.count(F.lit(1)).alias("dup_count")))
 
 
 def minhash_struct_expr(col: str = "text", k: int = NUM_HASHES,
@@ -198,11 +206,11 @@ def lsh_candidate_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
         key = F.concat_ws("_", *[F.col(f"mh_{b * rows_per_band + r}").cast("string")
                                  for r in range(rows_per_band)])
         structs.append(F.struct(F.lit(b).alias("band"), key.alias("band_key")))
-    all_bands = (sigs.select(F.col(id_col),
+    all_bands = (sigs.select(qcol(id_col),
                              F.explode(F.array(*structs)).alias("__bb__"))
                  .select(F.col("__bb__.band").alias("band"),
                          F.col("__bb__.band_key").alias("band_key"),
-                         F.col(id_col))
+                         qcol(id_col))
                  # '' key <=> every minhash in the band was NULL (the
                  # NULL-text case; real keys are '_'-joined bigints) —
                  # see the docstring's quadratic-bucket rationale
@@ -331,7 +339,7 @@ def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
     # sample_n_per_group guard pattern).
     if check_unique:
         stats = df.agg(F.count(F.lit(1)).alias("n"),
-                       F.count_distinct(F.col(id_col)).alias("d")).first()
+                       F.count_distinct(qcol(id_col)).alias("d")).first()
         if stats["n"] != stats["d"]:
             import warnings
             warnings.warn(
@@ -357,16 +365,16 @@ def duplicate_span_stats(odf: OmigoDF, id_col: str = "doc_id",
         dup = (grp.agg(F.count(F.lit(1)).alias("__c__"))
                .where(F.col("__c__") >= 2).select("key"))
     hits = pos.join(dup, on="key", how="leftsemi")
-    w = Window.partitionBy(id_col).orderBy("pos")
+    w = Window.partitionBy(qcol(id_col)).orderBy("pos")
     cov = (hits
            .withColumn("__cover__",
                        F.least(F.lit(n),
                                F.coalesce(F.lead("pos").over(w) - F.col("pos"),
                                           F.lit(n))))
-           .groupBy(id_col)
+           .groupBy(qcol(id_col))
            .agg(F.count(F.lit(1)).alias("dup_spans"),
                 F.sum("__cover__").cast("bigint").alias("dup_tokens")))
-    out = (base.select(id_col, "n_tokens")
+    out = (base.select(qcol(id_col), "n_tokens")
            .join(cov, on=id_col, how="left")
            .selectExpr(id_col, "n_tokens",
                        "COALESCE(dup_spans, 0L) AS dup_spans",
@@ -411,7 +419,7 @@ def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
     df = ensure_min_parallelism(odf.df)
     if check_unique:
         stats = df.agg(F.count(F.lit(1)).alias("n"),
-                       F.count_distinct(F.col(id_col)).alias("d")).first()
+                       F.count_distinct(qcol(id_col)).alias("d")).first()
         if stats["n"] != stats["d"]:
             raise ValueError(
                 f"remove_duplicate_spans: id_col '{id_col}' does not "
@@ -427,8 +435,8 @@ def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
            .where(F.col("__own__") != F.col("__mx__"))
            .select("key", "__own__"))
     rm = (pos.join(own, on="key")
-          .where(F.col(id_col) != F.col("__own__"))
-          .groupBy(id_col)
+          .where(qcol(id_col) != F.col("__own__"))
+          .groupBy(qcol(id_col))
           .agg(F.collect_list("pos").alias("__starts__")))
     j = df.join(rm, on=id_col, how="left")
     # token i is removed iff some start s in [i-n+1, i] is in the starts
@@ -445,13 +453,12 @@ def remove_duplicate_spans(odf: OmigoDF, id_col: str = "doc_id",
                   let_spark(kept, "k0",
                             "struct(concat_ws(' ', k0) AS txt, "
                             "size(t0) - size(k0) AS rm)")))
-    out = j.selectExpr(
-        *[c for c in df.columns if c != col],
-        f"{cleaned} AS __c__"
-    ).selectExpr(
-        *[c for c in df.columns if c != col],
-        f"__c__.txt AS {col}",
-        "CAST(__c__.rm AS BIGINT) AS removed_tokens")
+    keep = [c for c in df.columns if c != col]
+    out = (j.select(*[qcol(c) for c in keep], F.expr(cleaned).alias("__c__"))
+           .select(*[qcol(c) for c in keep],
+                   F.col("__c__.txt").alias(col),
+                   F.col("__c__.rm").cast("bigint")
+                   .alias("removed_tokens")))
     return OmigoDF(out)
 
 
@@ -562,12 +569,12 @@ def ngram_jaccard_pairs(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     job costs one partial agg over data the self-join reads anyway;
     pass None to opt out and leave the plan untouched."""
     base = ensure_min_parallelism(odf.df).select(
-        F.col(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
+        qcol(id_col), F.expr(_shingles_spark(col, n)).alias("sh"))
     base = base.withColumn("sh_n", F.size("sh"))
     # the exploded (id, shingle) projection feeds the DF-cap count and
     # BOTH self-join sides — checkpoint it so tokenization+explode run
     # once, not three times
-    ex = (base.select(id_col, "sh_n", F.explode("sh").alias("s"))
+    ex = (base.select(qcol(id_col), "sh_n", F.explode("sh").alias("s"))
           .localCheckpoint(eager=False))
     if max_shingle_df is not None:
         hot = (ex.groupBy("s").agg(F.count(F.lit(1)).alias("__df__"))
@@ -626,7 +633,7 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
     # removal; None skips the wasted full-plan driver job it used to pay)
     dim = None
     base = (ensure_min_parallelism(odf.df)
-            .select(F.col(id_col), F.col(vec_col).alias("__v__"),
+            .select(qcol(id_col), qcol(vec_col).alias("__v__"),
                     F.expr(_norm_expr(f"`{vec_col}`", dim)).alias("__n__"))
             # zero-norm vectors have no defined cosine and can never
             # pass a positive threshold — and under Spark 4's default
@@ -642,9 +649,9 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
             .where((F.col("__n__") > 0)
                    & (F.col("__n__") - F.col("__n__") == 0)))
     if method == "exact":
-        a = base.select(F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
+        a = base.select(qcol(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
                         F.col("__n__").alias("__na__"))
-        b = base.select(F.col(id_col).alias("id_b"), F.col("__v__").alias("__vb__"),
+        b = base.select(qcol(id_col).alias("id_b"), F.col("__v__").alias("__vb__"),
                         F.col("__n__").alias("__nb__"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
@@ -652,11 +659,11 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
         # vectors, so materializing it costs more than re-running the
         # BLAS-vectorized bucket UDF on each join side (measured 2-6x
         # slower with a localCheckpoint here)
-        ex = base.select(id_col, "__v__", "__n__",
+        ex = base.select(qcol(id_col), "__v__", "__n__",
                          F.explode(_buckets_col("__v__")).alias("bucket"))
-        a = ex.select("bucket", F.col(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
+        a = ex.select("bucket", qcol(id_col).alias("id_a"), F.col("__v__").alias("__va__"),
                       F.col("__n__").alias("__na__"))
-        b = ex.select("bucket", F.col(id_col).alias("id_b"), F.col("__v__").alias("__vb__"),
+        b = ex.select("bucket", qcol(id_col).alias("id_b"), F.col("__v__").alias("__vb__"),
                       F.col("__n__").alias("__nb__"))
         pairs = (a.join(b, on=[a["bucket"] == b["bucket"], F.col("id_a") < F.col("id_b")])
                  .select("id_a", "id_b", "__va__", "__na__", "__vb__", "__nb__")
@@ -707,9 +714,9 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
         raise ValueError(
             f"connected_components: on_nonconverged={on_nonconverged!r}")
     e = pairs.df if isinstance(pairs, OmigoDF) else pairs
-    edges = (e.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-              .unionByName(e.select(F.col(id_b).alias("src"),
-                                    F.col(id_a).alias("dst")))
+    edges = (e.select(qcol(id_a).alias("src"), qcol(id_b).alias("dst"))
+              .unionByName(e.select(qcol(id_b).alias("src"),
+                                    qcol(id_a).alias("dst")))
               .distinct().localCheckpoint(eager=True))
     labels = (edges.select(F.col("src").alias("id"))
               .distinct().withColumn("lab", F.col("id"))
@@ -777,13 +784,13 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
         raise ValueError(
             f"connected_components_star: on_nonconverged={on_nonconverged!r}")
     e0 = pairs.df if isinstance(pairs, OmigoDF) else pairs
-    nodes = (e0.select(F.col(id_a).alias("id"))
-             .unionByName(e0.select(F.col(id_b).alias("id"))).distinct()
+    nodes = (e0.select(qcol(id_a).alias("id"))
+             .unionByName(e0.select(qcol(id_b).alias("id"))).distinct()
              .localCheckpoint(eager=False))
     # symmetric, loop-free working edge list
-    e = (e0.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-         .unionByName(e0.select(F.col(id_b).alias("u"),
-                                F.col(id_a).alias("v")))
+    e = (e0.select(qcol(id_a).alias("u"), qcol(id_b).alias("v"))
+         .unionByName(e0.select(qcol(id_b).alias("u"),
+                                qcol(id_a).alias("v")))
          .where(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
 
@@ -863,8 +870,8 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
         mapping = _exact_rep_mapping(odf.df, id_col, col) \
             .localCheckpoint(eager=False)
         rep_rows = OmigoDF(odf.df.join(
-            mapping.where(F.col(id_col) == F.col("__rep__"))
-                   .select(id_col), id_col, "left_semi"))
+            mapping.where(qcol(id_col) == F.col("__rep__"))
+                   .select(qcol(id_col)), id_col, "left_semi"))
         verified = OmigoDF(_verified_dup_pairs(rep_rows, id_col, col,
                                                threshold))
         cc_fn = (connected_components_star if algorithm == "star"
@@ -875,7 +882,7 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
                .join(cc, on="__rep__", how="left")
                .withColumn("cluster_id",
                            F.coalesce(F.col("cluster_id"),
-                                      F.col("__rep__"), F.col(id_col)))
+                                      F.col("__rep__"), qcol(id_col)))
                .drop("__rep__"))
         return OmigoDF(out)
     verified = OmigoDF(_verified_dup_pairs(odf, id_col, col, threshold))
@@ -884,7 +891,7 @@ def cluster_near_dups(odf: OmigoDF, id_col: str = "doc_id",
     cc = cc_fn(verified).df.withColumnRenamed("id", id_col)
     out = (odf.df.join(cc, on=id_col, how="left")
            .withColumn("cluster_id",
-                       F.coalesce(F.col("cluster_id"), F.col(id_col))))
+                       F.coalesce(F.col("cluster_id"), qcol(id_col))))
     return OmigoDF(out)
 
 
@@ -944,7 +951,7 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
                              cluster_col=cluster_col)
     # norms hoisted out of the pair loop (same trick as embedding_dup_pairs)
     base = (assigned.df
-            .select(F.col(id_col), F.col(cluster_col),
+            .select(qcol(id_col), qcol(cluster_col),
                     F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__v__"),
                     F.expr(_norm_expr(f"`{vec_col}`")).alias("__n__"))
             # zero-norm rows can't cosine-match (and ANSI division would
@@ -957,16 +964,16 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
             .where((F.col("__n__") > 0)
                    & (F.col("__n__") - F.col("__n__") == 0))
             .localCheckpoint(eager=False))
-    a = base.select(F.col(cluster_col), F.col(id_col),
+    a = base.select(qcol(cluster_col), qcol(id_col),
                     F.col("__v__").alias("__va__"), F.col("__n__").alias("__na__"))
-    b = base.select(F.col(cluster_col), F.col(id_col).alias("__idb__"),
+    b = base.select(qcol(cluster_col), qcol(id_col).alias("__idb__"),
                     F.col("__v__").alias("__vb__"), F.col("__n__").alias("__nb__"))
     cos = F.round(F.expr(_dot_expr("__va__", "__vb__"))
                   / (F.col("__na__") * F.col("__nb__")), precision)
     dropped = (a.join(b, on=cluster_col)
-               .where(F.col("__idb__") < F.col(id_col))
+               .where(F.col("__idb__") < qcol(id_col))
                .where(cos >= threshold)
-               .select(F.col(id_col)).distinct())
+               .select(qcol(id_col)).distinct())
     return OmigoDF(assigned.df.join(dropped, on=id_col, how="left_anti"))
 
 
@@ -981,7 +988,7 @@ def _verified_dup_pairs(odf: OmigoDF, id_col: str, col: str,
     >= 1 shingle."""
     cands = lsh_candidate_pairs(odf, id_col, col).df
     sh = (ensure_min_parallelism(odf.df)
-          .select(F.col(id_col), F.expr(_shingles_spark(col)).alias("sh"))
+          .select(qcol(id_col), F.expr(_shingles_spark(col)).alias("sh"))
           .localCheckpoint(eager=False))
     j = (cands
          .join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -1008,14 +1015,14 @@ def _exact_rep_mapping(df, id_col: str, col: str):
     unrelated xxhash64 simultaneously has no known construction.
     F.concat (not concat_ws) so a NULL text NULL-propagates through
     the fingerprint and the isNotNull screen still excludes it."""
-    fp = F.concat(F.md5(F.col(col)), F.lit("|"),
-                  F.xxhash64(F.col(col)).cast("string"), F.lit("|"),
-                  F.length(F.col(col)).cast("string"))
+    fp = F.concat(F.md5(qcol(col)), F.lit("|"),
+                  F.xxhash64(qcol(col)).cast("string"), F.lit("|"),
+                  F.length(qcol(col)).cast("string"))
     w = Window.partitionBy("__fp__")
-    return (df.select(F.col(id_col), fp.alias("__fp__"))
+    return (df.select(qcol(id_col), fp.alias("__fp__"))
             .where(F.col("__fp__").isNotNull())
             .withColumn("__rep__", F.min(id_col).over(w))
-            .select(id_col, "__rep__"))
+            .select(qcol(id_col), "__rep__"))
 
 
 COLLAPSE_MIN_DUP_FRAC = 0.05
@@ -1056,7 +1063,7 @@ def _should_collapse(df, col: str, collapse_exact, threshold) -> bool:
         return False
     if collapse_exact is True:
         return True
-    s = (df.select(F.md5(F.col(col)).alias("__fp__"))
+    s = (df.select(F.md5(qcol(col)).alias("__fp__"))
          .where(F.col("__fp__").isNotNull())
          .sample(fraction=_COLLAPSE_CENSUS_FRACTION, seed=20260816))
     stats = s.agg(F.count(F.lit(1)).alias("n"),
@@ -1089,13 +1096,13 @@ def dedup_near(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     if _should_collapse(df, col, collapse_exact, threshold):
         mapping = _exact_rep_mapping(df, id_col, col) \
             .localCheckpoint(eager=False)
-        reps = mapping.where(F.col(id_col) == F.col("__rep__")) \
-                      .select(id_col)
+        reps = mapping.where(qcol(id_col) == F.col("__rep__")) \
+                      .select(qcol(id_col))
         rep_rows = OmigoDF(df.join(reps, id_col, "left_semi"))
         dup_reps = (_verified_dup_pairs(rep_rows, id_col, col, threshold)
                     .select(F.col("id_b").alias(id_col)))
-        non_reps = mapping.where(F.col(id_col) != F.col("__rep__")) \
-                          .select(id_col)
+        non_reps = mapping.where(qcol(id_col) != F.col("__rep__")) \
+                          .select(qcol(id_col))
         dropped = dup_reps.unionByName(non_reps).distinct()
         return OmigoDF(df.join(dropped, on=id_col, how="left_anti"))
     dup_ids = (_verified_dup_pairs(odf, id_col, col, threshold)

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.compat import warn
 from ..core.dataframe import OmigoDF
 
@@ -45,7 +47,7 @@ MAX_DOT_LINES = 50_000
 def _kv_expr(col: str, show_key: bool, max_len: int | None):
     """One ``[k = v]`` / ``[v]`` attribute chunk (graphviz_ext.py:52-72):
     NULL when the value is empty, truncated to max_len with ``...``."""
-    v = F.coalesce(F.col(col).cast("string"), F.lit(""))
+    v = F.coalesce(qcol(col).cast("string"), F.lit(""))
     kv = (F.concat(F.lit(f"[{col} = "), v, F.lit("]")) if show_key
           else F.concat(F.lit("["), v, F.lit("]")))
     if max_len is not None:
@@ -86,9 +88,9 @@ def dot_lines(vdf: OmigoDF, edf: OmigoDF, vertex_id_col: str,
 
     v = vdf.df
     e = edf.df
-    vid = F.col(vertex_id_col).cast("string")
-    src = F.col(src_col).cast("string")
-    dst = F.col(dst_col).cast("string")
+    vid = qcol(vertex_id_col).cast("string")
+    src = qcol(src_col).cast("string")
+    dst = qcol(dst_col).cast("string")
 
     if validate:
         # graphviz_ext.py:148-175 — duplicate vertex ids, edge endpoints
@@ -136,7 +138,7 @@ def dot_lines(vdf: OmigoDF, edf: OmigoDF, vertex_id_col: str,
                         dst == F.col("__dst_ok"), "left_semi"))
 
     # ---- vertex lines (graphviz_ext.py:35-80) ----
-    disp = F.coalesce(F.col(vertex_display_id_col).cast("string"), F.lit(""))
+    disp = F.coalesce(qcol(vertex_display_id_col).cast("string"), F.lit(""))
     disp = F.when(disp == "", vid).otherwise(disp)  # empty → fallback to id
     parts = [disp]
     for p in (node_props or []):
@@ -145,7 +147,7 @@ def dot_lines(vdf: OmigoDF, edf: OmigoDF, vertex_id_col: str,
             max_len))
     label = F.array_join(F.filter(F.array(*parts),
                                   lambda x: x.isNotNull()), "\n")
-    style_bits = [F.col(c).cast("string") for c in (style_cols or [])]
+    style_bits = [qcol(c).cast("string") for c in (style_cols or [])]
     style_str = ", ".join(f'"{k}" = "{x}"' for k, x in sp.items())
     style_expr = (F.concat_ws(", ", *style_bits, F.lit(style_str))
                   if style_bits else F.lit(style_str))

@@ -43,6 +43,8 @@ import warnings
 
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 from .text import ensure_min_parallelism
 
@@ -82,8 +84,10 @@ def _warn_if_skewed(n_unsafe: int, n_total: int, frac: float,
 
 def _grams_expr(col: str, q: int) -> str:
     """Positional q-grams: array of (gram, pos) structs, pos 1-based."""
-    return (f"transform(sequence(1, greatest(length({col}) - {q - 1}, 0)), "
-            f"i -> named_struct('g', substring({col}, i, {q}), 'p', i))")
+    from ..core.colutils import quote
+    qc = quote(col)
+    return (f"transform(sequence(1, greatest(length({qc}) - {q - 1}, 0)), "
+            f"i -> named_struct('g', substring({qc}, i, {q}), 'p', i))")
 
 
 def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
@@ -134,9 +138,9 @@ def fuzzy_pairs(odf: OmigoDF, id_col: str, col: str,
     d, qq = int(max_dist), int(q)
     guard_off = hot_gram_cap is not None and int(hot_gram_cap) == 0
     base = (ensure_min_parallelism(odf.df)
-            .select(F.col(id_col).alias("__id__"),
-                    F.col(col).cast("string").alias("__s__"),
-                    F.length(F.col(col).cast("string")).alias("__l__"))
+            .select(qcol(id_col).alias("__id__"),
+                    qcol(col).cast("string").alias("__s__"),
+                    F.length(qcol(col).cast("string")).alias("__l__"))
             .where(F.col("__s__").isNotNull())
             .localCheckpoint(eager=False))
 
@@ -337,7 +341,7 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
 
     def prep(odf, colname, side):
         return (ensure_min_parallelism(odf.df)
-                .withColumn(f"__s{side}__", F.col(colname).cast("string"))
+                .withColumn(f"__s{side}__", qcol(colname).cast("string"))
                 .withColumn(f"__l{side}__", F.length(f"__s{side}__"))
                 .where(F.col(f"__s{side}__").isNotNull())
                 .withColumn(f"__k{side}__",
@@ -354,7 +358,7 @@ def fuzzy_join(left: OmigoDF, right: OmigoDF, left_col: str, right_col: str,
         # complete with the gram join + the shorts buckets alone.
         def all_ex(side_df, k, l, s):
             return (side_df
-                    .withColumn("__r__", F.col(l) - F.lit(qq - 1))
+                    .withColumn("__r__", qcol(l) - F.lit(qq - 1))
                     .select(k, l, "__r__",
                             F.explode(F.expr(_grams_expr(s, qq)))
                             .alias("gp")))

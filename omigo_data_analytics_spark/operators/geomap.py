@@ -20,6 +20,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 
 #: geomap_viz.py:21 — WGS84 semi-major axis used by the reference.
@@ -63,8 +65,8 @@ def geomap_prepare(xdf: OmigoDF, lat_col: str, lon_col: str,
     display_cols_mp.setdefault(lon_col, "Longitude")
 
     df = xdf.df.select(*display_cols_mp.keys())
-    lat = F.col(lat_col).try_cast("double")
-    lon = F.col(lon_col).try_cast("double")
+    lat = qcol(lat_col).try_cast("double")
+    lon = qcol(lon_col).try_cast("double")
     # is_nonempty_str + is_nonzero_float ×2 (geomap_viz.py:41-45)
     df = df.where(lat.isNotNull() & lon.isNotNull()
                   & (lat != 0.0) & (lon != 0.0)).distinct()

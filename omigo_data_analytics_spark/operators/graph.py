@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 
 
@@ -80,7 +82,7 @@ def _encode_vcol(df: DataFrame, vdict: DataFrame, col: str,
     cols = df.columns
     d = vdict.withColumnRenamed("__node__", col)
     return (df.join(F.broadcast(d) if small else d, col)
-              .select(*[F.col("__vid__").alias(c) if c == col else F.col(c)
+              .select(*[F.col("__vid__").alias(c) if c == col else qcol(c)
                         for c in cols]))
 
 
@@ -90,7 +92,7 @@ def _decode_vcol(df: DataFrame, vdict: DataFrame, col: str,
     cols = df.columns
     d = vdict.withColumnRenamed("__vid__", col)
     return (df.join(F.broadcast(d) if small else d, col)
-              .select(*[F.col("__node__").alias(c) if c == col else F.col(c)
+              .select(*[F.col("__node__").alias(c) if c == col else qcol(c)
                         for c in cols]))
 
 
@@ -111,8 +113,8 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
     # checkpoint the edge projection once: every BFS level joins against it,
     # and without the barrier the upstream plan (unions/distinct of the
     # caller's edge construction) would re-execute per iteration
-    e = _df(edges).select(F.col(src_col).alias("src"),
-                          F.col(dst_col).alias("dst"))
+    e = _df(edges).select(qcol(src_col).alias("src"),
+                          qcol(dst_col).alias("dst"))
     spark = e.sparkSession
     if isinstance(seed_vertices, (list, tuple)):
         seeds = spark.createDataFrame([(v,) for v in seed_vertices], ["node_id"])
@@ -182,9 +184,9 @@ def degrees(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:
     carrying both directions (groupBy groups NULLs), where the full
     outer join emitted two separate NULL rows (NULL keys never match)."""
     e = _df(edges)
-    u = (e.select(F.col(src_col).alias("node_id"),
+    u = (e.select(qcol(src_col).alias("node_id"),
                   F.lit(1).alias("__o__"), F.lit(0).alias("__i__"))
-         .unionByName(e.select(F.col(dst_col).alias("node_id"),
+         .unionByName(e.select(qcol(dst_col).alias("node_id"),
                                F.lit(0).alias("__o__"),
                                F.lit(1).alias("__i__"))))
     return OmigoDF(u.groupBy("node_id")
@@ -204,8 +206,8 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     wide ids, since |R| grows toward V x avg-ancestry pairs, every one
     carrying BOTH ids through every round's shuffle.
     """
-    e = _df(edges).select(F.col(src_col).alias("anc"),
-                          F.col(dst_col).alias("node_id"))
+    e = _df(edges).select(qcol(src_col).alias("anc"),
+                          qcol(dst_col).alias("node_id"))
     vdict = None
     if encode_vertices:
         e = e.localCheckpoint()
@@ -270,7 +272,7 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     dst_type = e.schema[dst_col].dataType
     if keep_vertices is None or (isinstance(keep_vertices, (list, tuple))
                                  and len(keep_vertices) == 0):
-        keep = (e.select(F.col(dst_col).alias("node_id")).limit(0)
+        keep = (e.select(qcol(dst_col).alias("node_id")).limit(0)
                  .select(F.col("node_id").cast(dst_type).alias("node_id")))
     elif isinstance(keep_vertices, (list, tuple)):
         keep = spark.createDataFrame([(v,) for v in keep_vertices], ["node_id"])
@@ -280,7 +282,7 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     cur = e
     prev_n = cur.count()
     for _ in range(max_iter):
-        srcs = cur.select(F.col(src_col).alias("node_id")).distinct()
+        srcs = cur.select(qcol(src_col).alias("node_id")).distinct()
         protected = srcs.unionByName(keep).distinct()
         pruned = cur.join(protected.withColumnRenamed("node_id", dst_col),
                           dst_col, "left_semi").localCheckpoint()
@@ -315,8 +317,8 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
 
     ``encode_vertices=True`` runs the whole loop (pre-grouping included)
     over dictionary-encoded BIGINT ids — see _vertex_dict."""
-    e = _df(edges).select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
-                          F.col(ts_col).alias("ts"))
+    e = _df(edges).select(qcol(src_col).alias("src"), qcol(dst_col).alias("dst"),
+                          qcol(ts_col).alias("ts"))
     vdict = None
     if encode_vertices:
         # encode BEFORE the pre-grouping so even that first corpus-sized
@@ -417,13 +419,13 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     # projections — no exchange reuse is possible, so without a barrier
     # the plan scans the input four times (measured: 4 parquet scans)
     e = _df(edges).localCheckpoint()
-    srcs = e.select(F.col(src_col).alias("n")).distinct()
+    srcs = e.select(qcol(src_col).alias("n")).distinct()
     leaves = (e.join(srcs, e[dst_col] == F.col("n"), "left_anti")
-              .select(F.col(dst_col).alias("leaf")).distinct())
+              .select(qcol(dst_col).alias("leaf")).distinct())
     parents = (e.join(leaves, e[dst_col] == F.col("leaf"))
                .groupBy("leaf")
                .agg(F.array_sort(
-                   F.collect_set(F.col(src_col).cast("string"))).alias("psig"))
+                   F.collect_set(qcol(src_col).cast("string"))).alias("psig"))
                .localCheckpoint())
     reps = parents.groupBy("psig").agg(F.min("leaf").alias("rep"))
     remap = parents.join(reps, on="psig").select("leaf", "rep")
@@ -442,11 +444,11 @@ def remove_cycles(edges, ts_col: str, src_col: str = "src",
     emit). Time-ordered DAG extraction (reference
     graph_traversal.py:288-342)."""
     e = _df(edges)
-    first_seen = e.groupBy(F.col(dst_col).alias("__node__")).agg(
+    first_seen = e.groupBy(qcol(dst_col).alias("__node__")).agg(
         F.min(ts_col).alias("__first_ts__"))
     out = (e.join(first_seen, e[src_col] == F.col("__node__"), "left")
             .where(F.col("__first_ts__").isNull()
-                   | (F.col(ts_col) >= F.col("__first_ts__")))
+                   | (qcol(ts_col) >= F.col("__first_ts__")))
             .select(*e.columns))
     return OmigoDF(out)
 
@@ -463,7 +465,7 @@ def get_bfs_levels(edf, vertex_ids, reverse_first: bool = False,
     the other; `reverse_first` flips the order, which only affects ties —
     we keep the minimum level per node, matching its first-win rule)."""
     e = _df(edf)
-    er = e.select(F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col),
+    er = e.select(qcol(dst_col).alias(src_col), qcol(src_col).alias(dst_col),
                   *[c for c in e.columns if c not in (src_col, dst_col)])
     first, second = (er, e) if reverse_first else (e, er)
     l1 = bfs_levels(first, vertex_ids, src_col, dst_col, max_iter).df
@@ -553,12 +555,12 @@ def apply_time_order_based_filter(vdf, edf, retain_vertex_ids,
     vertex, l if r does, r under strict ordering, and the edge with the
     infeasible flag otherwise. Returns (vdf', edf')."""
     e = _df(edf)
-    mm = (e.groupBy(src_col, dst_col)
-          .agg(F.min(F.col(ts_col).cast("long")).alias("ts_min"),
-               F.max(F.col(ts_col).cast("long")).alias("ts_max")))
-    left = mm.select(F.col(src_col).alias("l_src"), F.col(dst_col).alias("l_dst"),
+    mm = (e.groupBy(qcol(src_col), qcol(dst_col))
+          .agg(F.min(qcol(ts_col).cast("long")).alias("ts_min"),
+               F.max(qcol(ts_col).cast("long")).alias("ts_max")))
+    left = mm.select(qcol(src_col).alias("l_src"), qcol(dst_col).alias("l_dst"),
                      F.col("ts_min").alias("l_min"))
-    right = mm.select(F.col(src_col).alias("r_src"), F.col(dst_col).alias("r_dst"),
+    right = mm.select(qcol(src_col).alias("r_src"), qcol(dst_col).alias("r_dst"),
                       F.col("ts_max").alias("r_max"))
     spark = e.sparkSession
     rv = spark.createDataFrame([(str(v),) for v in retain_vertex_ids] or
@@ -585,8 +587,8 @@ def apply_time_order_based_filter(vdf, edf, retain_vertex_ids,
         excl = excl_r.unionByName(excl_l).distinct()
     e2 = e.join(excl, [src_col, dst_col], "left_anti")
     v = _df(vdf)
-    keep_nodes = (e2.select(F.col(src_col).alias("node_id"))
-                  .unionByName(e2.select(F.col(dst_col).alias("node_id"))).distinct())
+    keep_nodes = (e2.select(qcol(src_col).alias("node_id"))
+                  .unionByName(e2.select(qcol(dst_col).alias("node_id"))).distinct())
     v2 = v.join(keep_nodes, "node_id", "left_semi")
     return OmigoDF(v2), OmigoDF(e2)
 
@@ -616,7 +618,7 @@ def analysis_job(edges, ts_col: str, keep_vertices, seed_vertices,
     pruned = remove_dangling_edges(e0, keep_vertices, src_col, dst_col,
                                    max_iter=prune_max_iter)
     dag = remove_cycles(pruned, ts_col, src_col, dst_col)
-    ed = OmigoDF(dag.df.select(src_col, dst_col).distinct().localCheckpoint())
+    ed = OmigoDF(dag.df.select(qcol(src_col), qcol(dst_col)).distinct().localCheckpoint())
     lv = bfs_levels(ed, seed_vertices, src_col, dst_col, max_iter,
                     encode_vertices=encode_vertices).df
     anc_agg = (ancestors(ed, src_col, dst_col, max_iter,
@@ -625,8 +627,8 @@ def analysis_job(edges, ts_col: str, keep_vertices, seed_vertices,
                .agg(F.count(F.lit(1)).cast("long").alias("n_ancestors"),
                     F.concat_ws(",", F.array_sort(F.collect_set("ancestor")))
                     .alias("ancestors")))
-    nodes = (ed.df.select(F.col(src_col).alias("node_id"))
-             .unionByName(ed.df.select(F.col(dst_col).alias("node_id")))
+    nodes = (ed.df.select(qcol(src_col).alias("node_id"))
+             .unionByName(ed.df.select(qcol(dst_col).alias("node_id")))
              .distinct())
     out = (nodes.join(lv, "node_id", "left")
            .join(anc_agg, "node_id", "left")
@@ -658,9 +660,9 @@ def parent_hierarchy(edges, levels: int = 6, child_col: str = "child",
     # the parent map joins back once per level: checkpoint it so each
     # level reads the vertex-sized map instead of re-scanning (and
     # re-aggregating) the edge table `levels` times
-    pmap = (e.select(F.col(child_col).alias("__c__"),
-                     F.col(parent_col).alias("__p__"))
-            .where(F.col(child_col).isNotNull())
+    pmap = (e.select(qcol(child_col).alias("__c__"),
+                     qcol(parent_col).alias("__p__"))
+            .where(qcol(child_col).isNotNull())
             .groupBy("__c__").agg(F.min("__p__").alias("__p__"))
             ).localCheckpoint()
     out = pmap.select(F.col("__c__").alias("node_id"),

@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
                                StringType, StructField, StructType)
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 
 MEDIA_META_SCHEMA = StructType([
@@ -47,7 +49,7 @@ def attach_media_metadata(odf: OmigoDF, payload_col: str,
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
-        F.length(F.col(payload_col)).cast("int").alias("n_bytes"))
+        F.length(qcol(payload_col)).cast("int").alias("n_bytes"))
     return OmigoDF(odf.df.withColumn(meta_col, meta))
 
 

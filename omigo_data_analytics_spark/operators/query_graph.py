@@ -60,6 +60,8 @@ import logging
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 from .text import WS_RUN
 
@@ -229,22 +231,22 @@ class QueryNode:
         if id2_prefix:
             df = df.where(F.col("id2").startswith(id2_prefix))
         for col, values in self.filter_in_map.items():
-            df = df.where(F.col(col).isin(*sorted(values)))
+            df = df.where(qcol(col).isin(*sorted(values)))
         for col, values in self.filter_suffix_map.items():
             cond = None
             for v in sorted(values):
-                c = F.col(col).endswith(v)
+                c = qcol(col).endswith(v)
                 cond = c if cond is None else (cond | c)
             df = df.where(cond)
         for col, words in self.filter_word_all.items():
             df = self._sig_prefilter(df, col, [" ".join(sorted(words))])
-            toks = F.split(F.col(col), WS_RUN)
+            toks = F.split(qcol(col), WS_RUN)
             for w in sorted(words):
                 df = df.where(F.array_contains(toks, w))
         for col, values in self.filter_word_any.items():
             df = self._sig_prefilter(df, col, sorted(values))
             cond = None
-            toks = F.split(F.col(col), WS_RUN)
+            toks = F.split(qcol(col), WS_RUN)
             for v in sorted(values):
                 c = None
                 for w in v.split():
@@ -254,7 +256,7 @@ class QueryNode:
                     cond = c if cond is None else (cond | c)
             if cond is not None:
                 df = df.where(cond)
-        return df.select(*[F.col(c).alias(f"{self.name}_{c}")
+        return df.select(*[qcol(c).alias(f"{self.name}_{c}")
                            for c in self.select_list])
 
     def _sig_prefilter(self, df: DataFrame, col: str, phrases) -> DataFrame:
@@ -411,7 +413,7 @@ class QueryGraph:
                 if node.group_size_min >= 0:
                     keys = [f"{node.name}_{k}"
                             for k in ["id1", "id2"] + node.join_keys]
-                    w = Window.partitionBy(*keys)
+                    w = Window.partitionBy(*[qcol(k) for k in keys])
                     joined = (joined
                               .withColumn("__gs__", F.count(F.lit(1)).over(w))
                               .where(F.col("__gs__") >= node.group_size_min)

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 
 #: a sankey beyond this many nodes is unreadable; same guard-cap spirit
@@ -40,11 +42,11 @@ def sankey_links(xdf: OmigoDF, src_col: str, dst_col: str,
     onto the links as broadcasts.
     """
     df = xdf.df
-    src = F.col(src_col).cast("string").alias("src_label")
-    dst = F.col(dst_col).cast("string").alias("dst_label")
+    src = qcol(src_col).cast("string").alias("src_label")
+    dst = qcol(dst_col).cast("string").alias("dst_label")
     agg = (F.count(F.lit(1)) if value_col is None
-           else F.sum(F.col(value_col))).alias("value")
-    proj = [src, dst] + ([F.col(value_col)] if value_col else [])
+           else F.sum(qcol(value_col))).alias("value")
+    proj = [src, dst] + ([qcol(value_col)] if value_col else [])
     # NULL endpoints are dropped up front: row_number gives a NULL label
     # index 0, but its links never survive the equi-joins and sankey_data
     # omits None from the label list — every index would be off by one

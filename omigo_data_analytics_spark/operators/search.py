@@ -32,6 +32,8 @@ import hashlib
 
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol, quote
+
 from ..core.dataframe import OmigoDF
 from .text import (HASH_MOD, WS_RUN_DUCK, WS_RUN_SPARK,
                    ensure_min_parallelism, hash_spark, let_spark)
@@ -45,7 +47,7 @@ _SEP_PY = r"[:\\/,; -]"
 def _phrases_expr(col: str, phrase_len: int) -> str:
     """Sliding phrase list: split on the reference's separator class,
     keep words >= phrase_len, emit every phrase_len-char substring."""
-    words = f"filter(split({col}, '{_SEP_SPARK}'), w -> length(w) >= {phrase_len})"
+    words = f"filter(split({quote(col)}, '{_SEP_SPARK}'), w -> length(w) >= {phrase_len})"
     grams = (f"transform(sequence(1, length(w0) - {phrase_len - 1}), "
              f"i -> substring(w0, i, {phrase_len}))")
     return (f"flatten(transform({words}, w0 -> {grams}))")
@@ -107,7 +109,7 @@ def subset_filter(sig_col: str, qsig: list[int]):
     for wi, qw in enumerate(qsig):
         if qw == 0:
             continue
-        c = (F.element_at(F.col(sig_col), wi + 1).bitwiseAND(F.lit(qw))
+        c = (F.element_at(qcol(sig_col), wi + 1).bitwiseAND(F.lit(qw))
              == F.lit(qw))
         conds = c if conds is None else (conds & c)
     return conds if conds is not None else F.lit(True)
@@ -129,12 +131,12 @@ def bloom_substring_search(odf: OmigoDF, query: str, col: str = "text",
         tmp = "__search_bits__"
         df = ensure_min_parallelism(df).withColumn(tmp, sig)
         out = (df.filter(subset_filter(tmp, qsig))
-               .filter(F.instr(F.col(col), F.lit(query)) > 0)
+               .filter(F.instr(qcol(col), F.lit(query)) > 0)
                .drop(tmp))
     else:
         odf._resolve(sig_col)
         out = (df.filter(subset_filter(sig_col, qsig))
-               .filter(F.instr(F.col(col), F.lit(query)) > 0))
+               .filter(F.instr(qcol(col), F.lit(query)) > 0))
     return OmigoDF(out)
 
 
@@ -154,10 +156,10 @@ def _bm25_pairs(base, id_col: str, terms: list[str]):
     """Matched (doc, term) pairs with tf and doc length — the map-side
     heart of BM25: the IN-filter sits between the explode and the
     partial aggregation, so the shuffle carries matched pairs only."""
-    return (base.select(id_col, "dl",
+    return (base.select(qcol(id_col), "dl",
                         F.explode_outer("__toks__").alias("term"))
             .where(F.col("term").isin(terms))
-            .groupBy(id_col, "term")
+            .groupBy(qcol(id_col), "term")
             .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
 
 
@@ -211,9 +213,9 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
     # RE2's (DuckDB) does not, so \s broke parity on vertical-tab text
     # (r8 advice); neither side matches unicode spaces, as before.
     toks = (f"filter(split({'lower' if lowercase else ''}"
-            f"({col}), '{WS_RUN_SPARK}'), x -> x != '')")
+            f"({quote(col)}), '{WS_RUN_SPARK}'), x -> x != '')")
     base = (ensure_min_parallelism(odf.df)
-            .select(F.col(id_col), F.expr(toks).alias("__toks__"),
+            .select(qcol(id_col), F.expr(toks).alias("__toks__"),
                     F.expr(f"size({toks})").alias("dl")))
     stats = base.agg(F.count(F.lit(1)).alias("n"),
                      F.sum("dl").alias("total_dl"))
@@ -222,12 +224,12 @@ def bm25_rank(odf: OmigoDF, query: str, id_col: str = "doc_id",
     score = _bm25_score_sql(k1, b)
     sc = (tf.join(F.broadcast(df_), "term")
           .crossJoin(F.broadcast(stats))
-          .select(id_col, "term", F.expr(score).alias("score")))
-    out = (sc.groupBy(id_col)
+          .select(qcol(id_col), "term", F.expr(score).alias("score")))
+    out = (sc.groupBy(qcol(id_col))
            .agg(F.count(F.lit(1)).alias("n_terms_matched"),
                 F.sort_array(F.collect_list(F.struct("term", "score")))
                 .alias("__ts__"))
-           .select(id_col, "n_terms_matched",
+           .select(qcol(id_col), "n_terms_matched",
                    F.round(F.expr(
                        "aggregate(transform(__ts__, x -> x.score), 0D, "
                        "(a, x) -> a + x)"), 6).alias("bm25")))

@@ -22,6 +22,8 @@ import random
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol, quote
+
 from ..core.dataframe import OmigoDF
 
 _rng = random.Random(20260813)
@@ -67,7 +69,7 @@ def detect_dim(df, vec_col: str) -> int | None:
     expressions never needed dim; each API call was paying one wasted
     full-plan evaluation). Kept as a public helper for callers that
     want the dimension."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    row = df.select(F.size(qcol(vec_col)).alias("d")).first()
     return int(row["d"]) if row and row["d"] is not None and row["d"] > 0 else None
 
 
@@ -82,16 +84,16 @@ def cosine_topk(corpus: OmigoDF, queries: OmigoDF, k: int,
     """
     from .text import ensure_min_parallelism
     qid = query_id_col or id_col
-    q = queries.df.select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
-    c = ensure_min_parallelism(corpus.df).select(F.col(id_col), F.col(vec_col).alias("__cv__"))
+    q = queries.df.select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"))
+    c = ensure_min_parallelism(corpus.df).select(qcol(id_col), qcol(vec_col).alias("__cv__"))
     joined = c.crossJoin(F.broadcast(q))
     cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
-    scored = joined.select("query_id", id_col, cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    scored = joined.select("query_id", qcol(id_col), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), qcol(id_col).asc())
     return OmigoDF(
         scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)
-              .select("query_id", id_col, "rank", "cosine"))
+              .select("query_id", qcol(id_col), "rank", "cosine"))
 
 
 def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
@@ -155,7 +157,7 @@ def _buckets_col(vec_col: str, num_planes: int = NUM_PLANES,
         return pd.Series([next(vals) if m else None for m in mask],
                          dtype=object)
 
-    return _buckets(F.col(vec_col))
+    return _buckets(qcol(vec_col))
 
 
 def cosine_topk_lsh(corpus: OmigoDF, queries: OmigoDF, k: int,
@@ -173,25 +175,25 @@ def cosine_topk_lsh(corpus: OmigoDF, queries: OmigoDF, k: int,
     # probe buckets: per table, own bucket + each 1-bit flip (table offset
     # bits sit above the plane bits, so flips stay within the table)
     q = (queries.df
-         .select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"),
+         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"),
                  _buckets_col("__qv__", num_planes, num_tables).alias("__bs__"))
          .withColumn("bucket", F.explode(F.expr(
              f"flatten(transform(__bs__, b -> array(b, "
              + ", ".join(f"b ^ {1 << p}" for p in range(num_planes)) + ")))")))
          .drop("__bs__"))
     c = (ensure_min_parallelism(corpus.df)
-         .select(F.col(id_col), F.col(vec_col).alias("__cv__"),
+         .select(qcol(id_col), qcol(vec_col).alias("__cv__"),
                  _buckets_col("__cv__", num_planes, num_tables).alias("__bs__"))
          .withColumn("bucket", F.explode("__bs__")).drop("__bs__"))
     joined = c.join(F.broadcast(q), "bucket")
     cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
-    scored = joined.select("query_id", id_col, cos.alias("cosine")).dropDuplicates(
+    scored = joined.select("query_id", qcol(id_col), cos.alias("cosine")).dropDuplicates(
         ["query_id", id_col])
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), qcol(id_col).asc())
     return OmigoDF(
         scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)
-              .select("query_id", id_col, "rank", "cosine"))
+              .select("query_id", qcol(id_col), "rank", "cosine"))
 
 
 # ------------------------------------------------------------------- IVF
@@ -230,14 +232,14 @@ def ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
     vectors (ORDER BY id LIMIT C — reproducible and oracle-expressible).
     A k-means-refined list plugs in here unchanged; only this list is
     driver-resident, never the corpus."""
-    rows = (corpus.df.select(F.col(id_col), F.col(vec_col))
-            .where(F.col(vec_col).isNotNull())
+    rows = (corpus.df.select(qcol(id_col), qcol(vec_col))
+            .where(qcol(vec_col).isNotNull())
             # finite components only (x - x = 0 fails for NaN and ±Inf):
             # a NaN seed renders as the bare token `nan` in the centroid
             # literal (unparseable SQL) and would poison every cosine
             # (r11 extreme-values sweep)
             .where(F.expr(f"forall(`{vec_col}`, x -> x - x = 0.0D)"))
-            .orderBy(F.col(id_col)).limit(num_centroids).collect())
+            .orderBy(qcol(id_col)).limit(num_centroids).collect())
     if not rows:
         # without this, downstream centroid-literal expressions build an
         # empty array() typed VOID and every consumer (kmeans_assign,
@@ -297,23 +299,23 @@ def cosine_topk_ivf(corpus: OmigoDF, queries: OmigoDF, k: int,
         corpus, num_centroids, id_col, vec_col)
 
     c = (ensure_min_parallelism(corpus.df)
-         .select(F.col(id_col), F.col(vec_col).alias("__cv__"))
+         .select(qcol(id_col), qcol(vec_col).alias("__cv__"))
          .withColumn("__list__", F.expr(
              f"array_sort({_ivf_cands_expr('__cv__', cents)}, {_IVF_SORT})[0].id")))
     q = (queries.df
-         .select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
+         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"))
          .withColumn("__list__", F.explode(F.expr(
              f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents)}, "
              f"{_IVF_SORT}), 1, {int(nprobe)}), s -> s.id)"))))
 
     joined = c.join(F.broadcast(q), "__list__")
     cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
-    scored = joined.select("query_id", id_col, cos.alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    scored = joined.select("query_id", qcol(id_col), cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), qcol(id_col).asc())
     return OmigoDF(
         scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)
-              .select("query_id", id_col, "rank", "cosine"))
+              .select("query_id", qcol(id_col), "rank", "cosine"))
 
 
 # ------------------------------------------------------ persisted IVF index
@@ -364,7 +366,7 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
     corpus = spark.read.parquet(f"{path}/assignments")
 
     q = (queries.df
-         .select(F.col(qid).alias("query_id"), F.col(vec_col).alias("__qv__"))
+         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"))
          .withColumn("__list__", F.explode(F.expr(
              f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents)}, "
              f"{_IVF_SORT}), 1, {int(nprobe)}), s -> s.id)"))))
@@ -373,16 +375,16 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
     probed = sorted({int(r["__list__"]) for r in
                      q.select("__list__").distinct().collect()})
     c = (corpus.where(F.col("__list__").isin(probed))
-         .select("__list__", F.col(id_col), F.col(vec_col).alias("__cv__")))
+         .select("__list__", qcol(id_col), qcol(vec_col).alias("__cv__")))
     joined = c.join(F.broadcast(q), "__list__")
     cos = F.round(F.expr(cosine_expr("__cv__", "__qv__")), precision)
-    scored = joined.select("query_id", id_col, cos.alias("cosine"))
+    scored = joined.select("query_id", qcol(id_col), cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
-                                               F.col(id_col).asc())
+                                               qcol(id_col).asc())
     return OmigoDF(
         scored.withColumn("rank", F.row_number().over(w))
               .where(F.col("rank") <= k)
-              .select("query_id", id_col, "rank", "cosine"))
+              .select("query_id", qcol(id_col), "rank", "cosine"))
 
 
 # ------------------------------------------------- feature-hash embeddings
@@ -420,7 +422,7 @@ def hash_embeddings(odf: OmigoDF, col: str = "text",
     # coalesce: split(NULL) is NULL and would propagate to a dim-NULL
     # vector (diverging from the oracle's zero vector). WS_RUN class,
     # not \s: Java's \s includes U+000B, RE2's does not (r8 advice).
-    toks = (f"filter(split({lc}(coalesce(`{col}`, '')), '{WS_RUN_SPARK}'), "
+    toks = (f"filter(split({lc}(coalesce({quote(col)}, '')), '{WS_RUN_SPARK}'), "
             f"x -> x != '')")
     # one struct per token: bucket + sign (md5 computed once per token;
     # the per-bucket fold below then costs only integer compares)
@@ -524,7 +526,7 @@ def kmeans_centroids(corpus: OmigoDF, k: int = 8, iters: int = 2,
         df = df.sample(fraction=sample_fraction, seed=7)
     cents = ivf_centroids(OmigoDF(df), k, id_col, vec_col)
     base = (ensure_min_parallelism(df)
-            .select(F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__cv__"))
+            .select(F.expr(f"CAST({quote(vec_col)} AS ARRAY<DOUBLE>)").alias("__cv__"))
             # non-finite vectors are excluded from the model fit: the
             # micro-unit quantization CAST(ROUND(x*1e6) AS BIGINT) is an
             # ANSI overflow on NaN/Inf (both engines), and a corrupt

@@ -15,6 +15,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 
 
@@ -24,7 +26,7 @@ def _moments(odf: OmigoDF, col: str):
     addition is exact, so the moments are bit-identical regardless of
     partitioning — and reproducible by any engine (the DuckDB oracle
     mirrors this formula)."""
-    x = F.col(col).cast("double")
+    x = qcol(col).cast("double")
     r = odf.df.agg(
         F.count(x).alias("n"),
         F.sum(x.cast("decimal(38,10)")).alias("s1"),
@@ -127,9 +129,9 @@ def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
     """Two-sample Kolmogorov-Smirnov D statistic, computed distributedly:
     per-distinct-value side counts, then a two-phase prefix-sum ECDF scan
     (no global-order window — see _ks_d_distributed)."""
-    a = odf1.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
+    a = odf1.df.select(qcol(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(1))
-    b = odf2.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
+    b = odf2.df.select(qcol(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(2))
     n1 = a.count()
     n2 = b.count()
@@ -168,9 +170,9 @@ def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
     for moments+counts instead of 4, plus the distributed KS scan. The
     statistics are numerically identical to welch_ttest/ks_test (same
     exact-decimal formulas)."""
-    a = odf1.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
+    a = odf1.df.select(qcol(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(1))
-    b = odf2.df.select(F.col(col).cast("double").alias("x")).where("x IS NOT NULL") \
+    b = odf2.df.select(qcol(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(2))
     u = a.unionByName(b).localCheckpoint()
     x = F.col("x")

@@ -17,6 +17,7 @@ import re
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol, quote
 from ..core.dataframe import OmigoDF
 
 # ------------------------------------------------------------------ shared
@@ -152,7 +153,7 @@ def _metric_exprs(dialect: str, col: str = "text",
     `toks_override` lets the engine path substitute a materialized token
     array column (the formulas reference the token list many times)."""
     if dialect == "spark":
-        toks = toks_override or _TOKENS_SPARK.format(col=col)
+        toks = toks_override or _TOKENS_SPARK.format(col=quote(col))
         size, distinct = "size", "array_distinct"
         sumlen = f"aggregate({toks}, 0L, (a, x) -> a + length(x))"
 
@@ -220,7 +221,7 @@ def text_metrics(odf: OmigoDF, col: str = "text", metrics=None) -> OmigoDF:
     # inline() makes the metrics generator outputs real attributes: the
     # token array is let-bound (split once per row) and project-collapse
     # cannot duplicate the computation into each metric column.
-    gen = let_spark(_TOKENS_SPARK.format(col=col), "t0", struct)
+    gen = let_spark(_TOKENS_SPARK.format(col=quote(col)), "t0", struct)
     out = ensure_min_parallelism(odf.df).select("*", F.expr(f"inline(array({gen}))"))
     return OmigoDF(out)
 
@@ -257,7 +258,7 @@ def fingerprint(odf: OmigoDF, col: str = "text", new_col: str = "fingerprint",
         raise ValueError(
             f"fingerprint: case_fold must be 'full' or 'ascii', got "
             f"{case_fold!r}")
-    base = F.regexp_replace(F.trim(F.col(col)), WS_RUN, " ")
+    base = F.regexp_replace(F.trim(qcol(col)), WS_RUN, " ")
     norm = F.lower(base) if case_fold == "full" else \
         F.translate(base, _ASCII_UP, _ASCII_LO)
     return OmigoDF(odf.df.withColumn(new_col, F.md5(norm)))
@@ -307,7 +308,7 @@ def token_counts(odf: OmigoDF, col: str = "text", min_count: int = 1,
     for doc_freq computed from the same split), one hash aggregation on
     token — partial/final combine keeps the shuffle at vocabulary size,
     not corpus size. `min_count` prunes the long tail after the agg."""
-    toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
+    toks = F.split(F.lower(qcol(col)) if lowercase else qcol(col), " ")
     d = (ensure_min_parallelism(odf.df)
          .select(F.explode(toks).alias("token"),
                  F.lit(1).alias("__occ__"))
@@ -333,13 +334,13 @@ def tfidf_top_terms(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     equi-join on term (df side is vocabulary-sized — AQE broadcasts it
     for real corpora), then a per-doc window top-k. Shuffles carry
     (term) and (doc, term) tuples, never full documents."""
-    toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
+    toks = F.split(F.lower(qcol(col)) if lowercase else qcol(col), " ")
     base = ensure_min_parallelism(odf.df).select(
-        F.col(id_col), toks.alias("__toks__"))
+        qcol(id_col), toks.alias("__toks__"))
     n_docs = base.count()
-    tf = (base.select(id_col, F.explode("__toks__").alias("term"))
+    tf = (base.select(qcol(id_col), F.explode("__toks__").alias("term"))
           .where(F.col("term") != "")
-          .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+          .groupBy(qcol(id_col), "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = (base.select(F.explode(F.array_distinct("__toks__")).alias("term"))
            .where(F.col("term") != "")
            .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
@@ -348,11 +349,11 @@ def tfidf_top_terms(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
                           F.round(F.col("tf")
                                   * F.log(F.lit(float(n_docs)) / F.col("df")),
                                   6)))
-    w = Window.partitionBy(id_col).orderBy(
+    w = Window.partitionBy(qcol(id_col)).orderBy(
         F.col("tfidf").desc(), F.col("term").asc())
     out = (scored.withColumn("__rk__", F.row_number().over(w))
            .where(F.col("__rk__") <= k)
-           .select(id_col, "term", "tf", "df", "tfidf",
+           .select(qcol(id_col), "term", "tf", "df", "tfidf",
                    F.col("__rk__").alias("rank")))
     return OmigoDF(out)
 
@@ -377,12 +378,12 @@ def inverted_index(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     billion rows never cross the wire. Costs one extra corpus scan for
     the count (map-parallel, cheap at scale) — the straggler and the
     unbounded shuffle are gone. Output identical."""
-    toks = F.split(F.lower(F.col(col)) if lowercase else F.col(col), " ")
+    toks = F.split(F.lower(qcol(col)) if lowercase else qcol(col), " ")
     ex = (ensure_min_parallelism(odf.df)
           .select(F.explode(F.array_distinct(toks)).alias("term"),
-                  F.col(id_col))
+                  qcol(id_col))
           .where(F.col("term") != ""))
-    w_rank = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    w_rank = Window.partitionBy("term").orderBy(qcol(id_col).asc())
     ranked = (ex.withColumn("__rk__", F.row_number().over(w_rank))
               .where(F.col("__rk__") <= max_postings))
     dfreq = ex.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -423,7 +424,7 @@ def redact_pii(odf: OmigoDF, col: str = "text", new_col: str | None = None,
     out_col = new_col or col
     use = [(k, p) for k, p in PII_PATTERNS
            if kinds is None or k in set(kinds)]
-    expr = F.col(col)
+    expr = qcol(col)
     for kind, pat in use:
         expr = F.regexp_replace(expr, pat, f"<{kind.upper()}>")
     return OmigoDF(odf.df.withColumn(out_col, expr))
@@ -518,7 +519,7 @@ def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
     tie = F.concat_ws("\t", *[
         F.coalesce(d[c].cast("string"), F.lit("")) for c in gcols])
     per_bucket = (d.groupBy("__bkt__")
-                  .agg(F.sum(F.col(tks).cast("long")).alias("__btot__")))
+                  .agg(F.sum(qcol(tks).cast("long")).alias("__btot__")))
     woff = (Window.orderBy("__bkt__")
             .rowsBetween(Window.unboundedPreceding, -1))
     offsets = per_bucket.select(
@@ -530,7 +531,7 @@ def pack_sequences(odf: OmigoDF, token_col: str, budget: int,
     out = (d.join(F.broadcast(offsets), "__bkt__")
            .withColumn("__start__",
                        F.col("__boff__")
-                       + F.coalesce(F.sum(F.col(tks).cast("long")).over(win),
+                       + F.coalesce(F.sum(qcol(tks).cast("long")).over(win),
                                     F.lit(0)))
            .withColumn(bin_col,
                        F.floor(F.col("__start__") / F.lit(budget))
@@ -597,7 +598,7 @@ def token_estimate_exprs(dialect: str, col: str = "text",
     cps = f"CAST({chars_per_subword} AS DOUBLE)"
     if dialect == "spark":
         pat = BPE_PRETOKEN_RE.replace("\\", "\\\\").replace("'", "\\'")
-        arr = f"regexp_extract_all({col}, '{pat}', 0)"
+        arr = f"regexp_extract_all({quote(col)}, '{pat}', 0)"
         est = (f"aggregate(a0, 0L, (a, x) -> a + greatest(1L, "
                f"CAST(ceil(length(trim(x)) / {cps}) AS BIGINT)))")
         return {

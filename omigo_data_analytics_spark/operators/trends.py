@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.dataframe import OmigoDF
 
 
@@ -41,14 +43,14 @@ def category_distribution_stats(odf: OmigoDF, key_cols, value_col: str) -> Omigo
     the ``value_col`` categorical distribution."""
     keys = odf._resolve(key_cols)
     odf._resolve(value_col)
-    counts = (odf.df.groupBy(*keys, value_col)
+    counts = (odf.df.groupBy(*[qcol(k) for k in keys], qcol(value_col))
               .agg(F.count(F.lit(1)).alias("__c__")))
     # entropy = -sum(c/T * log2(c/T)) = log2(T) - sum(c*log2(c))/T
-    out = (counts.groupBy(*keys)
+    out = (counts.groupBy(*[qcol(k) for k in keys])
            .agg(F.sum("__c__").alias("total_count"),
                 F.count(F.lit(1)).alias("uniq_count"),
                 F.sum(F.col("__c__") * F.log2("__c__")).alias("__clc__"))
-           .select(*keys, "total_count", "uniq_count",
+           .select(*[qcol(k) for k in keys], "total_count", "uniq_count",
                    F.round(F.log2("total_count")
                            - F.col("__clc__") / F.col("total_count"), 6)
                    .alias("entropy")))
@@ -90,18 +92,18 @@ def distribution_drift(odf: OmigoDF, key_cols, bucket_col: str,
     neighbors in the engine and the oracle (r10 review)."""
     keys = odf._resolve(key_cols)
     odf._resolve([bucket_col, value_col])
-    counts = (odf.df.where(F.col(bucket_col).isNotNull())
-              .groupBy(*keys, bucket_col, value_col)
+    counts = (odf.df.where(qcol(bucket_col).isNotNull())
+              .groupBy(*[qcol(k) for k in keys], qcol(bucket_col), qcol(value_col))
               .agg(F.count(F.lit(1)).alias("cnt")))
-    norms = (counts.groupBy(*keys, bucket_col)
+    norms = (counts.groupBy(*[qcol(k) for k in keys], qcol(bucket_col))
              .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
                   F.count(F.lit(1)).alias("nvals"),
                   F.sum("cnt").alias("tot"),
                   F.sum(F.col("cnt") * F.log2("cnt")).alias("hterm")))
-    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(qcol(bucket_col))
     lead_cols = ["sq", "nvals", "tot", "hterm"]
     pairs = (norms
-             .select(*keys, bucket_col, *lead_cols,
+             .select(*[qcol(k) for k in keys], qcol(bucket_col), *lead_cols,
                      F.lead(bucket_col).over(w).alias("__bnext__"),
                      *[F.lead(c).over(w).alias(f"{c}2") for c in lead_cols])
              .where(F.col("__bnext__").isNotNull()))
@@ -128,8 +130,8 @@ def distribution_drift(odf: OmigoDF, key_cols, bucket_col: str,
     # pairs with zero shared values drop out of the join; re-attach them
     # with dot=0, matched=0 (and empty matched entropy terms) via a left
     # join from the pair list
-    dsel = dots.select(*[F.col(k).alias(f"__d_{k}__") for k in keys],
-                       F.col(bucket_col).alias("__d_b__"),
+    dsel = dots.select(*[qcol(k).alias(f"__d_{k}__") for k in keys],
+                       qcol(bucket_col).alias("__d_b__"),
                        F.col("bucket_next").alias("__d_bn__"),
                        "dot", "matched", "mterm", "fa_m", "fb_m")
     cond = [pairs[k] == dsel[f"__d_{k}__"] for k in keys]
@@ -270,10 +272,10 @@ def trend_scores(odf: OmigoDF, key_cols, bucket_col: str,
     distribution_drift)."""
     keys = odf._resolve(key_cols)
     odf._resolve(bucket_col)
-    counts = (odf.df.where(F.col(bucket_col).isNotNull())
-              .groupBy(*keys, bucket_col)
+    counts = (odf.df.where(qcol(bucket_col).isNotNull())
+              .groupBy(*[qcol(k) for k in keys], qcol(bucket_col))
               .agg(F.count(F.lit(1)).cast("double").alias("cnt")))
-    w = (Window.partitionBy(*keys).orderBy(bucket_col)
+    w = (Window.partitionBy(*[qcol(k) for k in keys]).orderBy(qcol(bucket_col))
          .rowsBetween(-learning_window, -1))
     with_arr = counts.withColumn("__arr__", F.collect_list("cnt").over(w))
     ex = _stats_exprs("spark", "s0")
@@ -291,7 +293,7 @@ def trend_scores(odf: OmigoDF, key_cols, bucket_col: str,
             f"'sd', sqrt({var_s}), "
             f"'mad', {ex['q_at'](0.75)} - {ex['q_at'](0.25)}) END"))
     scored = (with_arr.withColumn("__st__", F.expr(struct))
-              .select(*keys, bucket_col,
+              .select(*[qcol(k) for k in keys], qcol(bucket_col),
                       F.col("cnt").cast("long").alias("n_events"),
                       F.round(F.col("__st__.mean"), 6).alias("learning_mean"),
                       F.round(F.col("__st__.med"), 6).alias("learning_median"),
@@ -388,8 +390,8 @@ def sequence_stats(odf: OmigoDF, key_cols, seq_col: str, metric_cols,
     # ONE ordered struct array per key: every metric list is a slice of
     # the same (seq, metrics...) ordering, so prefix membership is
     # identical across metrics (and across engines)
-    fields = [F.col(seq_col).alias("k")] + \
-        [F.col(m).cast("double").alias(f"v{i}") for i, m in enumerate(mets)]
+    fields = [qcol(seq_col).alias("k")] + \
+        [qcol(m).cast("double").alias(f"v{i}") for i, m in enumerate(mets)]
     g = (odf.df.groupBy(*keys)
          .agg(F.sort_array(F.collect_list(F.struct(*fields))).alias("__sc__"),
               F.count(F.lit(1)).alias("__n__")))
@@ -421,7 +423,7 @@ def sequence_stats(odf: OmigoDF, key_cols, seq_col: str, metric_cols,
         st_cols.append(F.expr(struct).alias(f"__st_{i}__"))
     staged = e.select(*keys, "__sc__", "__pn__", "minus_window_value",
                       *st_cols)
-    out_cols = [*[F.col(k) for k in keys],
+    out_cols = [*[qcol(k) for k in keys],
                 F.col("minus_window_value").cast("long")
                 .alias("minus_window_value"),
                 F.col("__pn__").cast("long").alias("num_count")]

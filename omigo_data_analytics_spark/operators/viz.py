@@ -27,6 +27,8 @@ import math
 
 from pyspark.sql import functions as F
 
+from ..core.colutils import qcol
+
 from ..core.compat import warn
 from ..core.dataframe import OmigoDF
 
@@ -47,7 +49,7 @@ def _is_numeric(xdf: OmigoDF, col: str) -> bool:
     dt = dict(xdf.df.dtypes)[col]
     if dt in ("string", "binary"):
         r = xdf.df.select(
-            F.count(F.when((F.col(col).isNotNull()) & (F.col(col) != ""), 1)
+            F.count(F.when((qcol(col).isNotNull()) & (qcol(col) != ""), 1)
                     ).alias("n"),
             F.count(_numcol(xdf.df, col)).alias("k")).collect()[0]
         return r["n"] == r["k"] and r["n"] > 0
@@ -145,8 +147,8 @@ class VisualDF(OmigoDF):
         # but pivot keys on the raw cast where NULL stays NULL — the NULL
         # class's rows would vanish and a bogus all-zero '' series plot
         base = self.df.select(
-            F.col(xcol),
-            F.coalesce(F.col(class_col).cast("string"), F.lit(""))
+            qcol(xcol),
+            F.coalesce(qcol(class_col).cast("string"), F.lit(""))
             .alias(class_col),
             _numcol(self.df, ycol).alias(ycol))
         # reference aggregates duplicates with sumfloat (graph_ext.py:150-156);
@@ -196,9 +198,9 @@ class VisualDF(OmigoDF):
         df = self.df
         if not _is_numeric(self, xcol):
             # categorical fallback: per-value counts, top bins by frequency
-            gcols = ([F.col(class_col).cast("string").alias(class_col)]
+            gcols = ([qcol(class_col).cast("string").alias(class_col)]
                      if class_col else [])
-            pdf = (df.groupBy(F.col(xcol).cast("string").alias(xcol), *gcols)
+            pdf = (df.groupBy(qcol(xcol).cast("string").alias(xcol), *gcols)
                    .count().orderBy(F.desc("count")).limit(max(bins, 50) * 4)
                    .toPandas())
             spec = {"kind": "histogram", "x": xcol, "hue": class_col,
@@ -216,7 +218,7 @@ class VisualDF(OmigoDF):
         width = (hi - lo) / bins if hi > lo else 1.0
         bucket = F.least(F.floor((v - F.lit(lo)) / F.lit(width)),
                          F.lit(bins - 1)).cast("int")
-        gcols = ([F.col(class_col).cast("string").alias(class_col)]
+        gcols = ([qcol(class_col).cast("string").alias(class_col)]
                  if class_col else [])
         counts = (df.where(v.isNotNull())
                   .groupBy(bucket.alias("bucket"), *gcols)
@@ -240,7 +242,7 @@ class VisualDF(OmigoDF):
         qs = [i / (_ECDF_GRID - 1) for i in range(_ECDF_GRID)]
         agg = F.percentile(v, F.lit(qs)).alias("xs")
         if class_col:
-            rows = (df.groupBy(F.col(class_col).cast("string").alias(class_col))
+            rows = (df.groupBy(qcol(class_col).cast("string").alias(class_col))
                     .agg(agg).collect())
             # percentile over an all-NULL group returns NULL — skip the
             # curve instead of crashing list(None)
@@ -270,7 +272,7 @@ class VisualDF(OmigoDF):
         data = _cap_points(self.select(cols), len(cols))
         pdf = data.df.select(
             *[_numcol(data.df, c).alias(c) for c in ycols],
-            *([F.col(class_col).cast("string").alias(class_col)]
+            *([qcol(class_col).cast("string").alias(class_col)]
               if class_col else [])).toPandas()
         curves = {}
         groups = ([(h, pdf[pdf[class_col] == h]) for h in hue]
@@ -306,8 +308,8 @@ class VisualDF(OmigoDF):
                  f"Doing downsampling for clean display to max_rows: {max_rows}")
             data = data.sample_column_by_max_uniq_values(xcol, max_rows)
         df = data.df
-        gcols = [F.col(xcol).cast("string").alias(xcol)] + (
-            [F.col(class_col).cast("string").alias(class_col)] if class_col else [])
+        gcols = [qcol(xcol).cast("string").alias(xcol)] + (
+            [qcol(class_col).cast("string").alias(class_col)] if class_col else [])
         v = _numcol(df, ycol)
         pdf = (df.groupBy(*gcols)
                .agg(F.avg(v).alias(ycol), F.stddev(v).alias(f"{ycol}__sd"),
@@ -335,8 +337,8 @@ class VisualDF(OmigoDF):
             data = data.sample_column_by_max_uniq_values(xcol, max_rows)
         df = data.df
         v = _numcol(df, ycol)
-        gcols = [F.col(xcol).cast("string").alias(xcol)] + (
-            [F.col(class_col).cast("string").alias(class_col)] if class_col else [])
+        gcols = [qcol(xcol).cast("string").alias(xcol)] + (
+            [qcol(class_col).cast("string").alias(class_col)] if class_col else [])
         rows = (df.groupBy(*gcols)
                 .agg(F.percentile(v, F.lit([0.25, 0.5, 0.75])).alias("q"),
                      F.min(v).alias("lo"), F.max(v).alias("hi"),
@@ -410,7 +412,7 @@ class VisualDF(OmigoDF):
         data = _cap_points(self.select(sel), len(sel), cap=2000)
         pdf = data.df.select(
             *[_numcol(data.df, c).alias(c) for c in cols],
-            *([F.col(class_col).cast("string").alias(class_col)]
+            *([qcol(class_col).cast("string").alias(class_col)]
               if class_col else [])).toPandas()
         spec = {"kind": "pairplot", "cols": cols, "hue": class_col,
                 "hue_order": hue or None, "data": pdf, "title": title,

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..core.colutils import qcol
+
 from ..functions.aggs import agg_expr
 
 
@@ -99,11 +101,11 @@ def windowed_aggregate(sdf: DataFrame, ts_col: str, window_duration: str,
     agg_funcs = list(agg_funcs)
     win = (F.window(ts_col, window_duration, slide_duration)
            if slide_duration else F.window(ts_col, window_duration))
-    keys = [win.alias("__win__")] + [F.col(g) for g in (grouping_cols or [])]
+    keys = [win.alias("__win__")] + [qcol(g) for g in (grouping_cols or [])]
     exprs = []
     for c, fn in zip(agg_cols, agg_funcs):
         name = fn if isinstance(fn, str) else getattr(fn, "__name__", str(fn))
-        exprs.append(agg_expr(fn, F.col(c)).alias(f"{c}:{name}"))
+        exprs.append(agg_expr(fn, qcol(c)).alias(f"{c}:{name}"))
     out = (sdf.withWatermark(ts_col, watermark)
            .groupBy(*keys).agg(*exprs))
     return out.select(
@@ -117,9 +119,9 @@ def sessionize(sdf: DataFrame, key_col: str, ts_col: str, gap: str = "30 minutes
     """Session windows by inactivity gap: one output row per (key, session)
     with event count and session bounds."""
     return (sdf.withWatermark(ts_col, watermark)
-            .groupBy(F.session_window(ts_col, gap).alias("__s__"), F.col(key_col))
+            .groupBy(F.session_window(ts_col, gap).alias("__s__"), qcol(key_col))
             .agg(F.count(F.lit(1)).alias("n_events"))
-            .select(F.col(key_col),
+            .select(qcol(key_col),
                     F.col("__s__.start").alias("session_start"),
                     F.col("__s__.end").alias("session_end"),
                     "n_events"))
@@ -162,7 +164,7 @@ def running_counts(sdf: DataFrame, key_col: str,
         state.update((n,))
         yield __import__("pandas").DataFrame({"key": [key[0]], "total": [n]})
 
-    return (sdf.select(F.col(key_col).cast("string").alias("key"))
+    return (sdf.select(qcol(key_col).cast("string").alias("key"))
             .groupBy("key")
             .applyInPandasWithState(_update, outputStructType=out_schema,
                                     stateStructType=state_schema,
@@ -224,8 +226,8 @@ def stream_near_dup_candidates(sdf: DataFrame, id_col: str = "doc_id",
             "upstream, e.g. with generate_key_hash or add_seq_num")
     k = DD.NUM_HASHES
     sigs = sdf.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        *([F.col(ts_col).cast("timestamp").alias("__ts__")]
+        qcol(id_col).cast("long").alias("doc_id"),
+        *([qcol(ts_col).cast("timestamp").alias("__ts__")]
           if ts_col else []),
         F.expr(f"inline(array({DD.minhash_struct_expr(text_col)}))"))
     if ts_col:

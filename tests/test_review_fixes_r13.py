@@ -346,3 +346,47 @@ def test_range_join_hostile_column_names(spark):
                         "h`i.x", on=["k`ey.one"], bin_width=10.0).df
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["p`t.x"] == 5.0
+
+
+def test_operator_family_hostile_column_names(spark):
+    """r13 package-wide hostile-name sweep: dotted/backticked user column
+    names (JSON-flattened telemetry) through the operator families'
+    quoted entry points."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    from omigo_data_analytics_spark.operators import graph as G
+    from omigo_data_analytics_spark.operators import similarity as SIM
+    from omigo_data_analytics_spark.operators import text as TX
+    from omigo_data_analytics_spark.operators import trends as TR
+
+    did, dtxt = "doc.id`x", "te`xt.col"
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+         (3, "completely different words here")]).toDF(did, dtxt)
+    od = OmigoDF(docs)
+
+    m = TX.text_metrics(od, col=dtxt).df
+    assert m.count() == 3 and "token_count" in m.columns
+    ex = DD.dedup_exact(od, cols=[dtxt], keep_col=did).df
+    assert ex.count() == 2
+    tf = TX.tfidf_top_terms(od, id_col=did, col=dtxt, k=2).df
+    assert tf.count() > 0
+
+    vid, vcol = "vec.id`x", "em`b.x"
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])]).toDF(vid, vcol)
+    top = SIM.cosine_topk(OmigoDF(vecs), OmigoDF(vecs), k=2,
+                          id_col=vid, vec_col=vcol, query_id_col=vid).df
+    assert top.count() == 6
+
+    es, ed_ = "sr`c.x", "ds`t.x"
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")]).toDF(es, ed_)
+    lv = G.bfs_levels(OmigoDF(edges), ["a"], src_col=es, dst_col=ed_).df
+    assert {(r["node_id"], r["level"]) for r in lv.collect()} == \
+        {("a", 0), ("b", 1), ("c", 2)}
+
+    kk, vv = "gr`p.x", "va`l.x"
+    ev = spark.createDataFrame(
+        [("g", "x"), ("g", "x"), ("g", "y")]).toDF(kk, vv)
+    ds = TR.category_distribution_stats(OmigoDF(ev), [kk], vv).df
+    assert ds.count() == 1
