@@ -64,7 +64,7 @@ def geomap_prepare(xdf: OmigoDF, lat_col: str, lon_col: str,
     display_cols_mp.setdefault(lat_col, "Latitude")
     display_cols_mp.setdefault(lon_col, "Longitude")
 
-    df = xdf.df.select(*display_cols_mp.keys())
+    df = xdf.df.select(*[qcol(c) for c in display_cols_mp.keys()])
     lat = qcol(lat_col).try_cast("double")
     lon = qcol(lon_col).try_cast("double")
     # is_nonempty_str + is_nonzero_float ×2 (geomap_viz.py:41-45)

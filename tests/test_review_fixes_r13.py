@@ -390,3 +390,21 @@ def test_operator_family_hostile_column_names(spark):
         [("g", "x"), ("g", "x"), ("g", "y")]).toDF(kk, vv)
     ds = TR.category_distribution_stats(OmigoDF(ev), [kk], vv).df
     assert ds.count() == 1
+
+
+def test_viz_family_hostile_column_names(spark):
+    """hostile names through dot_lines / sankey_links / geomap_prepare."""
+    from omigo_data_analytics_spark.operators import dot as DOT
+    from omigo_data_analytics_spark.operators import geomap as GEO
+    from omigo_data_analytics_spark.operators import sankey as SK
+
+    vid, es, ed = "no`de.id", "sr`c.x", "ds`t.x"
+    v = spark.createDataFrame([("a",), ("b",), ("c",)]).toDF(vid)
+    e = spark.createDataFrame([("a", "b"), ("b", "c")]).toDF(es, ed)
+    lines = DOT.dot_lines(OmigoDF(v), OmigoDF(e), vid, es, ed)
+    txt = " ".join(str(x) for r in lines.df.collect() for x in r)
+    assert "->" in txt
+    assert SK.sankey_links(OmigoDF(e), es, ed).df.count() >= 1
+    g = spark.createDataFrame([(10.0, 20.0)]).toDF("la`t.x", "lo`n.x")
+    assert GEO.geomap_prepare(OmigoDF(g), lat_col="la`t.x",
+                              lon_col="lo`n.x").df.count() == 1
