@@ -714,13 +714,16 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
         raise ValueError(
             f"connected_components: on_nonconverged={on_nonconverged!r}")
     e = pairs.df if isinstance(pairs, OmigoDF) else pairs
+    # LAZY checkpoints (r14): the first _sig aggregate below materializes
+    # edges AND labels in one stacked job — each eager checkpoint was its
+    # own job submission, pure scheduling overhead (blocks land either way)
     edges = (e.select(qcol(id_a).alias("src"), qcol(id_b).alias("dst"))
               .unionByName(e.select(qcol(id_b).alias("src"),
                                     qcol(id_a).alias("dst")))
-              .distinct().localCheckpoint(eager=True))
+              .distinct().localCheckpoint(eager=False))
     labels = (edges.select(F.col("src").alias("id"))
               .distinct().withColumn("lab", F.col("id"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
 
     def _sig(lab_df):
         # order-insensitive label-set signature: labels converged iff the
@@ -733,11 +736,14 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
     sig = _sig(labels)
     converged = False
     for _ in range(max_iter):
+        # lazy checkpoint + _sig = ONE job per round (the signature
+        # aggregate's partial stage scans every partition, materializing
+        # the round's labels) instead of the eager checkpoint + _sig pair
         neigh = (edges.join(labels, edges["dst"] == labels["id"])
                  .select(F.col("src").alias("id"), F.col("lab")))
         labels = (labels.select("id", "lab").unionByName(neigh)
                   .groupBy("id").agg(F.min("lab").alias("lab"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         new_sig = _sig(labels)
         if new_sig == sig:
             converged = True
@@ -788,11 +794,12 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
              .unionByName(e0.select(qcol(id_b).alias("id"))).distinct()
              .localCheckpoint(eager=False))
     # symmetric, loop-free working edge list
+    # lazy (r14): the first _sig aggregate materializes it in its own job
     e = (e0.select(qcol(id_a).alias("u"), qcol(id_b).alias("v"))
          .unionByName(e0.select(qcol(id_b).alias("u"),
                                 qcol(id_a).alias("v")))
          .where(F.col("u") != F.col("v"))
-         .distinct().localCheckpoint(eager=True))
+         .distinct().localCheckpoint(eager=False))
 
     def _star(edges, large: bool):
         m = (edges.groupBy("u")
@@ -803,12 +810,15 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
         out = (j.where(keep).select(F.col("v").alias("a"), F.col("m").alias("b"))
                .unionByName(m.select(F.col("u").alias("a"),
                                      F.col("m").alias("b"))))
-        # re-symmetrize the contracted edge set for the next round
+        # re-symmetrize the contracted edge set for the next round.
+        # lazy checkpoint (r14): the round's _sig aggregate materializes
+        # the small-star result — and, stacked inside the same job, the
+        # large-star checkpoint feeding it (3 jobs/round -> 1)
         sym = (out.where(F.col("a") != F.col("b"))
                .select(F.col("a").alias("u"), F.col("b").alias("v")))
         return (sym.unionByName(sym.select(F.col("v").alias("u"),
                                            F.col("u").alias("v")))
-                .distinct().localCheckpoint(eager=True))
+                .distinct().localCheckpoint(eager=False))
 
     def _sig(edges):
         row = (edges.where(F.col("u") < F.col("v"))
