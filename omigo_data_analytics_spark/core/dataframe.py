@@ -1364,7 +1364,7 @@ class OmigoDF(CompatMixin):
 
     def group_by_key(self, grouping_cols, agg_cols, agg_func: Callable,
                      suffix: str = "", collapse: bool = True,
-                     warn_group_rows: int | None = 1_000_000) -> "OmigoDF":
+                     warn_group_rows: int | None = None) -> "OmigoDF":
         """Generalized UDAF (reference dataframe.py:732-872): ``agg_func``
         receives the group's rows as list[dict] (agg_cols only, string
         values) and returns a dict of output values. → applyInPandas
@@ -1374,11 +1374,16 @@ class OmigoDF(CompatMixin):
         applyInPandas materializes EACH GROUP as one pandas frame on one
         executor — inherent to the list-of-dicts contract, so a hot key at
         scale is an executor OOM with no warning. ``warn_group_rows``
-        (default 1M) runs one cheap partial-aggregated key census and
-        warns with the hottest group's size and the remedy (registry-name
-        ``aggregate()`` funcs stream through JVM combiners and never
-        materialize a group) when any group exceeds it; None opts out and
-        leaves the plan untouched (r12 verdict #4)."""
+        (opt-in since r14) runs one partial-aggregated key census —
+        NOTE: an EAGER extra Spark job over the full input at call time
+        — and warns with the hottest group's size and the remedy
+        (registry-name ``aggregate()`` funcs stream through JVM combiners
+        and never materialize a group) when any group exceeds it. The
+        default is None (no census, plan construction stays lazy): the
+        default-on census made every group_by_key call pay a second full
+        input scan even when the result was never evaluated (r13
+        advice). Pass a threshold sized to your executor memory when the
+        key distribution is unknown."""
         gcols = self._resolve(grouping_cols)
         acols = self._resolve(agg_cols)
         if warn_group_rows is not None:

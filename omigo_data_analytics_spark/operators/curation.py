@@ -414,13 +414,21 @@ def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
           .localCheckpoint(eager=False))
     cb = tr.groupBy("bk").agg(F.count(F.lit(1)).alias("cb"))
     cu = tr.groupBy("uk").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = (ensure_min_parallelism(train.df)
-             .selectExpr(f"explode({_tokens('spark', col)}) AS w")
-             .agg(F.countDistinct("w").alias("v")).collect()[0]["v"])
-    if not vocab:
-        raise ValueError(
+    # V rides IN-PLAN as a broadcast 1-row scalar (r14): the previous
+    # eager .collect() was a separate full train-corpus scan job at
+    # plan-construction time — the dsir_weights/_tot pattern instead
+    # lets the scan run inside the main action, overlapped with the
+    # other stages. The V=0 guard raises at execution (raise-parity
+    # with the dsir/mix_sources guards).
+    vagg = (ensure_min_parallelism(train.df)
+            .selectExpr(f"explode({_tokens('spark', col)}) AS w")
+            .agg(F.countDistinct("w").alias("__v__")))
+    vguard = vagg.select(
+        F.when(F.col("__v__") > 0, F.col("__v__"))
+        .otherwise(F.raise_error(F.lit(
             "lm_score: train corpus has no tokens (V=0) — the smoothing "
-            "denominator would be zero for every unseen context")
+            "denominator would be zero for every unseen context")))
+        .alias("__v__"))
     sc = (ensure_min_parallelism(score.df)
           .selectExpr(id_col, f"posexplode({pairs}) AS (pos, p)")
           .selectExpr(id_col, "p.bk AS bk", "p.uk AS uk"))
@@ -434,12 +442,16 @@ def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
     # as measured to break 6dp parity for DSIR (r8 advice): parity must
     # rest on IEEE doubles, not on the engines' decimal semantics
     # happening to agree at test scale.
+    # kd * V: DOUBLE * int64 promotes to the same IEEE double multiply
+    # the old Python-literal form compiled to (and the DuckDB oracle's
+    # in-SQL kd * v.v already computes it this way)
     kd, _, scale = _micro_consts(k, 0)
     logp = (sc.join(cb, on="bk", how="left")
               .join(cu, on="uk", how="left")
+              .crossJoin(F.broadcast(vguard))
               .selectExpr(id_col,
                           f"CAST(ROUND(ln((COALESCE(cb, 0L) + {kd}) / "
-                          f"(COALESCE(cu, 0L) + {kd} * {vocab})) * {scale}) "
+                          f"(COALESCE(cu, 0L) + {kd} * __v__)) * {scale}) "
                           f"AS BIGINT) AS lpu")
               .groupBy(qcol(id_col))
               .agg(F.count(F.lit(1)).alias("n_bigrams"),

@@ -908,14 +908,30 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
     def _q(side, c):
         return F.col(side + "." + colutils.quote(c))
 
-    # phase 1: local prefix-max of ends inside (key, bucket)
+    # phase 1: ONE stacked window evaluation computes the local prefix-
+    # max of ends, the LOCAL break flag (break ignoring cross-bucket
+    # carry) and the local running break count, all over the same
+    # Exchange+Sort on (key, bucket). Every window touching data rows
+    # lives HERE, before the carry-in join — r14: previously __pme__ was
+    # evaluated pre-join and the __lid__ running sum post-join, so for
+    # duplicate (s, e) rows the pairing of a break flag with its
+    # running-sum position relied on the join incidentally preserving
+    # tie order; now the global island id is pure per-row arithmetic
+    # after the joins (see below), so tie pairing is structural.
     d2 = (d.withColumn("__s__", s).withColumn("__e__", e)
           .withColumn("__b__", _time_bucket(F.col("__s__"), span)))
     wl = Window.partitionBy(*_qcs(keys), "__b__").orderBy("__s__", "__e__")
-    local = d2.withColumn(
-        "__pme__", F.max("__e__").over(
-            wl.rowsBetween(Window.unboundedPreceding, -1)))
-    # carry-in: running max of bucket max-ends over the bucket frame
+    pme = F.max("__e__").over(wl.rowsBetween(Window.unboundedPreceding, -1))
+    local = (d2.withColumn(
+                 "__lbrk__",
+                 F.when(pme.isNull() | (F.col("__s__") > pme), 1)
+                 .otherwise(0))
+             .withColumn("__L__", F.sum("__lbrk__").over(
+                 wl.rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))))
+    # carry-in: running max of bucket max-ends over the bucket frame.
+    # The summary groups the WINDOWED frame so its aggregation reuses
+    # the phase-1 exchange (no second scan of the input).
     summ = local.groupBy(*_qcs(keys), "__b__").agg(F.max("__e__").alias("__me__"))
     ws = Window.partitionBy(*_qcs(keys)).orderBy(F.col("__b__").asc_nulls_first())
     summ = summ.withColumn(
@@ -925,29 +941,35 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
             for c in keys + ["__b__"]]
     lhs = local.alias("__ml__")
     rhs = summ.select(*_qcs(keys), "__b__", "__cin__").alias("__mr__")
-    # greatest() skips NULLs: full-prefix max = max(local prefix, carry-in)
-    gprev = F.greatest(_q("__ml__", "__pme__"), _q("__mr__", "__cin__"))
-    brk = F.when(gprev.isNull() | (F.col("__s__") > gprev), 1).otherwise(0)
     tagged = (lhs.join(rhs, on=cond, how="inner")
               .select(*[_q("__ml__", c) for c in local.columns],
-                      brk.alias("__brk__"))
-              .withColumn("__lid__", F.sum("__brk__").over(
-                  wl.rowsBetween(Window.unboundedPreceding,
-                                 Window.currentRow))))
-    # island id = per-key break-count prefix over earlier buckets + the
-    # in-bucket running break count (sessionize's numbering scheme)
+                      F.col("__cin__")))
+    # A row is a GLOBAL break iff s > greatest(local prefix-max, carry-
+    # in), i.e. iff it is a local break AND s > cin (cin constant per
+    # bucket; greatest() skips NULLs, so cin NULL leaves local breaks
+    # untouched). Because rows are s-sorted, the suppressed local breaks
+    # (s <= cin) form a PREFIX of the bucket's break rows; with
+    # K = |suppressed|, the global running break count at a row is
+    # L - least(L, K) — per-row arithmetic, no post-join window.
     summ2 = (tagged.groupBy(*_qcs(keys), "__b__")
-             .agg(F.sum("__brk__").alias("__nb__")))
+             .agg(F.sum("__lbrk__").alias("__nlb__"),
+                  F.sum(F.when((F.col("__lbrk__") == 1)
+                               & (F.col("__s__") <= F.col("__cin__")), 1)
+                        .otherwise(0)).alias("__K__")))
+    # island id = per-key GLOBAL break count over earlier buckets (the
+    # prefix of nlb - K) + the in-bucket global running break count
     summ2 = summ2.withColumn(
-        "__P__", F.coalesce(F.sum("__nb__").over(
+        "__P__", F.coalesce(F.sum(F.col("__nlb__") - F.col("__K__")).over(
             ws.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
     cond2 = [_q("__il__", c).eqNullSafe(_q("__ir__", c))
              for c in keys + ["__b__"]]
     ilhs = tagged.alias("__il__")
-    irhs = summ2.select(*_qcs(keys), "__b__", "__P__").alias("__ir__")
+    irhs = summ2.select(*_qcs(keys), "__b__", "__P__", "__K__").alias("__ir__")
     numbered = (ilhs.join(irhs, on=cond2, how="inner")
                 .withColumn("__island__",
-                            _q("__ir__", "__P__") + _q("__il__", "__lid__")))
+                            _q("__ir__", "__P__") + _q("__il__", "__L__")
+                            - F.least(_q("__il__", "__L__"),
+                                      _q("__ir__", "__K__"))))
     return OmigoDF(
         numbered.groupBy(*[_q("__il__", k).alias(k) for k in keys],
                          "__island__")

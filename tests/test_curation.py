@@ -402,8 +402,11 @@ def test_lm_score_matches_bruteforce(spark):
 
 
 def test_lm_score_empty_train_raises(spark):
-    with pytest.raises(ValueError, match="V=0"):
-        CU.lm_score(_lm_docs(spark, []), _lm_docs(spark, ["a b c"]))
+    # V rides in-plan since r14 (no eager vocab job at construction), so
+    # the V=0 guard raises at EXECUTION — the dsir/mix_sources pattern
+    out = CU.lm_score(_lm_docs(spark, []), _lm_docs(spark, ["a b c"]))
+    with pytest.raises(Exception, match="V=0"):
+        out.df.collect()
 
 
 def test_mix_sources_resolved_source_col(spark):
