@@ -72,7 +72,8 @@ class CompatMixin:
         from .dataframe import abs64
         bucket = F.pmod(abs64(F.xxhash64(F.monotonically_increasing_id(), F.lit(0))),
                         F.lit(num_batches))
-        tagged = self._df.withColumn(tmp, bucket).localCheckpoint()
+        # lazy (r14): the present-buckets collect materializes it
+        tagged = self._df.withColumn(tmp, bucket).localCheckpoint(eager=False)
         # one job to find non-empty buckets (reference skips empty batches)
         present = sorted(r[0] for r in tagged.select(tmp).distinct().collect())
         if not present:

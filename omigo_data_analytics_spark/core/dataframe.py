@@ -920,19 +920,24 @@ class OmigoDF(CompatMixin):
 
     # ---------------------------------------------------------- seq / cumsum
     @staticmethod
-    def _global_rank(df: DataFrame, order_cols: list, out_col: str) -> DataFrame:
+    def _global_rank(df: DataFrame, order_cols: list, out_col: str
+                     ) -> tuple[DataFrame, int]:
         """0-based dense global ordering WITHOUT a single-partition window:
         range-repartition on the order key (keeps ranges disjoint across
         partitions), sort within partitions, then assign offsets from
         per-partition counts — the add_seq_num two-phase pattern. Scales to
         any cardinality; a global Window.orderBy would put every row in one
-        task."""
+        task. Returns (ranked_df, total_rows) — the total falls out of
+        the offsets collect for free, so callers that need the
+        cardinality (window_aggregate's sliding path) don't pay a
+        separate count job that re-evaluates the rank subtree (r14)."""
         # localCheckpoint pins the range partitioning: RangePartitioner
         # samples boundaries per action, so without it the counts job and
-        # the assign job could see different partitionings (wrong offsets);
-        # it also runs the shuffle once instead of twice.
+        # the assign job could see different partitionings (wrong offsets).
+        # LAZY (r14): the counts collect below materializes it in the same
+        # job — the boundaries are still sampled exactly once.
         d = (df.repartitionByRange(*order_cols)
-               .sortWithinPartitions(*order_cols).localCheckpoint())
+               .sortWithinPartitions(*order_cols).localCheckpoint(eager=False))
         pid = F.spark_partition_id()
         counts = {r["pid"]: r["cnt"] for r in
                   d.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -954,7 +959,7 @@ class OmigoDF(CompatMixin):
                 seen += len(pdf)
                 yield pdf
 
-        return d.mapInPandas(_assign, schema=schema)
+        return d.mapInPandas(_assign, schema=schema), acc
 
     def add_seq_num(self, new_col: str = "sno", start: int = 1) -> "OmigoDF":
         """1-based row number in current order (reference dataframe.py:1707-1729).
@@ -968,7 +973,8 @@ class OmigoDF(CompatMixin):
         job vs the assign job, duplicating/skipping sequence numbers —
         the same hazard _global_rank documents.
         """
-        df = self._df.localCheckpoint()
+        # lazy (r14): the counts collect materializes it in the same job
+        df = self._df.localCheckpoint(eager=False)
         pid = F.spark_partition_id()
         counts = {r["pid"]: r["cnt"] for r in
                   df.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -1132,7 +1138,7 @@ class OmigoDF(CompatMixin):
         # disagree on partition boundaries
         df2 = (base.withColumn(pid, F.spark_partition_id())
                .withColumn(mid, F.monotonically_increasing_id())
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         w = (Window.partitionBy(pid).orderBy(mid)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         # quoted: names may contain '.' (the _exists_pred convention) —
@@ -1172,6 +1178,15 @@ class OmigoDF(CompatMixin):
         key, not a window (see the inline comment: hot-key skew).
         Registry names compile to native JVM aggregates (map-side combine);
         Python callables fall back to collect_list+UDF.
+
+        Analytic mode evaluates the input lineage TWICE (probe side and
+        aggregate side of the join-back). With NON-DETERMINISTIC upstream
+        lineage — sample()/rand()/a nondeterministic UDF — the two
+        evaluations can disagree and the inner join silently drops or
+        misassigns rows; localCheckpoint/persist such inputs before
+        calling, or use collapse=True. Deterministic lineage (any chain
+        of scans/filters/joins/aggregations) is unaffected — the common
+        case, which is why the barrier is not paid unconditionally.
         """
         gcols = self._missing_ok(grouping_cols, ignore_if_missing, "aggregate")
         if gcols is None:
@@ -1234,7 +1249,10 @@ class OmigoDF(CompatMixin):
                     precision: int = 6) -> "OmigoDF":
         """Count + ratio-of-total per group, sorted desc (reference
         dataframe.py:414-438). The ratio window runs over the *aggregated*
-        groups (small), not the input rows."""
+        groups (small), not the input rows. collapse=False shares
+        aggregate()'s analytic join-back shape — and its caveat: the
+        input lineage evaluates twice, so persist nondeterministic
+        inputs first (see aggregate's docstring)."""
         gcols = self._resolve(cols)
         cnt = f"{prefix}{COL_SEP}count"
         ratio = f"{prefix}{COL_SEP}ratio"
@@ -1812,7 +1830,8 @@ class OmigoDF(CompatMixin):
         tmp = "__omigo_bucket__"
         tagged = self._df.withColumn(tmp, bucket)
         if materialize or cols is None:
-            tagged = tagged.localCheckpoint()
+            # lazy (r14): the first consumer materializes it once
+            tagged = tagged.localCheckpoint(eager=False)
         return [OmigoDF(tagged.filter(F.col(tmp) == i).drop(tmp)) for i in range(num_batches)]
 
     def sample_weighted(self, weight_col: str, key_cols, seed: int = 0) -> "OmigoDF":
@@ -2240,10 +2259,12 @@ class OmigoDF(CompatMixin):
         vals = self._df.select(F.col(colutils.quote(win_col)).alias("__v__")).distinct()
         # two-phase global numbering of the distinct values — the canonical
         # win_col is time-like (distinct count ~ row count at scale), so a
-        # global Window.orderBy here would be a single-task bottleneck
-        vals = self._global_rank(vals, [F.col("__v__")], "__i__")
+        # global Window.orderBy here would be a single-task bottleneck.
+        # The cardinality falls out of the rank's offsets collect — the
+        # sliding path previously paid a separate count job that
+        # re-evaluated the whole rank subtree (r14).
+        vals, n = self._global_rank(vals, [F.col("__v__")], "__i__")
         if sliding:
-            n = vals.count()
             n_windows = max(n - winsize + 1, 1)
             vals = vals.withColumn(
                 "__w__",

@@ -440,7 +440,9 @@ class QueryGraph:
         for prefix in prefixes:
             if gi.max_results is not None and total >= gi.max_results:
                 break
-            batch = self._compile_chain(prefix).localCheckpoint()
+            # lazy checkpoint + count() = one job (materialize +
+            # emptiness test), the graph-loop fusion pattern (r14)
+            batch = self._compile_chain(prefix).localCheckpoint(eager=False)
             n = batch.count()
             if n > 0:
                 parts.append(batch)

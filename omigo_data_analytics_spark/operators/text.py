@@ -387,13 +387,18 @@ def inverted_index(odf: OmigoDF, id_col: str = "doc_id", col: str = "text",
     ranked = (ex.withColumn("__rk__", F.row_number().over(w_rank))
               .where(F.col("__rk__") <= max_postings))
     dfreq = ex.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # struct under a SANITIZED field name: F.struct("__rk__", id_col)
+    # parses the raw name and the transform expr would interpolate it
+    # unquoted — dotted/backticked id columns broke here while every
+    # other entry point was quoted (r13 advice)
     posts = (ranked.groupBy("term")
-             .agg(F.array_sort(F.collect_list(F.struct("__rk__", id_col)))
+             .agg(F.array_sort(F.collect_list(
+                 F.struct(F.col("__rk__"), qcol(id_col).alias("__pid__"))))
                   .alias("__rows__")))
     out = (posts.join(dfreq, on="term")
            .select("term", "doc_freq",
                    F.concat_ws(",", F.expr(
-                       f"transform(__rows__, r -> CAST(r.{id_col} AS STRING))"))
+                       "transform(__rows__, r -> CAST(r.__pid__ AS STRING))"))
                    .alias("postings")))
     return OmigoDF(out)
 

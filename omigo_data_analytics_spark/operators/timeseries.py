@@ -531,7 +531,7 @@ def _hot_keys_census(d, keys, threshold: int):
     return (d.groupBy(*_qcs(keys)).agg(F.count(F.lit(1)).alias("__kc__"))
             .where(F.col("__kc__") >= F.lit(int(threshold)))
             .select(*_qcs(keys))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
 
 
 def sessionize(odf, key_cols: list[str] | str, time_col: str,

@@ -83,6 +83,18 @@ def test_inverted_index(spark):
     assert got["z"] == (1, "3")
 
 
+def test_inverted_index_hostile_id_col(spark):
+    # r13 advice: F.struct("__rk__", id_col) parsed the raw name and the
+    # postings transform interpolated it unquoted — dotted id columns
+    # failed while every other entry point was quoted
+    docs = OmigoDF(spark.createDataFrame(
+        [(5, "x y"), (3, "y z")], ["doc.id", "text"]))
+    out = TX.inverted_index(docs, id_col="doc.id").df
+    got = {r["term"]: (r["doc_freq"], r["postings"]) for r in out.collect()}
+    assert got["y"] == (2, "3,5")
+    assert got["x"] == (1, "5")
+
+
 def test_inverted_index_caps_postings(spark):
     docs = OmigoDF(spark.createDataFrame(
         [(i, "tok") for i in range(20)], "doc_id long, text string"))
