@@ -294,3 +294,41 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_group_by_key_string_contract_dtypes(spark):
+    """r14: the list-of-dicts conversion moved from astype(object)/
+    astype(str)/to_dict('records') to a column-wise str()+zip builder —
+    the string contract must be unchanged: str(value) for non-null,
+    '' for NULL/NaN/NaT, across doubles, ints, strings, timestamps,
+    decimals and booleans."""
+    import datetime
+    import decimal
+
+    from omigo_data_analytics_spark import OmigoDF
+
+    rows = [
+        (1, 1.5, "a", datetime.datetime(2020, 1, 2, 3, 4, 5),
+         decimal.Decimal("1.25"), True),
+        (1, float("nan"), None, None, None, None),
+        (2, -0.0, "u", datetime.datetime(1999, 12, 31),
+         decimal.Decimal("-7.50"), False),
+    ]
+    df = spark.createDataFrame(
+        rows, "g int, d double, s string, t timestamp, "
+              "dec decimal(10,2), b boolean")
+
+    def echo(rs):
+        if not rs:
+            return {"seen": ""}
+        return {"seen": "|".join(
+            ",".join(f"{k}={r[k]}" for k in sorted(r))
+            for r in sorted(rs, key=lambda r: str(r)))}
+
+    out = {r["g"]: r["seen:echo"] for r in
+           OmigoDF(df).group_by_key(["g"], ["d", "s", "t", "dec", "b"],
+                                    echo).df.collect()}
+    assert "b=True,d=1.5,dec=1.25,s=a,t=2020-01-02 03:04:05" in out[1]
+    assert "b=,d=,dec=,s=,t=" in out[1]        # NULL/NaN/NaT -> ''
+    assert "d=-0.0" in out[2] and "dec=-7.50" in out[2]
+    assert "t=1999-12-31 00:00:00" in out[2]
