@@ -4260,60 +4260,165 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry whose code was touched this round sits in the head (same-
     # round-row rule); a NEW entry enters the head the round it lands.
     return {
-        # --- r13 rotation head (50-entry driver budget) ---
-        # (a) 2 NEW scale-path entries: merge_intervals_bucketed (the
-        #     last ordered-carry op joins the two-phase family) and
-        #     asof_nearest_bucketed (the r12 addendum-2 negated-time
-        #     carry reuse, property-tested but never driver-rowed) —
-        #     both hot_key_rows=1 against the plain plans' oracles;
-        # (b) 8 entries whose code r13 touches (same-round-row rule):
-        #     aggregate_analytic + group_count (collapse=False de-skew:
-        #     groupBy + null-safe join-back replaces the unordered
-        #     Window.partitionBy — the r12 verdict's one weak shape),
-        #     merge_intervals_islands (signature + routing added),
-        #     group_by_key (hot-group census guard), and the three
-        #     bucketed entries sessionize_bucketed / rolling_bucketed /
-        #     asof_bucketed (their shared census router gained the
-        #     broadcast-hint guard + localCheckpoint), plus
-#     graph_merge_nodes (window-audit de-skew: groupBy(psig)
-#     min + join-back; inverted_index, also audit-de-skewed,
-#     was already a head filler);
-        # (c) the 14 r9-row entries the r12 verdict mandates FIRST
-        #     (three rounds stale — the r12 brief's accepted spill);
-        # (d) the 10 r12-code-touched entries still on pre-r12 rows:
-        #     the six §2.5 join entries (late-r12 _prep_join_side
-        #     rewrite) + sessionize / rolling_aggregate / asof_join /
-        #     range_join (judge re-ran all at sf0.1: PASS, but the
-        #     driver row is the hard signal);
-        # (e) 16 of the 34 remaining r10-row entries (stalest block).
-        # 2 + 8 + 14 + 10 + 16 = 50 exactly. The 18 r10 rows that do
-        # not fit (pack_sequences .. typed_filters, below the
-        # boundary) are the lowest-risk spill — files untouched since
-        # r10 — and lead r14's head priority, each re-verified in this
-        # round's full local battery at sf0.01 AND sf0.1.
-        # LATE-r13 note (r12 precedent: post-freeze touches verified by
-        # full-battery re-runs): after the head froze, a PACKAGE-WIDE
-        # hostile-name sweep quoted every user-column entry point
-        # (F.col/select/groupBy/partitionBy/bracket-accessor/expr-string
-        # embeds) across operators/* and streaming/stream.py, and
-        # _time_bucket pinned NaN times to the LAST bucket (floor(NaN)
-        # is 0 — silent misplacement vs the plain windows). Both
-        # changes re-verified by full 153/153 batteries at sf0.01 AND
-        # sf0.1 plus the family AQE-off sweep; the touched tail
-        # entries follow the spill in r14's head priority.
-        "merge_intervals_bucketed": q_merge_intervals_bucketed,
-        "asof_nearest_bucketed": q_asof_nearest_bucketed,
-        "aggregate_analytic": q_aggregate_analytic,
-        "group_count": q_group_count,
-        "merge_intervals_islands": q_merge_intervals,
+        # --- r14 rotation head (50-entry driver budget) ---
+        # (a) the 30 entries whose code r14 (optimization round 1)
+        #     touches (same-round-row rule): the graph family + CC
+        #     consumers (lazy-checkpoint/job-fusion rewrites of the
+        #     iterative loops), lm_score (in-plan vocabulary scalar),
+        #     group_by_key (census opt-in + list-of-dicts fast path),
+        #     the _global_rank users (seq_num / cumulative_sum /
+        #     sample_weighted / window_tumbling / window_sliding),
+        #     model_enrich (split_batches lazy tagging), the five
+        #     bucketed time-series entries + merge_intervals_islands
+        #     (shared census now lazy; merge_intervals_bucketed
+        #     restructured to a single pre-join window stack),
+        #     ttest (fused checkpoints), inverted_index (hostile-id
+        #     struct fix), query_graph_job (fused batch loop),
+        #     trends_job_e2e (lazy enr checkpoint);
+        # (b) the 14 remaining r10-row entries (the r13 verdict's #1:
+        #     pack_sequences .. typed_filters minus the four already in
+        #     (a) — query_graph_job, sample_weighted, seq_num, ttest);
+        # (c) 6 r11-row entries in files the late-r13 hostile-name
+        #     sweep touched (verdict's second rotation priority):
+        #     dedup_fuzzy, bm25_rank, bloom_search, kmeans_clusters,
+        #     semdedup, distribution_drift.
+        # 30 + 14 + 6 = 50 exactly. The spill (graphviz_dot,
+        # geomap_mercator, stream_dedup and the rest of the r11 block)
+        # leads the post-boundary priority below; every spilled entry
+        # was re-verified this round in full 153/153 batteries at
+        # sf0.01 AND sf0.1 (dtype-strict rows+schema+hash).
+        "graph_bfs": q_graph_bfs,
+        "graph_ancestors": q_graph_ancestors,
+        "graph_ancestors_guid": q_graph_ancestors_guid,
+        "graph_time_ancestors": q_graph_time_ancestors,
+        "graph_dangling": q_graph_dangling,
+        "graph_job_e2e": q_graph_job_e2e,
+        "graph_merge_nodes": q_graph_merge_nodes,
+        "parent_hierarchy": q_parent_hierarchy,
+        "pipeline_e2e": q_pipeline_e2e,
+        "dedup_cluster": q_dedup_cluster,
+        "leakage_safe_split": q_leakage_safe_split,
+        "dedup_near_dupheavy": q_dedup_near_dupheavy,
+        "lm_score": q_lm_score,
         "group_by_key": q_group_by_key,
+        "seq_num": q_seq_num,
+        "cumulative_sum": q_cumulative_sum,
+        "sample_weighted": q_sample_weighted,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "model_enrich": q_model_enrich,
+        "asof_bucketed": q_asof_bucketed,
+        "asof_nearest_bucketed": q_asof_nearest_bucketed,
         "sessionize_bucketed": q_sessionize_bucketed,
         "rolling_bucketed": q_rolling_bucketed,
-        "asof_bucketed": q_asof_bucketed,
+        "merge_intervals_bucketed": q_merge_intervals_bucketed,
+        "merge_intervals_islands": q_merge_intervals,
+        "ttest": q_ttest,
+        "inverted_index": q_inverted_index,
+        "query_graph_job": q_query_graph_job,
+        "trends_job_e2e": q_trends_job_e2e,
+        "pack_sequences": q_pack_sequences,
+        "redact_pii": q_redact_pii,
+        "remove_dup_spans": q_remove_dup_spans,
+        "replicate_rows": q_replicate_rows,
+        "rows_cond_exists": q_rows_cond_exists,
+        "sankey_links": q_sankey_links,
+        "sql_pushdown": q_sql_pushdown,
+        "stream_running_counts": q_stream_running_counts,
+        "stream_sessions": q_stream_sessions,
+        "stream_window": q_stream_window,
+        "text_metrics": q_text_metrics,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "timefuncs_ladder": q_timefuncs_ladder,
+        "typed_filters": q_typed_filters,
+        "dedup_fuzzy": q_dedup_fuzzy,
+        "bm25_rank": q_bm25_rank,
+        "bloom_search": q_bloom_search,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "distribution_drift": q_distribution_drift,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # Post-boundary order = r15 priority: FIRST the remaining
+        # r11-row entries (three rounds stale at r14 close — the
+        # accepted spill), then the r12-row block, then the r13-row
+        # entries this rotation displaced from the head (freshest).
+        "generate_key_hash": q_generate_key_hash,
+        "explode_json": q_explode_json,
+        "cosine_topk": q_cosine_topk,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "tpch_q1_aggregate": q_tpch_q1_aggregate,
+        "codec_base64": q_codec_base64,
+        "topk_per_group": q_topk_per_group,
+        "merge_union": q_merge_union,
+        "text_quality_filter": q_text_quality_filter,
+        "dedup_exact": q_dedup_exact,
+        "similarity_ivf": q_similarity_ivf,
+        "select_first": q_select_first,
+        "rest_partitioned": q_rest_partitioned,
+        "normalize": q_normalize,
+        "jira_search": q_jira_search,
+        "stream_dedup": q_stream_dedup,
+        "graphviz_dot": q_graphviz_dot,
+        "geomap_mercator": q_geomap_mercator,
+        "repetition_metrics": q_repetition_metrics,
+        "decontaminate": q_decontaminate,
+        "mix_sources": q_mix_sources,
+        "distribution_stats": q_distribution_stats,
+        "trend_scores": q_trend_scores,
+        "mix_sources_weighted": q_mix_sources_weighted,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "nb_classify": q_nb_classify,
+        "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
+        "ngram_jaccard": q_ngram_jaccard,
+        "read_text_roundtrip": q_read_text_roundtrip,
+        "read_xml_roundtrip": q_read_xml_roundtrip,
+        # r12-row block
+        "normalize_nulls": q_normalize_nulls,
+        "semdedup_corrupt": q_semdedup_corrupt,
+        "minmax_range": q_minmax_range,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "pivot": q_pivot,
+        "similarity_lsh": q_similarity_lsh,
+        "split_str": q_split_str,
+        "ws_enrich": q_ws_enrich,
+        "stream_lsh_candidates": q_stream_lsh_candidates,
+        "asof_nearest": q_asof_nearest,
+        "profile": q_profile,
+        "dedup_embedding": q_dedup_embedding,
+        "embedding_near_dup": q_embedding_near_dup,
+        "arg_max_topk": q_arg_max_topk,
+        "arg_min_topk": q_arg_min_topk,
+        "dict_sequence_stats": q_dict_sequence_stats,
+        "explode_json_join": q_explode_json_join,
+        "explode_json_zip": q_explode_json_zip,
+        "explode_udtf": q_explode_udtf,
+        "failsafe_aggs": q_failsafe_aggs,
+        "fingerprint": q_fingerprint,
+        "flatmap": q_flatmap,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "graph_degrees": q_graph_degrees,
+        "hash_embeddings": q_hash_embeddings,
+        "json_xpath_filter": q_json_xpath_filter,
+        "merge_intersect": q_merge_intersect,
+        "multimodal_pipeline": q_multimodal_pipeline,
+        "nb_classify_pruned": q_nb_classify_pruned,
+        "quantiles": q_quantiles,
+        "resolve_template": q_resolve_template,
+        "sample_group_by_key": q_sample_group_by_key,
+        "sample_n_per_group": q_sample_n_per_group,
+        "sample_uniq_cap": q_sample_uniq_cap,
+        "search_job_e2e": q_search_job_e2e,
+        "stats_sequence_stats": q_stats_sequence_stats,
+        "token_vocab": q_token_vocab,
+        "trends_dataset": q_trends_dataset,
+        # r13-row block (freshest — the r13 driver head)
+        "aggregate_analytic": q_aggregate_analytic,
+        "group_count": q_group_count,
         "quantile_grid": q_quantile_grid,
         "transform_lambda": q_transform_lambda,
         "token_estimate": q_token_estimate,
-        "lm_score": q_lm_score,
         "select_regex": q_select_regex,
         "sort_slice": q_sort_slice,
         "const_missing_cols": q_const_missing_cols,
@@ -4339,128 +4444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "duplicate_spans": q_duplicate_spans,
         "fuzzy_join": q_fuzzy_join,
-        "graph_ancestors": q_graph_ancestors,
-        "graph_ancestors_guid": q_graph_ancestors_guid,
-        "graph_bfs": q_graph_bfs,
-        "graph_dangling": q_graph_dangling,
-        "graph_job_e2e": q_graph_job_e2e,
         "graph_remove_cycles": q_graph_remove_cycles,
-        "graph_time_ancestors": q_graph_time_ancestors,
         "hash_split": q_hash_split,
-        "inverted_index": q_inverted_index,
         "lang_id": q_lang_id,
-        "model_enrich": q_model_enrich,
-        "graph_merge_nodes": q_graph_merge_nodes,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = r14 priority: FIRST the 17 r10-row
-        # entries that did not fit this round's head (the accepted
-        # spill named in the head comment), then the r11-row block,
-        # then the r12-row block (freshest).
-        "pack_sequences": q_pack_sequences,
-        "query_graph_job": q_query_graph_job,
-        "redact_pii": q_redact_pii,
-        "remove_dup_spans": q_remove_dup_spans,
-        "replicate_rows": q_replicate_rows,
-        "rows_cond_exists": q_rows_cond_exists,
-        "sample_weighted": q_sample_weighted,
-        "sankey_links": q_sankey_links,
-        "seq_num": q_seq_num,
-        "sql_pushdown": q_sql_pushdown,
-        "stream_running_counts": q_stream_running_counts,
-        "stream_sessions": q_stream_sessions,
-        "stream_window": q_stream_window,
-        "text_metrics": q_text_metrics,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "timefuncs_ladder": q_timefuncs_ladder,
-        "ttest": q_ttest,
-        "typed_filters": q_typed_filters,
-        # r11-row block
-        "dedup_fuzzy": q_dedup_fuzzy,
-        "generate_key_hash": q_generate_key_hash,
-        "explode_json": q_explode_json,
-        "cosine_topk": q_cosine_topk,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        "codec_base64": q_codec_base64,
-        "window_tumbling": q_window_tumbling,
-        "topk_per_group": q_topk_per_group,
-        "cumulative_sum": q_cumulative_sum,
-        "merge_union": q_merge_union,
-        "text_quality_filter": q_text_quality_filter,
-        "dedup_exact": q_dedup_exact,
-        "similarity_ivf": q_similarity_ivf,
-        "select_first": q_select_first,
-        "rest_partitioned": q_rest_partitioned,
-        "normalize": q_normalize,
-        "jira_search": q_jira_search,
-        "stream_dedup": q_stream_dedup,
-        "graphviz_dot": q_graphviz_dot,
-        "geomap_mercator": q_geomap_mercator,
-        "repetition_metrics": q_repetition_metrics,
-        "decontaminate": q_decontaminate,
-        "mix_sources": q_mix_sources,
-        "distribution_stats": q_distribution_stats,
-        "distribution_drift": q_distribution_drift,
-        "bloom_search": q_bloom_search,
-        "trend_scores": q_trend_scores,
-        "mix_sources_weighted": q_mix_sources_weighted,
-        "leakage_safe_split": q_leakage_safe_split,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "nb_classify": q_nb_classify,
-        "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
-        "ngram_jaccard": q_ngram_jaccard,
-        "read_text_roundtrip": q_read_text_roundtrip,
-        "read_xml_roundtrip": q_read_xml_roundtrip,
-        # r12-row block (freshest — the r12 driver head)
-        "normalize_nulls": q_normalize_nulls,
-        "semdedup_corrupt": q_semdedup_corrupt,
-        "dedup_near_dupheavy": q_dedup_near_dupheavy,
-        "minmax_range": q_minmax_range,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "pivot": q_pivot,
-        "similarity_lsh": q_similarity_lsh,
-        "split_str": q_split_str,
-        "ws_enrich": q_ws_enrich,
-        "stream_lsh_candidates": q_stream_lsh_candidates,
-        "pipeline_e2e": q_pipeline_e2e,
-        "dedup_cluster": q_dedup_cluster,
-        "asof_nearest": q_asof_nearest,
-        "profile": q_profile,
-        "dedup_embedding": q_dedup_embedding,
-        "embedding_near_dup": q_embedding_near_dup,
-        "arg_max_topk": q_arg_max_topk,
-        "arg_min_topk": q_arg_min_topk,
-        "bm25_rank": q_bm25_rank,
-        "dict_sequence_stats": q_dict_sequence_stats,
-        "explode_json_join": q_explode_json_join,
-        "explode_json_zip": q_explode_json_zip,
-        "explode_udtf": q_explode_udtf,
-        "failsafe_aggs": q_failsafe_aggs,
-        "fingerprint": q_fingerprint,
-        "flatmap": q_flatmap,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "graph_degrees": q_graph_degrees,
-        "hash_embeddings": q_hash_embeddings,
-        "json_xpath_filter": q_json_xpath_filter,
-        "merge_intersect": q_merge_intersect,
-        "multimodal_pipeline": q_multimodal_pipeline,
-        "nb_classify_pruned": q_nb_classify_pruned,
-        "parent_hierarchy": q_parent_hierarchy,
-        "quantiles": q_quantiles,
-        "resolve_template": q_resolve_template,
-        "sample_group_by_key": q_sample_group_by_key,
-        "sample_n_per_group": q_sample_n_per_group,
-        "sample_uniq_cap": q_sample_uniq_cap,
-        "search_job_e2e": q_search_job_e2e,
-        "stats_sequence_stats": q_stats_sequence_stats,
-        "token_vocab": q_token_vocab,
-        "trends_dataset": q_trends_dataset,
-        "trends_job_e2e": q_trends_job_e2e,
-        "window_sliding": q_window_sliding,
     }
 
 
