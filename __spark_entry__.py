@@ -3984,7 +3984,7 @@ def q_trends_job_e2e(spark, sf_dir):
         ev.join(hier.where(F.col("parent_2").isNotNull())
                     .select("node_id", "parent_2"), "node_id")
           .select(F.expr("substring(parent_2, -1, 1)").alias("grp"),
-                  "v", "wk", "day").localCheckpoint(eager=False))
+                  "v", "wk", "day").localCheckpoint())
     stats = TR.category_distribution_stats(enr, ["grp"], "v").df
     drift = TR.distribution_drift(enr, ["grp"], "wk", "v").df
     n = F.count(F.lit(1))

@@ -933,11 +933,14 @@ class OmigoDF(CompatMixin):
         separate count job that re-evaluates the rank subtree (r14)."""
         # localCheckpoint pins the range partitioning: RangePartitioner
         # samples boundaries per action, so without it the counts job and
-        # the assign job could see different partitionings (wrong offsets).
-        # LAZY (r14): the counts collect below materializes it in the same
-        # job — the boundaries are still sampled exactly once.
+        # the assign job could see different partitionings (wrong offsets);
+        # it also runs the shuffle once instead of twice. EAGER on purpose
+        # (r14 adjudication): the lazy variant — materialized by the
+        # counts collect — read consistently slower in clean-box isolated
+        # A/B; a pinning checkpoint consumed by a collect AND a later
+        # mapInPandas action materializes best as its own job.
         d = (df.repartitionByRange(*order_cols)
-               .sortWithinPartitions(*order_cols).localCheckpoint(eager=False))
+               .sortWithinPartitions(*order_cols).localCheckpoint())
         pid = F.spark_partition_id()
         counts = {r["pid"]: r["cnt"] for r in
                   d.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -973,8 +976,7 @@ class OmigoDF(CompatMixin):
         job vs the assign job, duplicating/skipping sequence numbers —
         the same hazard _global_rank documents.
         """
-        # lazy (r14): the counts collect materializes it in the same job
-        df = self._df.localCheckpoint(eager=False)
+        df = self._df.localCheckpoint()
         pid = F.spark_partition_id()
         counts = {r["pid"]: r["cnt"] for r in
                   df.groupBy(pid.alias("pid")).agg(F.count(F.lit(1)).alias("cnt")).collect()}
@@ -1138,7 +1140,7 @@ class OmigoDF(CompatMixin):
         # disagree on partition boundaries
         df2 = (base.withColumn(pid, F.spark_partition_id())
                .withColumn(mid, F.monotonically_increasing_id())
-               .localCheckpoint(eager=False))
+               .localCheckpoint())
         w = (Window.partitionBy(pid).orderBy(mid)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         # quoted: names may contain '.' (the _exists_pred convention) —

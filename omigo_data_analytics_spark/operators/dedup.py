@@ -736,14 +736,18 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
     sig = _sig(labels)
     converged = False
     for _ in range(max_iter):
-        # lazy checkpoint + _sig = ONE job per round (the signature
-        # aggregate's partial stage scans every partition, materializing
-        # the round's labels) instead of the eager checkpoint + _sig pair
+        # EAGER round checkpoint on purpose (r14 adjudication): the lazy
+        # variant (checkpoint materialized by the _sig aggregate) read
+        # +55% on dedup_cluster in clean-box isolated A/B — the round
+        # frame is consumed by both _sig and the NEXT round's plan
+        # construction (AQE stage materialization), and deferring the
+        # materialization makes those consumers redo work. Only the
+        # single-consumer ENTRY checkpoints above stay lazy.
         neigh = (edges.join(labels, edges["dst"] == labels["id"])
                  .select(F.col("src").alias("id"), F.col("lab")))
         labels = (labels.select("id", "lab").unionByName(neigh)
                   .groupBy("id").agg(F.min("lab").alias("lab"))
-                  .localCheckpoint(eager=False))
+                  .localCheckpoint(eager=True))
         new_sig = _sig(labels)
         if new_sig == sig:
             converged = True
@@ -811,14 +815,16 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
                .unionByName(m.select(F.col("u").alias("a"),
                                      F.col("m").alias("b"))))
         # re-symmetrize the contracted edge set for the next round.
-        # lazy checkpoint (r14): the round's _sig aggregate materializes
-        # the small-star result — and, stacked inside the same job, the
-        # large-star checkpoint feeding it (3 jobs/round -> 1)
+        # EAGER round checkpoint on purpose (r14 adjudication): the lazy
+        # variant regressed the consuming queries ~50% — a round frame
+        # that the next round's plan construction (AQE stage
+        # materialization) and the _sig aggregate both consume must be
+        # materialized once, not recomputed under each consumer
         sym = (out.where(F.col("a") != F.col("b"))
                .select(F.col("a").alias("u"), F.col("b").alias("v")))
         return (sym.unionByName(sym.select(F.col("v").alias("u"),
                                            F.col("u").alias("v")))
-                .distinct().localCheckpoint(eager=False))
+                .distinct().localCheckpoint(eager=True))
 
     def _sig(edges):
         row = (edges.where(F.col("u") < F.col("v"))

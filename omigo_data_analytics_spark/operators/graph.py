@@ -53,33 +53,26 @@ def _vertex_dict(*node_dfs: DataFrame) -> tuple[DataFrame, bool]:
     """(``__node__``, ``__vid__`` BIGINT) dictionary over the union of the
     given single-column vertex frames, checkpointed (encode and decode
     must see the SAME id assignment) — plus whether it is small enough to
-    broadcast. One job total (r14): the checkpoint is LAZY and the
-    combined count/NULL-probe aggregate below materializes it — the
-    aggregate's partial stage scans every partition, so the dictionary's
-    ids are fixed in that same job (previously three jobs: eager
-    checkpoint, NULL probe, count)."""
+    broadcast. The count is one cheap job over the just-materialized
+    blocks."""
     u = node_dfs[0].toDF("__node__")
     for d in node_dfs[1:]:
         u = u.unionByName(d.toDF("__node__"))
     vdict = (u.distinct()
               .withColumn("__vid__", F.monotonically_increasing_id())
-              .localCheckpoint(eager=False))
+              .localCheckpoint())
     # NULL vertex ids cannot be dictionary-encoded without changing
     # semantics: the un-encoded traversal's joins never match NULL=NULL
     # (while still carrying NULL-keyed rows through non-join paths), but
     # an encoded NULL would become a real id that DOES match itself —
     # and an inner-join encode would instead silently DROP those rows.
-    # Refuse loudly (the probe rides the same materializing aggregate).
-    row = vdict.agg(
-        F.count(F.lit(1)).alias("__n__"),
-        F.count(F.when(F.col("__node__").isNull(), 1)).alias("__nulls__"),
-    ).first()
-    if row["__nulls__"] > 0:
+    # Refuse loudly (one cheap probe over the materialized blocks).
+    if vdict.where(F.col("__node__").isNull()).limit(1).count() > 0:
         raise ValueError(
             "encode_vertices: NULL vertex ids are not supported — filter "
             "or fill them first (encoding NULL would silently change "
             "traversal semantics)")
-    return vdict, row["__n__"] <= _DICT_BROADCAST_MAX_ROWS
+    return vdict, vdict.count() <= _DICT_BROADCAST_MAX_ROWS
 
 
 def _encode_vcol(df: DataFrame, vdict: DataFrame, col: str,
@@ -133,9 +126,8 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
     if encode_vertices:
         # checkpoint the RAW projection first: the dict build + two encode
         # joins would otherwise re-execute the caller's edge construction
-        # three more times (measured 3x scan inflation at sf0.1). LAZY:
-        # _vertex_dict's materializing aggregate computes it in its job.
-        e = e.localCheckpoint(eager=False)
+        # three more times (measured 3x scan inflation at sf0.1)
+        e = e.localCheckpoint()
         # seeds participate in the dictionary: a seed absent from the edge
         # table still appears in the output at level 0
         vdict, vsmall = _vertex_dict(e.select("src"), e.select("dst"),
@@ -143,24 +135,18 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
         e = _encode_vcol(_encode_vcol(e, vdict, "src", vsmall),
                          vdict, "dst", vsmall)
         seeds = _encode_vcol(seeds, vdict, "node_id", vsmall)
-    # all pre-loop checkpoints are LAZY (r14): the first round's count
-    # job materializes e, seeds-delta and srcs in one stacked job —
-    # previously each eager checkpoint was its own job submission, pure
-    # scheduling overhead at any scale (the blocks are written either way)
-    e = e.localCheckpoint(eager=False)
+    e = e.localCheckpoint()
     # visited is kept as a LAZY union of per-level checkpointed deltas:
     # each iteration re-reads materialized blocks (cheap) instead of also
     # re-writing the whole accumulated set (one fewer job per level)
-    deltas = [seeds.distinct().withColumn("level", F.lit(0))
-              .localCheckpoint(eager=False)]
+    deltas = [seeds.distinct().withColumn("level", F.lit(0)).localCheckpoint()]
     frontier = deltas[0].select("node_id")
     # dead-end probe: frontier nodes without outgoing edges cannot expand.
     # It rides inside the expansion plan (no extra job): the probe's
     # semi-join materializes as its own query stage, and when it comes
     # back empty AQE's empty-relation propagation collapses the |E| join
     # — the convergence round stays frontier-sized
-    srcs = (e.select(F.col("src").alias("node_id")).distinct()
-            .localCheckpoint(eager=False))
+    srcs = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
 
     def _visited():
         out = deltas[0].select("node_id")
@@ -171,17 +157,13 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
     for depth in range(1, max_iter + 1):
         # the dead-end probe rides inside the expansion plan (no
         # per-level checkpoint job for it): an all-dead frontier just
-        # yields an empty nxt and exits on the same count check
+        # yields an empty nxt and exits on the same isEmpty check
         live = frontier.join(srcs, "node_id", "left_semi")
-        # LAZY checkpoint + count() = ONE job per level that both
-        # materializes the delta (the count's partial stage scans every
-        # partition of the checkpointed RDD) and decides termination —
-        # the previous eager checkpoint + isEmpty pair was two jobs
         nxt = (e.join(live.withColumnRenamed("node_id", "src"), "src")
                 .select(F.col("dst").alias("node_id")).distinct()
                 .join(_visited(), "node_id", "left_anti")
-                .localCheckpoint(eager=False))
-        if nxt.count() == 0:
+                .localCheckpoint())
+        if nxt.isEmpty():
             break
         deltas.append(nxt.withColumn("level", F.lit(depth)))
         frontier = nxt
@@ -228,14 +210,11 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
                           qcol(dst_col).alias("node_id"))
     vdict = None
     if encode_vertices:
-        # lazy: _vertex_dict's materializing aggregate computes it (r14)
-        e = e.localCheckpoint(eager=False)
+        e = e.localCheckpoint()
         vdict, vsmall = _vertex_dict(e.select("anc"), e.select("node_id"))
         e = _encode_vcol(_encode_vcol(e, vdict, "anc", vsmall),
                          vdict, "node_id", vsmall)
-    # lazy: round 1's count job materializes e, deltas[0] and srcs in one
-    # stacked job instead of three eager checkpoint submissions (r14)
-    e = e.localCheckpoint(eager=False)
+    e = e.localCheckpoint()
     # semi-naive recursive doubling ("smart" transitive closure):
     # Δ_k = Δ_{k-1} ∘ R_{k-1}, still O(log depth) rounds — a pair whose
     # MINIMAL path length lies in (2^(k-1), 2^k] splits at 2^(k-1) into a
@@ -248,15 +227,14 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     # dead-ended) delta against R. R is a LAZY union of checkpointed
     # deltas: per-round readers re-scan materialized blocks instead of
     # also re-writing the whole closure every round.
-    deltas = [e.distinct().localCheckpoint(eager=False)]   # direct parents
+    deltas = [e.distinct().localCheckpoint()]   # direct parents
     # dead-end pruning: only delta rows whose endpoint has an outgoing
     # edge can compose further. The semi-join against the (once-
     # checkpointed) source set is delta-sized and rides inside the
     # composition plan (no per-round checkpoint job); when it comes back
     # empty, AQE's empty-relation propagation collapses the closure join,
     # so the convergence round still never shuffles the ever-growing R.
-    srcs = (e.select(F.col("anc").alias("node_id")).distinct()
-            .localCheckpoint(eager=False))
+    srcs = e.select(F.col("anc").alias("node_id")).distinct().localCheckpoint()
 
     def _reach():
         out = deltas[0]
@@ -267,17 +245,14 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     for _ in range(max_iter):
         # the probe rides inside the composition plan (no per-round
         # checkpoint job): a fully-dead delta yields an empty comp and
-        # exits on the same count check. LAZY checkpoint + count() = ONE
-        # job per round (materialize + terminate) instead of the eager
-        # checkpoint + isEmpty pair (r14).
+        # exits on the same isEmpty check
         live = deltas[-1].join(srcs, "node_id", "left_semi")
         reach = _reach()
         comp = (live.select("anc", F.col("node_id").alias("mid"))
                 .join(reach.select(F.col("anc").alias("mid"), "node_id"), "mid")
                 .select("anc", "node_id").distinct()
-                .join(reach, ["anc", "node_id"], "left_anti")
-                .localCheckpoint(eager=False))
-        if comp.count() == 0:
+                .join(reach, ["anc", "node_id"], "left_anti").localCheckpoint())
+        if comp.isEmpty():
             break
         deltas.append(comp)
     out = _reach().select("node_id", F.col("anc").alias("ancestor"))
@@ -292,8 +267,7 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     """Iteratively prune edges whose destination is a leaf (no outgoing
     edges) and not in the protected vertex set, until fixpoint or max_iter
     (reference graph_traversal.py:215-285). Returns the surviving edges."""
-    # lazy: the prev_n count below materializes it in the same job (r14)
-    e = _df(edges).localCheckpoint(eager=False)
+    e = _df(edges).localCheckpoint()
     spark = e.sparkSession
     dst_type = e.schema[dst_col].dataType
     if keep_vertices is None or (isinstance(keep_vertices, (list, tuple))
@@ -308,12 +282,10 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     cur = e
     prev_n = cur.count()
     for _ in range(max_iter):
-        # lazy checkpoint + count() = one job per iteration (materialize
-        # + fixpoint test), vs the eager checkpoint + count pair (r14)
         srcs = cur.select(qcol(src_col).alias("node_id")).distinct()
         protected = srcs.unionByName(keep).distinct()
         pruned = cur.join(protected.withColumnRenamed("node_id", dst_col),
-                          dst_col, "left_semi").localCheckpoint(eager=False)
+                          dst_col, "left_semi").localCheckpoint()
         n = pruned.count()
         if n == prev_n:
             break
@@ -352,15 +324,13 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
         # encode BEFORE the pre-grouping so even that first corpus-sized
         # (src, dst) shuffle runs over BIGINT keys — the accumulator
         # (node, ancestor, ts) then never carries a string id at all
-        e = e.localCheckpoint(eager=False)
+        e = e.localCheckpoint()
         vdict, vsmall = _vertex_dict(e.select("src"), e.select("dst"))
         e = _encode_vcol(_encode_vcol(e, vdict, "src", vsmall),
                          vdict, "dst", vsmall)
-    # lazy (r14): round 1's count job materializes eg, best and srcs in
-    # one stacked job instead of three eager checkpoint submissions
     eg = (e.groupBy("src", "dst")
           .agg(F.sort_array(F.collect_set("ts")).alias("tss"))
-          ).localCheckpoint(eager=False)
+          ).localCheckpoint()
 
     # incremental accumulator: `best` is the checkpointed running minimum
     # arrival per (node, ancestor); each iteration touches O(|best| + |ext|)
@@ -369,9 +339,8 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     # would OOM the driver at scale; AQE broadcasts it when it is small.
     # (src, dst) is unique in eg, so the depth-1 closure needs no extra
     # shuffle: the min arrival is the sorted array's head.
-    best = (eg.select(F.col("dst").alias("node_id"), F.col("src").alias("anc"),
-                      F.expr("get(tss, 0)").alias("arr_ts"))
-            .localCheckpoint(eager=False))
+    best = eg.select(F.col("dst").alias("node_id"), F.col("src").alias("anc"),
+                     F.expr("get(tss, 0)").alias("arr_ts")).localCheckpoint()
     # NULL-arrival states (all-null-ts pairs) stay in `best` (reachability
     # with unknown time) but never enter the frontier: ts >= NULL can't
     # extend them, and a NULL state's __old_ts__ is NULL every round, so
@@ -381,8 +350,7 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     # dead-end probe, as in ancestors(): states at nodes with no outgoing
     # edges cannot extend, so the convergence round is a frontier-sized
     # semi-join instead of a frontier×|E| join
-    srcs = (eg.select(F.col("src").alias("node_id")).distinct()
-            .localCheckpoint(eager=False))
+    srcs = eg.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
     for _ in range(max_iter):
         # dead-end probe rides INSIDE the extension plan (states at nodes
         # with no outgoing edges cannot extend) — no per-iteration
@@ -404,21 +372,17 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
                            .alias("arr_ts"),
                            F.lit(False).alias("__old__"))
                    .where(F.col("arr_ts").isNotNull()))
-        # LAZY checkpoint + frontier count() = ONE job per round: the
-        # count's filter scans every partition of the checkpointed agg,
-        # materializing it AND deciding termination (the previous eager
-        # checkpoint + isEmpty pair was two jobs per round — r14)
         agg = (best.withColumn("__old__", F.lit(True)).unionByName(ext_raw)
                .groupBy("node_id", "anc")
                .agg(F.min("arr_ts").alias("arr_ts"),
                     F.min(F.when(F.col("__old__"), F.col("arr_ts")))
-                    .alias("__old_ts__"))).localCheckpoint(eager=False)
+                    .alias("__old_ts__"))).localCheckpoint()
         best = agg.select("node_id", "anc", "arr_ts")
         frontier = (agg.where(F.col("arr_ts").isNotNull()
                               & (F.col("__old_ts__").isNull()
                                  | (F.col("arr_ts") < F.col("__old_ts__"))))
                     .select("node_id", "anc", "arr_ts"))
-        if frontier.count() == 0:
+        if frontier.isEmpty():
             break
     out = best.select("node_id", F.col("anc").alias("ancestor"), "arr_ts")
     if vdict is not None:
@@ -453,10 +417,8 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     # the edge table is referenced four times (source probe, leaf
     # detection, parent signatures, final remap) with different
     # projections — no exchange reuse is possible, so without a barrier
-    # the plan scans the input four times (measured: 4 parquet scans).
-    # LAZY (r14): the final action materializes the blocks exactly once
-    # (block-manager getOrElseUpdate), no separate construct-time job.
-    e = _df(edges).localCheckpoint(eager=False)
+    # the plan scans the input four times (measured: 4 parquet scans)
+    e = _df(edges).localCheckpoint()
     srcs = e.select(qcol(src_col).alias("n")).distinct()
     leaves = (e.join(srcs, e[dst_col] == F.col("n"), "left_anti")
               .select(qcol(dst_col).alias("leaf")).distinct())
@@ -464,7 +426,7 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
                .groupBy("leaf")
                .agg(F.array_sort(
                    F.collect_set(qcol(src_col).cast("string"))).alias("psig"))
-               .localCheckpoint(eager=False))
+               .localCheckpoint())
     reps = parents.groupBy("psig").agg(F.min("leaf").alias("rep"))
     remap = parents.join(reps, on="psig").select("leaf", "rep")
     out = (e.join(remap, e[dst_col] == F.col("leaf"), "left")
@@ -656,10 +618,9 @@ def analysis_job(edges, ts_col: str, keep_vertices, seed_vertices,
     pruned = remove_dangling_edges(e0, keep_vertices, src_col, dst_col,
                                    max_iter=prune_max_iter)
     dag = remove_cycles(pruned, ts_col, src_col, dst_col)
-    # EAGER on purpose: both traversal threads below read it, so it must
-    # be materialized before they race (one job either way)
-    ed = OmigoDF(dag.df.select(qcol(src_col), qcol(dst_col)).distinct()
-                 .localCheckpoint())
+    # EAGER checkpoint on purpose: both traversal threads below read it,
+    # so it must be materialized before they race (one job either way)
+    ed = OmigoDF(dag.df.select(qcol(src_col), qcol(dst_col)).distinct().localCheckpoint())
     # The two traversals are independent (both read only the checkpointed
     # `ed`): overlap their per-round driver loops from a 2-thread pool so
     # one traversal's convergence-tail tasks back-fill executors the other
@@ -722,7 +683,7 @@ def parent_hierarchy(edges, levels: int = 6, child_col: str = "child",
                      qcol(parent_col).alias("__p__"))
             .where(qcol(child_col).isNotNull())
             .groupBy("__c__").agg(F.min("__p__").alias("__p__"))
-            ).localCheckpoint(eager=False)
+            ).localCheckpoint()
     out = pmap.select(F.col("__c__").alias("node_id"),
                       F.col("__p__").alias("parent_1"))
     for i in range(2, levels + 1):

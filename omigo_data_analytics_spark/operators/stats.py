@@ -91,12 +91,8 @@ def _ks_d_distributed(u, n1: int, n2: int) -> float:
     g = (u.groupBy("x")
           .agg(F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("d1"),
                F.sum(F.when(F.col("s") == 2, 1).otherwise(0)).alias("d2")))
-    # localCheckpoint pins the sampled range boundaries (two consumers
-    # follow). LAZY (r14): the per-partition totals collect below
-    # materializes it — the boundaries are sampled exactly once either
-    # way, the eager form just paid a separate job submission for it.
-    d = (g.repartitionByRange("x").sortWithinPartitions("x")
-         ).localCheckpoint(eager=False)
+    # localCheckpoint pins the sampled range boundaries (two jobs follow)
+    d = (g.repartitionByRange("x").sortWithinPartitions("x")).localCheckpoint()
     pid = F.spark_partition_id()
     parts = {r["pid"]: (r["t1"], r["t2"]) for r in
              d.groupBy(pid.alias("pid"))
@@ -178,9 +174,7 @@ def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
         .withColumn("s", F.lit(1))
     b = odf2.df.select(qcol(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(2))
-    # lazy (r14): the moments collect materializes it; the KS scan then
-    # reads the same blocks (one fewer job submission, same pinning)
-    u = a.unionByName(b).localCheckpoint(eager=False)
+    u = a.unionByName(b).localCheckpoint()
     x = F.col("x")
     mom = {r["s"]: r for r in
            u.groupBy("s").agg(

@@ -527,11 +527,16 @@ def _hot_keys_census(d, keys, threshold: int):
     # localCheckpoint: the census feeds 2-4 semi/anti joins (4 for asof's
     # shared left+right split) — without it each join re-evaluates the
     # full input lineage through the aggregation (r12 advice). Bounded
-    # output (<= n/threshold keys), so materializing is cheap.
+    # output (<= n/threshold keys), so materializing is cheap. EAGER on
+    # purpose (r14 adjudication): a lazy census is first materialized
+    # UNDER its multiple consumer joins inside one action, which read
+    # consistently slower (+5..+14%) in clean-box isolated A/B than
+    # materializing once up front; the construct-time job it costs is
+    # census-sized, not input-sized.
     return (d.groupBy(*_qcs(keys)).agg(F.count(F.lit(1)).alias("__kc__"))
             .where(F.col("__kc__") >= F.lit(int(threshold)))
             .select(*_qcs(keys))
-            .localCheckpoint(eager=False))
+            .localCheckpoint())
 
 
 def sessionize(odf, key_cols: list[str] | str, time_col: str,
