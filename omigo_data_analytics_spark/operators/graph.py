@@ -66,13 +66,21 @@ def _vertex_dict(*node_dfs: DataFrame) -> tuple[DataFrame, bool]:
     # (while still carrying NULL-keyed rows through non-join paths), but
     # an encoded NULL would become a real id that DOES match itself —
     # and an inner-join encode would instead silently DROP those rows.
-    # Refuse loudly (one cheap probe over the materialized blocks).
-    if vdict.where(F.col("__node__").isNull()).limit(1).count() > 0:
+    # Refuse loudly. ONE combined aggregate over the materialized blocks
+    # answers the NULL probe AND the broadcast-size question (r14 — the
+    # separate limit(1).count() probe + count() pair was two jobs; the
+    # checkpoint itself stays EAGER, see the round's lazy-checkpoint
+    # adjudication).
+    row = vdict.agg(
+        F.count(F.lit(1)).alias("__n__"),
+        F.count(F.when(F.col("__node__").isNull(), 1)).alias("__nulls__"),
+    ).first()
+    if row["__nulls__"] > 0:
         raise ValueError(
             "encode_vertices: NULL vertex ids are not supported — filter "
             "or fill them first (encoding NULL would silently change "
             "traversal semantics)")
-    return vdict, vdict.count() <= _DICT_BROADCAST_MAX_ROWS
+    return vdict, row["__n__"] <= _DICT_BROADCAST_MAX_ROWS
 
 
 def _encode_vcol(df: DataFrame, vdict: DataFrame, col: str,
