@@ -784,17 +784,40 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
         # back through the halo, so every INTERIOR bucket (one with
         # both a predecessor and a successor) must hold >= W-1 rows —
         # otherwise the first rows of its successor would silently
-        # miss predecessors from two buckets back
+        # miss predecessors from two buckets back.
+        # The guard rides IN-PLAN (r14): the old construct-time
+        # limit(1).count() probe was a separate full-input aggregation
+        # job whose result nothing reused — one extra pass over the
+        # input per call. As a broadcast 1-row scalar it shares the
+        # summary's groupBy exchange with the main plan
+        # (ReusedExchange) and raises when its broadcast stage
+        # materializes (raise-parity with the nb_classify/dsir/
+        # mix_sources in-plan guards). The fold point is the FINAL
+        # halo-drop filter, not the halo join's __nxt__: under count()
+        # column pruning collapses the windows, the __halo__==0 filter
+        # then pushes into the union and constant-folds the halo
+        # branch (__halo__=lit(1)) to an empty relation, pruning the
+        # whole join subtree — a guard riding there silently vanishes
+        # (observed). The final filter decides output cardinality, so
+        # NO action can prune it; `__halo__ + __bad__ == 0` is
+        # data-dependent on both sides of the crossJoin and cannot be
+        # split or folded. The `+ __bad__` fold is an identity on
+        # every surviving plan (__bad__ == 0).
         bad = (summ.where(F.col("__haspred__")
                           & F.col("__nxt__").isNotNull()
                           & (F.col("__cnt__") < F.lit(window_rows - 1)))
-               .limit(1).count())
-        if bad:
-            raise ValueError(
-                "rolling_aggregate: time_buckets_sec too small — an "
-                "interior (key, bucket) holds fewer than window_rows-1="
-                f"{window_rows - 1} rows, so a bucket-boundary frame "
-                "would be silently incomplete; increase time_buckets_sec")
+               .agg(F.count(F.lit(1)).alias("__bad__"))
+               .select(F.when(F.col("__bad__") == 0, F.col("__bad__"))
+                       .otherwise(F.raise_error(F.lit(
+                           "rolling_aggregate: time_buckets_sec too "
+                           "small — an interior (key, bucket) holds "
+                           f"fewer than window_rows-1={window_rows - 1} "
+                           "rows, so a bucket-boundary frame would be "
+                           "silently incomplete; increase "
+                           "time_buckets_sec")))
+                       .alias("__bad__")))
+    else:
+        bad = None
     order_local = [F.col("__t__")] + [_qc(c)
                                       for c in (tiebreak_cols or [])]
     wdesc = Window.partitionBy(*_qcs(keys), "__b__").orderBy(
@@ -823,8 +846,13 @@ def _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
     out = u
     for name, expr in _rolling_exprs(wu, agg_cols, agg_funcs, precision):
         out = out.withColumn(name, expr)
-    out = (out.where(F.col("__halo__") == 0)
-           .drop("__t__", "__b__", "__halo__"))
+    if bad is not None:
+        out = (out.crossJoin(F.broadcast(bad))
+               .where((F.col("__halo__") + F.col("__bad__")) == 0)
+               .drop("__t__", "__b__", "__halo__", "__bad__"))
+    else:
+        out = (out.where(F.col("__halo__") == 0)
+               .drop("__t__", "__b__", "__halo__"))
     return OmigoDF(out)
 
 

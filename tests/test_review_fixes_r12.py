@@ -379,8 +379,10 @@ def test_rolling_bucketed_equals_plain(spark):
                **kw).df.collect()}
     assert got == plain, "hybrid hot-key routing diverges"
     # a span so small that interior buckets hold < W-1 rows must raise,
-    # not silently truncate boundary frames
-    with pytest.raises(ValueError, match="time_buckets_sec too small"):
+    # not silently truncate boundary frames (in-plan since r14: the
+    # guard fires at execution as a Spark error, not a construct-time
+    # ValueError — the message is the contract)
+    with pytest.raises(Exception, match="time_buckets_sec too small"):
         TS.rolling_aggregate(d, time_buckets_sec=1.0, hot_key_rows=None,
                              **kw).df.count()
     with pytest.raises(ValueError, match="positive"):

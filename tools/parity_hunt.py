@@ -79,7 +79,8 @@ for trial in range(N_TRIALS):
                                          window_rows=w, tiebreak_cols=["v"],
                                          time_buckets_sec=span,
                                          hot_key_rows=1).df
-            except ValueError as e:
+            except Exception as e:
+                # in-plan since r14: fires at execution as a Spark error
                 if "time_buckets_sec too small" in str(e):
                     print(f"trial {trial}: rolling guard raised (ok)")
                     continue
@@ -94,6 +95,17 @@ for trial in range(N_TRIALS):
         else:
             print(f"trial {trial} op={op} span={span} ok ({len(ca)} rows)")
     except Exception as ex:
+        if op == 3 and "time_buckets_sec too small" in str(ex):
+            # in-plan since r14: the guard fires when canon() executes
+            # the bucketed plan, not at construct time
+            print(f"trial {trial}: rolling guard raised (ok)")
+            continue
+        if op == 3 and "decimal overflow" in str(ex):
+            # documented contract on +-1e308 window sums, shared by
+            # both plans (the docstring's expected-raise class); since
+            # the span guard went in-plan more trials reach it
+            print(f"trial {trial}: rolling overflow guard raised (ok)")
+            continue
         fails += 1
         print(f"trial {trial} op={op} ERROR: {str(ex)[:160]}")
 print("HUNT DONE, fails =", fails)
