@@ -892,8 +892,22 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
     every key. Has effect only when ``time_buckets_sec`` is set."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
-    s = _qc(start_col).cast("double")
-    e = _qc(end_col).cast("double")
+
+    # canonicalize -0.0 -> +0.0 on ingest (r14 parity-hunt find): Spark's
+    # min/max keep the FIRST-SEEN of an IEEE-equal pair, so an island
+    # holding both -0.0 and 0.0 starts would report island_start as
+    # whichever representative the accumulation order met first — a
+    # plan-shape-dependent output that made the bucketed two-phase plan
+    # diverge from the plain window plan on str()-level canon (trial 21,
+    # tools/parity_hunt.py). The WHEN guard (not `+ 0.0`, which a future
+    # identity-fold could erase) maps both zeros to +0.0 and leaves
+    # NULL/NaN/±Inf untouched; comparisons are unaffected (-0.0 == 0.0
+    # already), only the emitted representative becomes deterministic.
+    def _c0(c):
+        return F.when(c == F.lit(0.0), F.lit(0.0)).otherwise(c)
+
+    s = _c0(_qc(start_col).cast("double"))
+    e = _c0(_qc(end_col).cast("double"))
     if time_buckets_sec is not None:
         if time_buckets_sec <= 0:
             raise ValueError("merge_intervals: time_buckets_sec must be "
