@@ -472,12 +472,33 @@ def get_bfs_levels(edf, vertex_ids, reverse_first: bool = False,
     reverse (reference graph_traversal.py:7-78 walks one direction, then
     the other; `reverse_first` flips the order, which only affects ties —
     we keep the minimum level per node, matching its first-win rule)."""
-    e = _df(edf)
-    er = e.select(qcol(dst_col).alias(src_col), qcol(src_col).alias(dst_col),
-                  *[c for c in e.columns if c not in (src_col, dst_col)])
+    # EAGER checkpoint on the shared projection: both traversal threads
+    # below read it, so its one materialization must finish before they
+    # start (the analysis_job pattern) — and it also halves the caller-
+    # lineage scans (each bfs_levels used to re-execute the caller's
+    # edge construction for its own entry checkpoint).
+    e = (_df(edf).select(qcol(src_col).alias(src_col),
+                         qcol(dst_col).alias(dst_col))
+         .localCheckpoint())
+    er = e.select(F.col(dst_col).alias(src_col),
+                  F.col(src_col).alias(dst_col))
     first, second = (er, e) if reverse_first else (e, er)
-    l1 = bfs_levels(first, vertex_ids, src_col, dst_col, max_iter).df
-    l2 = bfs_levels(second, vertex_ids, src_col, dst_col, max_iter).df
+    # r14 (guide §2.6 concurrent jobs): the two directions' iterative
+    # driver loops are independent given the checkpointed edge set, and
+    # min-union makes the result order-insensitive — overlap them from a
+    # 2-thread pool so one loop's convergence-tail tasks back-fill the
+    # executors the other frees (sf0.1 edge DAG A/B alternation,
+    # 3-pass-min per session: 4.0/4.4/5.8 s threaded vs 5.4/6.3 s
+    # sequential — −25 % best-of-passes; same pattern and safety
+    # argument as analysis_job).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(lambda: bfs_levels(first, vertex_ids, src_col,
+                                            dst_col, max_iter).df)
+        f2 = pool.submit(lambda: bfs_levels(second, vertex_ids, src_col,
+                                            dst_col, max_iter).df)
+        l1, l2 = f1.result(), f2.result()
     out = (l1.unionByName(l2).groupBy("node_id")
            .agg(F.min("level").alias("level")))
     return OmigoDF(out)
