@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..core.colutils import qcol
 
 from ..core.dataframe import OmigoDF
+from ..core.jobs import checkpoint_with_metrics
 from .text import (HASH_MOD, ensure_min_parallelism, hash_duck, hash_spark,
                    let_duck, let_spark)
 
@@ -742,13 +743,18 @@ def connected_components(pairs: OmigoDF, id_a: str = "id_a",
         # frame is consumed by both _sig and the NEXT round's plan
         # construction (AQE stage materialization), and deferring the
         # materialization makes those consumers redo work. Only the
-        # single-consumer ENTRY checkpoints above stay lazy.
+        # single-consumer ENTRY checkpoints above stay lazy. The
+        # convergence signature now rides the eager checkpoint's OWN
+        # materialization job via observe() (r15) — one job per round,
+        # no separate full scan of the just-landed blocks.
         neigh = (edges.join(labels, edges["dst"] == labels["id"])
                  .select(F.col("src").alias("id"), F.col("lab")))
-        labels = (labels.select("id", "lab").unionByName(neigh)
-                  .groupBy("id").agg(F.min("lab").alias("lab"))
-                  .localCheckpoint(eager=True))
-        new_sig = _sig(labels)
+        labels, m = checkpoint_with_metrics(
+            labels.select("id", "lab").unionByName(neigh)
+                  .groupBy("id").agg(F.min("lab").alias("lab")),
+            {"h": F.expr("bit_xor(xxhash64(id, lab))"),
+             "n": F.count(F.lit(1))})
+        new_sig = (m["h"], m["n"])
         if new_sig == sig:
             converged = True
             break
@@ -805,7 +811,7 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
          .where(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=False))
 
-    def _star(edges, large: bool):
+    def _star(edges, large: bool, with_sig: bool = False):
         m = (edges.groupBy("u")
              .agg(F.min("v").alias("__mn__"))
              .select("u", F.least(F.col("__mn__"), F.col("u")).alias("m")))
@@ -819,12 +825,20 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
         # variant regressed the consuming queries ~50% — a round frame
         # that the next round's plan construction (AQE stage
         # materialization) and the _sig aggregate both consume must be
-        # materialized once, not recomputed under each consumer
+        # materialized once, not recomputed under each consumer. When
+        # the caller needs the round's convergence signature, it rides
+        # the checkpoint's own materialization job via observe() (r15).
         sym = (out.where(F.col("a") != F.col("b"))
                .select(F.col("a").alias("u"), F.col("b").alias("v")))
-        return (sym.unionByName(sym.select(F.col("v").alias("u"),
-                                           F.col("u").alias("v")))
-                .distinct().localCheckpoint(eager=True))
+        sym_u = (sym.unionByName(sym.select(F.col("v").alias("u"),
+                                            F.col("u").alias("v")))
+                 .distinct())
+        if not with_sig:
+            return sym_u.localCheckpoint(eager=True)
+        ck, m = checkpoint_with_metrics(sym_u, {
+            "n": F.count(F.when(F.col("u") < F.col("v"), 1)),
+            "h": F.expr("bit_xor(CASE WHEN u < v THEN xxhash64(u, v) END)")})
+        return ck, (m["n"], m["h"])
 
     def _sig(edges):
         row = (edges.where(F.col("u") < F.col("v"))
@@ -835,8 +849,10 @@ def connected_components_star(pairs: OmigoDF, id_a: str = "id_a",
     sig = _sig(e)
     converged = False
     for _ in range(max_iter):
-        e = _star(_star(e, large=True), large=False)
-        new_sig = _sig(e)
+        # the small-star checkpoint carries the round's signature via
+        # observe() (r15) — the separate _sig scan per round is gone
+        e, new_sig = _star(_star(e, large=True), large=False,
+                           with_sig=True)
         if new_sig == sig:
             converged = True
             break

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..core.colutils import qcol
 
 from ..core.dataframe import OmigoDF
+from ..core.jobs import checkpoint_with_metrics
 
 
 def _df(x) -> DataFrame:
@@ -58,23 +59,20 @@ def _vertex_dict(*node_dfs: DataFrame) -> tuple[DataFrame, bool]:
     u = node_dfs[0].toDF("__node__")
     for d in node_dfs[1:]:
         u = u.unionByName(d.toDF("__node__"))
-    vdict = (u.distinct()
-              .withColumn("__vid__", F.monotonically_increasing_id())
-              .localCheckpoint())
     # NULL vertex ids cannot be dictionary-encoded without changing
     # semantics: the un-encoded traversal's joins never match NULL=NULL
     # (while still carrying NULL-keyed rows through non-join paths), but
     # an encoded NULL would become a real id that DOES match itself —
     # and an inner-join encode would instead silently DROP those rows.
-    # Refuse loudly. ONE combined aggregate over the materialized blocks
-    # answers the NULL probe AND the broadcast-size question (r14 — the
-    # separate limit(1).count() probe + count() pair was two jobs; the
-    # checkpoint itself stays EAGER, see the round's lazy-checkpoint
-    # adjudication).
-    row = vdict.agg(
-        F.count(F.lit(1)).alias("__n__"),
-        F.count(F.when(F.col("__node__").isNull(), 1)).alias("__nulls__"),
-    ).first()
+    # Refuse loudly. The NULL probe and the broadcast-size count ride
+    # the (eager, per the r14 adjudication) checkpoint's materialization
+    # job via observe() (r15) — ONE job total, where r14's fused
+    # aggregate was a second job over the blocks and r13's probe + count
+    # pair was three.
+    vdict, row = checkpoint_with_metrics(
+        u.distinct().withColumn("__vid__", F.monotonically_increasing_id()),
+        {"__n__": F.count(F.lit(1)),
+         "__nulls__": F.count(F.when(F.col("__node__").isNull(), 1))})
     if row["__nulls__"] > 0:
         raise ValueError(
             "encode_vertices: NULL vertex ids are not supported — filter "
@@ -106,7 +104,8 @@ def _decode_vcol(df: DataFrame, vdict: DataFrame, col: str,
 
 def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
                max_iter: int = 30, out_col: str = "level",
-               encode_vertices: bool = False) -> OmigoDF:
+               encode_vertices: bool = False,
+               _entry_barrier: bool = True) -> OmigoDF:
     """Minimum BFS level of every reachable vertex from the seed set
     (seeds = level 0). Cycle-tolerant: a vertex keeps its first (minimum)
     level (reference graph_traversal.py:7-78, forward direction).
@@ -135,26 +134,43 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
         # checkpoint the RAW projection first: the dict build + two encode
         # joins would otherwise re-execute the caller's edge construction
         # three more times (measured 3x scan inflation at sf0.1)
-        e = e.localCheckpoint()
+        if _entry_barrier:
+            e = e.localCheckpoint()
         # seeds participate in the dictionary: a seed absent from the edge
         # table still appears in the output at level 0
         vdict, vsmall = _vertex_dict(e.select("src"), e.select("dst"),
                                      seeds.select("node_id"))
+        # the encoded projection is a cheap broadcast-join plan over the
+        # raw blocks consumed only by the flag checkpoint's job below —
+        # fold it in rather than materializing a second edge copy (r15)
         e = _encode_vcol(_encode_vcol(e, vdict, "src", vsmall),
                          vdict, "dst", vsmall)
         seeds = _encode_vcol(seeds, vdict, "node_id", vsmall)
-    e = e.localCheckpoint()
+    elif _entry_barrier:
+        # barrier so the caller's edge construction runs exactly once
+        # under the flag join's two readers (e side + src-set side).
+        # Callers that hand in an ALREADY-materialized edge frame
+        # (analysis_job / get_bfs_levels checkpoint it themselves) pass
+        # _entry_barrier=False to skip this redundant edge copy (r15).
+        e = e.localCheckpoint()
+    # dead-end flag ON the edge blocks (r15): an expansion row's
+    # destination can itself expand iff it appears as some edge's source.
+    # Computing that flag ONCE at entry and letting it ride every round's
+    # join output replaces the old per-round `frontier ⋈ srcs` semi-join
+    # (a vertex-set-sized broadcast build EVERY round) with one entry
+    # join, and — because each round now knows how many of its new nodes
+    # are expandable — an all-dead frontier exits WITHOUT paying the
+    # convergence round's |E| join at all.
+    srcs = e.select(F.col("src").alias("__sn__")).distinct()
+    e = (e.join(srcs, e["dst"] == F.col("__sn__"), "left")
+         .select("src", "dst",
+                 F.col("__sn__").isNotNull().alias("__has_out__"))
+         .localCheckpoint())
     # visited is kept as a LAZY union of per-level checkpointed deltas:
     # each iteration re-reads materialized blocks (cheap) instead of also
     # re-writing the whole accumulated set (one fewer job per level)
     deltas = [seeds.distinct().withColumn("level", F.lit(0)).localCheckpoint()]
     frontier = deltas[0].select("node_id")
-    # dead-end probe: frontier nodes without outgoing edges cannot expand.
-    # It rides inside the expansion plan (no extra job): the probe's
-    # semi-join materializes as its own query stage, and when it comes
-    # back empty AQE's empty-relation propagation collapses the |E| join
-    # — the convergence round stays frontier-sized
-    srcs = e.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
 
     def _visited():
         out = deltas[0].select("node_id")
@@ -163,18 +179,25 @@ def bfs_levels(edges, seed_vertices, src_col: str = "src", dst_col: str = "dst",
         return out
 
     for depth in range(1, max_iter + 1):
-        # the dead-end probe rides inside the expansion plan (no
-        # per-level checkpoint job for it): an all-dead frontier just
-        # yields an empty nxt and exits on the same isEmpty check
-        live = frontier.join(srcs, "node_id", "left_semi")
-        nxt = (e.join(live.withColumnRenamed("node_id", "src"), "src")
-                .select(F.col("dst").alias("node_id")).distinct()
-                .join(_visited(), "node_id", "left_anti")
-                .localCheckpoint())
-        if nxt.isEmpty():
+        # both terminators (any new node? any EXPANDABLE new node?) ride
+        # the eager checkpoint's materialization job via observe() (r15)
+        # — one job per level, where checkpoint + isEmpty was two, and
+        # the final all-dead round is skipped outright. __has_out__ is
+        # constant per node, so distinct() over (node_id, flag) yields
+        # exactly the node-distinct the plain projection had.
+        nxt, m = checkpoint_with_metrics(
+            e.join(frontier.withColumnRenamed("node_id", "src"), "src")
+             .select(F.col("dst").alias("node_id"), F.col("__has_out__"))
+             .distinct()
+             .join(_visited(), "node_id", "left_anti"),
+            {"n": F.count(F.lit(1)),
+             "live": F.count(F.when(F.col("__has_out__"), 1))})
+        if m["n"] == 0:
             break
-        deltas.append(nxt.withColumn("level", F.lit(depth)))
-        frontier = nxt
+        deltas.append(nxt.select("node_id").withColumn("level", F.lit(depth)))
+        if m["live"] == 0:
+            break
+        frontier = nxt.where(F.col("__has_out__")).select("node_id")
     visited = deltas[0]
     for d in deltas[1:]:
         visited = visited.unionByName(d)
@@ -203,7 +226,8 @@ def degrees(edges, src_col: str = "src", dst_col: str = "dst") -> OmigoDF:
 
 
 def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
-              max_iter: int = 30, encode_vertices: bool = False) -> OmigoDF:
+              max_iter: int = 30, encode_vertices: bool = False,
+              _entry_barrier: bool = True) -> OmigoDF:
     """Full ancestor set of every vertex in a DAG: (node_id, ancestor)
     pairs — the relational core of the reference's
     get_forward_edges_only path/ancestor columns
@@ -218,11 +242,21 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
                           qcol(dst_col).alias("node_id"))
     vdict = None
     if encode_vertices:
-        e = e.localCheckpoint()
+        if _entry_barrier:
+            e = e.localCheckpoint()
         vdict, vsmall = _vertex_dict(e.select("anc"), e.select("node_id"))
+        # the encoded projection is a cheap broadcast-join plan over the
+        # raw blocks consumed only by the base delta's checkpoint job
+        # below — fold it in rather than materializing a second edge
+        # copy (r15)
         e = _encode_vcol(_encode_vcol(e, vdict, "anc", vsmall),
                          vdict, "node_id", vsmall)
-    e = e.localCheckpoint()
+    elif _entry_barrier:
+        # barrier so the caller's edge construction runs exactly once
+        # under the base delta's two readers (pair side + src-set side).
+        # Callers handing in an already-materialized frame pass
+        # _entry_barrier=False (see bfs_levels).
+        e = e.localCheckpoint()
     # semi-naive recursive doubling ("smart" transitive closure):
     # Δ_k = Δ_{k-1} ∘ R_{k-1}, still O(log depth) rounds — a pair whose
     # MINIMAL path length lies in (2^(k-1), 2^k] splits at 2^(k-1) into a
@@ -235,14 +269,20 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
     # dead-ended) delta against R. R is a LAZY union of checkpointed
     # deltas: per-round readers re-scan materialized blocks instead of
     # also re-writing the whole closure every round.
-    deltas = [e.distinct().localCheckpoint()]   # direct parents
-    # dead-end pruning: only delta rows whose endpoint has an outgoing
-    # edge can compose further. The semi-join against the (once-
-    # checkpointed) source set is delta-sized and rides inside the
-    # composition plan (no per-round checkpoint job); when it comes back
-    # empty, AQE's empty-relation propagation collapses the closure join,
-    # so the convergence round still never shuffles the ever-growing R.
-    srcs = e.select(F.col("anc").alias("node_id")).distinct().localCheckpoint()
+    # dead-end flag ON the delta pairs (r15): a pair (anc, n) can compose
+    # further iff n has an outgoing edge (n ∈ src set — exactly the set
+    # of anc values reach can ever hold). The flag joins in ONCE inside
+    # the base delta's checkpoint job and then rides every composition's
+    # reach side for free, replacing the old per-round `delta ⋈ srcs`
+    # semi-join AND the separate srcs checkpoint; a fully-dead delta now
+    # exits WITHOUT paying the convergence round's closure join.
+    # __has_out__ is constant per node_id, so distinct() over
+    # (anc, node_id, flag) is exactly the pair-distinct.
+    srcs = e.select(F.col("anc").alias("__sn__")).distinct()
+    deltas = [(e.join(srcs, e["node_id"] == F.col("__sn__"), "left")
+               .select("anc", "node_id",
+                       F.col("__sn__").isNotNull().alias("__has_out__"))
+               .distinct().localCheckpoint())]   # direct parents
 
     def _reach():
         out = deltas[0]
@@ -251,18 +291,24 @@ def ancestors(edges, src_col: str = "src", dst_col: str = "dst",
         return out
 
     for _ in range(max_iter):
-        # the probe rides inside the composition plan (no per-round
-        # checkpoint job): a fully-dead delta yields an empty comp and
-        # exits on the same isEmpty check
-        live = deltas[-1].join(srcs, "node_id", "left_semi")
+        # both terminators (any new pair? any COMPOSABLE new pair?) ride
+        # the eager checkpoint's materialization job via observe() (r15)
+        live = deltas[-1].where(F.col("__has_out__"))
         reach = _reach()
-        comp = (live.select("anc", F.col("node_id").alias("mid"))
-                .join(reach.select(F.col("anc").alias("mid"), "node_id"), "mid")
-                .select("anc", "node_id").distinct()
-                .join(reach, ["anc", "node_id"], "left_anti").localCheckpoint())
-        if comp.isEmpty():
+        comp, m = checkpoint_with_metrics(
+            live.select("anc", F.col("node_id").alias("mid"))
+                .join(reach.select(F.col("anc").alias("mid"), "node_id",
+                                   "__has_out__"), "mid")
+                .select("anc", "node_id", "__has_out__").distinct()
+                .join(reach.select("anc", "node_id"),
+                      ["anc", "node_id"], "left_anti"),
+            {"n": F.count(F.lit(1)),
+             "live": F.count(F.when(F.col("__has_out__"), 1))})
+        if m["n"] == 0:
             break
         deltas.append(comp)
+        if m["live"] == 0:
+            break
     out = _reach().select("node_id", F.col("anc").alias("ancestor"))
     if vdict is not None:
         out = _decode_vcol(_decode_vcol(out, vdict, "node_id", vsmall),
@@ -275,7 +321,10 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     """Iteratively prune edges whose destination is a leaf (no outgoing
     edges) and not in the protected vertex set, until fixpoint or max_iter
     (reference graph_traversal.py:215-285). Returns the surviving edges."""
-    e = _df(edges).localCheckpoint()
+    # the fixpoint terminators (entry row count + per-round counts) ride
+    # the checkpoints' own materialization jobs via observe() (r15) —
+    # one job per round, where checkpoint + count() was two
+    e, m0 = checkpoint_with_metrics(_df(edges), {"n": F.count(F.lit(1))})
     spark = e.sparkSession
     dst_type = e.schema[dst_col].dataType
     if keep_vertices is None or (isinstance(keep_vertices, (list, tuple))
@@ -288,13 +337,15 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
     else:
         keep = _df(keep_vertices).select("node_id")
     cur = e
-    prev_n = cur.count()
+    prev_n = m0["n"]
     for _ in range(max_iter):
         srcs = cur.select(qcol(src_col).alias("node_id")).distinct()
         protected = srcs.unionByName(keep).distinct()
-        pruned = cur.join(protected.withColumnRenamed("node_id", dst_col),
-                          dst_col, "left_semi").localCheckpoint()
-        n = pruned.count()
+        pruned, m = checkpoint_with_metrics(
+            cur.join(protected.withColumnRenamed("node_id", dst_col),
+                     dst_col, "left_semi"),
+            {"n": F.count(F.lit(1))})
+        n = m["n"]
         if n == prev_n:
             break
         cur, prev_n = pruned, n
@@ -339,6 +390,17 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     eg = (e.groupBy("src", "dst")
           .agg(F.sort_array(F.collect_set("ts")).alias("tss"))
           ).localCheckpoint()
+    # dead-end flag ON the pair summary (r15): a state at node n can
+    # extend iff n has an outgoing edge. The flag joins in once (reading
+    # the just-landed summary blocks) and rides every extension's eg
+    # side, replacing the old per-round `frontier ⋈ srcs` semi-join and
+    # the separate srcs checkpoint; an all-dead delta exits WITHOUT
+    # paying the convergence round's extension join.
+    srcs = eg.select(F.col("src").alias("__sn__")).distinct()
+    eg = (eg.join(srcs, eg["dst"] == F.col("__sn__"), "left")
+          .select("src", "dst", "tss",
+                  F.col("__sn__").isNotNull().alias("__has_out__"))
+          .localCheckpoint())
 
     # incremental accumulator: `best` is the checkpointed running minimum
     # arrival per (node, ancestor); each iteration touches O(|best| + |ext|)
@@ -348,23 +410,19 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
     # (src, dst) is unique in eg, so the depth-1 closure needs no extra
     # shuffle: the min arrival is the sorted array's head.
     best = eg.select(F.col("dst").alias("node_id"), F.col("src").alias("anc"),
-                     F.expr("get(tss, 0)").alias("arr_ts")).localCheckpoint()
+                     F.expr("get(tss, 0)").alias("arr_ts"),
+                     F.col("__has_out__")).localCheckpoint()
     # NULL-arrival states (all-null-ts pairs) stay in `best` (reachability
     # with unknown time) but never enter the frontier: ts >= NULL can't
     # extend them, and a NULL state's __old_ts__ is NULL every round, so
     # keeping them in the delta would defeat convergence detection and
-    # force all max_iter rounds
-    frontier = best.where(F.col("arr_ts").isNotNull())
-    # dead-end probe, as in ancestors(): states at nodes with no outgoing
-    # edges cannot extend, so the convergence round is a frontier-sized
-    # semi-join instead of a frontier×|E| join
-    srcs = eg.select(F.col("src").alias("node_id")).distinct().localCheckpoint()
+    # force all max_iter rounds. States at dead-end nodes (no outgoing
+    # edge — the __has_out__ flag attached to eg above) are likewise
+    # excluded from the frontier: they can never extend.
+    frontier = (best.where(F.col("arr_ts").isNotNull()
+                           & F.col("__has_out__"))
+                .select("node_id", "anc", "arr_ts"))
     for _ in range(max_iter):
-        # dead-end probe rides INSIDE the extension plan (states at nodes
-        # with no outgoing edges cannot extend) — no per-iteration
-        # checkpoint job for it; if a round's delta is all dead-ends the
-        # next delta comes back empty and the loop exits one round later.
-        probed = frontier.join(srcs, "node_id", "left_semi")
         # Extensions union the accumulator straight into ONE tagged
         # aggregate: min arrival overall + min arrival among prior states.
         # That single shuffle replaces three (the extension pre-agg, the
@@ -374,24 +432,37 @@ def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
         # overall min beats (or lacks) a prior-state min. The first
         # eligible timestamp per successor pair comes from the sorted
         # array via get() — null (no eligible edge, or an all-null-ts pair) drops pre-shuffle; ANSI subscripting would throw on the empty filter result.
-        ext_raw = (probed.join(eg, probed["node_id"] == eg["src"])
+        ext_raw = (frontier.join(eg, frontier["node_id"] == eg["src"])
                    .select(F.col("dst").alias("node_id"), F.col("anc"),
                            F.expr("get(filter(tss, t -> t >= arr_ts), 0)")
                            .alias("arr_ts"),
-                           F.lit(False).alias("__old__"))
+                           F.lit(False).alias("__old__"),
+                           F.col("__has_out__"))
                    .where(F.col("arr_ts").isNotNull()))
-        agg = (best.withColumn("__old__", F.lit(True)).unionByName(ext_raw)
-               .groupBy("node_id", "anc")
-               .agg(F.min("arr_ts").alias("arr_ts"),
-                    F.min(F.when(F.col("__old__"), F.col("arr_ts")))
-                    .alias("__old_ts__"))).localCheckpoint()
-        best = agg.select("node_id", "anc", "arr_ts")
-        frontier = (agg.where(F.col("arr_ts").isNotNull()
-                              & (F.col("__old_ts__").isNull()
-                                 | (F.col("arr_ts") < F.col("__old_ts__"))))
-                    .select("node_id", "anc", "arr_ts"))
-        if frontier.isEmpty():
+        # a row is a DELTA when its overall min beats (or lacks) a
+        # prior-state min; the delta count AND the extendable-delta count
+        # — the loop terminators — ride the checkpoint's materialization
+        # job via observe() (r15), replacing the separate
+        # frontier.isEmpty() job per round; an all-dead delta exits
+        # without paying the convergence round's extension join.
+        # __has_out__ is constant per node_id, so max() is exact.
+        delta_cond = (F.col("arr_ts").isNotNull()
+                      & (F.col("__old_ts__").isNull()
+                         | (F.col("arr_ts") < F.col("__old_ts__"))))
+        agg, m = checkpoint_with_metrics(
+            best.withColumn("__old__", F.lit(True)).unionByName(ext_raw)
+                .groupBy("node_id", "anc")
+                .agg(F.min("arr_ts").alias("arr_ts"),
+                     F.min(F.when(F.col("__old__"), F.col("arr_ts")))
+                     .alias("__old_ts__"),
+                     F.max("__has_out__").alias("__has_out__")),
+            {"d": F.count(F.when(delta_cond, 1)),
+             "live": F.count(F.when(delta_cond & F.col("__has_out__"), 1))})
+        best = agg.select("node_id", "anc", "arr_ts", "__has_out__")
+        if m["d"] == 0 or m["live"] == 0:
             break
+        frontier = (agg.where(delta_cond & F.col("__has_out__"))
+                    .select("node_id", "anc", "arr_ts"))
     out = best.select("node_id", F.col("anc").alias("ancestor"), "arr_ts")
     if vdict is not None:
         out = _decode_vcol(_decode_vcol(out, vdict, "node_id", vsmall),
@@ -480,8 +551,12 @@ def get_bfs_levels(edf, vertex_ids, reverse_first: bool = False,
     e = (_df(edf).select(qcol(src_col).alias(src_col),
                          qcol(dst_col).alias(dst_col))
          .localCheckpoint())
-    er = e.select(F.col(dst_col).alias(src_col),
-                  F.col(src_col).alias(dst_col))
+    # qcol, not F.col: the checkpointed frame's columns are literally
+    # NAMED src_col/dst_col, so dotted hostile names (src_col='src.x')
+    # must be quoted here too (r14 ADVICE — bare F.col regressed the
+    # r13 hostile-name guarantee with an AnalysisException)
+    er = e.select(qcol(dst_col).alias(src_col),
+                  qcol(src_col).alias(dst_col))
     first, second = (er, e) if reverse_first else (e, er)
     # r14 (guide §2.6 concurrent jobs): the two directions' iterative
     # driver loops are independent given the checkpointed edge set, and
@@ -493,11 +568,24 @@ def get_bfs_levels(edf, vertex_ids, reverse_first: bool = False,
     # argument as analysis_job).
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark.util import inheritable_thread_target
+
+    # inheritable_thread_target (r14 ADVICE): jobs submitted from the
+    # pool threads inherit the caller's Spark local properties (job
+    # group/description, scheduler pool) and tags, so caller-side
+    # cancellation and job accounting see the loop's jobs
+    _inherit = inheritable_thread_target(e.sparkSession)
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f1 = pool.submit(lambda: bfs_levels(first, vertex_ids, src_col,
-                                            dst_col, max_iter).df)
-        f2 = pool.submit(lambda: bfs_levels(second, vertex_ids, src_col,
-                                            dst_col, max_iter).df)
+        # _entry_barrier=False: e/er are projections of the shared entry
+        # checkpoint above — no redundant per-direction edge copy (r15)
+        f1 = pool.submit(_inherit(
+            lambda: bfs_levels(first, vertex_ids, src_col,
+                               dst_col, max_iter,
+                               _entry_barrier=False).df))
+        f2 = pool.submit(_inherit(
+            lambda: bfs_levels(second, vertex_ids, src_col,
+                               dst_col, max_iter,
+                               _entry_barrier=False).df))
         l1, l2 = f1.result(), f2.result()
     out = (l1.unionByName(l2).groupBy("node_id")
            .agg(F.min("level").alias("level")))
@@ -661,19 +749,29 @@ def analysis_job(edges, ts_col: str, keep_vertices, seed_vertices,
     from concurrent.futures import ThreadPoolExecutor
 
     def _lv():
+        # _entry_barrier=False: `ed` is already a materialized checkpoint,
+        # so the operators skip their redundant entry edge copy (r15)
         return bfs_levels(ed, seed_vertices, src_col, dst_col, max_iter,
-                          encode_vertices=encode_vertices).df
+                          encode_vertices=encode_vertices,
+                          _entry_barrier=False).df
 
     def _anc():
         return (ancestors(ed, src_col, dst_col, max_iter,
-                          encode_vertices=encode_vertices).df
+                          encode_vertices=encode_vertices,
+                          _entry_barrier=False).df
                 .groupBy("node_id")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_ancestors"),
                      F.concat_ws(",", F.array_sort(F.collect_set("ancestor")))
                      .alias("ancestors")))
 
+    from pyspark.util import inheritable_thread_target
+
+    _inherit = inheritable_thread_target(ed.df.sparkSession)
     with ThreadPoolExecutor(max_workers=2) as pool:
-        lv_f, anc_f = pool.submit(_lv), pool.submit(_anc)
+        # inheritable_thread_target (r14 ADVICE): the loops' jobs keep
+        # the caller's job group/description for cancellation/accounting
+        lv_f = pool.submit(_inherit(_lv))
+        anc_f = pool.submit(_inherit(_anc))
         lv, anc_agg = lv_f.result(), anc_f.result()
     nodes = (ed.df.select(qcol(src_col).alias("node_id"))
              .unionByName(ed.df.select(qcol(dst_col).alias("node_id")))

@@ -135,6 +135,17 @@ def test_get_bfs_levels_bidirectional(spark):
     assert out == {"a": 0, "b": 1, "c": 2, "z": 1}
 
 
+def test_get_bfs_levels_hostile_dotted_cols(spark):
+    # r14 ADVICE (medium): the reversed projection used bare F.col, so
+    # dotted src/dst names raised AnalysisException — must be quoted
+    e = OmigoDF(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("z", "a")], ["src.x", "dst.y"]))
+    out = {r["node_id"]: r["level"]
+           for r in G.get_bfs_levels(e, ["a"], src_col="src.x",
+                                     dst_col="dst.y").df.collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "z": 1}
+
+
 def test_get_forward_edges_only_ancestor_merge(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("x", "c")])
     out = {r["node_id"]: r["fwd:ancestors"]

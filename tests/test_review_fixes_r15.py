@@ -1,0 +1,110 @@
+"""Round-15 focused pins: observe-fused checkpoint terminators and the
+dead-end-flag loop restructure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omigo_data_analytics_spark.core.dataframe import OmigoDF
+from omigo_data_analytics_spark.core.jobs import checkpoint_with_metrics
+from omigo_data_analytics_spark.operators import graph as G
+
+
+def test_checkpoint_with_metrics_matches_separate_aggregate(spark):
+    df = spark.range(1000).select((F.col("id") % 13).alias("k"),
+                                  F.col("id").alias("v"))
+    ck, m = checkpoint_with_metrics(
+        df, {"n": F.count(F.lit(1)),
+             "h": F.expr("bit_xor(xxhash64(k, v))"),
+             "cond": F.count(F.when(F.col("k") == 0, 1))})
+    row = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.expr("bit_xor(xxhash64(k, v))").alias("h"),
+                 F.count(F.when(F.col("k") == 0, 1)).alias("cond")).first()
+    assert m["n"] == row["n"] == 1000
+    assert m["h"] == row["h"]
+    assert m["cond"] == row["cond"]
+    # the returned frame is materialized and reusable
+    assert ck.count() == 1000
+
+
+def test_checkpoint_with_metrics_empty_frame(spark):
+    df = spark.range(10).where("id < 0")
+    ck, m = checkpoint_with_metrics(
+        df, {"n": F.count(F.lit(1)),
+             "h": F.expr("bit_xor(xxhash64(id))")})
+    assert m["n"] == 0
+    assert m["h"] is None
+    assert ck.count() == 0
+
+
+def test_checkpoint_with_metrics_single_job(spark):
+    # the whole point: checkpoint + terminator metrics in ONE driver job
+    sc = spark.sparkContext
+
+    def _n_jobs():
+        return len(sc.statusTracker().getJobIdsForGroup(None) or [])
+
+    df = spark.range(5000).select((F.col("id") % 7).alias("g")).distinct()
+    df.count()  # warm any lazy session state
+    j0 = _n_jobs()
+    _, m = checkpoint_with_metrics(
+        spark.range(5000).select((F.col("id") % 7).alias("g")),
+        {"n": F.count(F.lit(1))})
+    # no exchange in this plan -> exactly one job for ckpt + metrics
+    assert _n_jobs() - j0 == 1
+    assert m["n"] == 5000
+
+
+def test_bfs_levels_dead_end_early_exit_correct(spark):
+    # last level is all dead-ends: the early exit (live == 0) must still
+    # emit those nodes at their level
+    e = OmigoDF(spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d")], ["src", "dst"]))
+    out = {r["node_id"]: r["level"]
+           for r in G.bfs_levels(e, ["a"]).df.collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_bfs_levels_dead_end_seeds_and_cycles(spark):
+    # seeds with no outgoing edges appear at level 0; cycles keep min level
+    e = OmigoDF(spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c")], ["src", "dst"]))
+    out = {r["node_id"]: r["level"]
+           for r in G.bfs_levels(e, ["a", "zzz"]).df.collect()}
+    assert out == {"a": 0, "zzz": 0, "b": 1, "c": 2}
+
+
+def test_ancestors_flag_carries_through_composition(spark):
+    # depth-4 chain: the closure needs 2 composition rounds; pairs ending
+    # at the chain tail (dead end) must still compose INTO others' results
+    e = OmigoDF(spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]))
+    out = sorted((r["node_id"], r["ancestor"])
+                 for r in G.ancestors(e).df.collect())
+    want = sorted([("b", "a"), ("c", "a"), ("c", "b"), ("d", "a"),
+                   ("d", "b"), ("d", "c"), ("e", "a"), ("e", "b"),
+                   ("e", "c"), ("e", "d")])
+    assert out == want
+
+
+def test_time_ordered_ancestors_dead_end_states_kept(spark):
+    # states at dead-end nodes never extend but MUST stay in the output
+    rows = [("a", "b", 1), ("b", "c", 2), ("x", "c", 5)]
+    e = OmigoDF(spark.createDataFrame(rows, ["src", "dst", "ts"]))
+    out = sorted((r["node_id"], r["ancestor"], r["arr_ts"])
+                 for r in G.time_ordered_ancestors(e, "ts").df.collect())
+    assert out == [("b", "a", 1), ("c", "a", 2), ("c", "b", 2),
+                   ("c", "x", 5)]
+
+
+def test_connected_components_signature_rides_checkpoint(spark):
+    # long chain forces several propagation rounds through the fused
+    # observe() signature path; labels must be the component min
+    n = 8
+    rows = [(f"n{i}", f"n{i+1}") for i in range(n)]
+    cc = {r["id"]: r["cluster_id"]
+          for r in __import__(
+              "omigo_data_analytics_spark.operators.dedup",
+              fromlist=["dedup"]).connected_components(
+              OmigoDF(spark.createDataFrame(rows, ["id_a", "id_b"])),
+              max_iter=20).df.collect()}
+    assert set(cc.values()) == {"n0"} and len(cc) == n + 1
