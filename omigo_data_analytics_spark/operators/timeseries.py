@@ -978,19 +978,16 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
                                 Window.currentRow))))
     # carry-in: running max of bucket max-ends over the bucket frame.
     # The summary groups the WINDOWED frame so its aggregation reuses
-    # the phase-1 exchange (no second scan of the input).
-    summ = local.groupBy(*_qcs(keys), "__b__").agg(F.max("__e__").alias("__me__"))
+    # the phase-1 exchange (no second scan of the input); the per-bucket
+    # break count nlb rides the SAME aggregate (r15 — it only needs
+    # phase-1 columns, so it no longer waits for the carry-in join).
+    summ = local.groupBy(*_qcs(keys), "__b__").agg(
+        F.max("__e__").alias("__me__"),
+        F.sum("__lbrk__").alias("__nlb__"))
     ws = Window.partitionBy(*_qcs(keys)).orderBy(F.col("__b__").asc_nulls_first())
     summ = summ.withColumn(
         "__cin__", F.max("__me__").over(
             ws.rowsBetween(Window.unboundedPreceding, -1)))
-    cond = [_q("__ml__", c).eqNullSafe(_q("__mr__", c))
-            for c in keys + ["__b__"]]
-    lhs = local.alias("__ml__")
-    rhs = summ.select(*_qcs(keys), "__b__", "__cin__").alias("__mr__")
-    tagged = (lhs.join(rhs, on=cond, how="inner")
-              .select(*[_q("__ml__", c) for c in local.columns],
-                      F.col("__cin__")))
     # A row is a GLOBAL break iff s > greatest(local prefix-max, carry-
     # in), i.e. iff it is a local break AND s > cin (cin constant per
     # bucket; greatest() skips NULLs, so cin NULL leaves local breaks
@@ -998,20 +995,41 @@ def _merge_intervals_bucketed(d, keys, s, e, span: float) -> OmigoDF:
     # (s <= cin) form a PREFIX of the bucket's break rows; with
     # K = |suppressed|, the global running break count at a row is
     # L - least(L, K) — per-row arithmetic, no post-join window.
-    summ2 = (tagged.groupBy(*_qcs(keys), "__b__")
-             .agg(F.sum("__lbrk__").alias("__nlb__"),
-                  F.sum(F.when((F.col("__lbrk__") == 1)
-                               & (F.col("__s__") <= F.col("__cin__")), 1)
-                        .otherwise(0)).alias("__K__")))
+    #
+    # K itself needs only the BREAK rows (r15 — r13 #7): the last
+    # suppressed break is the K-th break, so K = max(L | lbrk=1,
+    # s <= cin), 0 when none. Joining cin onto the breaks-only
+    # projection (which reuses the phase-1 exchange) and re-aggregating
+    # is break-count-sized work, so the data-level carry-in join of the
+    # old shape disappears: ONE row-level summary join remains (below).
+    bcond = [_q("__bl__", c).eqNullSafe(_q("__br__", c))
+             for c in keys + ["__b__"]]
+    breaks = (local.where(F.col("__lbrk__") == 1)
+              .select(*_qcs(keys), "__b__", "__s__", "__L__")
+              .alias("__bl__"))
+    cinr = summ.select(*_qcs(keys), "__b__", "__cin__",
+                       "__nlb__").alias("__br__")
+    # every non-empty bucket's first row is a local break (its in-bucket
+    # prefix-max is NULL), so this breaks-side aggregation covers every
+    # summary bucket and IS the summary: nlb (constant per bucket) rides
+    # the same groupBy via max(), so summ is referenced exactly once.
+    summary = (breaks.join(cinr, on=bcond, how="inner")
+               .groupBy(*[_q("__bl__", c) for c in keys],
+                        _q("__bl__", "__b__"))
+               .agg(F.coalesce(
+                   F.max(F.when(F.col("__s__") <= F.col("__cin__"),
+                                F.col("__L__"))),
+                   F.lit(0)).alias("__K__"),
+                   F.max("__nlb__").alias("__nlb__")))
     # island id = per-key GLOBAL break count over earlier buckets (the
     # prefix of nlb - K) + the in-bucket global running break count
-    summ2 = summ2.withColumn(
+    summary = summary.withColumn(
         "__P__", F.coalesce(F.sum(F.col("__nlb__") - F.col("__K__")).over(
             ws.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)))
     cond2 = [_q("__il__", c).eqNullSafe(_q("__ir__", c))
              for c in keys + ["__b__"]]
-    ilhs = tagged.alias("__il__")
-    irhs = summ2.select(*_qcs(keys), "__b__", "__P__", "__K__").alias("__ir__")
+    ilhs = local.alias("__il__")
+    irhs = summary.select(*_qcs(keys), "__b__", "__P__", "__K__").alias("__ir__")
     numbered = (ilhs.join(irhs, on=cond2, how="inner")
                 .withColumn("__island__",
                             _q("__ir__", "__P__") + _q("__il__", "__L__")
