@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..core.colutils import qcol
 
 from ..core.dataframe import OmigoDF
+from ..core.jobs import checkpoint_with_metrics
 
 
 def _moments(odf: OmigoDF, col: str):
@@ -79,13 +80,18 @@ def welch_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str,
     }
 
 
-def _ks_d_distributed(u, n1: int, n2: int) -> float:
+def _ks_d_distributed(u) -> tuple[float, int, int]:
     """Max ECDF gap WITHOUT a global-order window (which would put every
     row in one task): aggregate per distinct value (ties on x are counted
     together, same semantics as a rangeBetween sweep), range-repartition
     the distinct values, then a two-phase prefix sum — per-partition
     totals broadcast as offsets, local cumsum inside mapInPandas. Exact,
-    and every stage is distributed."""
+    and every stage is distributed.
+
+    Returns ``(d_stat, n1, n2)`` — the side counts fall out of the
+    per-partition totals the prefix sum collects anyway (r15), so
+    callers no longer pay separate count() jobs; an empty side returns
+    d=0 without running the scan."""
     from pyspark.sql import types as T
 
     g = (u.groupBy("x")
@@ -102,6 +108,9 @@ def _ks_d_distributed(u, n1: int, n2: int) -> float:
         offsets[p] = (acc1, acc2)
         acc1 += parts[p][0] or 0
         acc2 += parts[p][1] or 0
+    n1, n2 = acc1, acc2
+    if not (n1 and n2):
+        return 0.0, n1, n2
     b_off = d.sparkSession.sparkContext.broadcast(offsets)
     schema = T.StructType([T.StructField("gap", T.DoubleType())])
 
@@ -121,7 +130,7 @@ def _ks_d_distributed(u, n1: int, n2: int) -> float:
         yield pd.DataFrame({"gap": [best]})
 
     r = d.mapInPandas(_scan, schema=schema).agg(F.max("gap")).first()[0]
-    return float(r or 0.0)
+    return float(r or 0.0), n1, n2
 
 
 def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
@@ -133,10 +142,10 @@ def ks_test(odf1: OmigoDF, odf2: OmigoDF, col: str,
         .withColumn("s", F.lit(1))
     b = odf2.df.select(qcol(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(2))
-    n1 = a.count()
-    n2 = b.count()
+    # side counts fall out of the KS scan's own per-partition totals
+    # (r15) — the two separate full-scan count() jobs are gone
     u = a.unionByName(b)
-    d = _ks_d_distributed(u, n1, n2) if n1 and n2 else 0.0
+    d, n1, n2 = _ks_d_distributed(u)
     p = _ks_pvalue(d, n1, n2)
     rnd = (lambda x: x) if precision is None else (lambda x: round(x, precision))
     return {"n1": n1, "n2": n2, "d_stat": rnd(d), "p_value": rnd(p)}
@@ -174,13 +183,28 @@ def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
         .withColumn("s", F.lit(1))
     b = odf2.df.select(qcol(col).cast("double").alias("x")).where("x IS NOT NULL") \
         .withColumn("s", F.lit(2))
-    u = a.unionByName(b).localCheckpoint()
+    # both sides' moments ride the union checkpoint's OWN materialization
+    # job as observe() metrics (r15): the tag has exactly two values, so
+    # the per-side groupBy collapses to six conditional global aggregates
+    # — same decimal addends, so the exact sums are bit-identical — and
+    # the separate moments-collect job disappears. The checkpoint stays
+    # EAGER (the r14 adjudication: the KS scan below is a second
+    # consumer).
     x = F.col("x")
-    mom = {r["s"]: r for r in
-           u.groupBy("s").agg(
-               F.count(x).alias("n"),
-               F.sum(x.cast("decimal(38,10)")).alias("s1"),
-               F.sum((x * x).cast("decimal(38,10)")).alias("s2")).collect()}
+
+    def _m(tag, expr):
+        return F.sum(F.when(F.col("s") == tag, expr))
+
+    u, mrow = checkpoint_with_metrics(a.unionByName(b), {
+        "n_1": F.count(F.when(F.col("s") == 1, x)),
+        "s1_1": _m(1, x.cast("decimal(38,10)")),
+        "s2_1": _m(1, (x * x).cast("decimal(38,10)")),
+        "n_2": F.count(F.when(F.col("s") == 2, x)),
+        "s1_2": _m(2, x.cast("decimal(38,10)")),
+        "s2_2": _m(2, (x * x).cast("decimal(38,10)")),
+    })
+    mom = {t: {"n": mrow[f"n_{t}"], "s1": mrow[f"s1_{t}"],
+               "s2": mrow[f"s2_{t}"]} for t in (1, 2)}
 
     def _side(tag):
         r = mom.get(tag)
@@ -210,7 +234,7 @@ def do_ttest(odf1: OmigoDF, odf2: OmigoDF, col: str, alpha: float = 0.05,
     except Exception:
         t_p = math.erfc(abs(t_stat) / math.sqrt(2.0))
 
-    d = _ks_d_distributed(u, n1, n2) if n1 and n2 else 0.0
+    d = _ks_d_distributed(u)[0] if n1 and n2 else 0.0
     ks_p = _ks_pvalue(d, n1, n2)
 
     rnd = (lambda v: v) if precision is None else (lambda v: round(v, precision))

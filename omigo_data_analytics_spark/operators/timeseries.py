@@ -132,7 +132,9 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
     ``"auto"`` = 262,144) routes only hot keys through it, censusing
     the COMBINED left+right rows per key so an as-of pair never splits
     across plans. 'nearest' runs the same bucketed carry in both
-    directions before its pick."""
+    directions before its pick. Without ``time_buckets_sec`` the
+    threshold instead arms the zero-extra-job hot-key warning on the
+    single-window carry (r15 — see sessionize)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"asof_join: unknown direction: {direction}")
     ldf, rdf = _df(left), _df(right)
@@ -209,13 +211,17 @@ def asof_join(left, right, on: list[str] | str, left_time: str,
         carried = _asof_carry_bucketed(u, keys, tb,
                                        float(time_buckets_sec))
     else:
-        w = (Window.partitionBy(*_qcs(keys)).orderBy("__t__", "__side__", *tb)
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        w_base = Window.partitionBy(*_qcs(keys)).orderBy("__t__",
+                                                         "__side__", *tb)
+        w = w_base.rowsBetween(Window.unboundedPreceding,
+                               Window.currentRow)
         carried = u.select(
             "*",
             F.last("__r__", ignorenulls=True).over(w).alias("__c__"),
             F.last(F.when(F.col("__side__") == 0, F.col("__t__")),
                    ignorenulls=True).over(w).alias("__match_t__"))
+        carried = _watch_hot_keys(carried, w_base, "asof_join",
+                                  hot_key_rows)
 
     out = carried.where(F.col("__side__") == 1)
     if tolerance_sec is not None:
@@ -497,6 +503,38 @@ AUTO_HOT_KEY_ROWS = 262_144
 BROADCAST_HINT_MIN_THRESHOLD = 1024
 
 
+def _watch_hot_keys(df, w_base, op_name: str, hot_key_rows):
+    """Default-on hot-key detector for the PLAIN single-window carries
+    (r13 verdict #3, via the observe() design r14 verdict #5 asked for):
+    a row_number over the SAME partition/order rides the op's existing
+    Window evaluation (zero extra jobs or scans at construct OR action),
+    its global max rides the caller's first action as an observe()
+    metric, and a shared daemon poller warns — naming time_buckets_sec
+    as the remedy — when any key group reaches the census threshold.
+    ``hot_key_rows=None`` disables the watch (matching its meaning on
+    the bucketed path: no hot/cold routing)."""
+    if hot_key_rows is None:
+        return df
+    thr = (AUTO_HOT_KEY_ROWS if hot_key_rows == "auto"
+           else int(hot_key_rows))
+
+    def _cb(m):
+        mx = m.get("max_key_rows")
+        if mx is not None and mx >= thr:
+            import warnings
+            warnings.warn(
+                f"{op_name}: a key group holds {mx:,} rows (threshold "
+                f"{thr:,}) — the ordered carry runs it in ONE task, the "
+                f"shuffle-skew class AQE cannot split; pass "
+                f"time_buckets_sec=... to run hot keys bucketed",
+                RuntimeWarning, stacklevel=2)
+
+    from ..core.jobs import observe_async
+    out = df.withColumn("__hk_rn__", F.row_number().over(w_base))
+    out = observe_async(out, {"max_key_rows": F.max("__hk_rn__")}, _cb)
+    return out.drop("__hk_rn__")
+
+
 def _hot_key_split(d, keys, threshold: int, hot_keys=None):
     """(hot_rows, cold_rows): rows whose key holds >= threshold rows vs
     the rest. One partial-aggregated census + a null-safe semi/anti
@@ -571,7 +609,12 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
     partitions are small — bucketing them is pure overhead and, for
     rolling, trips the density guard), hot keys take the two-phase
     plan, results union. ``None`` buckets every key; an int pins the
-    threshold. Has effect only when ``time_buckets_sec`` is set."""
+    threshold. Without ``time_buckets_sec`` the same threshold instead
+    arms a zero-extra-job hot-key WARNING on the single-window plan
+    (r15): a row counter rides the existing window pass, its max rides
+    the caller's first action as an observe() metric, and a key group
+    at/over the threshold warns asynchronously naming
+    ``time_buckets_sec`` as the remedy (``None`` disables)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
     t: Column = _epoch_sec(d, time_col)
@@ -582,9 +625,9 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
                .withColumn(session_col,
                            (F.sum("__brk__").over(
                                w.rowsBetween(Window.unboundedPreceding,
-                                             Window.currentRow)) + 1))
-               .drop("__brk__"))
-        return OmigoDF(out)
+                                             Window.currentRow)) + 1)))
+        out = _watch_hot_keys(out, w, "sessionize", hot_key_rows)
+        return OmigoDF(out.drop("__brk__"))
     if time_buckets_sec <= 0:
         raise ValueError("sessionize: time_buckets_sec must be positive")
     if hot_key_rows is not None:
@@ -689,7 +732,10 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
     hot keys through the halo plan via a one-pass key census — cold
     keys' partitions are small (no straggler to fix) and their sparse
     buckets would trip the density guard; they keep the single-window
-    plan, and the two results union. ``None`` buckets every key."""
+    plan, and the two results union. ``None`` buckets every key.
+    Without ``time_buckets_sec`` the threshold instead arms the
+    zero-extra-job hot-key warning on the single-window plan (r15 —
+    see sessionize)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
     if time_buckets_sec is not None:
@@ -714,12 +760,13 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
                                  float(time_buckets_sec))
     order = [_epoch_sec(d, order_col)] + [
         _qc(c) for c in (tiebreak_cols or [])]
-    w = (Window.partitionBy(*_qcs(keys)).orderBy(*order)
-         .rowsBetween(-(window_rows - 1), Window.currentRow))
+    w_base = Window.partitionBy(*_qcs(keys)).orderBy(*order)
+    w = w_base.rowsBetween(-(window_rows - 1), Window.currentRow)
     out = d
     for name, expr in _rolling_exprs(w, agg_cols, agg_funcs, precision):
         out = out.withColumn(name, expr)
-    return OmigoDF(out)
+    return OmigoDF(_watch_hot_keys(out, w_base, "rolling_aggregate",
+                                   hot_key_rows))
 
 
 def _rolling_exprs(w, agg_cols, agg_funcs, precision):
@@ -889,7 +936,9 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
     ``hot_key_rows`` (default ``"auto"`` = 262,144 rows) routes only
     hot keys through the bucketed plan via the shared key census; cold
     keys keep the plain plan and the outputs union. ``None`` buckets
-    every key. Has effect only when ``time_buckets_sec`` is set."""
+    every key. Without ``time_buckets_sec`` the threshold instead arms
+    the zero-extra-job hot-key warning on the single-window plan (r15 —
+    see sessionize)."""
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     d = _df(odf)
 
@@ -935,6 +984,7 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
                               w.rowsBetween(Window.unboundedPreceding,
                                             Window.currentRow)))
               .drop("__brk__"))
+    tagged = _watch_hot_keys(tagged, w, "merge_intervals", hot_key_rows)
     return OmigoDF(
         tagged.groupBy(*_qcs(keys), "__island__")
         .agg(F.min(s).alias("island_start"),
