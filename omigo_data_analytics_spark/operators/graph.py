@@ -349,7 +349,7 @@ def remove_dangling_edges(edges, keep_vertices=None, src_col: str = "src",
         if n == prev_n:
             break
         cur, prev_n = pruned, n
-    return OmigoDF(cur.select(*e.columns))
+    return OmigoDF(cur.select(*[qcol(c) for c in e.columns]))
 
 
 def time_ordered_ancestors(edges, ts_col: str, src_col: str = "src",
@@ -499,19 +499,23 @@ def merge_similar_nodes(edges, src_col: str = "src", dst_col: str = "dst") -> Om
     # the plan scans the input four times (measured: 4 parquet scans)
     e = _df(edges).localCheckpoint()
     srcs = e.select(qcol(src_col).alias("n")).distinct()
-    leaves = (e.join(srcs, e[dst_col] == F.col("n"), "left_anti")
+    # qcol, not e[dst_col]: DataFrame.__getitem__ PARSES the name, so a
+    # lone backtick or a dot in dst_col raises INVALID_ATTRIBUTE_NAME_SYNTAX
+    # / misresolves as a nested field (r15 parity-hunt find on the widened
+    # hostile-name corpus); every reference below quotes instead
+    leaves = (e.join(srcs, qcol(dst_col) == F.col("n"), "left_anti")
               .select(qcol(dst_col).alias("leaf")).distinct())
-    parents = (e.join(leaves, e[dst_col] == F.col("leaf"))
+    parents = (e.join(leaves, qcol(dst_col) == F.col("leaf"))
                .groupBy("leaf")
                .agg(F.array_sort(
                    F.collect_set(qcol(src_col).cast("string"))).alias("psig"))
                .localCheckpoint())
     reps = parents.groupBy("psig").agg(F.min("leaf").alias("rep"))
     remap = parents.join(reps, on="psig").select("leaf", "rep")
-    out = (e.join(remap, e[dst_col] == F.col("leaf"), "left")
-           .withColumn(dst_col, F.coalesce(F.col("rep"), e[dst_col]))
+    out = (e.join(remap, qcol(dst_col) == F.col("leaf"), "left")
+           .withColumn(dst_col, F.coalesce(F.col("rep"), qcol(dst_col)))
            .drop("leaf", "rep")
-           .select(*e.columns).distinct())
+           .select(*[qcol(c) for c in e.columns]).distinct())
     return OmigoDF(out)
 
 
@@ -524,11 +528,11 @@ def remove_cycles(edges, ts_col: str, src_col: str = "src",
     graph_traversal.py:288-342)."""
     e = _df(edges)
     first_seen = e.groupBy(qcol(dst_col).alias("__node__")).agg(
-        F.min(ts_col).alias("__first_ts__"))
-    out = (e.join(first_seen, e[src_col] == F.col("__node__"), "left")
+        F.min(qcol(ts_col)).alias("__first_ts__"))
+    out = (e.join(first_seen, qcol(src_col) == F.col("__node__"), "left")
             .where(F.col("__first_ts__").isNull()
                    | (qcol(ts_col) >= F.col("__first_ts__")))
-            .select(*e.columns))
+            .select(*[qcol(c) for c in e.columns]))
     return OmigoDF(out)
 
 

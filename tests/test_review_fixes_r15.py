@@ -168,6 +168,26 @@ def test_plain_hot_key_watch_asof_and_results_unchanged(spark):
         assert _wait_for_warning(rec, "asof_join: a key group holds 60")
 
 
+def test_graph_ops_hostile_backtick_dot_names(spark):
+    # r15 parity-hunt find: merge_similar_nodes / remove_cycles /
+    # remove_dangling_edges used e[col] getitem and raw-string selects,
+    # which PARSE the name — a lone backtick or dot broke them
+    edges = spark.createDataFrame([("a", "b"), ("a", "c")],
+                                  "`sr.c` string, `d``st` string")
+    out = {tuple(r) for r in G.merge_similar_nodes(
+        OmigoDF(edges), src_col="sr.c", dst_col="d`st").df.collect()}
+    assert out == {("a", "b")}  # b,c same-parent leaves merge to min
+    e2 = spark.createDataFrame([("a", "b", 1), ("b", "a", 0)],
+                               "`sr.c` string, `d``st` string, `t.s` long")
+    out2 = {tuple(r) for r in G.remove_cycles(
+        OmigoDF(e2), "t.s", src_col="sr.c", dst_col="d`st").df.collect()}
+    assert out2 == {("a", "b", 1)}
+    out3 = {tuple(r) for r in G.remove_dangling_edges(
+        OmigoDF(edges), ["b", "c"], src_col="sr.c",
+        dst_col="d`st").df.collect()}
+    assert out3 == {("a", "b"), ("a", "c")}
+
+
 def test_connected_components_signature_rides_checkpoint(spark):
     # long chain forces several propagation rounds through the fused
     # observe() signature path; labels must be the component min
