@@ -200,3 +200,98 @@ def test_connected_components_signature_rides_checkpoint(spark):
               OmigoDF(spark.createDataFrame(rows, ["id_a", "id_b"])),
               max_iter=20).df.collect()}
     assert set(cc.values()) == {"n0"} and len(cc) == n + 1
+
+
+# --------------------------------------------------------------------------
+# r15 similarity expression hygiene: centroid-norm literals + per-row norm
+# binding must be BIT-IDENTICAL to the all-inline r14 cosine form,
+# including on hostile vectors (NaN / ±Inf / -0.0 / zero-norm / NULL).
+
+def _r14_inline_cands_expr(vec_col, centroids):
+    """The pre-r15 _ivf_cands_expr, kept verbatim as the parity reference:
+    every centroid's cosine recomputed BOTH norms inline per row."""
+    dot = ("aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+           "CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+           "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    elems = []
+    for cid, vec in centroids:
+        arr = ("CAST(array(" + ", ".join(repr(float(x)) for x in vec)
+               + ") AS ARRAY<DOUBLE>)")
+        elems.append(f"named_struct('id', CAST({int(cid)} AS BIGINT), 'v', {arr})")
+    cents = "array(" + ", ".join(elems) + ")"
+    d = dot.format(a=f"`{vec_col}`", b="c.v")
+    na = f"sqrt({dot.format(a=f'`{vec_col}`', b=f'`{vec_col}`')})"
+    nb = f"sqrt({dot.format(a='c.v', b='c.v')})"
+    cos = f"({d}) / nullif(({na}) * ({nb}), CAST(0 AS DOUBLE))"
+    return (f"transform({cents}, c -> named_struct("
+            f"'id', c.id, 'cos', round({cos}, 6)))")
+
+
+_HOSTILE_VECS = [
+    (1, [0.3, -0.7, 1.2]),
+    (2, [0.0, 0.0, 0.0]),                       # zero norm -> NULL cosine
+    (3, [-0.0, 0.0, -0.0]),                     # signed zeros
+    (4, [float("nan"), 1.0, 2.0]),              # NaN poisons dot and norm
+    (5, [float("inf"), 1.0, 2.0]),
+    (6, [-1e308, 1e308, 1.0]),                  # overflow-prone products
+    (7, None),                                  # NULL vector
+    (8, [1e-308, -1e-308, 5e-324]),             # subnormals
+    (9, [0.1, 0.2, 0.30000000000000004]),
+]
+
+
+def test_ivf_cands_expr_bit_identical_to_r14_inline(spark):
+    from omigo_data_analytics_spark.operators.similarity import (
+        _ivf_cands_expr)
+    cents = [(10, [0.5, -0.25, 0.125]), (11, [1.0, 1.0, 1.0]),
+             (12, [-0.0, 0.0, 0.0]), (13, [1e154, -1e154, 1.0])]
+    df = spark.createDataFrame(_HOSTILE_VECS, "vec_id INT, v ARRAY<DOUBLE>")
+    new = df.select("vec_id", F.expr(_ivf_cands_expr("v", cents)).alias("a"))
+    old = df.select("vec_id",
+                    F.expr(_r14_inline_cands_expr("v", cents)).alias("a"))
+    # exact value comparison incl. NaN/NULL: to JSON then compare strings
+    n = new.select("vec_id", F.to_json(F.col("a")).alias("j")).collect()
+    o = old.select("vec_id", F.to_json(F.col("a")).alias("j")).collect()
+    assert sorted((r["vec_id"], r["j"]) for r in n) == \
+           sorted((r["vec_id"], r["j"]) for r in o)
+
+
+def test_cos_with_norms_bit_identical_to_inline_cosine(spark):
+    from omigo_data_analytics_spark.operators.similarity import (
+        _cos_with_norms, _norm_expr, cosine_expr)
+    df = spark.createDataFrame(
+        [(a, b) for _, a in _HOSTILE_VECS for _, b in _HOSTILE_VECS],
+        "va ARRAY<DOUBLE>, vb ARRAY<DOUBLE>")
+    hoisted = (df.withColumn("__na__", F.expr(_norm_expr("`va`")))
+                 .withColumn("__nb__", F.expr(_norm_expr("`vb`")))
+                 .select(F.round(F.expr(_cos_with_norms(
+                     "va", "vb", "__na__", "__nb__")), 6).alias("c")))
+    inline = df.select(F.round(F.expr(cosine_expr("va", "vb")), 6).alias("c"))
+    h = [r["c"] for r in hoisted.collect()]
+    i = [r["c"] for r in inline.collect()]
+    assert len(h) == len(i)
+    for x, y in zip(h, i):
+        if x is None or y is None:
+            assert x is None and y is None
+        elif x != x:  # NaN
+            assert y != y
+        else:
+            assert x == y, (x, y)
+
+
+def test_fold_dot_py_matches_sql_fold(spark):
+    from omigo_data_analytics_spark.operators.similarity import (
+        _dot_expr, _fold_dot_py)
+    vecs = [v for _, v in _HOSTILE_VECS if v is not None]
+    df = spark.createDataFrame([(a, b) for a in vecs for b in vecs],
+                               "va ARRAY<DOUBLE>, vb ARRAY<DOUBLE>")
+    rows = df.select("va", "vb",
+                     F.expr(_dot_expr("va", "vb")).alias("d")).collect()
+    import math
+    for r in rows:
+        py = _fold_dot_py(r["va"], r["vb"])
+        sq = r["d"]
+        if math.isnan(py):
+            assert sq != sq
+        else:
+            assert py == sq, (r["va"], r["vb"], py, sq)
