@@ -619,15 +619,25 @@ def sessionize(odf, key_cols: list[str] | str, time_col: str,
     d = _df(odf)
     t: Column = _epoch_sec(d, time_col)
     if time_buckets_sec is None:
-        w = Window.partitionBy(*_qcs(keys)).orderBy(t)
-        is_break = (t - F.lag(t).over(w) > F.lit(gap_sec)).cast("bigint")
-        out = (d.withColumn("__brk__", F.coalesce(is_break, F.lit(0)))
+        # the order key is MATERIALIZED as a column before the windows
+        # (r15): ordering by the raw epoch-cast EXPRESSION gave every
+        # Window node its own internal `_w0` projection, so the lag,
+        # running-sum and hot-key-counter windows each paid a separate
+        # Sort pass and never collapsed (plan: 3 Sort + 3 Window).
+        # Over a real column the specs share attributes: one Sort, the
+        # counter fuses into the running-sum Window (CollapseWindow),
+        # and the values — hence results — are identical.
+        w = Window.partitionBy(*_qcs(keys)).orderBy("__ot__")
+        ot = F.col("__ot__")
+        is_break = (ot - F.lag(ot).over(w) > F.lit(gap_sec)).cast("bigint")
+        out = (d.withColumn("__ot__", t)
+               .withColumn("__brk__", F.coalesce(is_break, F.lit(0)))
                .withColumn(session_col,
                            (F.sum("__brk__").over(
                                w.rowsBetween(Window.unboundedPreceding,
                                              Window.currentRow)) + 1)))
         out = _watch_hot_keys(out, w, "sessionize", hot_key_rows)
-        return OmigoDF(out.drop("__brk__"))
+        return OmigoDF(out.drop("__brk__", "__ot__"))
     if time_buckets_sec <= 0:
         raise ValueError("sessionize: time_buckets_sec must be positive")
     if hot_key_rows is not None:
@@ -758,15 +768,17 @@ def rolling_aggregate(odf, key_cols: list[str] | str, order_col: str,
         return _rolling_bucketed(d, keys, order_col, agg_cols, agg_funcs,
                                  window_rows, precision, tiebreak_cols,
                                  float(time_buckets_sec))
-    order = [_epoch_sec(d, order_col)] + [
-        _qc(c) for c in (tiebreak_cols or [])]
+    # order key materialized as a column (r15, see sessionize): an
+    # expression orderBy denies Sort sharing and Window collapse, so
+    # the hot-key counter would pay its own Sort + Window pass
+    order = [F.col("__ot__")] + [_qc(c) for c in (tiebreak_cols or [])]
     w_base = Window.partitionBy(*_qcs(keys)).orderBy(*order)
     w = w_base.rowsBetween(-(window_rows - 1), Window.currentRow)
-    out = d
+    out = d.withColumn("__ot__", _epoch_sec(d, order_col))
     for name, expr in _rolling_exprs(w, agg_cols, agg_funcs, precision):
         out = out.withColumn(name, expr)
     return OmigoDF(_watch_hot_keys(out, w_base, "rolling_aggregate",
-                                   hot_key_rows))
+                                   hot_key_rows).drop("__ot__"))
 
 
 def _rolling_exprs(w, agg_cols, agg_funcs, precision):
@@ -973,12 +985,19 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
             return OmigoDF(hot_out.df.unionByName(cold_out.df))
         return _merge_intervals_bucketed(d, keys, s, e,
                                          float(time_buckets_sec))
-    w = Window.partitionBy(*_qcs(keys)).orderBy(s, e)
-    prev_max_end = F.max(e).over(
+    # order keys materialized as columns (r15, see sessionize): ordering
+    # by the canonicalized-double EXPRESSIONS denied Sort sharing and
+    # Window collapse — the prev-max, running-sum and hot-key-counter
+    # windows each paid their own Sort pass. The aggregates read the
+    # same materialized values, so results are identical.
+    s0, e0 = F.col("__s0__"), F.col("__e0__")
+    w = Window.partitionBy(*_qcs(keys)).orderBy(s0, e0)
+    prev_max_end = F.max(e0).over(
         w.rowsBetween(Window.unboundedPreceding, -1))
-    brk = (F.when(prev_max_end.isNull() | (s > prev_max_end), 1)
+    brk = (F.when(prev_max_end.isNull() | (s0 > prev_max_end), 1)
            .otherwise(0))
-    tagged = (d.withColumn("__brk__", brk)
+    tagged = (d.withColumn("__s0__", s).withColumn("__e0__", e)
+              .withColumn("__brk__", brk)
               .withColumn("__island__",
                           F.sum("__brk__").over(
                               w.rowsBetween(Window.unboundedPreceding,
@@ -987,8 +1006,8 @@ def merge_intervals(odf, key_cols: list[str] | str, start_col: str,
     tagged = _watch_hot_keys(tagged, w, "merge_intervals", hot_key_rows)
     return OmigoDF(
         tagged.groupBy(*_qcs(keys), "__island__")
-        .agg(F.min(s).alias("island_start"),
-             F.max(e).alias("island_end"),
+        .agg(F.min(s0).alias("island_start"),
+             F.max(e0).alias("island_end"),
              F.count(F.lit(1)).alias("n_intervals"))
         .withColumnRenamed("__island__", "island_id"))
 

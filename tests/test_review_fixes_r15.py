@@ -295,3 +295,28 @@ def test_fold_dot_py_matches_sql_fold(spark):
             assert sq != sq
         else:
             assert py == sq, (r["va"], r["vb"], py, sq)
+
+
+# --------------------------------------------------------------------------
+# r15 order-key materialization: the plain carries order their windows by a
+# REAL column now, so all window passes share ONE Sort and the hot-key
+# counter collapses into an existing Window node (no extra pass).
+
+def _phys_nodes(df, *names):
+    import re
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {n: len(re.findall(rf"\b{n}\b", plan)) for n in names}
+
+
+def test_plain_carries_single_sort_fused_counter(spark):
+    from omigo_data_analytics_spark.operators import timeseries as TS
+    d = OmigoDF(spark.createDataFrame(
+        [(1, float(i % 50), float(i % 50) + 5.0) for i in range(200)],
+        "k INT, s DOUBLE, e DOUBLE"))
+    sess = TS.sessionize(d, "k", "s", gap_sec=2.0).df
+    n = _phys_nodes(sess, "Sort", "WindowExec|Window")
+    assert n["Sort"] == 1, n
+    mi = TS.merge_intervals(d, "k", "s", "e").df
+    assert _phys_nodes(mi, "Sort")["Sort"] == 1
+    ra = TS.rolling_aggregate(d, "k", "s", ["e"], ["sum"], window_rows=3).df
+    assert _phys_nodes(ra, "Sort")["Sort"] == 1
