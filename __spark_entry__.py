@@ -4260,33 +4260,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entry whose code was touched this round sits in the head (same-
     # round-row rule); a NEW entry enters the head the round it lands.
     return {
-        # --- r14 rotation head (50-entry driver budget) ---
-        # (a) the 30 entries whose code r14 (optimization round 1)
-        #     touches (same-round-row rule): the graph family + CC
-        #     consumers (lazy-checkpoint/job-fusion rewrites of the
-        #     iterative loops), lm_score (in-plan vocabulary scalar),
-        #     group_by_key (census opt-in + list-of-dicts fast path),
-        #     the _global_rank users (seq_num / cumulative_sum /
-        #     sample_weighted / window_tumbling / window_sliding),
-        #     model_enrich (split_batches lazy tagging), the five
-        #     bucketed time-series entries + merge_intervals_islands
-        #     (shared census now lazy; merge_intervals_bucketed
-        #     restructured to a single pre-join window stack),
-        #     ttest (fused checkpoints), inverted_index (hostile-id
-        #     struct fix), query_graph_job (fused batch loop),
-        #     trends_job_e2e (lazy enr checkpoint);
-        # (b) the 14 remaining r10-row entries (the r13 verdict's #1:
-        #     pack_sequences .. typed_filters minus the four already in
-        #     (a) — query_graph_job, sample_weighted, seq_num, ttest);
-        # (c) 6 r11-row entries in files the late-r13 hostile-name
-        #     sweep touched (verdict's second rotation priority):
-        #     dedup_fuzzy, bm25_rank, bloom_search, kmeans_clusters,
-        #     semdedup, distribution_drift.
-        # 30 + 14 + 6 = 50 exactly. The spill (graphviz_dot,
-        # geomap_mercator, stream_dedup and the rest of the r11 block)
-        # leads the post-boundary priority below; every spilled entry
-        # was re-verified this round in full 153/153 batteries at
-        # sf0.01 AND sf0.1 (dtype-strict rows+schema+hash).
+
+        # --- r15 rotation head (50-entry driver budget) ---
+        # (a) the 31 entries whose code round 15 (optimization round 2)
+        #     touches (same-round-row rule):
+        #     - graph family (observe()-fused loop terminators riding the
+        #       per-round checkpoints, dead-end-flag loop restructure,
+        #       hostile-name reference fixes): graph_bfs .. graph_remove_cycles;
+        #     - connected-components consumers (same terminator fusion in
+        #       the CC loop): pipeline_e2e, dedup_cluster,
+        #       leakage_safe_split, dedup_near_dupheavy;
+        #     - ttest (do_ttest moments riding the union checkpoint,
+        #       ks_test side counts from the prefix-sum pass);
+        #     - the full timeseries carry family (default-on hot-key
+        #       watch via observe(), order-key materialization sharing
+        #       ONE Sort across window passes, merge_intervals_bucketed
+        #       single summary join): asof_join .. merge_intervals_bucketed;
+        #     - the cosine family (one interpreted fold per centroid:
+        #       centroid-norm literals + hoisted row norms):
+        #       kmeans_clusters, semdedup, semdedup_corrupt,
+        #       similarity_ivf, similarity_lsh, cosine_topk,
+        #       search_job_e2e, decontaminate_semantic_clustered.
+        # (b) the 19 leading stale-row entries (newest driver row r11 —
+        #     the block the r14 rotation spilled, in its documented
+        #     priority order): generate_key_hash .. decontaminate.
+        # 31 + 19 = 50 exactly. The remaining 10 r11-row entries
+        # (mix_sources .. read_xml_roundtrip) STILL spill; they lead the
+        # post-boundary priority below for r16 and every one was
+        # re-verified this round in full 153/153 batteries at sf0.01
+        # (dtype-strict rows+schema+hash), the touched families also at
+        # sf0.1.
         "graph_bfs": q_graph_bfs,
         "graph_ancestors": q_graph_ancestors,
         "graph_ancestors_guid": q_graph_ancestors_guid,
@@ -4294,11 +4297,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_dangling": q_graph_dangling,
         "graph_job_e2e": q_graph_job_e2e,
         "graph_merge_nodes": q_graph_merge_nodes,
-        "parent_hierarchy": q_parent_hierarchy,
+        "graph_remove_cycles": q_graph_remove_cycles,
         "pipeline_e2e": q_pipeline_e2e,
         "dedup_cluster": q_dedup_cluster,
         "leakage_safe_split": q_leakage_safe_split,
         "dedup_near_dupheavy": q_dedup_near_dupheavy,
+        "ttest": q_ttest,
+        "asof_join": q_asof_join,
+        "asof_nearest": q_asof_nearest,
+        "asof_bucketed": q_asof_bucketed,
+        "asof_nearest_bucketed": q_asof_nearest_bucketed,
+        "sessionize": q_sessionize,
+        "sessionize_bucketed": q_sessionize_bucketed,
+        "rolling_aggregate": q_rolling_aggregate,
+        "rolling_bucketed": q_rolling_bucketed,
+        "merge_intervals_islands": q_merge_intervals,
+        "merge_intervals_bucketed": q_merge_intervals_bucketed,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup": q_semdedup,
+        "semdedup_corrupt": q_semdedup_corrupt,
+        "similarity_ivf": q_similarity_ivf,
+        "similarity_lsh": q_similarity_lsh,
+        "cosine_topk": q_cosine_topk,
+        "search_job_e2e": q_search_job_e2e,
+        "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
+        "generate_key_hash": q_generate_key_hash,
+        "explode_json": q_explode_json,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "tpch_q1_aggregate": q_tpch_q1_aggregate,
+        "codec_base64": q_codec_base64,
+        "topk_per_group": q_topk_per_group,
+        "merge_union": q_merge_union,
+        "text_quality_filter": q_text_quality_filter,
+        "dedup_exact": q_dedup_exact,
+        "select_first": q_select_first,
+        "rest_partitioned": q_rest_partitioned,
+        "normalize": q_normalize,
+        "jira_search": q_jira_search,
+        "stream_dedup": q_stream_dedup,
+        "graphviz_dot": q_graphviz_dot,
+        "geomap_mercator": q_geomap_mercator,
+        "repetition_metrics": q_repetition_metrics,
+        "decontaminate": q_decontaminate,
+        # ---------------- 50-entry budget boundary (driver checks above) ---
+        # Post-boundary order = r16 priority: FIRST the 10 r11-row
+        # entries this rotation still could not seat, then the prior
+        # ordering (r12 rows, r13 rows, then the entries with fresh r14
+        # driver rows, freshest last).
+        "mix_sources": q_mix_sources,
+        "distribution_stats": q_distribution_stats,
+        "trend_scores": q_trend_scores,
+        "mix_sources_weighted": q_mix_sources_weighted,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "nb_classify": q_nb_classify,
+        "ngram_jaccard": q_ngram_jaccard,
+        "read_text_roundtrip": q_read_text_roundtrip,
+        "read_xml_roundtrip": q_read_xml_roundtrip,
+        "parent_hierarchy": q_parent_hierarchy,
         "lm_score": q_lm_score,
         "group_by_key": q_group_by_key,
         "seq_num": q_seq_num,
@@ -4307,13 +4364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "model_enrich": q_model_enrich,
-        "asof_bucketed": q_asof_bucketed,
-        "asof_nearest_bucketed": q_asof_nearest_bucketed,
-        "sessionize_bucketed": q_sessionize_bucketed,
-        "rolling_bucketed": q_rolling_bucketed,
-        "merge_intervals_bucketed": q_merge_intervals_bucketed,
-        "merge_intervals_islands": q_merge_intervals,
-        "ttest": q_ttest,
         "inverted_index": q_inverted_index,
         "query_graph_job": q_query_graph_job,
         "trends_job_e2e": q_trends_job_e2e,
@@ -4334,57 +4384,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy": q_dedup_fuzzy,
         "bm25_rank": q_bm25_rank,
         "bloom_search": q_bloom_search,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semdedup": q_semdedup,
         "distribution_drift": q_distribution_drift,
-        # ---------------- 50-entry budget boundary (driver checks above) ---
-        # Post-boundary order = r15 priority: FIRST the remaining
-        # r11-row entries (three rounds stale at r14 close — the
-        # accepted spill), then the r12-row block, then the r13-row
-        # entries this rotation displaced from the head (freshest).
-        "generate_key_hash": q_generate_key_hash,
-        "explode_json": q_explode_json,
-        "cosine_topk": q_cosine_topk,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "tpch_q1_aggregate": q_tpch_q1_aggregate,
-        "codec_base64": q_codec_base64,
-        "topk_per_group": q_topk_per_group,
-        "merge_union": q_merge_union,
-        "text_quality_filter": q_text_quality_filter,
-        "dedup_exact": q_dedup_exact,
-        "similarity_ivf": q_similarity_ivf,
-        "select_first": q_select_first,
-        "rest_partitioned": q_rest_partitioned,
-        "normalize": q_normalize,
-        "jira_search": q_jira_search,
-        "stream_dedup": q_stream_dedup,
-        "graphviz_dot": q_graphviz_dot,
-        "geomap_mercator": q_geomap_mercator,
-        "repetition_metrics": q_repetition_metrics,
-        "decontaminate": q_decontaminate,
-        "mix_sources": q_mix_sources,
-        "distribution_stats": q_distribution_stats,
-        "trend_scores": q_trend_scores,
-        "mix_sources_weighted": q_mix_sources_weighted,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "nb_classify": q_nb_classify,
-        "decontaminate_semantic_clustered": q_decontaminate_semantic_clustered,
-        "ngram_jaccard": q_ngram_jaccard,
-        "read_text_roundtrip": q_read_text_roundtrip,
-        "read_xml_roundtrip": q_read_xml_roundtrip,
-        # r12-row block
         "normalize_nulls": q_normalize_nulls,
-        "semdedup_corrupt": q_semdedup_corrupt,
         "minmax_range": q_minmax_range,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "pivot": q_pivot,
-        "similarity_lsh": q_similarity_lsh,
         "split_str": q_split_str,
         "ws_enrich": q_ws_enrich,
         "stream_lsh_candidates": q_stream_lsh_candidates,
-        "asof_nearest": q_asof_nearest,
         "profile": q_profile,
         "dedup_embedding": q_dedup_embedding,
         "embedding_near_dup": q_embedding_near_dup,
@@ -4409,11 +4416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_by_key": q_sample_group_by_key,
         "sample_n_per_group": q_sample_n_per_group,
         "sample_uniq_cap": q_sample_uniq_cap,
-        "search_job_e2e": q_search_job_e2e,
         "stats_sequence_stats": q_stats_sequence_stats,
         "token_vocab": q_token_vocab,
         "trends_dataset": q_trends_dataset,
-        # r13-row block (freshest — the r13 driver head)
         "aggregate_analytic": q_aggregate_analytic,
         "group_count": q_group_count,
         "quantile_grid": q_quantile_grid,
@@ -4435,16 +4440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "natural_join": q_natural_join,
         "outer_join_fill": q_outer_join_fill,
         "difference_anti": q_difference_anti,
-        "sessionize": q_sessionize,
-        "rolling_aggregate": q_rolling_aggregate,
-        "asof_join": q_asof_join,
         "range_join": q_range_join,
         "concat_as_cols": q_concat_as_cols,
         "decontaminate_semantic": q_decontaminate_semantic,
         "doc_chunks": q_doc_chunks,
         "duplicate_spans": q_duplicate_spans,
         "fuzzy_join": q_fuzzy_join,
-        "graph_remove_cycles": q_graph_remove_cycles,
         "hash_split": q_hash_split,
         "lang_id": q_lang_id,
     }
