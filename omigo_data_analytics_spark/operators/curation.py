@@ -406,6 +406,13 @@ def lm_score(train: OmigoDF, score: OmigoDF, id_col: str = "doc_id",
     perplexity (= exp(-avg_logprob), 4dp, from the rounded average so
     engines agree). Documents with <2 tokens score NULL with
     n_bigrams = 0.
+
+    Exception-type change (r14): the V=0 empty-train guard moved from a
+    construct-time ``ValueError`` to an EXECUTION-time Spark
+    ``raise_error`` (the vocabulary scalar now rides the plan instead of
+    a separate eager scan). Callers should match on the error MESSAGE
+    ("lm_score: train corpus has no tokens"), not the exception class,
+    and note a plan that is never executed never raises.
     """
     pairs = _bigram_pairs("spark", col)
     tr = (ensure_min_parallelism(train.df)

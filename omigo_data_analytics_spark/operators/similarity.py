@@ -113,12 +113,15 @@ def cosine_topk(corpus: OmigoDF, queries: OmigoDF, k: int,
     from .text import ensure_min_parallelism
     qid = query_id_col or id_col
     # norms hoisted to one evaluation per ROW (r15): inline cosine_expr
-    # re-ran both interpreted norm folds per (corpus x query) PAIR
-    q = queries.df.select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"),
-                          F.expr(_norm_expr(f"`{vec_col}`")).alias("__qn__"))
-    c = ensure_min_parallelism(corpus.df).select(
-        qcol(id_col), qcol(vec_col).alias("__cv__"),
-        F.expr(_norm_expr(f"`{vec_col}`")).alias("__cn__"))
+    # re-ran both interpreted norm folds per (corpus x query) PAIR.
+    # Norm exprs reference the ALIASED safe names only — the raw user
+    # column never enters a parsed expression (hostile-name rule).
+    q = (queries.df.select(qcol(qid).alias("query_id"),
+                           qcol(vec_col).alias("__qv__"))
+         .withColumn("__qn__", F.expr(_norm_expr("__qv__"))))
+    c = (ensure_min_parallelism(corpus.df)
+         .select(qcol(id_col), qcol(vec_col).alias("__cv__"))
+         .withColumn("__cn__", F.expr(_norm_expr("__cv__"))))
     joined = c.crossJoin(F.broadcast(q))
     cos = F.round(F.expr(_cos_with_norms("__cv__", "__qv__", "__cn__", "__qn__")),
                   precision)
@@ -210,19 +213,20 @@ def cosine_topk_lsh(corpus: OmigoDF, queries: OmigoDF, k: int,
     # bits sit above the plane bits, so flips stay within the table)
     # norms hoisted to one evaluation per VECTOR (r15): the inline form
     # re-ran both interpreted norm folds per candidate pair, and the
-    # corpus norm additionally per (table, bucket) explosion row
+    # corpus norm additionally per (table, bucket) explosion row. Norm
+    # exprs reference the ALIASED safe names only (hostile-name rule).
     q = (queries.df
-         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"),
-                 F.expr(_norm_expr(f"`{vec_col}`")).alias("__qn__"),
-                 _buckets_col("__qv__", num_planes, num_tables).alias("__bs__"))
+         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"))
+         .withColumn("__qn__", F.expr(_norm_expr("__qv__")))
+         .withColumn("__bs__", _buckets_col("__qv__", num_planes, num_tables))
          .withColumn("bucket", F.explode(F.expr(
              f"flatten(transform(__bs__, b -> array(b, "
              + ", ".join(f"b ^ {1 << p}" for p in range(num_planes)) + ")))")))
          .drop("__bs__"))
     c = (ensure_min_parallelism(corpus.df)
-         .select(qcol(id_col), qcol(vec_col).alias("__cv__"),
-                 F.expr(_norm_expr(f"`{vec_col}`")).alias("__cn__"),
-                 _buckets_col("__cv__", num_planes, num_tables).alias("__bs__"))
+         .select(qcol(id_col), qcol(vec_col).alias("__cv__"))
+         .withColumn("__cn__", F.expr(_norm_expr("__cv__")))
+         .withColumn("__bs__", _buckets_col("__cv__", num_planes, num_tables))
          .withColumn("bucket", F.explode("__bs__")).drop("__bs__"))
     joined = c.join(F.broadcast(q), "bucket")
     cos = F.round(F.expr(_cos_with_norms("__cv__", "__qv__", "__cn__", "__qn__")),
@@ -281,11 +285,11 @@ def _ivf_cands_expr(vec_col: str, centroids: list, dim: int | None = None) -> st
         elems.append(f"named_struct('id', CAST({int(cid)} AS BIGINT), 'v', {arr}, "
                      f"'n', {_dlit(cn)})")
     cents = "array(" + ", ".join(elems) + ")"
-    cos = _cos_with_norms(f"`{vec_col}`", "c.v", "__rn__", "c.n")
+    cos = _cos_with_norms(quote(vec_col), "c.v", "__rn__", "c.n")
     # bind the row norm once per row: transform over a 1-element array is
     # the SQL let-binding — `__rn__` is evaluated once and captured by the
     # inner lambda, not re-evaluated per centroid
-    return (f"transform(array({_norm_expr(f'`{vec_col}`', dim)}), "
+    return (f"transform(array({_norm_expr(quote(vec_col), dim)}), "
             f"__rn__ -> transform({cents}, c -> named_struct("
             f"'id', c.id, 'cos', round({cos}, 6))))[0]")
 
@@ -366,15 +370,16 @@ def cosine_topk_ivf(corpus: OmigoDF, queries: OmigoDF, k: int,
     cents = centroids if centroids is not None else ivf_centroids(
         corpus, num_centroids, id_col, vec_col)
 
-    # norms hoisted to one evaluation per row (r15, see cosine_topk)
+    # norms hoisted to one evaluation per row (r15, see cosine_topk);
+    # norm exprs reference the ALIASED safe names only (hostile-name rule)
     c = (ensure_min_parallelism(corpus.df)
-         .select(qcol(id_col), qcol(vec_col).alias("__cv__"),
-                 F.expr(_norm_expr(f"`{vec_col}`")).alias("__cn__"))
+         .select(qcol(id_col), qcol(vec_col).alias("__cv__"))
+         .withColumn("__cn__", F.expr(_norm_expr("__cv__")))
          .withColumn("__list__", F.expr(
              f"array_sort({_ivf_cands_expr('__cv__', cents)}, {_IVF_SORT})[0].id")))
     q = (queries.df
-         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"),
-                 F.expr(_norm_expr(f"`{vec_col}`")).alias("__qn__"))
+         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"))
+         .withColumn("__qn__", F.expr(_norm_expr("__qv__")))
          .withColumn("__list__", F.explode(F.expr(
              f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents)}, "
              f"{_IVF_SORT}), 1, {int(nprobe)}), s -> s.id)"))))
@@ -438,8 +443,8 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
     corpus = spark.read.parquet(f"{path}/assignments")
 
     q = (queries.df
-         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"),
-                 F.expr(_norm_expr(f"`{vec_col}`")).alias("__qn__"))
+         .select(qcol(qid).alias("query_id"), qcol(vec_col).alias("__qv__"))
+         .withColumn("__qn__", F.expr(_norm_expr("__qv__")))
          .withColumn("__list__", F.explode(F.expr(
              f"transform(slice(array_sort({_ivf_cands_expr('__qv__', cents)}, "
              f"{_IVF_SORT}), 1, {int(nprobe)}), s -> s.id)"))))
@@ -447,10 +452,11 @@ def cosine_topk_ivf_indexed(spark, path: str, queries: OmigoDF, k: int,
     # prunes partitions at planning time
     probed = sorted({int(r["__list__"]) for r in
                      q.select("__list__").distinct().collect()})
-    # norms hoisted to one evaluation per row (r15, see cosine_topk)
+    # norms hoisted to one evaluation per row (r15, see cosine_topk);
+    # norm expr references the ALIASED safe name only (hostile-name rule)
     c = (corpus.where(F.col("__list__").isin(probed))
-         .select("__list__", qcol(id_col), qcol(vec_col).alias("__cv__"),
-                 F.expr(_norm_expr(f"`{vec_col}`")).alias("__cn__")))
+         .select("__list__", qcol(id_col), qcol(vec_col).alias("__cv__"))
+         .withColumn("__cn__", F.expr(_norm_expr("__cv__"))))
     joined = c.join(F.broadcast(q), "__list__")
     cos = F.round(F.expr(_cos_with_norms("__cv__", "__qv__", "__cn__", "__qn__")),
                   precision)
