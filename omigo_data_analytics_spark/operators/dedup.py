@@ -22,7 +22,7 @@ import random
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..core.colutils import qcol
+from ..core.colutils import qcol, quote
 
 from ..core.dataframe import OmigoDF
 from ..core.jobs import checkpoint_with_metrics
@@ -635,7 +635,7 @@ def embedding_dup_pairs(odf: OmigoDF, threshold: float = 0.9,
     dim = None
     base = (ensure_min_parallelism(odf.df)
             .select(qcol(id_col), qcol(vec_col).alias("__v__"),
-                    F.expr(_norm_expr(f"`{vec_col}`", dim)).alias("__n__"))
+                    F.expr(_norm_expr(quote(vec_col), dim)).alias("__n__"))
             # zero-norm vectors have no defined cosine and can never
             # pass a positive threshold — and under Spark 4's default
             # ANSI mode the unguarded division below THROWS
@@ -984,8 +984,8 @@ def semdedup(odf: OmigoDF, threshold: float = 0.9,
     # norms hoisted out of the pair loop (same trick as embedding_dup_pairs)
     base = (assigned.df
             .select(qcol(id_col), qcol(cluster_col),
-                    F.expr(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)").alias("__v__"),
-                    F.expr(_norm_expr(f"`{vec_col}`")).alias("__n__"))
+                    F.expr(f"CAST({quote(vec_col)} AS ARRAY<DOUBLE>)").alias("__v__"),
+                    F.expr(_norm_expr(quote(vec_col))).alias("__n__"))
             # zero-norm rows can't cosine-match (and ANSI division would
             # throw); they stay in the OUTPUT via assigned — they are
             # only excluded from pair generation, never dropped. The

@@ -310,7 +310,7 @@ def ivf_centroids(corpus: OmigoDF, num_centroids: int = IVF_CENTROIDS,
             # a NaN seed renders as the bare token `nan` in the centroid
             # literal (unparseable SQL) and would poison every cosine
             # (r11 extreme-values sweep)
-            .where(F.expr(f"forall(`{vec_col}`, x -> x - x = 0.0D)"))
+            .where(F.expr(f"forall({quote(vec_col)}, x -> x - x = 0.0D)"))
             .orderBy(qcol(id_col)).limit(num_centroids).collect())
     if not rows:
         # without this, downstream centroid-literal expressions build an

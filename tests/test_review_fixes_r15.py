@@ -320,3 +320,41 @@ def test_plain_carries_single_sort_fused_counter(spark):
     assert _phys_nodes(mi, "Sort")["Sort"] == 1
     ra = TS.rolling_aggregate(d, "k", "s", ["e"], ["sum"], window_rows=3).df
     assert _phys_nodes(ra, "Sort")["Sort"] == 1
+
+
+def test_cosine_family_hostile_vec_and_id_names(spark):
+    """r15: the norm hoists must never put a raw user column name into a
+    parsed expression — drive backtick+dot+colon names through every
+    cosine-family entry point and pin value-equality to the clean run."""
+    from omigo_data_analytics_spark.operators import dedup as DD
+    from omigo_data_analytics_spark.operators import similarity as SIM
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(40)]
+    clean = OmigoDF(spark.createDataFrame(rows, "vid BIGINT, v ARRAY<DOUBLE>"))
+    hid, hv = "id.we`ird:x", "vec.o`dd:y"
+    host = OmigoDF(clean.df.withColumnRenamed("vid", hid)
+                           .withColumnRenamed("v", hv))
+    qc = OmigoDF(clean.df.where("vid < 3"))
+    qh = OmigoDF(host.df.where("`id.we``ird:x` < 3"))
+    c = sorted((r["query_id"], r["vid"], r["rank"], r["cosine"]) for r in
+               SIM.cosine_topk(clean, qc, k=3, id_col="vid",
+                               vec_col="v").df.collect())
+    h = sorted((r["query_id"], r[hid], r["rank"], r["cosine"]) for r in
+               SIM.cosine_topk(host, qh, k=3, id_col=hid,
+                               vec_col=hv).df.collect())
+    assert c == h and len(c) == 9
+    cents_c = SIM.ivf_centroids(clean, 4, id_col="vid", vec_col="v")
+    cents_h = SIM.ivf_centroids(host, 4, id_col=hid, vec_col=hv)
+    assert cents_c == cents_h
+    asg_c = sorted((r["vid"], r["cluster_id"]) for r in
+                   SIM.kmeans_assign(clean, cents_c, vec_col="v")
+                   .df.collect())
+    asg_h = sorted((r[hid], r["cluster_id"]) for r in
+                   SIM.kmeans_assign(host, cents_h, vec_col=hv)
+                   .df.collect())
+    assert asg_c == asg_h
+    de_c = sorted(r["vid"] for r in DD.dedup_embedding(
+        clean, 0.9, id_col="vid", vec_col="v", method="exact").df.collect())
+    de_h = sorted(r[hid] for r in DD.dedup_embedding(
+        host, 0.9, id_col=hid, vec_col=hv, method="exact").df.collect())
+    assert de_c == de_h
